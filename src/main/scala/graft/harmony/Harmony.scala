@@ -1,0 +1,646 @@
+package graft.harmony
+
+import breeze.linalg.{DenseMatrix, DenseVector, inv}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-cell distributed state. One row per cell — N is the parallel axis,
+  * d (10-64 embedding dims) stays in-row (SURVEY.md §1.4).
+  *
+  * @param cellId stable identifier
+  * @param batch  one global covariate-level index per covariate (the sparse
+  *               one-hot design Φ is never materialized; levels live as
+  *               indices and Φ appears only implicitly in aggregations)
+  * @param zOrig  raw embedding (float storage, like the reference's
+  *               single-precision default /root/reference/src/types.h:5-9)
+  * @param zCorr  corrected embedding (reset from zOrig each correction round,
+  *               /root/reference/src/harmony.cpp:347)
+  * @param r      soft cluster assignment, length K, column-stochastic
+  */
+final case class CellState(
+    cellId: Long,
+    batch: Array[Int],
+    zOrig: Array[Float],
+    zCorr: Array[Float],
+    r: Array[Float])
+
+/** Driver-side small model state (broadcast each pass; K*B and K*(B+1)*d
+  * floats — a few MB at most, the same small-state/big-data asymmetry the
+  * reference exploits).
+  */
+final class HarmonyState(
+    val d: Int,
+    val K: Int,
+    val B: Int,
+    val N: Long,
+    val covariateOf: Array[Int],          // level -> covariate index
+    val levelLabels: Array[String],       // level -> "covariate=value"
+    var yRowMajor: Array[Double],         // K x d, L2-normalized rows
+    var E: Array[Double],                 // K x B row-major (expected counts)
+    var O: Array[Double],                 // K x B row-major (observed counts)
+    val prB: Array[Double],               // batch priors N_b / N
+    val nB: Array[Double],                // batch sizes
+    val sigma: Array[Double],             // length K
+    val theta: Array[Double],             // per-level, tau-discounted
+    val objectiveKmeans: ArrayBuffer[Double] = ArrayBuffer.empty,
+    val objectiveHarmony: ArrayBuffer[Double] = ArrayBuffer.empty,
+    val kmeansRounds: ArrayBuffer[Int] = ArrayBuffer.empty) {
+
+  def chiSquared: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < E.length) {
+      if (E(i) > 0) { val diff = O(i) - E(i); s += diff * diff / E(i) }
+      i += 1
+    }
+    s
+  }
+}
+
+final case class HarmonyResult(
+    corrected: DataFrame,
+    cells: Dataset[CellState],
+    state: HarmonyState,
+    rounds: Int)
+
+/** Spark-native Harmony: maximum-diversity soft k-means + mixture-of-experts
+  * ridge correction (capabilities of immunogenomics/harmony v2.0.4,
+  * re-designed as distributed dataflow — see SURVEY.md §2.8-§2.10).
+  *
+  * Execution shape per round (scale posture for 1000-executor clusters):
+  *   - E-step / block updates: map over cells with broadcast (Y, E, O, σ, θ)
+  *     + `treeAggregate` producing K- and K×B-sized partial sums (map-side
+  *     combine; nothing N-sized ever reaches the driver).
+  *   - M-step: ONE fused `treeAggregate` emitting all K Gram matrices
+  *     ((B+1)²) and moments ((B+1)×d) at once (SURVEY ops 46-47), then K
+  *     small Breeze solves on the driver, then one correction map.
+  *   - Lineage is truncated with localCheckpoint every `checkpointEvery`
+  *     rounds so 10 rounds x 4 sweeps don't stack 80 plan layers.
+  */
+object Harmony {
+
+  // ------------------------------------------------------------------ hash
+  /** splitmix64 — deterministic block membership under a per-sweep salt;
+    * replaces the reference's uniform random permutation
+    * (/root/reference/src/harmony.cpp:269-291) with the same distributional
+    * contract (each block ≈ blockSize of cells, reshuffled every sweep).
+    */
+  private[harmony] def blockOf(cellId: Long, salt: Long, nBlocks: Int): Int = {
+    var z = cellId ^ (salt * 0x9E3779B97F4A7C15L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (((z % nBlocks) + nBlocks) % nBlocks).toInt
+  }
+
+  // ------------------------------------------------------------------ API
+  /** Corrected embeddings for `df` (schema: idCol, featuresCol:
+    * array<float|double>, covariate columns). Returns (idCol, featuresCol).
+    */
+  def run(
+      df: DataFrame,
+      covariates: Seq[String],
+      opts: HarmonyOptions = HarmonyOptions(),
+      idCol: String = "cell_id",
+      featuresCol: String = "features"): DataFrame =
+    fit(df, covariates, opts, idCol, featuresCol).corrected
+
+  def fit(
+      df: DataFrame,
+      covariates: Seq[String],
+      opts: HarmonyOptions = HarmonyOptions(),
+      idCol: String = "cell_id",
+      featuresCol: String = "features"): HarmonyResult = {
+
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    require(covariates.nonEmpty, "at least one covariate is required")
+    val missing = covariates.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"covariates not in dataframe: ${missing.mkString(",")}")
+    require(df.columns.contains(idCol) && df.columns.contains(featuresCol),
+      s"need $idCol and $featuresCol columns")
+
+    // ---- covariate dictionaries (op 15/18: as.factor analogue) ----------
+    val typed = df.select(
+      (Seq(col(idCol).cast("long").as("cell_id"),
+        col(featuresCol).cast("array<float>").as("features")) ++
+        covariates.map(c => col(c).cast("string").as(c))): _*)
+
+    val dicts: Seq[Array[String]] = covariates.map { c =>
+      typed.select(col(c)).distinct().as[String].collect().sorted
+    }
+    val bVec = dicts.map(_.length).toArray
+    val B = bVec.sum
+    val offsets = bVec.scanLeft(0)(_ + _)
+    val levelIndex: Seq[Map[String, Int]] = dicts.zipWithIndex.map { case (vals, ci) =>
+      vals.zipWithIndex.map { case (v, i) => v -> (offsets(ci) + i) }.toMap
+    }
+    val covariateOf = Array.tabulate(B) { b => offsets.lastIndexWhere(_ <= b, offsets.length - 2) }
+    val levelLabels = Array.tabulate(B) { b =>
+      val c = covariateOf(b); s"${covariates(c)}=${dicts(c)(b - offsets(c))}"
+    }
+
+    val bcLevelIndex = spark.sparkContext.broadcast(levelIndex)
+    val nCov = covariates.length
+
+    // localCheckpoint after every pass: the block-online sweeps would
+    // otherwise nest each sweep's union-of-blocks plan inside the next
+    // (exponential logical-plan growth — SURVEY §7.4 hard part 5). On a
+    // multi-node cluster swap for reliable `checkpoint()` with a durable dir.
+    var cells: Dataset[CellState] = typed.map { row =>
+      val id = row.getLong(0)
+      val feats = row.getSeq[Float](1).toArray
+      val li = bcLevelIndex.value
+      val batch = Array.tabulate(nCov)(c => li(c)(row.getString(2 + c)))
+      CellState(id, batch, feats, feats, Array.emptyFloatArray)
+    }.localCheckpoint(true)
+
+    val N = cells.count()
+    require(N >= 6, s"refusing to run on N=$N < 6 cells " +
+      "(matches /root/reference/src/harmony.cpp:83-86)")
+    if (N < 40) println(s"[harmony] warning: N=$N < 40 cells; using block size 0.2")
+    val blockSize = if (N < 40) 0.2 else opts.blockSize
+
+    val d = cells.head().zOrig.length
+    val K = opts.nclust.getOrElse(math.min(math.round(N / 30.0).toInt, 100)).max(1)
+
+    // ---- batch sizes / priors (ops 16-17) -------------------------------
+    val nB = new Array[Double](B)
+    covariates.indices.foreach { ci =>
+      typed.groupBy(col(covariates(ci))).count().collect().foreach { r =>
+        nB(levelIndex(ci)(r.getString(0))) = r.getLong(1).toDouble
+      }
+    }
+    val prB = nB.map(_ / N)
+
+    // ---- theta expansion + tau discounting (op 22) ----------------------
+    val thetaPerCov: Seq[Double] =
+      if (opts.theta.length == 1) Seq.fill(nCov)(opts.theta.head)
+      else { require(opts.theta.length == nCov, "theta length must match covariates"); opts.theta }
+    val theta = Array.tabulate(B) { b =>
+      val t = thetaPerCov(covariateOf(b))
+      if (opts.tau > 0) t * (1.0 - math.exp(-math.pow(nB(b) / (K * opts.tau), 2))) else t
+    }
+
+    val sigma = Array.fill(K)(opts.sigma)
+
+    // ---- lambda vector (ops 24-25) --------------------------------------
+    val lambdaPerLevel: Option[Array[Double]] = opts.lambda.map { ls =>
+      val perCov = if (ls.length == 1) Seq.fill(nCov)(ls.head)
+      else { require(ls.length == nCov, "lambda length must match covariates"); ls }
+      Array.tabulate(B)(b => perCov(covariateOf(b)))
+    }
+
+    // ---- k-means init (ops 32-33): k-means|| on L2-normalized cells -----
+    val kmInput = cells.map(c => Tuple1(Vectors.dense(
+      LinAlg.l2Normalize(c.zCorr).map(_.toDouble)))).toDF("features")
+    val km = new KMeans()
+      .setK(K).setMaxIter(opts.kmeansMaxIter).setSeed(opts.seed)
+      .setFeaturesCol("features").setInitMode("k-means||")
+      .fit(kmInput)
+    val yRowMajor = new Array[Double](K * d)
+    km.clusterCenters.zipWithIndex.foreach { case (c, k) =>
+      val arr = c.toArray
+      var ss = 0.0; arr.foreach(v => ss += v * v)
+      val n = math.sqrt(ss)
+      var j = 0
+      while (j < d) { yRowMajor(k * d + j) = if (n == 0) 0 else arr(j) / n; j += 1 }
+    }
+
+    val state = new HarmonyState(d, K, B, N, covariateOf, levelLabels,
+      yRowMajor, new Array[Double](K * B), new Array[Double](K * B),
+      prB, nB, sigma, theta)
+
+    // ---- init E-step: plain softmax R, then E/O (harmony.cpp:131-156) ---
+    cells = plainSoftmax(cells, state).localCheckpoint(true)
+    refreshEO(cells, state)
+    state.objectiveKmeans += objective(cells, state)
+    state.objectiveHarmony += state.objectiveKmeans.last
+
+    // ---- round loop (R/utils.R:15-46) -----------------------------------
+    var rounds = 0
+    var converged = false
+    while (rounds < opts.maxIterHarmony && !converged) {
+      rounds += 1
+
+      // op 41: cold-restart E-step after a correction round
+      if (rounds > 1) {
+        val next = plainSoftmax(cells, state).localCheckpoint(true)
+        cells.unpersist()
+        cells = next
+        refreshEO(cells, state)
+      }
+
+      // clustering sweeps (op 43-44)
+      var sweep = 0
+      var clusterDone = false
+      while (sweep < opts.maxIterCluster && !clusterDone) {
+        cells = updateR(cells, state, blockSize, opts, salt = rounds * 1009L + sweep)
+        state.objectiveKmeans += objective(cells, state)
+        if (sweep + 1 > opts.windowSize && windowConverged(state, opts)) clusterDone = true
+        sweep += 1
+      }
+      state.kmeansRounds += sweep
+      state.objectiveHarmony += state.objectiveKmeans.last
+
+      // M-step: mixture-of-experts ridge correction (ops 45-52)
+      cells = moeCorrectRidge(cells, state, lambdaPerLevel, opts)
+
+      // harmony-level convergence (op 40)
+      if (opts.earlyStop && state.objectiveHarmony.length >= 2) {
+        val o = state.objectiveHarmony(state.objectiveHarmony.length - 2)
+        val n = state.objectiveHarmony.last
+        if ((o - n) / math.abs(o) < opts.epsilonHarmony) converged = true
+      }
+    }
+
+    val corrected = cells.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
+    HarmonyResult(corrected, cells, state, rounds)
+  }
+
+  // ------------------------------------------------------------ kernels
+
+  /** Plain (unpenalized) softmax over cosine distances — init + round
+    * re-estimation (harmony.cpp:141-146, 214-228). Pure map, no shuffle. */
+  private def plainSoftmax(cells: Dataset[CellState], st: HarmonyState): Dataset[CellState] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((st.yRowMajor, st.sigma, st.K, st.d))
+    cells.map { c =>
+      val (y, sigma, k, d) = bc.value
+      val z = LinAlg.l2Normalize(c.zCorr)
+      val dist = LinAlg.cosDistances(y, k, d, z)
+      val r = new Array[Double](k)
+      var sum = 0.0
+      var i = 0
+      while (i < k) { r(i) = math.exp(-dist(i) / sigma(i)); sum += r(i); i += 1 }
+      val rf = new Array[Float](k)
+      i = 0
+      while (i < k) { rf(i) = (r(i) / sum).toFloat; i += 1 }
+      c.copy(r = rf)
+    }
+  }
+
+  /** Aggregate (Σ_cells r, R·Φᵀ) — the K-vector of cluster masses and the
+    * K×B observed co-occurrence (ops 36-37) via treeAggregate (map-side
+    * combine; driver receives K*(B+1) doubles). */
+  private def sumRO(ds: Dataset[CellState], K: Int, B: Int): (Array[Double], Array[Double]) = {
+    val zero = (new Array[Double](K), new Array[Double](K * B))
+    ds.rdd.treeAggregate(zero)(
+      seqOp = { case ((mass, o), c) =>
+        var k = 0
+        while (k < K) {
+          val rk = c.r(k).toDouble
+          mass(k) += rk
+          var ci = 0
+          while (ci < c.batch.length) { o(k * B + c.batch(ci)) += rk; ci += 1 }
+          k += 1
+        }
+        (mass, o)
+      },
+      combOp = { case ((m1, o1), (m2, o2)) =>
+        var i = 0
+        while (i < m1.length) { m1(i) += m2(i); i += 1 }
+        i = 0
+        while (i < o1.length) { o1(i) += o2(i); i += 1 }
+        (m1, o1)
+      })
+  }
+
+  private def refreshEO(cells: Dataset[CellState], st: HarmonyState): Unit = {
+    val (mass, o) = sumRO(cells, st.K, st.B)
+    var k = 0
+    while (k < st.K) {
+      var b = 0
+      while (b < st.B) {
+        st.E(k * st.B + b) = mass(k) * st.prB(b)
+        st.O(k * st.B + b) = o(k * st.B + b)
+        b += 1
+      }
+      k += 1
+    }
+  }
+
+  /** One clustering sweep of the block-online penalized R update (op 43).
+    * BlockMode.Sequential preserves the reference's within-sweep sequential
+    * E/O semantics: the driver iterates blocks, subtracting each block's
+    * contribution, recomputing its R against the broadcast (E, O), and
+    * adding it back — per block: one small aggregate + one map+aggregate.
+    * BlockMode.Sweep is the single-pass relaxation (one map + one aggregate
+    * per sweep) for very large N. */
+  private def updateR(
+      cells: Dataset[CellState],
+      st: HarmonyState,
+      blockSize: Double,
+      opts: HarmonyOptions,
+      salt: Long): Dataset[CellState] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val K = st.K; val B = st.B; val d = st.d
+
+    def penalizedMap(ds: Dataset[CellState]): Dataset[CellState] = {
+      val bc = spark.sparkContext.broadcast(
+        (st.yRowMajor, st.sigma, st.theta, st.E.clone(), st.O.clone(), K, B, d))
+      ds.map { c =>
+        val (y, sigma, theta, e, o, k0, b0, d0) = bc.value
+        val z = LinAlg.l2Normalize(c.zCorr)
+        val dist = LinAlg.cosDistances(y, k0, d0, z)
+        val r = new Array[Double](k0)
+        var sum = 0.0
+        var k = 0
+        while (k < k0) { r(k) = math.exp(-dist(k) / sigma(k)); sum += r(k); k += 1 }
+        // first L1 normalization (harmony.cpp:310)
+        k = 0
+        while (k < k0) { r(k) /= sum; k += 1 }
+        // diversity penalty: ((2E+1)/(O+E+1))^theta summed over the cell's
+        // covariate levels (the `harmony_pow(...) * Phi` product,
+        // harmony.cpp:311) then re-normalize
+        sum = 0.0
+        k = 0
+        while (k < k0) {
+          var pen = 0.0
+          var ci = 0
+          while (ci < c.batch.length) {
+            val idx = k * b0 + c.batch(ci)
+            pen += math.pow((2.0 * e(idx) + 1.0) / (o(idx) + e(idx) + 1.0), theta(c.batch(ci)))
+            ci += 1
+          }
+          r(k) *= pen
+          sum += r(k)
+          k += 1
+        }
+        val rf = new Array[Float](k0)
+        k = 0
+        while (k < k0) { rf(k) = (r(k) / sum).toFloat; k += 1 }
+        c.copy(r = rf)
+      }
+    }
+
+    opts.blockMode match {
+      case BlockMode.Sweep =>
+        val next = penalizedMap(cells).localCheckpoint(true)
+        cells.unpersist()
+        refreshEO(next, st)
+        next
+
+      case BlockMode.Sequential =>
+        val nBlocks = math.max(1, math.ceil(1.0 / blockSize).toInt)
+        val parts = new ArrayBuffer[Dataset[CellState]]
+        var i = 0
+        while (i < nBlocks) {
+          val blockId = i
+          val block = cells.filter(c => blockOf(c.cellId, salt, nBlocks) == blockId)
+          // step 1: remove the block's contribution from E and O
+          val (massOut, oOut) = sumRO(block, K, B)
+          axpyEO(st, massOut, oOut, -1.0)
+          // step 2: recompute the block's R against the updated (E, O)
+          val updated = penalizedMap(block).persist(StorageLevel.MEMORY_AND_DISK)
+          // step 3: add the block back
+          val (massIn, oIn) = sumRO(updated, K, B)
+          axpyEO(st, massIn, oIn, +1.0)
+          parts += updated
+          i += 1
+        }
+        // flat union of the materialized blocks; localCheckpoint truncates
+        // the plan so next sweep's block filters start from a LogicalRDD
+        val next = parts.reduce(_ union _)
+          .coalesce(cells.rdd.getNumPartitions)
+          .localCheckpoint(true)
+        parts.foreach(_.unpersist())
+        cells.unpersist()
+        next
+    }
+  }
+
+  private def axpyEO(st: HarmonyState, mass: Array[Double], o: Array[Double], sign: Double): Unit = {
+    var k = 0
+    while (k < st.K) {
+      var b = 0
+      while (b < st.B) {
+        val idx = k * st.B + b
+        st.E(idx) += sign * mass(k) * st.prB(b)
+        st.O(idx) += sign * o(idx)
+        b += 1
+      }
+      k += 1
+    }
+  }
+
+  /** Objective J = Σ R∘dist + Σ σ R log R + Σ σ R (θ log((O+E+1)/(2E+1)))Φ,
+    * scaled by 2000/N (harmony.cpp:158-170). One aggregate pass. */
+  private def objective(cells: Dataset[CellState], st: HarmonyState): Double = {
+    val spark = cells.sparkSession
+    val bc = spark.sparkContext.broadcast(
+      (st.yRowMajor, st.sigma, st.theta, st.E.clone(), st.O.clone(), st.K, st.B, st.d))
+    val terms = cells.rdd.treeAggregate(new Array[Double](3))(
+      seqOp = { (acc, c) =>
+        val (y, sigma, theta, e, o, k0, b0, d0) = bc.value
+        val z = LinAlg.l2Normalize(c.zCorr)
+        val dist = LinAlg.cosDistances(y, k0, d0, z)
+        var k = 0
+        while (k < k0) {
+          val rk = c.r(k).toDouble
+          acc(0) += rk * dist(k)
+          if (rk > 0) acc(1) += sigma(k) * rk * math.log(rk)
+          var ci = 0
+          while (ci < c.batch.length) {
+            val idx = k * b0 + c.batch(ci)
+            acc(2) += sigma(k) * rk * theta(c.batch(ci)) *
+              math.log((o(idx) + e(idx) + 1.0) / (2.0 * e(idx) + 1.0))
+            ci += 1
+          }
+          k += 1
+        }
+        acc
+      },
+      combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    (terms(0) + terms(1) + terms(2)) * 2000.0 / st.N
+  }
+
+  private def windowConverged(st: HarmonyState, opts: HarmonyOptions): Boolean = {
+    val h = st.objectiveKmeans
+    val w = opts.windowSize
+    if (h.length < 2 * w) return false
+    var oldSum = 0.0; var newSum = 0.0
+    var i = 0
+    while (i < w) {
+      oldSum += h(h.length - 2 - i)
+      newSum += h(h.length - 1 - i)
+      i += 1
+    }
+    math.abs(oldSum - newSum) / math.abs(oldSum) < opts.epsilonCluster
+  }
+
+  /** Mixture-of-experts ridge (ops 45-52): ONE fused treeAggregate emits all
+    * K Gram matrices and weighted moments; the driver prunes batches, solves
+    * K ridge systems (Breeze), refreshes centroids from the intercept betas,
+    * and one map applies the correction from the broadcast W tensor. */
+  private def moeCorrectRidge(
+      cells: Dataset[CellState],
+      st: HarmonyState,
+      lambdaPerLevel: Option[Array[Double]],
+      opts: HarmonyOptions): Dataset[CellState] = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val K = st.K; val B = st.B; val d = st.d
+    val P = B + 1 // design width: intercept + all covariate levels
+
+    // ---- fused moment aggregation (ops 46-47) --------------------------
+    val zeroGram = new Array[Double](K * P * P)
+    val zeroMom = new Array[Double](K * P * d)
+    val (gram, mom) = cells.rdd.treeAggregate((zeroGram, zeroMom))(
+      seqOp = { case ((g, m), c) =>
+        val idxs = new Array[Int](c.batch.length + 1)
+        idxs(0) = 0
+        var ci = 0
+        while (ci < c.batch.length) { idxs(ci + 1) = 1 + c.batch(ci); ci += 1 }
+        var k = 0
+        while (k < K) {
+          val rk = c.r(k).toDouble
+          if (rk != 0.0) {
+            var a = 0
+            while (a < idxs.length) {
+              val ia = idxs(a)
+              var b = 0
+              while (b < idxs.length) { g(k * P * P + ia * P + idxs(b)) += rk; b += 1 }
+              val mOff = k * P * d + ia * d
+              var j = 0
+              while (j < d) { m(mOff + j) += rk * c.zOrig(j); j += 1 }
+              a += 1
+            }
+          }
+          k += 1
+        }
+        (g, m)
+      },
+      combOp = { case ((g1, m1), (g2, m2)) =>
+        var i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        i = 0
+        while (i < m1.length) { m1(i) += m2(i); i += 1 }
+        (g1, m1)
+      })
+
+    // ---- per-cluster pruning + ridge solves (driver; ops 13, 48-50) ----
+    // W tensor: K x P x d; row 0 (intercept) becomes the refreshed centroid
+    // and is then zeroed so it is not subtracted (harmony.cpp:610-611).
+    val w = new Array[Double](K * P * d)
+    val nCov = st.covariateOf.max + 1
+    var k = 0
+    while (k < K) {
+      // batch pruning: drop levels with O(k,b)/N_b <= cutoff, and covariates
+      // left with <2 surviving levels (harmony.cpp:358-410)
+      val keptLevel = Array.tabulate(B) { b =>
+        st.O(k * B + b) / st.nB(b) > opts.batchPropCutoff
+      }
+      val survivors = new Array[Int](nCov)
+      var b = 0
+      while (b < B) { if (keptLevel(b)) survivors(st.covariateOf(b)) += 1; b += 1 }
+      val keep = (0 until B).filter(b => keptLevel(b) && survivors(st.covariateOf(b)) > 1)
+
+      if (keep.nonEmpty) {
+        // Compacted design: intercept + kept levels. For a single covariate
+        // the intercept moments of the kept-cell subset are exactly the sums
+        // of the kept levels' rows (levels partition cells), reproducing the
+        // reference's cell-subset regression without touching cell data; for
+        // multi-covariate pruning this is the masked approximation noted in
+        // SURVEY.md §7.4 (exact whenever nothing is pruned).
+        val p = keep.length + 1
+        val g = DenseMatrix.zeros[Double](p, p)
+        val m = DenseMatrix.zeros[Double](p, d)
+        val exactSubset = nCov == 1 && keep.length < B
+        for ((bi, i) <- keep.zipWithIndex) {
+          val gi = 1 + i
+          g(gi, gi) = gram(k * P * P + (1 + bi) * P + (1 + bi))
+          for ((bj, j) <- keep.zipWithIndex if bj != bi)
+            g(gi, 1 + j) = gram(k * P * P + (1 + bi) * P + (1 + bj))
+          var jj = 0
+          while (jj < d) { m(gi, jj) = mom(k * P * d + (1 + bi) * d + jj); jj += 1 }
+        }
+        if (exactSubset || keep.length < B) {
+          // intercept row/col rebuilt from the kept levels only
+          for ((bi, i) <- keep.zipWithIndex) {
+            g(0, 1 + i) = g(1 + i, 1 + i); g(1 + i, 0) = g(1 + i, 1 + i)
+          }
+          g(0, 0) = keep.map(bi => gram(k * P * P + (1 + bi) * P + (1 + bi))).sum / math.max(1, nCov)
+          for (jj <- 0 until d)
+            m(0, jj) = keep.map(bi => mom(k * P * d + (1 + bi) * d + jj)).sum / math.max(1, nCov)
+        } else {
+          g(0, 0) = gram(k * P * P)
+          for ((bi, i) <- keep.zipWithIndex) {
+            g(0, 1 + i) = gram(k * P * P + (1 + bi)); g(1 + i, 0) = g(0, 1 + i)
+          }
+          var jj = 0
+          while (jj < d) { m(0, jj) = mom(k * P * d + jj); jj += 1 }
+        }
+
+        // lambda: fixed per level, or auto alpha*E(k,b) (utils.cpp:159-163);
+        // intercept unpenalized
+        for ((bi, i) <- keep.zipWithIndex) {
+          val lam = lambdaPerLevel.map(_(bi)).getOrElse(opts.alpha * st.E(k * B + bi))
+          g(1 + i, 1 + i) += lam
+        }
+
+        val sol: DenseMatrix[Double] = inv(g) * m
+        // centroid refresh from intercept betas (harmony.cpp:610)
+        var jj = 0
+        while (jj < d) { st.yRowMajor(k * d + jj) = sol(0, jj); jj += 1 }
+        // batch rows into the broadcast W tensor (pruned levels stay 0 —
+        // excluded cells receive no correction from this cluster, matching
+        // the reference's subset write-back)
+        for ((bi, i) <- keep.zipWithIndex) {
+          jj = 0
+          while (jj < d) { w(k * P * d + (1 + bi) * d + jj) = sol(1 + i, jj); jj += 1 }
+        }
+      }
+      k += 1
+    }
+
+    // re-L2-normalize centroids (harmony.cpp:633)
+    k = 0
+    while (k < K) {
+      var ss = 0.0
+      var j = 0
+      while (j < d) { val v = st.yRowMajor(k * d + j); ss += v * v; j += 1 }
+      val n = math.sqrt(ss)
+      if (n > 0) { j = 0; while (j < d) { st.yRowMajor(k * d + j) /= n; j += 1 } }
+      k += 1
+    }
+
+    // ---- correction map (op 51): Z_corr = Z_orig - Σ_k r_k Σ_c W_k[b_c] --
+    val bcW = spark.sparkContext.broadcast((w, K, B, d))
+    val next = cells.map { c =>
+      val (wt, k0, b0, d0) = bcW.value
+      val p = b0 + 1
+      val out = new Array[Double](d0)
+      var j = 0
+      while (j < d0) { out(j) = c.zOrig(j).toDouble; j += 1 }
+      var kk = 0
+      while (kk < k0) {
+        val rk = c.r(kk).toDouble
+        if (rk != 0.0) {
+          var ci = 0
+          while (ci < c.batch.length) {
+            val off = kk * p * d0 + (1 + c.batch(ci)) * d0
+            j = 0
+            while (j < d0) { out(j) -= rk * wt(off + j); j += 1 }
+            ci += 1
+          }
+        }
+        kk += 1
+      }
+      val zf = new Array[Float](d0)
+      j = 0
+      while (j < d0) { zf(j) = out(j).toFloat; j += 1 }
+      c.copy(zCorr = zf)
+    }.localCheckpoint(true)
+    cells.unpersist()
+    next
+  }
+}

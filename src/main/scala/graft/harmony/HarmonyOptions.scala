@@ -1,0 +1,61 @@
+package graft.harmony
+
+/** User-facing parameters, mirroring the reference's defaults
+  * (`/root/reference/R/ui.R:91-141`, `/root/reference/R/harmony_option.R:33-63`).
+  *
+  * @param nclust          K; when None, `min(round(N/30), 100)` (ui.R:192-194)
+  * @param theta           diversity penalty per covariate (scalar replicated
+  *                        when fewer values than covariates; ui.R:253-258)
+  * @param sigma           soft-kmeans temperature (scalar -> length-K vector)
+  * @param lambda          ridge penalty per covariate; None = auto-estimation
+  *                        `lambda_b = alpha * E(k,b)` (utils.cpp:159-163)
+  * @param alpha           auto-lambda coefficient (harmony_option.R:35)
+  * @param tau             expected-cells discounting of theta (ui.R:253-258)
+  * @param blockSize       fraction of cells per online update block
+  * @param maxIterHarmony  outer rounds (ui.R:99)
+  * @param maxIterCluster  clustering sweeps per round (harmony_option.R:37)
+  * @param epsilonCluster  windowed clustering convergence tol
+  * @param epsilonHarmony  round-over-round convergence tol
+  * @param earlyStop       when false, epsilonHarmony behaves as -Inf (ui.R:137-141)
+  * @param batchPropCutoff per-cluster batch-pruning threshold (harmony_option.R:41)
+  * @param windowSize      clustering convergence window (harmony.cpp:19)
+  * @param kmeansMaxIter   Lloyd iterations for init (utils.cpp:53-64 runs 10)
+  * @param seed            threads determinism through kmeans + block salting
+  * @param blockMode       Sequential = reference block-online semantics
+  *                        (driver iterates blocks, E/O sync between blocks);
+  *                        Sweep = one parallel update per sweep (scale path,
+  *                        the accuracy/speed dial SURVEY.md §7.4 describes)
+  * @param checkpointEvery localCheckpoint the cell dataset every k rounds to
+  *                        truncate lineage across the iterative loop
+  */
+final case class HarmonyOptions(
+    nclust: Option[Int] = None,
+    theta: Seq[Double] = Seq(2.0),
+    sigma: Double = 0.1,
+    lambda: Option[Seq[Double]] = Some(Seq(1.0)),
+    alpha: Double = 0.2,
+    tau: Double = 0.0,
+    blockSize: Double = 0.05,
+    maxIterHarmony: Int = 10,
+    maxIterCluster: Int = 4,
+    epsilonCluster: Double = 1e-3,
+    epsilonHarmony: Double = 1e-2,
+    earlyStop: Boolean = true,
+    batchPropCutoff: Double = 1e-5,
+    windowSize: Int = 3,
+    kmeansMaxIter: Int = 10,
+    seed: Long = 42L,
+    blockMode: BlockMode = BlockMode.Sequential,
+    checkpointEvery: Int = 2) {
+  require(blockSize > 0 && blockSize <= 1, "blockSize must be in (0, 1]")
+  require(sigma > 0, "sigma must be positive")
+  require(lambda.forall(_.forall(_ > 0)), "lambda values must be positive")
+  require(alpha > 0, "alpha must be positive")
+  require(maxIterHarmony >= 0 && maxIterCluster >= 1, "iteration budgets")
+}
+
+sealed trait BlockMode
+object BlockMode {
+  case object Sequential extends BlockMode
+  case object Sweep extends BlockMode
+}

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: nothing here ever builds an N² candidate space. Exact dedup
+  * groups on a content hash (shuffles 16-byte keys, not documents);
+  * MinHash/SimHash reduce each document to a fixed-width signature (one
+  * shuffle of shingles with map-side combine), and candidate generation is a
+  * self-equi-join on band buckets — the classic shuffle-join-on-bucket plan
+  * that stays linear in corpus size for bounded bucket width.
+  *
+  * The synthetic corpus has no organic near-duplicates, so the near-dup
+  * queries plant deterministic ones (a truncated copy of every 10th doc)
+  * inside the query itself — the pipeline then must find exactly those.
+  */
+object Dedup {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** documents ∪ truncated copies of every 10th doc (ids shifted by 10^7). */
+  private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = base
+      .filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(toks, lit(1), greatest((size(toks) * 0.9).cast("int"), lit(1))), " ").as("text"))
+    base.unionByName(planted)
+  }
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup on a content hash (SURVEY §2.13): keep lowest doc_id. */
+  private val d01 = Q(
+    "d01_exact_dedup",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      count(*) AS n_copies FROM documents GROUP BY md5(text)"""))
+
+  // ---------------------------------------------------------------- minhash
+  /** MinHash signatures (32 permutations over 3-word shingles) -> banded
+    * LSH (8 bands x 4 rows) -> candidate pairs -> exact Jaccard verification
+    * on the shingle sets. Hash family: xxhash64 with per-permutation salt
+    * (deterministic). Rows-only: the hash family is engine-specific. */
+  private val d02 = Q(
+    "d02_minhash_lsh",
+    (s, dir) => {
+      val nPerm = 32
+      val bands = 8
+      val rowsPerBand = nPerm / bands
+
+      val docs = withPlantedDups(s, dir)
+      val shingles = docs.select(col("doc_id"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+             i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))).as("shingle"))
+
+      // signature: per-doc min of each salted hash (one grouped agg,
+      // map-side combined)
+      val sigCols = (0 until nPerm).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        .withColumn("sig", array((0 until nPerm).map(i => col(s"h$i")): _*))
+        .select(col("doc_id"), col("sig"))
+
+      // banding: bucket key = hash of the band's signature slice
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val candidates = a.join(b,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+
+      // estimated Jaccard = matching signature fraction; verify exactly
+      val est = candidates.withColumn("est_jaccard",
+        round(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($nPerm as double)"), 4))
+
+      val sets = docs.select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+           i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("sh"))
+      est
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- simhash
+  /** 64-bit SimHash over unigram token hashes, entirely in codegen'd
+    * higher-order functions; near-dup candidates via 16-bit band buckets and
+    * Hamming distance (bit_count(xor)) <= 8. Rows-only (hash-specific). */
+  private val d03 = Q(
+    "d03_simhash",
+    (s, dir) => {
+      val docs = withPlantedDups(s, dir)
+      val sims = docs
+        .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+        .withColumn("simhash", expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+               acc | (CASE WHEN aggregate(hs, 0L, (a, h) ->
+                 a + (CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)) >= 0L
+               THEN shiftleft(1L, b) ELSE 0L END))"""))
+        .select(col("doc_id"), col("simhash"))
+
+      val banded = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(simhash >> ${b * 16}) & 65535").as("bucket"))): _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+    },
+    None)
+
+  // ---------------------------------------------------------------- jaccard
+  /** Exact 3-gram Jaccard between adjacent doc pairs — deterministic and
+    * ANSI-expressible, so it carries a DuckDB oracle (validates the shingle
+    * + set-similarity machinery the LSH paths build on). */
+  private val d04 = Q(
+    "d04_ngram_jaccard",
+    (s, dir) => {
+      val sets = Tables.documents(s, dir).select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+           i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("sh"))
+      val a = sets.alias("a")
+      val b = sets.alias("b")
+      a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            (size(col("a.sh")) + size(col("b.sh")) - size(array_intersect(col("a.sh"), col("b.sh")))), 6)
+            .as("jaccard"))
+    },
+    Some("""WITH sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM sets a JOIN sets b ON a.doc_id + 1 = b.doc_id"""))
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * `stubDecode` below derives a deterministic fake feature vector from the
+  * payload bytes. Everything around it is real and scale-shaped: binary
+  * columns with metadata structs, batched per-partition processing
+  * (`mapPartitions`, the Scala analogue of `mapInPandas` batch decode), and
+  * fixed-width feature output ready for the Similarity operators.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+  final case class MediaFeatures(
+      doc_id: Long, mime: String, n_bytes: Long, n_frames: Long, features: Array[Float])
+
+  /** STUB decode: byte-histogram moments in place of a real codec. At
+    * deployment this is the only function to replace (JNI/codec call); the
+    * signature — bytes in, fixed-width float features out — is the contract.
+    */
+  private[operators] def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val hist = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) {
+      hist(java.lang.Byte.toUnsignedInt(payload(i)) % dim) += 1
+      i += 1
+    }
+    val n = math.max(1, payload.length).toDouble
+    hist.map(h => (h / n).toFloat)
+  }
+
+  /** Binary ingestion + batched decode + frame sampling. The payload here is
+    * the UTF-8 text (no media in the test corpus); the plan shape — scan ->
+    * mapPartitions decode -> downstream relational ops — is the real thing.
+    */
+  private val m01 = Q(
+    "m01_media_features",
+    (s, dir) => {
+      import s.implicits._
+      val frameBytes = 256 // frame-sample stride over the payload
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("application/octet-stream").as("mime"))
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .as[MediaRow]
+
+      media.mapPartitions { rows =>
+        // batch-shaped decode: one codec init per partition, not per row
+        rows.map { r =>
+          MediaFeatures(
+            r.doc_id, r.mime, r.n_bytes,
+            n_frames = (r.n_bytes + frameBytes - 1) / frameBytes,
+            features = stubDecode(r.payload, 16))
+        }
+      }.toDF()
+    },
+    None)
+
+  /** Metadata-only path is plain SQL and oracle-checkable: byte length and
+    * frame count derived from the binary column. */
+  private val m02 = Q(
+    "m02_media_metadata",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          ceil(length(col("payload")) / 256.0).cast("long").as("n_frames"),
+          substring(base64(col("payload")), 1, 12).as("payload_head_b64"))
+    },
+    Some("""SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+      substring(to_base64(encode(text)), 1, 12) AS payload_head_b64
+      FROM documents"""))
+
+  val all: Seq[Q] = Seq(m01, m02)
+}

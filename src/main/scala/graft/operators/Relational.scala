@@ -1,0 +1,534 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Q
+import graft.sources.Tables
+
+/** General relational surface (SURVEY.md §2.13): scans, projections, filters,
+  * joins (incl. semi/anti/full/as-of), aggregations (incl. distinct,
+  * rollup/cube/grouping sets), window functions, sorts/top-k, set ops, and the
+  * scalar function families — all Spark built-ins so Catalyst handles
+  * pushdown, pruning, join strategy and whole-stage codegen.
+  *
+  * Scale notes (100 TB posture): dimension tables (`region`, `nation`,
+  * `supplier`, `part`, `customer`) are explicitly `broadcast()` so fact-table
+  * joins never shuffle the big side; aggregates are partial (map-side
+  * combine) by construction; every filter/projection is declarative so it
+  * reaches the parquet scan (`PushedFilters`/`ReadSchema`).
+  *
+  * Every query carries a DuckDB oracle. Double-valued aggregates are rounded
+  * in BOTH engines (summation order differs across engines; rounding absorbs
+  * the last-ulp divergence). Integer-valued functions are cast to BIGINT on
+  * whichever side is narrower so schemas hash identically.
+  */
+object Relational {
+
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: grouped aggregation with derived
+    * expressions (ref analogue: grouped sums, SURVEY §2.8 ops 36-38). */
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          // rounding scale = the exact decimal count of the true value
+          // (2-dec prices x 2-dec discounts -> 4; x 2-dec tax -> 6), so the
+          // cross-engine last-ulp sum divergence can never straddle a
+          // rounding boundary
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity),2) AS sum_qty,
+      round(sum(l_extendedprice),2) AS sum_base_price,
+      round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+      round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),6) AS sum_charge,
+      round(avg(l_quantity),4) AS avg_qty,
+      round(avg(l_extendedprice),4) AS avg_price,
+      round(avg(l_discount),6) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q02
+  /** Projection + conjunctive filter; exercises parquet predicate pushdown
+    * and column pruning (only 5 of 11 lineitem columns read). */
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate").between(ts("1997-01-01 00:00:00"), ts("1997-12-31 00:00:00"))
+          && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))
+    },
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+        AND l_quantity > 30"""))
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: 3-way join (fact x fact x broadcast dim) + grouped agg. */
+  private val q03 = Q(
+    "q03_shipping_priority",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1999-01-01 00:00:00"))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1997-06-30 00:00:00"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q04
+  /** Left-semi join (EXISTS): TPC-H Q4-style order-priority count. */
+  private val q04 = Q(
+    "q04_order_priority_exists",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir).filter(col("l_quantity") > 45).select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+      FROM orders WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q05
+  /** Left-anti join (NOT EXISTS): customers with no 1995 orders. */
+  private val q05 = Q(
+    "q05_customers_no_orders",
+    (s, dir) => {
+      val o95 = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < ts("1996-01-01 00:00:00"))
+        .select(col("o_custkey"))
+      Tables.customer(s, dir)
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')"""))
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q5-style multi-way star join through broadcast dims. */
+  private val q06 = Q(
+    "q06_region_revenue",
+    (s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00")
+          && col("o_orderdate") < ts("2000-01-01 00:00:00"))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+      count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY n_name"""))
+
+  // ---------------------------------------------------------------- q07
+  /** TPC-H Q6-style single-pass filtered global aggregate. */
+  private val q07 = Q(
+    "q07_forecast_revenue",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00")
+          && col("l_shipdate") < ts("1998-01-01 00:00:00")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"""))
+
+  // ---------------------------------------------------------------- q08
+  /** Ranking window: per-customer top-3 orders (row_number, deterministic
+    * tiebreak). Per-group top-k without a global sort. */
+  private val q08 = Q(
+    "q08_top_orders_per_cust",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t WHERE rn <= 3"""))
+
+  // ---------------------------------------------------------------- q09
+  /** Analytic window frame: per-customer running spend (rowsBetween). */
+  private val q09 = Q(
+    "q09_running_total",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+      FROM orders"""))
+
+  // ---------------------------------------------------------------- q10
+  /** lag/lead analytics over the events table. */
+  private val q10 = Q(
+    "q10_event_deltas",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("delta", round(col("value") - col("prev_value"), 6))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("prev_value"), col("next_type"), col("delta"))
+    },
+    Some("""SELECT event_id, user_id, event_type,
+      lag(value, 1) OVER w AS prev_value,
+      lead(event_type, 1) OVER w AS next_type,
+      round(value - lag(value, 1) OVER w, 6) AS delta
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""))
+
+  // ---------------------------------------------------------------- q11
+  /** ROLLUP hierarchy aggregation. */
+  private val q11 = Q(
+    "q11_rollup",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+      count(*) AS n_rows FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+
+  // ---------------------------------------------------------------- q12
+  /** CUBE aggregation. */
+  private val q12 = Q(
+    "q12_cube",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      round(sum(o_totalprice),2) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
+
+  // ---------------------------------------------------------------- q13
+  /** Explicit GROUPING SETS (via SQL — same text runs on the oracle). */
+  private val q13 = Q(
+    "q13_grouping_sets",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS sum_price
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),())""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) AS sum_price
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),())"""))
+
+  // ---------------------------------------------------------------- q14-16
+  /** Set operations (UNION/INTERSECT/EXCEPT, distinct semantics). */
+  private def custNations(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+  private def suppNations(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+
+  private val q14 = Q(
+    "q14_union_nations",
+    (s, dir) => custNations(s, dir).union(suppNations(s, dir)).distinct(),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier"""))
+
+  private val q15 = Q(
+    "q15_intersect_nations",
+    (s, dir) => custNations(s, dir).intersect(suppNations(s, dir)),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier"""))
+
+  private val q16 = Q(
+    "q16_except_nations",
+    (s, dir) => custNations(s, dir).except(suppNations(s, dir)),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier"""))
+
+  // ---------------------------------------------------------------- q17
+  /** count(DISTINCT) — expand-based distinct aggregation. */
+  private val q17 = Q(
+    "q17_distinct_agg",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+      count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q18
+  /** Full-outer join of a dimension against a pre-aggregated fact. */
+  private val q18 = Q(
+    "q18_nation_customer_balance",
+    (s, dir) => {
+      val perNation = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      Tables.nation(s, dir)
+        .join(perNation, col("n_nationkey") === col("c_nationkey"), "full_outer")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("sum_bal"), lit(0.0)).as("sum_bal"))
+    },
+    Some("""SELECT n_nationkey, n_name, coalesce(n_cust, 0) AS n_cust,
+      coalesce(sum_bal, 0.0) AS sum_bal
+      FROM nation FULL OUTER JOIN (
+        SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        FROM customer GROUP BY c_nationkey) c ON n_nationkey = c_nationkey"""))
+
+  // ---------------------------------------------------------------- q19
+  /** Date/time functions: year/month buckets + datediff-derived measure. */
+  private val q19 = Q(
+    "q19_monthly_orders",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      CAST(month(o_orderdate) AS BIGINT) AS o_month,
+      count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price,
+      round(avg(o_totalprice),4) AS avg_price
+      FROM orders GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q20
+  /** datediff between join sides (ship delay per priority). */
+  private val q20 = Q(
+    "q20_ship_delay",
+    (s, dir) => {
+      Tables.lineitem(s, dir).join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(avg(col("delay_days")), 4).as("avg_delay"),
+          max(col("delay_days")).as("max_delay"),
+          min(col("delay_days")).as("min_delay"))
+    },
+    Some("""SELECT o_orderpriority,
+      round(avg(date_diff('day', o_orderdate, l_shipdate)),4) AS avg_delay,
+      max(date_diff('day', o_orderdate, l_shipdate)) AS max_delay,
+      min(date_diff('day', o_orderdate, l_shipdate)) AS min_delay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q21
+  /** String function family: upper/substring/length/concat/replace/split/LIKE. */
+  private val q21 = Q(
+    "q21_string_funcs",
+    (s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          split(col("p_name"), " ").getItem(0).as("first_word"))
+    },
+    Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+      substring(p_name, 1, 8) AS name_pfx,
+      CAST(length(p_name) AS BIGINT) AS name_len,
+      concat(p_brand, '#', p_type) AS brand_type,
+      replace(p_type, ' ', '_') AS type_u,
+      string_split(p_name, ' ')[1] AS first_word
+      FROM part WHERE p_name LIKE '%a%'"""))
+
+  // ---------------------------------------------------------------- q22
+  /** Math function family (sqrt/ln/pow/abs/mod/floor). */
+  private val q22 = Q(
+    "q22_math_funcs",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(pow(col("l_discount") + 1, 2), 6).as("pow_disc"),
+          round(abs(col("l_discount") - 0.05), 6).as("abs_disc"),
+          (col("l_orderkey") % 7).as("mod7"),
+          floor(col("l_quantity") / 7).cast("long").as("qty_div7"))
+    },
+    Some("""SELECT l_orderkey, round(sqrt(l_extendedprice),6) AS sqrt_price,
+      round(ln(l_extendedprice),6) AS ln_price,
+      round(pow(l_discount + 1, 2),6) AS pow_disc,
+      round(abs(l_discount - 0.05),6) AS abs_disc,
+      l_orderkey % 7 AS mod7,
+      CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7
+      FROM lineitem WHERE l_linenumber = 1"""))
+
+  // ---------------------------------------------------------------- q23
+  /** JSON extraction from the events `props` column. */
+  private val q23 = Q(
+    "q23_json_extract",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"), min(col("k")).as("min_k"))
+    },
+    Some("""SELECT k % 10 AS k_bucket, count(*) AS n, max(k) AS max_k, min(k) AS min_k
+      FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+      GROUP BY 1"""))
+
+  // ---------------------------------------------------------------- q24
+  /** As-of join: latest order at-or-before each event's timestamp for the
+    * same user — composed as equi-join + inequality + window dedup (the
+    * Spark-idiomatic as-of pattern; SURVEY §2.13). */
+  private val q24 = Q(
+    "q24_asof_join",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+    },
+    Some("""SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+      WHERE rn = 1"""))
+
+  // ---------------------------------------------------------------- q25
+  /** Global top-k with deterministic tiebreak (TakeOrderedAndProject —
+    * no full sort, no single-node shuffle of the whole table). */
+  private val q25 = Q(
+    "q25_topk_orders",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q26
+  /** CASE WHEN + conditional aggregation (pivot-style counts). */
+  private val q26 = Q(
+    "q26_case_when",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("n_big"),
+          sum(when(col("l_quantity") <= 25, 1).otherwise(0)).as("n_small"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("disc_price"))
+    },
+    Some("""SELECT l_returnflag,
+      sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
+      sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS n_small,
+      round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END),2) AS disc_price
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q27
+  /** Correlated scalar-subquery pattern: orders above their customer's
+    * average order value (expressed join-style for Spark). */
+  private val q27 = Q(
+    "q27_above_avg_orders",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgPerCust = o.groupBy(col("o_custkey").as("ac_custkey"))
+        .agg(avg(col("o_totalprice")).as("cust_avg"))
+      o.join(avgPerCust, col("o_custkey") === col("ac_custkey"))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          round(col("cust_avg"), 6).as("cust_avg"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, round(cust_avg,6) AS cust_avg
+      FROM orders JOIN (
+        SELECT o_custkey AS ac_custkey, avg(o_totalprice) AS cust_avg
+        FROM orders GROUP BY o_custkey) a ON o_custkey = ac_custkey
+      WHERE o_totalprice > cust_avg"""))
+
+  // ---------------------------------------------------------------- q28
+  /** ntile + dense_rank ranking family over a join. */
+  private val q28 = Q(
+    "q28_rank_family",
+    (s, dir) => {
+      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      Tables.supplier(s, dir)
+        .withColumn("bal_rank", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("bal_rank"), col("quartile"))
+    },
+    Some("""SELECT s_suppkey, s_name, s_acctbal,
+      dense_rank() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS bal_rank,
+      ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+      FROM supplier"""))
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28)
+}

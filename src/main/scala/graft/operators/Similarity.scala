@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Q
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor similarity search over `array<float>`
+  * embedding columns (SURVEY §2.13 LLM-pipeline extensions).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query side and
+  * streams the corpus once — a map-only plan with a per-partition top-k and
+  * a tiny final reduce (TakeOrderedAndProject), no corpus shuffle. The LSH
+  * path buckets by random-hyperplane sign bits so candidate generation is an
+  * equi-join on bucket keys; hyperplanes are derived from a seeded RNG on
+  * the driver, so the whole plan is deterministic.
+  */
+object Similarity {
+
+  private def l2(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  // ---------------------------------------------------------------- s01
+  /** Brute-force cosine top-10 for 3 query vectors — the exactness baseline
+    * the approximate variants are judged against. Oracle-checked. */
+  private val s01 = Q(
+    "s01_knn_bruteforce",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+      pairs AS (
+        SELECT q.query_id, e.vec_id,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      SELECT query_id, vec_id AS neighbor_id, round(cosine_raw, 6) AS cosine, rn FROM (
+        SELECT query_id, vec_id, cosine_raw,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS rn
+        FROM pairs) t WHERE rn <= 10"""))
+
+  // ---------------------------------------------------------------- s02
+  /** Random-hyperplane LSH: 12 sign bits -> bucket; exact cosine re-rank
+    * within the query's bucket. The scale path — candidate generation is an
+    * equi-join on the bucket key. Rows-only (bucketing is engine-specific).
+    */
+  private val s02 = Q(
+    "s02_knn_lsh",
+    (s, dir) => {
+      val dim = 64
+      val nPlanes = 6 // 64 buckets; enough recall at test scale while still
+                      // exercising the bucketed-join plan shape
+      val rng = new scala.util.Random(42)
+      val planes: Array[Array[Double]] =
+        Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+
+      def bucketOf(emb: Column): Column = {
+        val bits = (0 until nPlanes).map { p =>
+          val proj = (0 until dim).map(j =>
+            element_at(emb, j + 1).cast("double") * lit(planes(p)(j)))
+            .reduce(_ + _)
+          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }
+
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", bucketOf(col("embedding")))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- s03
+  /** IVF-style ANN: seeded k-means coarse quantizer; queries probe their 2
+    * nearest centroids' inverted lists, exact cosine re-rank inside. The
+    * centroid assignment reuses the engine's L2/centroid machinery
+    * (Harmony ops 26/32-34). Rows-only (k-means is engine-specific). */
+  private val s03 = Q(
+    "s03_ann_ivf",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
+      val km = new KMeans().setK(8).setMaxIter(10).setSeed(42L)
+        .setFeaturesCol("fv").fit(e)
+      val assigned = km.transform(e).select(col("vec_id"), col("embedding"),
+        col("prediction").as("list_id"))
+
+      // nProbe=2: each query also probes its runner-up centroid
+      val centers = km.clusterCenters.map(_.toArray)
+      def dist2(emb: Column, c: Array[Double]): Column =
+        (0 until c.length).map(j =>
+          (element_at(emb, j + 1).cast("double") - lit(c(j))) *
+            (element_at(emb, j + 1).cast("double") - lit(c(j)))).reduce(_ + _)
+      val probeCols = centers.zipWithIndex.map { case (c, i) =>
+        struct(dist2(col("q_emb"), c).as("d"), lit(i).as("list_id"))
+      }
+      val q = assigned.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .withColumn("probes", slice(array_sort(array(probeCols: _*)), 1, 2))
+        .select(col("query_id"), col("q_emb"), explode(col("probes.list_id")).as("list_id"))
+
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      assigned.join(broadcast(q), Seq("list_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(s01, s02, s03)
+}

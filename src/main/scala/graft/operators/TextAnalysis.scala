@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (builder brief):
+  * token counting, quality scoring, document fingerprinting, language ID.
+  * All row-local — embarrassingly parallel, no shuffle, codegen-friendly
+  * (built-in string/array functions and higher-order functions only).
+  */
+object TextAnalysis {
+
+  /** Small function-word profiles per language for n-gram/stopword language
+    * ID. Deterministic heuristic — scores each language by the fraction of a
+    * doc's tokens that are that language's function words.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "人"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- tokens
+  /** Whitespace token counting + distinct tokens (op family: tokenize). */
+  private val tTokens = Q(
+    "t01_token_counts",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        col("n_chars"))
+    },
+    Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      n_chars FROM documents"""))
+
+  // ---------------------------------------------------------------- word freq
+  /** Corpus-level token frequency (explode + grouped count). At 100 TB this
+    * is the canonical map-side-combine aggregation: the explode is pipelined
+    * into a partial hash agg, only (token, partial_count) shuffles. */
+  private val tWordFreq = Q(
+    "t02_word_freq",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(toks).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token"""))
+
+  // ---------------------------------------------------------------- quality
+  /** Quality scoring: token stats, non-alpha density, stopword ratio.
+    * Row-local; ratios rounded to absorb double formatting differences. */
+  private val tQuality = Q(
+    "t03_quality_score",
+    (s, dir) => {
+      val nTok = size(toks)
+      val stop = Seq("the", "a")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        nTok.cast("long").as("n_tokens"),
+        round(length(col("text")).cast("double") / nTok, 4).as("chars_per_token"),
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("long").as("n_nonalpha"),
+        round(size(filter(toks, t => t.isin(stop: _*))).cast("double") / nTok, 4)
+          .as("stopword_ratio"))
+    },
+    Some("""SELECT doc_id, lang,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token,
+      CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS n_nonalpha,
+      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS stopword_ratio
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Document fingerprinting via md5 (content hash) — dedup-key primitive. */
+  private val tFingerprint = Q(
+    "t04_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        substring(md5(col("text")), 1, 8).as("fp_short"))
+    },
+    Some("""SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 8) AS fp_short
+      FROM documents"""))
+
+  // ---------------------------------------------------------------- lang id
+  /** Heuristic language ID: argmax over per-language function-word hit
+    * ratios (stopword-profile n-gram heuristic). Not ANSI-SQL-expressible
+    * with identical tie semantics — rows-only check; accuracy is asserted in
+    * the scalatest suite instead.
+    */
+  private val tLangId = Q(
+    "t05_lang_id",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = langProfiles.foldLeft(docs) { case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(toks, t => t.isin(words: _*))).cast("double") / size(toks))
+      }
+      val langs = langProfiles.keys.toSeq.sorted
+      val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+      scored.select(
+        col("doc_id"),
+        col("lang").as("true_lang"),
+        greatest(best: _*).getField("lang").as("pred_lang"),
+        round(greatest(best: _*).getField("score"), 4).as("pred_score"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId)
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Q
+import graft.sources.Tables
+
+/** Structured Streaming surface over the `events` table: tumbling/sliding/
+  * session windows, watermarks, and stateful dedup
+  * (dropDuplicatesWithinWatermark). Late-data and watermark-eviction
+  * semantics are exercised in the scalatest suite with MemoryStream; here
+  * the driver gate runs a REAL streaming query (file source -> watermarked
+  * window agg -> memory sink, Trigger.AvailableNow) whose result must match
+  * the batch oracle.
+  */
+object EventsStreaming {
+
+  /** Raw file schema for the streaming source (ts arrives as a nanos long
+    * under spark.sql.legacy.parquet.nanosAsLong; converted post-read). */
+  private def rawFileSchema(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet").schema
+
+  // ---------------------------------------------------------------- batch windows
+  /** Tumbling 1-hour windows (batch `window()` — same semantics the
+    * streaming variant must reproduce). */
+  private val st01 = Q(
+    "st01_tumbling_window",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+    Some("""SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+      event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** Sliding windows: 2-hour window sliding by 1 hour (each event lands in
+    * exactly two windows). */
+  private val st02 = Q(
+    "st02_sliding_window",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("n_events"), col("sum_value"))
+    },
+    Some("""WITH shifted AS (
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) - 3600 AS w, value FROM events
+        UNION ALL
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS w, value FROM events)
+      SELECT w AS window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM shifted GROUP BY w"""))
+
+  /** Session windows with a 30-minute gap; oracle is the classic
+    * gaps-and-islands rewrite (new session when gap >= 30 min, matching
+    * Spark's exclusive session-end semantics). */
+  private val st03 = Q(
+    "st03_session_window",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"), col("sum_value"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+          THEN 1 ELSE 0 END AS is_new
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM sess GROUP BY user_id, sid"""))
+
+  // ---------------------------------------------------------------- real streaming
+  /** REAL Structured Streaming run: parquet file source -> 10-minute
+    * watermark -> tumbling window agg -> complete-mode memory sink, driven
+    * to completion with Trigger.AvailableNow. Must equal the batch oracle
+    * (no event is later than the watermark allows in a single replay). */
+  private val st04 = Q(
+    "st04_stream_tumbling",
+    (s, dir) => {
+      val sinkTable = "st04_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // the file stream source needs a directory; expose the single parquet
+      // file through a scratch dir symlink
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st04_")
+      val link = srcDir.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = Tables.normalizeNanos(
+          s.readStream
+            .schema(rawFileSchema(s, dir))
+            .parquet(srcDir.toString))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sinkTable)
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    },
+    Some("""SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+      event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(st01, st02, st03, st04)
+}

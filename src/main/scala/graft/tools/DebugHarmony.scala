@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.harmony._
+
+/** Dev harness: run one small Harmony fit with timing printouts. */
+object DebugHarmony {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cells = spark.read.parquet(s"$sfDir/embeddings.parquet").select(
+      col("vec_id").as("cell_id"),
+      col("embedding").as("features"),
+      col("label").cast("string").as("batch"))
+    val t0 = System.nanoTime()
+    val res = Harmony.fit(cells, Seq("batch"), HarmonyOptions(
+      nclust = Some(20), maxIterHarmony = 2, maxIterCluster = 2,
+      blockSize = 0.2, earlyStop = false))
+    println(s"fit done in ${(System.nanoTime() - t0) / 1e9}s, rounds=${res.rounds}")
+    println(s"objective_kmeans=${res.state.objectiveKmeans.mkString(", ")}")
+    println(s"chi2=${res.state.chiSquared}")
+    println(s"corrected rows=${res.corrected.count()}")
+    res.corrected.show(3, false)
+    spark.stop()
+  }
+}
