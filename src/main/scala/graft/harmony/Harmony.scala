@@ -90,7 +90,7 @@ object Harmony {
     * (/root/reference/src/harmony.cpp:269-291) with the same distributional
     * contract (each block ≈ blockSize of cells, reshuffled every sweep).
     */
-  private[harmony] def blockOf(cellId: Long, salt: Long, nBlocks: Int): Int = {
+  def blockOf(cellId: Long, salt: Long, nBlocks: Int): Int = {
     var z = cellId ^ (salt * 0x9E3779B97F4A7C15L)
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -26,7 +26,7 @@ object Multimodal {
     * deployment this is the only function to replace (JNI/codec call); the
     * signature — bytes in, fixed-width float features out — is the contract.
     */
-  private[operators] def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val hist = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.harmony._
+
+/** Port of the reference's invariant suite (SURVEY.md §5;
+  * /root/reference/tests/testthat/test_integration.R) plus engine-specific
+  * properties, on a deterministic synthetic Gaussian-mixture fixture with
+  * planted batch offsets (FIXTURES.md §4).
+  */
+class HarmonySpec extends SparkSpec {
+
+  /** N cells, d dims, 3 latent clusters, 2 batches with an additive batch
+    * offset — correction should shrink the offset. */
+  private lazy val fixture: DataFrame = {
+    val rng = new scala.util.Random(7)
+    val d = 5
+    val centers = Array.fill(3, d)(rng.nextGaussian() * 3)
+    val batchOffset = Array.fill(d)(rng.nextGaussian() * 1.5)
+    val rows = (0 until 300).map { i =>
+      val cl = i % 3
+      val b = if (rng.nextDouble() < 0.5) "b0" else "b1"
+      val feats = Array.tabulate(d) { j =>
+        (centers(cl)(j) + rng.nextGaussian() * 0.5 +
+          (if (b == "b1") batchOffset(j) else 0.0)).toFloat
+      }
+      (i.toLong, feats, b)
+    }
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("cell_id", "features", "batch")
+  }
+
+  private def opts(theta: Double, lambda: Double = 1.0) = HarmonyOptions(
+    nclust = Some(6), theta = Seq(theta), lambda = Some(Seq(lambda)),
+    maxIterHarmony = 2, maxIterCluster = 2, blockSize = 0.2, earlyStop = false)
+
+  private lazy val result = Harmony.fit(fixture, Seq("batch"), opts(theta = 1.0))
+
+  test("shape invariants: corrected matrix, R, state dims (test_integration.R:9-14)") {
+    assert(result.corrected.count() === 300)
+    val row = result.corrected.head()
+    assert(row.getSeq[Float](1).length === 5)
+    assert(result.state.K === 6)
+    assert(result.state.B === 2)
+    assert(result.state.yRowMajor.length === 6 * 5)
+    assert(result.state.E.length === 6 * 2 && result.state.O.length === 6 * 2)
+  }
+
+  test("R is column-stochastic: entries in [0,1], sums to 1 (test_integration.R:16-20)") {
+    val rs = result.cells.collect()
+    rs.foreach { c =>
+      assert(c.r.length === 6)
+      c.r.foreach(v => assert(v >= 0f && v <= 1.0001f))
+      val sum = c.r.map(_.toDouble).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"r sums to $sum")
+    }
+  }
+
+  test("no NaN/Inf in corrected output (test_integration.R:22-26)") {
+    val bad = result.cells.collect().exists(_.zCorr.exists(v => v.isNaN || v.isInfinite))
+    assert(!bad)
+  }
+
+  test("objective decreases across the run") {
+    val obj = result.state.objectiveHarmony
+    assert(obj.length >= 2)
+    assert(obj.last < obj.head, s"objective did not improve: $obj")
+  }
+
+  test("higher theta lowers chi^2(O, E) — diversity penalty works (test_integration.R:29-41)") {
+    val lo = Harmony.fit(fixture, Seq("batch"), opts(theta = 0.0)).state.chiSquared
+    val hi = Harmony.fit(fixture, Seq("batch"), opts(theta = 3.0)).state.chiSquared
+    assert(hi < lo, s"chi2 theta=3 ($hi) should be < theta=0 ($lo)")
+  }
+
+  test("lambda -> infinity drives the correction to zero (ridge shrinkage)") {
+    val res = Harmony.fit(fixture, Seq("batch"), opts(theta = 1.0, lambda = 1e9))
+    val maxShift = res.cells.collect().map { c =>
+      c.zOrig.zip(c.zCorr).map { case (a, b) => math.abs(a - b) }.max
+    }.max
+    assert(maxShift < 1e-2, s"huge lambda should freeze the embedding, max shift $maxShift")
+  }
+
+  test("correction shrinks the planted batch offset (mean gap between batches)") {
+    def meanGap(df: DataFrame): Double = {
+      val sp = spark
+      val aggCols = (0 until 5).map(j => avg(element_at(col("features"), j + 1)).as(s"m$j"))
+      val agg = df.groupBy("batch").agg(aggCols.head, aggCols.tail: _*)
+        .collect().sortBy(_.getString(0))
+      (0 until 5).map(j => math.abs(agg(0).getDouble(j + 1) - agg(1).getDouble(j + 1))).sum
+    }
+    val before = meanGap(fixture)
+    val cellsWithBatch = result.cells.toDF().select(
+      col("cellId").as("cell_id"), col("zCorr").as("features"),
+      when(col("batch")(0) === 0, "b0").otherwise("b1").as("batch"))
+    val after = meanGap(cellsWithBatch)
+    assert(after < before, s"batch mean gap should shrink: before=$before after=$after")
+  }
+
+  test("refuses N < 6 (harmony.cpp:83-86)") {
+    val sp = spark
+    import sp.implicits._
+    val tiny = Seq((1L, Array(1f, 2f), "a"), (2L, Array(2f, 1f), "b"))
+      .toDF("cell_id", "features", "batch")
+    val e = intercept[Exception] { Harmony.fit(tiny, Seq("batch"), opts(1.0)) }
+    assert(e.getMessage.contains("N=2"))
+  }
+
+  test("unknown covariate is rejected (test_integration.R:43-56)") {
+    val e = intercept[IllegalArgumentException] {
+      Harmony.fit(fixture, Seq("nope"), opts(1.0))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("two covariates: B = total levels across both (test_two_variable.R:20-25)") {
+    val two = fixture.withColumn("plate",
+      when(col("cell_id") % 3 === 0, "p0").when(col("cell_id") % 3 === 1, "p1").otherwise("p2"))
+    val res = Harmony.fit(two, Seq("batch", "plate"),
+      HarmonyOptions(nclust = Some(4), theta = Seq(1.0, 0.5),
+        maxIterHarmony = 1, maxIterCluster = 1, blockSize = 0.25, earlyStop = false))
+    assert(res.state.B === 5) // 2 batch levels + 3 plate levels
+    assert(res.corrected.count() === 300)
+  }
+
+  test("Sweep block mode satisfies the same invariants") {
+    val res = Harmony.fit(fixture, Seq("batch"),
+      opts(1.0).copy(blockMode = BlockMode.Sweep))
+    val rSums = res.cells.collect().map(_.r.map(_.toDouble).sum)
+    rSums.foreach(s => assert(math.abs(s - 1.0) < 1e-4))
+    assert(res.state.objectiveHarmony.last < res.state.objectiveHarmony.head)
+  }
+
+  test("blockOf partitions ids uniformly-ish and deterministically") {
+    val counts = new Array[Int](5)
+    (0L until 1000L).foreach(id => counts(Harmony.blockOf(id, salt = 3, nBlocks = 5)) += 1)
+    assert(counts.sum === 1000)
+    counts.foreach(c => assert(c > 120 && c < 280, s"skewed blocks: ${counts.toSeq}"))
+    assert(Harmony.blockOf(42L, 7L, 5) === Harmony.blockOf(42L, 7L, 5))
+    // different salt reshuffles membership
+    val moved = (0L until 1000L).count(id => Harmony.blockOf(id, 1, 5) != Harmony.blockOf(id, 2, 5))
+    assert(moved > 500)
+  }
+}

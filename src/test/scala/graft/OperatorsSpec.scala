@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spot-checks of the query surface on sf0.001 (full oracle equivalence runs
+  * through graft.Verify + the driver's DuckDB gate; these pin fast local
+  * invariants so `sbt test` catches regressions without DuckDB). */
+class OperatorsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("every query has a unique name and every oracle key has a query") {
+    val names = graft.Registry.all.map(_.name)
+    assert(names.distinct.length === names.length, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q01 pricing summary: 6 (returnflag, linestatus) groups, counts add up") {
+    val rows = run("q01_pricing_summary").collect()
+    assert(rows.length === 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    // sf0.001 lineitem has 6000 rows; the shipdate predicate keeps ~half
+    assert(total > 1000 && total <= 6000)
+  }
+
+  test("q08 per-customer top-k never exceeds k=3 and ranks are 1..3") {
+    val df = run("q08_top_orders_per_cust")
+    val byCust = df.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(byCust <= 3)
+    assert(df.agg(min("rn"), max("rn")).head().toSeq === Seq(1L, 3L))
+  }
+
+  test("q14/q15/q16 set ops are consistent: |union| = |A| + |B\\A|") {
+    val union = run("q14_union_nations").count()
+    val intersect = run("q15_intersect_nations").count()
+    val except = run("q16_except_nations").count()
+    val a = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_nationkey")).distinct().count()
+    val b = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_nationkey")).distinct().count()
+    assert(union === a + b - intersect)
+    assert(except === a - intersect)
+  }
+
+  test("q24 as-of join: one row per matched event, picks the latest order <= ts") {
+    val df = run("q24_asof_join")
+    val dupEvents = df.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dupEvents === 0)
+  }
+
+  test("q25 top-k is ordered by totalprice desc") {
+    val prices = run("q25_topk_orders").collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length === 20)
+    assert(prices.sameElements(prices.sorted(Ordering[Double].reverse)))
+  }
+
+  test("d01 exact dedup covers all docs") {
+    assert(run("d01_exact_dedup").agg(sum("n_copies")).head().getLong(0) === 500)
+  }
+
+  test("d02 minhash LSH finds every planted near-duplicate pair") {
+    val pairs = run("d02_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = (0L until 500L by 10).map(i => (i, i + 10000000L)).toSet
+    val found = expected.intersect(pairs)
+    // planted copies keep ~90% of tokens => jaccard >= 0.5 => must be found
+    assert(found.size >= (expected.size * 0.9).toInt,
+      s"found only ${found.size}/${expected.size} planted pairs")
+  }
+
+  test("d03 simhash: planted pairs have small hamming distance") {
+    val pairs = run("d03_simhash").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = (0L until 500L by 10).map(i => (i, i + 10000000L)).toSet
+    assert(expected.intersect(pairs).size >= (expected.size * 0.6).toInt)
+  }
+
+  test("s01 brute-force kNN: 10 neighbors per query, cosine in [-1,1], descending") {
+    val rows = run("s01_knn_bruteforce").collect()
+    assert(rows.length === 30)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { g =>
+      val cos = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cosine"))
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+      assert(cos.sameElements(cos.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("s02 LSH candidates are a subset of brute-force ranking (same cosine)") {
+    val bf = run("s01_knn_bruteforce").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val lsh = run("s02_knn_lsh").collect()
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
+    }
+  }
+
+  test("t01 token counts: distinct <= total, chars consistent") {
+    val bad = run("t01_token_counts")
+      .filter(col("n_distinct_tokens") > col("n_tokens")).count()
+    assert(bad === 0)
+  }
+
+  test("m01 media features: stub decode emits unit-sum histograms") {
+    val rows = run("m01_media_features").collect()
+    assert(rows.length === 500)
+    rows.take(20).foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length === 16)
+      assert(math.abs(f.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("stub decode is deterministic") {
+    val payload = "hello world".getBytes("UTF-8")
+    val a = graft.operators.Multimodal.stubDecode(payload, 16)
+    val b = graft.operators.Multimodal.stubDecode(payload, 16)
+    assert(a.sameElements(b))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Watermark / late-data / stateful-dedup semantics with MemoryStream —
+  * the parts of the streaming surface the batch-oracle queries can't show. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("append-mode tumbling window emits closed windows and drops late data") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("k"), col("n"))
+
+    val q = agg.writeStream.format("memory").queryName("wm_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in [10:00,10:10), one at 10:30 -> watermark 10:20
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "a"),
+        (ts("2024-01-01 10:05:00"), "a"),
+        (ts("2024-01-01 10:30:00"), "a"))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-closed 10:00 window (dropped),
+      // plus 11:00 to advance the watermark past 10:40
+      input.addData(
+        (ts("2024-01-01 10:02:00"), "a"),
+        (ts("2024-01-01 11:00:00"), "a"))
+      q.processAllAvailable()
+
+      val rows = sp.table("wm_sink").collect()
+        .map(r => (r.getAs[Timestamp]("start").toString, r.getAs[Long]("n"))).toMap
+      // the closed 10:00 window kept count 2 — the late event never landed
+      assert(rows("2024-01-01 10:00:00.0") === 2L)
+      // the 10:30 window closed with exactly its one on-time event
+      assert(rows("2024-01-01 10:30:00.0") === 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated ids inside the delay") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDF().toDF("ts", "id")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark(Seq("id"))
+
+    val q = dedup.writeStream.format("memory").queryName("dd_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 1L),
+        (ts("2024-01-01 09:01:00"), 1L), // dup, same batch
+        (ts("2024-01-01 09:02:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 09:03:00"), 1L)) // dup, later batch, in delay
+      input.addData((ts("2024-01-01 09:10:00"), 3L))
+      q.processAllAvailable()
+
+      val ids = sp.table("dd_sink").select("id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
