@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the per-row numeric hot paths where
+  * higher-order functions allocate per element (SURVEY §4: "codegen'd
+  * expression ... if transform() shows up in profiles" — it did: the nested
+  * HOF SimHash was 12s at sf0.1; this expression folds all 64 bits in one
+  * pass over the token hashes).
+  */
+
+/** simhash64(array<long>) -> long: majority vote per bit over token hashes. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** dot_f(array<float>, array<float>) -> double, accumulated in double in
+  * ascending index order (bit-compatible with the DuckDB oracle's
+  * list_sum(list_transform(...)) evaluation). */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
+    copy(left = l, right = r)
+}
+
+/** l2_norm_f(array<float>) -> double. */
+case class L2NormF(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def withNewChildInternal(c: Expression): L2NormF = copy(child = c)
+}
+
+object VectorExpressions {
+  def simhash64(c: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(c)))
+  def dotF(a: Column, b: Column): Column =
+    GraftShims.column(DotProductF(GraftShims.expression(a), GraftShims.expression(b)))
+  def l2NormF(c: Column): Column =
+    GraftShims.column(L2NormF(GraftShims.expression(c)))
+
+  /** cosine over float arrays (double math, oracle-compatible order). */
+  def cosineF(a: Column, b: Column): Column = dotF(a, b) / (l2NormF(a) * l2NormF(b))
+}

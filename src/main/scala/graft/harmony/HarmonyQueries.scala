@@ -102,5 +102,22 @@ object HarmonyQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05)
+  /** Per-component standard deviation — the Seurat adapter's stdev output
+    * (SURVEY op 2, /root/reference/R/RunHarmony.R:106-111). */
+  private val h06 = Q(
+    "h06_component_stddev",
+    (s, dir) => {
+      Tables.embeddings(s, dir).agg(
+        round(stddev_samp(element_at(col("embedding"), 1)), 6).as("sd1"),
+        round(stddev_samp(element_at(col("embedding"), 2)), 6).as("sd2"),
+        round(stddev_samp(element_at(col("embedding"), 3)), 6).as("sd3"),
+        round(stddev_samp(element_at(col("embedding"), 4)), 6).as("sd4"))
+    },
+    Some("""SELECT round(stddev_samp(embedding[1]), 6) AS sd1,
+      round(stddev_samp(embedding[2]), 6) AS sd2,
+      round(stddev_samp(embedding[3]), 6) AS sd3,
+      round(stddev_samp(embedding[4]), 6) AS sd4
+      FROM embeddings"""))
+
+  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06)
 }

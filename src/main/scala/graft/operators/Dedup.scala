@@ -116,11 +116,7 @@ object Dedup {
       val docs = withPlantedDups(s, dir)
       val sims = docs
         .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), 0L, (acc, b) ->
-               acc | (CASE WHEN aggregate(hs, 0L, (a, h) ->
-                 a + (CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)) >= 0L
-               THEN shiftleft(1L, b) ELSE 0L END))"""))
+        .withColumn("simhash", graft.functions.VectorExpressions.simhash64(col("hs")))
         .select(col("doc_id"), col("simhash"))
 
       val banded = sims.select(col("doc_id"), col("simhash"),

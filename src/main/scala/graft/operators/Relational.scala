@@ -527,8 +527,115 @@ object Relational {
       ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
       FROM supplier"""))
 
+  // ---------------------------------------------------------------- q29
+  /** HLL sketch (approx_count_distinct) next to the exact count. The sketch
+    * estimate is engine-specific -> rows-only; the relative-error contract
+    * is asserted in OperatorsSpec. */
+  private val q29 = Q(
+    "q29_approx_distinct",
+    (s, dir) => {
+      Tables.lineitem(s, dir).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- q30
+  /** Range (theta) join against an inline bucket table — broadcast
+    * nested-loop on a 3-row side, so the fact table streams once. */
+  private val q30 = Q(
+    "q30_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val ranges = Seq((0, 10, "small"), (10, 25, "mid"), (25, 60, "big"))
+        .toDF("lo", "hi", "bucket")
+      Tables.lineitem(s, dir)
+        .join(broadcast(ranges),
+          col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""SELECT bucket, count(*) AS n, round(sum(l_extendedprice),2) AS sum_price
+      FROM lineitem JOIN (VALUES (0, 10, 'small'), (10, 25, 'mid'), (25, 60, 'big'))
+        AS r(lo, hi, bucket)
+      ON l_quantity >= lo AND l_quantity < hi
+      GROUP BY bucket"""))
+
+  // ---------------------------------------------------------------- q31
+  /** Pivot (conditional aggregation) with an explicit value list. */
+  private val q31 = Q(
+    "q31_pivot_counts",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+    Some("""SELECT lang,
+      count(*) FILTER (WHERE source = 'src0') AS src0,
+      count(*) FILTER (WHERE source = 'src1') AS src1,
+      count(*) FILTER (WHERE source = 'src2') AS src2
+      FROM documents GROUP BY lang"""))
+
+  // ---------------------------------------------------------------- q32/q33
+  /** Multiset set operations: UNION ALL and EXCEPT ALL. */
+  private val q32 = Q(
+    "q32_union_all",
+    (s, dir) => {
+      custNations(s, dir).union(suppNations(s, dir))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier) t GROUP BY nationkey"""))
+
+  private val q33 = Q(
+    "q33_except_all",
+    (s, dir) => custNations(s, dir).exceptAll(suppNations(s, dir))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n")),
+    Some("""SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL SELECT s_nationkey FROM supplier) t GROUP BY nationkey"""))
+
+  // ---------------------------------------------------------------- q34
+  /** Analytic frame family: first/last over full frames, percent_rank,
+    * cume_dist, and a numeric RANGE frame. */
+  private val q34 = Q(
+    "q34_analytic_frames",
+    (s, dir) => {
+      val wSeq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = wSeq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      val wRange = wPrice.rangeBetween(-1000, 0)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wSeq).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        percent_rank().over(wPrice).as("pct_rank"),
+        cume_dist().over(wPrice).as("cume"),
+        count(lit(1)).over(wRange).as("n_within_1000"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      first_value(o_totalprice) OVER wseq AS first_price,
+      last_value(o_totalprice) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      percent_rank() OVER wprice AS pct_rank,
+      cume_dist() OVER wprice AS cume,
+      count(*) OVER
+        (PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+      FROM orders
+      WINDOW wseq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wprice AS (PARTITION BY o_custkey ORDER BY o_totalprice)"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34)
 }

@@ -19,12 +19,11 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private def l2(c: Column): Column =
-    sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  // custom Catalyst expressions (double accumulation in index order — the
+  // same evaluation order as the DuckDB oracle's list_sum(list_transform))
+  private def l2(c: Column): Column = graft.functions.VectorExpressions.l2NormF(c)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotF(a, b)
 
   // ---------------------------------------------------------------- s01
   /** Brute-force cosine top-10 for 3 query vectors — the exactness baseline

@@ -119,5 +119,48 @@ object TextAnalysis {
     },
     None)
 
-  val all: Seq[Q] = Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId)
+  // ---------------------------------------------------------------- scale COO
+  /** The reference's `scaleRows_dgc` / `scaleData` operator (SURVEY op 27,
+    * /root/reference/src/utils.cpp:112-155) re-expressed relationally: the
+    * token x doc count matrix lives as a sparse COO frame; each token row is
+    * standardized (mean 0, sd 1 over ALL docs incl. implicit zeros, sample
+    * sd) and clipped to ±10. Inputs are integer counts, so every derived
+    * double is bit-identical across engines (integer sums are exact).
+    */
+  private val tScaleCoo = Q(
+    "t06_scale_coo",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val coo = docs
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val stats = coo.groupBy(col("token"))
+        .agg(sum(col("cnt")).as("s1"), sum(col("cnt") * col("cnt")).as("s2"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("token"),
+          (col("s1").cast("double") / col("n_docs")).as("mean"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n_docs")) / (col("n_docs") - 1)).as("sd"))
+      coo.join(broadcast(stats), Seq("token"))
+        .select(col("doc_id"), col("token"),
+          greatest(least((col("cnt") - col("mean")) / col("sd"), lit(10.0)), lit(-10.0))
+            .as("scaled"))
+    },
+    Some("""WITH coo AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      cnts AS (
+        SELECT doc_id, token, count(*) AS cnt FROM coo GROUP BY doc_id, token),
+      nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      stats AS (
+        SELECT token,
+          CAST(sum(cnt) AS DOUBLE) / (SELECT n_docs FROM nd) AS mean,
+          sqrt((sum(cnt*cnt) - CAST(sum(cnt) AS DOUBLE)*sum(cnt) / (SELECT n_docs FROM nd))
+            / ((SELECT n_docs FROM nd) - 1)) AS sd
+        FROM cnts GROUP BY token)
+      SELECT c.doc_id, c.token,
+        greatest(least((c.cnt - s.mean) / s.sd, 10.0), -10.0) AS scaled
+      FROM cnts c JOIN stats s ON c.token = s.token"""))
+
+  val all: Seq[Q] = Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo)
 }
