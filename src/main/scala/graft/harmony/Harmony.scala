@@ -66,7 +66,21 @@ final case class HarmonyResult(
     corrected: DataFrame,
     cells: Dataset[CellState],
     state: HarmonyState,
-    rounds: Int)
+    rounds: Int) {
+
+  /** Soft cluster assignments (cell_id, r) — `getR` parity
+    * (/root/reference/src/harmony.cpp:640-669, SURVEY op 10). */
+  def assignments: DataFrame = {
+    val sp = cells.sparkSession
+    import sp.implicits._
+    cells.map(c => (c.cellId, c.r)).toDF("cell_id", "r")
+  }
+
+  /** Cluster centroids Y as K rows of d — `getCentroids` parity. */
+  def centroids: Array[Array[Double]] =
+    Array.tabulate(state.K)(k =>
+      Array.tabulate(state.d)(j => state.yRowMajor(k * state.d + j)))
+}
 
 /** Spark-native Harmony: maximum-diversity soft k-means + mixture-of-experts
   * ridge correction (capabilities of immunogenomics/harmony v2.0.4,
@@ -109,6 +123,32 @@ object Harmony {
       idCol: String = "cell_id",
       featuresCol: String = "features"): DataFrame =
     fit(df, covariates, opts, idCol, featuresCol).corrected
+
+  /** Parquet in / parquet out adapter — the Seurat/SCE adapter pattern
+    * (SURVEY ops 2-3): writes `outPath/corrected` (idCol, featuresCol) and
+    * `outPath/stdev` (component, stdev), the per-component standard
+    * deviations the reference feeds CreateDimReducObject
+    * (/root/reference/R/RunHarmony.R:106-111). */
+  def runParquet(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      covariates: Seq[String],
+      opts: HarmonyOptions = HarmonyOptions(),
+      idCol: String = "cell_id",
+      featuresCol: String = "features"): Unit = {
+    import org.apache.spark.sql.functions.{col, element_at, stddev_samp, lit}
+    val res = fit(spark.read.parquet(inPath), covariates, opts, idCol, featuresCol)
+    res.corrected.write.mode("overwrite").parquet(s"$outPath/corrected")
+    val d = res.state.d
+    val sdCols = (0 until d).map(j =>
+      stddev_samp(element_at(col(featuresCol), j + 1)).as(s"sd$j"))
+    val row = res.corrected.agg(sdCols.head, sdCols.tail: _*).head()
+    import spark.implicits._
+    (0 until d).map(j => (j, row.getDouble(j)))
+      .toDF("component", "stdev")
+      .write.mode("overwrite").parquet(s"$outPath/stdev")
+  }
 
   def fit(
       df: DataFrame,

@@ -95,8 +95,13 @@ object HarmonyQueries {
     "h05_theta_diversity",
     (s, dir) => {
       val cells = embCells(s, dir)
-      val lo = Harmony.fit(cells, Seq("batch"), harnessOpts(10, 0.0)).state.chiSquared
-      val hi = Harmony.fit(cells, Seq("batch"), harnessOpts(10, 3.0)).state.chiSquared
+      // single-round Sweep-mode fits: the chi2 ordering shows after one
+      // penalized clustering round, no need for the full budget here
+      def o(theta: Double) = HarmonyOptions(nclust = Some(8), theta = Seq(theta),
+        maxIterHarmony = 1, maxIterCluster = 2, earlyStop = false,
+        blockMode = BlockMode.Sweep)
+      val lo = Harmony.fit(cells, Seq("batch"), o(0.0)).state.chiSquared
+      val hi = Harmony.fit(cells, Seq("batch"), o(3.0)).state.chiSquared
       import s.implicits._
       Seq((lo, hi, lo - hi)).toDF("chi2_theta0", "chi2_theta3", "chi2_drop")
     },

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: dump formatted plans for representative queries and grep the
+  * properties the 100 TB posture depends on: parquet PushedFilters, pruned
+  * ReadSchema, BroadcastHashJoin on dimension joins, WholeStageCodegen spans.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val targets = Seq(
+      "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
+      "q06_region_revenue", "q08_top_orders_per_cust", "q24_asof_join",
+      "q25_topk_orders", "q30_range_join", "d01_exact_dedup", "s01_knn_bruteforce")
+    targets.foreach { name =>
+      println(s"\n================ $name ================")
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      println(plan)
+    }
+    spark.stop()
+  }
+}

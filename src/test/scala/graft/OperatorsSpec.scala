@@ -113,6 +113,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q29 HLL estimate within 10% of exact distinct count") {
+    val r = run("q29_approx_distinct").head()
+    val (ap, ep) = (r.getAs[Long]("approx_parts").toDouble, r.getAs[Long]("exact_parts").toDouble)
+    val (ao, eo) = (r.getAs[Long]("approx_orders").toDouble, r.getAs[Long]("exact_orders").toDouble)
+    assert(math.abs(ap - ep) / ep < 0.10, s"parts: approx $ap vs exact $ep")
+    assert(math.abs(ao - eo) / eo < 0.10, s"orders: approx $ao vs exact $eo")
+  }
+
+  test("t06 scale_coo: scaled values are clipped to [-10, 10] and centered-ish") {
+    val df = run("t06_scale_coo")
+    assert(df.filter(col("scaled") > 10.0 || col("scaled") < -10.0).count() === 0)
+    assert(df.count() > 0)
+  }
+
+  test("h05 theta diversity query reports a positive chi2 drop") {
+    val r = run("h05_theta_diversity").head()
+    assert(r.getAs[Double]("chi2_drop") > 0.0,
+      s"theta=3 should reduce chi2: ${r.toSeq}")
+  }
+
   test("stub decode is deterministic") {
     val payload = "hello world".getBytes("UTF-8")
     val a = graft.operators.Multimodal.stubDecode(payload, 16)

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MatrixMarket
+import graft.harmony.{Harmony, HarmonyOptions, BlockMode}
+
+/** MatrixMarket ingestion + the parquet adapter round trip. */
+class SourcesSpec extends SparkSpec {
+
+  test("MatrixMarket COO read: drops comments and dims header, parses entries") {
+    val dir = Files.createTempDirectory("graft_mtx_")
+    val mtx = dir.resolve("m.mtx")
+    Files.writeString(mtx,
+      """%%MatrixMarket matrix coordinate integer general
+        |% a comment line
+        |4 3 5
+        |1 1 2
+        |2 1 7
+        |3 2 1
+        |4 3 9
+        |2 3 4
+        |""".stripMargin)
+    val coo = MatrixMarket.readCoo(spark, mtx.toString)
+    assert(coo.count() === 5)
+    val top = coo.filter(col("row_id") === 2 && col("col_id") === 1).head()
+    assert(top.getDouble(2) === 7.0)
+    assert(coo.agg(max("row_id"), max("col_id")).head().toSeq === Seq(4L, 3L))
+  }
+
+  test("MatrixMarket names read: 1-based positional dimension table") {
+    val dir = Files.createTempDirectory("graft_mtx_")
+    val tsv = dir.resolve("barcodes.tsv")
+    Files.writeString(tsv, "AAAC\nGGGT\nTTTA\n")
+    val names = MatrixMarket.readNames(spark, tsv.toString).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(names === Map(1L -> "AAAC", 2L -> "GGGT", 3L -> "TTTA"))
+  }
+
+  test("runParquet adapter writes corrected embeddings + per-component stdev") {
+    val out = Files.createTempDirectory("graft_adapter_").toString
+    val in = Files.createTempDirectory("graft_adapter_in_").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("cell_id"),
+        col("embedding").as("features"),
+        col("label").cast("string").as("batch"))
+      .write.mode("overwrite").parquet(in)
+    Harmony.runParquet(spark, in, out, Seq("batch"),
+      HarmonyOptions(nclust = Some(8), maxIterHarmony = 1, maxIterCluster = 1,
+        earlyStop = false, blockMode = BlockMode.Sweep))
+    val corrected = spark.read.parquet(s"$out/corrected")
+    assert(corrected.count() === 500)
+    val stdev = spark.read.parquet(s"$out/stdev")
+    assert(stdev.count() === 64)
+    assert(stdev.filter(col("stdev") <= 0 || col("stdev").isNull).count() === 0)
+  }
+}
