@@ -164,5 +164,44 @@ object Dedup {
           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
       FROM sets a JOIN sets b ON a.doc_id + 1 = b.doc_id"""))
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04)
+  // ---------------------------------------------------------------- embedding
+  /** Embedding-cosine near-dup: plant exact copies of vec_id < 20 (ids
+    * shifted by 10^6), bucket by random-hyperplane signs (same plan shape
+    * as Similarity s02 — candidate generation is an equi-join on the bucket
+    * key), exact cosine >= 0.99 confirms. Rows-only (bucketing is
+    * engine-specific); planted-recall is asserted in OperatorsSpec. */
+  private val d05 = Q(
+    "d05_embedding_neardup",
+    (s, dir) => {
+      import graft.functions.VectorExpressions.{cosineF, dotF}
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val all0 = base.unionByName(planted)
+
+      val dim = 64
+      val nPlanes = 8
+      val rng = new scala.util.Random(43)
+      val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+      def bucketOf(emb: Column): Column = {
+        val bits = (0 until nPlanes).map { p =>
+          val proj = (0 until dim).map(j =>
+            element_at(emb, j + 1).cast("double") * lit(planes(p)(j))).reduce(_ + _)
+          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+        }
+        bits.reduce(_ + _)
+      }
+
+      val withBucket = all0.withColumn("bucket", bucketOf(col("embedding")))
+      val a = withBucket.alias("a")
+      val b = withBucket.alias("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine", cosineF(col("a.embedding"), col("b.embedding")))
+        .filter(col("cosine") >= 0.99)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(col("cosine"), 6).as("cosine"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
 }

@@ -633,9 +633,81 @@ object Relational {
       WINDOW wseq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
              wprice AS (PARTITION BY o_custkey ORDER BY o_totalprice)"""))
 
+  // ---------------------------------------------------------------- q35
+  /** Schema-full JSON parsing (from_json into a struct, vs q23's
+    * path-extraction) — same oracle semantics. */
+  private val q35 = Q(
+    "q35_from_json",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, dir)
+        .select(col("event_id"), from_json(col("props"), schema).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .filter(col("k") >= 90)
+    },
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90"""))
+
+  // ---------------------------------------------------------------- q36
+  /** Map functions: build per-user event-type count maps
+    * (map_from_entries + element_at); the oracle checks the extracted
+    * values. */
+  private val q36 = Q(
+    "q36_map_funcs",
+    (s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+        .select(col("user_id"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          size(col("m")).cast("long").as("n_types"))
+    },
+    Some("""SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id"""))
+
+  // ---------------------------------------------------------------- q37
+  /** Date arithmetic family: date casts, day offsets, last_day. */
+  private val q37 = Q(
+    "q37_date_arith",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"),
+          date_add(col("o_orderdate").cast("date"), 30).as("d_plus30"),
+          last_day(col("o_orderdate")).as("month_end"),
+          dayofmonth(col("o_orderdate")).cast("long").as("day_of_month"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+    },
+    Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(day(o_orderdate) AS BIGINT) AS day_of_month,
+      CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+      FROM orders WHERE o_orderkey % 10 = 0"""))
+
+  // ---------------------------------------------------------------- q38
+  /** Seeded Bernoulli sampling — engine-specific RNG, so rows-only; the
+    * sampling-fraction contract is asserted in OperatorsSpec. */
+  private val q38 = Q(
+    "q38_sample",
+    (s, dir) => {
+      Tables.lineitem(s, dir).sample(withReplacement = false, 0.1, seed = 42L)
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34)
+    q31, q32, q33, q34, q35, q36, q37, q38)
 }

@@ -133,6 +133,29 @@ class OperatorsSpec extends SparkSpec {
       s"theta=3 should reduce chi2: ${r.toSeq}")
   }
 
+  test("q38 seeded sample keeps roughly the requested fraction") {
+    val n = run("q38_sample").head().getAs[Long]("n_sampled").toDouble
+    assert(n > 6000 * 0.05 && n < 6000 * 0.15, s"sampled $n of 6000 at 10%")
+  }
+
+  test("d05 embedding near-dup finds every planted exact copy") {
+    val pairs = run("d05_embedding_neardup").collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val expected = (0L until 20L).map(i => (i, i + 1000000L)).toSet
+    // exact copies share every hyperplane sign -> always co-bucketed
+    assert(expected.subsetOf(pairs), s"missing ${expected.diff(pairs)}")
+  }
+
+  test("q36 map extraction equals direct conditional counts") {
+    val viaMap = run("q36_map_funcs").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_click")).toMap
+    val direct = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    direct.foreach { case (u, n) => assert(viaMap.getOrElse(u, 0L) === n) }
+  }
+
   test("stub decode is deterministic") {
     val payload = "hello world".getBytes("UTF-8")
     val a = graft.operators.Multimodal.stubDecode(payload, 16)

@@ -49,6 +49,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps per-user running counts across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+
+    val input = MemoryStream[(Long, String)] // (user_id, event_type)
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, events, state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + events.size
+          state.update(next)
+          Iterator((user, next))
+      }.toDF("user_id", "running_n")
+
+    val q = counted.writeStream.format("memory").queryName("state_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, "a"), (1L, "b"), (2L, "a"))
+      q.processAllAvailable()
+      input.addData((1L, "c"))
+      q.processAllAvailable()
+      val last = sp.table("state_sink").groupBy("user_id")
+        .agg(max("running_n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last === Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated ids inside the delay") {
     val sp = spark
     import sp.implicits._
