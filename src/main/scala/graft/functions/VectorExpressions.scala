@@ -87,6 +87,35 @@ case class L2NormF(child: Expression)
   override protected def withNewChildInternal(c: Expression): L2NormF = copy(child = c)
 }
 
+/** hyperplane_bucket(array<float>) -> long: sign bit per hyperplane
+  * (random-projection LSH bucketing in one pass; the planes ride along as a
+  * literal constructor param, broadcast inside the serialized expression). */
+case class HyperplaneSignBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(d, plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * plane(i); i += 1 }
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSignBucket =
+    copy(child = c)
+}
+
 object VectorExpressions {
   def simhash64(c: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(c)))
@@ -97,4 +126,7 @@ object VectorExpressions {
 
   /** cosine over float arrays (double math, oracle-compatible order). */
   def cosineF(a: Column, b: Column): Column = dotF(a, b) / (l2NormF(a) * l2NormF(b))
+
+  def hyperplaneBucket(c: Column, planes: Array[Array[Double]]): Column =
+    GraftShims.column(HyperplaneSignBucket(GraftShims.expression(c), planes))
 }

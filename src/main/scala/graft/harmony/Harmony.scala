@@ -238,15 +238,27 @@ object Harmony {
     }
 
     // ---- k-means init (ops 32-33): k-means|| on L2-normalized cells -----
-    val kmInput = cells.map(c => Tuple1(Vectors.dense(
-      LinAlg.l2Normalize(c.zCorr).map(_.toDouble)))).toDF("features")
-    val km = new KMeans()
-      .setK(K).setMaxIter(opts.kmeansMaxIter).setSeed(opts.seed)
-      .setFeaturesCol("features").setInitMode("k-means||")
-      .fit(kmInput)
+    // (MLlib requires k >= 2; K=1 — the plain-ridge degenerate case,
+    // ui.R:34-35 — takes the normalized global mean as its centroid)
+    val centers: Array[Array[Double]] =
+      if (K == 1) {
+        val sums = cells.rdd.treeAggregate(new Array[Double](d))(
+          { (acc, c) =>
+            val z = LinAlg.l2Normalize(c.zCorr)
+            var j = 0; while (j < d) { acc(j) += z(j); j += 1 }; acc },
+          { (a, b) => var j = 0; while (j < d) { a(j) += b(j); j += 1 }; a })
+        Array(sums)
+      } else {
+        val kmInput = cells.map(c => Tuple1(Vectors.dense(
+          LinAlg.l2Normalize(c.zCorr).map(_.toDouble)))).toDF("features")
+        new KMeans()
+          .setK(K).setMaxIter(opts.kmeansMaxIter).setSeed(opts.seed)
+          .setFeaturesCol("features").setInitMode("k-means||")
+          .fit(kmInput)
+          .clusterCenters.map(_.toArray)
+      }
     val yRowMajor = new Array[Double](K * d)
-    km.clusterCenters.zipWithIndex.foreach { case (c, k) =>
-      val arr = c.toArray
+    centers.zipWithIndex.foreach { case (arr, k) =>
       var ss = 0.0; arr.foreach(v => ss += v * v)
       val n = math.sqrt(ss)
       var j = 0

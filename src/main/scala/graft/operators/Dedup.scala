@@ -183,16 +183,8 @@ object Dedup {
       val nPlanes = 8
       val rng = new scala.util.Random(43)
       val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-      def bucketOf(emb: Column): Column = {
-        val bits = (0 until nPlanes).map { p =>
-          val proj = (0 until dim).map(j =>
-            element_at(emb, j + 1).cast("double") * lit(planes(p)(j))).reduce(_ + _)
-          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-        }
-        bits.reduce(_ + _)
-      }
-
-      val withBucket = all0.withColumn("bucket", bucketOf(col("embedding")))
+      val withBucket = all0.withColumn("bucket",
+        graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes))
       val a = withBucket.alias("a")
       val b = withBucket.alias("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -75,18 +75,9 @@ object Similarity {
       val planes: Array[Array[Double]] =
         Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
 
-      def bucketOf(emb: Column): Column = {
-        val bits = (0 until nPlanes).map { p =>
-          val proj = (0 until dim).map(j =>
-            element_at(emb, j + 1).cast("double") * lit(planes(p)(j)))
-            .reduce(_ + _)
-          when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-        }
-        bits.reduce(_ + _)
-      }
-
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", bucketOf(col("embedding")))
+        .withColumn("bucket",
+          graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes))
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
       val w = Window.partitionBy(col("query_id"))

@@ -134,6 +134,64 @@ class HarmonySpec extends SparkSpec {
     assert(res.state.objectiveHarmony.last < res.state.objectiveHarmony.head)
   }
 
+  test("nclust=1 reduces to a single plain ridge regression (ui.R:34-35)") {
+    import breeze.linalg.{DenseMatrix, DenseVector, inv}
+    val lambda = 2.5
+    val res = Harmony.fit(fixture, Seq("batch"),
+      HarmonyOptions(nclust = Some(1), lambda = Some(Seq(lambda)),
+        maxIterHarmony = 1, maxIterCluster = 1, earlyStop = false,
+        blockMode = BlockMode.Sweep))
+
+    // with K=1 every r=1, so W = inv(Phi_moe Phi_moe^T + Lambda) Phi_moe Z^T
+    val data = fixture.collect().map(r =>
+      (r.getAs[scala.collection.Seq[Float]]("features").toArray, r.getAs[String]("batch")))
+    val d = 5
+    val g = DenseMatrix.zeros[Double](3, 3) // intercept + 2 levels
+    val m = DenseMatrix.zeros[Double](3, d)
+    data.foreach { case (z, b) =>
+      val bi = if (b == "b0") 1 else 2
+      g(0, 0) += 1; g(0, bi) += 1; g(bi, 0) += 1; g(bi, bi) += 1
+      (0 until d).foreach { j => m(0, j) += z(j); m(bi, j) += z(j) }
+    }
+    g(1, 1) += lambda; g(2, 2) += lambda
+    val w = inv(g) * m
+
+    val corrected = res.cells.collect().map(c => c.cellId -> c).toMap
+    data.zipWithIndex.foreach { case ((z, b), i) =>
+      val bi = if (b == "b0") 1 else 2
+      val expect = (0 until d).map(j => z(j) - w(bi, j))
+      val got = corrected(i.toLong).zCorr
+      (0 until d).foreach { j =>
+        assert(math.abs(expect(j) - got(j)) < 5e-3,
+          s"cell $i dim $j: expected ${expect(j)}, got ${got(j)}")
+      }
+    }
+  }
+
+  test("random shapes satisfy invariants (scalacheck-style sweep)") {
+    val rng = new scala.util.Random(11)
+    val sp = spark
+    import sp.implicits._
+    (0 until 3).foreach { trial =>
+      val n = 20 + rng.nextInt(60)
+      val d = 2 + rng.nextInt(4)
+      val nLevels = 2 + rng.nextInt(2)
+      val rows = (0 until n).map { i =>
+        (i.toLong, Array.fill(d)(rng.nextGaussian().toFloat), s"L${i % nLevels}")
+      }
+      val df = rows.toDF("cell_id", "features", "batch")
+      val res = Harmony.fit(df, Seq("batch"),
+        HarmonyOptions(nclust = Some(3), maxIterHarmony = 1, maxIterCluster = 1,
+          earlyStop = false, blockMode = BlockMode.Sweep))
+      val cells = res.cells.collect()
+      assert(cells.length === n, s"trial $trial")
+      cells.foreach { c =>
+        assert(math.abs(c.r.map(_.toDouble).sum - 1.0) < 1e-4, s"trial $trial")
+        assert(!c.zCorr.exists(v => v.isNaN || v.isInfinite), s"trial $trial")
+      }
+    }
+  }
+
   test("blockOf partitions ids uniformly-ish and deterministically") {
     val counts = new Array[Int](5)
     (0L until 1000L).foreach(id => counts(Harmony.blockOf(id, salt = 3, nBlocks = 5)) += 1)
