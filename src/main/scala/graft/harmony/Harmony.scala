@@ -193,9 +193,14 @@ object Harmony {
     // otherwise nest each sweep's union-of-blocks plan inside the next
     // (exponential logical-plan growth — SURVEY §7.4 hard part 5). On a
     // multi-node cluster swap for reliable `checkpoint()` with a durable dir.
+    val dims = opts.dimsUse.map(_.toArray)
     var cells: Dataset[CellState] = typed.map { row =>
       val id = row.getLong(0)
-      val feats = row.getSeq[Float](1).toArray
+      val raw = row.getSeq[Float](1).toArray
+      val feats = dims match {
+        case Some(idx) => idx.map(raw(_))
+        case None => raw
+      }
       val li = bcLevelIndex.value
       val batch = Array.tabulate(nCov)(c => li(c)(row.getString(2 + c)))
       CellState(id, batch, feats, feats, Array.emptyFloatArray)
@@ -228,7 +233,12 @@ object Harmony {
       if (opts.tau > 0) t * (1.0 - math.exp(-math.pow(nB(b) / (K * opts.tau), 2))) else t
     }
 
-    val sigma = Array.fill(K)(opts.sigma)
+    val sigma = opts.sigmaPerCluster match {
+      case Some(sv) =>
+        require(sv.length == K, s"sigmaPerCluster length ${sv.length} != K=$K")
+        sv.toArray
+      case None => Array.fill(K)(opts.sigma)
+    }
 
     // ---- lambda vector (ops 24-25) --------------------------------------
     val lambdaPerLevel: Option[Array[Double]] = opts.lambda.map { ls =>

@@ -27,6 +27,10 @@ package graft.harmony
   *                        the accuracy/speed dial SURVEY.md §7.4 describes)
   * @param checkpointEvery localCheckpoint the cell dataset every k rounds to
   *                        truncate lineage across the iterative loop
+  * @param dimsUse         0-based embedding components to use (the reference's
+  *                        `dims.use` projection, R/RunHarmony.R:77-87)
+  * @param sigmaPerCluster per-cluster sigma vector (overrides the scalar;
+  *                        "NEW: vector sigma", src/harmony.cpp:143)
   */
 final case class HarmonyOptions(
     nclust: Option[Int] = None,
@@ -46,7 +50,9 @@ final case class HarmonyOptions(
     kmeansMaxIter: Int = 10,
     seed: Long = 42L,
     blockMode: BlockMode = BlockMode.Sequential,
-    checkpointEvery: Int = 2) {
+    checkpointEvery: Int = 2,
+    dimsUse: Option[Seq[Int]] = None,
+    sigmaPerCluster: Option[Seq[Double]] = None) {
   require(blockSize > 0 && blockSize <= 1, "blockSize must be in (0, 1]")
   require(sigma > 0, "sigma must be positive")
   require(lambda.forall(_.forall(_ > 0)), "lambda values must be positive")

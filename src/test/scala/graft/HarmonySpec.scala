@@ -192,6 +192,25 @@ class HarmonySpec extends SparkSpec {
     }
   }
 
+  test("dimsUse projects the embedding before integration (RunHarmony.R:77-87)") {
+    val res = Harmony.fit(fixture, Seq("batch"),
+      opts(1.0).copy(dimsUse = Some(Seq(0, 2, 4)),
+        blockMode = BlockMode.Sweep, maxIterHarmony = 1, maxIterCluster = 1))
+    assert(res.state.d === 3)
+    assert(res.corrected.head().getSeq[Float](1).length === 3)
+  }
+
+  test("sigmaPerCluster overrides the scalar and validates its length") {
+    val res = Harmony.fit(fixture, Seq("batch"),
+      opts(1.0).copy(sigmaPerCluster = Some(Seq.fill(6)(0.2)),
+        blockMode = BlockMode.Sweep, maxIterHarmony = 1, maxIterCluster = 1))
+    assert(res.state.sigma.forall(_ === 0.2))
+    val e = intercept[IllegalArgumentException] {
+      Harmony.fit(fixture, Seq("batch"), opts(1.0).copy(sigmaPerCluster = Some(Seq(0.1))))
+    }
+    assert(e.getMessage.contains("sigmaPerCluster"))
+  }
+
   test("blockOf partitions ids uniformly-ish and deterministically") {
     val counts = new Array[Int](5)
     (0L until 1000L).foreach(id => counts(Harmony.blockOf(id, salt = 3, nBlocks = 5)) += 1)
