@@ -705,9 +705,25 @@ object Relational {
     },
     None)
 
+  // ---------------------------------------------------------------- q39
+  /** Salted skew join (hot-key mitigation): must return exactly the plain
+    * join's result — the oracle IS the plain join. */
+  private val q39 = Q(
+    "q39_salted_join",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, o, col("l_orderkey"), col("o_orderkey"), nSalts = 4)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }
