@@ -1,6 +1,5 @@
 package graft.harmony
 
-import breeze.linalg.{DenseMatrix, DenseVector, inv}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -247,9 +246,12 @@ object Harmony {
       Array.tabulate(B)(b => perCov(covariateOf(b)))
     }
 
-    // ---- k-means init (ops 32-33): k-means|| on L2-normalized cells -----
-    // (MLlib requires k >= 2; K=1 — the plain-ridge degenerate case,
-    // ui.R:34-35 — takes the normalized global mean as its centroid)
+    // ---- k-means init (ops 32-33) ---------------------------------------
+    // K=1 (plain-ridge degenerate case, ui.R:34-35): normalized global mean.
+    // Driver-sized N: local seeded k-means++ + Lloyd (the reference's own
+    // init shape, no MLlib distributed-pass latency). Large N: MLlib
+    // k-means|| — the distributed analogue of k-means++.
+    val kmeansLocalThreshold = 50000L
     val centers: Array[Array[Double]] =
       if (K == 1) {
         val sums = cells.rdd.treeAggregate(new Array[Double](d))(
@@ -258,6 +260,9 @@ object Harmony {
             var j = 0; while (j < d) { acc(j) += z(j); j += 1 }; acc },
           { (a, b) => var j = 0; while (j < d) { a(j) += b(j); j += 1 }; a })
         Array(sums)
+      } else if (N <= kmeansLocalThreshold) {
+        val pts = cells.collect().map(c => LinAlg.l2Normalize(c.zCorr).map(_.toDouble))
+        LocalKMeans.fit(pts, K, opts.kmeansMaxIter, opts.seed)
       } else {
         val kmInput = cells.map(c => Tuple1(Vectors.dense(
           LinAlg.l2Normalize(c.zCorr).map(_.toDouble)))).toDF("features")
@@ -278,6 +283,24 @@ object Harmony {
     val state = new HarmonyState(d, K, B, N, covariateOf, levelLabels,
       yRowMajor, new Array[Double](K * B), new Array[Double](K * B),
       prB, nB, sigma, theta)
+
+    // ---- small-N strategy: run the loop driver-local (same formulas, no
+    // per-block job latency; see LocalKernel scaladoc) --------------------
+    if (N <= opts.localThreshold) {
+      val collected = cells.collect()
+      cells.unpersist()
+      val ids = collected.map(_.cellId)
+      val batches = collected.map(_.batch)
+      val zo = collected.map(_.zOrig)
+      val (zc, rArr, localRounds) =
+        LocalKernel.run(ids, batches, zo, state, lambdaPerLevel, opts, blockSize)
+      val outCells = Array.tabulate(collected.length) { i =>
+        CellState(ids(i), batches(i), zo(i), zc(i), rArr(i).map(_.toFloat))
+      }
+      val ds = spark.createDataset(outCells.toSeq)
+      val corrected = ds.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
+      return HarmonyResult(corrected, ds, state, localRounds)
+    }
 
     // ---- init E-step: plain softmax R, then E/O (harmony.cpp:131-156) ---
     cells = plainSoftmax(cells, state).localCheckpoint(true)
@@ -589,91 +612,9 @@ object Harmony {
         (g1, m1)
       })
 
-    // ---- per-cluster pruning + ridge solves (driver; ops 13, 48-50) ----
-    // W tensor: K x P x d; row 0 (intercept) becomes the refreshed centroid
-    // and is then zeroed so it is not subtracted (harmony.cpp:610-611).
-    val w = new Array[Double](K * P * d)
-    val nCov = st.covariateOf.max + 1
-    var k = 0
-    while (k < K) {
-      // batch pruning: drop levels with O(k,b)/N_b <= cutoff, and covariates
-      // left with <2 surviving levels (harmony.cpp:358-410)
-      val keptLevel = Array.tabulate(B) { b =>
-        st.O(k * B + b) / st.nB(b) > opts.batchPropCutoff
-      }
-      val survivors = new Array[Int](nCov)
-      var b = 0
-      while (b < B) { if (keptLevel(b)) survivors(st.covariateOf(b)) += 1; b += 1 }
-      val keep = (0 until B).filter(b => keptLevel(b) && survivors(st.covariateOf(b)) > 1)
-
-      if (keep.nonEmpty) {
-        // Compacted design: intercept + kept levels. For a single covariate
-        // the intercept moments of the kept-cell subset are exactly the sums
-        // of the kept levels' rows (levels partition cells), reproducing the
-        // reference's cell-subset regression without touching cell data; for
-        // multi-covariate pruning this is the masked approximation noted in
-        // SURVEY.md §7.4 (exact whenever nothing is pruned).
-        val p = keep.length + 1
-        val g = DenseMatrix.zeros[Double](p, p)
-        val m = DenseMatrix.zeros[Double](p, d)
-        val exactSubset = nCov == 1 && keep.length < B
-        for ((bi, i) <- keep.zipWithIndex) {
-          val gi = 1 + i
-          g(gi, gi) = gram(k * P * P + (1 + bi) * P + (1 + bi))
-          for ((bj, j) <- keep.zipWithIndex if bj != bi)
-            g(gi, 1 + j) = gram(k * P * P + (1 + bi) * P + (1 + bj))
-          var jj = 0
-          while (jj < d) { m(gi, jj) = mom(k * P * d + (1 + bi) * d + jj); jj += 1 }
-        }
-        if (exactSubset || keep.length < B) {
-          // intercept row/col rebuilt from the kept levels only
-          for ((bi, i) <- keep.zipWithIndex) {
-            g(0, 1 + i) = g(1 + i, 1 + i); g(1 + i, 0) = g(1 + i, 1 + i)
-          }
-          g(0, 0) = keep.map(bi => gram(k * P * P + (1 + bi) * P + (1 + bi))).sum / math.max(1, nCov)
-          for (jj <- 0 until d)
-            m(0, jj) = keep.map(bi => mom(k * P * d + (1 + bi) * d + jj)).sum / math.max(1, nCov)
-        } else {
-          g(0, 0) = gram(k * P * P)
-          for ((bi, i) <- keep.zipWithIndex) {
-            g(0, 1 + i) = gram(k * P * P + (1 + bi)); g(1 + i, 0) = g(0, 1 + i)
-          }
-          var jj = 0
-          while (jj < d) { m(0, jj) = mom(k * P * d + jj); jj += 1 }
-        }
-
-        // lambda: fixed per level, or auto alpha*E(k,b) (utils.cpp:159-163);
-        // intercept unpenalized
-        for ((bi, i) <- keep.zipWithIndex) {
-          val lam = lambdaPerLevel.map(_(bi)).getOrElse(opts.alpha * st.E(k * B + bi))
-          g(1 + i, 1 + i) += lam
-        }
-
-        val sol: DenseMatrix[Double] = inv(g) * m
-        // centroid refresh from intercept betas (harmony.cpp:610)
-        var jj = 0
-        while (jj < d) { st.yRowMajor(k * d + jj) = sol(0, jj); jj += 1 }
-        // batch rows into the broadcast W tensor (pruned levels stay 0 —
-        // excluded cells receive no correction from this cluster, matching
-        // the reference's subset write-back)
-        for ((bi, i) <- keep.zipWithIndex) {
-          jj = 0
-          while (jj < d) { w(k * P * d + (1 + bi) * d + jj) = sol(1 + i, jj); jj += 1 }
-        }
-      }
-      k += 1
-    }
-
-    // re-L2-normalize centroids (harmony.cpp:633)
-    k = 0
-    while (k < K) {
-      var ss = 0.0
-      var j = 0
-      while (j < d) { val v = st.yRowMajor(k * d + j); ss += v * v; j += 1 }
-      val n = math.sqrt(ss)
-      if (n > 0) { j = 0; while (j < d) { st.yRowMajor(k * d + j) /= n; j += 1 } }
-      k += 1
-    }
+    // ---- per-cluster pruning + ridge solves (driver; shared kernel) ----
+    val w = Kernels.solveW(gram, mom, st.O, st.E, st.nB, st.covariateOf,
+      st.yRowMajor, K, B, d, lambdaPerLevel, opts.alpha, opts.batchPropCutoff)
 
     // ---- correction map (op 51): Z_corr = Z_orig - Σ_k r_k Σ_c W_k[b_c] --
     val bcW = spark.sparkContext.broadcast((w, K, B, d))

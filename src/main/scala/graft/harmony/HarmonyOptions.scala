@@ -31,6 +31,10 @@ package graft.harmony
   *                        `dims.use` projection, R/RunHarmony.R:77-87)
   * @param sigmaPerCluster per-cluster sigma vector (overrides the scalar;
   *                        "NEW: vector sigma", src/harmony.cpp:143)
+  * @param localThreshold  N at or below which the iteration runs in the
+  *                        driver-local kernel (same formulas, no per-block
+  *                        job latency) — size-based strategy selection, like
+  *                        broadcast-vs-shuffle joins. 0 forces distributed.
   */
 final case class HarmonyOptions(
     nclust: Option[Int] = None,
@@ -52,7 +56,8 @@ final case class HarmonyOptions(
     blockMode: BlockMode = BlockMode.Sequential,
     checkpointEvery: Int = 2,
     dimsUse: Option[Seq[Int]] = None,
-    sigmaPerCluster: Option[Seq[Double]] = None) {
+    sigmaPerCluster: Option[Seq[Double]] = None,
+    localThreshold: Long = 50000L) {
   require(blockSize > 0 && blockSize <= 1, "blockSize must be in (0, 1]")
   require(sigma > 0, "sigma must be positive")
   require(lambda.forall(_.forall(_ > 0)), "lambda values must be positive")

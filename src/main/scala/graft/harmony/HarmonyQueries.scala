@@ -124,5 +124,18 @@ object HarmonyQueries {
       round(stddev_samp(embedding[4]), 6) AS sd4
       FROM embeddings"""))
 
-  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06)
+  /** Head-to-head with the reference's quickstart (9,478 cells x 20 PCs in
+    * ~4 s, BASELINE.md): REFERENCE-DEFAULT budgets on the whole embeddings
+    * table (10 rounds x 4 sweeps x 20 blocks, early stopping on, K =
+    * min(N/30, 100), 64 dims). Runs in the driver-local kernel — the
+    * size-based strategy the engine picks below localThreshold. */
+  private val h07 = Q(
+    "h07_harmony_default",
+    (s, dir) => {
+      Harmony.run(embCells(s, dir), Seq("batch"), HarmonyOptions())
+        .select(col("cell_id"), col("features"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07)
 }

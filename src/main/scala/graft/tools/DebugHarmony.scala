@@ -19,6 +19,16 @@ object DebugHarmony {
       col("vec_id").as("cell_id"),
       col("embedding").as("features"),
       col("label").cast("string").as("batch"))
+    // phase timing: default-budget run (h07 shape) with kmeans isolated
+    cells.count() // warm the scan
+    val tK = System.nanoTime()
+    val resK = Harmony.fit(cells, Seq("batch"),
+      HarmonyOptions(maxIterHarmony = 0))
+    println(s"[prof] setup+kmeans only: ${(System.nanoTime() - tK) / 1e9}s")
+    val tF = System.nanoTime()
+    val resF = Harmony.fit(cells, Seq("batch"), HarmonyOptions())
+    println(s"[prof] full default run: ${(System.nanoTime() - tF) / 1e9}s, rounds=${resF.rounds}")
+
     val t0 = System.nanoTime()
     val res = Harmony.fit(cells, Seq("batch"), HarmonyOptions(
       nclust = Some(20), maxIterHarmony = 2, maxIterCluster = 2,

@@ -33,9 +33,12 @@ class HarmonySpec extends SparkSpec {
     rows.toDF("cell_id", "features", "batch")
   }
 
+  /** localThreshold=0 forces the DISTRIBUTED path — it's the thing under
+    * test here; the local kernel has its own equivalence test below. */
   private def opts(theta: Double, lambda: Double = 1.0) = HarmonyOptions(
     nclust = Some(6), theta = Seq(theta), lambda = Some(Seq(lambda)),
-    maxIterHarmony = 2, maxIterCluster = 2, blockSize = 0.2, earlyStop = false)
+    maxIterHarmony = 2, maxIterCluster = 2, blockSize = 0.2, earlyStop = false,
+    localThreshold = 0L)
 
   private lazy val result = Harmony.fit(fixture, Seq("batch"), opts(theta = 1.0))
 
@@ -121,7 +124,8 @@ class HarmonySpec extends SparkSpec {
       when(col("cell_id") % 3 === 0, "p0").when(col("cell_id") % 3 === 1, "p1").otherwise("p2"))
     val res = Harmony.fit(two, Seq("batch", "plate"),
       HarmonyOptions(nclust = Some(4), theta = Seq(1.0, 0.5),
-        maxIterHarmony = 1, maxIterCluster = 1, blockSize = 0.25, earlyStop = false))
+        maxIterHarmony = 1, maxIterCluster = 1, blockSize = 0.25, earlyStop = false,
+        localThreshold = 0L))
     assert(res.state.B === 5) // 2 batch levels + 3 plate levels
     assert(res.corrected.count() === 300)
   }
@@ -140,7 +144,7 @@ class HarmonySpec extends SparkSpec {
     val res = Harmony.fit(fixture, Seq("batch"),
       HarmonyOptions(nclust = Some(1), lambda = Some(Seq(lambda)),
         maxIterHarmony = 1, maxIterCluster = 1, earlyStop = false,
-        blockMode = BlockMode.Sweep))
+        blockMode = BlockMode.Sweep, localThreshold = 0L))
 
     // with K=1 every r=1, so W = inv(Phi_moe Phi_moe^T + Lambda) Phi_moe Z^T
     val data = fixture.collect().map(r =>
@@ -190,6 +194,26 @@ class HarmonySpec extends SparkSpec {
         assert(!c.zCorr.exists(v => v.isNaN || v.isInfinite), s"trial $trial")
       }
     }
+  }
+
+  test("local path matches distributed path on the same fixture") {
+    val dist = Harmony.fit(fixture, Seq("batch"), opts(1.0))
+    val local = Harmony.fit(fixture, Seq("batch"), opts(1.0).copy(localThreshold = 1000L))
+    // same seed/salts/formulas; storage precision differs (float r in the
+    // distributed path), so compare within a small tolerance
+    val dc = dist.cells.collect().map(c => c.cellId -> c.zCorr).toMap
+    val lc = local.cells.collect().map(c => c.cellId -> c.zCorr).toMap
+    assert(dc.keySet === lc.keySet)
+    var maxDiff = 0.0
+    dc.foreach { case (id, zd) =>
+      val zl = lc(id)
+      (zd zip zl).foreach { case (a, b) => maxDiff = math.max(maxDiff, math.abs(a - b)) }
+    }
+    assert(maxDiff < 5e-2, s"local vs distributed max diff $maxDiff")
+    val chiRel = math.abs(dist.state.chiSquared - local.state.chiSquared) /
+      math.max(1e-9, dist.state.chiSquared)
+    assert(chiRel < 0.05, s"chi2 rel diff $chiRel")
+    assert(dist.state.objectiveKmeans.length === local.state.objectiveKmeans.length)
   }
 
   test("dimsUse projects the embedding before integration (RunHarmony.R:77-87)") {
