@@ -40,12 +40,18 @@ object Relational {
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          // rounding scale = the exact decimal count of the true value
-          // (2-dec prices x 2-dec discounts -> 4; x 2-dec tax -> 6), so the
-          // cross-engine last-ulp sum divergence can never straddle a
-          // rounding boundary
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+          // money columns are exact 2-decimals, so the 4- and 6-decimal
+          // product sums are computed as EXACT integer sums of scaled
+          // values (order-independent in every engine; a double sum at
+          // ~1e9 magnitude has its ulp in the 6th decimal, which flips
+          // round(_,6) across engines) and divided back at the end
+          (sum((round(col("l_extendedprice") * 100).cast("long"))
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 1e4)
+            .as("sum_disc_price"),
+          (sum((round(col("l_extendedprice") * 100).cast("long"))
+            * (lit(100L) - round(col("l_discount") * 100).cast("long"))
+            * (lit(100L) + round(col("l_tax") * 100).cast("long"))) / 1e6)
+            .as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -54,8 +60,11 @@ object Relational {
     Some("""SELECT l_returnflag, l_linestatus,
       round(sum(l_quantity),2) AS sum_qty,
       round(sum(l_extendedprice),2) AS sum_base_price,
-      round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
-      round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),6) AS sum_charge,
+      sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e4 AS sum_disc_price,
+      sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(round(l_discount*100) AS BIGINT))
+        * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1e6 AS sum_charge,
       round(avg(l_quantity),4) AS avg_qty,
       round(avg(l_extendedprice),4) AS avg_price,
       round(avg(l_discount),6) AS avg_disc,
