@@ -116,6 +116,35 @@ case class HyperplaneSignBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = c)
 }
 
+/** nearest_centroid(array<float>) -> int: argmin of squared Euclidean
+  * distance to the literal centroid set (IVF coarse assignment) in one pass.
+  */
+case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var k = 0
+    while (k < centers.length) {
+      val c = centers(k)
+      val n = math.min(x.numElements(), c.length)
+      var s = 0.0
+      var j = 0
+      while (j < n) { val diff = x.getFloat(j).toDouble - c(j); s += diff * diff; j += 1 }
+      if (s < bestD) { bestD = s; best = k }
+      k += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 object VectorExpressions {
   def simhash64(c: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(c)))
@@ -129,4 +158,7 @@ object VectorExpressions {
 
   def hyperplaneBucket(c: Column, planes: Array[Array[Double]]): Column =
     GraftShims.column(HyperplaneSignBucket(GraftShims.expression(c), planes))
+
+  def nearestCentroid(c: Column, centers: Array[Array[Double]]): Column =
+    GraftShims.column(NearestCentroid(GraftShims.expression(c), centers))
 }

@@ -6,7 +6,7 @@ package graft.harmony
   * overhead. Selected for both execution paths whenever N is driver-sized;
   * MLlib k-means|| remains the large-N init.
   */
-private[harmony] object LocalKMeans {
+private[graft] object LocalKMeans {
 
   def fit(points: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): Array[Array[Double]] = {
     val n = points.length

@@ -101,22 +101,24 @@ object Similarity {
   private val s03 = Q(
     "s03_ann_ivf",
     (s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-
+      // coarse quantizer trained on a driver-side SAMPLE (the standard IVF
+      // pattern at scale: k-means on ~1e5 sampled vectors, assignment
+      // applied distributed), then inverted-list probing
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        .withColumn("fv", array_to_vector(col("embedding").cast("array<double>")))
-      val km = new KMeans().setK(8).setMaxIter(10).setSeed(42L)
-        .setFeaturesCol("fv").fit(e)
-      val assigned = km.transform(e).select(col("vec_id"), col("embedding"),
-        col("prediction").as("list_id"))
+      val sample = e.limit(20000).collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val centers = graft.harmony.LocalKMeans.fit(sample, k = 8, maxIter = 10, seed = 42L)
 
-      // nProbe=2: each query also probes its runner-up centroid
-      val centers = km.clusterCenters.map(_.toArray)
       def dist2(emb: Column, c: Array[Double]): Column =
         (0 until c.length).map(j =>
           (element_at(emb, j + 1).cast("double") - lit(c(j))) *
             (element_at(emb, j + 1).cast("double") - lit(c(j)))).reduce(_ + _)
+      // one-pass argmin expression for the distributed assignment (the
+      // struct/array_min expression tree costs ~1000 sub-exprs per row)
+      val assigned = e.withColumn("list_id",
+        graft.functions.VectorExpressions.nearestCentroid(col("embedding"), centers))
+
+      // nProbe=2: each query also probes its runner-up centroid
       val probeCols = centers.zipWithIndex.map { case (c, i) =>
         struct(dist2(col("q_emb"), c).as("d"), lit(i).as("list_id"))
       }
