@@ -81,6 +81,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream inner join with watermarked time-range condition") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "20 minutes")
+    val v = views.toDF().toDF("v_ts", "v_user").withWatermark("v_ts", "20 minutes")
+    // join views to clicks that happen within 10 minutes after the view
+    val joined = v.join(c,
+      expr("c_user = v_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 2L))
+      clicks.addData(
+        (ts("2024-01-01 10:05:00"), 1L),  // within range -> joins
+        (ts("2024-01-01 10:20:00"), 2L))  // outside 10-min range -> dropped
+      q.processAllAvailable()
+      val rows = sp.table("ssj_sink").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("c_user") === 1L)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups repeated ids inside the delay") {
     val sp = spark
     import sp.implicits._
