@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.types._
@@ -11,13 +10,13 @@ import org.apache.spark.sql.types._
 /** Custom Catalyst expressions for the per-row numeric hot paths where
   * higher-order functions allocate per element (SURVEY §4: "codegen'd
   * expression ... if transform() shows up in profiles" — it did: the nested
-  * HOF SimHash was 12s at sf0.1; this expression folds all 64 bits in one
-  * pass over the token hashes).
+  * HOF SimHash was 12s at sf0.1; these fold the whole array in one pass).
+  * All implement doGenCode so they stay inside WholeStageCodegen spans;
+  * nullSafeEval is the interpreted fallback.
   */
 
 /** simhash64(array<long>) -> long: majority vote per bit over token hashes. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -44,14 +43,34 @@ case class SimHash64(child: Expression)
     out
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+        int[] $votes = new int[64];
+        for (int $i = 0; $i < $a.numElements(); $i++) {
+          long $h = $a.getLong($i);
+          for (int $b = 0; $b < 64; $b++) {
+            if (((${h} >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+          }
+        }
+        ${ev.value} = 0L;
+        for (int $b = 0; $b < 64; $b++) {
+          if ($votes[$b] >= 0) ${ev.value} |= (1L << $b);
+        }
+      """
+    })
+
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
 /** dot_f(array<float>, array<float>) -> double, accumulated in double in
   * ascending index order (bit-compatible with the DuckDB oracle's
   * list_sum(list_transform(...)) evaluation). */
-case class DotProductF(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -65,13 +84,25 @@ case class DotProductF(left: Expression, right: Expression)
     s
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${ev.value} = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          ${ev.value} += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+        }
+      """
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductF =
     copy(left = l, right = r)
 }
 
 /** l2_norm_f(array<float>) -> double. */
-case class L2NormF(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class L2NormF(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
@@ -84,14 +115,29 @@ case class L2NormF(child: Expression)
     math.sqrt(s)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+        double $s = 0.0;
+        for (int $i = 0; $i < $a.numElements(); $i++) {
+          double $v = (double)$a.getFloat($i);
+          $s += $v * $v;
+        }
+        ${ev.value} = java.lang.Math.sqrt($s);
+      """
+    })
+
   override protected def withNewChildInternal(c: Expression): L2NormF = copy(child = c)
 }
 
 /** hyperplane_bucket(array<float>) -> long: sign bit per hyperplane
   * (random-projection LSH bucketing in one pass; the planes ride along as a
-  * literal constructor param, broadcast inside the serialized expression). */
+  * literal constructor param, referenced from generated code). */
 case class HyperplaneSignBucket(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -112,6 +158,27 @@ case class HyperplaneSignBucket(child: Expression, planes: Array[Array[Double]])
     bucket
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        ${ev.value} = 0L;
+        for (int $p = 0; $p < $planesRef.length; $p++) {
+          int $n = java.lang.Math.min($a.numElements(), $planesRef[$p].length);
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += (double)$a.getFloat($i) * $planesRef[$p][$i];
+          }
+          if ($s >= 0.0) ${ev.value} |= (1L << $p);
+        }
+      """
+    })
+  }
+
   override protected def withNewChildInternal(c: Expression): HyperplaneSignBucket =
     copy(child = c)
 }
@@ -120,7 +187,7 @@ case class HyperplaneSignBucket(child: Expression, planes: Array[Array[Double]])
   * distance to the literal centroid set (IVF coarse assignment) in one pass.
   */
 case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
@@ -139,6 +206,31 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
       k += 1
     }
     best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centersRef = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val diff = ctx.freshName("diff")
+      val bestD = ctx.freshName("bestD")
+      s"""
+        ${ev.value} = 0;
+        double $bestD = Double.MAX_VALUE;
+        for (int $k = 0; $k < $centersRef.length; $k++) {
+          int $n = java.lang.Math.min($a.numElements(), $centersRef[$k].length);
+          double $s = 0.0;
+          for (int $j = 0; $j < $n; $j++) {
+            double $diff = (double)$a.getFloat($j) - $centersRef[$k][$j];
+            $s += $diff * $diff;
+          }
+          if ($s < $bestD) { $bestD = $s; ${ev.value} = $k; }
+        }
+      """
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroid =
