@@ -576,28 +576,45 @@ object Harmony {
     val K = st.K; val B = st.B; val d = st.d
     val P = B + 1 // design width: intercept + all covariate levels
 
-    // ---- fused moment aggregation (ops 46-47) --------------------------
+    // ---- per-cluster pruning masks from the driver-resident O ----------
+    val keeps = Kernels.pruneMasks(st.O, st.nB, st.covariateOf,
+      opts.batchPropCutoff, K, B)
+    val bcKeeps = spark.sparkContext.broadcast(keeps)
+
+    // ---- fused moment aggregation (ops 46-47) under the compacted design:
+    // a cell contributes intercept + its KEPT levels for each cluster; a
+    // cell with every level pruned drops out of that cluster's regression
+    // (the reference's keep_cols subset, exact for any covariate count) ----
     val zeroGram = new Array[Double](K * P * P)
     val zeroMom = new Array[Double](K * P * d)
     val (gram, mom) = cells.rdd.treeAggregate((zeroGram, zeroMom))(
       seqOp = { case ((g, m), c) =>
+        val keepMasks = bcKeeps.value
         val idxs = new Array[Int](c.batch.length + 1)
-        idxs(0) = 0
-        var ci = 0
-        while (ci < c.batch.length) { idxs(ci + 1) = 1 + c.batch(ci); ci += 1 }
         var k = 0
         while (k < K) {
           val rk = c.r(k).toDouble
           if (rk != 0.0) {
-            var a = 0
-            while (a < idxs.length) {
-              val ia = idxs(a)
-              var b = 0
-              while (b < idxs.length) { g(k * P * P + ia * P + idxs(b)) += rk; b += 1 }
-              val mOff = k * P * d + ia * d
-              var j = 0
-              while (j < d) { m(mOff + j) += rk * c.zOrig(j); j += 1 }
-              a += 1
+            val keepK = keepMasks(k)
+            var nIdx = 0
+            var ci = 0
+            var anyKept = false
+            while (ci < c.batch.length) {
+              if (keepK(c.batch(ci))) { anyKept = true; nIdx += 1; idxs(nIdx) = 1 + c.batch(ci) }
+              ci += 1
+            }
+            if (anyKept) {
+              idxs(0) = 0
+              var a = 0
+              while (a <= nIdx) {
+                val ia = idxs(a)
+                var b = 0
+                while (b <= nIdx) { g(k * P * P + ia * P + idxs(b)) += rk; b += 1 }
+                val mOff = k * P * d + ia * d
+                var j = 0
+                while (j < d) { m(mOff + j) += rk * c.zOrig(j); j += 1 }
+                a += 1
+              }
             }
           }
           k += 1
@@ -612,9 +629,9 @@ object Harmony {
         (g1, m1)
       })
 
-    // ---- per-cluster pruning + ridge solves (driver; shared kernel) ----
-    val w = Kernels.solveW(gram, mom, st.O, st.E, st.nB, st.covariateOf,
-      st.yRowMajor, K, B, d, lambdaPerLevel, opts.alpha, opts.batchPropCutoff)
+    // ---- ridge solves (driver; shared kernel) --------------------------
+    val w = Kernels.solveW(gram, mom, keeps, st.E, st.yRowMajor,
+      K, B, d, lambdaPerLevel, opts.alpha)
 
     // ---- correction map (op 51): Z_corr = Z_orig - Σ_k r_k Σ_c W_k[b_c] --
     val bcW = spark.sparkContext.broadcast((w, K, B, d))

@@ -9,68 +9,65 @@ import breeze.linalg.{DenseMatrix, inv}
   */
 private[harmony] object Kernels {
 
-  /** Solve all K ridge systems from flat Gram (K×P×P) and moment (K×P×d)
-    * tensors; refreshes `yRowMajor` in place from the intercept betas and
-    * returns the W correction tensor (K×P×d, intercept rows zero, pruned
-    * level rows zero). P = B + 1.
+  /** Per-cluster kept-level sets: drop levels with O(k,b)/N_b <= cutoff and
+    * covariates left with <2 surviving levels (harmony.cpp:358-410).
+    * Computed from the driver-resident O BEFORE the moment aggregation, so
+    * the aggregation itself can honor the compacted design — the pruned
+    * path is then exact for any covariate count (a cell participates with
+    * its intercept + kept levels only; fully-pruned cells drop out, exactly
+    * the reference's keep_cols subset regression).
     */
-  def solveW(
-      gram: Array[Double],
-      mom: Array[Double],
+  def pruneMasks(
       o: Array[Double],
-      e: Array[Double],
       nB: Array[Double],
       covariateOf: Array[Int],
-      yRowMajor: Array[Double],
-      K: Int, B: Int, d: Int,
-      lambdaPerLevel: Option[Array[Double]],
-      alpha: Double,
-      batchPropCutoff: Double): Array[Double] = {
-    val P = B + 1
-    val w = new Array[Double](K * P * d)
+      batchPropCutoff: Double,
+      K: Int, B: Int): Array[Array[Boolean]] = {
     val nCov = covariateOf.max + 1
-    var k = 0
-    while (k < K) {
-      // batch pruning: drop levels with O(k,b)/N_b <= cutoff, and covariates
-      // left with <2 surviving levels (harmony.cpp:358-410)
+    Array.tabulate(K) { k =>
       val keptLevel = Array.tabulate(B) { b => o(k * B + b) / nB(b) > batchPropCutoff }
       val survivors = new Array[Int](nCov)
       var b = 0
       while (b < B) { if (keptLevel(b)) survivors(covariateOf(b)) += 1; b += 1 }
-      val keep = (0 until B).filter(b => keptLevel(b) && survivors(covariateOf(b)) > 1)
+      Array.tabulate(B)(b => keptLevel(b) && survivors(covariateOf(b)) > 1)
+    }
+  }
+
+  /** Solve all K ridge systems from flat Gram (K×P×P) and moment (K×P×d)
+    * tensors ALREADY aggregated under `keeps` masks; refreshes `yRowMajor`
+    * in place from the intercept betas and returns the W correction tensor
+    * (K×P×d, intercept rows zero, pruned level rows zero). P = B + 1.
+    */
+  def solveW(
+      gram: Array[Double],
+      mom: Array[Double],
+      keeps: Array[Array[Boolean]],
+      e: Array[Double],
+      yRowMajor: Array[Double],
+      K: Int, B: Int, d: Int,
+      lambdaPerLevel: Option[Array[Double]],
+      alpha: Double): Array[Double] = {
+    val P = B + 1
+    val w = new Array[Double](K * P * d)
+    var k = 0
+    while (k < K) {
+      val keep = (0 until B).filter(keeps(k))
 
       if (keep.nonEmpty) {
-        // Compacted design: intercept + kept levels. For a single covariate
-        // the intercept moments of the kept-cell subset are exactly the sums
-        // of the kept levels' rows (levels partition cells); multi-covariate
-        // pruning is the masked approximation noted in SURVEY.md §7.4
-        // (exact whenever nothing is pruned).
         val p = keep.length + 1
         val g = DenseMatrix.zeros[Double](p, p)
         val m = DenseMatrix.zeros[Double](p, d)
+        g(0, 0) = gram(k * P * P)
+        var jj = 0
+        while (jj < d) { m(0, jj) = mom(k * P * d + jj); jj += 1 }
         for ((bi, i) <- keep.zipWithIndex) {
           val gi = 1 + i
+          g(0, gi) = gram(k * P * P + (1 + bi)); g(gi, 0) = g(0, gi)
           g(gi, gi) = gram(k * P * P + (1 + bi) * P + (1 + bi))
           for ((bj, j) <- keep.zipWithIndex if bj != bi)
             g(gi, 1 + j) = gram(k * P * P + (1 + bi) * P + (1 + bj))
-          var jj = 0
+          jj = 0
           while (jj < d) { m(gi, jj) = mom(k * P * d + (1 + bi) * d + jj); jj += 1 }
-        }
-        if (keep.length < B) {
-          // intercept row/col rebuilt from the kept levels only
-          for ((bi, i) <- keep.zipWithIndex) {
-            g(0, 1 + i) = g(1 + i, 1 + i); g(1 + i, 0) = g(1 + i, 1 + i)
-          }
-          g(0, 0) = keep.map(bi => gram(k * P * P + (1 + bi) * P + (1 + bi))).sum / math.max(1, nCov)
-          for (jj <- 0 until d)
-            m(0, jj) = keep.map(bi => mom(k * P * d + (1 + bi) * d + jj)).sum / math.max(1, nCov)
-        } else {
-          g(0, 0) = gram(k * P * P)
-          for ((bi, i) <- keep.zipWithIndex) {
-            g(0, 1 + i) = gram(k * P * P + (1 + bi)); g(1 + i, 0) = g(0, 1 + i)
-          }
-          var jj = 0
-          while (jj < d) { m(0, jj) = mom(k * P * d + jj); jj += 1 }
         }
 
         // lambda: fixed per level, or auto alpha*E(k,b) (utils.cpp:159-163);
@@ -82,7 +79,7 @@ private[harmony] object Kernels {
 
         val sol: DenseMatrix[Double] = inv(g) * m
         // centroid refresh from intercept betas (harmony.cpp:610-611)
-        var jj = 0
+        jj = 0
         while (jj < d) { yRowMajor(k * d + jj) = sol(0, jj); jj += 1 }
         for ((bi, i) <- keep.zipWithIndex) {
           jj = 0

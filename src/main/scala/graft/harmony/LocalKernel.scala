@@ -196,34 +196,45 @@ private[harmony] object LocalKernel {
 
     def moe(): Unit = {
       val P = B + 1
+      val keeps = Kernels.pruneMasks(st.O, st.nB, st.covariateOf,
+        opts.batchPropCutoff, K, B)
       val gram = new Array[Double](K * P * P)
       val mom = new Array[Double](K * P * d)
       var i = 0
       while (i < n) {
         val idxs = new Array[Int](batches(i).length + 1)
-        var ci = 0
-        while (ci < batches(i).length) { idxs(ci + 1) = 1 + batches(i)(ci); ci += 1 }
         var k = 0
         while (k < K) {
           val rk = r(i)(k)
           if (rk != 0.0) {
-            var a = 0
-            while (a < idxs.length) {
-              val ia = idxs(a)
-              var b = 0
-              while (b < idxs.length) { gram(k * P * P + ia * P + idxs(b)) += rk; b += 1 }
-              val mOff = k * P * d + ia * d
-              var j = 0
-              while (j < d) { mom(mOff + j) += rk * zOrig(i)(j); j += 1 }
-              a += 1
+            val keepK = keeps(k)
+            var nIdx = 0
+            var ci = 0
+            var anyKept = false
+            while (ci < batches(i).length) {
+              if (keepK(batches(i)(ci))) { anyKept = true; nIdx += 1; idxs(nIdx) = 1 + batches(i)(ci) }
+              ci += 1
+            }
+            if (anyKept) {
+              idxs(0) = 0
+              var a = 0
+              while (a <= nIdx) {
+                val ia = idxs(a)
+                var b = 0
+                while (b <= nIdx) { gram(k * P * P + ia * P + idxs(b)) += rk; b += 1 }
+                val mOff = k * P * d + ia * d
+                var j = 0
+                while (j < d) { mom(mOff + j) += rk * zOrig(i)(j); j += 1 }
+                a += 1
+              }
             }
           }
           k += 1
         }
         i += 1
       }
-      val w = Kernels.solveW(gram, mom, st.O, st.E, st.nB, st.covariateOf,
-        st.yRowMajor, K, B, d, lambdaPerLevel, opts.alpha, opts.batchPropCutoff)
+      val w = Kernels.solveW(gram, mom, keeps, st.E, st.yRowMajor,
+        K, B, d, lambdaPerLevel, opts.alpha)
       // correction: z_corr = z_orig - sum_k r_k sum_c W_k[level_c]
       i = 0
       while (i < n) {

@@ -216,6 +216,29 @@ class HarmonySpec extends SparkSpec {
     assert(dist.state.objectiveKmeans.length === local.state.objectiveKmeans.length)
   }
 
+  test("batch pruning path: rare level excluded, both paths agree, output finite") {
+    // a second covariate with one very rare level + an aggressive cutoff so
+    // pruning genuinely fires (default cutoff never prunes balanced data)
+    val withRare = fixture.withColumn("site",
+      when(col("cell_id") < 4, "rare").otherwise("common"))
+    def o(localThreshold: Long) = HarmonyOptions(
+      nclust = Some(4), theta = Seq(1.0, 1.0), batchPropCutoff = 0.05,
+      maxIterHarmony = 2, maxIterCluster = 1, blockSize = 0.25,
+      earlyStop = false, localThreshold = localThreshold)
+    val dist = Harmony.fit(withRare, Seq("batch", "site"), o(0L))
+    val local = Harmony.fit(withRare, Seq("batch", "site"), o(1000L))
+    val dc = dist.cells.collect()
+    assert(dc.forall(c => !c.zCorr.exists(v => v.isNaN || v.isInfinite)))
+    // exact pruned-design aggregation: the two paths must still agree
+    val lc = local.cells.collect().map(c => c.cellId -> c.zCorr).toMap
+    var maxDiff = 0.0
+    dc.foreach { c =>
+      (c.zCorr zip lc(c.cellId)).foreach { case (a, b) =>
+        maxDiff = math.max(maxDiff, math.abs(a - b)) }
+    }
+    assert(maxDiff < 5e-2, s"pruned-path local vs distributed max diff $maxDiff")
+  }
+
   test("dimsUse projects the embedding before integration (RunHarmony.R:77-87)") {
     val res = Harmony.fit(fixture, Seq("batch"),
       opts(1.0).copy(dimsUse = Some(Seq(0, 2, 4)),
