@@ -82,5 +82,32 @@ object Multimodal {
       substring(to_base64(encode(text)), 1, 12) AS payload_head_b64
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(m01, m02)
+  /** Frame sampling on the binary payload: fixed-stride substring slices
+    * (the video-frame-sample plan shape: binary in, per-frame rows out) —
+    * the slicing itself is oracle-checkable. */
+  private val m03 = Q(
+    "m03_frame_sample",
+    (s, dir) => {
+      val frames = 3
+      val stride = 64
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val frameCols = (0 until frames).map(f =>
+        struct(lit(f.toLong).as("frame_no"),
+          base64(expr(s"substring(payload, ${f * stride + 1}, 16)")).as("frame_b64")))
+      payloads
+        .select(col("doc_id"), explode(array(frameCols: _*)).as("fr"))
+        .select(col("doc_id"), col("fr.frame_no"), col("fr.frame_b64"))
+        .filter(length(col("frame_b64")) > 0)
+    },
+    // the corpus is ASCII, so byte slicing == char slicing in the oracle
+    Some("""SELECT doc_id, frame_no, frame_b64 FROM (
+        SELECT doc_id, 0 AS frame_no, to_base64(encode(substring(text, 1, 16))) AS frame_b64 FROM documents
+        UNION ALL
+        SELECT doc_id, 1, to_base64(encode(substring(text, 65, 16))) FROM documents
+        UNION ALL
+        SELECT doc_id, 2, to_base64(encode(substring(text, 129, 16))) FROM documents) t
+      WHERE length(frame_b64) > 0"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03)
 }

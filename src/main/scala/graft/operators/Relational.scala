@@ -730,9 +730,51 @@ object Relational {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- q40
+  /** Exact percentiles (sort-based, linear interpolation — same definition
+    * as PERCENTILE_CONT). Interpolation runs on identical sorted doubles in
+    * both engines, so values are rounded only lightly. */
+  private val q40 = Q(
+    "q40_percentiles",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT o_orderpriority,
+      round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+      round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90,
+      round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p99,
+      count(*) AS n
+      FROM orders GROUP BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q41
+  /** Statistical aggregate family: stddev/variance/correlation/covariance. */
+  private val q41 = Q(
+    "q41_stats_agg",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+    },
+    Some("""SELECT l_returnflag,
+      round(stddev_samp(l_quantity), 6) AS sd_qty,
+      round(var_samp(l_quantity), 6) AS var_qty,
+      round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+      FROM lineitem GROUP BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
