@@ -58,11 +58,14 @@ object Dedup {
       val bands = 8
       val rowsPerBand = nPerm / bands
 
+      // shingle SETS computed once and reused by both the signature stage
+      // (explode -> grouped min) and the exact-Jaccard verification join
       val docs = withPlantedDups(s, dir)
-      val shingles = docs.select(col("doc_id"),
-        explode(array_distinct(expr(
-          """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-             i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))).as("shingle"))
+      val sets = docs.select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+           i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
 
       // signature: per-doc min of each salted hash (one grouped agg,
       // map-side combined)
@@ -92,9 +95,6 @@ object Dedup {
       val est = candidates.withColumn("est_jaccard",
         round(expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($nPerm as double)"), 4))
 
-      val sets = docs.select(col("doc_id"), array_distinct(expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-           i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("sh"))
       est
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
