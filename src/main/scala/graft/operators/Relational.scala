@@ -772,9 +772,42 @@ object Relational {
       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
       FROM lineitem GROUP BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q42
+  /** Generator / table function: posexplode with ordinality. */
+  private val q42 = Q(
+    "q42_posexplode",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("token"))
+    },
+    Some("""SELECT doc_id,
+      CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+      unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50"""))
+
+  // ---------------------------------------------------------------- q43
+  /** Regex extraction with a guaranteed-match pattern. */
+  private val q43 = Q(
+    "q43_regex_extract",
+    (s, dir) => {
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_brand"), "(\\d+)", 1).cast("long").as("brand_num"),
+        col("p_name").rlike("bolt|widget").cast("boolean").as("is_hardware"))
+    },
+    Some("""SELECT p_partkey,
+      regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      CAST(regexp_extract(p_brand, '(\d+)', 1) AS BIGINT) AS brand_num,
+      regexp_matches(p_name, 'bolt|widget') AS is_hardware
+      FROM part"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41, q42, q43)
 }

@@ -172,14 +172,20 @@ class HarmonySpec extends SparkSpec {
     }
   }
 
-  test("random shapes satisfy invariants (scalacheck-style sweep)") {
-    val rng = new scala.util.Random(11)
+  test("random shapes satisfy invariants (scalacheck properties)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Test.{check, Parameters}
     val sp = spark
     import sp.implicits._
-    (0 until 3).foreach { trial =>
-      val n = 20 + rng.nextInt(60)
-      val d = 2 + rng.nextInt(4)
-      val nLevels = 2 + rng.nextInt(2)
+    val gen = for {
+      n <- Gen.choose(20, 80)
+      d <- Gen.choose(2, 6)
+      nLevels <- Gen.choose(2, 3)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (n, d, nLevels, seed)
+    val prop = forAll(gen) { case (n, d, nLevels, seed) =>
+      val rng = new scala.util.Random(seed)
       val rows = (0 until n).map { i =>
         (i.toLong, Array.fill(d)(rng.nextGaussian().toFloat), s"L${i % nLevels}")
       }
@@ -188,12 +194,12 @@ class HarmonySpec extends SparkSpec {
         HarmonyOptions(nclust = Some(3), maxIterHarmony = 1, maxIterCluster = 1,
           earlyStop = false, blockMode = BlockMode.Sweep))
       val cells = res.cells.collect()
-      assert(cells.length === n, s"trial $trial")
-      cells.foreach { c =>
-        assert(math.abs(c.r.map(_.toDouble).sum - 1.0) < 1e-4, s"trial $trial")
-        assert(!c.zCorr.exists(v => v.isNaN || v.isInfinite), s"trial $trial")
-      }
+      cells.length == n &&
+        cells.forall(c => math.abs(c.r.map(_.toDouble).sum - 1.0) < 1e-4) &&
+        cells.forall(c => !c.zCorr.exists(v => v.isNaN || v.isInfinite))
     }
+    val result = check(Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(result.passed, s"scalacheck: $result")
   }
 
   test("local path matches distributed path on the same fixture") {

@@ -81,6 +81,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: streaming micro-batches append to parquet") {
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(out)
+      }
+      .start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      input.addData((3L, 3.0))
+      q.processAllAvailable()
+      val back = sp.read.parquet(out)
+      assert(back.count() === 3)
+      assert(back.select("batch_id").distinct().count() === 2)
+    } finally q.stop()
+  }
+
   test("stream-stream inner join with watermarked time-range condition") {
     import org.apache.spark.sql.streaming.OutputMode
     val sp = spark
