@@ -156,6 +156,35 @@ class OperatorsSpec extends SparkSpec {
     direct.foreach { case (u, n) => assert(viaMap.getOrElse(u, 0L) === n) }
   }
 
+  test("custom expressions are SQL-registrable and match the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      "SELECT vec_id, round(l2_norm_f(embedding), 6) AS n FROM emb_sql ORDER BY vec_id LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaCol = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        round(graft.functions.VectorExpressions.l2NormF(col("embedding")), 6).as("n"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.sameElements(viaCol))
+  }
+
+  test("harmony local path is deterministic run-to-run") {
+    val cells = spark.read.parquet(s"$sfDir/embeddings.parquet").select(
+      col("vec_id").as("cell_id"), col("embedding").as("features"),
+      col("label").cast("string").as("batch"))
+    import graft.harmony._
+    def fitOnce() = Harmony.fit(cells, Seq("batch"),
+      HarmonyOptions(nclust = Some(8), maxIterHarmony = 1, maxIterCluster = 2,
+        earlyStop = false)).cells.collect()
+      .map(c => c.cellId -> c.zCorr.toSeq).toMap
+    val a = fitOnce()
+    val b = fitOnce()
+    assert(a.keySet === b.keySet)
+    a.foreach { case (id, z) => assert(z === b(id), s"cell $id differs across runs") }
+  }
+
   test("stub decode is deterministic") {
     val payload = "hello world".getBytes("UTF-8")
     val a = graft.operators.Multimodal.stubDecode(payload, 16)
