@@ -475,20 +475,37 @@ object Harmony {
         next
 
       case BlockMode.Sequential =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+
         val nBlocks = math.max(1, math.ceil(1.0 / blockSize).toInt)
+        val blockDS = Array.tabulate(nBlocks)(i =>
+          cells.filter(c => blockOf(c.cellId, salt, nBlocks) == i))
         val parts = new ArrayBuffer[Dataset[CellState]]
+
+        // step 1 for block 0: remove its contribution from E and O
+        val (m0, o0) = sumRO(blockDS(0), K, B)
+        axpyEO(st, m0, o0, -1.0)
+
         var i = 0
         while (i < nBlocks) {
-          val blockId = i
-          val block = cells.filter(c => blockOf(c.cellId, salt, nBlocks) == blockId)
-          // step 1: remove the block's contribution from E and O
-          val (massOut, oOut) = sumRO(block, K, B)
-          axpyEO(st, massOut, oOut, -1.0)
-          // step 2: recompute the block's R against the updated (E, O)
-          val updated = penalizedMap(block).persist(StorageLevel.MEMORY_AND_DISK)
-          // step 3: add the block back
-          val (massIn, oIn) = sumRO(updated, K, B)
-          axpyEO(st, massIn, oIn, +1.0)
+          // step 2: recompute block i's R against the updated (E, O) —
+          // the broadcast snapshot is taken here, before the overlapped jobs
+          val updated = penalizedMap(blockDS(i)).persist(StorageLevel.MEMORY_AND_DISK)
+          // step 3 for block i (add back) and step 1 for block i+1
+          // (subtract) touch DISJOINT rows and their E/O updates commute,
+          // so the two aggregation jobs run concurrently — same sequential
+          // semantics, half the per-sweep job latency
+          val fIn = Future { sumRO(updated, K, B) }
+          val fNextOut =
+            if (i + 1 < nBlocks) Some(Future { sumRO(blockDS(i + 1), K, B) }) else None
+          val (mIn, oIn) = Await.result(fIn, Duration.Inf)
+          axpyEO(st, mIn, oIn, +1.0)
+          fNextOut.foreach { f =>
+            val (mOut, oOut) = Await.result(f, Duration.Inf)
+            axpyEO(st, mOut, oOut, -1.0)
+          }
           parts += updated
           i += 1
         }
