@@ -195,5 +195,155 @@ object Dedup {
     },
     None)
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
+  // ------------------------------------------------------- oracle variants
+  // The engine-native d02/d03/d05 use xxhash64 / seeded hyperplanes (fast,
+  // engine-specific -> rows-only). These variants re-express the SAME
+  // pipelines with md5-derived hashes both engines implement identically,
+  // so the full MinHash/SimHash/embedding near-dup dataflows run under the
+  // DuckDB oracle end to end.
+
+  /** md5-based 60-bit hash of (value + salt), identical in both engines. */
+  private def md5Hash(c: Column, salt: Int): Column =
+    conv(substring(md5(concat(c, lit(s"#$salt"))), 1, 15), 16, 10).cast("long")
+
+  private val sqlPlanted =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 10000000,
+         array_to_string(string_split(text, ' ')[1:greatest(CAST(floor(len(string_split(text, ' ')) * 0.9) AS INT), 1)], ' ')
+       FROM documents WHERE doc_id % 10 = 0"""
+
+  private val sqlSets =
+    s"""sets AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+         FROM ($sqlPlanted) docs)"""
+
+  // ---------------------------------------------------------------- d06
+  /** MinHash + banded LSH + exact-Jaccard verify, oracle-checked end to end
+    * (8 permutations, 4 bands x 2 rows). */
+  private val d06 = Q(
+    "d06_minhash_oracle",
+    (s, dir) => {
+      val nPerm = 8
+      val docs = withPlantedDups(s, dir)
+      val sets = docs.select(col("doc_id"), array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+           i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val sigCols = (0 until nPerm).map(i => min(md5Hash(col("shingle"), i)).as(s"h$i"))
+      val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // band key: md5 of the band's two signature values
+      val bandCols = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bucket")))
+      val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val cand = a.join(b, col("a.band") === col("b.band")
+          && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+    Some {
+      val hs = (0 until 8).map(i =>
+        s"min(CAST(concat('0x', substring(md5(shingle || '#$i'), 1, 15)) AS BIGINT)) AS h$i")
+        .mkString(",\n           ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS bucket FROM sigs")
+        .mkString("\n         UNION ALL ")
+      s"""WITH $sqlSets,
+        shingles AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        sigs AS (SELECT doc_id,
+           $hs
+         FROM shingles GROUP BY doc_id),
+        banded AS ($bands),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a JOIN sets sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5"""
+    })
+
+  // ---------------------------------------------------------------- d07
+  /** 16-bit SimHash signatures over md5 token hashes — oracle-checked
+    * (majority vote per bit as conditional sums; the banding/pairing on top
+    * is d03's machinery). */
+  private val d07 = Q(
+    "d07_simhash_oracle",
+    (s, dir) => {
+      val docs = withPlantedDups(s, dir)
+      val toks2 = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .withColumn("h", md5Hash(col("token"), 0))
+      val bitCols = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+      toks2.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(b => when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash16"))
+    },
+    Some {
+      val vs = (0 until 16).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n           ")
+      val bits = (0 until 16).map(b =>
+        s"CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+          SELECT doc_id, CAST(concat('0x', substring(md5(token || '#0'), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM ($sqlPlanted) docs) t),
+        votes AS (SELECT doc_id,
+           $vs
+         FROM toks GROUP BY doc_id)
+      SELECT doc_id, CAST($bits AS BIGINT) AS simhash16 FROM votes"""
+    })
+
+  // ---------------------------------------------------------------- d08
+  /** Embedding-cosine near-dup, brute-force oracle variant: planted exact
+    * copies must pair with their originals at cosine >= 0.99. */
+  private val d08 = Q(
+    "d08_embedding_neardup_oracle",
+    (s, dir) => {
+      import graft.functions.VectorExpressions.cosineF
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val all0 = base.unionByName(planted)
+      val q = planted.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      all0.crossJoin(broadcast(q))
+        .filter(col("vec_id") < col("vec_b"))
+        .withColumn("cosine", cosineF(col("embedding"), col("emb_b")))
+        .filter(col("cosine") >= 0.99)
+        .select(col("vec_id").as("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+    },
+    Some("""WITH all0 AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20),
+      q AS (SELECT vec_id AS vec_b, embedding AS emb_b FROM all0 WHERE vec_id >= 1000000),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, q.vec_b,
+          list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.emb_b[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.emb_b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine
+        FROM all0 a CROSS JOIN q WHERE a.vec_id < q.vec_b)
+      SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99"""))
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }
