@@ -75,6 +75,25 @@ final case class HarmonyResult(
     cells.map(c => (c.cellId, c.r)).toDF("cell_id", "r")
   }
 
+  /** Objective history as (step, round, objective) — the data behind the
+    * reference's convergence plot (R/utils.R:50-81, SURVEY op 54). */
+  def objectiveHistory: DataFrame = {
+    val sp = cells.sparkSession
+    import sp.implicits._
+    // cumulative sweep counts: step 0 is init; steps (bounds(r-1), bounds(r)]
+    // belong to round r
+    val bounds = state.kmeansRounds.scanLeft(0)(_ + _)
+    def roundOf(step: Int): Int =
+      if (step == 0) 0
+      else {
+        val i = bounds.indexWhere(_ >= step)
+        if (i < 0) state.kmeansRounds.length else i
+      }
+    state.objectiveKmeans.zipWithIndex
+      .map { case (obj, step) => (step.toLong, roundOf(step).toLong, obj) }
+      .toSeq.toDF("step", "round", "objective")
+  }
+
   /** Cluster centroids Y as K rows of d — `getCentroids` parity. */
   def centroids: Array[Array[Double]] =
     Array.tabulate(state.K)(k =>
@@ -122,6 +141,16 @@ object Harmony {
       idCol: String = "cell_id",
       featuresCol: String = "features"): DataFrame =
     fit(df, covariates, opts, idCol, featuresCol).corrected
+
+  /** Typed variant (SURVEY §7.1): any case-class Dataset whose fields
+    * include the id, features and covariate columns. */
+  def fitTyped[T](
+      ds: Dataset[T],
+      covariates: Seq[String],
+      opts: HarmonyOptions = HarmonyOptions(),
+      idCol: String = "cell_id",
+      featuresCol: String = "features"): HarmonyResult =
+    fit(ds.toDF(), covariates, opts, idCol, featuresCol)
 
   /** Parquet in / parquet out adapter — the Seurat/SCE adapter pattern
     * (SURVEY ops 2-3): writes `outPath/corrected` (idCol, featuresCol) and

@@ -804,10 +804,24 @@ object Relational {
       regexp_matches(p_name, 'bolt|widget') AS is_hardware
       FROM part"""))
 
+  // ---------------------------------------------------------------- q44
+  /** HAVING (post-aggregation predicate). */
+  private val q44 = Q(
+    "q44_having",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("n") >= 30 && col("sum_qty") > 500)
+    },
+    Some("""SELECT l_partkey, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+      FROM lineitem GROUP BY l_partkey
+      HAVING count(*) >= 30 AND round(sum(l_quantity),2) > 500"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43)
+    q41, q42, q43, q44)
 }

@@ -264,6 +264,19 @@ class HarmonySpec extends SparkSpec {
     assert(e.getMessage.contains("sigmaPerCluster"))
   }
 
+  test("typed API + objective history accessor") {
+    val sp = spark
+    import sp.implicits._
+    val ds = fixture.as[(Long, Array[Float], String)]
+      .map { case (id, f, b) => CellIn(id, f, b) }
+    val res = Harmony.fitTyped(ds, Seq("batch"),
+      opts(1.0).copy(localThreshold = 1000L))
+    assert(res.corrected.count() === 300)
+    val hist = res.objectiveHistory.collect()
+    assert(hist.length === res.state.objectiveKmeans.length)
+    assert(hist.map(_.getLong(1)).max === res.rounds.toLong)
+  }
+
   test("blockOf partitions ids uniformly-ish and deterministically") {
     val counts = new Array[Int](5)
     (0L until 1000L).foreach(id => counts(Harmony.blockOf(id, salt = 3, nBlocks = 5)) += 1)
@@ -275,3 +288,6 @@ class HarmonySpec extends SparkSpec {
     assert(moved > 500)
   }
 }
+
+/** Top-level so spark.implicits can derive its Encoder. */
+final case class CellIn(cell_id: Long, features: Array[Float], batch: String)
