@@ -53,14 +53,23 @@ object ScaleRehearsal {
       df
     }
 
-    val opts = HarmonyOptions(
-      nclust = Some(20), maxIterHarmony = 1, maxIterCluster = 2,
-      earlyStop = false, localThreshold = 0L,
-      blockMode = if (mode == "seq") BlockMode.Sequential else BlockMode.Sweep)
+    val budget = if (args.length > 3) args(3) else "short"
+    val opts =
+      if (budget == "full")
+        // reference-default budget, forced distributed: the endurance test
+        // (up to 10 rounds x 4 sweeps x 20 blocks of jobs + lineage)
+        HarmonyOptions(nclust = Some(20), localThreshold = 0L,
+          blockMode = if (mode == "seq") BlockMode.Sequential else BlockMode.Sweep)
+      else
+        HarmonyOptions(
+          nclust = Some(20), maxIterHarmony = 1, maxIterCluster = 2,
+          earlyStop = false, localThreshold = 0L,
+          blockMode = if (mode == "seq") BlockMode.Sequential else BlockMode.Sweep)
 
-    val res = timed(s"harmony 1 round ($mode)") {
+    val res = timed(s"harmony ($mode, $budget)") {
       Harmony.fit(cells, Seq("batch"), opts)
     }
+    println(s"[scale] rounds run: ${res.rounds}, sweeps/round: ${res.state.kmeansRounds.mkString(",")}")
     println(s"[scale] objective: ${res.state.objectiveKmeans.mkString(" -> ")}")
     println(s"[scale] chi2: ${res.state.chiSquared}")
 
