@@ -233,7 +233,12 @@ object Dedup {
            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val sigCols = (0 until nPerm).map(i => min(md5Hash(col("shingle"), i)).as(s"h$i"))
+      // two 60-bit hashes per md5 digest (hex chars 1-15 and 17-31): half
+      // the digest work for the same 8-permutation family
+      val sigCols = (0 until nPerm).map { i =>
+        val digest = md5(concat(col("shingle"), lit(s"#${i / 2}")))
+        min(conv(substring(digest, 1 + 16 * (i % 2), 15), 16, 10).cast("long")).as(s"h$i")
+      }
       val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       // band key: md5 of the band's two signature values
       val bandCols = (0 until 4).map(b =>
@@ -257,7 +262,7 @@ object Dedup {
     },
     Some {
       val hs = (0 until 8).map(i =>
-        s"min(CAST(concat('0x', substring(md5(shingle || '#$i'), 1, 15)) AS BIGINT)) AS h$i")
+        s"min(CAST(concat('0x', substring(md5(shingle || '#${i / 2}'), ${1 + 16 * (i % 2)}, 15)) AS BIGINT)) AS h$i")
         .mkString(",\n           ")
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS bucket FROM sigs")
