@@ -22,10 +22,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // round to 3dp so the one-line JSON stays short enough for the
+    // driver's tail capture to hold the whole line (r1 lesson: full
+    // double precision truncated the line -> parsed:null)
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // keep a full-precision copy on disk for local analysis
+    try {
+      val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_local.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }

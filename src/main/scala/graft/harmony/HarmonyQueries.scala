@@ -32,14 +32,27 @@ object HarmonyQueries {
     blockSize = 0.2,
     earlyStop = false)
 
+  /** Sortable scalar projection of a corrected-embedding result: the
+    * driver's canonicalizer can't sort array columns, so the gate sees
+    * per-cell L2 norm and leading components instead of the raw vector
+    * (the full vectors are pinned by the sbt invariant suite). */
+  private def correctedScalars(res: DataFrame): DataFrame = {
+    val l2 = sqrt(aggregate(col("features"), lit(0.0),
+      (acc, x) => acc + x * x))
+    res.select(
+      col("cell_id"),
+      round(l2, 4).as("l2_norm"),
+      round(element_at(col("features"), 1), 4).as("c1"),
+      round(element_at(col("features"), 2), 4).as("c2"))
+  }
+
   /** Full pipeline: normalize -> kmeans init -> diversity clustering ->
-    * MoE ridge correction. Output: corrected embedding per cell. */
+    * MoE ridge correction. Output: sortable per-cell scalars of the
+    * corrected embedding. */
   private val h01 = Q(
     "h01_harmony_correct",
-    (s, dir) => {
-      val res = Harmony.run(embCells(s, dir), Seq("batch"), harnessOpts(20, 2.0))
-      res.select(col("cell_id"), col("features"))
-    },
+    (s, dir) => correctedScalars(
+      Harmony.run(embCells(s, dir), Seq("batch"), harnessOpts(20, 2.0))),
     None)
 
   /** L2 (cosine) normalization, SURVEY op 26 — oracle-checked scalars. */
@@ -72,20 +85,44 @@ object HarmonyQueries {
       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS pr_b
       FROM embeddings GROUP BY label"""))
 
-  /** Seeded k-means|| init + hard assignment (SURVEY ops 32-33):
-    * deterministic under the fixed seed but not SQL-expressible. */
+  /** Hard cluster assignment (SURVEY ops 32-34): deterministic seeding
+    * (centers = the 10 lowest vec_ids' embeddings — the "pick initial
+    * centers, assign all points" first Lloyd half-step) so the argmin is
+    * ANSI-expressible and the full assignment dataflow runs under the
+    * DuckDB oracle (the d06-d08 pattern). Distances are rounded to 6dp
+    * before the argmin so 1-ulp summation differences can't flip it; ties
+    * break on the lower centroid id in both engines (struct min). The
+    * MLlib seeded k-means|| path stays covered by HarmonySpec. */
   private val h04 = Q(
     "h04_kmeans_assign",
     (s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val df = Tables.embeddings(s, dir).select(
-        col("vec_id"),
-        array_to_vector(col("embedding").cast("array<double>")).as("features"))
-      val model = new KMeans().setK(10).setMaxIter(10).setSeed(42L).fit(df)
-      model.transform(df).select(col("vec_id"), col("prediction").cast("long").as("cluster"))
+      val emb = Tables.embeddings(s, dir)
+      val centers = broadcast(
+        emb.orderBy(col("vec_id")).limit(10)
+          .select(col("vec_id").as("cid"), col("embedding").as("center")))
+      val dist2 = aggregate(
+        zip_with(col("embedding"), col("center"),
+          (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, d) => acc + d)
+      emb.crossJoin(centers)
+        .select(col("vec_id"), col("cid"), round(dist2, 6).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"),
+          col("best.cid").as("cluster"),
+          col("best.d2").as("dist2"))
     },
-    None)
+    Some("""SELECT vec_id, best.cid AS cluster, best.d2 AS dist2 FROM (
+      SELECT e.vec_id,
+        min(struct_pack(d2 := round(list_sum(list_transform(
+              list_zip(e.embedding, c.center),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6),
+            cid := c.cid)) AS best
+      FROM embeddings e CROSS JOIN (
+        SELECT vec_id AS cid, embedding AS center FROM embeddings
+        ORDER BY vec_id LIMIT 10) c
+      GROUP BY e.vec_id) t"""))
 
   /** The reference's central semantic property (test_integration.R:29-41):
     * higher diversity penalty theta must lower chi^2(O, E) — batch/cluster
@@ -131,10 +168,8 @@ object HarmonyQueries {
     * size-based strategy the engine picks below localThreshold. */
   private val h07 = Q(
     "h07_harmony_default",
-    (s, dir) => {
-      Harmony.run(embCells(s, dir), Seq("batch"), HarmonyOptions())
-        .select(col("cell_id"), col("features"))
-    },
+    (s, dir) => correctedScalars(
+      Harmony.run(embCells(s, dir), Seq("batch"), HarmonyOptions())),
     None)
 
   val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07)

@@ -61,6 +61,13 @@ object Multimodal {
             features = stubDecode(r.payload, 16))
         }
       }.toDF()
+        // the driver's canonicalizer can't sort array columns -> project
+        // sortable scalars of the feature vector for the gate (the array
+        // itself is asserted in OperatorsSpec)
+        .select(col("doc_id"), col("mime"), col("n_bytes"), col("n_frames"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f1"),
+          round(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("f_sum"))
     },
     None)
 

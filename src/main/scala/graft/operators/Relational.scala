@@ -491,12 +491,19 @@ object Relational {
         .agg(
           sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("n_big"),
           sum(when(col("l_quantity") <= 25, 1).otherwise(0)).as("n_small"),
-          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2).as("disc_price"))
+          // money column: EXACT scaled-integer sum (the q01 technique) —
+          // a double sum at ~1e8 magnitude is summation-order-dependent
+          // at the 2nd decimal across engines
+          (sum(when(col("l_discount") > 0.05,
+            round(col("l_extendedprice") * 100).cast("long")).otherwise(0L)) / 100.0)
+            .as("disc_price"))
     },
     Some("""SELECT l_returnflag,
       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big,
       sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS n_small,
-      round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END),2) AS disc_price
+      sum(CASE WHEN l_discount > 0.05
+            THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) / 100.0
+        AS disc_price
       FROM lineitem GROUP BY l_returnflag"""))
 
   // ---------------------------------------------------------------- q27
@@ -537,19 +544,30 @@ object Relational {
       FROM supplier"""))
 
   // ---------------------------------------------------------------- q29
-  /** HLL sketch (approx_count_distinct) next to the exact count. The sketch
-    * estimate is engine-specific -> rows-only; the relative-error contract
-    * is asserted in OperatorsSpec. */
+  /** HLL sketch (approx_count_distinct) next to the exact count. The raw
+    * sketch estimate is engine-specific, so the gate checks the exact
+    * columns plus the HLL error-bound CONTRACT as booleans (the oracle
+    * asserts TRUE — a sketch drifting past 5% relative error fails the
+    * hash). Raw estimates are additionally asserted in OperatorsSpec. */
   private val q29 = Q(
     "q29_approx_distinct",
     (s, dir) => {
+      val withinPct = (approx: Column, exact: Column) =>
+        (abs(approx.cast("double") - exact.cast("double")) / exact.cast("double")) <= 0.05
       Tables.lineitem(s, dir).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        // rsd=0.01 (a 2^14-register HLL) so the 5% contract has real
+        // margin at every sf the gate runs
+        withinPct(approx_count_distinct(col("l_partkey"), 0.01),
+          countDistinct(col("l_partkey"))).as("parts_within_5pct"),
+        withinPct(approx_count_distinct(col("l_orderkey"), 0.01),
+          countDistinct(col("l_orderkey"))).as("orders_within_5pct"))
     },
-    None)
+    Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+      count(DISTINCT l_orderkey) AS exact_orders,
+      TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+      FROM lineitem"""))
 
   // ---------------------------------------------------------------- q30
   /** Range (theta) join against an inline bucket table — broadcast
@@ -703,16 +721,24 @@ object Relational {
       FROM orders WHERE o_orderkey % 10 = 0"""))
 
   // ---------------------------------------------------------------- q38
-  /** Seeded Bernoulli sampling — engine-specific RNG, so rows-only; the
-    * sampling-fraction contract is asserted in OperatorsSpec. */
+  /** Deterministic ~10% sampling via content hashing (md5 of the row key):
+    * the reproducible-sampling pattern for data pipelines — the same rows
+    * are selected on every engine and every run, so the gate hash-checks
+    * the full dataflow ('1a' hex = 26/256 = 10.2%). Seeded Bernoulli
+    * `.sample()` is engine-RNG-specific; its fraction contract is asserted
+    * in OperatorsSpec. */
   private val q38 = Q(
     "q38_sample",
     (s, dir) => {
-      Tables.lineitem(s, dir).sample(withReplacement = false, 0.1, seed = 42L)
+      Tables.lineitem(s, dir)
+        .filter(substring(md5(concat_ws("-",
+          col("l_orderkey"), col("l_linenumber"))), 1, 2) < "1a")
         .agg(count(lit(1)).as("n_sampled"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
     },
-    None)
+    Some("""SELECT count(*) AS n_sampled, round(sum(l_quantity),2) AS sum_qty
+      FROM lineitem
+      WHERE substring(md5(concat_ws('-', l_orderkey, l_linenumber)), 1, 2) < '1a'"""))
 
   // ---------------------------------------------------------------- q39
   /** Salted skew join (hot-key mitigation): must return exactly the plain

@@ -97,10 +97,31 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- lang id
   /** Heuristic language ID: argmax over per-language function-word hit
-    * ratios (stopword-profile n-gram heuristic). Not ANSI-SQL-expressible
-    * with identical tie semantics — rows-only check; accuracy is asserted in
-    * the scalatest suite instead.
+    * ratios (stopword-profile n-gram heuristic). Oracle-checked: both
+    * sides compute hits/n_tokens as exact-int-over-int IEEE division, so
+    * the scores are bit-equal; Spark's `greatest` over (score, lang)
+    * structs breaks ties on the LARGEST language code, reproduced in SQL
+    * by testing languages in descending order. The SQL is generated from
+    * the same `langProfiles` map as the engine query.
     */
+  private val t05OracleSql: String = {
+    val langsAsc = langProfiles.keys.toSeq.sorted
+    def hits(words: Seq[String]): String =
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${
+        words.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(string_split(text, ' '))"
+    val scoreDefs = langsAsc
+      .map(l => s"${hits(langProfiles(l))} AS score_$l").mkString(",\n        ")
+    val m = langsAsc.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val tieCase = langsAsc.reverse
+      .map(l => s"WHEN score_$l = m THEN '$l'").mkString("CASE ", " ", " END")
+    s"""SELECT doc_id, true_lang, $tieCase AS pred_lang, round(m, 4) AS pred_score
+      FROM (SELECT doc_id, lang AS true_lang, $m AS m,
+        score_${langsAsc.mkString(", score_")}
+      FROM (SELECT doc_id, lang, text,
+        $scoreDefs
+      FROM documents) s) t"""
+  }
+
   private val tLangId = Q(
     "t05_lang_id",
     (s, dir) => {
@@ -117,7 +138,7 @@ object TextAnalysis {
         greatest(best: _*).getField("lang").as("pred_lang"),
         round(greatest(best: _*).getField("score"), 4).as("pred_score"))
     },
-    None)
+    Some(t05OracleSql))
 
   // ---------------------------------------------------------------- scale COO
   /** The reference's `scaleRows_dgc` / `scaleData` operator (SURVEY op 27,

@@ -104,21 +104,33 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("m01 media features: stub decode emits unit-sum histograms") {
+    // the gate query projects scalars (driver can't sort arrays); the
+    // unit-sum invariant survives as f_sum ~= 1 and f1 in [0, 1]
     val rows = run("m01_media_features").collect()
     assert(rows.length === 500)
     rows.take(20).foreach { r =>
-      val f = r.getAs[scala.collection.Seq[Float]]("features")
-      assert(f.length === 16)
-      assert(math.abs(f.map(_.toDouble).sum - 1.0) < 1e-3)
+      assert(math.abs(r.getAs[Double]("f_sum") - 1.0) < 1e-3)
+      val f1 = r.getAs[Double]("f1")
+      assert(f1 >= 0.0 && f1 <= 1.0)
     }
+    // the raw decode contract: 16-wide unit-sum histogram
+    val f = operators.Multimodal.stubDecode("the quick brown fox".getBytes("UTF-8"), 16)
+    assert(f.length === 16)
+    assert(math.abs(f.map(_.toDouble).sum - 1.0) < 1e-6)
   }
 
   test("q29 HLL estimate within 10% of exact distinct count") {
+    // gate query emits exact counts + the 5%-bound booleans; the raw
+    // estimate check runs here on the source table directly
     val r = run("q29_approx_distinct").head()
-    val (ap, ep) = (r.getAs[Long]("approx_parts").toDouble, r.getAs[Long]("exact_parts").toDouble)
-    val (ao, eo) = (r.getAs[Long]("approx_orders").toDouble, r.getAs[Long]("exact_orders").toDouble)
+    assert(r.getAs[Boolean]("parts_within_5pct"))
+    assert(r.getAs[Boolean]("orders_within_5pct"))
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val raw = li.agg(
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      countDistinct(col("l_partkey")).as("ep")).head()
+    val (ap, ep) = (raw.getAs[Long]("ap").toDouble, raw.getAs[Long]("ep").toDouble)
     assert(math.abs(ap - ep) / ep < 0.10, s"parts: approx $ap vs exact $ep")
-    assert(math.abs(ao - eo) / eo < 0.10, s"orders: approx $ao vs exact $eo")
   }
 
   test("t06 scale_coo: scaled values are clipped to [-10, 10] and centered-ish") {
@@ -136,6 +148,12 @@ class OperatorsSpec extends SparkSpec {
   test("q38 seeded sample keeps roughly the requested fraction") {
     val n = run("q38_sample").head().getAs[Long]("n_sampled").toDouble
     assert(n > 6000 * 0.05 && n < 6000 * 0.15, s"sampled $n of 6000 at 10%")
+    // seeded Bernoulli .sample() fraction contract (the engine-RNG path
+    // the gate query's deterministic md5 sample replaced)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val total = li.count().toDouble
+    val s = li.sample(withReplacement = false, 0.1, seed = 42L).count().toDouble
+    assert(s > total * 0.05 && s < total * 0.15, s"sampled $s of $total at 10%")
   }
 
   test("d05 embedding near-dup finds every planted exact copy") {
