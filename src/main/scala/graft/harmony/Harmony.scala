@@ -1,7 +1,10 @@
 package graft.harmony
 
+import org.apache.spark.Partitioner
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
@@ -49,6 +52,25 @@ final class HarmonyState(
     val objectiveKmeans: ArrayBuffer[Double] = ArrayBuffer.empty,
     val objectiveHarmony: ArrayBuffer[Double] = ArrayBuffer.empty,
     val kmeansRounds: ArrayBuffer[Int] = ArrayBuffer.empty) {
+
+  /** Set once the Sequential path has hash-co-partitioned the cells into
+    * its block-atom layout (one shuffle per fit; see updateR). RDD maps
+    * preserve partition contents, so the layout survives softmax/correction
+    * passes between sweeps. */
+  var blockPartitioned: Boolean = false
+
+  /** Unpersist thunks for the storage generation backing the current cells
+    * RDD. A new generation is installed (and the superseded one freed) only
+    * AFTER the new one is materialized, so downstream reads never recompute.
+    * On a multi-node cluster swap the localCheckpoints for reliable
+    * `checkpoint()` so lost executors can replay; in local mode
+    * MEMORY_AND_DISK storage only dies with the process. */
+  private val liveStorage = ArrayBuffer[() => Unit]()
+  def swapStorage(newHandles: Seq[() => Unit]): Unit = {
+    liveStorage.foreach(f => f())
+    liveStorage.clear()
+    liveStorage ++= newHandles
+  }
 
   def chiSquared: Double = {
     var s = 0.0
@@ -277,11 +299,21 @@ object Harmony {
 
     // ---- k-means init (ops 32-33) ---------------------------------------
     // K=1 (plain-ridge degenerate case, ui.R:34-35): normalized global mean.
+    def dbg[T](label: String)(f: => T): T = {
+      if (!sys.env.contains("GRAFT_DEBUG_SWEEP")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[fit-dbg] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        r
+      }
+    }
+
     // Driver-sized N: local seeded k-means++ + Lloyd (the reference's own
     // init shape, no MLlib distributed-pass latency). Large N: MLlib
     // k-means|| — the distributed analogue of k-means++.
     val kmeansLocalThreshold = 50000L
-    val centers: Array[Array[Double]] =
+    val centers: Array[Array[Double]] = dbg("kmeans init")(
       if (K == 1) {
         val sums = cells.rdd.treeAggregate(new Array[Double](d))(
           { (acc, c) =>
@@ -292,6 +324,16 @@ object Harmony {
       } else if (N <= kmeansLocalThreshold) {
         val pts = cells.collect().map(c => LinAlg.l2Normalize(c.zCorr).map(_.toDouble))
         LocalKMeans.fit(pts, K, opts.kmeansMaxIter, opts.seed)
+      } else if (opts.kmeansSampleCap > 0) {
+        // bounded-sample seeding: centroid INIT doesn't need every cell —
+        // a uniform sample of kmeansSampleCap cells (one sample pass,
+        // bounded driver memory) + the driver-local k-means++ gives
+        // statistically equivalent centers without k-means||'s multiple
+        // full-data passes (which cost more than the init is worth at 2M+)
+        val frac = math.min(1.0, opts.kmeansSampleCap.toDouble / N)
+        val pts = cells.rdd.sample(withReplacement = false, frac, opts.seed)
+          .map(c => LinAlg.l2Normalize(c.zCorr).map(_.toDouble)).collect()
+        LocalKMeans.fit(pts, K, opts.kmeansMaxIter, opts.seed)
       } else {
         val kmInput = cells.map(c => Tuple1(Vectors.dense(
           LinAlg.l2Normalize(c.zCorr).map(_.toDouble)))).toDF("features")
@@ -300,7 +342,7 @@ object Harmony {
           .setFeaturesCol("features").setInitMode("k-means||")
           .fit(kmInput)
           .clusterCenters.map(_.toArray)
-      }
+      })
     val yRowMajor = new Array[Double](K * d)
     centers.zipWithIndex.foreach { case (arr, k) =>
       var ss = 0.0; arr.foreach(v => ss += v * v)
@@ -332,9 +374,17 @@ object Harmony {
     }
 
     // ---- init E-step: plain softmax R, then E/O (harmony.cpp:131-156) ---
-    cells = plainSoftmax(cells, state).localCheckpoint(true)
-    refreshEO(cells, state)
-    state.objectiveKmeans += objective(cells, state)
+    // the hot loop runs on RDD[CellState] (plain JVM objects in the block
+    // cache): no encoder decode/encode per pass
+    var cur: RDD[CellState] = dbg("init softmax")(
+      plainSoftmax(cells.rdd, state).localCheckpoint())
+    dbg("init refreshEO")(refreshEO(cur, state)) // materializes the ckpt
+    locally {
+      val c0 = cur
+      state.swapStorage(Seq(() => { c0.unpersist(false); () })) // frees nothing yet
+      cells.unpersist() // parsed-input cache superseded by cur
+    }
+    state.objectiveKmeans += dbg("objective")(objective(cur, state))
     state.objectiveHarmony += state.objectiveKmeans.last
 
     // ---- round loop (R/utils.R:15-46) -----------------------------------
@@ -343,20 +393,24 @@ object Harmony {
     while (rounds < opts.maxIterHarmony && !converged) {
       rounds += 1
 
-      // op 41: cold-restart E-step after a correction round
+      // op 41: cold-restart E-step after a correction round (also the pass
+      // that materializes the previous round's lazy correction map)
       if (rounds > 1) {
-        val next = plainSoftmax(cells, state).localCheckpoint(true)
-        cells.unpersist()
-        cells = next
-        refreshEO(cells, state)
+        val next = plainSoftmax(cur, state).localCheckpoint()
+        dbg("round softmax+EO")(refreshEO(next, state)) // materializes
+        state.swapStorage(Seq(() => { next.unpersist(false); () }))
+        cur = next
       }
 
-      // clustering sweeps (op 43-44)
+      // clustering sweeps (op 43-44); each sweep's objective is fused into
+      // its own aggregation passes
       var sweep = 0
       var clusterDone = false
       while (sweep < opts.maxIterCluster && !clusterDone) {
-        cells = updateR(cells, state, blockSize, opts, salt = rounds * 1009L + sweep)
-        state.objectiveKmeans += objective(cells, state)
+        val (nextCells, obj) =
+          updateR(cur, state, blockSize, opts, salt = rounds * 1009L + sweep)
+        cur = nextCells
+        state.objectiveKmeans += obj
         if (sweep + 1 > opts.windowSize && windowConverged(state, opts)) clusterDone = true
         sweep += 1
       }
@@ -364,7 +418,7 @@ object Harmony {
       state.objectiveHarmony += state.objectiveKmeans.last
 
       // M-step: mixture-of-experts ridge correction (ops 45-52)
-      cells = moeCorrectRidge(cells, state, lambdaPerLevel, opts)
+      cur = dbg("moeCorrect")(moeCorrectRidge(cur, state, lambdaPerLevel, opts))
 
       // harmony-level convergence (op 40)
       if (opts.earlyStop && state.objectiveHarmony.length >= 2) {
@@ -374,18 +428,31 @@ object Harmony {
       }
     }
 
-    val corrected = cells.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
-    HarmonyResult(corrected, cells, state, rounds)
+    // materialize the final corrected generation once so repeated reads of
+    // the result don't replay the correction map (rounds == 0: cur is the
+    // already-materialized init generation)
+    val fin =
+      if (rounds == 0) cur
+      else dbg("final ckpt")({
+        val f = cur.localCheckpoint()
+        f.count()
+        state.swapStorage(Seq(() => { f.unpersist(false); () }))
+        f
+      })
+    val outDs = spark.createDataset(fin)
+    val corrected = outDs.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
+    HarmonyResult(corrected, outDs, state, rounds)
   }
 
   // ------------------------------------------------------------ kernels
 
   /** Plain (unpenalized) softmax over cosine distances — init + round
-    * re-estimation (harmony.cpp:141-146, 214-228). Pure map, no shuffle. */
-  private def plainSoftmax(cells: Dataset[CellState], st: HarmonyState): Dataset[CellState] = {
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast((st.yRowMajor, st.sigma, st.K, st.d))
+    * re-estimation (harmony.cpp:141-146, 214-228). Pure map, no shuffle.
+    * The whole hot loop runs on RDD[CellState] (plain JVM objects in the
+    * block cache): no encoder decode/encode per pass, and the Sequential
+    * path's partition-atom layout survives between passes. */
+  private def plainSoftmax(cells: RDD[CellState], st: HarmonyState): RDD[CellState] = {
+    val bc = cells.sparkContext.broadcast((st.yRowMajor, st.sigma, st.K, st.d))
     cells.map { c =>
       val (y, sigma, k, d) = bc.value
       val z = LinAlg.l2Normalize(c.zCorr)
@@ -404,9 +471,9 @@ object Harmony {
   /** Aggregate (Σ_cells r, R·Φᵀ) — the K-vector of cluster masses and the
     * K×B observed co-occurrence (ops 36-37) via treeAggregate (map-side
     * combine; driver receives K*(B+1) doubles). */
-  private def sumRO(ds: Dataset[CellState], K: Int, B: Int): (Array[Double], Array[Double]) = {
+  private def sumRORdd(rdd: RDD[CellState], K: Int, B: Int): (Array[Double], Array[Double]) = {
     val zero = (new Array[Double](K), new Array[Double](K * B))
-    ds.rdd.treeAggregate(zero)(
+    rdd.treeAggregate(zero)(
       seqOp = { case ((mass, o), c) =>
         var k = 0
         while (k < K) {
@@ -427,8 +494,8 @@ object Harmony {
       })
   }
 
-  private def refreshEO(cells: Dataset[CellState], st: HarmonyState): Unit = {
-    val (mass, o) = sumRO(cells, st.K, st.B)
+  private def refreshEO(cells: RDD[CellState], st: HarmonyState): Unit = {
+    val (mass, o) = sumRORdd(cells, st.K, st.B)
     var k = 0
     while (k < st.K) {
       var b = 0
@@ -441,112 +508,238 @@ object Harmony {
     }
   }
 
-  /** One clustering sweep of the block-online penalized R update (op 43).
+  /** One clustering sweep of the block-online penalized R update (op 43),
+    * returning the updated cells AND this sweep's objective (fused into the
+    * sweep's own aggregation passes — see partialPass).
     * BlockMode.Sequential preserves the reference's within-sweep sequential
     * E/O semantics: the driver iterates blocks, subtracting each block's
     * contribution, recomputing its R against the broadcast (E, O), and
-    * adding it back — per block: one small aggregate + one map+aggregate.
+    * adding it back — per block: one fused map+aggregate over only that
+    * block's partition atoms.
     * BlockMode.Sweep is the single-pass relaxation (one map + one aggregate
     * per sweep) for very large N. */
   private def updateR(
-      cells: Dataset[CellState],
+      cells: RDD[CellState],
       st: HarmonyState,
       blockSize: Double,
       opts: HarmonyOptions,
-      salt: Long): Dataset[CellState] = {
-    val spark = cells.sparkSession
-    import spark.implicits._
+      salt: Long): (RDD[CellState], Double) = {
+    val sc = cells.sparkContext
     val K = st.K; val B = st.B; val d = st.d
 
-    def penalizedMap(ds: Dataset[CellState]): Dataset[CellState] = {
-      val bc = spark.sparkContext.broadcast(
-        (st.yRowMajor, st.sigma, st.theta, st.E.clone(), st.O.clone(), K, B, d))
-      ds.map { c =>
-        val (y, sigma, theta, e, o, k0, b0, d0) = bc.value
-        val z = LinAlg.l2Normalize(c.zCorr)
-        val dist = LinAlg.cosDistances(y, k0, d0, z)
-        val r = new Array[Double](k0)
-        var sum = 0.0
-        var k = 0
-        while (k < k0) { r(k) = math.exp(-dist(k) / sigma(k)); sum += r(k); k += 1 }
-        // first L1 normalization (harmony.cpp:310)
-        k = 0
-        while (k < k0) { r(k) /= sum; k += 1 }
-        // diversity penalty: ((2E+1)/(O+E+1))^theta summed over the cell's
-        // covariate levels (the `harmony_pow(...) * Phi` product,
-        // harmony.cpp:311) then re-normalize
-        sum = 0.0
-        k = 0
-        while (k < k0) {
-          var pen = 0.0
-          var ci = 0
-          while (ci < c.batch.length) {
-            val idx = k * b0 + c.batch(ci)
-            pen += math.pow((2.0 * e(idx) + 1.0) / (o(idx) + e(idx) + 1.0), theta(c.batch(ci)))
-            ci += 1
-          }
-          r(k) *= pen
-          sum += r(k)
-          k += 1
+    // per-sweep broadcast of the constants (Y, σ, θ); the per-block E/O
+    // snapshot rides in each job's task closure instead (K*B*2 doubles —
+    // Spark broadcasts task binaries per stage anyway, so this avoids an
+    // explicit broadcast creation on every sequential block)
+    val bcFixed: Broadcast[(Array[Double], Array[Double], Array[Double])] =
+      sc.broadcast((st.yRowMajor, st.sigma, st.theta))
+    def eoSnapshot(): (Array[Double], Array[Double]) = (st.E.clone(), st.O.clone())
+
+    // per-cell penalized R update (harmony.cpp:307-313), shared by the
+    // Sweep and Sequential paths
+    def penalizedCell(e: Array[Double], o: Array[Double])(c: CellState): CellState = {
+      val (y, sigma, theta) = bcFixed.value
+      val k0 = K; val b0 = B; val d0 = d
+      val z = LinAlg.l2Normalize(c.zCorr)
+      val dist = LinAlg.cosDistances(y, k0, d0, z)
+      val r = new Array[Double](k0)
+      var sum = 0.0
+      var k = 0
+      while (k < k0) { r(k) = math.exp(-dist(k) / sigma(k)); sum += r(k); k += 1 }
+      // first L1 normalization (harmony.cpp:310)
+      k = 0
+      while (k < k0) { r(k) /= sum; k += 1 }
+      // diversity penalty: ((2E+1)/(O+E+1))^theta summed over the cell's
+      // covariate levels (the `harmony_pow(...) * Phi` product,
+      // harmony.cpp:311) then re-normalize
+      sum = 0.0
+      k = 0
+      while (k < k0) {
+        var pen = 0.0
+        var ci = 0
+        while (ci < c.batch.length) {
+          val idx = k * b0 + c.batch(ci)
+          pen += math.pow((2.0 * e(idx) + 1.0) / (o(idx) + e(idx) + 1.0), theta(c.batch(ci)))
+          ci += 1
         }
-        val rf = new Array[Float](k0)
-        k = 0
-        while (k < k0) { rf(k) = (r(k) / sum).toFloat; k += 1 }
-        c.copy(r = rf)
+        r(k) *= pen
+        sum += r(k)
+        k += 1
       }
+      val rf = new Array[Float](k0)
+      k = 0
+      while (k < k0) { rf(k) = (r(k) / sum).toFloat; k += 1 }
+      c.copy(r = rf)
+    }
+
+    // Single-stage partial-sum pass (partials are K + K*B + 2 doubles per
+    // partition, driver-combined — no treeAggregate shuffle stage). With
+    // `stats` set, the same pass also accumulates the objective's per-cell
+    // addends Σ r·dist (vs the snapshot's Y) and Σ σ r log r, so the sweep
+    // needs NO separate objective pass: the third objective term
+    // Σ σ θ log((O+E+1)/(2E+1)) O is driver-computable from the final E/O
+    // because Σ_{cells with level b} r_k IS O(k,b).
+    def partialPass(rdd: RDD[CellState], nBlocksOut: Int, pidToBlock: Int => Int,
+        withStats: Boolean)
+        : (Array[Array[Double]], Array[Array[Double]], Double, Double) = {
+      val mAcc = Array.fill(nBlocksOut)(new Array[Double](K))
+      val oAcc = Array.fill(nBlocksOut)(new Array[Double](K * B))
+      var t1 = 0.0
+      var t2 = 0.0
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val mass = new Array[Double](K)
+        val o = new Array[Double](K * B)
+        var pt1 = 0.0
+        var pt2 = 0.0
+        val (y, sigma, _) = bcFixed.value
+        it.foreach { c =>
+          val dist: Array[Double] =
+            if (!withStats) null
+            else LinAlg.cosDistances(y, K, d, LinAlg.l2Normalize(c.zCorr))
+          var k = 0
+          while (k < K) {
+            val rk = c.r(k).toDouble
+            mass(k) += rk
+            if (withStats) {
+              pt1 += rk * dist(k)
+              if (rk > 0) pt2 += sigma(k) * rk * math.log(rk)
+            }
+            var ci = 0
+            while (ci < c.batch.length) { o(k * B + c.batch(ci)) += rk; ci += 1 }
+            k += 1
+          }
+        }
+        Iterator((pid, mass, o, pt1, pt2))
+      }.collect().foreach { case (pid, mass, o, pt1, pt2) =>
+        val b = pidToBlock(pid)
+        var j = 0
+        while (j < K) { mAcc(b)(j) += mass(j); j += 1 }
+        j = 0
+        while (j < o.length) { oAcc(b)(j) += o(j); j += 1 }
+        t1 += pt1
+        t2 += pt2
+      }
+      (mAcc, oAcc, t1, t2)
     }
 
     opts.blockMode match {
       case BlockMode.Sweep =>
-        val next = penalizedMap(cells).localCheckpoint(true)
-        cells.unpersist()
-        refreshEO(next, st)
-        next
+        val (e0, o0) = eoSnapshot()
+        val updated = cells.map(penalizedCell(e0, o0))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // ONE pass: materializes `updated`, refreshes E/O, and yields the
+        // objective's data-dependent terms
+        val (mass, o, t1, t2) = partialPass(updated, 1, _ => 0, withStats = true)
+        var k = 0
+        while (k < K) {
+          var b = 0
+          while (b < B) {
+            st.E(k * B + b) = mass(0)(k) * st.prB(b)
+            st.O(k * B + b) = o(0)(k * B + b)
+            b += 1
+          }
+          k += 1
+        }
+        st.swapStorage(Seq(() => { updated.unpersist(false); () }))
+        (updated, objectiveFromStats(st, t1, t2))
 
       case BlockMode.Sequential =>
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-
         val nBlocks = math.max(1, math.ceil(1.0 / blockSize).toInt)
-        val blockDS = Array.tabulate(nBlocks)(i =>
-          cells.filter(c => blockOf(c.cellId, salt, nBlocks) == i))
-        val parts = new ArrayBuffer[Dataset[CellState]]
+        // partition atoms per block: half the cores per per-block job is
+        // the sweet spot — per-block work is small, and fewer atoms keep
+        // the between-sweep full passes (softmax, moe, checkpoint) from
+        // paying task-launch overhead at nBlocks*cores partitions
+        val m = math.max(1, sc.defaultParallelism / 2)
+        val P = nBlocks * m
 
-        // step 1 for block 0: remove its contribution from E and O
-        val (m0, o0) = sumRO(blockDS(0), K, B)
-        axpyEO(st, m0, o0, -1.0)
+        // The reference permutes cells into fresh random blocks every sweep
+        // (/root/reference/src/harmony.cpp:269-291). Distributed analogue:
+        // ONE random hash co-partition per fit turns the P partitions into
+        // exchangeable random atoms (each a uniform ~1/P sample of cells,
+        // regardless of input order); every sweep then re-permutes only the
+        // ATOM -> block assignment (a seeded driver-side permutation, free).
+        // Per-block jobs read exactly their own atoms (PartitionPruningRDD),
+        // so a sweep visits O(N) rows with NO per-sweep shuffle — vs the
+        // O(nBlocks*N) filter re-scans of the naive shape.
+        val tDbg0 = System.nanoTime()
+        val base: RDD[CellState] =
+          if (st.blockPartitioned && cells.getNumPartitions == P) cells
+          else {
+            st.blockPartitioned = true
+            cells
+              .map(c => (blockOf(c.cellId, 0x106689D45497239L, P), c))
+              .partitionBy(new Partitioner {
+                override def numPartitions: Int = P
+                override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+              })
+              .map(_._2)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+          }
+        // fresh atom->block permutation for this sweep's salt
+        val perm = new scala.util.Random(salt).shuffle((0 until P).toVector)
+        val blockOfPid: Int => Int = pid => perm(pid) / m
 
+        // all "remove block i" deltas in ONE pass: block b's E/O
+        // contribution under its CURRENT r doesn't change until block b
+        // itself is visited (other blocks' updates touch disjoint rows),
+        // so every subtraction aggregate can be precomputed at sweep start
+        val (outMass, outO, _, _) = partialPass(base, nBlocks, blockOfPid, withStats = false)
+
+        val tDbg1 = System.nanoTime()
+        val parts = new ArrayBuffer[RDD[CellState]]
+        var t1 = 0.0
+        var t2 = 0.0
         var i = 0
         while (i < nBlocks) {
-          // step 2: recompute block i's R against the updated (E, O) —
-          // the broadcast snapshot is taken here, before the overlapped jobs
-          val updated = penalizedMap(blockDS(i)).persist(StorageLevel.MEMORY_AND_DISK)
-          // step 3 for block i (add back) and step 1 for block i+1
-          // (subtract) touch DISJOINT rows and their E/O updates commute,
-          // so the two aggregation jobs run concurrently — same sequential
-          // semantics, half the per-sweep job latency
-          val fIn = Future { sumRO(updated, K, B) }
-          val fNextOut =
-            if (i + 1 < nBlocks) Some(Future { sumRO(blockDS(i + 1), K, B) }) else None
-          val (mIn, oIn) = Await.result(fIn, Duration.Inf)
-          axpyEO(st, mIn, oIn, +1.0)
-          fNextOut.foreach { f =>
-            val (mOut, oOut) = Await.result(f, Duration.Inf)
-            axpyEO(st, mOut, oOut, -1.0)
-          }
+          // remove block i (precomputed), recompute its R against the
+          // current (E, O) snapshot, add the new contribution back —
+          // the reference's within-sweep sequential semantics, one
+          // fused map+aggregate job over only block i's atoms
+          axpyEO(st, outMass(i), outO(i), -1.0)
+          val (eSnap, oSnap) = eoSnapshot()
+          val pruned = PartitionPruningRDD.create(base, pid => blockOfPid(pid) == i)
+          val updated = pruned.map(penalizedCell(eSnap, oSnap))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val (mIn, oIn, bt1, bt2) = partialPass(updated, 1, _ => 0, withStats = true)
+          axpyEO(st, mIn(0), oIn(0), +1.0)
+          t1 += bt1
+          t2 += bt2
           parts += updated
           i += 1
         }
-        // flat union of the materialized blocks; localCheckpoint truncates
-        // the plan so next sweep's block filters start from a LogicalRDD
-        val next = parts.reduce(_ union _)
-          .coalesce(cells.rdd.getNumPartitions)
-          .localCheckpoint(true)
-        parts.foreach(_.unpersist())
-        cells.unpersist()
-        next
+        val tDbg2 = System.nanoTime()
+        // flat union of the materialized blocks (P partitions again, in
+        // block order — a renumbering of exchangeable atoms, which the next
+        // sweep's fresh permutation absorbs). The parts ARE this
+        // generation's storage: no checkpoint copy; the superseded
+        // generation is freed now that the parts are materialized.
+        val next = sc.union(parts.toSeq)
+        st.swapStorage(parts.map(p => () => { p.unpersist(false); () }).toSeq)
+        if (!(base eq cells)) base.unpersist(false)
+        if (sys.env.contains("GRAFT_DEBUG_SWEEP"))
+          println(f"[sweep-dbg] partition+subtract ${(tDbg1 - tDbg0) / 1e9}%.2f " +
+            f"blocks ${(tDbg2 - tDbg1) / 1e9}%.2f")
+        (next, objectiveFromStats(st, t1, t2))
     }
+  }
+
+  /** Objective from fused sweep stats: t1 = Σ r·dist and t2 = Σ σ r log r
+    * come from the sweep's own aggregation passes; the diversity term is
+    * computed here from the final E/O (Σ_{cells in b} r_k = O(k,b)). */
+  private def objectiveFromStats(st: HarmonyState, t1: Double, t2: Double): Double = {
+    var t3 = 0.0
+    var k = 0
+    while (k < st.K) {
+      var b = 0
+      while (b < st.B) {
+        val idx = k * st.B + b
+        t3 += st.sigma(k) * st.theta(b) *
+          math.log((st.O(idx) + st.E(idx) + 1.0) / (2.0 * st.E(idx) + 1.0)) * st.O(idx)
+        b += 1
+      }
+      k += 1
+    }
+    (t1 + t2 + t3) * 2000.0 / st.N
   }
 
   private def axpyEO(st: HarmonyState, mass: Array[Double], o: Array[Double], sign: Double): Unit = {
@@ -564,12 +757,12 @@ object Harmony {
   }
 
   /** Objective J = Σ R∘dist + Σ σ R log R + Σ σ R (θ log((O+E+1)/(2E+1)))Φ,
-    * scaled by 2000/N (harmony.cpp:158-170). One aggregate pass. */
-  private def objective(cells: Dataset[CellState], st: HarmonyState): Double = {
-    val spark = cells.sparkSession
-    val bc = spark.sparkContext.broadcast(
+    * scaled by 2000/N (harmony.cpp:158-170). One aggregate pass — used at
+    * init; sweeps fuse the objective into their own passes (updateR). */
+  private def objective(cells: RDD[CellState], st: HarmonyState): Double = {
+    val bc = cells.sparkContext.broadcast(
       (st.yRowMajor, st.sigma, st.theta, st.E.clone(), st.O.clone(), st.K, st.B, st.d))
-    val terms = cells.rdd.treeAggregate(new Array[Double](3))(
+    val terms = cells.treeAggregate(new Array[Double](3))(
       seqOp = { (acc, c) =>
         val (y, sigma, theta, e, o, k0, b0, d0) = bc.value
         val z = LinAlg.l2Normalize(c.zCorr)
@@ -613,19 +806,18 @@ object Harmony {
     * K ridge systems (Breeze), refreshes centroids from the intercept betas,
     * and one map applies the correction from the broadcast W tensor. */
   private def moeCorrectRidge(
-      cells: Dataset[CellState],
+      cells: RDD[CellState],
       st: HarmonyState,
       lambdaPerLevel: Option[Array[Double]],
-      opts: HarmonyOptions): Dataset[CellState] = {
-    val spark = cells.sparkSession
-    import spark.implicits._
+      opts: HarmonyOptions): RDD[CellState] = {
+    val sc = cells.sparkContext
     val K = st.K; val B = st.B; val d = st.d
     val P = B + 1 // design width: intercept + all covariate levels
 
     // ---- per-cluster pruning masks from the driver-resident O ----------
     val keeps = Kernels.pruneMasks(st.O, st.nB, st.covariateOf,
       opts.batchPropCutoff, K, B)
-    val bcKeeps = spark.sparkContext.broadcast(keeps)
+    val bcKeeps = sc.broadcast(keeps)
 
     // ---- fused moment aggregation (ops 46-47) under the compacted design:
     // a cell contributes intercept + its KEPT levels for each cluster; a
@@ -633,7 +825,7 @@ object Harmony {
     // (the reference's keep_cols subset, exact for any covariate count) ----
     val zeroGram = new Array[Double](K * P * P)
     val zeroMom = new Array[Double](K * P * d)
-    val (gram, mom) = cells.rdd.treeAggregate((zeroGram, zeroMom))(
+    val (gram, mom) = cells.treeAggregate((zeroGram, zeroMom))(
       seqOp = { case ((g, m), c) =>
         val keepMasks = bcKeeps.value
         val idxs = new Array[Int](c.batch.length + 1)
@@ -680,8 +872,11 @@ object Harmony {
       K, B, d, lambdaPerLevel, opts.alpha)
 
     // ---- correction map (op 51): Z_corr = Z_orig - Σ_k r_k Σ_c W_k[b_c] --
-    val bcW = spark.sparkContext.broadcast((w, K, B, d))
-    val next = cells.map { c =>
+    // lazy map: materialized by the next round's softmax pass (or the final
+    // checkpoint at fit end) — no per-round copy; storage generations are
+    // managed by HarmonyState.swapStorage
+    val bcW = sc.broadcast((w, K, B, d))
+    cells.map { c =>
       val (wt, k0, b0, d0) = bcW.value
       val p = b0 + 1
       val out = new Array[Double](d0)
@@ -705,8 +900,6 @@ object Harmony {
       j = 0
       while (j < d0) { zf(j) = out(j).toFloat; j += 1 }
       c.copy(zCorr = zf)
-    }.localCheckpoint(true)
-    cells.unpersist()
-    next
+    }
   }
 }

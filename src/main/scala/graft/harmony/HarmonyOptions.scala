@@ -35,6 +35,12 @@ package graft.harmony
   *                        driver-local kernel (same formulas, no per-block
   *                        job latency) — size-based strategy selection, like
   *                        broadcast-vs-shuffle joins. 0 forces distributed.
+  * @param kmeansSampleCap above-localThreshold init fits seeded k-means++ on
+  *                        a uniform sample of at most this many cells (one
+  *                        sample pass + a driver-local fit) instead of
+  *                        full-data MLlib k-means|| — statistically
+  *                        equivalent seeding at a fraction of the passes.
+  *                        0 = full-data MLlib k-means||.
   */
 final case class HarmonyOptions(
     nclust: Option[Int] = None,
@@ -57,7 +63,8 @@ final case class HarmonyOptions(
     checkpointEvery: Int = 2,
     dimsUse: Option[Seq[Int]] = None,
     sigmaPerCluster: Option[Seq[Double]] = None,
-    localThreshold: Long = 50000L) {
+    localThreshold: Long = 50000L,
+    kmeansSampleCap: Long = 250000L) {
   require(blockSize > 0 && blockSize <= 1, "blockSize must be in (0, 1]")
   require(sigma > 0, "sigma must be positive")
   require(lambda.forall(_.forall(_ > 0)), "lambda values must be positive")

@@ -24,6 +24,10 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // RDD-shuffle path (Sequential block alignment) serializes CellState
+      // rows; Kryo more than halves the bytes vs Java serialization
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.registrationRequired", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
