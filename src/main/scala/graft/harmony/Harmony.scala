@@ -54,9 +54,9 @@ final class HarmonyState(
     val kmeansRounds: ArrayBuffer[Int] = ArrayBuffer.empty) {
 
   /** Set once the Sequential path has hash-co-partitioned the cells into
-    * its block-atom layout (one shuffle per fit; see updateR). RDD maps
-    * preserve partition contents, so the layout survives softmax/correction
-    * passes between sweeps. */
+    * its partition-atom layout (one shuffle per fit; see sequentialRound).
+    * RDD maps preserve partition contents, so the layout survives
+    * softmax/correction passes between rounds. */
   var blockPartitioned: Boolean = false
 
   /** Unpersist thunks for the storage generation backing the current cells
@@ -71,6 +71,21 @@ final class HarmonyState(
     liveStorage.clear()
     liveStorage ++= newHandles
   }
+
+  /** Spark job group this fit's jobs run under (op 44's cancellation
+    * surface): `sc.cancelJobGroup(state.jobGroup)` from any thread kills
+    * the in-flight jobs and aborts the fit. */
+  var jobGroup: String = ""
+
+  /** Wall-clock seconds per phase (op 55's timer analogue; RAII timers in
+    * the reference, /root/reference/src/timer.h:1-32). Summed across
+    * rounds; printed by graft.tools.DebugHarmony. */
+  val phaseSeconds: scala.collection.mutable.LinkedHashMap[String, Double] =
+    scala.collection.mutable.LinkedHashMap.empty
+
+  /** Rows visited by sweep aggregation passes (a LongAccumulator — live
+    * executor-side observability, visible in the Spark UI/metrics). */
+  var rowsVisited: Option[org.apache.spark.util.LongAccumulator] = None
 
   def chiSquared: Double = {
     var s = 0.0
@@ -137,6 +152,57 @@ final case class HarmonyResult(
   *     rounds so 10 rounds x 4 sweeps don't stack 80 plan layers.
   */
 object Harmony {
+
+  /** Per-partition sweep partials ((mass, O, Σ r·dist, Σ σ r log r) keyed by
+    * partition id), accumulated INSIDE the penalized-update pass so one job
+    * materializes the updated cells AND yields the aggregates — no second
+    * iteration, no recomputed distances. Updates land in the materializing
+    * action's result stage (exactly-once per successful task) and the value
+    * is read immediately after that action, so later cache-recompute
+    * re-additions can never be observed. */
+  private final class SweepPartials(K: Int, B: Int)
+      extends org.apache.spark.util.AccumulatorV2[
+        (Int, Array[Double], Array[Double], Double, Double),
+        Map[Int, (Array[Double], Array[Double], Double, Double)]] {
+    private val acc =
+      scala.collection.mutable.HashMap
+        .empty[Int, (Array[Double], Array[Double], Double, Double)]
+    override def isZero: Boolean = acc.isEmpty
+    override def copy(): SweepPartials = {
+      val c = new SweepPartials(K, B)
+      acc.foreach { case (pid, (m, o, t1, t2)) =>
+        c.acc(pid) = (m.clone(), o.clone(), t1, t2)
+      }
+      c
+    }
+    override def reset(): Unit = acc.clear()
+    override def add(v: (Int, Array[Double], Array[Double], Double, Double)): Unit =
+      acc.get(v._1) match {
+        case None => acc(v._1) = (v._2, v._3, v._4, v._5)
+        case Some((m, o, t1, t2)) =>
+          var j = 0
+          while (j < m.length) { m(j) += v._2(j); j += 1 }
+          j = 0
+          while (j < o.length) { o(j) += v._3(j); j += 1 }
+          acc(v._1) = (m, o, t1 + v._4, t2 + v._5)
+      }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Int, Array[Double], Array[Double], Double, Double),
+        Map[Int, (Array[Double], Array[Double], Double, Double)]]): Unit =
+      other.value.foreach { case (pid, (m, o, t1, t2)) => add((pid, m, o, t1, t2)) }
+    override def value: Map[Int, (Array[Double], Array[Double], Double, Double)] =
+      acc.toMap
+  }
+
+  /** Op 44: the reference's Progress::check_abort analogue — polled at
+    * round/sweep/block boundaries; cancels the fit's job group (killing any
+    * in-flight Spark jobs) and aborts. */
+  private def pollAbort(sc: org.apache.spark.SparkContext, st: HarmonyState,
+      opts: HarmonyOptions, where: String): Unit =
+    if (opts.checkAbort.exists(f => f())) {
+      sc.cancelJobGroup(st.jobGroup)
+      throw new HarmonyAbortedException(s"harmony fit aborted at $where")
+    }
 
   // ------------------------------------------------------------------ hash
   /** splitmix64 — deterministic block membership under a per-sweep salt;
@@ -299,14 +365,18 @@ object Harmony {
 
     // ---- k-means init (ops 32-33) ---------------------------------------
     // K=1 (plain-ridge degenerate case, ui.R:34-35): normalized global mean.
+    // op 55 timers: per-phase wall clock, always recorded (summed across
+    // rounds into state.phaseSeconds after the state exists), printed live
+    // under GRAFT_DEBUG_SWEEP
+    val phaseAcc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def dbg[T](label: String)(f: => T): T = {
-      if (!sys.env.contains("GRAFT_DEBUG_SWEEP")) f
-      else {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[fit-dbg] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-        r
-      }
+      val t0 = System.nanoTime()
+      val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      phaseAcc.updateWith(label) { v => Some(v.getOrElse(0.0) + dt) }
+      if (sys.env.contains("GRAFT_DEBUG_SWEEP"))
+        println(f"[fit-dbg] $label%-22s $dt%6.2f s")
+      r
     }
 
     // Driver-sized N: local seeded k-means++ + Lloyd (the reference's own
@@ -354,6 +424,17 @@ object Harmony {
     val state = new HarmonyState(d, K, B, N, covariateOf, levelLabels,
       yRowMajor, new Array[Double](K * B), new Array[Double](K * B),
       prB, nB, sigma, theta)
+    state.phaseSeconds ++= phaseAcc // kmeans-init timing recorded pre-state
+
+    // op 44 cancellation surface: every job this fit submits runs under a
+    // unique job group; checkAbort is polled at round/sweep/block
+    // boundaries (the reference's Progress::check_abort cadence) and
+    // external callers may cancelJobGroup(state.jobGroup) from any thread
+    val sc0 = spark.sparkContext
+    state.jobGroup = s"harmony-${java.util.UUID.randomUUID().toString.take(8)}"
+    sc0.setJobGroup(state.jobGroup,
+      s"harmony fit N=$N K=$K B=$B", interruptOnCancel = true)
+    state.rowsVisited = Some(sc0.longAccumulator("harmony.sweepRowsVisited"))
 
     // ---- small-N strategy: run the loop driver-local (same formulas, no
     // per-block job latency; see LocalKernel scaladoc) --------------------
@@ -392,6 +473,7 @@ object Harmony {
     var converged = false
     while (rounds < opts.maxIterHarmony && !converged) {
       rounds += 1
+      pollAbort(sc0, state, opts, s"round $rounds")
 
       // op 41: cold-restart E-step after a correction round (also the pass
       // that materializes the previous round's lazy correction map)
@@ -402,19 +484,28 @@ object Harmony {
         cur = next
       }
 
-      // clustering sweeps (op 43-44); each sweep's objective is fused into
-      // its own aggregation passes
-      var sweep = 0
-      var clusterDone = false
-      while (sweep < opts.maxIterCluster && !clusterDone) {
-        val (nextCells, obj) =
-          updateR(cur, state, blockSize, opts, salt = rounds * 1009L + sweep)
+      // clustering sweeps (ops 42-44); objectives are fused into the
+      // sweeps' own passes. Sequential: the whole round is ONE barrier job
+      // (windowed convergence replicated in-task); Sweep: one job per sweep
+      if (opts.blockMode == BlockMode.Sequential) {
+        val (nextCells, objs) = dbg("cluster round")(
+          sequentialRound(cur, state, blockSize, opts, rounds))
         cur = nextCells
-        state.objectiveKmeans += obj
-        if (sweep + 1 > opts.windowSize && windowConverged(state, opts)) clusterDone = true
-        sweep += 1
+        state.objectiveKmeans ++= objs
+        state.kmeansRounds += objs.length
+      } else {
+        var sweep = 0
+        var clusterDone = false
+        while (sweep < opts.maxIterCluster && !clusterDone) {
+          pollAbort(sc0, state, opts, s"round $rounds sweep $sweep")
+          val (nextCells, obj) = dbg("sweep")(sweepUpdate(cur, state, opts))
+          cur = nextCells
+          state.objectiveKmeans += obj
+          if (sweep + 1 > opts.windowSize && windowConverged(state, opts)) clusterDone = true
+          sweep += 1
+        }
+        state.kmeansRounds += sweep
       }
-      state.kmeansRounds += sweep
       state.objectiveHarmony += state.objectiveKmeans.last
 
       // M-step: mixture-of-experts ridge correction (ops 45-52)
@@ -431,15 +522,17 @@ object Harmony {
     // materialize the final corrected generation once so repeated reads of
     // the result don't replay the correction map (rounds == 0: cur is the
     // already-materialized init generation)
-    val fin =
-      if (rounds == 0) cur
+    val outDs: Dataset[CellState] =
+      if (rounds == 0) spark.createDataset(cur)
       else dbg("final ckpt")({
         val f = cur.localCheckpoint()
         f.count()
         state.swapStorage(Seq(() => { f.unpersist(false); () }))
-        f
+        spark.createDataset(f)
       })
-    val outDs = spark.createDataset(fin)
+    sc0.clearJobGroup()
+    state.phaseSeconds.clear()
+    state.phaseSeconds ++= phaseAcc
     val corrected = outDs.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
     HarmonyResult(corrected, outDs, state, rounds)
   }
@@ -508,219 +601,311 @@ object Harmony {
     }
   }
 
-  /** One clustering sweep of the block-online penalized R update (op 43),
-    * returning the updated cells AND this sweep's objective (fused into the
-    * sweep's own aggregation passes — see partialPass).
-    * BlockMode.Sequential preserves the reference's within-sweep sequential
-    * E/O semantics: the driver iterates blocks, subtracting each block's
-    * contribution, recomputing its R against the broadcast (E, O), and
-    * adding it back — per block: one fused map+aggregate over only that
-    * block's partition atoms.
-    * BlockMode.Sweep is the single-pass relaxation (one map + one aggregate
-    * per sweep) for very large N. */
-  private def updateR(
+  /** One Sweep-mode clustering sweep (op 43, the single-pass relaxation
+    * for very large N): every cell's R recomputed against one (E, O)
+    * snapshot, E/O refreshed from the same pass, objective fused in.
+    * Returns the updated cells and the sweep objective. */
+  private def sweepUpdate(
+      cells: RDD[CellState],
+      st: HarmonyState,
+      opts: HarmonyOptions): (RDD[CellState], Double) = {
+    val sc = cells.sparkContext
+    val K = st.K; val B = st.B; val d = st.d
+    val bcFixed: Broadcast[(Array[Double], Array[Double], Array[Double])] =
+      sc.broadcast((st.yRowMajor, st.sigma, st.theta))
+    val e0 = st.E.clone()
+    val o0 = st.O.clone()
+    val accP = new SweepPartials(K, B)
+    sc.register(accP)
+    val rowsAcc = st.rowsVisited.orNull
+
+    // fused pass: the penalized R update (harmony.cpp:307-313) AND its
+    // aggregates in ONE iteration — the distances computed for the softmax
+    // are reused for the objective's Σ r·dist term, and the per-partition
+    // (mass, RΦᵀ, t1, t2) partials land in accP when each partition's
+    // iterator drains (during cache materialization), so a single count()
+    // job materializes the updated cells and the partials
+    val updated = cells.mapPartitionsWithIndex { (pid, it) =>
+      val (y, sigma, theta) = bcFixed.value
+      val mass = new Array[Double](K)
+      val oPart = new Array[Double](K * B)
+      var t1 = 0.0
+      var t2 = 0.0
+      var nRows = 0L
+      new Iterator[CellState] {
+        private var flushed = false
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !flushed) {
+            flushed = true
+            accP.add((pid, mass, oPart, t1, t2))
+            if (rowsAcc != null) rowsAcc.add(nRows)
+          }
+          h
+        }
+        override def next(): CellState = {
+          val c = it.next()
+          nRows += 1
+          val dist = LinAlg.cosDistances(y, K, d, LinAlg.l2Normalize(c.zCorr))
+          val rf = Kernels.penalizedR(dist, c.batch, sigma, theta, e0, o0, K, B)
+          // partials on the UPDATED r, at the float precision it is
+          // stored with (identical to re-aggregating the stored rows)
+          var k = 0
+          while (k < K) {
+            val rk = rf(k).toDouble
+            mass(k) += rk
+            t1 += rk * dist(k)
+            if (rk > 0) t2 += sigma(k) * rk * math.log(rk)
+            var ci = 0
+            while (ci < c.batch.length) { oPart(k * B + c.batch(ci)) += rk; ci += 1 }
+            k += 1
+          }
+          c.copy(r = rf)
+        }
+      }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    updated.count() // ONE job: materializes cells + fills accP
+
+    val mass = new Array[Double](K)
+    val o = new Array[Double](K * B)
+    var t1 = 0.0
+    var t2 = 0.0
+    accP.value.values.foreach { case (m0, o0p, pt1, pt2) =>
+      var j = 0
+      while (j < K) { mass(j) += m0(j); j += 1 }
+      j = 0
+      while (j < o.length) { o(j) += o0p(j); j += 1 }
+      t1 += pt1
+      t2 += pt2
+    }
+    var k = 0
+    while (k < K) {
+      var b = 0
+      while (b < B) {
+        st.E(k * B + b) = mass(k) * st.prB(b)
+        st.O(k * B + b) = o(k * B + b)
+        b += 1
+      }
+      k += 1
+    }
+    st.swapStorage(Seq(() => { updated.unpersist(false); () }))
+    (updated, objectiveFromStats(st, t1, t2))
+  }
+
+  /** One FULL clustering round of the Sequential block-online update
+    * (ops 42-44), driver-coordinated.
+    *
+    * The reference permutes cells into fresh random blocks every sweep
+    * (/root/reference/src/harmony.cpp:269-291). Distributed analogue: ONE
+    * random hash co-partition per fit turns the nBlocks*cores partitions
+    * into exchangeable random atoms (each a uniform ~1/P sample of cells,
+    * regardless of input order); each sweep then re-permutes only the
+    * ATOM -> block assignment (a seeded driver-side permutation, free).
+    *
+    * Per sweep: the "remove block i" deltas are a free regroup of the
+    * per-atom partials cache (a block's contribution can't change before
+    * its own turn; the cache is built by one single-stage pass at round
+    * start and refreshed by each block job); each block then runs ONE
+    * fused job over only its own atoms (PartitionPruningRDD) that updates
+    * R against the current broadcast (E, O), materializes the new rows,
+    * and emits the add-back aggregates through an accumulator — the
+    * reference's within-sweep sequential semantics at O(N) row-visits per
+    * sweep with no per-sweep shuffle. The residual cost vs Sweep mode is
+    * nBlocks job submissions (~25 ms each), which amortizes away as N
+    * grows.
+    *
+    * Returns the updated cells and the per-sweep objectives (windowed
+    * convergence, op 39, evaluated between sweeps). */
+  private def sequentialRound(
       cells: RDD[CellState],
       st: HarmonyState,
       blockSize: Double,
       opts: HarmonyOptions,
-      salt: Long): (RDD[CellState], Double) = {
+      round: Int): (RDD[CellState], Seq[Double]) = {
     val sc = cells.sparkContext
     val K = st.K; val B = st.B; val d = st.d
+    val nBlocks = math.max(1, math.ceil(1.0 / blockSize).toInt)
+    val m = math.max(1, sc.defaultParallelism)
+    val P = nBlocks * m
 
-    // per-sweep broadcast of the constants (Y, σ, θ); the per-block E/O
-    // snapshot rides in each job's task closure instead (K*B*2 doubles —
-    // Spark broadcasts task binaries per stage anyway, so this avoids an
-    // explicit broadcast creation on every sequential block)
+    val base: RDD[CellState] =
+      if (st.blockPartitioned && cells.getNumPartitions == P) cells
+      else {
+        st.blockPartitioned = true
+        val re = cells
+          .map(c => (blockOf(c.cellId, 0x106689D45497239L, P), c))
+          .partitionBy(new Partitioner {
+            override def numPartitions: Int = P
+            override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+          })
+          .map(_._2)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        re.count()
+        // the co-partition is a full copy: free the superseded generation
+        // NOW — never hold three data generations at once
+        st.swapStorage(Seq(() => { re.unpersist(false); () }))
+        re
+      }
+
     val bcFixed: Broadcast[(Array[Double], Array[Double], Array[Double])] =
       sc.broadcast((st.yRowMajor, st.sigma, st.theta))
-    def eoSnapshot(): (Array[Double], Array[Double]) = (st.E.clone(), st.O.clone())
+    val rowsAcc = st.rowsVisited.orNull
 
-    // per-cell penalized R update (harmony.cpp:307-313), shared by the
-    // Sweep and Sequential paths
-    def penalizedCell(e: Array[Double], o: Array[Double])(c: CellState): CellState = {
-      val (y, sigma, theta) = bcFixed.value
-      val k0 = K; val b0 = B; val d0 = d
-      val z = LinAlg.l2Normalize(c.zCorr)
-      val dist = LinAlg.cosDistances(y, k0, d0, z)
-      val r = new Array[Double](k0)
-      var sum = 0.0
-      var k = 0
-      while (k < k0) { r(k) = math.exp(-dist(k) / sigma(k)); sum += r(k); k += 1 }
-      // first L1 normalization (harmony.cpp:310)
-      k = 0
-      while (k < k0) { r(k) /= sum; k += 1 }
-      // diversity penalty: ((2E+1)/(O+E+1))^theta summed over the cell's
-      // covariate levels (the `harmony_pow(...) * Phi` product,
-      // harmony.cpp:311) then re-normalize
-      sum = 0.0
-      k = 0
-      while (k < k0) {
-        var pen = 0.0
-        var ci = 0
-        while (ci < c.batch.length) {
-          val idx = k * b0 + c.batch(ci)
-          pen += math.pow((2.0 * e(idx) + 1.0) / (o(idx) + e(idx) + 1.0), theta(c.batch(ci)))
-          ci += 1
-        }
-        r(k) *= pen
-        sum += r(k)
-        k += 1
-      }
-      val rf = new Array[Float](k0)
-      k = 0
-      while (k < k0) { rf(k) = (r(k) / sum).toFloat; k += 1 }
-      c.copy(r = rf)
-    }
-
-    // Single-stage partial-sum pass (partials are K + K*B + 2 doubles per
-    // partition, driver-combined — no treeAggregate shuffle stage). With
-    // `stats` set, the same pass also accumulates the objective's per-cell
-    // addends Σ r·dist (vs the snapshot's Y) and Σ σ r log r, so the sweep
-    // needs NO separate objective pass: the third objective term
-    // Σ σ θ log((O+E+1)/(2E+1)) O is driver-computable from the final E/O
-    // because Σ_{cells with level b} r_k IS O(k,b).
-    def partialPass(rdd: RDD[CellState], nBlocksOut: Int, pidToBlock: Int => Int,
-        withStats: Boolean)
-        : (Array[Array[Double]], Array[Array[Double]], Double, Double) = {
-      val mAcc = Array.fill(nBlocksOut)(new Array[Double](K))
-      val oAcc = Array.fill(nBlocksOut)(new Array[Double](K * B))
-      var t1 = 0.0
-      var t2 = 0.0
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        val mass = new Array[Double](K)
-        val o = new Array[Double](K * B)
-        var pt1 = 0.0
-        var pt2 = 0.0
-        val (y, sigma, _) = bcFixed.value
-        it.foreach { c =>
-          val dist: Array[Double] =
-            if (!withStats) null
-            else LinAlg.cosDistances(y, K, d, LinAlg.l2Normalize(c.zCorr))
-          var k = 0
-          while (k < K) {
-            val rk = c.r(k).toDouble
-            mass(k) += rk
-            if (withStats) {
-              pt1 += rk * dist(k)
-              if (rk > 0) pt2 += sigma(k) * rk * math.log(rk)
-            }
-            var ci = 0
-            while (ci < c.batch.length) { o(k * B + c.batch(ci)) += rk; ci += 1 }
-            k += 1
-          }
-        }
-        Iterator((pid, mass, o, pt1, pt2))
-      }.collect().foreach { case (pid, mass, o, pt1, pt2) =>
-        val b = pidToBlock(pid)
-        var j = 0
-        while (j < K) { mAcc(b)(j) += mass(j); j += 1 }
-        j = 0
-        while (j < o.length) { oAcc(b)(j) += o(j); j += 1 }
-        t1 += pt1
-        t2 += pt2
-      }
-      (mAcc, oAcc, t1, t2)
-    }
-
-    opts.blockMode match {
-      case BlockMode.Sweep =>
-        val (e0, o0) = eoSnapshot()
-        val updated = cells.map(penalizedCell(e0, o0))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // ONE pass: materializes `updated`, refreshes E/O, and yields the
-        // objective's data-dependent terms
-        val (mass, o, t1, t2) = partialPass(updated, 1, _ => 0, withStats = true)
+    // ---- per-atom partials cache: atom a's (Σr, RΦᵀ) under CURRENT r.
+    // Built by ONE single-stage pass per round; refreshed in place by each
+    // block job, so every sweep's subtraction deltas are a driver regroup.
+    val atomMass = Array.fill(P)(new Array[Double](K))
+    val atomO = Array.fill(P)(new Array[Double](K * B))
+    base.mapPartitionsWithIndex { (pid, it) =>
+      val mass = new Array[Double](K)
+      val o = new Array[Double](K * B)
+      var nRows = 0L
+      it.foreach { c =>
+        nRows += 1
         var k = 0
         while (k < K) {
-          var b = 0
-          while (b < B) {
-            st.E(k * B + b) = mass(0)(k) * st.prB(b)
-            st.O(k * B + b) = o(0)(k * B + b)
-            b += 1
-          }
+          val rk = c.r(k).toDouble
+          mass(k) += rk
+          var ci = 0
+          while (ci < c.batch.length) { o(k * B + c.batch(ci)) += rk; ci += 1 }
           k += 1
         }
-        st.swapStorage(Seq(() => { updated.unpersist(false); () }))
-        (updated, objectiveFromStats(st, t1, t2))
-
-      case BlockMode.Sequential =>
-        val nBlocks = math.max(1, math.ceil(1.0 / blockSize).toInt)
-        // partition atoms per block: half the cores per per-block job is
-        // the sweet spot — per-block work is small, and fewer atoms keep
-        // the between-sweep full passes (softmax, moe, checkpoint) from
-        // paying task-launch overhead at nBlocks*cores partitions
-        val m = math.max(1, sc.defaultParallelism / 2)
-        val P = nBlocks * m
-
-        // The reference permutes cells into fresh random blocks every sweep
-        // (/root/reference/src/harmony.cpp:269-291). Distributed analogue:
-        // ONE random hash co-partition per fit turns the P partitions into
-        // exchangeable random atoms (each a uniform ~1/P sample of cells,
-        // regardless of input order); every sweep then re-permutes only the
-        // ATOM -> block assignment (a seeded driver-side permutation, free).
-        // Per-block jobs read exactly their own atoms (PartitionPruningRDD),
-        // so a sweep visits O(N) rows with NO per-sweep shuffle — vs the
-        // O(nBlocks*N) filter re-scans of the naive shape.
-        val tDbg0 = System.nanoTime()
-        val base: RDD[CellState] =
-          if (st.blockPartitioned && cells.getNumPartitions == P) cells
-          else {
-            st.blockPartitioned = true
-            cells
-              .map(c => (blockOf(c.cellId, 0x106689D45497239L, P), c))
-              .partitionBy(new Partitioner {
-                override def numPartitions: Int = P
-                override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-              })
-              .map(_._2)
-              .persist(StorageLevel.MEMORY_AND_DISK)
-          }
-        // fresh atom->block permutation for this sweep's salt
-        val perm = new scala.util.Random(salt).shuffle((0 until P).toVector)
-        val blockOfPid: Int => Int = pid => perm(pid) / m
-
-        // all "remove block i" deltas in ONE pass: block b's E/O
-        // contribution under its CURRENT r doesn't change until block b
-        // itself is visited (other blocks' updates touch disjoint rows),
-        // so every subtraction aggregate can be precomputed at sweep start
-        val (outMass, outO, _, _) = partialPass(base, nBlocks, blockOfPid, withStats = false)
-
-        val tDbg1 = System.nanoTime()
-        val parts = new ArrayBuffer[RDD[CellState]]
-        var t1 = 0.0
-        var t2 = 0.0
-        var i = 0
-        while (i < nBlocks) {
-          // remove block i (precomputed), recompute its R against the
-          // current (E, O) snapshot, add the new contribution back —
-          // the reference's within-sweep sequential semantics, one
-          // fused map+aggregate job over only block i's atoms
-          axpyEO(st, outMass(i), outO(i), -1.0)
-          val (eSnap, oSnap) = eoSnapshot()
-          val pruned = PartitionPruningRDD.create(base, pid => blockOfPid(pid) == i)
-          val updated = pruned.map(penalizedCell(eSnap, oSnap))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val (mIn, oIn, bt1, bt2) = partialPass(updated, 1, _ => 0, withStats = true)
-          axpyEO(st, mIn(0), oIn(0), +1.0)
-          t1 += bt1
-          t2 += bt2
-          parts += updated
-          i += 1
-        }
-        val tDbg2 = System.nanoTime()
-        // flat union of the materialized blocks (P partitions again, in
-        // block order — a renumbering of exchangeable atoms, which the next
-        // sweep's fresh permutation absorbs). The parts ARE this
-        // generation's storage: no checkpoint copy; the superseded
-        // generation is freed now that the parts are materialized.
-        val next = sc.union(parts.toSeq)
-        st.swapStorage(parts.map(p => () => { p.unpersist(false); () }).toSeq)
-        if (!(base eq cells)) base.unpersist(false)
-        if (sys.env.contains("GRAFT_DEBUG_SWEEP"))
-          println(f"[sweep-dbg] partition+subtract ${(tDbg1 - tDbg0) / 1e9}%.2f " +
-            f"blocks ${(tDbg2 - tDbg1) / 1e9}%.2f")
-        (next, objectiveFromStats(st, t1, t2))
+      }
+      if (rowsAcc != null) rowsAcc.add(nRows)
+      Iterator((pid, (mass, o)))
+    }.collect().foreach { case (pid, (mass, o)) =>
+      atomMass(pid) = mass
+      atomO(pid) = o
     }
+    // atom ids are reset to partition ids each round; within the round the
+    // per-sweep union renumbering is tracked via atomOf
+    var atomOf: Array[Int] = Array.tabulate(P)(identity)
+
+    val hist = ArrayBuffer(st.objectiveKmeans.toSeq: _*)
+    val objs = ArrayBuffer.empty[Double]
+    var cur = base
+    var sweep = 0
+    var done = false
+    while (sweep < opts.maxIterCluster && !done) {
+      val tSweep0 = System.nanoTime()
+      pollAbort(sc, st, opts, s"round $round sweep $sweep")
+      val salt = round.toLong * 1009L + sweep
+      // fresh atom -> block permutation for this sweep's salt
+      val perm = new scala.util.Random(salt).shuffle((0 until P).toVector)
+      val blockOfPid: Int => Int = pid => perm(pid) / m
+      val pidsOfBlock = Array.tabulate(nBlocks)(i =>
+        (0 until P).filter(blockOfPid(_) == i).toArray)
+
+      // subtraction deltas: regroup the atom cache (no Spark job)
+      val outMass = Array.fill(nBlocks)(new Array[Double](K))
+      val outO = Array.fill(nBlocks)(new Array[Double](K * B))
+      var pid0 = 0
+      while (pid0 < P) {
+        val b = blockOfPid(pid0)
+        val am = atomMass(atomOf(pid0))
+        val ao = atomO(atomOf(pid0))
+        var j = 0
+        while (j < K) { outMass(b)(j) += am(j); j += 1 }
+        j = 0
+        while (j < ao.length) { outO(b)(j) += ao(j); j += 1 }
+        pid0 += 1
+      }
+
+      val parts = new ArrayBuffer[RDD[CellState]]
+      var t1 = 0.0
+      var t2 = 0.0
+      var i = 0
+      while (i < nBlocks) {
+        // remove block i (from the cache), recompute its R against the
+        // current (E, O) snapshot, add the new contribution back — ONE
+        // fused job over only block i's atoms
+        axpyEO(st, outMass(i), outO(i), -1.0)
+        val eSnap = st.E.clone()
+        val oSnap = st.O.clone()
+        val accP = new SweepPartials(K, B)
+        sc.register(accP)
+        val pruned = PartitionPruningRDD.create(cur, pid => blockOfPid(pid) == i)
+        val updated = pruned.mapPartitionsWithIndex { (localPid, it) =>
+          val (y, sigma, theta) = bcFixed.value
+          val mass = new Array[Double](K)
+          val oPart = new Array[Double](K * B)
+          var pt1 = 0.0
+          var pt2 = 0.0
+          new Iterator[CellState] {
+            private var flushed = false
+            override def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h && !flushed) {
+                flushed = true
+                accP.add((localPid, mass, oPart, pt1, pt2))
+              }
+              h
+            }
+            override def next(): CellState = {
+              val c = it.next()
+              val dist = LinAlg.cosDistances(y, K, d, LinAlg.l2Normalize(c.zCorr))
+              val rf = Kernels.penalizedR(dist, c.batch, sigma, theta, eSnap, oSnap, K, B)
+              var k = 0
+              while (k < K) {
+                val rk = rf(k).toDouble
+                mass(k) += rk
+                pt1 += rk * dist(k)
+                if (rk > 0) pt2 += sigma(k) * rk * math.log(rk)
+                var ci = 0
+                while (ci < c.batch.length) { oPart(k * B + c.batch(ci)) += rk; ci += 1 }
+                k += 1
+              }
+              c.copy(r = rf)
+            }
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        updated.count() // ONE job: materializes + fills accP
+        val mIn = new Array[Double](K)
+        val oIn = new Array[Double](K * B)
+        accP.value.foreach { case (localPid, (mass, o, pt1, pt2)) =>
+          // PartitionPruningRDD renumbers partitions in parent order:
+          // local index -> parent pid -> stable atom id; refresh the cache
+          val a = atomOf(pidsOfBlock(i)(localPid))
+          atomMass(a) = mass
+          atomO(a) = o
+          var j = 0
+          while (j < K) { mIn(j) += mass(j); j += 1 }
+          j = 0
+          while (j < o.length) { oIn(j) += o(j); j += 1 }
+          t1 += pt1
+          t2 += pt2
+        }
+        axpyEO(st, mIn, oIn, +1.0)
+        parts += updated
+        i += 1
+      }
+      // flat union (P partitions again, in block order — a renumbering of
+      // exchangeable atoms absorbed by the next sweep's permutation); the
+      // parts ARE this generation's storage (no checkpoint copy)
+      atomOf = pidsOfBlock.flatten.map(atomOf)
+      cur = sc.union(parts.toSeq)
+      st.swapStorage(parts.map(p => () => { p.unpersist(false); () }).toSeq)
+
+      val obj = objectiveFromStats(st, t1, t2)
+      hist += obj
+      objs += obj
+      if (sys.env.contains("GRAFT_DEBUG_SWEEP"))
+        println(f"[sweep-dbg] sweep $sweep blocks ${(System.nanoTime() - tSweep0) / 1e9}%.2f s")
+      sweep += 1
+      // windowed convergence (op 39)
+      if (sweep > opts.windowSize && hist.length >= 2 * opts.windowSize) {
+        var oldSum = 0.0
+        var newSum = 0.0
+        var w = 0
+        while (w < opts.windowSize) {
+          oldSum += hist(hist.length - 2 - w)
+          newSum += hist(hist.length - 1 - w)
+          w += 1
+        }
+        if (math.abs(oldSum - newSum) / math.abs(oldSum) < opts.epsilonCluster) done = true
+      }
+    }
+    (cur, objs.toSeq)
   }
 
   /** Objective from fused sweep stats: t1 = Σ r·dist and t2 = Σ σ r log r

@@ -41,6 +41,14 @@ package graft.harmony
   *                        full-data MLlib k-means|| — statistically
   *                        equivalent seeding at a fraction of the passes.
   *                        0 = full-data MLlib k-means||.
+  * @param checkAbort      polled between rounds, sweeps and sequential
+  *                        blocks (the reference's Progress::check_abort,
+  *                        /root/reference/src/harmony.cpp:233,355). Return
+  *                        true to abort: in-flight Spark jobs in the fit's
+  *                        job group are cancelled and the fit throws
+  *                        HarmonyAbortedException. External cancellation:
+  *                        `sc.cancelJobGroup(<state.jobGroup>)` from any
+  *                        other thread.
   */
 final case class HarmonyOptions(
     nclust: Option[Int] = None,
@@ -64,7 +72,8 @@ final case class HarmonyOptions(
     dimsUse: Option[Seq[Int]] = None,
     sigmaPerCluster: Option[Seq[Double]] = None,
     localThreshold: Long = 50000L,
-    kmeansSampleCap: Long = 250000L) {
+    kmeansSampleCap: Long = 250000L,
+    checkAbort: Option[() => Boolean] = None) {
   require(blockSize > 0 && blockSize <= 1, "blockSize must be in (0, 1]")
   require(sigma > 0, "sigma must be positive")
   require(lambda.forall(_.forall(_ > 0)), "lambda values must be positive")
@@ -77,3 +86,7 @@ object BlockMode {
   case object Sequential extends BlockMode
   case object Sweep extends BlockMode
 }
+
+/** Thrown when a fit is aborted via HarmonyOptions.checkAbort (the
+  * reference's user-interrupt path, src/harmony.cpp:233,355). */
+final class HarmonyAbortedException(msg: String) extends RuntimeException(msg)

@@ -104,4 +104,46 @@ private[harmony] object Kernels {
       k += 1
     }
   }
+
+  /** Penalized soft-assignment update for one cell (harmony.cpp:307-313):
+    * softmax over -dist/sigma, then the diversity penalty
+    * ((2E+1)/(O+E+1))^theta summed over the cell's covariate levels, then
+    * re-normalization. `dist` is the precomputed cosine-distance row so
+    * callers can reuse it for the objective's Σ r·dist term. */
+  def penalizedR(
+      dist: Array[Double],
+      batch: Array[Int],
+      sigma: Array[Double],
+      theta: Array[Double],
+      e: Array[Double],
+      o: Array[Double],
+      K: Int,
+      B: Int): Array[Float] = {
+    val r = new Array[Double](K)
+    var sum = 0.0
+    var k = 0
+    while (k < K) { r(k) = math.exp(-dist(k) / sigma(k)); sum += r(k); k += 1 }
+    // first L1 normalization (harmony.cpp:310)
+    k = 0
+    while (k < K) { r(k) /= sum; k += 1 }
+    // diversity penalty then re-normalize (harmony.cpp:311)
+    sum = 0.0
+    k = 0
+    while (k < K) {
+      var pen = 0.0
+      var ci = 0
+      while (ci < batch.length) {
+        val idx = k * B + batch(ci)
+        pen += math.pow((2.0 * e(idx) + 1.0) / (o(idx) + e(idx) + 1.0), theta(batch(ci)))
+        ci += 1
+      }
+      r(k) *= pen
+      sum += r(k)
+      k += 1
+    }
+    val rf = new Array[Float](K)
+    k = 0
+    while (k < K) { rf(k) = (r(k) / sum).toFloat; k += 1 }
+    rf
+  }
 }

@@ -268,14 +268,22 @@ private[harmony] object LocalKernel {
     st.objectiveKmeans += objective()
     st.objectiveHarmony += st.objectiveKmeans.last
 
+    // op 44: same abort cadence as the distributed path (no Spark jobs to
+    // cancel here — the kernel is driver-local)
+    def poll(where: String): Unit =
+      if (opts.checkAbort.exists(f => f()))
+        throw new HarmonyAbortedException(s"harmony fit aborted at $where")
+
     var rounds = 0
     var converged = false
     while (rounds < opts.maxIterHarmony && !converged) {
       rounds += 1
+      poll(s"round $rounds")
       if (rounds > 1) { refreshDist(); plainSoftmaxAll(); refreshEO() }
       var sweep = 0
       var clusterDone = false
       while (sweep < opts.maxIterCluster && !clusterDone) {
+        poll(s"round $rounds sweep $sweep")
         updateRSweep(salt = rounds * 1009L + sweep)
         st.objectiveKmeans += objective()
         if (sweep + 1 > opts.windowSize && windowConverged()) clusterDone = true

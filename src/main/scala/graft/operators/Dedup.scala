@@ -74,22 +74,28 @@ object Dedup {
       val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
         .withColumn("sig", array((0 until nPerm).map(i => col(s"h$i")): _*))
         .select(col("doc_id"), col("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // banding: bucket key = hash of the band's signature slice
       val banded = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*)).as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
+      // candidate pairs deduped on BARE ids: the distinct shuffles 16-byte
+      // keys, not 2x32-long signatures (a pair co-bucketed in up to `bands`
+      // bands would otherwise drag its signatures through the shuffle that
+      // many times); signatures re-attach via the persisted sigs table
       val a = banded.alias("a")
       val b = banded.alias("b")
       val candidates = a.join(b,
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
 
       // estimated Jaccard = matching signature fraction; verify exactly
       val est = candidates.withColumn("est_jaccard",

@@ -844,10 +844,42 @@ object Relational {
       FROM lineitem GROUP BY l_partkey
       HAVING count(*) >= 30 AND round(sum(l_quantity),2) > 500"""))
 
+  // ---------------------------------------------------------------- q45
+  /** As-of join, aggregation form — the 100 TB-safe variant of q24. The
+    * equi-join still enumerates (event, earlier-order) pairs, but they
+    * PIPELINE into a map-side partial `max_by` aggregation: no window sort
+    * over the expanded set, no shuffle of expanded rows, so a user with a
+    * million-order history costs streaming time, not memory (q24's window
+    * dedup shuffles the full expansion first). Tie-break (o_orderdate,
+    * o_orderkey) is unique, so max_by is deterministic and matches q24's
+    * row_number ordering exactly. */
+  private val q45 = Q(
+    "q45_asof_maxby",
+    (s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_totalprice")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("o_orderkey"),
+          col("best.o_totalprice").as("o_totalprice"))
+    },
+    Some("""SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+      WHERE rn = 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44)
+    q41, q42, q43, q44, q45)
 }

@@ -36,6 +36,10 @@ object DebugHarmony {
     println(s"fit done in ${(System.nanoTime() - t0) / 1e9}s, rounds=${res.rounds}")
     println(s"objective_kmeans=${res.state.objectiveKmeans.mkString(", ")}")
     println(s"chi2=${res.state.chiSquared}")
+    // op 55 observability: per-phase timers + executor-side row metric
+    res.state.phaseSeconds.foreach { case (k, v) => println(f"[phase] $k%-22s $v%7.2f s") }
+    res.state.rowsVisited.foreach(a => println(s"[phase] sweep rows visited: ${a.value}"))
+    println(s"[phase] job group: ${res.state.jobGroup}")
     println(s"corrected rows=${res.corrected.count()}")
     res.corrected.show(3, false)
     spark.stop()

@@ -103,6 +103,36 @@ class HarmonySpec extends SparkSpec {
     assert(after < before, s"batch mean gap should shrink: before=$before after=$after")
   }
 
+  test("checkAbort cancels a fit mid-run (op 44) and the session stays usable") {
+    // distributed path: let a few polls pass (init + first sweeps), then abort
+    val polls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val o = HarmonyOptions(nclust = Some(4), maxIterHarmony = 5,
+      maxIterCluster = 2, blockSize = 0.2, earlyStop = false,
+      localThreshold = 0L,
+      checkAbort = Some(() => polls.incrementAndGet() > 3))
+    val e = intercept[HarmonyAbortedException] {
+      Harmony.fit(fixture, Seq("batch"), o)
+    }
+    assert(e.getMessage.contains("aborted"))
+    // job-group cancellation must leave the session healthy
+    assert(fixture.count() === 300)
+    // local-kernel path honors the same contract
+    val polls2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[HarmonyAbortedException] {
+      Harmony.fit(fixture, Seq("batch"), o.copy(localThreshold = 100000L,
+        checkAbort = Some(() => polls2.incrementAndGet() > 1)))
+    }
+  }
+
+  test("op 55 observability: phase timers and sweep-row accumulator populated") {
+    val st = result.state
+    assert(st.phaseSeconds.nonEmpty && st.phaseSeconds.contains("cluster round"))
+    assert(st.phaseSeconds.values.forall(_ >= 0.0))
+    // 2 rounds x 2 sweeps over 300 cells -> sweep passes visited rows
+    assert(st.rowsVisited.exists(_.value >= 300L))
+    assert(st.jobGroup.startsWith("harmony-"))
+  }
+
   test("refuses N < 6 (harmony.cpp:83-86)") {
     val sp = spark
     import sp.implicits._

@@ -145,6 +145,21 @@ class OperatorsSpec extends SparkSpec {
       s"theta=3 should reduce chi2: ${r.toSeq}")
   }
 
+  test("q45 as-of maxby matches q24 and plans as partial agg, not a window sort") {
+    val viaWindow = run("q24_asof_join").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("o_orderkey"))).toMap
+    val viaMaxBy = run("q45_asof_maxby").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("o_orderkey"))).toMap
+    assert(viaWindow === viaMaxBy)
+    // scale contract: the join expansion pipelines into a partial
+    // aggregation — no Window operator (which would shuffle + sort the
+    // full expansion first)
+    val plan = SparkEntry.queries("q45_asof_maxby")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "q45 must not plan a window sort")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
   test("q38 seeded sample keeps roughly the requested fraction") {
     val n = run("q38_sample").head().getAs[Long]("n_sampled").toDouble
     assert(n > 6000 * 0.05 && n < 6000 * 0.15, s"sampled $n of 6000 at 10%")
