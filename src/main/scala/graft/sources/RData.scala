@@ -32,6 +32,8 @@ object RData {
   final case class RInts(values: Vector[Int], attr: Map[String, RObj]) extends RObj
   final case class RReals(values: Vector[Double], attr: Map[String, RObj]) extends RObj
   final case class RLogicals(values: Vector[Boolean], attr: Map[String, RObj]) extends RObj
+  /** An S4 object: only its slots (serialized as attributes) are kept. */
+  final case class RS4(attr: Map[String, RObj]) extends RObj
 
   /** Top-level bindings of a .rda/.RData file (name -> object). */
   def readFile(path: String): Map[String, RObj] = {
@@ -50,14 +52,21 @@ object RData {
     try {
       val hdr = new Array[Byte](5)
       in.readFully(hdr)
-      require(new String(hdr, "US-ASCII") == "RDX2\n", s"not an RDX2 file: $path")
+      val hs = new String(hdr, "US-ASCII")
+      require(hs == "RDX2\n" || hs == "RDX3\n", s"not an RDX2/RDX3 file: $path")
       val fmt = new Array[Byte](2)
       in.readFully(fmt)
       require(fmt(0) == 'X', s"only XDR serialization supported, got '${fmt(0).toChar}'")
       val version = in.readInt()
       in.readInt() // writer version
       in.readInt() // min reader version
-      require(version == 2, s"RDA serialization version $version unsupported (need 2)")
+      require(version == 2 || version == 3,
+        s"RDA serialization version $version unsupported (need 2 or 3)")
+      if (version == 3) {
+        // v3 header carries the writer's native encoding string
+        val n = in.readInt()
+        in.skipBytes(n)
+      }
       new Parser(in).read() match {
         case RPairList(vs, _) => vs.toMap
         case other            => Map("value" -> other)
@@ -76,6 +85,7 @@ object RData {
   private val STRSXP = 16
   private val VECSXP = 19
   private val EXTPTRSXP = 22
+  private val S4SXP = 25
   private val ALTREP = 238
   private val NILVALUE = 254
   private val REFSXP = 255
@@ -182,6 +192,11 @@ object RData {
           val vs = Vector.fill(n)(read())
           RList(vs, if (hasAttr) pairListToAttr(read()) else Map.empty)
 
+        case S4SXP =>
+          // S4 object: the slots ARE the attribute pairlist (e.g. Matrix's
+          // dgCMatrix with i/p/x/Dim/Dimnames)
+          RS4(if (hasAttr) pairListToAttr(read()) else Map.empty)
+
         case EXTPTRSXP =>
           // data.table's `.internal.selfref` attribute: enters the ref
           // table, then (protected, tag) follow; the pointer itself is
@@ -236,6 +251,32 @@ object RData {
   private def namesOf(o: RObj): Vector[String] = o.attr.get("names") match {
     case Some(RStrings(ns, _)) => ns
     case _                     => Vector.empty
+  }
+
+  /** CSC slots of a Matrix::dgCMatrix S4 object → (nRows, nCols, rowNames,
+    * colNames, (row, col, value) triplets). The reference's pbmc fixtures
+    * (genes × cells) ship in this shape. */
+  def dgcToTriplets(obj: RObj): (Int, Int, Vector[String], Vector[String],
+      IndexedSeq[(Int, Int, Double)]) = {
+    val s4 = obj match {
+      case s: RS4 => s
+      case other  => throw new IllegalArgumentException(s"not an S4 object: $other")
+    }
+    def slot(n: String): RObj = s4.attr.getOrElse(n,
+      throw new IllegalArgumentException(s"dgCMatrix missing slot $n"))
+    val i = slot("i").asInstanceOf[RInts].values
+    val p = slot("p").asInstanceOf[RInts].values
+    val x = slot("x").asInstanceOf[RReals].values
+    val dim = slot("Dim").asInstanceOf[RInts].values
+    val (rowNames, colNames) = slot("Dimnames") match {
+      case RList(Vector(RStrings(rn, _), RStrings(cn, _)), _) => (rn, cn)
+      case _ => (Vector.empty[String], Vector.empty[String])
+    }
+    val triplets = for {
+      col <- 0 until dim(1)
+      k <- p(col) until p(col + 1)
+    } yield (i(k), col, x(k))
+    (dim(0), dim(1), rowNames, colNames, triplets)
   }
 
   /** Convert a cell_lines-style fixture — a list of (meta_data data.frame,

@@ -14,9 +14,11 @@ object RdaProbe {
     case RInts(vs, attr) => s"${indent}int(${vs.length}) attrs=${attr.keys.mkString(",")} head=${vs.take(5).mkString(",")}"
     case RReals(vs, attr) => s"${indent}real(${vs.length}) attrs=${attr.keys.mkString(",")} head=${vs.take(3).mkString(",")}"
     case RLogicals(vs, _) => s"${indent}lgl(${vs.length})"
+    case RS4(attr) => s"${indent}S4 slots=${attr.keys.mkString(",")}" + "\n" +
+      attr.take(8).map { case (k, v) => s"$indent  $k -> " + describe(v, "", depth + 1).linesIterator.next() }.mkString("\n")
   }
   def main(args: Array[String]): Unit = {
-    for (f <- Seq("/root/reference/data/cell_lines_small.RData", "/root/reference/data/cell_lines.rda")) {
+    for (f <- args.toSeq) {
       println(s"== $f")
       val m = RData.readFile(f)
       m.foreach { case (k, v) => println(s"binding: $k"); println(describe(v, "  ")) }
