@@ -77,7 +77,50 @@ private[harmony] object Kernels {
           g(1 + i, 1 + i) += lam
         }
 
-        val sol: DenseMatrix[Double] = inv(g) * m
+        // Arrowhead fast path (op 49, harmony.cpp:572-586): with a single
+        // covariate the penalized Gram is an arrowhead matrix — levels are
+        // mutually exclusive, so level×level cross terms are EXACTLY zero
+        // (never accumulated). Detected structurally, which auto-enables
+        // the reference's closed-form inverse: inv = (1/u)·acb·acbᵀ +
+        // diag(b), applied directly to the moments in O(p·d) instead of
+        // O(p³) + O(p²·d).
+        var arrow = p > 1
+        var ai = 1
+        while (arrow && ai < p) {
+          var aj = 1
+          while (arrow && aj < p) {
+            if (ai != aj && g(ai, aj) != 0.0) arrow = false
+            aj += 1
+          }
+          ai += 1
+        }
+        val sol: DenseMatrix[Double] =
+          if (arrow) {
+            val ac = new Array[Double](p)
+            val b = new Array[Double](p)
+            ac(0) = 1.0
+            var i = 1
+            while (i < p) { ac(i) = -g(0, i); b(i) = 1.0 / g(i, i); i += 1 }
+            var u = g(0, 0)
+            i = 1
+            while (i < p) { u -= ac(i) * ac(i) * b(i); i += 1 }
+            val acb = new Array[Double](p)
+            acb(0) = 1.0
+            i = 1
+            while (i < p) { acb(i) = ac(i) * b(i); i += 1 }
+            val out = DenseMatrix.zeros[Double](p, d)
+            var jj = 0
+            while (jj < d) {
+              var t = 0.0
+              i = 0
+              while (i < p) { t += acb(i) * m(i, jj); i += 1 }
+              t /= u
+              i = 0
+              while (i < p) { out(i, jj) = acb(i) * t + b(i) * m(i, jj); i += 1 }
+              jj += 1
+            }
+            out
+          } else inv(g) * m
         // centroid refresh from intercept betas (harmony.cpp:610-611)
         jj = 0
         while (jj < d) { yRowMajor(k * d + jj) = sol(0, jj); jj += 1 }

@@ -140,5 +140,80 @@ object Similarity {
     },
     None)
 
-  val all: Seq[Q] = Seq(s01, s02, s03)
+  // ---------------------------------------------------------------- s04
+  /** LSH kNN, oracle-checked end-to-end (the d06–d08 pattern applied to
+    * similarity search): hyperplane entries derive from md5 digests, so
+    * both engines construct bit-identical planes; dot products accumulate
+    * in index order on both sides (bit-identical buckets AND cosine
+    * ordering), which puts the FULL bucketed-ANN dataflow — sign bucketing,
+    * bucket equi-join, per-query top-k — under the DuckDB hash gate. The
+    * plane constants are emitted into the SQL as round-trip-exact double
+    * literals from the same derivation. */
+  private def md5Planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { j =>
+      Array.tabulate(dim) { i =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane_${j}_$i".getBytes("UTF-8"))
+        val hex = digest.take(3).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) / 16777215.0 - 0.5
+      }
+    }
+
+  private val s04 = Q(
+    "s04_knn_lsh_oracle",
+    (s, dir) => {
+      val planes = md5Planes(4, 64) // 16 buckets at 500+3 vectors
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .withColumn("bucket",
+          graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    Some {
+      val planes = md5Planes(4, 64)
+      def planeList(p: Array[Double]): String =
+        p.map(_.toString).mkString("[", ", ", "]")
+      val dots = planes.zipWithIndex.map { case (p, j) =>
+        s"""list_sum(list_transform(range(1, 65),
+           i -> CAST(embedding[i] AS DOUBLE) * (${planeList(p)})[i])) AS dot$j"""
+      }.mkString(",\n          ")
+      val bucket = planes.indices
+        .map(j => s"(CASE WHEN dot$j >= 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH dotted AS (
+        SELECT vec_id, embedding,
+          $dots
+        FROM embeddings),
+      bucketed AS (SELECT vec_id, embedding, $bucket AS bucket FROM dotted),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket
+        FROM bucketed WHERE vec_id < 3),
+      cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM bucketed e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine_raw,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_raw DESC, neighbor_id) AS rn
+        FROM cand)
+      SELECT query_id, neighbor_id, round(cosine_raw, 6) AS cosine,
+        CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 10"""
+    })
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04)
 }
