@@ -13,10 +13,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen paths once so per-query times measure the
-    // queries, not first-touch class loading
-    try SparkEntry.queries.get("q01_pricing_summary").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
+    // warm the JVM/codegen paths once per base table and per heavy codegen
+    // family so per-query times measure the queries, not first-touch class
+    // loading / parquet footer reads / janino compilation (lineitem,
+    // documents, embeddings, shingle-HOF pipeline respectively)
+    Seq("q01_pricing_summary", "t01_token_counts", "s01_knn_bruteforce",
+      "d04_ngram_jaccard")
+      .foreach { q =>
+        try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
+        catch { case _: Throwable => }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

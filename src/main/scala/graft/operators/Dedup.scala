@@ -238,14 +238,23 @@ object Dedup {
         """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // FOUR 32-bit hashes per md5 digest (8-hex-char slices): 2 digests
+      // per shingle for the whole 8-permutation family — 32-bit min-hash
+      // resolution is ample at ~10²-10³ shingles/doc. The digests are
+      // PROJECTED once per shingle row before the aggregation: aggregate
+      // expressions get no common-subexpression elimination, so putting
+      // md5 inside each min() would recompute it nPerm times per row.
       val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      // two 60-bit hashes per md5 digest (hex chars 1-15 and 17-31): half
-      // the digest work for the same 8-permutation family
+        .select(col("doc_id"),
+          md5(concat(col("shingle"), lit("#0"))).as("dig0"),
+          md5(concat(col("shingle"), lit("#1"))).as("dig1"))
       val sigCols = (0 until nPerm).map { i =>
-        val digest = md5(concat(col("shingle"), lit(s"#${i / 2}")))
-        min(conv(substring(digest, 1 + 16 * (i % 2), 15), 16, 10).cast("long")).as(s"h$i")
+        min(conv(substring(col(s"dig${i / 4}"), 1 + 8 * (i % 4), 8), 16, 10)
+          .cast("long")).as(s"h$i")
       }
+      // persisted: the banded self-join consumes sigs twice
       val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // band key: md5 of the band's two signature values
       val bandCols = (0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -268,7 +277,7 @@ object Dedup {
     },
     Some {
       val hs = (0 until 8).map(i =>
-        s"min(CAST(concat('0x', substring(md5(shingle || '#${i / 2}'), ${1 + 16 * (i % 2)}, 15)) AS BIGINT)) AS h$i")
+        s"min(CAST(concat('0x', substring(md5(shingle || '#${i / 4}'), ${1 + 8 * (i % 4)}, 8)) AS BIGINT)) AS h$i")
         .mkString(",\n           ")
       val bands = (0 until 4).map(b =>
         s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS bucket FROM sigs")

@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val names = args(0).split(",")
+    names.foreach { n =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, dir).count()
+        println(f"[probe] $n run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
