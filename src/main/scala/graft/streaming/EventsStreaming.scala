@@ -120,5 +120,59 @@ object EventsStreaming {
       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       FROM events GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(st01, st02, st03, st04)
+  // ---------------------------------------------------------------- custom state
+  /** REAL streaming run of the CUSTOM-STATE operator family
+    * (`flatMapGroupsWithState`): per-user running (count, sum, last-seen)
+    * state over the file stream, Update mode, Trigger.AvailableNow. The
+    * single-batch replay makes the emitted per-user rows equal the final
+    * aggregates, so the full custom-state dataflow sits under the DuckDB
+    * gate; multi-batch incremental emission semantics are exercised with
+    * MemoryStream in StreamingSpec. */
+  private val st05 = Q(
+    "st05_stream_custom_state",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val sinkTable = "st05_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st05_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = Tables.normalizeNanos(
+          s.readStream
+            .schema(rawFileSchema(s, dir))
+            .parquet(srcDir.toString))
+        .select(col("user_id").cast("long"), col("value").cast("double"),
+          unix_timestamp(col("ts")).as("epoch"))
+        .as[(Long, Double, Long)]
+      val updated = stream
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          case (user, events, state: GroupState[(Long, Double, Long)]) =>
+            var (n, sum, lastTs) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
+            events.foreach { e =>
+              n += 1
+              sum += e._2
+              if (e._3 > lastTs) lastTs = e._3
+            }
+            state.update((n, sum, lastTs))
+            Iterator((user, n, sum, lastTs))
+        }
+      val query = updated.toDF("user_id", "n_events", "sum_raw", "last_ts")
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sinkTable)
+        .select(col("user_id"), col("n_events"),
+          round(col("sum_raw"), 4).as("sum_value"), col("last_ts"))
+    },
+    Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
+      FROM events GROUP BY user_id"""))
+
+  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05)
 }
