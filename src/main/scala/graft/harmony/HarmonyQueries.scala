@@ -172,5 +172,19 @@ object HarmonyQueries {
       Harmony.run(embCells(s, dir), Seq("batch"), HarmonyOptions())),
     None)
 
-  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07)
+  /** Two-covariate integration (test_two_variable.R:13-55 analogue): a
+    * second covariate derived from the id joins `batch`; B = total levels
+    * across BOTH covariates flows through θ-expansion, the penalty, and the
+    * MoE design. Output: sortable scalars of the corrected embedding. */
+  private val h08 = Q(
+    "h08_two_covariates",
+    (s, dir) => {
+      val cells = embCells(s, dir)
+        .withColumn("plate", concat(lit("p"), pmod(col("cell_id"), lit(3))))
+      correctedScalars(
+        Harmony.run(cells, Seq("batch", "plate"), harnessOpts(10, 1.0)))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08)
 }
