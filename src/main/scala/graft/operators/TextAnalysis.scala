@@ -183,5 +183,35 @@ object TextAnalysis {
         greatest(least((c.cnt - s.mean) / s.sd, 10.0), -10.0) AS scaled
       FROM cnts c JOIN stats s ON c.token = s.token"""))
 
-  val all: Seq[Q] = Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo)
+  // ---------------------------------------------------------------- tf-idf
+  /** TF-IDF per (doc, token) with the smoothed idf `ln((N+1)/(df+1)) + 1`:
+    * the §2.13 text-vectorization primitive, oracle-checked. Scale shape:
+    * explode pipelines into a map-side-combined (doc, token) count; the
+    * small df table broadcast-joins back; N is a driver-computed scalar —
+    * one shuffle of (token, partial-count) pairs total. */
+  private val tTfIdf = Q(
+    "t07_tfidf",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "token")
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6)
+            .as("tfidf"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n"""))
+
+  val all: Seq[Q] =
+    Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf)
 }
