@@ -444,8 +444,10 @@ object Harmony {
       val ids = collected.map(_.cellId)
       val batches = collected.map(_.batch)
       val zo = collected.map(_.zOrig)
-      val (zc, rArr, localRounds) =
-        LocalKernel.run(ids, batches, zo, state, lambdaPerLevel, opts, blockSize)
+      val (zc, rArr, localRounds) = dbg("local kernel")(
+        LocalKernel.run(ids, batches, zo, state, lambdaPerLevel, opts, blockSize))
+      state.phaseSeconds.clear()
+      state.phaseSeconds ++= phaseAcc
       val outCells = Array.tabulate(collected.length) { i =>
         CellState(ids(i), batches(i), zo(i), zc(i), rArr(i).map(_.toFloat))
       }
