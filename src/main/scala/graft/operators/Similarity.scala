@@ -215,5 +215,88 @@ object Similarity {
       FROM ranked WHERE rn <= 10"""
     })
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04)
+  // ---------------------------------------------------------------- s05
+  /** IVF ANN, oracle-checked end-to-end: deterministic coarse quantizer
+    * (centers = the 8 lowest vec_ids' embeddings, the h04 pattern) makes
+    * the whole IVF dataflow ANSI-expressible — rounded-argmin list
+    * assignment, nProbe=2 inverted-list probing, cosine top-k within the
+    * probed lists. Distances round to 6dp before every argmin/rank so
+    * 1-ulp summation differences can't flip them; ties break on ids.
+    * The trained-quantizer variant (sampled k-means) stays s03. */
+  private val s05 = Q(
+    "s05_ann_ivf_oracle",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val centers = broadcast(
+        emb.orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id").as("cid"), col("embedding").as("center")))
+      val d2 = aggregate(
+        zip_with(col("embedding"), col("center"),
+          (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
+        lit(0.0), (acc, dd) => acc + dd)
+      val crossed = emb.crossJoin(centers)
+        .select(col("vec_id"), col("embedding"), col("cid"), round(d2, 6).as("d2"))
+      // list assignment: argmin center per vector
+      val assigned = crossed
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("best.cid").as("list_id"))
+      // nProbe=2: each query probes its two nearest lists
+      val probeW = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val probes = crossed.filter(col("vec_id") < 3)
+        .withColumn("pr", row_number().over(probeW))
+        .filter(col("pr") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cid").as("list_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("list_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    Some("""WITH centers AS (
+        SELECT vec_id AS cid, embedding AS center FROM embeddings
+        ORDER BY vec_id LIMIT 8),
+      crossed AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+          round(list_sum(list_transform(list_zip(e.embedding, c.center),
+            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS d2
+        FROM embeddings e CROSS JOIN centers c),
+      assigned AS (
+        SELECT vec_id, best.cid AS list_id FROM (
+          SELECT vec_id, min(struct_pack(d2 := d2, cid := cid)) AS best
+          FROM crossed GROUP BY vec_id) t),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS list_id FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+          FROM crossed WHERE vec_id < 3) t WHERE pr <= 2),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM probes p
+        JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine_raw,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_raw DESC, neighbor_id) AS rn
+        FROM cand)
+      SELECT query_id, neighbor_id, round(cosine_raw, 6) AS cosine,
+        CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 10"""))
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
 }
