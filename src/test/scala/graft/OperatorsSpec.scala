@@ -160,6 +160,33 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
 
+  test("q45 shape survives a skewed user history (partial agg eats the expansion)") {
+    // one user with 5,000 orders x 100 events -> a 500k-pair expansion that
+    // the window form would shuffle+sort; the aggregation form folds it
+    // map-side into 100 partial maxima
+    val sp = spark
+    import sp.implicits._
+    val orders = (1 to 5000).map(i =>
+      (1L, i.toLong, java.sql.Date.valueOf("2020-01-01"), i * 1.0))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val events = (1 to 100).map(i =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val res = events
+      .join(orders, col("o_custkey") === col("user_id") &&
+        col("o_orderdate") <= col("ts").cast("date"))
+      .groupBy(col("event_id"))
+      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+    assert(res.count() === 100)
+    // every event resolves to the max-tiebreak order despite the skew
+    assert(res.select(col("best.o_orderkey")).distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(5000L))
+    val plan = res.queryExecution.executedPlan.toString
+    // the expansion folds into a partial max_by BEFORE the exchange
+    assert(!plan.contains("Window") && plan.contains("partial_max_by"))
+  }
+
   test("q38 seeded sample keeps roughly the requested fraction") {
     val n = run("q38_sample").head().getAs[Long]("n_sampled").toDouble
     assert(n > 6000 * 0.05 && n < 6000 * 0.15, s"sampled $n of 6000 at 10%")
