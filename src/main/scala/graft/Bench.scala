@@ -28,16 +28,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // round to 3dp so the one-line JSON stays short enough for the
-    // driver's tail capture to hold the whole line (r1 lesson: full
-    // double precision truncated the line -> parsed:null)
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // keep a full-precision copy on disk for local analysis
+    // full per-query map lives ONLY on disk; the printed line must stay
+    // short because the driver tail-captures stdout and a ~2 KB line gets
+    // its head cut (r1 AND r2 lesson: the bottleneck is LINE LENGTH, not
+    // float precision — VERDICT r2 #2)
     try {
       val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -46,6 +42,12 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
+    val slow5 = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$slow5,"sf":"$sfDir"}"""
+    // printed LAST so the tail window always contains it whole
     println(line)
     spark.stop()
   }

@@ -59,12 +59,17 @@ final class HarmonyState(
     * softmax/correction passes between rounds. */
   var blockPartitioned: Boolean = false
 
+  /** Salt group the current atom layout was hashed under (resaltEvery > 0
+    * redraws the cell->atom hash on group boundaries; -1 = not yet built). */
+  var atomSaltGroup: Long = -1L
+
   /** Unpersist thunks for the storage generation backing the current cells
     * RDD. A new generation is installed (and the superseded one freed) only
     * AFTER the new one is materialized, so downstream reads never recompute.
-    * On a multi-node cluster swap the localCheckpoints for reliable
-    * `checkpoint()` so lost executors can replay; in local mode
-    * MEMORY_AND_DISK storage only dies with the process. */
+    * With HarmonyOptions.checkpointDir set, checkpointed generations also
+    * live as durable files, so unpersisting (or losing) a cache replays
+    * from disk instead of failing — see the mid-fit unpersist test in
+    * HarmonySpec. */
   private val liveStorage = ArrayBuffer[() => Unit]()
   def swapStorage(newHandles: Seq[() => Unit]): Unit = {
     liveStorage.foreach(f => f())
@@ -305,12 +310,25 @@ object Harmony {
     val bcLevelIndex = spark.sparkContext.broadcast(levelIndex)
     val nCov = covariates.length
 
-    // localCheckpoint after every pass: the block-online sweeps would
+    // Lineage truncation after every pass: the block-online sweeps would
     // otherwise nest each sweep's union-of-blocks plan inside the next
-    // (exponential logical-plan growth — SURVEY §7.4 hard part 5). On a
-    // multi-node cluster swap for reliable `checkpoint()` with a durable dir.
+    // (exponential logical-plan growth — SURVEY §7.4 hard part 5).
+    // checkpointDir unset (default): localCheckpoint — executor-local cache
+    // only, fastest, dies with a lost node. checkpointDir set: reliable
+    // checkpoint() — persist + a durable file copy, so recomputation after
+    // executor loss / cache eviction replays from files (the 100 TB
+    // cluster-resilience contract; see README and HarmonySpec).
+    opts.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val reliableCkpt = opts.checkpointDir.isDefined
+    def ckptRdd(r: RDD[CellState]): RDD[CellState] =
+      if (reliableCkpt) {
+        r.persist(StorageLevel.MEMORY_AND_DISK)
+        r.checkpoint() // written by a second job off the fresh cache
+        r
+      } else r.localCheckpoint()
+
     val dims = opts.dimsUse.map(_.toArray)
-    var cells: Dataset[CellState] = typed.map { row =>
+    val parsed: Dataset[CellState] = typed.map { row =>
       val id = row.getLong(0)
       val raw = row.getSeq[Float](1).toArray
       val feats = dims match {
@@ -320,7 +338,10 @@ object Harmony {
       val li = bcLevelIndex.value
       val batch = Array.tabulate(nCov)(c => li(c)(row.getString(2 + c)))
       CellState(id, batch, feats, feats, Array.emptyFloatArray)
-    }.localCheckpoint(true)
+    }
+    val cells: Dataset[CellState] =
+      if (reliableCkpt) parsed.checkpoint(eager = true)
+      else parsed.localCheckpoint(true)
 
     val N = cells.count()
     require(N >= 6, s"refusing to run on N=$N < 6 cells " +
@@ -435,108 +456,115 @@ object Harmony {
     sc0.setJobGroup(state.jobGroup,
       s"harmony fit N=$N K=$K B=$B", interruptOnCancel = true)
     state.rowsVisited = Some(sc0.longAccumulator("harmony.sweepRowsVisited"))
+    try {
 
-    // ---- small-N strategy: run the loop driver-local (same formulas, no
-    // per-block job latency; see LocalKernel scaladoc) --------------------
-    if (N <= opts.localThreshold) {
-      val collected = cells.collect()
-      cells.unpersist()
-      val ids = collected.map(_.cellId)
-      val batches = collected.map(_.batch)
-      val zo = collected.map(_.zOrig)
-      val (zc, rArr, localRounds) = dbg("local kernel")(
-        LocalKernel.run(ids, batches, zo, state, lambdaPerLevel, opts, blockSize))
-      state.phaseSeconds.clear()
-      state.phaseSeconds ++= phaseAcc
-      val outCells = Array.tabulate(collected.length) { i =>
-        CellState(ids(i), batches(i), zo(i), zc(i), rArr(i).map(_.toFloat))
-      }
-      val ds = spark.createDataset(outCells.toSeq)
-      val corrected = ds.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
-      return HarmonyResult(corrected, ds, state, localRounds)
-    }
-
-    // ---- init E-step: plain softmax R, then E/O (harmony.cpp:131-156) ---
-    // the hot loop runs on RDD[CellState] (plain JVM objects in the block
-    // cache): no encoder decode/encode per pass
-    var cur: RDD[CellState] = dbg("init softmax")(
-      plainSoftmax(cells.rdd, state).localCheckpoint())
-    dbg("init refreshEO")(refreshEO(cur, state)) // materializes the ckpt
-    locally {
-      val c0 = cur
-      state.swapStorage(Seq(() => { c0.unpersist(false); () })) // frees nothing yet
-      cells.unpersist() // parsed-input cache superseded by cur
-    }
-    state.objectiveKmeans += dbg("objective")(objective(cur, state))
-    state.objectiveHarmony += state.objectiveKmeans.last
-
-    // ---- round loop (R/utils.R:15-46) -----------------------------------
-    var rounds = 0
-    var converged = false
-    while (rounds < opts.maxIterHarmony && !converged) {
-      rounds += 1
-      pollAbort(sc0, state, opts, s"round $rounds")
-
-      // op 41: cold-restart E-step after a correction round (also the pass
-      // that materializes the previous round's lazy correction map)
-      if (rounds > 1) {
-        val next = plainSoftmax(cur, state).localCheckpoint()
-        dbg("round softmax+EO")(refreshEO(next, state)) // materializes
-        state.swapStorage(Seq(() => { next.unpersist(false); () }))
-        cur = next
-      }
-
-      // clustering sweeps (ops 42-44); objectives are fused into the
-      // sweeps' own passes. Sequential: the whole round is ONE barrier job
-      // (windowed convergence replicated in-task); Sweep: one job per sweep
-      if (opts.blockMode == BlockMode.Sequential) {
-        val (nextCells, objs) = dbg("cluster round")(
-          sequentialRound(cur, state, blockSize, opts, rounds))
-        cur = nextCells
-        state.objectiveKmeans ++= objs
-        state.kmeansRounds += objs.length
-      } else {
-        var sweep = 0
-        var clusterDone = false
-        while (sweep < opts.maxIterCluster && !clusterDone) {
-          pollAbort(sc0, state, opts, s"round $rounds sweep $sweep")
-          val (nextCells, obj) = dbg("sweep")(sweepUpdate(cur, state, opts))
-          cur = nextCells
-          state.objectiveKmeans += obj
-          if (sweep + 1 > opts.windowSize && windowConverged(state, opts)) clusterDone = true
-          sweep += 1
+      // ---- small-N strategy: run the loop driver-local (same formulas, no
+      // per-block job latency; see LocalKernel scaladoc) --------------------
+      if (N <= opts.localThreshold) {
+        val collected = cells.collect()
+        cells.unpersist()
+        val ids = collected.map(_.cellId)
+        val batches = collected.map(_.batch)
+        val zo = collected.map(_.zOrig)
+        val (zc, rArr, localRounds) = dbg("local kernel")(
+          LocalKernel.run(ids, batches, zo, state, lambdaPerLevel, opts, blockSize))
+        state.phaseSeconds.clear()
+        state.phaseSeconds ++= phaseAcc
+        val outCells = Array.tabulate(collected.length) { i =>
+          CellState(ids(i), batches(i), zo(i), zc(i), rArr(i).map(_.toFloat))
         }
-        state.kmeansRounds += sweep
+        val ds = spark.createDataset(outCells.toSeq)
+        val corrected = ds.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
+        return HarmonyResult(corrected, ds, state, localRounds)
       }
+
+      // ---- init E-step: plain softmax R, then E/O (harmony.cpp:131-156) ---
+      // the hot loop runs on RDD[CellState] (plain JVM objects in the block
+      // cache): no encoder decode/encode per pass
+      var cur: RDD[CellState] = dbg("init softmax")(
+        ckptRdd(plainSoftmax(cells.rdd, state)))
+      dbg("init refreshEO")(refreshEO(cur, state)) // materializes the ckpt
+      locally {
+        val c0 = cur
+        state.swapStorage(Seq(() => { c0.unpersist(false); () })) // frees nothing yet
+        cells.unpersist() // parsed-input cache superseded by cur
+      }
+      state.objectiveKmeans += dbg("objective")(objective(cur, state))
       state.objectiveHarmony += state.objectiveKmeans.last
 
-      // M-step: mixture-of-experts ridge correction (ops 45-52)
-      cur = dbg("moeCorrect")(moeCorrectRidge(cur, state, lambdaPerLevel, opts))
+      // ---- round loop (R/utils.R:15-46) -----------------------------------
+      var rounds = 0
+      var converged = false
+      while (rounds < opts.maxIterHarmony && !converged) {
+        rounds += 1
+        pollAbort(sc0, state, opts, s"round $rounds")
 
-      // harmony-level convergence (op 40)
-      if (opts.earlyStop && state.objectiveHarmony.length >= 2) {
-        val o = state.objectiveHarmony(state.objectiveHarmony.length - 2)
-        val n = state.objectiveHarmony.last
-        if ((o - n) / math.abs(o) < opts.epsilonHarmony) converged = true
+        // op 41: cold-restart E-step after a correction round (also the pass
+        // that materializes the previous round's lazy correction map)
+        if (rounds > 1) {
+          val next = ckptRdd(plainSoftmax(cur, state))
+          dbg("round softmax+EO")(refreshEO(next, state)) // materializes
+          state.swapStorage(Seq(() => { next.unpersist(false); () }))
+          cur = next
+        }
+
+        // clustering sweeps (ops 42-44); objectives are fused into the
+        // sweeps' own passes. Sequential: the whole round is ONE barrier job
+        // (windowed convergence replicated in-task); Sweep: one job per sweep
+        if (opts.blockMode == BlockMode.Sequential) {
+          val (nextCells, objs) = dbg("cluster round")(
+            sequentialRound(cur, state, blockSize, opts, rounds))
+          cur = nextCells
+          state.objectiveKmeans ++= objs
+          state.kmeansRounds += objs.length
+        } else {
+          var sweep = 0
+          var clusterDone = false
+          while (sweep < opts.maxIterCluster && !clusterDone) {
+            pollAbort(sc0, state, opts, s"round $rounds sweep $sweep")
+            val (nextCells, obj) = dbg("sweep")(sweepUpdate(cur, state, opts))
+            cur = nextCells
+            state.objectiveKmeans += obj
+            if (sweep + 1 > opts.windowSize && windowConverged(state, opts)) clusterDone = true
+            sweep += 1
+          }
+          state.kmeansRounds += sweep
+        }
+        state.objectiveHarmony += state.objectiveKmeans.last
+
+        // M-step: mixture-of-experts ridge correction (ops 45-52)
+        cur = dbg("moeCorrect")(moeCorrectRidge(cur, state, lambdaPerLevel, opts))
+
+        // harmony-level convergence (op 40)
+        if (opts.earlyStop && state.objectiveHarmony.length >= 2) {
+          val o = state.objectiveHarmony(state.objectiveHarmony.length - 2)
+          val n = state.objectiveHarmony.last
+          if ((o - n) / math.abs(o) < opts.epsilonHarmony) converged = true
+        }
       }
-    }
 
-    // materialize the final corrected generation once so repeated reads of
-    // the result don't replay the correction map (rounds == 0: cur is the
-    // already-materialized init generation)
-    val outDs: Dataset[CellState] =
-      if (rounds == 0) spark.createDataset(cur)
-      else dbg("final ckpt")({
-        val f = cur.localCheckpoint()
-        f.count()
-        state.swapStorage(Seq(() => { f.unpersist(false); () }))
-        spark.createDataset(f)
-      })
-    sc0.clearJobGroup()
-    state.phaseSeconds.clear()
-    state.phaseSeconds ++= phaseAcc
-    val corrected = outDs.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
-    HarmonyResult(corrected, outDs, state, rounds)
+      // materialize the final corrected generation once so repeated reads of
+      // the result don't replay the correction map (rounds == 0: cur is the
+      // already-materialized init generation)
+      val outDs: Dataset[CellState] =
+        if (rounds == 0) spark.createDataset(cur)
+        else dbg("final ckpt")({
+          val f = ckptRdd(cur)
+          f.count()
+          state.swapStorage(Seq(() => { f.unpersist(false); () }))
+          spark.createDataset(f)
+        })
+      state.phaseSeconds.clear()
+      state.phaseSeconds ++= phaseAcc
+      val corrected = outDs.map(c => (c.cellId, c.zCorr)).toDF(idCol, featuresCol)
+      HarmonyResult(corrected, outDs, state, rounds)
+    } finally {
+      // op 44 hygiene: without this, the local-path return, a checkAbort
+      // HarmonyAbortedException or any error exit would leave the fit's
+      // job group set on the driver thread, making later unrelated jobs
+      // collateral to a deferred cancelJobGroup(state.jobGroup)
+      sc0.clearJobGroup()
+    }
   }
 
   // ------------------------------------------------------------ kernels
@@ -730,12 +758,24 @@ object Harmony {
     val m = math.max(1, sc.defaultParallelism)
     val P = nBlocks * m
 
+    // resaltEvery > 0: redraw the cell->atom hash every k rounds (fresh
+    // uniform atoms, one extra shuffle per k rounds) — closer to the
+    // reference's per-sweep cell permutation; 0 keeps atoms fixed per fit
+    // (documented relaxation, HarmonyOptions.resaltEvery)
+    val saltGroup: Long =
+      if (opts.resaltEvery > 0) ((round - 1) / opts.resaltEvery).toLong else 0L
+    val atomSalt: Long =
+      if (saltGroup == 0L) 0x106689D45497239L
+      else 0x106689D45497239L ^ (opts.seed + saltGroup * 0x9E3779B97F4A7C15L)
+
     val base: RDD[CellState] =
-      if (st.blockPartitioned && cells.getNumPartitions == P) cells
+      if (st.blockPartitioned && st.atomSaltGroup == saltGroup &&
+          cells.getNumPartitions == P) cells
       else {
         st.blockPartitioned = true
+        st.atomSaltGroup = saltGroup
         val re = cells
-          .map(c => (blockOf(c.cellId, 0x106689D45497239L, P), c))
+          .map(c => (blockOf(c.cellId, atomSalt, P), c))
           .partitionBy(new Partitioner {
             override def numPartitions: Int = P
             override def getPartition(key: Any): Int = key.asInstanceOf[Int]

@@ -49,6 +49,28 @@ package graft.harmony
   *                        HarmonyAbortedException. External cancellation:
   *                        `sc.cancelJobGroup(<state.jobGroup>)` from any
   *                        other thread.
+  * @param checkpointDir   when set, lineage truncation uses RELIABLE
+  *                        `checkpoint()` into this directory (HDFS/S3/NFS on
+  *                        a real cluster) instead of `localCheckpoint`: each
+  *                        materialized generation is also written to durable
+  *                        storage, so losing an executor (or a cache
+  *                        eviction) replays from files instead of killing a
+  *                        10-round fit. None (default) keeps the fast
+  *                        executor-local path — correct in local mode and on
+  *                        clusters where re-running a failed fit is
+  *                        acceptable.
+  * @param resaltEvery     Sequential mode co-partitions cells once per fit
+  *                        into P exchangeable random atoms and re-permutes
+  *                        only the atom->block map per sweep; the reference
+  *                        instead re-permutes CELLS every sweep
+  *                        (harmony.cpp:269-291), so two cells hashed to the
+  *                        same atom here stay block-mates for the whole fit
+  *                        (a deliberate relaxation: atoms are ~N/P uniform
+  *                        samples, so block statistics match). Set k > 0 to
+  *                        redraw the cell->atom hash every k rounds (one
+  *                        extra shuffle per k rounds), tightening toward the
+  *                        reference's fresh-permutation randomization. 0
+  *                        (default) = atoms fixed per fit.
   */
 final case class HarmonyOptions(
     nclust: Option[Int] = None,
@@ -73,8 +95,11 @@ final case class HarmonyOptions(
     sigmaPerCluster: Option[Seq[Double]] = None,
     localThreshold: Long = 50000L,
     kmeansSampleCap: Long = 250000L,
-    checkAbort: Option[() => Boolean] = None) {
+    checkAbort: Option[() => Boolean] = None,
+    checkpointDir: Option[String] = None,
+    resaltEvery: Int = 0) {
   require(blockSize > 0 && blockSize <= 1, "blockSize must be in (0, 1]")
+  require(resaltEvery >= 0, "resaltEvery must be >= 0")
   require(sigma > 0, "sigma must be positive")
   require(lambda.forall(_.forall(_ > 0)), "lambda values must be positive")
   require(alpha > 0, "alpha must be positive")

@@ -307,6 +307,58 @@ class HarmonySpec extends SparkSpec {
     assert(hist.map(_.getLong(1)).max === res.rounds.toLong)
   }
 
+  test("checkpointDir: fit survives losing EVERY cache mid-fit (cluster resilience)") {
+    // simulates executor loss / cache eviction on a real cluster: at every
+    // round/sweep boundary, blow away ALL caches this fit has created. With
+    // a durable checkpointDir the generations replay from files and the fit
+    // must complete with the SAME result as an undisturbed run; with
+    // localCheckpoint the data would be gone for good.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val evictions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val evicting = HarmonyOptions(nclust = Some(4), maxIterHarmony = 2,
+      maxIterCluster = 2, blockSize = 0.25, earlyStop = false,
+      localThreshold = 0L, checkpointDir = Some(dir),
+      checkAbort = Some(() => {
+        sc.getPersistentRDDs.filterNot(kv => before(kv._1))
+          .values.foreach { r => r.unpersist(blocking = true); evictions.incrementAndGet() }
+        false
+      }))
+    val res = Harmony.fit(fixture, Seq("batch"), evicting)
+    assert(evictions.get() > 0, "the eviction hook never fired")
+    assert(res.corrected.count() === 300)
+    val cells = res.cells.collect()
+    assert(cells.forall(c => !c.zCorr.exists(v => v.isNaN || v.isInfinite)))
+    // deterministic replay-from-files: identical to the undisturbed fit
+    val clean = Harmony.fit(fixture, Seq("batch"),
+      evicting.copy(checkAbort = None, checkpointDir = None))
+    val cc = clean.cells.collect().map(c => c.cellId -> c.zCorr).toMap
+    var maxDiff = 0.0
+    cells.foreach { c =>
+      (c.zCorr zip cc(c.cellId)).foreach { case (a, b) =>
+        maxDiff = math.max(maxDiff, math.abs(a - b)) }
+    }
+    assert(maxDiff < 1e-6, s"evicted-and-replayed fit diverged: $maxDiff")
+    // best-effort cleanup of the checkpoint files
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => }
+  }
+
+  test("resaltEvery redraws Sequential atoms per round; invariants hold") {
+    val res = Harmony.fit(fixture, Seq("batch"),
+      opts(1.0).copy(resaltEvery = 1, maxIterHarmony = 3))
+    assert(res.corrected.count() === 300)
+    val cells = res.cells.collect()
+    cells.foreach(c => assert(math.abs(c.r.map(_.toDouble).sum - 1.0) < 1e-4))
+    assert(cells.forall(c => !c.zCorr.exists(v => v.isNaN || v.isInfinite)))
+    assert(res.state.objectiveHarmony.last < res.state.objectiveHarmony.head)
+    assert(res.state.atomSaltGroup >= 1L, "atom salt group never advanced")
+  }
+
   test("blockOf partitions ids uniformly-ish and deterministically") {
     val counts = new Array[Int](5)
     (0L until 1000L).foreach(id => counts(Harmony.blockOf(id, salt = 3, nBlocks = 5)) += 1)
