@@ -69,7 +69,30 @@ object Multimodal {
           round(aggregate(col("features"), lit(0.0),
             (acc, x) => acc + x.cast("double")), 6).as("f_sum"))
     },
-    None)
+    // the stub decode is a deterministic byte histogram, so the full decode
+    // path IS oracle-expressible (the corpus is ASCII — pinned by m03 — so
+    // per-char ord() == payload byte): per-position unnest -> mod-16
+    // histogram -> the same float32 fractions the stub emits. CAST(.. AS
+    // REAL) reproduces stubDecode's (h/n).toFloat rounding exactly.
+    Some("""WITH pos AS (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+      hist AS (
+        SELECT doc_id, ord(substring(text, CAST(i AS INTEGER), 1)) % 16 AS b,
+               count(*) AS c
+        FROM pos GROUP BY doc_id, b),
+      fr AS (
+        SELECT h.doc_id, h.b,
+               CAST(CAST(h.c AS DOUBLE) /
+                    greatest(octet_length(encode(d.text)), 1) AS REAL) AS f
+        FROM hist h JOIN documents d ON d.doc_id = h.doc_id)
+      SELECT d.doc_id,
+        'application/octet-stream' AS mime,
+        CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        CAST(ceil(octet_length(encode(d.text)) / 256.0) AS BIGINT) AS n_frames,
+        round(CAST(coalesce(max(CASE WHEN f.b = 0 THEN f.f END), 0) AS DOUBLE), 6) AS f1,
+        round(coalesce(sum(CAST(f.f AS DOUBLE)), 0), 6) AS f_sum
+      FROM documents d LEFT JOIN fr f ON f.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.text"""))
 
   /** Metadata-only path is plain SQL and oracle-checkable: byte length and
     * frame count derived from the binary column. */

@@ -159,6 +159,12 @@ object RData {
           val n = in.readInt()
           if (n < 0) RStrings(Vector(null), Map.empty) // NA_character_
           else {
+            // encoding lives in the levels bits (flags >> 12): 0x04 =
+            // LATIN1 ("R Internals" §1.8). Decoding those bytes as UTF-8
+            // would silently mojibake — fail loudly instead.
+            if (((flags >> 12) & 0x04) != 0)
+              throw new IllegalStateException(
+                "CHARSXP with LATIN1 encoding flag: unsupported, re-save as UTF-8")
             val b = new Array[Byte](n)
             in.readFully(b)
             RStrings(Vector(new String(b, "UTF-8")), Map.empty)
@@ -166,7 +172,14 @@ object RData {
 
         case LGLSXP =>
           val n = readLength()
-          val vs = Vector.fill(n)(in.readInt() != 0)
+          val vs = Vector.fill(n) {
+            val v = in.readInt()
+            // R serializes logical NA as Int.MinValue; `!= 0` would load
+            // it as TRUE — fail loudly instead of corrupting the vector
+            if (v == Int.MinValue)
+              throw new IllegalStateException("NA in logical vector: unsupported")
+            v != 0
+          }
           RLogicals(vs, if (hasAttr) pairListToAttr(read()) else Map.empty)
 
         case INTSXP =>

@@ -83,6 +83,24 @@ object EventsStreaming {
         count(*) AS n_events, round(sum(value), 4) AS sum_value
       FROM sess GROUP BY user_id, sid"""))
 
+  /** Materialize a BOUNDED streaming result (memory sinks are driver-sized
+    * already: windows x types / distinct users), then drop the sink view and
+    * the scratch source dir so repeated gate runs don't accumulate temp
+    * state. Returns a local-backed DataFrame with the same schema. */
+  private def drainSink(s: SparkSession, df: DataFrame, sinkTable: String,
+      srcDir: java.nio.file.Path): DataFrame = {
+    val rows = df.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    s.catalog.dropTempView(sinkTable)
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(srcDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => }
+    out
+  }
+
   // ---------------------------------------------------------------- real streaming
   /** REAL Structured Streaming run: parquet file source -> 10-minute
     * watermark -> tumbling window agg -> complete-mode memory sink, driven
@@ -112,9 +130,12 @@ object EventsStreaming {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      s.table(sinkTable)
+      // complete mode: the sink holds the final windows regardless of how
+      // many micro-batches AvailableNow split the files into
+      drainSink(s, s.table(sinkTable)
         .select(unix_timestamp(col("window.start")).as("window_start"),
-          col("event_type"), col("n_events"), col("sum_value"))
+          col("event_type"), col("n_events"), col("sum_value")),
+        sinkTable, srcDir)
     },
     Some("""SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -123,10 +144,12 @@ object EventsStreaming {
   // ---------------------------------------------------------------- custom state
   /** REAL streaming run of the CUSTOM-STATE operator family
     * (`flatMapGroupsWithState`): per-user running (count, sum, last-seen)
-    * state over the file stream, Update mode, Trigger.AvailableNow. The
-    * single-batch replay makes the emitted per-user rows equal the final
-    * aggregates, so the full custom-state dataflow sits under the DuckDB
-    * gate; multi-batch incremental emission semantics are exercised with
+    * state over the file stream, Update mode, Trigger.AvailableNow. In
+    * Update mode the sink holds one row per user PER MICRO-BATCH, so the
+    * read side reduces to each user's final state (n_events is strictly
+    * increasing per user, so max(struct(n_events, ...)) is the last
+    * update) — correct however many batches AvailableNow splits the files
+    * into; multi-batch incremental emission semantics are exercised with
     * MemoryStream in StreamingSpec. */
   private val st05 = Q(
     "st05_stream_custom_state",
@@ -166,9 +189,13 @@ object EventsStreaming {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      s.table(sinkTable)
-        .select(col("user_id"), col("n_events"),
-          round(col("sum_raw"), 4).as("sum_value"), col("last_ts"))
+      drainSink(s, s.table(sinkTable)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("last_ts"), col("sum_raw"))).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          round(col("fin.sum_raw"), 4).as("sum_value"),
+          col("fin.last_ts").as("last_ts")),
+        sinkTable, srcDir)
     },
     Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
