@@ -249,7 +249,13 @@ object Harmony {
     * (SURVEY ops 2-3): writes `outPath/corrected` (idCol, featuresCol) and
     * `outPath/stdev` (component, stdev), the per-component standard
     * deviations the reference feeds CreateDimReducObject
-    * (/root/reference/R/RunHarmony.R:106-111). */
+    * (/root/reference/R/RunHarmony.R:106-111).
+    *
+    * @param projectDimFrom optional path of a sparse COO expression parquet
+    *        (cell_id, gene_idx, value). When set, the adapter also runs the
+    *        reference's `project.dim` step (RunHarmony.R:113-119) — gene
+    *        loadings projected onto the CORRECTED embedding — and writes
+    *        `outPath/loadings` (gene_idx, loading array<double>). */
   def runParquet(
       spark: SparkSession,
       inPath: String,
@@ -257,10 +263,18 @@ object Harmony {
       covariates: Seq[String],
       opts: HarmonyOptions = HarmonyOptions(),
       idCol: String = "cell_id",
-      featuresCol: String = "features"): Unit = {
+      featuresCol: String = "features",
+      projectDimFrom: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{col, element_at, stddev_samp, lit}
     val res = fit(spark.read.parquet(inPath), covariates, opts, idCol, featuresCol)
     res.corrected.write.mode("overwrite").parquet(s"$outPath/corrected")
+    projectDimFrom.foreach { cooPath =>
+      graft.operators.SingleCell.projectDim(
+          spark.read.parquet(cooPath),
+          res.corrected.select(col(idCol).as("cell_id"),
+            col(featuresCol).as("features")))
+        .write.mode("overwrite").parquet(s"$outPath/loadings")
+    }
     val d = res.state.d
     val sdCols = (0 until d).map(j =>
       stddev_samp(element_at(col(featuresCol), j + 1)).as(s"sd$j"))

@@ -186,5 +186,46 @@ object HarmonyQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08)
+  /** The DISTRIBUTED Sequential block-online path itself under the gate
+    * (VERDICT r2 stretch #8): a bounded fit on cells derived from lineitem
+    * — the one test table that scales with sf; a deterministic 1-in-8 slice
+    * caps the size (7.5k cells at sf0.01, 75k at sf0.1) — with
+    * localThreshold = 0 so the distributed atoms/PartitionPruningRDD sweep
+    * machinery runs, not the local kernel. The fit is not SQL-expressible
+    * (rows-only); the payload IS the invariant booleans, which must all be
+    * true and are additionally asserted in OperatorsSpec. */
+  private val h09 = Q(
+    "h09_sequential_invariants",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("cell_id"),
+          array(
+            (col("l_quantity") / 10.0).cast("float"),
+            (col("l_extendedprice") / 1e5).cast("float"),
+            (col("l_discount") * 10.0).cast("float"),
+            (col("l_tax") * 10.0).cast("float"),
+            (pmod(col("l_partkey"), lit(97)) / 97.0).cast("float"),
+            (pmod(col("l_suppkey"), lit(89)) / 89.0).cast("float")).as("features"),
+          col("l_returnflag").as("batch"))
+      val res = Harmony.fit(cells, Seq("batch"), HarmonyOptions(
+        nclust = Some(8), theta = Seq(1.0), maxIterHarmony = 1,
+        maxIterCluster = 2, blockSize = 0.25, earlyStop = false,
+        blockMode = BlockMode.Sequential, localThreshold = 0L))
+      val obj = res.state.objectiveKmeans
+      val n = res.corrected.count()
+      val badVec = res.cells.filter((c: CellState) =>
+        c.zCorr.exists(v => v.isNaN || v.isInfinite)).count()
+      val chi2 = res.state.chiSquared
+      Seq((n, res.rounds.toLong, obj.length.toLong,
+        obj.last <= obj.head, badVec == 0L,
+        !chi2.isNaN && !chi2.isInfinite))
+        .toDF("n_cells", "rounds", "n_objectives",
+          "objective_nonincreasing", "corrected_finite", "chi2_finite")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09)
 }

@@ -92,6 +92,30 @@ object SingleCell {
       .toDF("cell_id", "features")
   }
 
+  /** Seurat `ProjectDim` analogue — the reference adapter's optional
+    * post-correction feature-loading projection
+    * (/root/reference/R/RunHarmony.R:113-119): project gene loadings onto
+    * a (corrected) cell embedding, `L(g, j) = Σ_c expr(g, c) · emb(c, j)`.
+    *
+    * `expr` is the sparse COO frame (cell_id, gene_idx, <valueCol>); the
+    * gene×cell matrix is never densified. Join on cell_id, explode the
+    * d-wide embedding once per nonzero, and the (gene, dim) partial sums
+    * fold map-side before the single shuffle; output is gene-bounded (one
+    * d-wide row per gene). */
+  def projectDim(expr: DataFrame, embedding: DataFrame,
+      valueCol: String = "value"): DataFrame = {
+    expr.join(embedding, "cell_id")
+      .select(col("gene_idx"), col(valueCol).as("v"), posexplode(col("features")))
+      .select(col("gene_idx"), col("pos"), (col("col") * col("v")).as("c"))
+      .groupBy(col("gene_idx"), col("pos"))
+      .agg(sum(col("c")).as("s"))
+      .groupBy(col("gene_idx"))
+      .agg(loadingAgg.as("loading"))
+  }
+  // assemble the per-gene array in dim order (d <= ~64 entries per gene)
+  private val loadingAgg =
+    expr("transform(array_sort(collect_list(struct(pos, s))), x -> x.s)")
+
   /** PCA embedding via MLlib (distributed Gram accumulation): dense cell
     * vectors → k principal components per cell. */
   def pcaEmbed(cells: DataFrame, k: Int): DataFrame = {

@@ -251,4 +251,14 @@ class OperatorsSpec extends SparkSpec {
     val b = graft.operators.Multimodal.stubDecode(payload, 16)
     assert(a.sameElements(b))
   }
+
+  test("h09 distributed-Sequential invariants all hold") {
+    val row = run("h09_sequential_invariants").head()
+    assert(row.getAs[Long]("n_cells") > 0)
+    assert(row.getAs[Long]("rounds") === 1L)
+    assert(row.getAs[Boolean]("objective_nonincreasing"),
+      "block-online sweeps must not increase the clustering objective")
+    assert(row.getAs[Boolean]("corrected_finite"))
+    assert(row.getAs[Boolean]("chi2_finite"))
+  }
 }

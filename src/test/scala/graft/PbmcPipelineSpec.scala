@@ -60,6 +60,17 @@ class PbmcPipelineSpec extends SparkSpec {
     val embedded = SingleCell.pcaEmbed(vectors, 20).cache()
     assert(embedded.head().getAs[scala.collection.Seq[Float]]("features").length === 20)
 
+    // ProjectDim analogue on the real data: one d-wide loading row per
+    // selected gene, all finite (RunHarmony.R:113-119)
+    val loadings = SingleCell.projectDim(
+      scaled.select(col("cell_id"), col("feat_idx").as("gene_idx"), col("scaled")),
+      embedded, valueCol = "scaled").collect()
+    assert(loadings.length === 500)
+    loadings.foreach { r =>
+      val l = r.getAs[scala.collection.Seq[Double]]("loading")
+      assert(l.length === 20 && l.forall(v => !v.isNaN && !v.isInfinite))
+    }
+
     val withBatch = embedded.withColumn("dataset", dataset)
     def chi2(theta: Double): Double =
       Harmony.fit(withBatch, Seq("dataset"),

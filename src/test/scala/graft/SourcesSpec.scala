@@ -56,4 +56,45 @@ class SourcesSpec extends SparkSpec {
     assert(stdev.count() === 64)
     assert(stdev.filter(col("stdev") <= 0 || col("stdev").isNull).count() === 0)
   }
+
+  test("runParquet projectDimFrom: loadings = expr x CORRECTED embedding (ProjectDim analogue)") {
+    val out = Files.createTempDirectory("graft_adapter_pd_").toString
+    val in = Files.createTempDirectory("graft_adapter_pd_in_").toString
+    val cooDir = Files.createTempDirectory("graft_adapter_pd_coo_").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("cell_id"),
+        col("embedding").as("features"),
+        col("label").cast("string").as("batch"))
+      .write.mode("overwrite").parquet(in)
+    // two genes: g0 touches every cell with weight 1, g1 even cells with 2
+    val sp = spark
+    import sp.implicits._
+    val ids = spark.read.parquet(in).select(col("cell_id"))
+      .as[Long].collect().sorted
+    ids.toSeq.flatMap(c =>
+        Seq((c, 0, 1.0)) ++ (if (c % 2 == 0) Seq((c, 1, 2.0)) else Nil))
+      .toDF("cell_id", "gene_idx", "value")
+      .write.mode("overwrite").parquet(cooDir)
+    Harmony.runParquet(spark, in, out, Seq("batch"),
+      HarmonyOptions(nclust = Some(8), maxIterHarmony = 1, maxIterCluster = 1,
+        earlyStop = false, blockMode = BlockMode.Sweep),
+      projectDimFrom = Some(cooDir))
+    val emb = spark.read.parquet(s"$out/corrected").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val d = emb.head._2.length
+    val loadings = spark.read.parquet(s"$out/loadings").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(loadings.keySet === Set(0, 1))
+    def expected(pred: Long => Boolean, w: Double): Array[Double] =
+      Array.tabulate(d)(j =>
+        emb.collect { case (id, v) if pred(id) => v(j).toDouble * w }.sum)
+    val e0 = expected(_ => true, 1.0)
+    val e1 = expected(_ % 2 == 0, 2.0)
+    Seq((loadings(0), e0), (loadings(1), e1)).foreach { case (got, exp) =>
+      assert(got.length === d)
+      (got zip exp).foreach { case (g, e) =>
+        assert(math.abs(g - e) <= 1e-6 * math.max(1.0, math.abs(e)),
+          s"loading mismatch: $g vs $e") }
+    }
+  }
 }
