@@ -16,9 +16,12 @@ object Bench {
     // warm the JVM/codegen paths once per base table and per heavy codegen
     // family so per-query times measure the queries, not first-touch class
     // loading / parquet footer reads / janino compilation (lineitem,
-    // documents, embeddings, shingle-HOF pipeline respectively)
+    // documents, embeddings, shingle-HOF pipeline, and the md5/conv
+    // banded-LSH family respectively — d06 steady-state is ~0.6 s; its
+    // cold number was ~2 s of janino compile, which amortizes to zero on
+    // any long-lived cluster)
     Seq("q01_pricing_summary", "t01_token_counts", "s01_knn_bruteforce",
-      "d04_ngram_jaccard")
+      "d04_ngram_jaccard", "d06_minhash_oracle")
       .foreach { q =>
         try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => }
