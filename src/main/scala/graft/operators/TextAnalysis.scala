@@ -212,6 +212,104 @@ object TextAnalysis {
         round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
       FROM tf JOIN df USING (token) CROSS JOIN n"""))
 
+  // ---------------------------------------------------------------- repetition
+  /** Repetition-based quality signals (the Gopher-rule family adapted to
+    * whitespace tokens): top-token fraction and duplicate-bigram fraction —
+    * high values flag boilerplate/spam documents in a training corpus.
+    *
+    * Scale shape: the token-mode stats ride the same map-side-combined
+    * (doc, token) count as t06/t07 (never an O(distinct x n) per-row HOF
+    * scan, which would go quadratic on long documents); bigram stats are
+    * row-local (`transform` over a once-projected token array, d06's
+    * lesson); the final doc-keyed equi-join is between two doc-bounded
+    * frames. */
+  private val tRepetition = Q(
+    "t08_repetition",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cnts = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = cnts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          max(col("cnt")).as("top_cnt"),
+          count(lit(1)).as("n_distinct_tokens"))
+      val biStats = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, greatest(size(tk) - 1, 1)),
+             i -> concat_ws(' ', slice(tk, i, 2)))""").as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+      perDoc.join(biStats, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          round(col("top_cnt").cast("double") / col("n_tokens"), 4)
+            .as("top_token_frac"),
+          round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4)
+            .as("dup_bigram_frac"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      cnts AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      perdoc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        max(cnt) AS top_cnt, count(*) AS n_distinct_tokens FROM cnts GROUP BY 1),
+      bi AS (SELECT doc_id, list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')) AS bg
+        FROM documents),
+      bistat AS (SELECT doc_id, len(bg) AS n_bigrams,
+        len(list_distinct(bg)) AS n_distinct_bigrams FROM bi)
+      SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens,
+        round(CAST(p.top_cnt AS DOUBLE) / p.n_tokens, 4) AS top_token_frac,
+        round(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4) AS dup_bigram_frac
+      FROM perdoc p JOIN bistat b ON p.doc_id = b.doc_id"""))
+
+  // ---------------------------------------------------------------- pii
+  /** PII detection + redaction (regex email/phone scrub — a standard
+    * training-data hygiene pass). The synthetic corpus contains no PII, so
+    * the query plants deterministic emails (every 7th doc) and phone
+    * numbers (every 11th) inside the query itself — the d06 planted-dup
+    * pattern — and the scrub must find and redact exactly those. Row-local,
+    * no shuffle; patterns are restricted to syntax Java regex and RE2
+    * evaluate identically. */
+  private val tPii = Q(
+    "t09_pii_redact",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+      val phoneRe = "555-[0-9]{4}"
+      val aug0 = when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(col("text"))
+      val aug = when(col("doc_id") % 11 === 0,
+        concat(aug0, lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(aug0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0
+          THEN base || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE base END AS aug
+        FROM (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE text END AS base FROM documents) b)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(aug, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+          '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM aug"""))
+
   val all: Seq[Q] =
-    Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf)
+    Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
+      tRepetition, tPii)
 }

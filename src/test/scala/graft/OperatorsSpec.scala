@@ -252,6 +252,31 @@ class OperatorsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("t08 repetition: fractions in [0,1], dup bigrams <= dup tokens signal sanity") {
+    val rows = run("t08_repetition").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_token_frac")
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      assert(top > 0 && top <= 1.0)
+      assert(dup >= 0 && dup < 1.0)
+      assert(r.getAs[Long]("n_distinct_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("t09 pii: planted emails/phones are found and redacted, others untouched") {
+    val rows = run("t09_pii_redact").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val red = r.getAs[String]("redacted")
+      assert(r.getAs[Long]("n_emails") === (if (id % 7 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") === (if (id % 11 == 0) 1L else 0L))
+      assert(red.contains("<EMAIL>") === (id % 7 == 0))
+      assert(red.contains("<PHONE>") === (id % 11 == 0))
+      assert(!red.contains("@") && !red.contains("555-"))
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
