@@ -58,17 +58,28 @@ object ScaleRehearsal {
     }
 
     val budget = if (args.length > 3) args(3) else "short"
-    val opts =
-      if (budget == "full")
+    // optional 5th arg: resaltEvery (Sequential-mode per-k-rounds atom
+    // redraw — measures the cost of the extra hash shuffle per group)
+    val resalt = if (args.length > 4) args(4).toInt else 0
+    val bm = if (mode == "seq") BlockMode.Sequential else BlockMode.Sweep
+    val opts = budget match {
+      case "full" =>
         // reference-default budget, forced distributed: the endurance test
         // (up to 10 rounds x 4 sweeps x 20 blocks of jobs + lineage)
         HarmonyOptions(nclust = Some(20), localThreshold = 0L,
-          blockMode = if (mode == "seq") BlockMode.Sequential else BlockMode.Sweep)
-      else
+          blockMode = bm, resaltEvery = resalt)
+      case "mid" =>
+        // fixed 3 rounds x 2 sweeps: deterministic round count for
+        // controlled A/B comparisons (e.g. resaltEvery overhead)
+        HarmonyOptions(nclust = Some(20), maxIterHarmony = 3,
+          maxIterCluster = 2, earlyStop = false, localThreshold = 0L,
+          blockMode = bm, resaltEvery = resalt)
+      case _ =>
         HarmonyOptions(
           nclust = Some(20), maxIterHarmony = 1, maxIterCluster = 2,
           earlyStop = false, localThreshold = 0L,
-          blockMode = if (mode == "seq") BlockMode.Sequential else BlockMode.Sweep)
+          blockMode = bm, resaltEvery = resalt)
+    }
 
     val res = timed(s"harmony ($mode, $budget)") {
       Harmony.fit(cells, Seq("batch"), opts)
