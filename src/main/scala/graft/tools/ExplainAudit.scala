@@ -22,7 +22,7 @@ object ExplainAudit {
       "q01_pricing_summary", "q02_filter_project", "q03_shipping_priority",
       "q06_region_revenue", "q08_top_orders_per_cust", "q24_asof_join",
       "q25_topk_orders", "q30_range_join", "d01_exact_dedup", "s01_knn_bruteforce",
-      "q45_asof_maxby", "s04_knn_lsh_oracle")
+      "q45_asof_maxby", "s04_knn_lsh_oracle", "t08_repetition", "t09_pii_redact")
     targets.foreach { name =>
       println(s"\n================ $name ================")
       val plan = graft.SparkEntry.queries(name)(spark, sfDir)
