@@ -15,6 +15,7 @@ object Registry {
   /** All query modules, aggregated by SparkEntry. */
   def all: Seq[Q] =
     operators.Relational.all ++
+      operators.Sketches.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++

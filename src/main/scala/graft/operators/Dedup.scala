@@ -377,5 +377,124 @@ object Dedup {
         FROM all0 a CROSS JOIN q WHERE a.vec_id < q.vec_b)
       SELECT vec_a, vec_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.99"""))
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  // ---------------------------------------------------------------- d09
+  /** Duplicate CLUSTERING — the production stage after pair generation:
+    * near-dup pairs are edges, connected components group them into
+    * clusters, and the canonical survivor per cluster is the min doc_id.
+    * Without this stage a pipeline that drops "the second doc of every
+    * pair" over-deletes on transitive chains (A~B, B~C but A!~C must keep
+    * exactly one of {A,B,C}, not zero).
+    *
+    * Harness: plants a 2-generation truncation chain per base doc
+    * (g1 = 80% prefix, g2 = 60% prefix of g1 ~= 48% of base) so the edge
+    * set is a genuine PATH — J(base,g1)~0.8 and J(g1,g2)~0.6 pass the 0.5
+    * threshold, J(base,g2)~0.48 does not — and only transitive closure
+    * finds the 3-member cluster. Candidate pairs come from id arithmetic
+    * (validation-harness form, d04 precedent); the production candidate
+    * source is d02/d03's banded LSH.
+    *
+    * CC algorithm: hash-to-min label propagation —
+    * label(v) <- min(label(v), min over neighbors) iterated to fixpoint.
+    * Converges in O(diameter) rounds; near-dup clusters have tiny diameter
+    * (chains of re-posts), so 2-4 rounds in practice. Each round is one
+    * shuffle join on node ids + a map-side-combined min agg; labels are
+    * re-persisted and lineage-truncated per round so the plan stays flat.
+    * For adversarially deep graphs the documented upgrade is
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce"), same join/agg primitives, O(log n) rounds. */
+  private val d09 = Q(
+    "d09_dup_clusters",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 === 0)
+      // generation lengths computed from the BASE token count so Spark and
+      // DuckDB truncate identically (int cast = floor for positive values)
+      val g1 = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))
+      val g2 = base.select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((greatest((size(toks) * 0.8).cast("int"), lit(1)) * 0.6).cast("int"),
+            lit(1))), " ").as("text"))
+      val docs = base.unionByName(g1).unionByName(g2)
+
+      val sets = shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // candidate pairs: same base group (id mod 1e7), ordered
+      val a = sets.select(col("doc_id").as("src"), col("sh").as("sh_a"))
+      val b = sets.select(col("doc_id").as("dst"), col("sh").as("sh_b"))
+      val edges = a.join(b,
+          col("src") % 10000000L === col("dst") % 10000000L && col("src") < col("dst"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // undirected edge list; nodes = every endpoint
+      val und = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count() // materialize before the loop swaps persists
+
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 20) {
+        val prev = labels
+        val next = und.join(prev.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("label"))
+          .unionByName(prev)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next.join(prev.withColumnRenamed("label", "old"), Seq("node"))
+          .filter(col("label") =!= col("old")).count()
+        prev.unpersist(false)
+        labels = next
+        iters += 1
+      }
+
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("label"))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"), (col("node") === col("label")).as("is_canonical"))
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 0),
+      docs AS (
+        SELECT doc_id, array_to_string(tk, ' ') AS text FROM base
+        UNION ALL
+        SELECT doc_id + 10000000,
+          array_to_string(tk[1:greatest(CAST(floor(len(tk) * 0.8) AS INT), 1)], ' ') FROM base
+        UNION ALL
+        SELECT doc_id + 20000000,
+          array_to_string(tk[1:greatest(CAST(floor(greatest(CAST(floor(len(tk) * 0.8) AS INT), 1) * 0.6) AS INT), 1)], ' ')
+        FROM base),
+      sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        FROM docs),
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sets a JOIN sets b
+          ON a.doc_id % 10000000 = b.doc_id % 10000000 AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+      SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+        l.node = l.cluster_id AS is_canonical
+      FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id"""))
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

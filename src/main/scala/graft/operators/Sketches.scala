@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Sketch-based approximate aggregation — the 100 TB answer to "how many
+  * distinct X" when an exact `count(distinct)` would shuffle every key.
+  *
+  * The production-grade sketch Spark ships is HyperLogLog++
+  * (`approx_count_distinct`), but its register layout is engine-specific so
+  * it can never run under a cross-engine oracle. These queries implement the
+  * K-Minimum-Values (KMV / bottom-k) estimator with an md5-derived uniform
+  * hash both engines evaluate identically, which makes the *entire sketch
+  * dataflow* — hash, per-partition bottom-k, merge, estimate — verifiable
+  * bit-for-bit against DuckDB. KMV estimate: with h uniform on [0,1) and
+  * h_(k) the k-th smallest distinct hash, NDV ~= (k-1)/h_(k)
+  * (Bar-Yossef et al. 2002; same estimator family as Trino's
+  * `approx_distinct` bottom-k fallback).
+  *
+  * Scale posture: the plan is `distinct` over 8-byte hashes (map-side
+  * partial dedup, then a shuffle of at most NDV longs — NOT the raw rows)
+  * followed by TakeOrderedAndProject (per-partition bottom-k, k longs to the
+  * driver). Nothing row-count-sized ever reaches the driver; the k-sized
+  * bottom set is the mergeable sketch state itself. At 1000 executors the
+  * same plan holds: partial distinct per partition, one exchange of hash
+  * keys, top-k merge.
+  */
+object Sketches {
+
+  /** 60-bit md5-derived uniform hash, identical in Spark and DuckDB
+    * (15 hex chars -> BIGINT-safe; same trick as Dedup.md5Hash). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private val TwoPow60 = 1.152921504606846976e18 // 2^60 as a double (exact)
+
+  // ---------------------------------------------------------------- q46
+  /** Global NDV sketch of `l_partkey` with k=256, alongside the exact
+    * count — one row: (k, kth_min, est_ndv, exact_ndv, rel_err). */
+  private val q46 = Q(
+    "q46_kmv_ndv",
+    (s, dir) => {
+      val k = 256
+      val li = Tables.lineitem(s, dir)
+      // bottom-k of the distinct hash set: partial-agg dedup then
+      // TakeOrderedAndProject — the driver sees exactly k longs
+      val bottomK = li.select(h60(col("l_partkey")).as("h"))
+        .distinct()
+        .orderBy(col("h"))
+        .limit(k)
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_ndv"))
+      bottomK
+        .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k"))
+        .crossJoin(exact)
+        .select(
+          col("k"),
+          col("kth_min"),
+          round((col("k") - 1).cast("double") * lit(TwoPow60) /
+            col("kth_min").cast("double"), 4).as("est_ndv"),
+          col("exact_ndv"),
+          round(abs((col("k") - 1).cast("double") * lit(TwoPow60) /
+            col("kth_min").cast("double") - col("exact_ndv").cast("double")) /
+            col("exact_ndv").cast("double"), 4).as("rel_err"))
+    },
+    Some("""WITH hs AS (
+        SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem),
+      bottomk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+      agg AS (SELECT max(h) AS kth_min, count(*) AS k FROM bottomk),
+      ex AS (SELECT count(DISTINCT l_partkey) AS exact_ndv FROM lineitem)
+      SELECT k, kth_min,
+        round(CAST(k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE), 4) AS est_ndv,
+        exact_ndv,
+        round(abs(CAST(k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
+          - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE), 4) AS rel_err
+      FROM agg CROSS JOIN ex"""))
+
+  // ---------------------------------------------------------------- q47
+  /** Grouped NDV sketch: distinct suppliers per return flag, k=64 per group.
+    * The window rank runs over the DEDUPED (group, hash) pairs — the
+    * shuffle carries one row per distinct pair, and the rank never ranks
+    * more than NDV rows per group. Estimator switches to exact when a group
+    * has fewer than k distinct hashes (bottom set IS the full set). */
+  private val q47 = Q(
+    "q47_kmv_grouped",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), h60(col("l_suppkey")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+      pairs
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("h")).as("kth_min"), count(lit(1)).as("n_in_sketch"))
+        .select(col("l_returnflag"), col("n_in_sketch"),
+          round(when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+            .otherwise((col("n_in_sketch") - 1).cast("double") * lit(TwoPow60) /
+              col("kth_min").cast("double")), 4).as("est_ndv"))
+    },
+    Some("""WITH pairs AS (
+        SELECT DISTINCT l_returnflag,
+          CAST(concat('0x', substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        FROM pairs),
+      sk AS (
+        SELECT l_returnflag, max(h) AS kth_min, count(*) AS n_in_sketch
+        FROM ranked WHERE rk <= 64 GROUP BY l_returnflag)
+      SELECT l_returnflag, n_in_sketch,
+        round(CASE WHEN n_in_sketch < 64 THEN CAST(n_in_sketch AS DOUBLE)
+          ELSE CAST(n_in_sketch - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
+        END, 4) AS est_ndv
+      FROM sk"""))
+
+  // ---------------------------------------------------------------- q48
+  /** Sketch MERGE: the property that matters on a cluster — per-group
+    * bottom-k sketches built independently (here: per order-priority
+    * partition of the data) union-merge into the global bottom-k, and the
+    * merged estimate must equal q46's single-pass estimate exactly. This is
+    * the partition-wise merge a 1000-executor NDV computation performs. */
+  private val q48 = Q(
+    "q48_kmv_merge",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+      // independent per-partition sketches (bottom-k per priority class)
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
+      val partial = li
+        .select(col("o_orderpriority"), h60(col("l_partkey")).as("h"))
+        .distinct()
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+      // merge = distinct union of the bottom sets, re-take bottom-k
+      val merged = partial.select(col("h")).distinct().orderBy(col("h")).limit(k)
+      merged.agg(max(col("h")).as("kth_min"), count(lit(1)).as("k"))
+        .select(col("k"), col("kth_min"),
+          round((col("k") - 1).cast("double") * lit(TwoPow60) /
+            col("kth_min").cast("double"), 4).as("est_ndv"))
+    },
+    Some("""WITH li AS (
+        SELECT o.o_orderpriority,
+          CAST(concat('0x', substring(md5(CAST(l.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      pairs AS (SELECT DISTINCT o_orderpriority, h FROM li),
+      ranked AS (
+        SELECT o_orderpriority, h, row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rk
+        FROM pairs),
+      partial AS (SELECT o_orderpriority, h FROM ranked WHERE rk <= 256),
+      merged AS (SELECT DISTINCT h FROM partial ORDER BY h LIMIT 256)
+      SELECT count(*) AS k, max(h) AS kth_min,
+        round(CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4) AS est_ndv
+      FROM merged"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48)
+}

@@ -277,6 +277,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q46/q48 KMV sketch: estimate within 20% of exact; merge equals single-pass") {
+    val single = run("q46_kmv_ndv").head()
+    // at sf0.001 NDV(l_partkey)=200 < k=256: the bottom set IS the full set
+    assert(single.getAs[Long]("k") === math.min(256L, single.getAs[Long]("exact_ndv")))
+    assert(single.getAs[Double]("rel_err") < 0.20,
+      s"KMV k=256 should land within ~2/sqrt(k)=12.5% (3 sigma ~ 19%); got ${single.getAs[Double]("rel_err")}")
+    // partition-wise merge must reconstruct the identical global bottom-k:
+    // the merged kth_min and estimate are bit-equal to the single-pass sketch
+    val merged = run("q48_kmv_merge").head()
+    assert(merged.getAs[Long]("kth_min") === single.getAs[Long]("kth_min"),
+      "union-merge of per-partition bottom-k sets must equal the global bottom-k")
+    assert(merged.getAs[Double]("est_ndv") === single.getAs[Double]("est_ndv"))
+  }
+
+  test("q47 grouped KMV: exact path kicks in below k and estimates are positive") {
+    val rows = run("q47_kmv_grouped").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_in_sketch")
+      val est = r.getAs[Double]("est_ndv")
+      assert(est > 0)
+      if (n < 64) assert(est === n.toDouble, "below-k groups must report exact NDV")
+    }
+  }
+
+  test("d09 dup clusters: one canonical per cluster, label = min member, chains grouped") {
+    val rows = run("d09_dup_clusters").collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getAs[Boolean]("is_canonical")) === 1,
+        s"cluster $cid must keep exactly one canonical doc")
+      assert(members.map(_.getAs[Long]("doc_id")).min === cid,
+        "cluster label must be the min member id (deterministic survivor rule)")
+      assert(members.forall(_.getAs[Long]("cluster_size") === members.length.toLong))
+    }
+    // the planted 2-generation chains must come out as 3-member components:
+    // that only happens when label propagation crosses >= 2 hops
+    assert(byCluster.values.exists(_.length === 3),
+      "at least one transitive 3-member chain expected from the planted generations")
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
