@@ -139,5 +139,56 @@ object Multimodal {
         SELECT doc_id, 2, to_base64(encode(substring(text, 129, 16))) FROM documents) t
       WHERE length(frame_b64) > 0"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03)
+  final case class ResizedRow(
+      doc_id: Long, n_bytes: Long, target: Long, resized: Array[Byte])
+
+  /** RESIZE — the remaining multimodal verb (decode / feature-extract /
+    * resize / frame-sample): nearest-neighbor resample of the binary
+    * payload to a fixed target width, out(i) = payload((i*n)/target), the
+    * 1-D analogue of image nearest-neighbor scaling. Runs through the same
+    * batched per-partition contract as m01 (one resampler init per
+    * partition; swap the inner loop for a real codec's scale kernel at
+    * deployment). Downsamples and upsamples with the same formula, so
+    * payloads shorter than the target are handled too. The resample is
+    * deterministic byte indexing -> the full path is oracle-checkable
+    * (ASCII corpus: byte == char, pinned by m03). */
+  private val m04 = Q(
+    "m04_media_resize",
+    (s, dir) => {
+      import s.implicits._
+      val target = 32
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          lit("application/octet-stream").as("mime"))
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .as[MediaRow]
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.payload.length.toLong
+          val out = new Array[Byte](target)
+          var i = 0
+          while (i < target) {
+            out(i) = r.payload(((i.toLong * n) / target).toInt)
+            i += 1
+          }
+          ResizedRow(r.doc_id, n, target.toLong, out)
+        }
+      }.toDF()
+        .select(col("doc_id"), col("n_bytes"), col("target"),
+          base64(col("resized")).as("resized_b64"),
+          expr("aggregate(transform(split(cast(resized as string), ''), c -> ascii(c)), 0L, (a, x) -> a + x)")
+            .as("byte_sum"))
+    },
+    Some("""WITH rs AS (
+        SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          list_transform(range(0, 32),
+            i -> substring(text, CAST((i * octet_length(encode(text))) // 32 AS INTEGER) + 1, 1)) AS picked
+        FROM documents)
+      SELECT doc_id, n_bytes, CAST(32 AS BIGINT) AS target,
+        to_base64(encode(array_to_string(picked, ''))) AS resized_b64,
+        CAST(list_sum(list_transform(picked, c -> ord(c))) AS BIGINT) AS byte_sum
+      FROM rs"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04)
 }

@@ -201,5 +201,45 @@ object EventsStreaming {
       CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
       FROM events GROUP BY user_id"""))
 
-  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05)
+  // ---------------------------------------------------------------- stream dedup
+  /** REAL streaming DEDUP run — the ingest-side primitive of a training-data
+    * pipeline (drop re-delivered/duplicate records before they reach
+    * storage): file source -> watermark -> `dropDuplicatesWithinWatermark`
+    * on the dedup key -> append-mode memory sink, Trigger.AvailableNow.
+    *
+    * The projection keeps ONLY the key columns, so whichever physical row
+    * survives per key the emitted row is identical — deterministic under
+    * any micro-batch split. `maxFilesPerTrigger` is pinned anyway (st05
+    * lesson) so the single-file source is a single batch and no key's state
+    * can be watermark-evicted and re-admitted between batches. State size
+    * on a cluster = one entry per distinct in-flight key within the
+    * watermark horizon, not per event. Multi-batch eviction/readmission
+    * semantics are exercised with MemoryStream in StreamingSpec. */
+  private val st06 = Q(
+    "st06_stream_dedup",
+    (s, dir) => {
+      val sinkTable = "st06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st06_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = Tables.normalizeNanos(
+          s.readStream
+            .schema(rawFileSchema(s, dir))
+            .option("maxFilesPerTrigger", Int.MaxValue)
+            .parquet(srcDir.toString))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable).distinct(), sinkTable, srcDir)
+    },
+    Some("SELECT DISTINCT user_id, event_type FROM events"))
+
+  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06)
 }

@@ -319,6 +319,26 @@ class OperatorsSpec extends SparkSpec {
       "at least one transitive 3-member chain expected from the planted generations")
   }
 
+  test("st06 streaming dedup equals batch distinct keys") {
+    val streamed = run("st06_stream_dedup").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    assert(streamed === batch)
+  }
+
+  test("m04 resize: every payload lands at exactly 32 bytes, checksum consistent") {
+    val rows = run("m04_media_resize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = java.util.Base64.getDecoder.decode(r.getAs[String]("resized_b64"))
+      assert(bytes.length === 32, "nearest-neighbor resample must emit the target width")
+      val sum = bytes.map(b => java.lang.Byte.toUnsignedInt(b).toLong).sum
+      assert(sum === r.getAs[Long]("byte_sum"))
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
