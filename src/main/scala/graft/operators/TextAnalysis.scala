@@ -309,7 +309,108 @@ object TextAnalysis {
           '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
       FROM aug"""))
 
+  // ---------------------------------------------------------------- packing
+  /** SEQUENCE PACKING — the step between a cleaned corpus and a training
+    * run: concatenate documents into fixed-token-budget training sequences
+    * and report, per doc, which sequence it lands in and at what token
+    * offset. This is greedy CONTIGUOUS packing in a deterministic global
+    * order (doc_id): bin boundaries fall out of a running token sum, so the
+    * whole operator is one window cumulative sum — no shuffle beyond the
+    * sort, no driver state, and at 100 TB the same plan packs per-partition
+    * ranges independently (the running sum distributes as a prefix-sum).
+    * Docs longer than the budget get a sequence to themselves (and would be
+    * chunked by t11 first in a real pipeline).
+    *
+    * seq_id = floor((cum_tokens_before) / budget) of the doc's START token:
+    * a doc straddling a boundary stays with the sequence it started in —
+    * the simple deterministic variant of first-fit packing.
+    *
+    * The cumulative sum is computed as a DISTRIBUTED prefix sum, not a
+    * global single-partition window: range-partition by doc_id, cumsum
+    * within each partition (window partitioned by partition id), and add
+    * each partition's starting offset (per-partition totals are
+    * #partitions rows — driver-bounded — prefix-summed and broadcast back).
+    * The result is boundary-independent: any range split of a unique sort
+    * key yields the same global running sum, so the plan scales to however
+    * many partitions the corpus needs. */
+  private val tPack = Q(
+    "t10_pack_sequences",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048
+      val counted = Tables.documents(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        .repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-partition totals: tiny (one row per partition); the prefix sum
+      // over them is a driver-scale window, then broadcast back
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counted.groupBy(col("pid"))
+        .agg(sum(col("n_tokens")).as("part_total"))
+        .withColumn("part_offset",
+          coalesce(sum(col("part_total")).over(wOff), lit(0L)))
+        .select(col("pid"), col("part_offset"))
+      val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counted
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("cum_end",
+          sum(col("n_tokens")).over(wIn) + col("part_offset"))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("cum_end") - col("n_tokens")) / budget).cast("long").as("seq_id"),
+          ((col("cum_end") - col("n_tokens")) % budget).as("seq_offset"))
+    },
+    Some("""WITH c AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+            OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        CAST((cum_end - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        CAST((cum_end - n_tokens) % 2048 AS BIGINT) AS seq_offset
+      FROM c"""))
+
+  // ---------------------------------------------------------------- chunking
+  /** TOKEN-WINDOW CHUNKING with overlap — splits each document into
+    * fixed-size token chunks (size 64, stride 48, i.e. 16-token overlap),
+    * the pretraining/RAG chunker. Pure per-row explode: sequence() +
+    * slice() stay inside whole-stage codegen, rows out = ceil(n/stride)
+    * per doc, no shuffle at all. Chunk text itself is emitted (the
+    * downstream embedder's input), fingerprinted here to keep the gate
+    * payload scalar-sortable. */
+  private val tChunk = Q(
+    "t11_chunk_windows",
+    (s, dir) => {
+      val size0 = 64
+      val stride = 48
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, cast(greatest(ceil((size(tk) - $size0) / $stride.0), 0) as int)), " +
+            s"i -> concat_ws(' ', slice(tk, i * $stride + 1, $size0)))")))
+        .select(col("doc_id"), col("n_tokens"),
+          col("pos").cast("long").as("chunk_no"),
+          (col("pos") * stride).cast("long").as("tok_start"),
+          size(split(col("col"), " ")).cast("long").as("chunk_tokens"),
+          md5(col("col")).as("chunk_md5"))
+    },
+    Some(s"""WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      ch AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+          unnest(range(0, CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS BIGINT) + 1)) AS chunk_no,
+          tk
+        FROM tk)
+      SELECT doc_id, n_tokens, chunk_no,
+        chunk_no * 48 AS tok_start,
+        CAST(len(tk[chunk_no * 48 + 1 : chunk_no * 48 + 64]) AS BIGINT) AS chunk_tokens,
+        md5(array_to_string(tk[chunk_no * 48 + 1 : chunk_no * 48 + 64], ' ')) AS chunk_md5
+      FROM ch"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
-      tRepetition, tPii)
+      tRepetition, tPii, tPack, tChunk)
 }

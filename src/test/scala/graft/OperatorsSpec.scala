@@ -339,6 +339,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t10 packing: distributed prefix sum equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val got = run("t10_pack_sequences").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))).toMap
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .collect()
+      .map { r =>
+        val start = r.getAs[Long]("cum_end") - r.getAs[Long]("n_tokens")
+        (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_tokens"), start / 2048, start % 2048))
+      }.toMap
+    assert(got === naive)
+  }
+
+  test("t11 chunking: full coverage, fixed stride, chunk sizes clamp at the tail") {
+    val byDoc = run("t11_chunk_windows").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_no"))
+      val n = sorted.head.getAs[Long]("n_tokens")
+      // starts advance by the stride and the last chunk reaches the doc end
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("tok_start") === i.toLong * 48)
+        val expectLen = math.min(64L, n - i.toLong * 48)
+        assert(c.getAs[Long]("chunk_tokens") === expectLen)
+      }
+      assert(sorted.last.getAs[Long]("tok_start") + sorted.last.getAs[Long]("chunk_tokens") === n)
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
