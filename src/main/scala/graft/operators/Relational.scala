@@ -879,10 +879,43 @@ object Relational {
         ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
       WHERE rn = 1"""))
 
+  // ---------------------------------------------------------------- q50
+  /** CDC/upsert COMPACTION — latest record wins per key, the maintenance
+    * pass every append-only ingest needs (dedupe re-deliveries, keep the
+    * newest state per entity). Same scale shape as q45: a map-side partial
+    * `max(struct)` aggregation — the shuffle carries one candidate row per
+    * (key, partition), never the full history, and there is no window sort.
+    * Tie-break (ts, event_id) is unique so the survivor is deterministic. */
+  private val q50 = Q(
+    "q50_cdc_compact",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("last.ts")).as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          round(col("last.value"), 4).as("last_value"),
+          col("n_versions"))
+    },
+    Some("""WITH r AS (
+        SELECT user_id, event_type, ts, event_id, value,
+          row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC) AS rk,
+          count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        FROM events)
+      SELECT user_id, event_type,
+        CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+        event_id AS last_event_id,
+        round(value, 4) AS last_value,
+        n_versions
+      FROM r WHERE rk = 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45)
+    q41, q42, q43, q44, q45, q50)
 }

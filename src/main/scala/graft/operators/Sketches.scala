@@ -161,5 +161,50 @@ object Sketches {
         round(CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4) AS est_ndv
       FROM merged"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48)
+  // ---------------------------------------------------------------- q49
+  /** Quantile estimation from a DETERMINISTIC uniform sample — the
+    * cross-engine-verifiable cousin of `approx_percentile` (whose GK sketch
+    * state is engine-specific). Sampling by bottom-k of an md5 row hash is
+    * a uniform sample that (a) both engines draw identically, (b) merges
+    * across partitions exactly like the KMV sketch above (union then
+    * re-take bottom-k), and (c) reaches the driver as k rows regardless of
+    * table size. Estimates use discrete-quantile semantics (value at rank
+    * ceil(q*k), ties broken by the hash) so the result is exact-match
+    * comparable. The window runs over the k-row SAMPLE — sketch-sized, not
+    * data-sized. Statistical accuracy is pinned in the spec (sampled
+    * median within ~2/sqrt(k) of the true quantile rank). */
+  private val q49 = Q(
+    "q49_sample_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 1000
+      val sample = Tables.lineitem(s, dir)
+        .select(col("l_extendedprice").as("v"),
+          h60(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("h"))
+        .orderBy(col("h"))
+        .limit(k)
+      val w = Window.orderBy(col("v"), col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = sample
+        .withColumn("rk", count(lit(1)).over(w))
+        .crossJoin(sample.agg(count(lit(1)).as("n")))
+      val qs = Seq(0.5, 0.9, 0.99)
+      qs.map { q =>
+          ranked.filter(col("rk") === ceil(lit(q) * col("n")).cast("long"))
+            .select(lit(q).as("q"), col("v").as("est"))
+        }.reduce(_.unionByName(_))
+    },
+    Some("""WITH sample AS (
+        SELECT l_extendedprice AS v,
+          CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem ORDER BY h LIMIT 1000),
+      ranked AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS rk,
+          count(*) OVER () AS n
+        FROM sample)
+      SELECT q, v AS est FROM ranked
+      JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
+        ON rk = CAST(ceil(q * n) AS BIGINT)"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q49)
 }

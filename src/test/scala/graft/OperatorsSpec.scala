@@ -373,6 +373,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q49 sampled quantiles: estimated rank lands near the requested quantile") {
+    val ests = run("q49_sample_quantiles").collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    assert(ests.keySet === Set(0.5, 0.9, 0.99))
+    val all0 = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    ests.foreach { case (q, est) =>
+      val trueRank = all0.count(_ <= est).toDouble / all0.length
+      // k=1000 uniform sample: 3-sigma rank error ~ 3*sqrt(q(1-q)/k) < 0.05
+      assert(math.abs(trueRank - q) < 0.06,
+        s"quantile $q estimate $est has true rank $trueRank")
+    }
+  }
+
+  test("q50 cdc compaction: one survivor per key, latest timestamp, versions add up") {
+    val rows = run("q50_cdc_compact").collect()
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("es"))
+      .collect()
+    val byKey = events.groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(rows.length === byKey.size)
+    assert(rows.map(_.getAs[Long]("n_versions")).sum === events.length.toLong)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("last_ts") === byKey(key).map(_.getAs[Long]("es")).max,
+        s"survivor for $key must carry the max event time")
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
