@@ -185,14 +185,17 @@ object Sketches {
         .limit(k)
       val w = Window.orderBy(col("v"), col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = sample
-        .withColumn("rk", count(lit(1)).over(w))
-        .crossJoin(sample.agg(count(lit(1)).as("n")))
       val qs = Seq(0.5, 0.9, 0.99)
-      qs.map { q =>
-          ranked.filter(col("rk") === ceil(lit(q) * col("n")).cast("long"))
-            .select(lit(q).as("q"), col("v").as("est"))
-        }.reduce(_.unionByName(_))
+      // ONE pass over the sample: rank window + count window + an exploded
+      // quantile list, so the table is scanned once, not once per quantile
+      sample
+        .withColumn("rk", count(lit(1)).over(w))
+        .withColumn("n", count(lit(1)).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("v"), col("rk"), col("n"),
+          explode(array(qs.map(lit(_)): _*)).as("q"))
+        .filter(col("rk") === ceil(col("q") * col("n")).cast("long"))
+        .select(col("q"), col("v").as("est"))
     },
     Some("""WITH sample AS (
         SELECT l_extendedprice AS v,

@@ -326,41 +326,57 @@ object TextAnalysis {
     * the simple deterministic variant of first-fit packing.
     *
     * The cumulative sum is computed as a DISTRIBUTED prefix sum, not a
-    * global single-partition window: range-partition by doc_id, cumsum
-    * within each partition (window partitioned by partition id), and add
-    * each partition's starting offset (per-partition totals are
-    * #partitions rows — driver-bounded — prefix-summed and broadcast back).
-    * The result is boundary-independent: any range split of a unique sort
-    * key yields the same global running sum, so the plan scales to however
-    * many partitions the corpus needs. */
+    * global single-partition window: range-partition + in-partition sort by
+    * doc_id (ONE exchange of the counted rows), aggregate per-partition
+    * token totals (#partitions rows to the driver — bounded), prefix-sum
+    * those offsets on the driver, and stream each partition once adding its
+    * offset to a running sum. No second exchange, no data-sized window
+    * state. The result is boundary-independent: any range split of a
+    * unique sort key yields the same global running sum, so the plan
+    * scales to however many partitions the corpus needs (this is the
+    * classic two-pass scan/add prefix-sum over partition ranges). */
   private val tPack = Q(
     "t10_pack_sequences",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 2048
+      import s.implicits._
+      val budget = 2048L
+      // pid is BAKED INTO the cached rows (spark_partition_id() evaluates
+      // while the cache is built, before any later coalesce can remap task
+      // partition ids — a downstream coalesce(1) runs every cached
+      // partition inside task 0, so TaskContext.getPartitionId() is NOT a
+      // reliable partition key here)
       val counted = Tables.documents(s, dir)
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
         .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
         .withColumn("pid", spark_partition_id())
+        .as[(Long, Long, Int)]
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // per-partition totals: tiny (one row per partition); the prefix sum
-      // over them is a driver-scale window, then broadcast back
-      val wOff = Window.orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = counted.groupBy(col("pid"))
-        .agg(sum(col("n_tokens")).as("part_total"))
-        .withColumn("part_offset",
-          coalesce(sum(col("part_total")).over(wOff), lit(0L)))
-        .select(col("pid"), col("part_offset"))
-      val wIn = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      counted
-        .join(broadcast(offsets), Seq("pid"))
-        .withColumn("cum_end",
-          sum(col("n_tokens")).over(wIn) + col("part_offset"))
-        .select(col("doc_id"), col("n_tokens"),
-          ((col("cum_end") - col("n_tokens")) / budget).cast("long").as("seq_id"),
-          ((col("cum_end") - col("n_tokens")) % budget).as("seq_offset"))
+      // pass 1: per-partition totals (#partitions rows — driver-bounded),
+      // prefix-summed on the driver
+      val partTotals = counted.groupBy(col("pid"))
+        .agg(sum(col("n_tokens")).as("tot"))
+        .collect()
+        .map(r => (r.getAs[Int]("pid"), r.getAs[Long]("tot")))
+        .sortBy(_._1)
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        partTotals.map { case (pid, tot) =>
+          val off = acc; acc += tot; pid -> off
+        }.toMap
+      }
+      // pass 2: one narrow sweep with a running sum, re-seeded from the
+      // broadcast offset table whenever the row's source partition changes
+      counted.mapPartitions { it =>
+        var curPid = -1
+        var cum = 0L
+        it.map { case (docId, n, pid) =>
+          if (pid != curPid) { curPid = pid; cum = offsets(pid) }
+          val start = cum
+          cum += n
+          (docId, n, start / budget, start % budget)
+        }
+      }.toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
     },
     Some("""WITH c AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
