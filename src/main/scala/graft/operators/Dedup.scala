@@ -24,6 +24,58 @@ object Dedup {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Connected components over an undirected edge list (`src`, `dst`) by
+    * hash-to-min label propagation: label(v) <- min(label(v), min of
+    * neighbor labels), iterated to fixpoint. Returns (`node`, `label`)
+    * where label = min node id in the component.
+    *
+    * Scale: each round is one shuffle join on node ids plus a map-side
+    * combined min-agg; labels re-persist and swap per round so lineage
+    * stays flat. Convergence detection is a single tiny agg per round —
+    * labels only ever DECREASE under min-propagation, so an unchanged
+    * sum(label) is a fixpoint — no per-round join against the previous
+    * labels. Rounds needed = component diameter (near-dup clusters are
+    * shallow re-post chains: 2-4). For adversarially deep graphs swap in
+    * large-star/small-star (Kiveris et al.), same primitives, O(log n).
+    *
+    * Each round's labels are truncated with an eager `localCheckpoint` —
+    * persist alone leaves the logical plan growing by one join+union per
+    * round, which explodes `generateTreeString` after ~10 rounds (same
+    * lesson as the harmony block-online sweeps; on a multi-node cluster
+    * swap for reliable `checkpoint()` via `sc.setCheckpointDir`). */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (measured dead end: pre-repartitioning this by `dst` to co-locate the
+    // per-round join buys nothing — the localCheckpoint boundary erases
+    // outputPartitioning from the planner's view, so the join re-exchanges
+    // regardless and the upfront shuffle is pure overhead)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val prev = labels
+      labels = und.join(prev.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("label"))
+        .unionByName(prev)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      prev.unpersist(false)
+      converged = s == prevSum
+      prevSum = s
+      iters += 1
+    }
+    und.unpersist(false)
+    labels
+  }
+
   /** documents ∪ truncated copies of every 10th doc (ids shifted by 10^7). */
   private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -433,30 +485,7 @@ object Dedup {
         .select(col("src"), col("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      // undirected edge list; nodes = every endpoint
-      val und = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = und.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels.count() // materialize before the loop swaps persists
-
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 20) {
-        val prev = labels
-        val next = und.join(prev.withColumnRenamed("node", "dst"), Seq("dst"))
-          .select(col("src").as("node"), col("label"))
-          .unionByName(prev)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        changed = next.join(prev.withColumnRenamed("label", "old"), Seq("node"))
-          .filter(col("label") =!= col("old")).count()
-        prev.unpersist(false)
-        labels = next
-        iters += 1
-      }
-
+      val labels = connectedComponents(edges)
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("label"))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),

@@ -402,6 +402,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("round-3 scale contracts: plan shapes for sketches, chunking, compaction") {
+    // q46: bottom-k via TakeOrderedAndProject over a partial-agg'd distinct
+    // (driver sees k longs, never the hash set)
+    val q46 = SparkEntry.queries("q46_kmv_ndv")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q46.contains("TakeOrderedAndProject"), "KMV bottom-k must plan as top-k")
+    // t11: pure per-row generate — a chunker that shuffles is wrong
+    val t11 = SparkEntry.queries("t11_chunk_windows")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!t11.contains("Exchange"), "t11 chunking must not shuffle")
+    assert(t11.contains("Generate"))
+    // q50: partial aggregation before the exchange, no window sort
+    val q50 = SparkEntry.queries("q50_cdc_compact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q50.contains("Window"), "q50 must not plan a window sort")
+    assert(q50.contains("partial_max") || q50.contains("partial merge"),
+      "q50 must fold versions map-side before the shuffle")
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
