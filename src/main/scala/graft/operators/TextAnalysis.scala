@@ -426,7 +426,83 @@ object TextAnalysis {
         md5(array_to_string(tk[chunk_no * 48 + 1 : chunk_no * 48 + 64], ' ')) AS chunk_md5
       FROM ch"""))
 
+  // ---------------------------------------------------------------- filter
+  /** END-TO-END CLEANING DECISION — the composite C4/Gopher-style keep/drop
+    * verdict every training-data pipeline ends with, as ONE declarative
+    * query: length bounds + repetition signals (t08's formulas) + exact
+    * dedup survivorship (d01's min-id rule), evaluated per doc. Exact
+    * copies of every 13th doc are planted (id + 3e7) so the dedup leg has
+    * work to do. Plan shape: the repetition legs are map-side-combined
+    * aggs, the dedup leg shuffles 16-byte hashes; everything joins back on
+    * doc_id. All thresholds compare ROUNDED values so the booleans are
+    * bit-stable across engines. */
+  private val tFilter = Q(
+    "t12_filter_verdict",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = base.unionByName(
+          base.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnts = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      val perDoc = cnts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
+      val biStats = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, greatest(size(tk) - 1, 1)),
+             i -> concat_ws(' ', slice(tk, i, 2)))""").as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+      val canon = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val joined = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(canon, Seq("h"))
+        .join(perDoc, Seq("doc_id"))
+        .join(biStats, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top_cnt").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+          round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4)
+            .as("dup_bigram_frac"),
+          (col("doc_id") === col("keep_id")).as("is_canonical"))
+      joined.withColumn("keep",
+        col("n_tokens").between(30, 90) &&
+          col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.2 &&
+          col("is_canonical"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 30000000, text FROM documents WHERE doc_id % 13 = 0),
+      cnts AS (SELECT doc_id, token, count(*) AS cnt FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs) t
+        GROUP BY 1, 2),
+      perdoc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        max(cnt) AS top_cnt FROM cnts GROUP BY 1),
+      bi AS (SELECT doc_id,
+          list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+            i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')) AS bg
+        FROM docs),
+      bistat AS (SELECT doc_id, len(bg) AS n_bigrams,
+        len(list_distinct(bg)) AS n_distinct_bigrams FROM bi),
+      canon AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM docs GROUP BY 1),
+      joined AS (
+        SELECT d.doc_id, p.n_tokens,
+          round(CAST(p.top_cnt AS DOUBLE) / p.n_tokens, 4) AS top_token_frac,
+          round(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4) AS dup_bigram_frac,
+          d.doc_id = c.keep_id AS is_canonical
+        FROM docs d
+        JOIN canon c ON md5(d.text) = c.h
+        JOIN perdoc p ON p.doc_id = d.doc_id
+        JOIN bistat b ON b.doc_id = d.doc_id)
+      SELECT doc_id, n_tokens, top_token_frac, dup_bigram_frac, is_canonical,
+        (n_tokens BETWEEN 30 AND 90) AND top_token_frac <= 0.2
+          AND dup_bigram_frac <= 0.2 AND is_canonical AS keep
+      FROM joined"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
-      tRepetition, tPii, tPack, tChunk)
+      tRepetition, tPii, tPack, tChunk, tFilter)
 }

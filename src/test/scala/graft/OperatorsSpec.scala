@@ -421,6 +421,23 @@ class OperatorsSpec extends SparkSpec {
       "q50 must fold versions map-side before the shuffle")
   }
 
+  test("t12 filter verdict: planted copies never survive, keeps are within bounds") {
+    val rows = run("t12_filter_verdict").collect()
+    val planted = rows.filter(_.getAs[Long]("doc_id") >= 30000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(!r.getAs[Boolean]("is_canonical"), "planted exact copy must lose to its original")
+      assert(!r.getAs[Boolean]("keep"))
+    }
+    val kept = rows.filter(_.getAs[Boolean]("keep"))
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(n >= 30 && n <= 90)
+      assert(r.getAs[Double]("dup_bigram_frac") <= 0.2)
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
