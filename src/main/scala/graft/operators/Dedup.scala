@@ -76,6 +76,69 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round alternative to hash-to-min for graphs whose
+    * component diameter is NOT small: hash-to-min needs diameter rounds,
+    * star contraction needs ~log rounds regardless of diameter.
+    *
+    * large-star: every node u computes m = min({u} ∪ N(u)) and re-points
+    * its strictly-larger neighbors at m. small-star (on (big, small)
+    * oriented edges): every node u re-points its smaller neighbors — and
+    * itself — at its minimum neighbor. Each phase is one groupBy-min plus
+    * one join (re-expand neighbors against the group minimum); edges are
+    * localCheckpoint-truncated per round. Fixpoint = (count, sum(src),
+    * sum(dst)) unchanged; at fixpoint the edge set IS the star
+    * node → component-min, which is returned as (node, label). */
+  def connectedComponentsStar(edges0: DataFrame, maxIters: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val mins = dir.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      dir.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, Seq("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionByName(mins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    def sig(d: DataFrame): (Long, Long, Long) = {
+      val r = d.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var prevSig = sig(e)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      val prev = e
+      e = smallStar(largeStar(prev)).localCheckpoint(true)
+      val s = sig(e)
+      prev.unpersist(false)
+      converged = s == prevSig
+      prevSig = s
+      iters += 1
+    }
+    // star edges point node -> component min; roots label themselves
+    e.select(col("src").as("node"), col("dst").as("label"))
+      .unionByName(e.select(col("dst").as("node"), col("dst").as("label")))
+      .distinct()
+  }
+
   /** documents ∪ truncated copies of every 10th doc (ids shifted by 10^7). */
   private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))

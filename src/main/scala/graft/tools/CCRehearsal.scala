@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * ~1M nodes, to measure per-round cost and convergence behavior of
   * hash-to-min label propagation well beyond the gate corpus.
   *
-  * Usage: runMain graft.tools.CCRehearsal [nChains] [chainLen]
+  * Usage: runMain graft.tools.CCRehearsal [nChains] [chainLen] [algo]
+  * where algo is `minprop` (hash-to-min, default) or `star`
+  * (large-star/small-star).
   */
 object CCRehearsal {
   def main(args: Array[String]): Unit = {
     val nChains = if (args.length > 0) args(0).toLong else 100000L
     val chainLen = if (args.length > 1) args(1).toInt else 10
+    val algo = if (args.length > 2) args(2) else "minprop"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -30,11 +33,13 @@ object CCRehearsal {
       .withColumn("dst", col("src") + 1)
 
     val t0 = System.nanoTime()
-    val labels = graft.operators.Dedup.connectedComponents(edges, maxIters = 40)
+    val labels =
+      if (algo == "star") graft.operators.Dedup.connectedComponentsStar(edges)
+      else graft.operators.Dedup.connectedComponents(edges, maxIters = 40)
     val nComponents = labels.select(col("label")).distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val nNodes = labels.count()
-    println(f"nodes=$nNodes components=$nComponents " +
+    println(f"algo=$algo nodes=$nNodes components=$nComponents " +
       f"expected=$nChains diameter=${chainLen - 1} secs=$secs%.1f")
     assert(nComponents == nChains, s"expected $nChains components")
     spark.stop()

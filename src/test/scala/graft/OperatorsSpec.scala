@@ -438,6 +438,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: hash-to-min and large-star/small-star agree exactly") {
+    val sp = spark
+    import sp.implicits._
+    // chains (deep), a star, a triangle, a 2-clique — mixed topologies
+    val edges = (
+      (0L until 9L).map(i => (100 + i, 100 + i + 1)) ++   // 10-node path
+        Seq((200L, 201L), (200L, 202L), (200L, 203L)) ++  // star
+        Seq((300L, 301L), (301L, 302L), (300L, 302L)) ++  // triangle
+        Seq((400L, 401L))
+      ).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val viaMin = toMap(graft.operators.Dedup.connectedComponents(edges))
+    val viaStar = toMap(graft.operators.Dedup.connectedComponentsStar(edges))
+    assert(viaMin === viaStar)
+    assert(viaMin(109L) === 100L, "deep chain must collapse to its min")
+    assert(viaMin(203L) === 200L && viaMin(302L) === 300L && viaMin(401L) === 400L)
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
