@@ -241,5 +241,45 @@ object EventsStreaming {
     },
     Some("SELECT DISTINCT user_id, event_type FROM events"))
 
-  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06)
+  // ---------------------------------------------------------------- enrichment
+  /** REAL stream-STATIC enrichment run — the standard ingest pattern of
+    * joining a live stream against a broadcast dimension (here: events ->
+    * customer -> nation rollup). The static side is a bounded table read
+    * once and broadcast to every task; no stream-side state, no watermark
+    * needed for an inner stream-static join, and the aggregation rides the
+    * same complete-mode memory sink as st04. On a cluster the dimension
+    * refreshes per micro-batch (file-source re-list), which is exactly the
+    * slowly-changing-dimension contract this pattern assumes. */
+  private val st07 = Q(
+    "st07_stream_enrich",
+    (s, dir) => {
+      val sinkTable = "st07_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st07_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val dim = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")))
+      val stream = Tables.normalizeNanos(
+          s.readStream
+            .schema(rawFileSchema(s, dir))
+            .option("maxFilesPerTrigger", Int.MaxValue)
+            .parquet(srcDir.toString))
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable), sinkTable, srcDir)
+    },
+    Some("""SELECT c.c_nationkey, c.c_mktsegment, count(*) AS n_events,
+      round(sum(e.value), 4) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07)
 }
