@@ -16,6 +16,7 @@ object Registry {
   def all: Seq[Q] =
     operators.Relational.all ++
       operators.Sketches.all ++
+      operators.Sinks.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++

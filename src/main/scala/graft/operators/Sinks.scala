@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Write-path surface under the driver gate: a real partitioned parquet
+  * write, read back through the partition layout with a pruning filter.
+  * (Bucketed-table co-located joins — the other write-side technique — are
+  * plan-asserted in BucketingSpec; they need a warehouse catalog, which the
+  * gate harness doesn't carry.)
+  */
+object Sinks {
+
+  /** Partitioned write → pruned read → aggregate. The readback filter hits
+    * only 2 of 3 partition directories (directory-level pruning, the
+    * mechanism that lets a 100 TB table answer a one-partition query with
+    * one partition of IO); the aggregate must equal the direct query. */
+  private val w01 = Q(
+    "w01_partitioned_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w01_").toString
+      try {
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        val back = s.read.parquet(out)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 2)
+              .as("sum_price"))
+        // materialize BEFORE the scratch dir is deleted (the gate writes
+        // the returned frame later; a lazy plan over a deleted dir fails)
+        val rows = back.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+          .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => }
+      }
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(w01)
+}
