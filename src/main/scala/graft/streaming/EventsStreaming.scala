@@ -281,5 +281,59 @@ object EventsStreaming {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07)
+  // ---------------------------------------------------------------- stream sessions
+  /** REAL streaming SESSION-WINDOW run — the stateful merge-as-you-go
+    * operator (session state grows and merges as events arrive, unlike
+    * fixed windows): file source -> watermark -> session_window(30 min) ->
+    * update-mode memory sink, Trigger.AvailableNow. With the single-file
+    * source pinned to one micro-batch, update mode emits each session's
+    * final state exactly once, so the result must equal st03's batch
+    * gaps-and-islands oracle. (Append mode would withhold sessions newer
+    * than the final watermark, and update mode is rejected for session
+    * aggregations in this Spark build — complete mode is the
+    * deterministic choice under AvailableNow. Multi-batch merge semantics
+    * are MemoryStream territory — StreamingSpec.) */
+  private val st08 = Q(
+    "st08_stream_session",
+    (s, dir) => {
+      val sinkTable = "st08_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st08_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = Tables.normalizeNanos(
+          s.readStream
+            .schema(rawFileSchema(s, dir))
+            .option("maxFilesPerTrigger", Int.MaxValue)
+            .parquet(srcDir.toString))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable)
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("n_events"), col("sum_value")),
+        sinkTable, srcDir)
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+          THEN 1 ELSE 0 END AS is_new
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM sess GROUP BY user_id, sid"""))
+
+  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 }
