@@ -72,6 +72,11 @@ object Dedup {
       prevSum = s
       iters += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          "(component diameter exceeds the budget); use connectedComponentsStar " +
+          "for deep graphs or raise maxIters")
     und.unpersist(false)
     labels
   }
@@ -116,10 +121,17 @@ object Dedup {
     var e = edges0.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    def sig(d: DataFrame): (Long, Long, Long) = {
-      val r = d.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head()
+    // fixpoint signature: count + column sums + an order-independent hash
+    // (sums alone could collide across distinct edge sets and stop the
+    // loop one round early with wrong labels; xxhash64 makes that
+    // astronomically unlikely). Hash terms are pmod-bounded so the sum
+    // can't overflow ANSI long arithmetic below ~9e9 edges.
+    def sig(d: DataFrame): (Long, Long, Long, Long) = {
+      val r = d.agg(count(lit(1)), sum(col("src")), sum(col("dst")),
+        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3))
     }
     var prevSig = sig(e)
     var converged = false
@@ -133,6 +145,9 @@ object Dedup {
       prevSig = s
       iters += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds; raise maxIters")
     // star edges point node -> component min; roots label themselves
     e.select(col("src").as("node"), col("dst").as("label"))
       .unionByName(e.select(col("dst").as("node"), col("dst").as("label")))
