@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Helpers whose contract is shared with the DuckDB oracle or with the
+  * gate harness — single source of truth for cross-engine-identical
+  * primitives and scratch-dir hygiene.
+  */
+object CrossEngine {
+
+  /** 60-bit md5-derived uniform hash, identical in Spark and DuckDB:
+    * 15 hex chars of md5 -> BIGINT-safe integer. `salt = None` hashes the
+    * value as-is (cast to string); `Some(i)` appends the `#i` suffix the
+    * dedup LSH families use. DuckDB twin:
+    * `CAST(concat('0x', substring(md5(<v>), 1, 15)) AS BIGINT)`. */
+  def md5Hash60(c: Column, salt: Option[Int] = None): Column = {
+    val keyed = salt match {
+      case Some(i) => concat(c, lit(s"#$i"))
+      case None    => c.cast("string")
+    }
+    conv(substring(md5(keyed), 1, 15), 16, 10).cast("long")
+  }
+
+  /** Materialize a bounded DataFrame into a local-backed one with the same
+    * schema, so later writes can't depend on scratch inputs that are about
+    * to be deleted (memory sinks, temp write dirs). */
+  def materializeLocal(s: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** Best-effort recursive delete of a scratch directory. */
+  def deleteRecursive(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    catch { case _: java.io.IOException => }
+  }
+}

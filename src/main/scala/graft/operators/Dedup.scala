@@ -55,7 +55,13 @@ object Dedup {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // sum over zero rows is null: an empty edge set must return empty
+    // labels, not NPE (star variant null-guards its signature the same way)
+    def labelSum(d: DataFrame): Long = {
+      val r = d.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
 
     var converged = false
     var iters = 0
@@ -66,7 +72,7 @@ object Dedup {
         .unionByName(prev)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      val s = labelSum(labels)
       prev.unpersist(false)
       converged = s == prevSum
       prevSum = s
@@ -344,9 +350,10 @@ object Dedup {
   // so the full MinHash/SimHash/embedding near-dup dataflows run under the
   // DuckDB oracle end to end.
 
-  /** md5-based 60-bit hash of (value + salt), identical in both engines. */
+  /** md5-based 60-bit hash of (value + salt), identical in both engines
+    * (shared contract: [[graft.functions.CrossEngine.md5Hash60]]). */
   private def md5Hash(c: Column, salt: Int): Column =
-    conv(substring(md5(concat(c, lit(s"#$salt"))), 1, 15), 16, 10).cast("long")
+    graft.functions.CrossEngine.md5Hash60(c, Some(salt))
 
   private val sqlPlanted =
     """SELECT doc_id, text FROM documents

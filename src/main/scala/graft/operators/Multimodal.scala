@@ -151,7 +151,9 @@ object Multimodal {
     * deployment). Downsamples and upsamples with the same formula, so
     * payloads shorter than the target are handled too. The resample is
     * deterministic byte indexing -> the full path is oracle-checkable
-    * (ASCII corpus: byte == char, pinned by m03). */
+    * (ASCII corpus: byte == char, pinned by m03). Empty payloads are
+    * filtered on BOTH sides — there is nothing to resample and the inner
+    * indexing would fault (the corpus has none; the guard is contract). */
   private val m04 = Q(
     "m04_media_resize",
     (s, dir) => {
@@ -161,6 +163,7 @@ object Multimodal {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
           lit("application/octet-stream").as("mime"))
         .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .filter(col("n_bytes") > 0)
         .as[MediaRow]
       media.mapPartitions { rows =>
         rows.map { r =>
@@ -184,7 +187,7 @@ object Multimodal {
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           list_transform(range(0, 32),
             i -> substring(text, CAST((i * octet_length(encode(text))) // 32 AS INTEGER) + 1, 1)) AS picked
-        FROM documents)
+        FROM documents WHERE octet_length(encode(text)) > 0)
       SELECT doc_id, n_bytes, CAST(32 AS BIGINT) AS target,
         to_base64(encode(array_to_string(picked, ''))) AS resized_b64,
         CAST(list_sum(list_transform(picked, c -> ord(c))) AS BIGINT) AS byte_sum

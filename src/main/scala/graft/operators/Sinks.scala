@@ -35,13 +35,9 @@ object Sinks {
               .as("sum_price"))
         // materialize BEFORE the scratch dir is deleted (the gate writes
         // the returned frame later; a lazy plan over a deleted dir fails)
-        val rows = back.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+        graft.functions.CrossEngine.materializeLocal(s, back)
       } finally {
-        import scala.jdk.CollectionConverters._
-        try java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
-          .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        catch { case _: java.io.IOException => }
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
       }
     },
     Some("""SELECT l_returnflag, count(*) AS n,

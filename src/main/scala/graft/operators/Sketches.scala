@@ -31,15 +31,17 @@ import graft.sources.Tables
 object Sketches {
 
   /** 60-bit md5-derived uniform hash, identical in Spark and DuckDB
-    * (15 hex chars -> BIGINT-safe; same trick as Dedup.md5Hash). */
+    * (single source of truth: [[graft.functions.CrossEngine.md5Hash60]]). */
   private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.CrossEngine.md5Hash60(c)
 
   private val TwoPow60 = 1.152921504606846976e18 // 2^60 as a double (exact)
 
   // ---------------------------------------------------------------- q46
   /** Global NDV sketch of `l_partkey` with k=256, alongside the exact
-    * count — one row: (k, kth_min, est_ndv, exact_ndv, rel_err). */
+    * count — one row: (k, kth_min, est_ndv, exact_ndv, rel_err). Below-k
+    * the bottom set IS the full distinct-hash set, so the estimator
+    * switches to exact (same contract as q47/q48). */
   private val q46 = Q(
     "q46_kmv_ndv",
     (s, dir) => {
@@ -55,14 +57,12 @@ object Sketches {
       bottomK
         .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k"))
         .crossJoin(exact)
-        .select(
-          col("k"),
-          col("kth_min"),
-          round((col("k") - 1).cast("double") * lit(TwoPow60) /
-            col("kth_min").cast("double"), 4).as("est_ndv"),
-          col("exact_ndv"),
-          round(abs((col("k") - 1).cast("double") * lit(TwoPow60) /
-            col("kth_min").cast("double") - col("exact_ndv").cast("double")) /
+        .withColumn("est_ndv",
+          round(when(col("k") < k, col("k").cast("double"))
+            .otherwise((col("k") - 1).cast("double") * lit(TwoPow60) /
+              col("kth_min").cast("double")), 4))
+        .select(col("k"), col("kth_min"), col("est_ndv"), col("exact_ndv"),
+          round(abs(col("est_ndv") - col("exact_ndv").cast("double")) /
             col("exact_ndv").cast("double"), 4).as("rel_err"))
     },
     Some("""WITH hs AS (
@@ -70,13 +70,15 @@ object Sketches {
         FROM lineitem),
       bottomk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
       agg AS (SELECT max(h) AS kth_min, count(*) AS k FROM bottomk),
-      ex AS (SELECT count(DISTINCT l_partkey) AS exact_ndv FROM lineitem)
-      SELECT k, kth_min,
-        round(CAST(k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE), 4) AS est_ndv,
-        exact_ndv,
-        round(abs(CAST(k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
-          - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE), 4) AS rel_err
-      FROM agg CROSS JOIN ex"""))
+      ex AS (SELECT count(DISTINCT l_partkey) AS exact_ndv FROM lineitem),
+      est AS (SELECT k, kth_min, exact_ndv,
+        round(CASE WHEN k < 256 THEN CAST(k AS DOUBLE)
+          ELSE CAST(k - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
+        END, 4) AS est_ndv
+        FROM agg CROSS JOIN ex)
+      SELECT k, kth_min, est_ndv, exact_ndv,
+        round(abs(est_ndv - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE), 4) AS rel_err
+      FROM est"""))
 
   // ---------------------------------------------------------------- q47
   /** Grouped NDV sketch: distinct suppliers per return flag, k=64 per group.
@@ -144,8 +146,9 @@ object Sketches {
       val merged = partial.select(col("h")).distinct().orderBy(col("h")).limit(k)
       merged.agg(max(col("h")).as("kth_min"), count(lit(1)).as("k"))
         .select(col("k"), col("kth_min"),
-          round((col("k") - 1).cast("double") * lit(TwoPow60) /
-            col("kth_min").cast("double"), 4).as("est_ndv"))
+          round(when(col("k") < k, col("k").cast("double"))
+            .otherwise((col("k") - 1).cast("double") * lit(TwoPow60) /
+              col("kth_min").cast("double")), 4).as("est_ndv"))
     },
     Some("""WITH li AS (
         SELECT o.o_orderpriority,
@@ -158,7 +161,9 @@ object Sketches {
       partial AS (SELECT o_orderpriority, h FROM ranked WHERE rk <= 256),
       merged AS (SELECT DISTINCT h FROM partial ORDER BY h LIMIT 256)
       SELECT count(*) AS k, max(h) AS kth_min,
-        round(CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(max(h) AS DOUBLE), 4) AS est_ndv
+        round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+          ELSE CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+        END, 4) AS est_ndv
       FROM merged"""))
 
   // ---------------------------------------------------------------- q49

@@ -89,15 +89,9 @@ object EventsStreaming {
     * state. Returns a local-backed DataFrame with the same schema. */
   private def drainSink(s: SparkSession, df: DataFrame, sinkTable: String,
       srcDir: java.nio.file.Path): DataFrame = {
-    val rows = df.collect()
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
+    val out = graft.functions.CrossEngine.materializeLocal(s, df)
     s.catalog.dropTempView(sinkTable)
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(srcDir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => }
+    graft.functions.CrossEngine.deleteRecursive(srcDir)
     out
   }
 
@@ -285,14 +279,13 @@ object EventsStreaming {
   /** REAL streaming SESSION-WINDOW run — the stateful merge-as-you-go
     * operator (session state grows and merges as events arrive, unlike
     * fixed windows): file source -> watermark -> session_window(30 min) ->
-    * update-mode memory sink, Trigger.AvailableNow. With the single-file
-    * source pinned to one micro-batch, update mode emits each session's
-    * final state exactly once, so the result must equal st03's batch
-    * gaps-and-islands oracle. (Append mode would withhold sessions newer
-    * than the final watermark, and update mode is rejected for session
-    * aggregations in this Spark build — complete mode is the
-    * deterministic choice under AvailableNow. Multi-batch merge semantics
-    * are MemoryStream territory — StreamingSpec.) */
+    * COMPLETE-mode memory sink, Trigger.AvailableNow; the sink then holds
+    * every session's final state and must equal st03's batch
+    * gaps-and-islands oracle. Complete mode is the only deterministic
+    * choice here: append would withhold sessions newer than the final
+    * watermark, and update mode is rejected for session aggregations in
+    * this Spark build. (Multi-batch merge semantics are MemoryStream
+    * territory — StreamingSpec.) */
   private val st08 = Q(
     "st08_stream_session",
     (s, dir) => {
