@@ -17,6 +17,7 @@ object Registry {
     operators.Relational.all ++
       operators.Sketches.all ++
       operators.Sinks.all ++
+      operators.Profile.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++

@@ -46,5 +46,36 @@ object Sinks {
       FROM lineitem WHERE l_returnflag IN ('A', 'R')
       GROUP BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(w01)
+  /** JSONL write → read → aggregate: the interchange format every data
+    * pipeline meets. The roundtrip must be lossless for the corpus schema
+    * (longs + strings; no floating point in `documents`), so aggregating
+    * the re-read frame must equal the direct oracle on the original table.
+    * Schema is pinned on the read side — schema inference over JSONL is a
+    * full extra pass at 100 TB and is exactly what a production reader
+    * avoids. */
+  private val w02 = Q(
+    "w02_jsonl_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w02_").toString
+      try {
+        val docs = Tables.documents(s, dir)
+        docs.write.mode("overwrite").json(out)
+        val back = s.read.schema(docs.schema).json(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+        graft.functions.CrossEngine.materializeLocal(s, back)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      sum(length(text)) AS sum_text_len,
+      min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents GROUP BY lang"""))
+
+  val all: Seq[Q] = Seq(w01, w02)
 }
