@@ -298,5 +298,93 @@ object Similarity {
         CAST(rn AS BIGINT) AS rn
       FROM ranked WHERE rn <= 10"""))
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
+  // ---------------------------------------------------------------- s06
+  /** PRODUCT-QUANTIZATION ANN, oracle-checked end to end — the third leg of
+    * the ANN triad (LSH buckets = s02/s04, IVF lists = s03/s05, PQ codes =
+    * here). 64-dim vectors split into M=4 subspaces of 16 dims; each
+    * subspace has a K=16-codeword codebook (deterministic: the subvectors
+    * of the 16 lowest vec_ids — the s05 fixed-quantizer pattern, so every
+    * stage is ANSI-expressible; production would Lloyd-refine the same
+    * codebooks). Encode = per-subspace argmin over the broadcast codebook
+    * (N×M×K distance rows, grouped min — the standard PQ encode dataflow);
+    * query phase builds the M×K lookup table once per query and scores
+    * candidates by ADC (asymmetric distance): the LUT join touches codes,
+    * never raw vectors. Storage story at scale: 64 floats -> 4 bytes/vec.
+    *
+    * Determinism: per-subspace distances round to 6dp before every argmin;
+    * the ADC total is an EXPLICIT fixed-order sum of the four per-subspace
+    * columns (a grouped float sum would have engine-dependent order);
+    * ranks tie-break on ids. */
+  private val s06 = Q(
+    "s06_ann_pq_oracle",
+    (s, dir) => {
+      val M = 4
+      val subDim = 16
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val subv = emb.select(col("vec_id"),
+          posexplode(expr(s"transform(sequence(0, ${M - 1}), m -> slice(embedding, m * $subDim + 1, $subDim))")))
+        .select(col("vec_id"), col("pos").as("m"), col("col").as("subvec"))
+      val codebook = broadcast(subv.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("c"), col("subvec").as("codeword")))
+      def d2(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, dd) => acc + dd)
+      // encode: argmin codeword per (vector, subspace)
+      val codes = subv.join(codebook, Seq("m"))
+        .select(col("vec_id"), col("m"), col("c"), round(d2(col("subvec"), col("codeword")), 6).as("dd"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dd"), col("c"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.c").as("code"))
+      // query LUT: distance from each query subvector to every codeword
+      val lut = broadcast(subv.filter(col("vec_id") < 3)
+        .join(codebook, Seq("m"))
+        .select(col("vec_id").as("query_id"), col("m"), col("c"),
+          round(d2(col("subvec"), col("codeword")), 6).as("dq")))
+      // ADC: look each candidate's 4 codes up in the query's LUT; the total
+      // is a fixed-order 4-term sum, never a float reduction
+      val dCols = (0 until M).map(i => max(when(codes("m") === i, col("dq"))).as(s"d$i"))
+      val adc = codes.join(lut, codes("m") === lut("m") && codes("code") === lut("c"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(dCols.head, dCols.tail: _*)
+        .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+        .filter(col("vec_id") =!= col("query_id"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+      adc.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("adc"), 6).as("adc"), col("rn"))
+    },
+    Some("""WITH subv AS (
+        SELECT vec_id, m, embedding[m * 16 + 1 : (m + 1) * 16] AS subvec
+        FROM embeddings, (SELECT unnest(range(0, 4)) AS m) ms),
+      codebook AS (
+        SELECT m, vec_id AS c, subvec AS codeword FROM subv WHERE vec_id < 16),
+      dists AS (
+        SELECT s.vec_id, s.m, cb.c,
+          round(list_sum(list_transform(list_zip(s.subvec, cb.codeword),
+            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS dd
+        FROM subv s JOIN codebook cb ON cb.m = s.m),
+      codes AS (
+        SELECT vec_id, m, best.c AS code FROM (
+          SELECT vec_id, m, min(struct_pack(dd := dd, c := c)) AS best
+          FROM dists GROUP BY vec_id, m) t),
+      lut AS (
+        SELECT vec_id AS query_id, m, c, dd AS dq FROM dists WHERE vec_id < 3),
+      adc AS (
+        SELECT l.query_id, k.vec_id,
+          max(CASE WHEN k.m = 0 THEN l.dq END)
+            + max(CASE WHEN k.m = 1 THEN l.dq END)
+            + max(CASE WHEN k.m = 2 THEN l.dq END)
+            + max(CASE WHEN k.m = 3 THEN l.dq END) AS adc
+        FROM codes k JOIN lut l ON l.m = k.m AND l.c = k.code
+        GROUP BY l.query_id, k.vec_id),
+      ranked AS (
+        SELECT query_id, vec_id AS neighbor_id, adc,
+          row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+        FROM adc WHERE vec_id <> query_id)
+      SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 10"""))
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
 }

@@ -457,6 +457,40 @@ class OperatorsSpec extends SparkSpec {
     assert(viaMin(203L) === 200L && viaMin(302L) === 300L && viaMin(401L) === 400L)
   }
 
+  test("s06 PQ: well-formed top-10 per query, ADC nondecreasing, beats random recall") {
+    import graft.functions.VectorExpressions
+    val rows = run("s06_ann_pq_oracle").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq === (1L to 10L))
+      val adcs = sorted.map(_.getAs[Double]("adc"))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+        "ADC must be nondecreasing down the ranking")
+    }
+    // recall vs exact L2 top-10: random would overlap ~0.6 of 30 slots;
+    // even the unrefined 16-codeword PQ should hit several
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = emb.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(embedding, q_emb,
+           (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+           0.0D, (acc, v) -> acc + v)"""))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((got & exact).size >= 4,
+      s"PQ recall collapsed: ${(got & exact).size}/30 overlap with exact top-10")
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
