@@ -9,11 +9,14 @@ import graft.sources.Tables
   * before trusting a new drop of data: per-column row/null/distinct counts
   * and min/max, emitted in long format (one row per column).
   *
-  * Scale shape: ONE aggregation pass computes every column's stats
-  * simultaneously (a single partial-agg + one exchange of a single row),
-  * then the wide row unpivots via `stack` — profiling never rescans the
-  * table per column. Min/max are emitted as strings so one schema covers
-  * every column type; profiled columns here avoid floating point (dtype
+  * Scale shape: one NARROW scan per column (parquet column pruning makes
+  * each scan a single column's IO) with a single count-distinct per
+  * branch. The tempting alternative — every column's stats in ONE wide
+  * aggregation — plans multiple count-distincts as an Expand that
+  * multiplies every row by the number of profiled columns and
+  * sort-aggregates the blow-up (measured 5–8 s vs <1 s at sf0.1 for four
+  * columns). Min/max are emitted as strings so one schema covers every
+  * column type; profiled columns here avoid floating point (dtype
   * formatting is engine-specific, everything else is exact). */
 object Profile {
 
@@ -22,20 +25,16 @@ object Profile {
     (s, dir) => {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
       val li = Tables.lineitem(s, dir)
-      val aggs = cols.flatMap { c =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__ndv"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-      }
-      val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      val stackExpr = cols.map(c =>
-        s"'$c', ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ")
-      wide.select(col("n_rows"), expr(
-        s"stack(${cols.length}, $stackExpr) AS (column_name, n_nulls, n_distinct, min_value, max_value)"))
-        .select(col("column_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_value"), col("max_value"))
+      cols.map { c =>
+          li.select(col(c))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"),
+              min(col(c)).cast("string").as("min_value"),
+              max(col(c)).cast("string").as("max_value"))
+            .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_value"), col("max_value"))
+        }.reduce(_.unionByName(_))
     },
     Some {
       val per = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate").map(c =>
