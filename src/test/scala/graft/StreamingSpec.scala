@@ -160,4 +160,43 @@ class StreamingSpec extends SparkSpec {
       assert(ids === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("session windows MERGE across micro-batches (the st08 semantics claim)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val sessions = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+    val q = sessions.writeStream.format("memory").queryName("sw_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // batch 1: two events 20 min apart -> one open session
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 1L, 1.0),
+        (ts("2024-01-01 09:20:00"), 1L, 2.0))
+      q.processAllAvailable()
+      // batch 2: 09:45 is within 30 min of 09:20 -> MERGES into the same
+      // session; 11:00 opens a new one
+      input.addData(
+        (ts("2024-01-01 09:45:00"), 1L, 4.0),
+        (ts("2024-01-01 11:00:00"), 1L, 8.0))
+      q.processAllAvailable()
+
+      val rows = sp.table("sw_sink")
+        .select(unix_timestamp(col("session_window.start")).as("start"),
+          col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getAs[Long]("start"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+        .sortBy(_._1)
+      assert(rows.length === 2, s"expected merged + new session, got ${rows.toSeq}")
+      assert(rows(0)._2 === 3L && rows(0)._3 === 7.0,
+        "batch-2 event inside the gap must merge into the batch-1 session")
+      assert(rows(1)._2 === 1L && rows(1)._3 === 8.0)
+    } finally q.stop()
+  }
 }
