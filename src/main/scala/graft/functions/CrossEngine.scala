@@ -30,11 +30,21 @@ object CrossEngine {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
-  /** Best-effort recursive delete of a scratch directory. */
+  /** Best-effort recursive delete of a scratch directory. The walk stream
+    * is closed explicitly (it holds a directory handle) and BOTH checked
+    * and unchecked IO failures are swallowed — Files.walk's iterator
+    * throws UncheckedIOException if an entry vanishes mid-walk, and a
+    * best-effort cleanup must never fail a query whose result is already
+    * computed. */
   def deleteRecursive(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    catch { case _: java.io.IOException => }
+    try {
+      val stream = java.nio.file.Files.walk(dir)
+      try stream.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally stream.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+    }
   }
 }

@@ -56,6 +56,27 @@ object EventsStreaming {
       SELECT w AS window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM shifted GROUP BY w"""))
 
+  /** Gaps-and-islands batch rewrite of 30-minute session windows — shared
+    * by st03 (batch) and st08 (real streaming run). The running session-id
+    * sum orders by (ts, event_id): ts alone leaves tied-timestamp rows in
+    * unspecified order, which could split a session the lag()'s tie-break
+    * kept together (latent — the corpus has no tied (user_id, ts) pairs —
+    * but the determinism contract should not depend on that). */
+  private val sessionOracleSql: String =
+    """WITH g AS (
+        SELECT user_id, ts, value, event_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+          THEN 1 ELSE 0 END AS is_new
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, value,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM sess GROUP BY user_id, sid"""
+
   /** Session windows with a 30-minute gap; oracle is the classic
     * gaps-and-islands rewrite (new session when gap >= 30 min, matching
     * Spark's exclusive session-end semantics). */
@@ -69,19 +90,7 @@ object EventsStreaming {
           unix_timestamp(col("session_window.start")).as("session_start"),
           col("n_events"), col("sum_value"))
     },
-    Some("""WITH g AS (
-        SELECT user_id, ts, value,
-          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
-          THEN 1 ELSE 0 END AS is_new
-        FROM events),
-      sess AS (
-        SELECT user_id, ts, value,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        FROM g)
-      SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-        count(*) AS n_events, round(sum(value), 4) AS sum_value
-      FROM sess GROUP BY user_id, sid"""))
+    Some(sessionOracleSql))
 
   /** Materialize a BOUNDED streaming result (memory sinks are driver-sized
     * already: windows x types / distinct users), then drop the sink view and
@@ -314,19 +323,7 @@ object EventsStreaming {
           col("n_events"), col("sum_value")),
         sinkTable, srcDir)
     },
-    Some("""WITH g AS (
-        SELECT user_id, ts, value,
-          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
-          THEN 1 ELSE 0 END AS is_new
-        FROM events),
-      sess AS (
-        SELECT user_id, ts, value,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        FROM g)
-      SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-        count(*) AS n_events, round(sum(value), 4) AS sum_value
-      FROM sess GROUP BY user_id, sid"""))
+    Some(sessionOracleSql))
 
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 }

@@ -17,6 +17,8 @@ object CCRehearsal {
     val nChains = if (args.length > 0) args(0).toLong else 100000L
     val chainLen = if (args.length > 1) args(1).toInt else 10
     val algo = if (args.length > 2) args(2) else "minprop"
+    require(algo == "minprop" || algo == "star",
+      s"unknown algo '$algo' (use minprop or star)")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

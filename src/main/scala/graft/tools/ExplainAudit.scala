@@ -25,8 +25,7 @@ object ExplainAudit {
       "q45_asof_maxby", "s04_knn_lsh_oracle", "t08_repetition", "t09_pii_redact",
       "q46_kmv_ndv", "q48_kmv_merge", "q49_sample_quantiles", "q50_cdc_compact",
       "t10_pack_sequences", "t11_chunk_windows", "m04_media_resize",
-      "s06_ann_pq_oracle", "p01_table_profile", "w02_jsonl_roundtrip",
-      "t12_filter_verdict")
+      "s06_ann_pq_oracle", "p01_table_profile", "t12_filter_verdict")
     targets.foreach { name =>
       println(s"\n================ $name ================")
       val plan = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -36,8 +36,12 @@ object SketchRehearsal {
     // xxhash64 is uniform over the full signed-long range: shift into
     // [0, 2^64) via the unsigned interpretation for the estimator
     val kthUnsigned = BigInt(bottomK.last.getLong(0)) - BigInt(Long.MinValue)
-    val est = (BigDecimal(k - 1) * BigDecimal(BigInt(1) << 64) /
-      BigDecimal(kthUnsigned)).toDouble
+    // below-k the bottom set IS the full distinct set -> exact (the
+    // q46-q48 gate contract)
+    val est =
+      if (bottomK.length < k) bottomK.length.toDouble
+      else (BigDecimal(k - 1) * BigDecimal(BigInt(1) << 64) /
+        BigDecimal(kthUnsigned)).toDouble
     val relErr = math.abs(est - ndv.toDouble) / ndv.toDouble
     println(f"rows=$nRows true_ndv=$ndv k=$k est=$est%.0f rel_err=$relErr%.4f secs=$secs%.1f")
     assert(relErr < 5.0 / math.sqrt(k.toDouble),
