@@ -502,7 +502,32 @@ object TextAnalysis {
           AND dup_bigram_frac <= 0.2 AND is_canonical AS keep
       FROM joined"""))
 
+  // ---------------------------------------------------------------- regex tokens
+  /** BPE-ish REGEX token counting — the second tokenizer the pipeline needs
+    * beside whitespace splitting (t01): a GPT-2-style pre-tokenizer pattern
+    * (letter runs, digit runs, single punctuation marks, each with optional
+    * leading space) restricted to syntax Java regex and RE2 evaluate
+    * identically. Emits both counts so the ratio exposes
+    * punctuation-heavy/odd-segmentation docs; row-local, no shuffle. */
+  private val tRegexTokens = Q(
+    "t13_regex_tokens",
+    (s, dir) => {
+      val pat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        expr(s"CAST(size(regexp_extract_all(text, '$pat', 0)) AS LONG)").as("n_bpe_tokens"),
+        round(expr(s"size(regexp_extract_all(text, '$pat', 0))").cast("double") /
+          size(toks), 4).as("bpe_per_ws"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+      round(CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS DOUBLE)
+        / len(string_split(text, ' ')), 4) AS bpe_per_ws
+      FROM documents"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
-      tRepetition, tPii, tPack, tChunk, tFilter)
+      tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens)
 }
