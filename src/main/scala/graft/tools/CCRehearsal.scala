@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * ~1M nodes, to measure per-round cost and convergence behavior of
   * hash-to-min label propagation well beyond the gate corpus.
   *
-  * Usage: runMain graft.tools.CCRehearsal [nChains] [chainLen] [algo]
+  * Usage: runMain graft.tools.CCRehearsal [nChains] [chainLen] [algo] [topo]
   * where algo is `minprop` (hash-to-min, default) or `star`
-  * (large-star/small-star).
+  * (large-star/small-star), and topo is `chains` (default) or `hub` —
+  * hub ignores chainLen and builds ONE star of nChains leaves around node
+  * 0: every edge shares the same dst key, the worst-case skew for the
+  * per-round label join (on a cluster AQE's skew-join splitting applies;
+  * locally it measures the single-hot-key ceiling).
   */
 object CCRehearsal {
   def main(args: Array[String]): Unit = {
@@ -19,6 +23,9 @@ object CCRehearsal {
     val algo = if (args.length > 2) args(2) else "minprop"
     require(algo == "minprop" || algo == "star",
       s"unknown algo '$algo' (use minprop or star)")
+    val topo = if (args.length > 3) args(3) else "chains"
+    require(topo == "chains" || topo == "hub",
+      s"unknown topo '$topo' (use chains or hub)")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -27,12 +34,18 @@ object CCRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
 
     // chains: node ids c*chainLen + i, edges (v, v+1) within each chain —
-    // diameter = chainLen-1, the worst case for min-propagation depth
-    val edges = spark.range(nChains * (chainLen - 1))
-      .select(
-        ((col("id") / (chainLen - 1)).cast("long") * chainLen +
-          col("id") % (chainLen - 1)).as("src"))
-      .withColumn("dst", col("src") + 1)
+    // diameter = chainLen-1, the worst case for min-propagation depth.
+    // hub: all edges (leaf, 0) — the worst case for join-key skew.
+    val edges =
+      if (topo == "hub")
+        spark.range(1, nChains + 1)
+          .select(col("id").as("src"), lit(0L).as("dst"))
+      else
+        spark.range(nChains * (chainLen - 1))
+          .select(
+            ((col("id") / (chainLen - 1)).cast("long") * chainLen +
+              col("id") % (chainLen - 1)).as("src"))
+          .withColumn("dst", col("src") + 1)
 
     val t0 = System.nanoTime()
     val labels =
@@ -41,9 +54,10 @@ object CCRehearsal {
     val nComponents = labels.select(col("label")).distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val nNodes = labels.count()
-    println(f"algo=$algo nodes=$nNodes components=$nComponents " +
-      f"expected=$nChains diameter=${chainLen - 1} secs=$secs%.1f")
-    assert(nComponents == nChains, s"expected $nChains components")
+    val expected = if (topo == "hub") 1L else nChains
+    println(f"algo=$algo topo=$topo nodes=$nNodes components=$nComponents " +
+      f"expected=$expected secs=$secs%.1f")
+    assert(nComponents == expected, s"expected $expected components")
     spark.stop()
   }
 }
