@@ -370,65 +370,62 @@ object Dedup {
     * xxhash64): it exercises every stage of the same dataflow under the
     * DuckDB gate, so it runs on a 1-in-5 corpus slice — planted originals
     * are doc_id % 10 == 0, so every planted pair survives the slice. */
-  private val d06 = Q(
-    "d06_minhash_oracle",
-    (s, dir) => {
-      val nPerm = 8
-      val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
-      val sets = shingleSets(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ONE md5 per shingle, split into two 60-bit integer lanes (15 hex
-      // chars each — BIGINT-safe), then the whole 8-permutation family is
-      // Kirsch-Mitzenmacher double hashing (ha + i·hb) mod 2^32: integer
-      // adds/mults in the min() aggregates instead of r2's two digests +
-      // eight string conv(substring) per shingle row (the engine's one
-      // perf-weak query, VERDICT r2 #4). ha + 7·hb <= 8·(2^60-1) < 2^63:
-      // no overflow in either engine. The digest lanes are PROJECTED once
-      // per shingle row: aggregate expressions get no common-subexpression
-      // elimination, so md5 inside each min() would run nPerm times per row.
-      val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), md5(col("shingle")).as("dig"))
-        .select(col("doc_id"),
-          conv(substring(col("dig"), 1, 15), 16, 10).cast("long").as("ha"),
-          conv(substring(col("dig"), 17, 15), 16, 10).cast("long").as("hb"))
-      val sigCols = (0 until nPerm).map { i =>
-        min((col("ha") + lit(i.toLong) * col("hb")) % lit(4294967296L)).as(s"h$i")
-      }
-      // persisted: the banded self-join consumes sigs twice
-      val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // band key: md5 of the band's two signature values
-      val bandCols = (0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bucket")))
-      val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      val a = banded.alias("a")
-      val b = banded.alias("b")
-      val cand = a.join(b, col("a.band") === col("b.band")
-          && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-    },
-    Some {
-      val hs = (0 until 8).map(i =>
-        s"min((ha + $i * hb) % 4294967296) AS h$i")
-        .mkString(",\n           ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS bucket FROM sigs")
-        .mkString("\n         UNION ALL ")
-      s"""WITH sets AS (
+  /** Shared Kirsch-Mitzenmacher MinHash machinery (Spark side), used by d06
+    * (corpus self-join twin) and d10 (incremental new-vs-corpus): ONE md5
+    * per shingle split into two 60-bit integer lanes (15 hex chars each —
+    * BIGINT-safe), then the whole 8-permutation family is double hashing
+    * (ha + i·hb) mod 2^32 — integer adds/mults in the min() aggregates
+    * instead of a digest per permutation. ha + 7·hb <= 8·(2^60-1) < 2^63:
+    * no overflow in either engine. The digest lanes are PROJECTED once per
+    * shingle row: aggregate expressions get no common-subexpression
+    * elimination, so md5 inside each min() would run nPerm times per row.
+    * Band key = md5 of the band's two signature values. Returns banded
+    * (doc_id, band, bucket) rows. */
+  private def kmBands(sets: DataFrame, nPerm: Int = 8): DataFrame = {
+    val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("dig"))
+      .select(col("doc_id"),
+        conv(substring(col("dig"), 1, 15), 16, 10).cast("long").as("ha"),
+        conv(substring(col("dig"), 17, 15), 16, 10).cast("long").as("hb"))
+    val sigCols = (0 until nPerm).map { i =>
+      min((col("ha") + lit(i.toLong) * col("hb")) % lit(4294967296L)).as(s"h$i")
+    }
+    val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until nPerm / 2).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bucket")))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the shingle-set table; keeps pairs at or above `threshold`. */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** DuckDB mirror of the shared KM pipeline: WITH-clause prefix defining
+    * sets/shingles/sigs/banded over `docsSql`, plus the verification tail
+    * fragments — both oracles compose from this single template so the two
+    * engines' pipelines can't drift apart. */
+  private def kmSqlPrefix(docsSql: String): String = {
+    val hs = (0 until 8).map(i =>
+      s"min((ha + $i * hb) % 4294967296) AS h$i")
+      .mkString(",\n           ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS bucket FROM sigs")
+      .mkString("\n         UNION ALL ")
+    s"""WITH sets AS (
          SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-         FROM (SELECT * FROM ($sqlPlanted) p WHERE doc_id % 5 = 0) docs),
+         FROM ($docsSql) docs),
         shingles AS (SELECT doc_id,
            CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS ha,
            CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS hb
@@ -436,17 +433,85 @@ object Dedup {
         sigs AS (SELECT doc_id,
            $hs
          FROM shingles GROUP BY doc_id),
-        banded AS ($bands),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-      SELECT c.doc_a, c.doc_b,
+        banded AS ($bands)"""
+  }
+
+  private val kmSqlVerifyTail: String =
+    """SELECT c.doc_a, c.doc_b,
         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
       FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a JOIN sets sb ON sb.doc_id = c.doc_b
       WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5"""
+
+  private val d06 = Q(
+    "d06_minhash_oracle",
+    (s, dir) => {
+      val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
+      val sets = shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = kmBands(sets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val cand = a.join(b, col("a.band") === col("b.band")
+          && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      jaccardVerify(cand, sets)
+    },
+    Some {
+      s"""${kmSqlPrefix(s"SELECT * FROM ($sqlPlanted) p WHERE doc_id % 5 = 0")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      $kmSqlVerifyTail"""
+    })
+
+  // ---------------------------------------------------------------- d10
+  /** INCREMENTAL near-dup — the operational mode a production dedup runs
+    * daily: a NEW batch of documents is checked against the EXISTING
+    * corpus without ever re-pairing the corpus with itself. Candidate
+    * generation is the ASYMMETRIC band join (new signatures vs corpus
+    * signatures); the corpus side's signatures are exactly what a real
+    * deployment would have persisted from previous runs, so each
+    * incremental run costs O(|new| + matched buckets), not O(|corpus|²).
+    * Harness: the new batch is the planted truncations (ids + 1e7); the
+    * corpus is the 1-in-5 base slice. */
+  private val d10 = Q(
+    "d10_incremental_neardup",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 5 === 0)
+      val newBatch = base
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(toks, lit(1), greatest((size(toks) * 0.9).cast("int"), lit(1))), " ").as("text"))
+      val sets = shingleSets(base.unionByName(newBatch))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = kmBands(sets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusSide = banded.filter(col("doc_id") < 10000000L).alias("a")
+      val newSide = banded.filter(col("doc_id") >= 10000000L).alias("b")
+      val cand = corpusSide.join(newSide,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      jaccardVerify(cand, sets)
+    },
+    Some {
+      val docsSql =
+        """SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 10000000,
+             array_to_string(string_split(text, ' ')[1:greatest(CAST(floor(len(string_split(text, ' ')) * 0.9) AS INT), 1)], ' ')
+           FROM documents WHERE doc_id % 10 = 0"""
+      s"""${kmSqlPrefix(docsSql)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < 10000000 AND b.doc_id >= 10000000)
+      $kmSqlVerifyTail"""
     })
 
   // ---------------------------------------------------------------- d07
@@ -610,5 +675,5 @@ object Dedup {
         l.node = l.cluster_id AS is_canonical
       FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id"""))
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

@@ -491,6 +491,19 @@ class OperatorsSpec extends SparkSpec {
       s"PQ recall collapsed: ${(got & exact).size}/30 overlap with exact top-10")
   }
 
+  test("d10 incremental near-dup: every planted new doc pairs with its original only") {
+    val rows = run("d10_incremental_neardup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("doc_a")
+      val b = r.getAs[Long]("doc_b")
+      assert(a < 10000000L && b >= 10000000L,
+        "incremental candidates must be corpus-vs-new, never corpus-vs-corpus")
+      assert(b - 10000000L === a, s"new doc $b should match its origin, got $a")
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
