@@ -491,16 +491,20 @@ class OperatorsSpec extends SparkSpec {
       s"PQ recall collapsed: ${(got & exact).size}/30 overlap with exact top-10")
   }
 
-  test("d10 incremental near-dup: every planted new doc pairs with its original only") {
+  test("d10 incremental near-dup: asymmetric pairs only, every origin recovered") {
     val rows = run("d10_incremental_neardup").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val a = r.getAs[Long]("doc_a")
-      val b = r.getAs[Long]("doc_b")
-      assert(a < 10000000L && b >= 10000000L,
+      assert(r.getAs[Long]("doc_a") < 10000000L && r.getAs[Long]("doc_b") >= 10000000L,
         "incremental candidates must be corpus-vs-new, never corpus-vs-corpus")
-      assert(b - 10000000L === a, s"new doc $b should match its origin, got $a")
       assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+    // every planted new doc must recover its origin among its matches
+    // (it may legitimately also match other organically-similar docs)
+    val byNew = rows.groupBy(_.getAs[Long]("doc_b"))
+    byNew.foreach { case (newId, matches) =>
+      assert(matches.exists(_.getAs[Long]("doc_a") === newId - 10000000L),
+        s"new doc $newId failed to recover its origin")
     }
   }
 
