@@ -16,9 +16,10 @@ import graft.sources.Tables
   * self-equi-join on band buckets — the classic shuffle-join-on-bucket plan
   * that stays linear in corpus size for bounded bucket width.
   *
-  * The synthetic corpus has no organic near-duplicates, so the near-dup
-  * queries plant deterministic ones (a truncated copy of every 10th doc)
-  * inside the query itself — the pipeline then must find exactly those.
+  * The synthetic corpus has almost no organic near-duplicates (a handful
+  * exist at sf0.001), so the near-dup queries plant deterministic ones
+  * (a truncated copy of every 10th doc) inside the query itself — the
+  * pipeline must find at least exactly those.
   */
 object Dedup {
 
