@@ -382,7 +382,8 @@ object Dedup {
     * elimination, so md5 inside each min() would run nPerm times per row.
     * Band key = md5 of the band's two signature values. Returns banded
     * (doc_id, band, bucket) rows. */
-  private def kmBands(sets: DataFrame, nPerm: Int = 8): DataFrame = {
+  private def kmBands(sets: DataFrame): DataFrame = {
+    val nPerm = 8 // fixed: kmSqlPrefix mirrors exactly this family
     val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), md5(col("shingle")).as("dig"))
       .select(col("doc_id"),
@@ -401,14 +402,15 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the shingle-set table; keeps pairs at or above `threshold`. */
-  private def jaccardVerify(cand: DataFrame, sets: DataFrame): DataFrame =
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+      threshold: Double = 0.5): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** DuckDB mirror of the shared KM pipeline: WITH-clause prefix defining
@@ -482,13 +484,17 @@ object Dedup {
   private val d10 = Q(
     "d10_incremental_neardup",
     (s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .filter(col("doc_id") % 5 === 0)
-      val newBatch = base
-        .filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          array_join(slice(toks, lit(1), greatest((size(toks) * 0.9).cast("int"), lit(1))), " ").as("text"))
-      val sets = shingleSets(base.unionByName(newBatch))
+      // EXACTLY d06's dataset (one source of truth for the planting
+      // scheme): base 1-in-5 slice = corpus, planted truncations (+1e7) =
+      // the new batch. The id-space split the asymmetric join relies on is
+      // guarded: a corpus whose ids reached 1e7 would silently classify
+      // real docs as "new" and collide with planted ids.
+      val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
+      val maxBaseId = Tables.documents(s, dir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      require(maxBaseId < 10000000L,
+        s"d10 id-space split needs corpus doc_ids < 1e7; max is $maxBaseId")
+      val sets = shingleSets(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = kmBands(sets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -500,13 +506,7 @@ object Dedup {
       jaccardVerify(cand, sets)
     },
     Some {
-      val docsSql =
-        """SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-           UNION ALL
-           SELECT doc_id + 10000000,
-             array_to_string(string_split(text, ' ')[1:greatest(CAST(floor(len(string_split(text, ' ')) * 0.9) AS INT), 1)], ' ')
-           FROM documents WHERE doc_id % 10 = 0"""
-      s"""${kmSqlPrefix(docsSql)},
+      s"""${kmSqlPrefix(s"SELECT * FROM ($sqlPlanted) p WHERE doc_id % 5 = 0")},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM banded a JOIN banded b

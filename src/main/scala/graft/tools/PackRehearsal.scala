@@ -60,7 +60,7 @@ object PackRehearsal {
     val last = check.getStruct(2)
     val lastEnd = last.getLong(1) * budget + last.getLong(2) + last.getLong(3)
     println(f"docs=${check.getLong(0)} total_tokens=${check.getLong(1)} " +
-      f"last_end=$lastEnd n_sequences=${last.getLong(1) + 1} secs=$secs%.1f")
+      f"last_end=$lastEnd n_sequences=${(lastEnd + budget - 1) / budget} secs=$secs%.1f")
     assert(check.getLong(0) == nDocs)
     assert(lastEnd == check.getLong(1),
       "telescoping identity broken: a partition offset or ordering is wrong")

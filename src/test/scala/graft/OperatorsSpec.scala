@@ -499,12 +499,18 @@ class OperatorsSpec extends SparkSpec {
         "incremental candidates must be corpus-vs-new, never corpus-vs-corpus")
       assert(r.getAs[Double]("jaccard") >= 0.5)
     }
-    // every planted new doc must recover its origin among its matches
-    // (it may legitimately also match other organically-similar docs)
+    // EVERY planted new doc must appear and recover its origin among its
+    // matches (grouping only returned rows would let dropped docs pass)
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id")).collect()
+      .map(_.getLong(0) + 10000000L).toSet
     val byNew = rows.groupBy(_.getAs[Long]("doc_b"))
+    assert(expected.subsetOf(byNew.keySet),
+      s"planted docs missing from output: ${(expected -- byNew.keySet).take(5)}")
     byNew.foreach { case (newId, matches) =>
-      assert(matches.exists(_.getAs[Long]("doc_a") === newId - 10000000L),
-        s"new doc $newId failed to recover its origin")
+      if (expected(newId))
+        assert(matches.exists(_.getAs[Long]("doc_a") === newId - 10000000L),
+          s"new doc $newId failed to recover its origin")
     }
   }
 
