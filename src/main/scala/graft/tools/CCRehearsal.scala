@@ -51,6 +51,18 @@ object CCRehearsal {
     val labels =
       if (algo == "star") graft.operators.Dedup.connectedComponentsStar(edges)
       else graft.operators.Dedup.connectedComponents(edges, maxIters = 40)
+    if (algo == "star" && (topo == "hub" || chainLen <= 40)) {
+      // label-level cross-check against hash-to-min (not just component
+      // counts): zero disagreeing rows proves both algorithms assign the
+      // identical component-min label to every node. Skipped for chains
+      // deeper than hash-to-min's 40-round budget (it would throw — that
+      // depth is exactly why the star variant exists).
+      val other = graft.operators.Dedup.connectedComponents(edges, maxIters = 40)
+      val disagree = labels.alias("a")
+        .join(other.alias("b"), col("a.node") === col("b.node"))
+        .filter(col("a.label") =!= col("b.label")).count()
+      assert(disagree == 0L, s"$disagree nodes labeled differently across algorithms")
+    }
     val nComponents = labels.select(col("label")).distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     val nNodes = labels.count()
