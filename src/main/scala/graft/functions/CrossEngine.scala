@@ -22,6 +22,17 @@ object CrossEngine {
     conv(substring(md5(keyed), 1, 15), 16, 10).cast("long")
   }
 
+  /** Lazy id-space guard for planted-duplicate harnesses: passes `id`
+    * through untouched below `limit` and raises a descriptive error inside
+    * the same scan otherwise — no extra job, no extra table scan, but a
+    * corpus whose ids collide with the planted id range fails LOUDLY
+    * instead of silently pairing real docs with planted ones. */
+  def guardedId(id: Column, limit: Long, site: String): Column =
+    when(id < limit, id)
+      .otherwise(raise_error(concat(lit(
+        s"$site: planted-id space needs source ids < $limit; got "), id.cast("string")))
+        .cast("long"))
+
   /** Materialize a bounded DataFrame into a local-backed one with the same
     * schema, so later writes can't depend on scratch inputs that are about
     * to be deleted (memory sinks, temp write dirs). */

@@ -50,8 +50,13 @@ object Dedup {
     // per-round join buys nothing — the localCheckpoint boundary erases
     // outputPartitioning from the planner's view, so the join re-exchanges
     // regardless and the upfront shuffle is pure overhead)
+    // self-loops carry no connectivity and are dropped — BOTH variants
+    // treat a self-loop-only node as absent (like any isolated node), so
+    // the algorithms stay output-identical and interchangeable
     val und = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))
+        .filter(col("src") =!= col("dst")))
       .persist(lvl)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -79,11 +84,14 @@ object Dedup {
       prevSum = s
       iters += 1
     }
-    if (!converged)
+    if (!converged) {
+      und.unpersist(false)
+      labels.unpersist(false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           "(component diameter exceeds the budget); use connectedComponentsStar " +
           "for deep graphs or raise maxIters")
+    }
     und.unpersist(false)
     labels
   }
@@ -152,18 +160,25 @@ object Dedup {
       prevSig = s
       iters += 1
     }
-    if (!converged)
+    if (!converged) {
+      e.unpersist(false)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIters rounds; raise maxIters")
+    }
     // star edges point node -> component min; roots label themselves
     e.select(col("src").as("node"), col("dst").as("label"))
       .unionByName(e.select(col("dst").as("node"), col("dst").as("label")))
       .distinct()
   }
 
-  /** documents ∪ truncated copies of every 10th doc (ids shifted by 10^7). */
+  /** documents ∪ truncated copies of every 10th doc (ids shifted by 10^7).
+    * Source ids are guarded below 1e7 inside the scan (see
+    * CrossEngine.guardedId) — id collisions with the planted range would
+    * otherwise produce silently-wrong pairs on BOTH engines. */
   private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = Tables.documents(s, dir).select(
+      graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "withPlantedDups").as("doc_id"),
+      col("text"))
     val planted = base
       .filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
@@ -487,13 +502,10 @@ object Dedup {
       // EXACTLY d06's dataset (one source of truth for the planting
       // scheme): base 1-in-5 slice = corpus, planted truncations (+1e7) =
       // the new batch. The id-space split the asymmetric join relies on is
-      // guarded: a corpus whose ids reached 1e7 would silently classify
-      // real docs as "new" and collide with planted ids.
+      // guarded lazily inside withPlantedDups' scan (guardedId) — a corpus
+      // whose ids reached 1e7 would otherwise silently classify real docs
+      // as "new" and collide with planted ids.
       val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
-      val maxBaseId = Tables.documents(s, dir)
-        .agg(max(col("doc_id"))).head().getLong(0)
-      require(maxBaseId < 10000000L,
-        s"d10 id-space split needs corpus doc_ids < 1e7; max is $maxBaseId")
       val sets = shingleSets(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = kmBands(sets)
@@ -608,7 +620,9 @@ object Dedup {
   private val d09 = Q(
     "d09_dup_clusters",
     (s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = Tables.documents(s, dir).select(
+          graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "d09").as("doc_id"),
+          col("text"))
         .filter(col("doc_id") % 10 === 0)
       // generation lengths computed from the BASE token count so Spark and
       // DuckDB truncate identically (int cast = floor for positive values)

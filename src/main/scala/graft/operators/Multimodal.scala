@@ -151,19 +151,26 @@ object Multimodal {
     * deployment). Downsamples and upsamples with the same formula, so
     * payloads shorter than the target are handled too. The resample is
     * deterministic byte indexing -> the full path is oracle-checkable
-    * (ASCII corpus: byte == char, pinned by m03). Empty payloads are
-    * filtered on BOTH sides — there is nothing to resample and the inner
-    * indexing would fault (the corpus has none; the guard is contract). */
+    * (ASCII corpus: byte == char, pinned by m03). Empty and non-ASCII
+    * payloads are filtered on BOTH sides: empties have nothing to resample
+    * (the inner indexing would fault), and non-ASCII rows would diverge
+    * between the engines — Spark resamples BYTES while the SQL oracle
+    * picks CHARACTERS, which only agree when bytes == chars. The corpus
+    * has neither; the symmetric filters make that contract enforced
+    * rather than assumed. */
   private val m04 = Q(
     "m04_media_resize",
     (s, dir) => {
       import s.implicits._
       val target = 32
       val media = Tables.documents(s, dir)
+        // ASCII guard: byte length == char length; non-ASCII or empty rows
+        // are excluded symmetrically with the oracle (see scaladoc)
+        .filter(length(encode(col("text"), "UTF-8")) === length(col("text"))
+          && length(col("text")) > 0)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
           lit("application/octet-stream").as("mime"))
         .withColumn("n_bytes", length(col("payload")).cast("long"))
-        .filter(col("n_bytes") > 0)
         .as[MediaRow]
       media.mapPartitions { rows =>
         rows.map { r =>
@@ -187,7 +194,8 @@ object Multimodal {
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           list_transform(range(0, 32),
             i -> substring(text, CAST((i * octet_length(encode(text))) // 32 AS INTEGER) + 1, 1)) AS picked
-        FROM documents WHERE octet_length(encode(text)) > 0)
+        FROM documents
+        WHERE octet_length(encode(text)) = length(text) AND length(text) > 0)
       SELECT doc_id, n_bytes, CAST(32 AS BIGINT) AS target,
         to_base64(encode(array_to_string(picked, ''))) AS resized_b64,
         CAST(list_sum(list_transform(picked, c -> ord(c))) AS BIGINT) AS byte_sum

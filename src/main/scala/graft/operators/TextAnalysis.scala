@@ -335,48 +335,60 @@ object TextAnalysis {
     * unique sort key yields the same global running sum, so the plan
     * scales to however many partitions the corpus needs (this is the
     * classic two-pass scan/add prefix-sum over partition ranges). */
+  /** The distributed prefix-sum packer itself, shared by t10 and
+    * `graft.tools.PackRehearsal` (one implementation, measured at 100M
+    * docs): input is any (doc_id, n_tokens) frame; output adds
+    * (seq_id, seq_offset) under the token budget.
+    *
+    * pid is BAKED INTO the cached rows — spark_partition_id() evaluates
+    * while the cache is built, before any later coalesce can remap task
+    * partition ids (a downstream coalesce(1) runs every cached partition
+    * inside task 0, so TaskContext.getPartitionId() is NOT a reliable
+    * partition key here). */
+  def packSequences(counted0: DataFrame, budget: Long): DataFrame = {
+    val s = counted0.sparkSession
+    import s.implicits._
+    val counted = counted0
+      .select(col("doc_id"), col("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .as[(Long, Long, Int)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition totals (#partitions rows — driver-bounded),
+    // prefix-summed on the driver
+    val partTotals = counted.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect()
+      .map(r => (r.getAs[Int]("pid"), r.getAs[Long]("tot")))
+      .sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partTotals.map { case (pid, tot) =>
+        val off = acc; acc += tot; pid -> off
+      }.toMap
+    }
+    // pass 2: one narrow sweep with a running sum, re-seeded from the
+    // broadcast offset table whenever the row's source partition changes
+    counted.mapPartitions { it =>
+      var curPid = -1
+      var cum = 0L
+      it.map { case (docId, n, pid) =>
+        if (pid != curPid) { curPid = pid; cum = offsets(pid) }
+        val start = cum
+        cum += n
+        (docId, n, start / budget, start % budget)
+      }
+    }.toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
+  }
+
   private val tPack = Q(
     "t10_pack_sequences",
     (s, dir) => {
-      import s.implicits._
-      val budget = 2048L
-      // pid is BAKED INTO the cached rows (spark_partition_id() evaluates
-      // while the cache is built, before any later coalesce can remap task
-      // partition ids — a downstream coalesce(1) runs every cached
-      // partition inside task 0, so TaskContext.getPartitionId() is NOT a
-      // reliable partition key here)
-      val counted = Tables.documents(s, dir)
-        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
-        .repartitionByRange(col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .as[(Long, Long, Int)]
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // pass 1: per-partition totals (#partitions rows — driver-bounded),
-      // prefix-summed on the driver
-      val partTotals = counted.groupBy(col("pid"))
-        .agg(sum(col("n_tokens")).as("tot"))
-        .collect()
-        .map(r => (r.getAs[Int]("pid"), r.getAs[Long]("tot")))
-        .sortBy(_._1)
-      val offsets: Map[Int, Long] = {
-        var acc = 0L
-        partTotals.map { case (pid, tot) =>
-          val off = acc; acc += tot; pid -> off
-        }.toMap
-      }
-      // pass 2: one narrow sweep with a running sum, re-seeded from the
-      // broadcast offset table whenever the row's source partition changes
-      counted.mapPartitions { it =>
-        var curPid = -1
-        var cum = 0L
-        it.map { case (docId, n, pid) =>
-          if (pid != curPid) { curPid = pid; cum = offsets(pid) }
-          val start = cum
-          cum += n
-          (docId, n, start / budget, start % budget)
-        }
-      }.toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
+      packSequences(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens")),
+        budget = 2048L)
     },
     Some("""WITH c AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -439,7 +451,9 @@ object TextAnalysis {
   private val tFilter = Q(
     "t12_filter_verdict",
     (s, dir) => {
-      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = Tables.documents(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 30000000L, "t12").as("doc_id"),
+        col("text"))
       val docs = base.unionByName(
           base.filter(col("doc_id") % 13 === 0)
             .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))

@@ -26,11 +26,7 @@ object CCRehearsal {
     val topo = if (args.length > 3) args(3) else "chains"
     require(topo == "chains" || topo == "hub",
       s"unknown topo '$topo' (use chains or hub)")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
 
     // chains: node ids c*chainLen + i, edges (v, v+1) within each chain —

@@ -18,11 +18,7 @@ object SketchRehearsal {
     val nRows = if (args.length > 0) args(0).toLong else 100000000L
     val ndv = if (args.length > 1) args(1).toLong else 10000000L
     val k = if (args.length > 2) args(2).toInt else 1024
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
 
     val t0 = System.nanoTime()
