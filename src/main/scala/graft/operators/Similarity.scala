@@ -386,5 +386,70 @@ object Similarity {
       SELECT query_id, neighbor_id, round(adc, 6) AS adc, CAST(rn AS BIGINT) AS rn
       FROM ranked WHERE rn <= 10"""))
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  // ---------------------------------------------------------------- s07
+  /** CONTRASTIVE PAIR CONSTRUCTION — the step that turns an embedding
+    * corpus into training pairs for a retriever/encoder: per query, the
+    * top-3 exact-cosine neighbors become positives and 5 deterministic
+    * hash-sampled non-neighbors become negatives ("random negatives" drawn
+    * reproducibly: candidates rank by an md5 hash of the (query, candidate)
+    * pair, so the sample is uniform, engine-shared, and stable across
+    * runs — no RNG state to ship). Both legs are oracle-checked. */
+  private val s07 = Q(
+    "s07_contrastive_pairs",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = broadcast(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      val scored = emb.crossJoin(q)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("pos_rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine_raw").desc, col("vec_id"))))
+      val pos = scored.filter(col("pos_rk") <= 3)
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          lit("pos").as("label"), col("pos_rk").cast("long").as("rnk"),
+          round(col("cosine_raw"), 6).as("cosine"))
+      val neg = scored.filter(col("pos_rk") > 3)
+        .withColumn("nh", graft.functions.CrossEngine.md5Hash60(
+          concat_ws("-", col("query_id"), col("vec_id"))))
+        .withColumn("neg_rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("nh"), col("vec_id"))))
+        .filter(col("neg_rk") <= 5)
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          lit("neg").as("label"), col("neg_rk").cast("long").as("rnk"),
+          round(col("cosine_raw"), 6).as("cosine"))
+      pos.unionByName(neg)
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cosine_raw,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS pos_rk
+        FROM scored),
+      pos AS (
+        SELECT query_id, vec_id AS cand_id, 'pos' AS label,
+          CAST(pos_rk AS BIGINT) AS rnk, round(cosine_raw, 6) AS cosine
+        FROM ranked WHERE pos_rk <= 3),
+      neg AS (
+        SELECT query_id, cand_id, label, CAST(neg_rk AS BIGINT) AS rnk, cosine FROM (
+          SELECT query_id, vec_id AS cand_id, 'neg' AS label, cosine_raw,
+            round(cosine_raw, 6) AS cosine,
+            row_number() OVER (PARTITION BY query_id ORDER BY
+              CAST(concat('0x', substring(md5(CAST(query_id AS VARCHAR) || '-' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS neg_rk
+          FROM ranked WHERE pos_rk > 3) t
+        WHERE neg_rk <= 5)
+      SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
+
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

@@ -541,7 +541,47 @@ object TextAnalysis {
         / len(string_split(text, ' ')), 4) AS bpe_per_ws
       FROM documents"""))
 
+  // ---------------------------------------------------------------- mixing
+  /** DATASET MIXING — the per-source sampling step that turns a cleaned
+    * corpus into a training mix with chosen proportions (e.g. upweight
+    * curated sources, cap web crawl). Deterministic stratified sampling:
+    * within each source, docs rank by an md5 hash (uniform, engine-shared)
+    * and the top floor(frac * source_count) survive — reproducible across
+    * runs AND engines, no RNG state. The rank window runs per source
+    * (bounded partitions), source counts broadcast back. Fractions here:
+    * even sources get 60%, odd get 20% — the two-tier mix shape. */
+  private val tSourceMix = Q(
+    "t14_source_mix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.CrossEngine.md5Hash60(col("doc_id")).as("h"))
+      val frac = when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
+        lit(0.6)).otherwise(lit(0.2))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      docs.join(broadcast(counts), Seq("source"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("target", floor(frac * col("n_src")).cast("long"))
+        .filter(col("rk") <= col("target"))
+        .select(col("doc_id"), col("source"), col("rk"), col("target").as("n_kept_target"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, source,
+          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents),
+      counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+      ranked AS (
+        SELECT d.doc_id, d.source, c.n_src,
+          row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rk,
+          CAST(floor(CASE WHEN CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS INT) % 2 = 0
+            THEN 0.6 ELSE 0.2 END * c.n_src) AS BIGINT) AS target
+        FROM docs d JOIN counts c ON c.source = d.source)
+      SELECT doc_id, source, rk, target AS n_kept_target
+      FROM ranked WHERE rk <= target"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
-      tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens)
+      tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix)
 }

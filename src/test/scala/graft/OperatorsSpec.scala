@@ -514,6 +514,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t14 source mix: per-source keep counts hit the tier fractions exactly") {
+    val rows = run("t14_source_mix").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    val srcCounts = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    bySource.foreach { case (src, kept) =>
+      val frac = if (src.replaceAll("[^0-9]", "").toInt % 2 == 0) 0.6 else 0.2
+      assert(kept.length === math.floor(frac * srcCounts(src)).toLong,
+        s"$src kept ${kept.length} of ${srcCounts(src)}")
+    }
+  }
+
+  test("s07 contrastive pairs: 3 positives + 5 negatives per query, disjoint, positives stronger") {
+    val rows = run("s07_contrastive_pairs").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.foreach { case (_, g) =>
+      val pos = g.filter(_.getAs[String]("label") == "pos")
+      val neg = g.filter(_.getAs[String]("label") == "neg")
+      assert(pos.length === 3 && neg.length === 5)
+      val posIds = pos.map(_.getAs[Long]("cand_id")).toSet
+      val negIds = neg.map(_.getAs[Long]("cand_id")).toSet
+      assert((posIds & negIds).isEmpty, "a negative must never be a positive")
+      // the WEAKEST positive still beats the STRONGEST sampled negative:
+      // negatives are uniform draws, positives are the top-3
+      assert(pos.map(_.getAs[Double]("cosine")).min >
+        neg.map(_.getAs[Double]("cosine")).max)
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     assert(row.getAs[Long]("n_cells") > 0)
