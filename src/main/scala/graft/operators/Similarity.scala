@@ -25,22 +25,31 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotF(a, b)
 
+  /** Exact cosine scoring + ranking of the whole corpus against the
+    * vec_id < 3 query set — the block s01 (top-k baseline) and s07
+    * (contrastive pair construction) both build on: broadcast query side,
+    * one corpus pass, rank by (cosine desc, id). */
+  private def cosineRanked(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_raw").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+        (l2(col("embedding")) * l2(col("q_emb"))))
+      .withColumn("pos_rk", row_number().over(w))
+  }
+
   // ---------------------------------------------------------------- s01
   /** Brute-force cosine top-10 for 3 query vectors — the exactness baseline
     * the approximate variants are judged against. Oracle-checked. */
   private val s01 = Q(
     "s01_knn_bruteforce",
     (s, dir) => {
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      cosineRanked(s, dir)
+        .withColumn("rn", col("pos_rk").cast("long"))
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("cosine_raw"), 6).as("cosine"), col("rn"))
@@ -397,16 +406,7 @@ object Similarity {
   private val s07 = Q(
     "s07_contrastive_pairs",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val q = broadcast(emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-      val scored = emb.crossJoin(q)
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("pos_rk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cosine_raw").desc, col("vec_id"))))
+      val scored = cosineRanked(s, dir)
       val pos = scored.filter(col("pos_rk") <= 3)
         .select(col("query_id"), col("vec_id").as("cand_id"),
           lit("pos").as("label"), col("pos_rk").cast("long").as("rnk"),

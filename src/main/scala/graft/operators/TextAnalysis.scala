@@ -557,12 +557,17 @@ object TextAnalysis {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           graft.functions.CrossEngine.md5Hash60(col("doc_id")).as("h"))
+      // trailing-digit parse; a source with no trailing digits falls to
+      // the low tier on BOTH engines (TRY_CAST mirrors Spark's null cast)
       val frac = when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
         lit(0.6)).otherwise(lit(0.2))
-      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-      docs.join(broadcast(counts), Seq("source"))
-        .withColumn("rk", row_number().over(w))
+      // n_src shares the rk window's per-source partitioning — one scan,
+      // no separate groupBy + broadcast join
+      val wSrc = Window.partitionBy(col("source"))
+      val w = wSrc.orderBy(col("h"), col("doc_id"))
+      docs
+        .withColumn("n_src", count(lit(1)).over(wSrc))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .withColumn("target", floor(frac * col("n_src")).cast("long"))
         .filter(col("rk") <= col("target"))
         .select(col("doc_id"), col("source"), col("rk"), col("target").as("n_kept_target"))
@@ -571,15 +576,18 @@ object TextAnalysis {
         SELECT doc_id, source,
           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         FROM documents),
-      counts AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
       ranked AS (
-        SELECT d.doc_id, d.source, c.n_src,
-          row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rk,
-          CAST(floor(CASE WHEN CAST(regexp_extract(d.source, '([0-9]+)$', 1) AS INT) % 2 = 0
-            THEN 0.6 ELSE 0.2 END * c.n_src) AS BIGINT) AS target
-        FROM docs d JOIN counts c ON c.source = d.source)
+        SELECT doc_id, source,
+          count(*) OVER (PARTITION BY source) AS n_src,
+          row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        FROM docs),
+      tiered AS (
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+          CAST(floor(CASE WHEN TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0
+            THEN 0.6 ELSE 0.2 END * n_src) AS BIGINT) AS target
+        FROM ranked)
       SELECT doc_id, source, rk, target AS n_kept_target
-      FROM ranked WHERE rk <= target"""))
+      FROM tiered WHERE rk <= target"""))
 
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,

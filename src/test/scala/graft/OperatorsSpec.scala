@@ -522,7 +522,10 @@ class OperatorsSpec extends SparkSpec {
       .groupBy(col("source")).count().collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
     bySource.foreach { case (src, kept) =>
-      val frac = if (src.replaceAll("[^0-9]", "").toInt % 2 == 0) 0.6 else 0.2
+      // trailing-digit parse, exactly the query's tier rule (sources with
+      // no trailing digits fall to the low tier)
+      val trail = "([0-9]+)$".r.findFirstIn(src)
+      val frac = if (trail.exists(_.toInt % 2 == 0)) 0.6 else 0.2
       assert(kept.length === math.floor(frac * srcCounts(src)).toLong,
         s"$src kept ${kept.length} of ${srcCounts(src)}")
     }
@@ -539,9 +542,10 @@ class OperatorsSpec extends SparkSpec {
       val posIds = pos.map(_.getAs[Long]("cand_id")).toSet
       val negIds = neg.map(_.getAs[Long]("cand_id")).toSet
       assert((posIds & negIds).isEmpty, "a negative must never be a positive")
-      // the WEAKEST positive still beats the STRONGEST sampled negative:
-      // negatives are uniform draws, positives are the top-3
-      assert(pos.map(_.getAs[Double]("cosine")).min >
+      // the WEAKEST positive is at least as strong as the STRONGEST
+      // sampled negative (>= not >: the rank-3/rank-4 cosines can collapse
+      // to the same 6dp-rounded value on an adversarial fixture)
+      assert(pos.map(_.getAs[Double]("cosine")).min >=
         neg.map(_.getAs[Double]("cosine")).max)
     }
   }
