@@ -325,5 +325,60 @@ object EventsStreaming {
     },
     Some(sessionOracleSql))
 
-  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
+  // ---------------------------------------------------------------- stream-stream join
+  /** REAL STREAM-STREAM JOIN run — the attribution query (click joined to
+    * the purchase it led to within 30 minutes, per user): two watermarked
+    * file-stream readers over the same source, inner-joined on user_id
+    * plus a time-range condition. This is the operator with genuine
+    * dual-sided state: each side buffers rows until the other side's
+    * watermark passes the range bound, which is why BOTH sides carry a
+    * watermark and the join condition must bound the event-time gap.
+    * Append mode (the only mode stream-stream inner joins support);
+    * single pinned batch => every match emits in-batch and the result
+    * equals the batch oracle. Multi-batch buffering/eviction semantics
+    * run with MemoryStream in StreamingSpec. */
+  private val st09 = Q(
+    "st09_stream_stream_join",
+    (s, dir) => {
+      val sinkTable = "st09_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st09_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      def side(eventType: String, prefix: String) =
+        Tables.normalizeNanos(
+            s.readStream
+              .schema(rawFileSchema(s, dir))
+              .option("maxFilesPerTrigger", Int.MaxValue)
+              .parquet(srcDir.toString))
+          .filter(col("event_type") === eventType)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+          .withWatermark(s"${prefix}_ts", "10 minutes")
+      val joined = side("click", "click").join(side("purchase", "purch"),
+        col("click_user") === col("purch_user") &&
+          col("purch_ts") >= col("click_ts") &&
+          col("purch_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      val query = joined
+        .select(col("click_id"), col("purch_id"), col("click_user").as("user_id"),
+          (unix_timestamp(col("purch_ts")) - unix_timestamp(col("click_ts")))
+            .as("secs_to_purchase"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable), sinkTable, srcDir)
+    },
+    Some("""SELECT a.event_id AS click_id, b.event_id AS purch_id,
+        a.user_id,
+        CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS secs_to_purchase
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'purchase'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""))
+
+  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
 }
