@@ -139,10 +139,14 @@ object Dedup {
     // fixpoint signature: count + column sums + an order-independent hash
     // (sums alone could collide across distinct edge sets and stop the
     // loop one round early with wrong labels; xxhash64 makes that
-    // astronomically unlikely). Hash terms are pmod-bounded so the sum
-    // can't overflow ANSI long arithmetic below ~9e9 edges.
+    // astronomically unlikely). EVERY summed term is pmod-bounded so the
+    // sums can't overflow ANSI long arithmetic — raw id sums would throw
+    // ARITHMETIC_OVERFLOW at ~1e9 edges with ~1e12 node ids, well inside
+    // the sizes this variant exists for.
     def sig(d: DataFrame): (Long, Long, Long, Long) = {
-      val r = d.agg(count(lit(1)), sum(col("src")), sum(col("dst")),
+      val r = d.agg(count(lit(1)),
+        sum(pmod(col("src"), lit(1000000007L))),
+        sum(pmod(col("dst"), lit(1000000007L))),
         sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2),
@@ -208,21 +212,41 @@ object Dedup {
         """transform(sequence(1, greatest(size(toks) - 2, 1)),
            i -> concat_ws(' ', slice(toks, i, 3)))""")).as("sh"))
 
+  /** documents ∪ EXACT copies of every 10th doc (ids shifted by 10^7) — the
+    * planted set for the production-hash recall invariants (d11/d12).
+    * Identical text ⇒ identical signatures ⇒ the planted pair co-buckets in
+    * EVERY band, so 100% recall is deterministic — which is what lets the
+    * xxhash production paths sit under the driver's hash gate behind a
+    * constant-true oracle (the truncated-copy variant above is
+    * probabilistic: a 90%-token copy can miss all bands with ~1% odds). */
+  private def withPlantedExactDups(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "withPlantedExactDups").as("doc_id"),
+      col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+  }
+
+  /** The (doc_a, doc_b) pairs withPlanted*Dups planted, derived from the
+    * same frame so the invariant queries can't drift from the planting. */
+  private def plantedPairsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 10000000L && col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 10000000L).as("doc_b"))
+
   // ---------------------------------------------------------------- minhash
   /** MinHash signatures (32 permutations over 3-word shingles) -> banded
     * LSH (8 bands x 4 rows) -> candidate pairs -> exact Jaccard verification
     * on the shingle sets. Hash family: xxhash64 with per-permutation salt
-    * (deterministic). Rows-only: the hash family is engine-specific. */
-  private val d02 = Q(
-    "d02_minhash_lsh",
-    (s, dir) => {
+    * (deterministic). Shared by d02 (rows-only: the hash family is
+    * engine-specific) and d11 (planted-recall invariant under the gate). */
+  def minhashPairs(docs: DataFrame): DataFrame = {
       val nPerm = 32
       val bands = 8
       val rowsPerBand = nPerm / bands
 
       // shingle SETS computed once and reused by both the signature stage
       // (explode -> grouped min) and the exact-Jaccard verification join
-      val docs = withPlantedDups(s, dir)
       val sets = shingleSets(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -269,17 +293,19 @@ object Dedup {
             (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))), 4))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
-    },
+  }
+
+  private val d02 = Q(
+    "d02_minhash_lsh",
+    (s, dir) => minhashPairs(withPlantedDups(s, dir)),
     None)
 
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over unigram token hashes, entirely in codegen'd
     * higher-order functions; near-dup candidates via 16-bit band buckets and
-    * Hamming distance (bit_count(xor)) <= 8. Rows-only (hash-specific). */
-  private val d03 = Q(
-    "d03_simhash",
-    (s, dir) => {
-      val docs = withPlantedDups(s, dir)
+    * Hamming distance (bit_count(xor)) <= 8. Shared by d03 (rows-only:
+    * hash-specific) and d12 (planted-recall invariant under the gate). */
+  def simhashPairs(docs: DataFrame): DataFrame = {
       val sims = docs
         .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
         .withColumn("simhash", graft.functions.VectorExpressions.simhash64(col("hs")))
@@ -299,7 +325,11 @@ object Dedup {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 8)
-    },
+  }
+
+  private val d03 = Q(
+    "d03_simhash",
+    (s, dir) => simhashPairs(withPlantedDups(s, dir)),
     None)
 
   // ---------------------------------------------------------------- jaccard
@@ -334,20 +364,16 @@ object Dedup {
     * as Similarity s02 — candidate generation is an equi-join on the bucket
     * key), exact cosine >= 0.99 confirms. Rows-only (bucketing is
     * engine-specific); planted-recall is asserted in OperatorsSpec. */
-  private val d05 = Q(
-    "d05_embedding_neardup",
-    (s, dir) => {
-      import graft.functions.VectorExpressions.{cosineF, dotF}
-      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val planted = base.filter(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val all0 = base.unionByName(planted)
-
+  /** The production embedding-near-dup pipeline (seeded Gaussian
+    * hyperplanes — engine-specific, hence rows-only in d05); d13 runs the
+    * same dataflow under the gate via a planted-recall invariant. */
+  def embeddingNeardupPairs(vecs: DataFrame): DataFrame = {
+      import graft.functions.VectorExpressions.cosineF
       val dim = 64
       val nPlanes = 8
       val rng = new scala.util.Random(43)
       val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-      val withBucket = all0.withColumn("bucket",
+      val withBucket = vecs.withColumn("bucket",
         graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes))
       val a = withBucket.alias("a")
       val b = withBucket.alias("b")
@@ -356,7 +382,18 @@ object Dedup {
         .filter(col("cosine") >= 0.99)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("cosine"), 6).as("cosine"))
-    },
+  }
+
+  /** embeddings ∪ exact copies of vec_id < 20 (ids shifted by 10^6). */
+  private def withPlantedVecDups(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    base.unionByName(base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  private val d05 = Q(
+    "d05_embedding_neardup",
+    (s, dir) => embeddingNeardupPairs(withPlantedVecDups(s, dir)),
     None)
 
   // ------------------------------------------------------- oracle variants
@@ -690,5 +727,62 @@ object Dedup {
         l.node = l.cluster_id AS is_canonical
       FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id"""))
 
-  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  // -------------------------------------- production-hash gate invariants
+  // d02/d03/d05 are rows-only (xxhash64 / seeded-Gaussian hash families the
+  // oracle can't reproduce) and their md5 oracle twins (d06/d07/d08) run a
+  // DIFFERENT hash family. These entries put the production hash paths
+  // themselves under the driver's hash gate: plant EXACT duplicates (whose
+  // recall is deterministic — identical text ⇒ identical signature ⇒
+  // co-bucketed in every band), reduce to scale-invariant booleans, and pin
+  // them against a constant-true oracle. Any recall loss, banding bug, or
+  // verification drift flips a boolean and the driver goes red.
+
+  private val d11 = Q(
+    "d11_minhash_planted_recall",
+    (s, dir) => {
+      val docs = withPlantedExactDups(s, dir)
+      plantedPairsOf(docs)
+        .join(minhashPairs(docs), Seq("doc_a", "doc_b"), "left")
+        .agg(
+          (count(lit(1)) > 0).as("nonempty"),
+          (count(col("jaccard")) === count(lit(1))).as("all_planted_found"),
+          (min(col("est_jaccard")) === 1.0).as("planted_sigs_identical"),
+          (min(col("jaccard")) === 1.0).as("planted_jaccard_one"))
+    },
+    Some("""SELECT true AS nonempty, true AS all_planted_found,
+      true AS planted_sigs_identical, true AS planted_jaccard_one"""))
+
+  private val d12 = Q(
+    "d12_simhash_planted_recall",
+    (s, dir) => {
+      val docs = withPlantedExactDups(s, dir)
+      plantedPairsOf(docs)
+        .join(simhashPairs(docs), Seq("doc_a", "doc_b"), "left")
+        .agg(
+          (count(lit(1)) > 0).as("nonempty"),
+          (count(col("hamming")) === count(lit(1))).as("all_planted_found"),
+          (max(col("hamming")) === 0L).as("planted_hamming_zero"))
+    },
+    Some("""SELECT true AS nonempty, true AS all_planted_found,
+      true AS planted_hamming_zero"""))
+
+  private val d13 = Q(
+    "d13_embedding_planted_recall",
+    (s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val expected = base.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("vec_a"), (col("vec_id") + 1000000L).as("vec_b"))
+      expected
+        .join(embeddingNeardupPairs(withPlantedVecDups(s, dir)),
+          Seq("vec_a", "vec_b"), "left")
+        .agg(
+          (count(lit(1)) === 20).as("planted_is_20"),
+          (count(col("cosine")) === count(lit(1))).as("all_planted_found"),
+          (min(col("cosine")) >= 0.999999).as("planted_cosine_one"))
+    },
+    Some("""SELECT true AS planted_is_20, true AS all_planted_found,
+      true AS planted_cosine_one"""))
+
+  val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d11, d12, d13)
 }

@@ -25,6 +25,19 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotF(a, b)
 
+  /** Seeded uniform sample of an embedding frame for quantizer training
+    * (IVF coarse centroids, PQ codebooks). A uniform `sample()` — NOT
+    * `limit()`, which takes the first rows of the first file(s) and at
+    * 100 TB would fit the quantizer to one shard's distribution. The cap
+    * bounds driver memory; `frac` over-draws slightly in expectation-land
+    * but LocalKMeans is insensitive to ±√cap. */
+  def quantizerSample(e: DataFrame, embCol: String, cap: Long, seed: Long): Array[Array[Double]] = {
+    val n = e.count()
+    val frac = math.min(1.0, cap.toDouble / math.max(1L, n))
+    e.sample(withReplacement = false, frac, seed).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](embCol).map(_.toDouble).toArray)
+  }
+
   /** Exact cosine scoring + ranking of the whole corpus against the
     * vec_id < 3 query set — the block s01 (top-k baseline) and s07
     * (contrastive pair construction) both build on: broadcast query side,
@@ -70,13 +83,12 @@ object Similarity {
         FROM pairs) t WHERE rn <= 10"""))
 
   // ---------------------------------------------------------------- s02
-  /** Random-hyperplane LSH: 12 sign bits -> bucket; exact cosine re-rank
+  /** Random-hyperplane LSH: 6 sign bits -> bucket; exact cosine re-rank
     * within the query's bucket. The scale path — candidate generation is an
-    * equi-join on the bucket key. Rows-only (bucketing is engine-specific).
-    */
-  private val s02 = Q(
-    "s02_knn_lsh",
-    (s, dir) => {
+    * equi-join on the bucket key. Shared by s02 (rows-only: seeded Gaussian
+    * planes are engine-specific) and s09 (planted-recall invariant that
+    * puts this production path under the driver's hash gate). */
+  private def lshRanked(vecs: DataFrame): DataFrame = {
       val dim = 64
       val nPlanes = 6 // 64 buckets; enough recall at test scale while still
                       // exercising the bucketed-join plan shape
@@ -84,8 +96,7 @@ object Similarity {
       val planes: Array[Array[Double]] =
         Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
 
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        .withColumn("bucket",
+      val e = vecs.withColumn("bucket",
           graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes))
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
@@ -99,8 +110,31 @@ object Similarity {
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("cosine_raw"), 6).as("cosine"), col("rn"))
-    },
+  }
+
+  private val s02 = Q(
+    "s02_knn_lsh",
+    (s, dir) => lshRanked(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))),
     None)
+
+  /** s09: the s02 production path under the gate. Exact copies of the three
+    * query vectors are planted at vec_id + 10^6; an identical vector lands
+    * in the SAME bucket deterministically and re-ranks at cosine 1.0, so
+    * "every query recovers its planted twin in its top-10" is a
+    * scale-invariant boolean the constant-true oracle can pin. */
+  private val s09 = Q(
+    "s09_lsh_planted_recall",
+    (s, dir) => {
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      lshRanked(base.unionByName(planted))
+        .filter(col("neighbor_id") === col("query_id") + 1000000L)
+        .agg(
+          (count(lit(1)) === 3).as("all_queries_recover_planted"),
+          (min(col("cosine")) >= 0.999999).as("planted_cosine_one"))
+    },
+    Some("SELECT true AS all_queries_recover_planted, true AS planted_cosine_one"))
 
   // ---------------------------------------------------------------- s03
   /** IVF-style ANN: seeded k-means coarse quantizer; queries probe their 2
@@ -112,10 +146,13 @@ object Similarity {
     (s, dir) => {
       // coarse quantizer trained on a driver-side SAMPLE (the standard IVF
       // pattern at scale: k-means on ~1e5 sampled vectors, assignment
-      // applied distributed), then inverted-list probing
+      // applied distributed), then inverted-list probing. The sample MUST
+      // be a seeded uniform sample, never limit(): limit takes the first
+      // rows of the first file(s), so at 100 TB the quantizer would be fit
+      // to one shard's distribution and skew every inverted list (same
+      // bounded-sample pattern as Harmony's kmeansSampleCap seeding).
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val sample = e.limit(20000).collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      val sample = quantizerSample(e, "embedding", cap = 20000L, seed = 42L)
       val centers = graft.harmony.LocalKMeans.fit(sample, k = 8, maxIter = 10, seed = 42L)
 
       def dist2(emb: Column, c: Array[Double]): Column =
@@ -451,5 +488,5 @@ object Similarity {
         WHERE neg_rk <= 5)
       SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
 
-  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s09)
 }

@@ -72,8 +72,9 @@ object Sinks {
         graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
       }
     },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-      sum(length(text)) AS sum_text_len,
+    Some("""SELECT lang, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM documents GROUP BY lang"""))
 

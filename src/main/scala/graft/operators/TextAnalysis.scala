@@ -370,7 +370,7 @@ object TextAnalysis {
     }
     // pass 2: one narrow sweep with a running sum, re-seeded from the
     // broadcast offset table whenever the row's source partition changes
-    counted.mapPartitions { it =>
+    val packed = counted.mapPartitions { it =>
       var curPid = -1
       var cum = 0L
       it.map { case (docId, n, pid) =>
@@ -380,6 +380,15 @@ object TextAnalysis {
         (docId, n, start / budget, start % budget)
       }
     }.toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
+      // eager truncation makes the result self-contained so the pass-1/2
+      // cache can be RELEASED here instead of leaking for the session
+      // lifetime (library entry point — callers invoke this repeatedly).
+      // The checkpoint blocks are 4 longs/row, strictly smaller than the
+      // `counted` cache they replace; correctness also stops depending on
+      // the cached pid assignment surviving eviction.
+      .localCheckpoint(true)
+    counted.unpersist(false)
+    packed
   }
 
   private val tPack = Q(
@@ -557,9 +566,13 @@ object TextAnalysis {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           graft.functions.CrossEngine.md5Hash60(col("doc_id")).as("h"))
-      // trailing-digit parse; a source with no trailing digits falls to
-      // the low tier on BOTH engines (TRY_CAST mirrors Spark's null cast)
-      val frac = when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
+      // trailing-digit parse; a source with no trailing digits falls to the
+      // low tier on BOTH engines. Under ANSI mode (Spark 4.1 default, and
+      // GraftSession keeps it) a plain cast of regexp_extract's '' no-match
+      // result would THROW, so try_cast is required to yield the NULL that
+      // the oracle's TRY_CAST produces (NULL % 2 = 0 is NULL -> ELSE tier).
+      val frac = when(
+        expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS int)") % 2 === 0,
         lit(0.6)).otherwise(lit(0.2))
       // n_src shares the rk window's per-source partitioning — one scan,
       // no separate groupBy + broadcast join

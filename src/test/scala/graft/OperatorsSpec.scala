@@ -97,6 +97,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s03 quantizer training draws a seeded uniform sample, not a head slice") {
+    // ids baked into slot 0 of the embedding reveal WHICH rows were drawn:
+    // over a single sorted file, limit(cap) would only ever see ids < cap,
+    // while the required seeded uniform sample spans the whole id range —
+    // the 100 TB first-shard-bias failure mode this guards against.
+    val tagged = spark.range(10000)
+      .select(col("id").as("vec_id"),
+        array(col("id").cast("float"), lit(1.0f)).as("embedding"))
+      .orderBy("vec_id").coalesce(1)
+    val sample = operators.Similarity.quantizerSample(tagged, "embedding", cap = 1000L, seed = 7L)
+    val ids = sample.map(_(0))
+    assert(math.abs(ids.length - 1000.0) < 200.0,
+      s"expected ~cap rows from the bounded sample, got ${ids.length}")
+    assert(ids.max > 9000.0 && ids.min < 1000.0,
+      "sample must span the id range (a head slice would stop at id=cap)")
+    assert(ids.count(_ > 5000.0) > 300, "upper half of the corpus under-sampled")
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
@@ -413,12 +431,27 @@ class OperatorsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!t11.contains("Exchange"), "t11 chunking must not shuffle")
     assert(t11.contains("Generate"))
-    // q50: partial aggregation before the exchange, no window sort
-    val q50 = SparkEntry.queries("q50_cdc_compact")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!q50.contains("Window"), "q50 must not plan a window sort")
-    assert(q50.contains("partial_max") || q50.contains("partial merge"),
-      "q50 must fold versions map-side before the shuffle")
+    // q50: partial aggregation before the exchange, no window sort —
+    // asserted on the aggregate NODES (exec class + AggregateExpression
+    // modes), not on plan-rendering substrings, which drift across Spark
+    // versions and could match an unrelated operator's "partial merge"
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Partial}
+    val q50plan0 = SparkEntry.queries("q50_cdc_compact")(spark, sfDir)
+      .queryExecution.executedPlan
+    val q50plan = q50plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(q50plan.collect { case w: WindowExec => w }.isEmpty,
+      "q50 must not plan a window sort")
+    val partialFns = q50plan.collect { case h: BaseAggregateExec =>
+      h.aggregateExpressions.filter(_.mode == Partial).map(_.aggregateFunction)
+    }.flatten
+    assert(partialFns.exists(_.isInstanceOf[Max]),
+      s"q50 must fold versions map-side (Partial-mode max) before the shuffle; saw $partialFns")
   }
 
   test("t12 filter verdict: planted copies never survive, keeps are within bounds") {

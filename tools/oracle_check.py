@@ -9,12 +9,31 @@ import numpy as np
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize timestamp precisions
+    # normalize timestamp precisions; widen int/float widths — width is an
+    # engine artifact, but int-vs-float (e.g. DuckDB HUGEINT -> float64 from
+    # an uncast sum(BIGINT)) is dtype drift the driver's hash DOES see, so
+    # canon must NOT erase that distinction (see compare()).
+    import datetime
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
+        dt = df[c].dtype
+        if str(dt).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        elif dt == object:
+            # Spark DATE parquet -> pandas object-of-datetime.date while
+            # DuckDB DATE -> datetime64; the driver treats them as equal,
+            # so normalize dates BEFORE the strict dtype gate
+            nn = df[c].dropna()
+            if len(nn) and all(isinstance(v, datetime.date) and not isinstance(v, datetime.datetime) for v in nn.head(20)):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                # DuckDB HUGEINT can surface as object-of-Python-int; keep it
+                # distinguishable from int64 by stringifying (int64 col stays
+                # int64, object col becomes str -> dtype mismatch below).
+                df[c] = df[c].astype(str)
+        elif np.issubdtype(dt, np.signedinteger) or np.issubdtype(dt, np.unsignedinteger):
+            df[c] = df[c].astype("int64")
+        elif np.issubdtype(dt, np.floating):
+            df[c] = df[c].astype("float64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -24,6 +43,16 @@ def compare(name, spark_df, oracle_df):
         return [f"schema mismatch: spark={list(spark_df.columns)} oracle={list(oracle_df.columns)}"]
     if len(spark_df) != len(oracle_df):
         return [f"row count: spark={len(spark_df)} oracle={len(oracle_df)}"]
+    # dtype-strict gate: the driver hashes canonical dtypes along with values,
+    # so int64-vs-float64 drift (values equal) is a DRIVER failure even though
+    # float coercion would hide it. Fail loudly here so local green predicts
+    # driver green (this exact class shipped q26 in r2 and w02 in r3).
+    for c in spark_df.columns:
+        da, db = spark_df[c].dtype, oracle_df[c].dtype
+        if str(da) != str(db):
+            problems.append(f"col {c}: DTYPE mismatch spark={da} oracle={db} (driver hash is dtype-sensitive; cast the oracle)")
+    if problems:
+        return problems
     for c in spark_df.columns:
         a, b = spark_df[c], oracle_df[c]
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
