@@ -25,6 +25,15 @@ object Bench {
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // measurement-credibility fields (VERDICT r4 #5): the driver box has
+    // repeatedly inflated bench numbers under concurrent load (q48 22.1 s
+    // driver vs 1.94 s quiet — identical code); recording the 1-minute load
+    // average and core count alongside the timings lets any reader tell a
+    // regression from a loaded box.
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvg = os.getSystemLoadAverage // -1.0 if the platform can't say
+    val nCpus = os.getAvailableProcessors
+    val loadFields = s""""load_avg_1m":${f3(loadAvg)},"cpus":$nCpus"""
     // full per-query map lives ONLY on disk; the printed line must stay
     // short because the driver tail-captures stdout and a ~2 KB line gets
     // its head cut (r1 AND r2 lesson: the bottleneck is LINE LENGTH, not
@@ -34,14 +43,14 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_local.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec",$loadFields,"queries":$full,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
     val slow5 = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$slow5,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},$loadFields,"queries":$slow5,"sf":"$sfDir"}"""
     // printed LAST so the tail window always contains it whole
     println(line)
     spark.stop()

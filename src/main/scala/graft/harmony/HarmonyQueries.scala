@@ -126,8 +126,11 @@ object HarmonyQueries {
 
   /** The reference's central semantic property (test_integration.R:29-41):
     * higher diversity penalty theta must lower chi^2(O, E) — batch/cluster
-    * dependence shrinks. Emitted as a 1-row query so the driver sees the
-    * invariant hold on real runs. */
+    * dependence shrinks. Reduced to scale-invariant booleans behind a
+    * constant-true oracle (the d11 pattern, VERDICT r4 #2) so the real fits
+    * run under the driver's HASH gate, not just rows>0: any chi2 ordering
+    * regression or non-finite fit flips a boolean and the driver goes red.
+    * The raw chi2 magnitudes stay pinned by HarmonySpec's θ-monotone tests. */
   private val h05 = Q(
     "h05_theta_diversity",
     (s, dir) => {
@@ -140,9 +143,13 @@ object HarmonyQueries {
       val lo = Harmony.fit(cells, Seq("batch"), o(0.0)).state.chiSquared
       val hi = Harmony.fit(cells, Seq("batch"), o(3.0)).state.chiSquared
       import s.implicits._
-      Seq((lo, hi, lo - hi)).toDF("chi2_theta0", "chi2_theta3", "chi2_drop")
+      Seq((lo - hi > 0.0,
+          !lo.isNaN && !lo.isInfinite && !hi.isNaN && !hi.isInfinite,
+          lo >= 0.0 && hi >= 0.0))
+        .toDF("chi2_drop_positive", "chi2_finite", "chi2_nonnegative")
     },
-    None)
+    Some("""SELECT true AS chi2_drop_positive, true AS chi2_finite,
+      true AS chi2_nonnegative"""))
 
   /** Per-component standard deviation — the Seurat adapter's stdev output
     * (SURVEY op 2, /root/reference/R/RunHarmony.R:106-111). */
@@ -191,9 +198,12 @@ object HarmonyQueries {
     * — the one test table that scales with sf; a deterministic 1-in-8 slice
     * caps the size (7.5k cells at sf0.01, 75k at sf0.1) — with
     * localThreshold = 0 so the distributed atoms/PartitionPruningRDD sweep
-    * machinery runs, not the local kernel. The fit is not SQL-expressible
-    * (rows-only); the payload IS the invariant booleans, which must all be
-    * true and are additionally asserted in OperatorsSpec. */
+    * machinery runs, not the local kernel. The fit itself is not
+    * SQL-expressible, but the payload is: deterministic counters the oracle
+    * recomputes plus invariant booleans behind constant-true columns (the
+    * d11 pattern), so the full distributed Sequential path sits under the
+    * driver's hash gate; the booleans are additionally asserted in
+    * OperatorsSpec. */
   private val h09 = Q(
     "h09_sequential_invariants",
     (s, dir) => {
@@ -219,13 +229,21 @@ object HarmonyQueries {
       val badVec = res.cells.filter((c: CellState) =>
         c.zCorr.exists(v => v.isNaN || v.isInfinite)).count()
       val chi2 = res.state.chiSquared
-      Seq((n, res.rounds.toLong, obj.length.toLong,
+      // n_cells and rounds are DuckDB-computable (the slice predicate and
+      // the fixed maxIterHarmony=1/earlyStop=false budget), so they sit in
+      // the oracle as real values (VERDICT r4 #2); objective count is
+      // convergence-timing-dependent, so it gates as a >=2 boolean
+      // (initial objective + at least one cluster iteration).
+      Seq((n, res.rounds.toLong, obj.length >= 2L,
         obj.last <= obj.head, badVec == 0L,
         !chi2.isNaN && !chi2.isInfinite))
-        .toDF("n_cells", "rounds", "n_objectives",
+        .toDF("n_cells", "rounds", "objectives_recorded",
           "objective_nonincreasing", "corrected_finite", "chi2_finite")
     },
-    None)
+    Some("""SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey % 8 = 0) AS n_cells,
+      CAST(1 AS BIGINT) AS rounds, true AS objectives_recorded,
+      true AS objective_nonincreasing, true AS corrected_finite,
+      true AS chi2_finite"""))
 
   val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09)
 }

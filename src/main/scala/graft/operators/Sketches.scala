@@ -81,25 +81,27 @@ object Sketches {
       FROM est"""))
 
   // ---------------------------------------------------------------- q47
-  /** Grouped NDV sketch: distinct suppliers per return flag, k=64 per group.
-    * The window rank runs over the DEDUPED (group, hash) pairs — the
-    * shuffle carries one row per distinct pair, and the rank never ranks
-    * more than NDV rows per group. Estimator switches to exact when a group
-    * has fewer than k distinct hashes (bottom set IS the full set). */
+  /** Grouped NDV sketch: distinct suppliers per return flag, k=64 per group,
+    * via the native [[graft.functions.BottomKDistinct]] aggregate (VERDICT
+    * r4 #1 — the former row_number window sorted every distinct hash inside
+    * <=5 group partitions; the aggregate folds each input partition into a
+    * k-sized heap map-side and shuffles only sketch buffers). Dedup happens
+    * inside the sketch, so there is no upstream `distinct()` either — the
+    * only exchange in the plan carries #partitions x #groups x k longs.
+    * Estimator switches to exact when a group has fewer than k distinct
+    * hashes (bottom set IS the full set). The DuckDB oracle keeps the
+    * window-rank formulation — same math, cross-engine-checkable. */
   private val q47 = Q(
     "q47_kmv_grouped",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 64
-      val pairs = Tables.lineitem(s, dir)
+      Tables.lineitem(s, dir)
         .select(col("l_returnflag"), h60(col("l_suppkey")).as("h"))
-        .distinct()
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
-      pairs
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
         .groupBy(col("l_returnflag"))
-        .agg(max(col("h")).as("kth_min"), count(lit(1)).as("n_in_sketch"))
+        .agg(graft.functions.BottomK.bottomKDistinct(col("h"), k).as("bottom"))
+        .select(col("l_returnflag"),
+          size(col("bottom")).cast("long").as("n_in_sketch"),
+          element_at(col("bottom"), -1).as("kth_min"))
         .select(col("l_returnflag"), col("n_in_sketch"),
           round(when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
             .otherwise((col("n_in_sketch") - 1).cast("double") * lit(TwoPow60) /
@@ -130,21 +132,25 @@ object Sketches {
   private val q48 = Q(
     "q48_kmv_merge",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.functions.BottomK.bottomKDistinct
       val k = 256
       val li = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
           col("l_orderkey") === col("o_orderkey"))
-      // independent per-partition sketches (bottom-k per priority class)
-      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
+      // independent per-partition sketches (bottom-k per priority class),
+      // each a map-side-merging BottomKDistinct aggregate
       val partial = li
         .select(col("o_orderpriority"), h60(col("l_partkey")).as("h"))
-        .distinct()
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-      // merge = distinct union of the bottom sets, re-take bottom-k
-      val merged = partial.select(col("h")).distinct().orderBy(col("h")).limit(k)
-      merged.agg(max(col("h")).as("kth_min"), count(lit(1)).as("k"))
+        .groupBy(col("o_orderpriority"))
+        .agg(bottomKDistinct(col("h"), k).as("bottom"))
+      // merge = re-aggregate the exploded bottom sets with the SAME
+      // aggregate: its merge() (union + re-take bottom-k, dedup inside the
+      // heap) IS the partition-wise KMV merge this query demonstrates
+      val merged = partial.select(explode(col("bottom")).as("h"))
+        .agg(bottomKDistinct(col("h"), k).as("bottom"))
+      merged
+        .select(size(col("bottom")).cast("long").as("k"),
+          element_at(col("bottom"), -1).as("kth_min"))
         .select(col("k"), col("kth_min"),
           round(when(col("k") < k, col("k").cast("double"))
             .otherwise((col("k") - 1).cast("double") * lit(TwoPow60) /

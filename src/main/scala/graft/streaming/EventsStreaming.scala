@@ -92,6 +92,24 @@ object EventsStreaming {
     },
     Some(sessionOracleSql))
 
+  /** Stateful streaming operators create one state store per shuffle
+    * partition, and Trigger.AvailableNow pays that store count as fixed
+    * startup/commit cost per run. The session-wide partition count (= cpus)
+    * is right for batch shuffles but pure overhead for these bounded
+    * streaming gate runs (VERDICT r4 #3): st08/st09 were spending most of
+    * their wall time committing 32 state stores per stateful op. Scope a
+    * small count to the streaming bodies — a NEW streaming query captures
+    * the value at start (it is pinned in the checkpoint thereafter), and
+    * the previous value is restored for whatever batch query runs next. On
+    * a real cluster this is the same dial you would size to stream key
+    * cardinality instead of inheriting the batch shuffle width. */
+  private def withStreamShufflePartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Materialize a BOUNDED streaming result (memory sinks are driver-sized
     * already: windows x types / distinct users), then drop the sink view and
     * the scratch source dir so repeated gate runs don't accumulate temp
@@ -111,7 +129,7 @@ object EventsStreaming {
     * (no event is later than the watermark allows in a single replay). */
   private val st04 = Q(
     "st04_stream_tumbling",
-    (s, dir) => {
+    (s, dir) => withStreamShufflePartitions(s) {
       val sinkTable = "st04_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // the file stream source needs a directory; expose the single parquet
       // file through a scratch dir symlink
@@ -156,7 +174,7 @@ object EventsStreaming {
     * MemoryStream in StreamingSpec. */
   private val st05 = Q(
     "st05_stream_custom_state",
-    (s, dir) => {
+    (s, dir) => withStreamShufflePartitions(s) {
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val sinkTable = "st05_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -220,7 +238,7 @@ object EventsStreaming {
     * semantics are exercised with MemoryStream in StreamingSpec. */
   private val st06 = Q(
     "st06_stream_dedup",
-    (s, dir) => {
+    (s, dir) => withStreamShufflePartitions(s) {
       val sinkTable = "st06_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_st06_")
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
@@ -255,7 +273,7 @@ object EventsStreaming {
     * slowly-changing-dimension contract this pattern assumes. */
   private val st07 = Q(
     "st07_stream_enrich",
-    (s, dir) => {
+    (s, dir) => withStreamShufflePartitions(s) {
       val sinkTable = "st07_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_st07_")
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
@@ -297,7 +315,7 @@ object EventsStreaming {
     * territory — StreamingSpec.) */
   private val st08 = Q(
     "st08_stream_session",
-    (s, dir) => {
+    (s, dir) => withStreamShufflePartitions(s) {
       val sinkTable = "st08_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_st08_")
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
@@ -339,7 +357,7 @@ object EventsStreaming {
     * run with MemoryStream in StreamingSpec. */
   private val st09 = Q(
     "st09_stream_stream_join",
-    (s, dir) => {
+    (s, dir) => withStreamShufflePartitions(s) {
       val sinkTable = "st09_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_st09_")
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
