@@ -517,6 +517,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("LSH hot-bucket cap: a 1000-identical-doc flood stays bounded, organic recall intact") {
+    val sp = spark
+    import sp.implicits._
+    // the pathological shape VERDICT r4 #4 names: boilerplate/license pages
+    // — identical text, identical signatures, ONE band bucket
+    val flood = (0L until 1000L).map(i =>
+      (i, "permission is hereby granted free of charge to any person obtaining a copy"))
+    val organic = Seq(
+      (5000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (5001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+    val docs = (flood ++ organic).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashPairs(docs, bucketCap = 32).collect()
+    // uncapped the flood alone is C(1000,2) = 499,500 candidate pairs; the
+    // cap bounds it near w*cap/2 — linear in flood size at fixed cap
+    assert(pairs.length < 50000, s"hot bucket not capped: ${pairs.length} pairs")
+    assert(pairs.length > 1000, "flood docs must still pair within sub-buckets")
+    // recall outside the hot bucket is untouched
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") === 5000L &&
+      r.getAs[Long]("doc_b") === 5001L), "organic pair outside the flood lost")
+    // no flood doc silently vanishes: each still pairs inside its sub-bucket
+    val floodSeen = pairs.flatMap(r =>
+      Seq(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).filter(_ < 1000L).toSet
+    assert(floodSeen.size === 1000, s"only ${floodSeen.size}/1000 flood docs pair")
+
+    // same contract on the embedding path: one sign bucket, capped
+    val vflood = (0L until 500L).map(i =>
+      (i, Array.tabulate(64)(j => (j + 1).toFloat / 64f)))
+    val vecs = vflood.toDF("vec_id", "embedding")
+    val vpairs = graft.operators.Dedup.embeddingNeardupPairs(vecs, bucketCap = 16)
+      .collect()
+    assert(vpairs.length < 8000, s"embedding hot bucket not capped: ${vpairs.length}")
+    val vSeen = vpairs.flatMap(r =>
+      Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(vSeen.size === 500)
+  }
+
   test("t12 filter verdict: planted copies never survive, keeps are within bounds") {
     val rows = run("t12_filter_verdict").collect()
     val planted = rows.filter(_.getAs[Long]("doc_id") >= 30000000L)
