@@ -92,6 +92,11 @@ final class HarmonyState(
     * executor-side observability, visible in the Spark UI/metrics). */
   var rowsVisited: Option[org.apache.spark.util.LongAccumulator] = None
 
+  /** Effective ridge penalties from the LATEST MoE correction, K×(B+1)
+    * row-major (slot 0 = intercept, always 0; pruned levels 0). Filled by
+    * Kernels.solveW on every correction pass; empty before the first. */
+  var lastLambda: Array[Double] = Array.empty
+
   def chiSquared: Double = {
     var s = 0.0
     var i = 0
@@ -140,6 +145,20 @@ final case class HarmonyResult(
   def centroids: Array[Array[Double]] =
     Array.tabulate(state.K)(k =>
       Array.tabulate(state.d)(j => state.yRowMajor(k * state.d + j)))
+
+  /** Effective ridge penalties λ(k, slot) the final MoE correction applied,
+    * K rows of (B+1) — `getLambda` parity (/root/reference/src/
+    * harmony.cpp:640-669; auto mode α·E(k,b) per utils.cpp:159-163). Slot 0
+    * is the unpenalized intercept (0); pruned levels are 0 (excluded from
+    * their cluster's solve). Fixed-λ fits repeat the user λ in every kept
+    * slot; auto fits expose the per-cluster α·E(k,b) values the solver
+    * actually used (recorded by Kernels.solveW at the Gram-diagonal add, so
+    * this surface cannot drift from the solve). Empty if no correction ran
+    * (maxIterHarmony = 0). */
+  def lambdas: Array[Array[Double]] =
+    if (state.lastLambda.isEmpty) Array.empty
+    else Array.tabulate(state.K)(k =>
+      Array.tabulate(state.B + 1)(p => state.lastLambda(k * (state.B + 1) + p)))
 }
 
 /** Spark-native Harmony: maximum-diversity soft k-means + mixture-of-experts
@@ -1109,8 +1128,9 @@ object Harmony {
       })
 
     // ---- ridge solves (driver; shared kernel) --------------------------
+    st.lastLambda = new Array[Double](K * (B + 1))
     val w = Kernels.solveW(gram, mom, keeps, st.E, st.yRowMajor,
-      K, B, d, lambdaPerLevel, opts.alpha)
+      K, B, d, lambdaPerLevel, opts.alpha, Some(st.lastLambda))
 
     // ---- correction map (op 51): Z_corr = Z_orig - Σ_k r_k Σ_c W_k[b_c] --
     // lazy map: materialized by the next round's softmax pass (or the final

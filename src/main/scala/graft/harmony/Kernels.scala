@@ -37,6 +37,14 @@ private[harmony] object Kernels {
     * tensors ALREADY aggregated under `keeps` masks; refreshes `yRowMajor`
     * in place from the intercept betas and returns the W correction tensor
     * (K×P×d, intercept rows zero, pruned level rows zero). P = B + 1.
+    *
+    * `lambdaOut` (K×P, caller-allocated, optional): receives the EFFECTIVE
+    * ridge penalty applied per (cluster, slot) — the fixed per-level λ or
+    * the auto mode's α·E(k,b) — recorded at the same line it is added to
+    * the Gram diagonal, so the exposed surface (`HarmonyResult.lambdas`,
+    * `getLambda` parity, /root/reference/src/harmony.cpp:640-669) cannot
+    * drift from what the solver used. Intercept slot 0 stays 0
+    * (unpenalized); pruned levels stay 0 (absent from their solve).
     */
   def solveW(
       gram: Array[Double],
@@ -46,7 +54,8 @@ private[harmony] object Kernels {
       yRowMajor: Array[Double],
       K: Int, B: Int, d: Int,
       lambdaPerLevel: Option[Array[Double]],
-      alpha: Double): Array[Double] = {
+      alpha: Double,
+      lambdaOut: Option[Array[Double]] = None): Array[Double] = {
     val P = B + 1
     val w = new Array[Double](K * P * d)
     var k = 0
@@ -75,6 +84,7 @@ private[harmony] object Kernels {
         for ((bi, i) <- keep.zipWithIndex) {
           val lam = lambdaPerLevel.map(_(bi)).getOrElse(alpha * e(k * B + bi))
           g(1 + i, 1 + i) += lam
+          lambdaOut.foreach(_(k * P + 1 + bi) = lam)
         }
 
         // Arrowhead fast path (op 49, harmony.cpp:572-586): with a single

@@ -233,8 +233,9 @@ private[harmony] object LocalKernel {
         }
         i += 1
       }
+      st.lastLambda = new Array[Double](K * P)
       val w = Kernels.solveW(gram, mom, keeps, st.E, st.yRowMajor,
-        K, B, d, lambdaPerLevel, opts.alpha)
+        K, B, d, lambdaPerLevel, opts.alpha, Some(st.lastLambda))
       // correction: z_corr = z_orig - sum_k r_k sum_c W_k[level_c]
       i = 0
       while (i < n) {

@@ -46,25 +46,38 @@ object Dedup {
     * cap, so the planted-recall invariants (d11/d12/d13) see byte-identical
     * results.
     *
-    * The width count is one extra grouped agg over the banded rows (map-
-    * side combined; the hot key's rows concentrate in one reducer but the
-    * agg is O(w), and AQE skew handling applies to the subsequent join). */
-  private def capHotBuckets(banded: DataFrame, keys: Seq[String], idCol: String,
-      cap: Int, what: String): DataFrame = {
-    if (cap <= 0) banded.withColumn("sub", lit(0L))
+    * The width count is one extra grouped agg, NOT one extra pipeline pass:
+    * the banded frame and its counts are persisted, so the stats job that
+    * feeds the log line materializes exactly the rows the subsequent pair
+    * join reads back from cache. Callers must invoke the returned cleanup
+    * thunk once their result is materialized (all three call sites
+    * eagerly localCheckpoint their pairs, so nothing stays cached across
+    * calls — the r4 leak-class contract). */
+  private def capHotBuckets(banded0: DataFrame, keys: Seq[String], idCol: String,
+      cap: Int, what: String): (DataFrame, () => Unit) = {
+    if (cap <= 0) (banded0.withColumn("sub", lit(0L)), () => ())
     else {
-      val counts = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("w"))
-      val hot = counts.filter(col("w") > cap)
-        .agg(count(lit(1)).as("n_hot"), max(col("w")).as("widest")).head()
+      import org.apache.spark.sql.expressions.Window
+      // width via an UNORDERED count window: one hash exchange on the
+      // bucket key that KEEPS the rows (a groupBy+join would shuffle the
+      // banded rows twice); no orderBy, so no rank-over-hot-key sort — the
+      // hot bucket's rows land in one partition and are counted in O(w)
+      val withW = banded0
+        .withColumn("w", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = withW.filter(col("w") > cap)
+        .agg(countDistinct(struct(keys.map(col): _*)).as("n_hot"),
+          max(col("w")).as("widest")).head()
       if (hot.getLong(0) > 0) {
         log.warn(s"$what: splitting ${hot.getLong(0)} hot bucket(s) wider than " +
           s"$cap (widest ${hot.getLong(1)}) into hash sub-buckets; " +
           "cross-sub-bucket pairs inside those buckets are not generated")
       }
-      banded.join(counts, keys)
+      val capped = withW
         .withColumn("sub", when(col("w") <= cap, lit(0L))
           .otherwise(pmod(xxhash64(col(idCol)), ceil(col("w").cast("double") / cap))))
         .drop("w")
+      (capped, () => { withW.unpersist(false); () })
     }
   }
 
@@ -309,7 +322,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // banding: bucket key = hash of the band's signature slice
-      val banded = capHotBuckets(
+      val (banded, releaseCap) = capHotBuckets(
         sigs.select(col("doc_id"), col("sig"),
           explode(array((0 until bands).map(b =>
             struct(lit(b).as("band"),
@@ -349,6 +362,7 @@ object Dedup {
       // released NOW instead of leaking across repeated library calls
       // (ADVICE r4: d02 + d11 in one session doubled the leaked cache)
       val out = verified.localCheckpoint(eager = true)
+      releaseCap()
       sets.unpersist(false)
       sigs.unpersist(false)
       out
@@ -372,7 +386,7 @@ object Dedup {
         .withColumn("simhash", graft.functions.VectorExpressions.simhash64(col("hs")))
         .select(col("doc_id"), col("simhash"))
 
-      val banded = capHotBuckets(
+      val (banded, releaseCap) = capHotBuckets(
         sims.select(col("doc_id"), col("simhash"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),
@@ -382,13 +396,22 @@ object Dedup {
 
       val a = banded.alias("a")
       val b = banded.alias("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+      val pairs = a.join(b,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.sub") === col("b.sub")
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 8)
+      if (bucketCap <= 0) pairs
+      else {
+        // cap path persisted the banded/counts frames; materialize the
+        // (small) pair set and release them before returning
+        val out = pairs.localCheckpoint(eager = true)
+        releaseCap()
+        out
+      }
   }
 
   private val d03 = Q(
@@ -441,18 +464,25 @@ object Dedup {
       val nPlanes = 8
       val rng = new scala.util.Random(43)
       val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-      val withBucket = capHotBuckets(
+      val (withBucket, releaseCap) = capHotBuckets(
         vecs.withColumn("bucket",
           graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes)),
         Seq("bucket"), "vec_id", bucketCap, "embeddingNeardupPairs")
       val a = withBucket.alias("a")
       val b = withBucket.alias("b")
-      a.join(b, col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub")
+      val pairs = a.join(b,
+          col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub")
           && col("a.vec_id") < col("b.vec_id"))
         .withColumn("cosine", cosineF(col("a.embedding"), col("b.embedding")))
         .filter(col("cosine") >= 0.99)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(col("cosine"), 6).as("cosine"))
+      if (bucketCap <= 0) pairs
+      else {
+        val out = pairs.localCheckpoint(eager = true)
+        releaseCap()
+        out
+      }
   }
 
   /** embeddings ∪ exact copies of vec_id < 20 (ids shifted by 10^6). */

@@ -87,6 +87,40 @@ class HarmonySpec extends SparkSpec {
     assert(maxShift < 1e-2, s"huge lambda should freeze the embedding, max shift $maxShift")
   }
 
+  test("lambdas exposes the effective ridge penalties (getLambda parity, op 25)") {
+    // fixed-lambda fit: every kept level slot carries the user lambda,
+    // intercept slot is unpenalized
+    val lam = result.lambdas
+    assert(lam.length === result.state.K)
+    lam.foreach { row =>
+      assert(row.length === result.state.B + 1)
+      assert(row(0) === 0.0, "intercept must be unpenalized")
+      row.drop(1).foreach(v => assert(v === 1.0 || v === 0.0,
+        s"fixed-lambda fit must apply the user lambda (or 0 for pruned): $v"))
+    }
+    assert(lam.flatMap(_.drop(1)).contains(1.0), "some level must be penalized")
+
+    // auto mode (lambda = None): each kept slot must be exactly
+    // alpha * E(k, b) for the E of the fit's final state
+    // (/root/reference/src/utils.cpp:159-163)
+    val auto = Harmony.fit(fixture, Seq("batch"), HarmonyOptions(
+      nclust = Some(6), theta = Seq(1.0), lambda = None, alpha = 0.2,
+      maxIterHarmony = 1, maxIterCluster = 2, blockSize = 0.2,
+      earlyStop = false, localThreshold = 0L))
+    val st = auto.state
+    val autoLam = auto.lambdas
+    var checked = 0
+    for (k <- 0 until st.K; b <- 0 until st.B) {
+      val v = autoLam(k)(b + 1)
+      if (v != 0.0) {
+        assert(math.abs(v - 0.2 * st.E(k * st.B + b)) < 1e-9,
+          s"auto lambda(k=$k,b=$b)=$v != alpha*E=${0.2 * st.E(k * st.B + b)}")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "auto fit must penalize at least one kept level")
+  }
+
   test("correction shrinks the planted batch offset (mean gap between batches)") {
     def meanGap(df: DataFrame): Double = {
       val sp = spark

@@ -115,6 +115,48 @@ class OperatorsSpec extends SparkSpec {
     assert(ids.count(_ > 5000.0) > 300, "upper half of the corpus under-sampled")
   }
 
+  test("s08 trained PQ: Lloyd cuts quantization error; planted recall >= fixed codebooks") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // corpus with exact copies of the 3 query vectors planted at +1e6 (the
+    // s09 pattern): an exact twin encodes to the query's own codes, so its
+    // ADC is the global minimum and it must appear in the query's top-10
+    val planted = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted)
+
+    val fixed = Similarity.pqFixedCodebooks(emb)
+    val trained = Similarity.pqTrainedCodebooks(emb, seed = 42L)
+
+    // Lloyd must not worsen mean quantization error on the training draw
+    val sample = Similarity.quantizerSample(emb, "embedding", 20000L, 42L)
+    def meanErr(books: Array[Array[Array[Double]]]): Double = {
+      var tot = 0.0
+      sample.foreach { v =>
+        (0 until Similarity.pqM).foreach { m =>
+          val sub = v.slice(m * Similarity.pqSubDim, (m + 1) * Similarity.pqSubDim)
+          tot += books(m).map(cw =>
+            cw.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }
+      }
+      tot / sample.length
+    }
+    val errFixed = meanErr(fixed)
+    val errTrained = meanErr(trained)
+    assert(errTrained < errFixed,
+      s"Lloyd refinement must cut quantization error: trained=$errTrained fixed=$errFixed")
+
+    def plantedRecall(books: Array[Array[Array[Double]]]): Int =
+      Similarity.pqTopK(corpus, books, topK = 10).collect()
+        .count(r => r.getAs[Long]("neighbor_id") ===
+          r.getAs[Long]("query_id") + 1000000L)
+    val recallTrained = plantedRecall(trained)
+    assert(recallTrained >= plantedRecall(fixed),
+      "trained codebooks must not lose planted recall vs the fixed path")
+    assert(recallTrained === 3, "every query must recover its exact planted twin")
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()

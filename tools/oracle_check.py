@@ -23,7 +23,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # DuckDB DATE -> datetime64; the driver treats them as equal,
             # so normalize dates BEFORE the strict dtype gate
             nn = df[c].dropna()
-            if len(nn) and all(isinstance(v, datetime.date) and not isinstance(v, datetime.datetime) for v in nn.head(20)):
+            # check ALL values, not a head sample: a mixed column (dates
+            # first, strings later) must take the stringify branch instead
+            # of exploding inside pd.to_datetime
+            if len(nn) and all(isinstance(v, datetime.date) and not isinstance(v, datetime.datetime) for v in nn):
                 df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
             else:
                 # DuckDB HUGEINT can surface as object-of-Python-int; keep it
@@ -91,7 +94,19 @@ def main(outdir, sfdir):
             oracle_df = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
-        problems = compare(name, canon(spark_df), canon(oracle_df))
+        # int-width drift is widened by canon on the assumption the driver
+        # normalizes width; surface it so a driver that turns out to be
+        # width-sensitive is debuggable from the local log
+        for c in set(spark_df.columns) & set(oracle_df.columns):
+            da, db = str(spark_df[c].dtype), str(oracle_df[c].dtype)
+            if da != db and da.startswith(("int", "uint")) and db.startswith(("int", "uint")):
+                print(f"WARN {name}: col {c} int width spark={da} oracle={db} "
+                      "(widened to int64 locally; driver may be stricter)")
+        # one bad column must fail THIS query, not kill the whole run
+        try:
+            problems = compare(name, canon(spark_df), canon(oracle_df))
+        except Exception as e:
+            problems = [f"canon/compare raised: {type(e).__name__}: {e}"]
         if problems:
             n_fail += 1
             print(f"FAIL {name}: " + "; ".join(problems[:3]))
