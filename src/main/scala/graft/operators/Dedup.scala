@@ -613,7 +613,12 @@ object Dedup {
       val cand = a.join(b, col("a.band") === col("b.band")
           && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      jaccardVerify(cand, sets)
+      // materialize, then release the session-shared caches (the 111-query
+      // Verify run otherwise carries every body's persists to the end)
+      val out = jaccardVerify(cand, sets).localCheckpoint(true)
+      sets.unpersist(false)
+      banded.unpersist(false)
+      out
     },
     Some {
       s"""${kmSqlPrefix(s"SELECT * FROM ($sqlPlanted) p WHERE doc_id % 5 = 0")},
@@ -653,7 +658,10 @@ object Dedup {
       val cand = corpusSide.join(newSide,
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      jaccardVerify(cand, sets)
+      val out = jaccardVerify(cand, sets).localCheckpoint(true)
+      sets.unpersist(false)
+      banded.unpersist(false)
+      out
     },
     Some {
       s"""${kmSqlPrefix(s"SELECT * FROM ($sqlPlanted) p WHERE doc_id % 5 = 0")},
@@ -789,6 +797,10 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val labels = connectedComponents(edges)
+      // labels are eagerly checkpointed inside connectedComponents, so the
+      // upstream caches can be released before the (labels-only) projection
+      edges.unpersist(false)
+      sets.unpersist(false)
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("label"))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),

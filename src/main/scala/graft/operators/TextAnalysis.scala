@@ -490,10 +490,15 @@ object TextAnalysis {
           round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 4)
             .as("dup_bigram_frac"),
           (col("doc_id") === col("keep_id")).as("is_canonical"))
-      joined.withColumn("keep",
+      val out = joined.withColumn("keep",
         col("n_tokens").between(30, 90) &&
           col("top_token_frac") <= 0.2 && col("dup_bigram_frac") <= 0.2 &&
           col("is_canonical"))
+        // materialize, then release the shared-session cache (leak-class
+        // hygiene: Verify runs 111 bodies in one session)
+        .localCheckpoint(true)
+      docs.unpersist(false)
+      out
     },
     Some("""WITH docs AS (
         SELECT doc_id, text FROM documents
