@@ -106,6 +106,70 @@ final case class HarmonyOptions(
   require(maxIterHarmony >= 0 && maxIterCluster >= 1, "iteration budgets")
 }
 
+object HarmonyOptions {
+
+  /** Pre-v1 parameter names the reference's API dropped and now rejects
+    * with migration guidance (`check_legacy_args`,
+    * /root/reference/R/harmony_option.R:67-131). */
+  private val legacyGuidance: Map[String, String] = {
+    val viaOptions = (p: String) =>
+      s"The parameter $p has been dropped from the RunHarmony API; " +
+        s"set it via HarmonyOptions (harmony_options() in the reference)."
+    Map(
+      "do_pca" -> ("The parameters do_pca and npcs have been dropped from " +
+        "the RunHarmony API; pass cell embeddings directly."),
+      "npcs" -> ("The parameters do_pca and npcs have been dropped from " +
+        "the RunHarmony API; pass cell embeddings directly."),
+      "max.iter.harmony" -> ("The parameter max.iter.harmony is replaced " +
+        "with maxIterHarmony (max_iter in the reference)."),
+      "epsilon.harmony" -> ("The parameter epsilon.harmony has been " +
+        "dropped from the RunHarmony API; use earlyStop to control early " +
+        "stopping, or set epsilonHarmony via HarmonyOptions."),
+      "tau" -> viaOptions("tau"),
+      "block.size" -> viaOptions("block.size"),
+      "max.iter.cluster" -> viaOptions("max.iter.cluster"),
+      "epsilon.cluster" -> viaOptions("epsilon.cluster"))
+  }
+
+  /** Config-map ingestion with the reference's argument validation (SURVEY
+    * op 6): the Scala analogue of R's `...` kwargs arriving from a config
+    * file / job submission layer. Legacy pre-v1 names fail with the
+    * reference's migration guidance; unknown names fail with the
+    * reference's "unhandled argument" error — never silently ignored. */
+  def fromMap(args: Map[String, String]): HarmonyOptions =
+    args.foldLeft(HarmonyOptions()) { case (o, (k, v)) =>
+      legacyGuidance.get(k).foreach(msg =>
+        throw new IllegalArgumentException(msg))
+      k match {
+        case "nclust"          => o.copy(nclust = Some(v.toInt))
+        case "theta"           => o.copy(theta = v.split(",").toSeq.map(_.trim.toDouble))
+        case "sigma"           => o.copy(sigma = v.toDouble)
+        case "lambda"          => o.copy(lambda =
+          if (v.equalsIgnoreCase("auto")) None
+          else Some(v.split(",").toSeq.map(_.trim.toDouble)))
+        case "alpha"           => o.copy(alpha = v.toDouble)
+        case "tauDiscount"     => o.copy(tau = v.toDouble)
+        case "blockSize"       => o.copy(blockSize = v.toDouble)
+        case "maxIterHarmony"  => o.copy(maxIterHarmony = v.toInt)
+        case "maxIterCluster"  => o.copy(maxIterCluster = v.toInt)
+        case "epsilonCluster"  => o.copy(epsilonCluster = v.toDouble)
+        case "epsilonHarmony"  => o.copy(epsilonHarmony = v.toDouble)
+        case "earlyStop"       => o.copy(earlyStop = v.toBoolean)
+        case "seed"            => o.copy(seed = v.toLong)
+        case "localThreshold"  => o.copy(localThreshold = v.toLong)
+        case "blockMode"       => o.copy(blockMode = v.toLowerCase match {
+          case "sequential" => BlockMode.Sequential
+          case "sweep"      => BlockMode.Sweep
+          case other => throw new IllegalArgumentException(
+            s"blockMode must be sequential or sweep, got $other")
+        })
+        case other => throw new IllegalArgumentException(
+          s"Argument $other is unhandled. Please refer to the " +
+            "documentation for the valid harmony options!")
+      }
+    }
+}
+
 sealed trait BlockMode
 object BlockMode {
   case object Sequential extends BlockMode

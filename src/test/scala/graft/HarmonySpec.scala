@@ -176,6 +176,32 @@ class HarmonySpec extends SparkSpec {
     assert(e.getMessage.contains("N=2"))
   }
 
+  test("op 6: legacy argument names rejected with migration guidance; unknown args rejected") {
+    // the reference's check_legacy_args surface (harmony_option.R:67-131)
+    // on the config-map ingestion path
+    val legacy = Seq("do_pca", "npcs", "tau", "block.size",
+      "max.iter.harmony", "max.iter.cluster", "epsilon.cluster", "epsilon.harmony")
+    legacy.foreach { p =>
+      val e = intercept[IllegalArgumentException] {
+        HarmonyOptions.fromMap(Map(p -> "1"))
+      }
+      assert(e.getMessage.nonEmpty, s"$p must carry guidance")
+    }
+    val unknown = intercept[IllegalArgumentException] {
+      HarmonyOptions.fromMap(Map("bananas" -> "3"))
+    }
+    assert(unknown.getMessage.contains("unhandled"))
+    // the happy path parses into the same options a direct construction gives
+    val o = HarmonyOptions.fromMap(Map(
+      "nclust" -> "8", "theta" -> "2.0,0.5", "lambda" -> "auto",
+      "blockMode" -> "sweep", "earlyStop" -> "false"))
+    assert(o.nclust === Some(8))
+    assert(o.theta === Seq(2.0, 0.5))
+    assert(o.lambda === None)
+    assert(o.blockMode === BlockMode.Sweep)
+    assert(!o.earlyStop)
+  }
+
   test("unknown covariate is rejected (test_integration.R:43-56)") {
     val e = intercept[IllegalArgumentException] {
       Harmony.fit(fixture, Seq("nope"), opts(1.0))

@@ -157,6 +157,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recallTrained === 3, "every query must recover its exact planted twin")
   }
 
+  test("s10 IVF+PQ: planted twins route to the query's list and win the ADC rank") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // an exact twin gets the query's coarse list AND its residual codes, so
+    // its ADC equals the query's own quantization error — the global
+    // minimum over every candidate in the probed lists
+    val planted = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val top = Similarity.ivfpqTopK(emb.unionByName(planted), topK = 10, seed = 42L)
+      .collect()
+    val recovered = top.count(r =>
+      r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") + 1000000L)
+    assert(recovered === 3, s"only $recovered/3 planted twins recovered")
+    // ranks are well-formed per query
+    top.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
