@@ -245,5 +245,37 @@ object HarmonyQueries {
       true AS objective_nonincreasing, true AS corrected_finite,
       true AS chi2_finite"""))
 
-  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09)
+  /** h10: the reference's PURPOSE under the hash gate — batch-effect
+    * correction must SHRINK the embedding's inter-batch mean gap (summed
+    * over components: max-minus-min of per-batch means) while preserving
+    * cell count and finiteness. The HarmonySpec planted-offset test pins
+    * this on a synthetic fixture; this entry pins it on the gate's own
+    * table behind a constant-true oracle (d11 pattern), so a correction
+    * that silently stops correcting turns the driver red. Gap computation
+    * is distributed (posexplode → per-(batch, component) means → component
+    * range → sum); nothing N-sized reaches the driver. */
+  private val h10 = Q(
+    "h10_correction_invariants",
+    (s, dir) => {
+      import s.implicits._
+      val cells = embCells(s, dir)
+      def gap(df: DataFrame): Double =
+        df.select(col("batch"), posexplode(col("features")))
+          .groupBy(col("batch"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .groupBy(col("pos")).agg((max(col("m")) - min(col("m"))).as("g"))
+          .agg(sum(col("g"))).head().getDouble(0)
+      val before = gap(cells)
+      val corrected = Harmony.run(cells, Seq("batch"), harnessOpts(20, 2.0))
+      val after = gap(corrected
+        .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id")))
+      Seq((after < before,
+          !after.isNaN && !after.isInfinite && after >= 0.0,
+          corrected.count() == cells.count()))
+        .toDF("gap_shrinks", "gap_finite", "cells_preserved")
+    },
+    Some("""SELECT true AS gap_shrinks, true AS gap_finite,
+      true AS cells_preserved"""))
+
+  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10)
 }

@@ -20,13 +20,14 @@ import graft.sources.Tables
   * (Bar-Yossef et al. 2002; same estimator family as Trino's
   * `approx_distinct` bottom-k fallback).
   *
-  * Scale posture: the plan is `distinct` over 8-byte hashes (map-side
-  * partial dedup, then a shuffle of at most NDV longs — NOT the raw rows)
-  * followed by TakeOrderedAndProject (per-partition bottom-k, k longs to the
-  * driver). Nothing row-count-sized ever reaches the driver; the k-sized
-  * bottom set is the mergeable sketch state itself. At 1000 executors the
-  * same plan holds: partial distinct per partition, one exchange of hash
-  * keys, top-k merge.
+  * Scale posture: every KMV query (global q46, grouped q47, merge q48)
+  * runs on the native [[graft.functions.BottomKDistinct]] aggregate — a
+  * bounded distinct max-heap folded per input partition (Partial mode),
+  * so the only exchange carries #partitions × #groups sketch buffers of
+  * at most k longs. Nothing NDV-sized is sorted, shuffled, or sent to the
+  * driver; the heap IS the mergeable sketch state a 1000-executor run
+  * combines (plan-asserted in OperatorsSpec: Partial-mode BottomKDistinct,
+  * no WindowExec).
   */
 object Sketches {
 
@@ -41,21 +42,22 @@ object Sketches {
   /** Global NDV sketch of `l_partkey` with k=256, alongside the exact
     * count — one row: (k, kth_min, est_ndv, exact_ndv, rel_err). Below-k
     * the bottom set IS the full distinct-hash set, so the estimator
-    * switches to exact (same contract as q47/q48). */
+    * switches to exact (same contract as q47/q48). Round 5: the global
+    * sketch also runs on [[graft.functions.BottomKDistinct]] — the r3
+    * distinct→TakeOrderedAndProject plan was scale-safe but still
+    * exchanged every distinct hash; the aggregate's exchange carries
+    * #partitions sketch buffers of ≤ k longs. */
   private val q46 = Q(
     "q46_kmv_ndv",
     (s, dir) => {
       val k = 256
       val li = Tables.lineitem(s, dir)
-      // bottom-k of the distinct hash set: partial-agg dedup then
-      // TakeOrderedAndProject — the driver sees exactly k longs
       val bottomK = li.select(h60(col("l_partkey")).as("h"))
-        .distinct()
-        .orderBy(col("h"))
-        .limit(k)
+        .agg(graft.functions.BottomK.bottomKDistinct(col("h"), k).as("bottom"))
       val exact = li.agg(countDistinct(col("l_partkey")).as("exact_ndv"))
       bottomK
-        .agg(max(col("h")).as("kth_min"), count(lit(1)).as("k"))
+        .select(element_at(col("bottom"), -1).as("kth_min"),
+          size(col("bottom")).cast("long").as("k"))
         .crossJoin(exact)
         .withColumn("est_ndv",
           round(when(col("k") < k, col("k").cast("double"))

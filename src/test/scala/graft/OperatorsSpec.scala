@@ -485,11 +485,6 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("round-3 scale contracts: plan shapes for sketches, chunking, compaction") {
-    // q46: bottom-k via TakeOrderedAndProject over a partial-agg'd distinct
-    // (driver sees k longs, never the hash set)
-    val q46 = SparkEntry.queries("q46_kmv_ndv")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(q46.contains("TakeOrderedAndProject"), "KMV bottom-k must plan as top-k")
     // t11: pure per-row generate — a chunker that shuffles is wrong
     val t11 = SparkEntry.queries("t11_chunk_windows")(spark, sfDir)
       .queryExecution.executedPlan.toString
@@ -561,7 +556,7 @@ class OperatorsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
-    for (q <- Seq("q47_kmv_grouped", "q48_kmv_merge")) {
+    for (q <- Seq("q46_kmv_ndv", "q47_kmv_grouped", "q48_kmv_merge")) {
       val plan0 = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
       val plan = plan0 match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
