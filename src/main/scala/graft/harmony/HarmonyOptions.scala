@@ -125,7 +125,8 @@ object HarmonyOptions {
       "epsilon.harmony" -> ("The parameter epsilon.harmony has been " +
         "dropped from the RunHarmony API; use earlyStop to control early " +
         "stopping, or set epsilonHarmony via HarmonyOptions."),
-      "tau" -> viaOptions("tau"),
+      // NB: "tau" is NOT legacy here — fromMap IS the harmony_options()
+      // layer the reference moved tau into, so it parses below
       "block.size" -> viaOptions("block.size"),
       "max.iter.cluster" -> viaOptions("max.iter.cluster"),
       "epsilon.cluster" -> viaOptions("epsilon.cluster"))
@@ -148,7 +149,7 @@ object HarmonyOptions {
           if (v.equalsIgnoreCase("auto")) None
           else Some(v.split(",").toSeq.map(_.trim.toDouble)))
         case "alpha"           => o.copy(alpha = v.toDouble)
-        case "tauDiscount"     => o.copy(tau = v.toDouble)
+        case "tau"             => o.copy(tau = v.toDouble)
         case "blockSize"       => o.copy(blockSize = v.toDouble)
         case "maxIterHarmony"  => o.copy(maxIterHarmony = v.toInt)
         case "maxIterCluster"  => o.copy(maxIterCluster = v.toInt)

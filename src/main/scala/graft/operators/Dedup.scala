@@ -73,9 +73,16 @@ object Dedup {
           s"$cap (widest ${hot.getLong(1)}) into hash sub-buckets; " +
           "cross-sub-bucket pairs inside those buckets are not generated")
       }
+      // the sub-bucket hash is salted with the bucket key columns, so each
+      // BAND splits a hot bucket independently: a pair separated in one
+      // band's split still co-buckets in another band with probability
+      // 1-(1-1/nSub)^bands — the OR-redundancy multi-band LSH exists for
+      // is preserved inside hot buckets (id-only hashing would split the
+      // pair identically in every band and forfeit it)
       val capped = withW
         .withColumn("sub", when(col("w") <= cap, lit(0L))
-          .otherwise(pmod(xxhash64(col(idCol)), ceil(col("w").cast("double") / cap))))
+          .otherwise(pmod(xxhash64((keys.map(col) :+ col(idCol)): _*),
+            ceil(col("w").cast("double") / cap))))
         .drop("w")
       (capped, () => { withW.unpersist(false); () })
     }
@@ -802,9 +809,15 @@ object Dedup {
       edges.unpersist(false)
       sets.unpersist(false)
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, Seq("label"))
+      // materialize the final projection and release the labels checkpoint
+      // too — otherwise it sits in executor storage for the rest of the
+      // session (the same leak class as the sets/banded persists)
+      val out = labels.join(sizes, Seq("label"))
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"), (col("node") === col("label")).as("is_canonical"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      out
     },
     Some("""WITH RECURSIVE base AS (
         SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 0),

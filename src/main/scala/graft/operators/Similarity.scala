@@ -35,11 +35,16 @@ object Similarity {
     * (VERDICT r4 #8 / ADVICE). Hash-bottom-k plans as one pass with a
     * per-partition top-k (TakeOrderedAndProject): uniform in hash order,
     * deterministic under the seed, and the driver receives EXACTLY
-    * min(cap, N) rows — a hard memory bound. */
+    * min(cap, N) rows — a hard memory bound. The hash covers the WHOLE row
+    * (id column included), not just the embedding value: hashing the value
+    * alone would give duplicate vectors one shared sort key, so a
+    * duplicate flood could fill the entire cap with one point and
+    * degenerate the quantizer — row-hashing keeps the draw row-uniform. */
   def quantizerSample(e: DataFrame, embCol: String, cap: Long, seed: Long): Array[Array[Double]] = {
-    e.select(col(embCol))
-      .orderBy(xxhash64(lit(seed), col(embCol)), col(embCol))
-      .limit(cap.toInt)
+    val rowHash = xxhash64(lit(seed) +: e.columns.map(col): _*)
+    e.select(col(embCol), rowHash.as("__h"))
+      .orderBy(col("__h"), col(embCol))
+      .limit(math.min(cap, Int.MaxValue.toLong).toInt)
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]](embCol).map(_.toDouble).toArray)
   }
@@ -471,12 +476,23 @@ object Similarity {
       k = pqK, maxIter = 10, seed = seed + m))
   }
 
-  /** Shared trained-PQ ANN dataflow: encode corpus to M codes (one pass,
-    * codegen'd argmins), broadcast the queries' M×K ADC lookup tables,
-    * score candidates by fixed-order LUT sum, top-k per query. Queries =
-    * vec_id < 3 (the suite's standard query set). */
-  private[graft] def pqTopK(vecs: DataFrame,
-      codebooks: Array[Array[Array[Double]]], topK: Int): DataFrame = {
+  /** Driver-side squared distance over the overlapping prefix (LUT/
+    * codebook construction helper for the PQ and IVFPQ paths). */
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val df = a(i) - b(i); s += df * df; i += 1 }
+    s
+  }
+
+  /** Shared trained-PQ ANN dataflow, scoring stage: encode corpus to M
+    * codes (one pass, codegen'd argmins), broadcast the queries' M×K ADC
+    * lookup tables, score every candidate by fixed-order LUT sum. Queries
+    * = vec_id < 3 (the suite's standard query set). Returns (query_id,
+    * vec_id, adc) — [[pqTopK]] ranks it; s11 reads the raw scores so its
+    * recall boolean is robust to exact ADC ties. */
+  private[graft] def pqScores(vecs: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val sp = vecs.sparkSession
     import sp.implicits._
     val codeCols = (0 until pqM).map(m =>
@@ -486,26 +502,26 @@ object Similarity {
     // query LUTs: d2(query subvector, codeword) for every (m, codeword) —
     // 3 queries x 4 x 16 doubles, computed driver-side from the SAME
     // codebooks and broadcast (the asymmetric-distance table of ADC)
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val df = a(i) - b(i); s += df * df; i += 1 }
-      s
-    }
     val qLut = vecs.filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
         val q = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
         val lut = (0 until pqM).map(m => codebooks(m).map(cw =>
-          d2(q.slice(m * pqSubDim, (m + 1) * pqSubDim), cw)).toSeq).toSeq
+          sqDist(q.slice(m * pqSubDim, (m + 1) * pqSubDim), cw)).toSeq).toSeq
         (r.getAs[Long]("vec_id"), lut)
       }.toSeq.toDF("query_id", "lut")
     val adc = (0 until pqM).map(m =>
       element_at(element_at(col("lut"), m + 1), col(s"c$m") + 1)).reduce(_ + _)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     codes.crossJoin(broadcast(qLut))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  private[graft] def pqTopK(vecs: DataFrame,
+      codebooks: Array[Array[Array[Double]]], topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    pqScores(vecs, codebooks)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -535,19 +551,13 @@ object Similarity {
     * list_id equi-join, and the scan side carries (vec_id, list_id,
     * 4 codes) — never raw vectors. Rows-only (both quantizers trained);
     * planted-twin recall spec-asserted like s08/s09. */
-  private[graft] def ivfpqTopK(vecs: DataFrame, topK: Int, seed: Long): DataFrame = {
+  private[graft] def ivfpqScores(vecs: DataFrame, seed: Long): DataFrame = {
     val sp = vecs.sparkSession
     import sp.implicits._
     val nLists = 8
     val nProbe = 2
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val df = a(i) - b(i); s += df * df; i += 1 }
-      s
-    }
     def nearestOf(v: Array[Double], cs: Array[Array[Double]]): Int =
-      cs.indices.minBy(i => d2(v, cs(i)))
+      cs.indices.minBy(i => sqDist(v, cs(i)))
 
     val sample = quantizerSample(vecs, "embedding", cap = 20000L, seed = seed)
     val coarse = graft.harmony.LocalKMeans.fit(sample, k = nLists, maxIter = 10, seed = seed)
@@ -586,18 +596,23 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .flatMap { r =>
         val q = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
-        coarse.indices.sortBy(l => d2(q, coarse(l))).take(nProbe).map { l =>
+        coarse.indices.sortBy(l => sqDist(q, coarse(l))).take(nProbe).map { l =>
           val lut = (0 until pqM).map(m => eff(l)(m).map(cw =>
-            d2(q.slice(m * pqSubDim, (m + 1) * pqSubDim), cw)).toSeq).toSeq
+            sqDist(q.slice(m * pqSubDim, (m + 1) * pqSubDim), cw)).toSeq).toSeq
           (r.getAs[Long]("vec_id"), l, lut)
         }
       }.toSeq.toDF("query_id", "list_id", "lut")
     val adc = (0 until pqM).map(m =>
       element_at(element_at(col("lut"), m + 1), col(s"c$m") + 1)).reduce(_ + _)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     codes.join(broadcast(qLut), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
+      .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  private[graft] def ivfpqTopK(vecs: DataFrame, topK: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    ivfpqScores(vecs, seed)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -614,8 +629,13 @@ object Similarity {
   /** s11/s12: the s08/s10 production paths under the driver's HASH gate
     * (the s09/d11 constant-true-oracle pattern). An exact planted twin
     * encodes to the query's own codes (and, for IVFPQ, routes to the
-    * query's own list), so its ADC is the global minimum — deterministic
-    * recall the oracle can pin as constant booleans. */
+    * query's own list), so its ADC equals the query's own quantization
+    * error — the global MINIMUM over all candidates. The booleans assert
+    * exactly that (twin attains the per-query min ADC) rather than "twin
+    * inside the row_number top-k": PQ ADC ties are exact by construction
+    * (any vector sharing the query's code tuple scores identically), and
+    * a tie-broken rank could evict the large-id twin from a correct
+    * engine's top-k — the min-attainment form is tie-proof. */
   private def plantedCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val planted = base.filter(col("vec_id") < 3)
@@ -623,29 +643,34 @@ object Similarity {
     (base, base.unionByName(planted))
   }
 
+  /** Per-query (min ADC, twin ADC) reduced to the tie-proof booleans. */
+  private def twinAttainsMin(scores: DataFrame): DataFrame =
+    scores.groupBy(col("query_id"))
+      .agg(min(col("adc")).as("min_adc"),
+        min(when(col("vec_id") === col("query_id") + 1000000L, col("adc")))
+          .as("twin_adc"))
+      .agg(
+        (count(lit(1)) === 3).as("all_queries_scored"),
+        (count(col("twin_adc")) === 3).as("all_twins_are_candidates"),
+        (max(col("twin_adc") - col("min_adc")) <= 0.0).as("twins_attain_min_adc"))
+
   private val s11 = Q(
     "s11_pq_planted_recall",
     (s, dir) => {
       val (base, corpus) = plantedCorpus(s, dir)
-      pqTopK(corpus, pqTrainedCodebooks(base, seed = 42L), topK = 10)
-        .filter(col("neighbor_id") === col("query_id") + 1000000L)
-        .agg(
-          (count(lit(1)) === 3).as("all_queries_recover_planted"),
-          (max(col("rn")) <= 10L).as("twins_inside_topk"))
+      twinAttainsMin(pqScores(corpus, pqTrainedCodebooks(base, seed = 42L)))
     },
-    Some("SELECT true AS all_queries_recover_planted, true AS twins_inside_topk"))
+    Some("""SELECT true AS all_queries_scored, true AS all_twins_are_candidates,
+      true AS twins_attain_min_adc"""))
 
   private val s12 = Q(
     "s12_ivfpq_planted_recall",
     (s, dir) => {
       val (_, corpus) = plantedCorpus(s, dir)
-      ivfpqTopK(corpus, topK = 10, seed = 42L)
-        .filter(col("neighbor_id") === col("query_id") + 1000000L)
-        .agg(
-          (count(lit(1)) === 3).as("all_queries_recover_planted"),
-          (max(col("rn")) <= 10L).as("twins_inside_topk"))
+      twinAttainsMin(ivfpqScores(corpus, seed = 42L))
     },
-    Some("SELECT true AS all_queries_recover_planted, true AS twins_inside_topk"))
+    Some("""SELECT true AS all_queries_scored, true AS all_twins_are_candidates,
+      true AS twins_attain_min_adc"""))
 
   // ---------------------------------------------------------------- s07
   /** CONTRASTIVE PAIR CONSTRUCTION — the step that turns an embedding

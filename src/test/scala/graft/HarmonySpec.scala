@@ -179,7 +179,9 @@ class HarmonySpec extends SparkSpec {
   test("op 6: legacy argument names rejected with migration guidance; unknown args rejected") {
     // the reference's check_legacy_args surface (harmony_option.R:67-131)
     // on the config-map ingestion path
-    val legacy = Seq("do_pca", "npcs", "tau", "block.size",
+    // "tau" is NOT in this list: fromMap is the harmony_options() layer the
+    // reference moved tau into, so it parses as a current option below
+    val legacy = Seq("do_pca", "npcs", "block.size",
       "max.iter.harmony", "max.iter.cluster", "epsilon.cluster", "epsilon.harmony")
     legacy.foreach { p =>
       val e = intercept[IllegalArgumentException] {
@@ -194,10 +196,11 @@ class HarmonySpec extends SparkSpec {
     // the happy path parses into the same options a direct construction gives
     val o = HarmonyOptions.fromMap(Map(
       "nclust" -> "8", "theta" -> "2.0,0.5", "lambda" -> "auto",
-      "blockMode" -> "sweep", "earlyStop" -> "false"))
+      "tau" -> "5", "blockMode" -> "sweep", "earlyStop" -> "false"))
     assert(o.nclust === Some(8))
     assert(o.theta === Seq(2.0, 0.5))
     assert(o.lambda === None)
+    assert(o.tau === 5.0)
     assert(o.blockMode === BlockMode.Sweep)
     assert(!o.earlyStop)
   }
