@@ -78,5 +78,69 @@ object Sinks {
       min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM documents GROUP BY lang"""))
 
-  val all: Seq[Q] = Seq(w01, w02)
+  /** CSV write → schema-pinned read → aggregate: the other interchange
+    * format every pipeline meets. Quoting must survive free-text-ish
+    * columns (order priorities/status), doubles aggregate via the w01
+    * cents trick so the comparison is exact, and the read side pins the
+    * schema (CSV inference is a full extra pass at 100 TB, and its type
+    * guesses drift). */
+  private val w03 = Q(
+    "w03_csv_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w03_").toString
+      try {
+        val src = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        src.write.mode("overwrite").option("header", "true").csv(out)
+        val back = s.read.schema(src.schema).option("header", "true").csv(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+              .as("sum_price"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"))
+        graft.functions.CrossEngine.materializeLocal(s, back)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+      round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      count(DISTINCT o_orderpriority) AS n_priorities
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** ORC write → read → aggregate: the second columnar format Spark ships
+    * natively (warehouse migrations meet both). Lossless for the part
+    * schema; the aggregate over the re-read frame must equal the direct
+    * oracle on the original table. */
+  private val w04 = Q(
+    "w04_orc_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w04_").toString
+      try {
+        Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+          .write.mode("overwrite").orc(out)
+        val back = s.read.orc(out)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("p_size")).cast("long").as("sum_size"),
+            round(sum(round(col("p_retailprice") * 100).cast("long")) / 100.0, 2)
+              .as("sum_price"),
+            min(col("p_partkey")).as("min_key"))
+        graft.functions.CrossEngine.materializeLocal(s, back)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT p_brand, count(*) AS n,
+      CAST(sum(p_size) AS BIGINT) AS sum_size,
+      round(sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
+      min(p_partkey) AS min_key
+      FROM part GROUP BY p_brand"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04)
 }
