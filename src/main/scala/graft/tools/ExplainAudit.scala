@@ -23,9 +23,11 @@ object ExplainAudit {
       "q06_region_revenue", "q08_top_orders_per_cust", "q24_asof_join",
       "q25_topk_orders", "q30_range_join", "d01_exact_dedup", "s01_knn_bruteforce",
       "q45_asof_maxby", "s04_knn_lsh_oracle", "t08_repetition", "t09_pii_redact",
-      "q46_kmv_ndv", "q48_kmv_merge", "q49_sample_quantiles", "q50_cdc_compact",
+      "q46_kmv_ndv", "q47_kmv_grouped", "q48_kmv_merge",
+      "q49_sample_quantiles", "q50_cdc_compact",
       "t10_pack_sequences", "t11_chunk_windows", "m04_media_resize",
-      "s06_ann_pq_oracle", "p01_table_profile", "t12_filter_verdict")
+      "s06_ann_pq_oracle", "s08_ann_pq_trained", "s10_ann_ivfpq",
+      "p01_table_profile", "t12_filter_verdict")
     targets.foreach { name =>
       println(s"\n================ $name ================")
       val plan = graft.SparkEntry.queries(name)(spark, sfDir)
