@@ -531,6 +531,27 @@ class OperatorsSpec extends SparkSpec {
     assert(c.sortedAscending.toSeq === Seq(2L, 6L))
   }
 
+  test("BottomKHeap property: random streams + random merge splits == sorted distinct take k") {
+    val rng = new scala.util.Random(20260812L)
+    (1 to 200).foreach { _ =>
+      val k = 1 + rng.nextInt(64)
+      val n = rng.nextInt(500)
+      // small value domain forces heavy duplication
+      val xs = Array.fill(n)(rng.nextInt(150).toLong - 75L)
+      val expected = xs.distinct.sorted.take(k).toSeq
+      // single heap
+      val h = new graft.functions.BottomKHeap(k)
+      xs.foreach(h.insert)
+      assert(h.sortedAscending.toSeq === expected)
+      // random split into partial heaps, merged (the Partial/Final path)
+      val parts = Array.fill(1 + rng.nextInt(4))(new graft.functions.BottomKHeap(k))
+      xs.foreach(x => parts(rng.nextInt(parts.length)).insert(x))
+      val merged = parts.reduce { (a, b) => a.mergeFrom(b); a }
+      assert(merged.sortedAscending.toSeq === expected,
+        s"merge path diverged at k=$k n=$n")
+    }
+  }
+
   test("bottom_k_distinct aggregate == window-rank bottom-k on real data") {
     import org.apache.spark.sql.expressions.Window
     val li = graft.sources.Tables.lineitem(spark, sfDir)
