@@ -12,6 +12,18 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("streaming gate bodies scope and RESTORE the session shuffle-partition conf") {
+    // the st04-st09 bodies pin spark.sql.shuffle.partitions=8 for their
+    // state stores; leaking that value would silently narrow every batch
+    // query that runs after them in the shared Verify/Bench session
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val n = SparkEntry.queries("st04_stream_tumbling")(spark, sfDir).count()
+    assert(n > 0)
+    assert(spark.conf.get(key) === before,
+      "streaming body must restore the batch shuffle width")
+  }
+
   test("append-mode tumbling window emits closed windows and drops late data") {
     val sp = spark
     import sp.implicits._
