@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // sample the load average BEFORE any work: taken at the end it would
+    // mostly reflect this bench's own 32-thread run, not box contention
+    val os0 = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvgAtStart = os0.getSystemLoadAverage
     val spark = GraftSession.local(cpus.toInt)
     // warm the JVM/codegen paths once per base table and per heavy codegen
     // family so per-query times measure the queries, not first-touch class
@@ -31,9 +35,10 @@ object Bench {
     // average and core count alongside the timings lets any reader tell a
     // regression from a loaded box.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadAvg = os.getSystemLoadAverage // -1.0 if the platform can't say
+    val loadEnd = os.getSystemLoadAverage // -1.0 if the platform can't say
     val nCpus = os.getAvailableProcessors
-    val loadFields = s""""load_avg_1m":${f3(loadAvg)},"cpus":$nCpus"""
+    val loadFields =
+      s""""load_avg_start":${f3(loadAvgAtStart)},"load_avg_end":${f3(loadEnd)},"cpus":$nCpus"""
     // full per-query map lives ONLY on disk; the printed line must stay
     // short because the driver tail-captures stdout and a ~2 KB line gets
     // its head cut (r1 AND r2 lesson: the bottleneck is LINE LENGTH, not

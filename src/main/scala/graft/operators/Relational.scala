@@ -912,10 +912,58 @@ object Relational {
         n_versions
       FROM r WHERE rk = 1"""))
 
+  // ---------------------------------------------------------------- q52
+  /** CONVERSION FUNNEL — the ordered-sequence analytics query every event
+    * pipeline runs: users who did view → click (after their first view) →
+    * purchase (after that click), with per-step first-qualifying
+    * timestamps. Each step is a join on user_id plus a strict time
+    * predicate and a map-side-combined min-agg; no window over the event
+    * stream, no per-user sort — at 100 TB the plan is three hash
+    * aggregations and two user-keyed joins (the step frames shrink
+    * monotonically, and AQE can broadcast the later, smaller sides).
+    * Output: one row of funnel counts + a conversion rate. */
+  private val q52 = Q(
+    "q52_funnel",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").alias("e")
+        .join(v.alias("v"), col("e.user_id") === col("v.user_id")
+          && col("e.ts") > col("v.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").alias("e")
+        .join(c.alias("c"), col("e.user_id") === col("c.user_id")
+          && col("e.ts") > col("c.t2"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_funnel")))
+        .withColumn("conversion",
+          round(col("n_funnel").cast("double") / col("n_view"), 6))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v) AS n_view,
+        (SELECT count(*) FROM c) AS n_view_click,
+        (SELECT count(*) FROM p) AS n_funnel,
+        round(CAST((SELECT count(*) FROM p) AS DOUBLE) /
+          (SELECT count(*) FROM v), 6) AS conversion"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q50)
+    q41, q42, q43, q44, q45, q50, q52)
 }

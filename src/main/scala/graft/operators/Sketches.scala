@@ -222,5 +222,48 @@ object Sketches {
       JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
         ON rk = CAST(ceil(q * n) AS BIGINT)"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49)
+  // ---------------------------------------------------------------- q51
+  /** HEAVY HITTERS at unbounded key cardinality — the candidate-generation
+    * + exact-verification pattern that makes "which keys exceed p% of the
+    * table" tractable at 100 TB: a naive groupBy shuffles every distinct
+    * key (here ~N keys); instead pass 1 folds a mergeable Misra-Gries
+    * summary ([[graft.functions.MisraGriesSketch]]) map-side — the
+    * exchange carries #partitions summaries of ≤ k pairs, and the summary
+    * is a GUARANTEED superset of every key with frequency > N/(k+1) — and
+    * pass 2 exact-counts only the ≤ k candidates (broadcast IN filter, ≤ k
+    * groups). Because threshold 5% ≫ 1/(k+1) ≈ 1.5%, the approximate
+    * sketch yields an EXACT, oracle-checkable answer. The heavy keys are
+    * planted by construction (l_linenumber ≤ 2 ⇒ two hot keys at ~25% and
+    * ~21%; every other row gets a unique cold key), so the query faces the
+    * adversarial shape: mostly-distinct stream, few true heavies. */
+  private val q51 = Q(
+    "q51_heavy_hitters",
+    (s, dir) => {
+      val k = 64
+      val keyCol = when(col("l_linenumber") <= 2,
+          concat(lit("hot_"), col("l_linenumber")))
+        .otherwise(concat(lit("cold_"), col("l_orderkey"), lit("_"), col("l_linenumber")))
+      val keyed = Tables.lineitem(s, dir).select(keyCol.as("key"))
+      // pass 1: candidates + row count in ONE aggregate (no extra scan)
+      val row = keyed.agg(
+        graft.functions.MisraGries.misraGries(xxhash64(col("key")), k).as("cand"),
+        count(lit(1)).as("n")).head()
+      val cand = row.getSeq[Long](0)
+      val threshold = row.getLong(1) / 20L // 5%
+      // pass 2: exact counts over candidates only — the sketch made the
+      // final answer exact, and the hash never leaks into the output
+      keyed.filter(xxhash64(col("key")).isin(cand: _*))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > threshold)
+    },
+    Some("""WITH keyed AS (
+        SELECT CASE WHEN l_linenumber <= 2 THEN 'hot_' || l_linenumber
+          ELSE 'cold_' || l_orderkey || '_' || l_linenumber END AS key
+        FROM lineitem)
+      SELECT key, count(*) AS cnt FROM keyed
+      GROUP BY key
+      HAVING count(*) > (SELECT count(*) / 20 FROM keyed)"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51)
 }

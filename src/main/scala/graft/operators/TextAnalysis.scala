@@ -607,7 +607,50 @@ object TextAnalysis {
       SELECT doc_id, source, rk, target AS n_kept_target
       FROM tiered WHERE rk <= target"""))
 
+  // ---------------------------------------------------------------- t15
+  /** UNIGRAM LANGUAGE-MODEL SCORING — the perplexity-proxy quality signal
+    * data pipelines filter on (docs whose tokens are collectively rare in
+    * the corpus score low): per-doc mean log10 unigram probability under
+    * the corpus's own empirical distribution. Cross-engine determinism via
+    * the cents trick applied to logs: each token's log-probability is
+    * scaled to integer MICRO-UNITS before summation, so the per-doc sum is
+    * exact long arithmetic (order-independent) in both engines — a double
+    * sum of logs would differ in the last ulp by partial-aggregation
+    * order. Plan: one explode + grouped count (map-side combined), the
+    * corpus total as a broadcast scalar join, one join back on token, one
+    * grouped long-sum per doc. */
+  private val tUnigramLp = Q(
+    "t15_unigram_logprob",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val micro = counts.crossJoin(broadcast(total))
+        .select(col("token"),
+          round(log10(col("cnt").cast("double") / col("total")) * 1e6)
+            .cast("long").as("lp_micro"))
+      toks.join(micro, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp_micro")).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("s").cast("double") / col("n_tokens") / 1e6, 6)
+            .as("avg_logprob10"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      micro AS (
+        SELECT token, CAST(round(log10(CAST(cnt AS DOUBLE) /
+          (SELECT sum(cnt) FROM counts)) * 1e6) AS BIGINT) AS lp_micro
+        FROM counts)
+      SELECT t.doc_id, count(*) AS n_tokens,
+        round(CAST(sum(m.lp_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_logprob10
+      FROM toks t JOIN micro m ON t.token = m.token
+      GROUP BY t.doc_id"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
-      tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix)
+      tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
+      tUnigramLp)
 }

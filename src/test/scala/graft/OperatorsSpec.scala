@@ -552,6 +552,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("MisraGries property: summary is a superset of every key with freq > N/(k+1)") {
+    val rng = new scala.util.Random(774422L)
+    (1 to 100).foreach { _ =>
+      val k = 8 + rng.nextInt(56)
+      // adversarial stream: a few genuinely heavy keys buried in a
+      // mostly-unique tail, shuffled
+      val nHeavy = 1 + rng.nextInt(4)
+      val n = 2000 + rng.nextInt(3000)
+      val heavyShare = 2.0 * nHeavy / (k + 1) + 0.05 // comfortably above the bound
+      val heavyEach = (n * heavyShare / nHeavy).toInt
+      val stream = rng.shuffle(
+        (0 until nHeavy).flatMap(h => Seq.fill(heavyEach)(h.toLong)) ++
+          (0 until n - nHeavy * heavyEach).map(i => 1000L + i))
+      val total = stream.length
+      // random split into partial summaries, merged (the Partial/Final path)
+      val parts = Array.fill(1 + rng.nextInt(5))(new graft.functions.MisraGriesSummary(k))
+      stream.foreach(v => parts(rng.nextInt(parts.length)).add(v))
+      val merged = parts.reduce { (a, b) => a.mergeFrom(b); a }
+      assert(merged.size <= k)
+      val cand = merged.candidates.toSet
+      val trueHeavy = stream.groupBy(identity).collect {
+        case (v, occ) if occ.length > total / (k + 1) => v
+      }
+      trueHeavy.foreach(v => assert(cand.contains(v),
+        s"key $v with freq > N/(k+1) missing from the summary (k=$k, n=$total)"))
+    }
+  }
+
   test("bottom_k_distinct aggregate == window-rank bottom-k on real data") {
     import org.apache.spark.sql.expressions.Window
     val li = graft.sources.Tables.lineitem(spark, sfDir)
