@@ -269,7 +269,7 @@ object Dedup {
     * the transform: higher-order-function lambdas are evaluated interpreted
     * per element, so `split(text)` inside the lambda would re-tokenize the
     * whole document per shingle — O(len²)/doc (measured: ~2× on d06). */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), array_distinct(expr(
         """transform(sequence(1, greatest(size(toks) - 2, 1)),
@@ -516,7 +516,7 @@ object Dedup {
   private def md5Hash(c: Column, salt: Int): Column =
     graft.functions.CrossEngine.md5Hash60(c, Some(salt))
 
-  private val sqlPlanted =
+  private[graft] val sqlPlanted =
     """SELECT doc_id, text FROM documents
        UNION ALL
        SELECT doc_id + 10000000,
@@ -542,7 +542,7 @@ object Dedup {
     * elimination, so md5 inside each min() would run nPerm times per row.
     * Band key = md5 of the band's two signature values. Returns banded
     * (doc_id, band, bucket) rows. */
-  private def kmBands(sets: DataFrame): DataFrame = {
+  private[graft] def kmBands(sets: DataFrame): DataFrame = {
     val nPerm = 8 // fixed: kmSqlPrefix mirrors exactly this family
     val shingles = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), md5(col("shingle")).as("dig"))
@@ -577,7 +577,7 @@ object Dedup {
     * sets/shingles/sigs/banded over `docsSql`, plus the verification tail
     * fragments — both oracles compose from this single template so the two
     * engines' pipelines can't drift apart. */
-  private def kmSqlPrefix(docsSql: String): String = {
+  private[graft] def kmSqlPrefix(docsSql: String): String = {
     val hs = (0 until 8).map(i =>
       s"min((ha + $i * hb) % 4294967296) AS h$i")
       .mkString(",\n           ")
@@ -599,7 +599,7 @@ object Dedup {
         banded AS ($bands)"""
   }
 
-  private val kmSqlVerifyTail: String =
+  private[graft] val kmSqlVerifyTail: String =
     """SELECT c.doc_a, c.doc_b,
         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard

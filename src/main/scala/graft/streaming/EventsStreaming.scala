@@ -398,5 +398,101 @@ object EventsStreaming {
         AND a.event_type = 'click' AND b.event_type = 'purchase'
         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""))
 
-  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
+  // ---------------------------------------------------------------- streaming near-dup
+  /** REAL STREAMING LSH NEAR-DUP INGEST — the composition a training-data
+    * pipeline deploys at its ingest boundary: new documents arrive as a
+    * stream, their MinHash signatures and band keys are computed PER ROW
+    * (stateless — the 8-permutation signature is an `array_min(zip_with)`
+    * fold over the doc's own shingle digests, so there is no streaming
+    * aggregation and no watermark state at all), and candidates come from
+    * a stateless stream-static equi-join against the persisted corpus
+    * band table, verified inline by exact Jaccard against the corpus
+    * shingle sets. Harness: the stream replays the d10 planting (every
+    * 10th doc truncated to 90% tokens, id + 1e7) through a file source;
+    * the static side is the 1-in-5 corpus slice; the drained result must
+    * hash-match d10's DuckDB oracle — a full streaming LSH dedup run
+    * under the driver's gate. Scale: the corpus signature table is
+    * exactly what d10's incremental mode persists between runs, re-read
+    * per micro-batch (the slowly-growing-corpus contract); per-batch cost
+    * is O(|new| + matched buckets). */
+  private val st10 = Q(
+    "st10_stream_neardup",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Dedup
+      val sinkTable = "st10_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st10_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+      // static corpus: the 1-in-5 base slice, banded, shingle sets attached
+      val corpusDocs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpusSets = Dedup.shingleSets(corpusDocs)
+      val corpusBanded = Dedup.kmBands(corpusSets)
+        .join(corpusSets.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+        .select(col("doc_id").as("doc_a"), col("band"), col("bucket"), col("sh_a"))
+
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      // the arriving batch: d10's planted truncations, signatures per row
+      val streamed = raw
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          expr("""array_join(slice(split(text, ' '), 1,
+            greatest(cast(size(split(text, ' ')) * 0.9 as int), 1)), ' ')""").as("text"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("sh", expr(
+          """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
+             i -> concat_ws(' ', slice(toks, i, 3))))"""))
+        .withColumn("digs", expr("transform(sh, x -> md5(x))"))
+        .withColumn("ha", expr(
+          "transform(digs, d -> cast(conv(substring(d, 1, 15), 16, 10) as bigint))"))
+        .withColumn("hb", expr(
+          "transform(digs, d -> cast(conv(substring(d, 17, 15), 16, 10) as bigint))"))
+      val sigCols = (0 until 8).map(i =>
+        expr(s"array_min(zip_with(ha, hb, (a, b) -> (a + $i * b) % 4294967296))").as(s"h$i"))
+      val withSigs = streamed.select(col("doc_id") +: col("sh") +: sigCols: _*)
+      val bandCols = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))).as("bucket")))
+      val streamBanded = withSigs
+        .select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_b"), col("sh_b"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+      // stateless stream-static join + inline exact-Jaccard verification;
+      // filter on the RAW ratio (the d10 contract), round only for output
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val joined = streamBanded.join(corpusBanded, Seq("band", "bucket"))
+        .withColumn("jaccard_raw", inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter))
+        .filter(col("jaccard_raw") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 6).as("jaccard"))
+      val query = joined.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      // a pair surfaces once per co-bucketed band: dedup at drain
+      drainSink(s, s.table(sinkTable).distinct(), sinkTable, srcDir)
+    },
+    Some {
+      import graft.operators.Dedup
+      s"""${Dedup.kmSqlPrefix(s"SELECT * FROM (${Dedup.sqlPlanted}) p WHERE doc_id % 5 = 0")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < 10000000 AND b.doc_id >= 10000000)
+      ${Dedup.kmSqlVerifyTail}"""
+    })
+
+  val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
+    st10)
 }
