@@ -34,9 +34,8 @@ object Bench {
     // driver vs 1.94 s quiet — identical code); recording the 1-minute load
     // average and core count alongside the timings lets any reader tell a
     // regression from a loaded box.
-    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadEnd = os.getSystemLoadAverage // -1.0 if the platform can't say
-    val nCpus = os.getAvailableProcessors
+    val loadEnd = os0.getSystemLoadAverage // -1.0 if the platform can't say
+    val nCpus = os0.getAvailableProcessors
     val loadFields =
       s""""load_avg_start":${f3(loadAvgAtStart)},"load_avg_end":${f3(loadEnd)},"cpus":$nCpus"""
     // full per-query map lives ONLY on disk; the printed line must stay

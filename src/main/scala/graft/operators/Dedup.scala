@@ -27,6 +27,15 @@ object Dedup {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** 90%-token-prefix truncation of `text` — the planted-near-dup
+    * derivation shared by [[withPlantedDups]] (batch) and the streaming
+    * ingest harness (st10); int cast = floor for positive counts, matching
+    * the oracle's floor(). ONE definition so the Spark sides cannot drift
+    * from each other (the SQL twin lives in [[sqlPlanted]]). */
+  private[graft] def truncate90: Column =
+    array_join(slice(toks, lit(1),
+      greatest((size(toks) * 0.9).cast("int"), lit(1))), " ")
+
   /** Per-bucket width cap against degenerate HOT buckets (VERDICT r4 #4):
     * thousands of near-identical documents (license pages, boilerplate,
     * scraped templates — exactly what a 100 TB web corpus contains) land in
@@ -248,8 +257,7 @@ object Dedup {
       col("text"))
     val planted = base
       .filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"),
-        array_join(slice(toks, lit(1), greatest((size(toks) * 0.9).cast("int"), lit(1))), " ").as("text"))
+      .select((col("doc_id") + 10000000L).as("doc_id"), truncate90.as("text"))
     base.unionByName(planted)
   }
 

@@ -616,9 +616,14 @@ object TextAnalysis {
     * scaled to integer MICRO-UNITS before summation, so the per-doc sum is
     * exact long arithmetic (order-independent) in both engines — a double
     * sum of logs would differ in the last ulp by partial-aggregation
-    * order. Plan: one explode + grouped count (map-side combined), the
-    * corpus total as a broadcast scalar join, one join back on token, one
-    * grouped long-sum per doc. */
+    * order. Honest caveat: unlike the md5 lanes, the per-token micro value
+    * still assumes Java's Math.log10 and DuckDB's libm agree after *1e6
+    * rounding — true for every token at both gate scales, but a token
+    * landing within ~1 ulp of a .5 micro boundary could round apart; the
+    * failure mode is a loud hash mismatch, not silent error. Plan: one
+    * explode + grouped count (map-side combined), the corpus total as a
+    * broadcast scalar join, one join back on token, one grouped long-sum
+    * per doc. */
   private val tUnigramLp = Q(
     "t15_unigram_logprob",
     (s, dir) => {

@@ -424,11 +424,18 @@ object EventsStreaming {
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$dir/documents.parquet"))
 
-      // static corpus: the 1-in-5 base slice, banded, shingle sets attached
+      // static corpus: the 1-in-5 base slice (id-guarded below 1e7 — same
+      // load-bearing guard as d10: an id in the planted range would
+      // silently misclassify across the asymmetric join on BOTH engines),
+      // banded, shingle sets attached; persisted for the run because the
+      // band table and the sh_a attach are two different subtrees of the
+      // same shingle pipeline (the d06/d10 lesson)
       val corpusDocs = Tables.documents(s, dir)
         .filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), col("text"))
+        .select(graft.functions.CrossEngine.guardedId(
+          col("doc_id"), 10000000L, "st10").as("doc_id"), col("text"))
       val corpusSets = Dedup.shingleSets(corpusDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val corpusBanded = Dedup.kmBands(corpusSets)
         .join(corpusSets.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
         .select(col("doc_id").as("doc_a"), col("band"), col("bucket"), col("sh_a"))
@@ -437,16 +444,14 @@ object EventsStreaming {
         .schema(s.read.parquet(s"$dir/documents.parquet").schema)
         .option("maxFilesPerTrigger", Int.MaxValue)
         .parquet(srcDir.toString)
-      // the arriving batch: d10's planted truncations, signatures per row
-      val streamed = raw
-        .filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          expr("""array_join(slice(split(text, ' '), 1,
-            greatest(cast(size(split(text, ' ')) * 0.9 as int), 1)), ' ')""").as("text"))
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("sh", expr(
-          """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
-             i -> concat_ws(' ', slice(toks, i, 3))))"""))
+      // the arriving batch: d10's planting via the SHARED truncate90 and
+      // shingleSets definitions (per-row stateless, so they apply to a
+      // streaming frame unchanged — no inline formula copies to drift)
+      val streamed = Dedup.shingleSets(raw
+          .filter(col("doc_id") % 10 === 0)
+          .select((graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 10000000L, "st10-stream") + 10000000L).as("doc_id"),
+            Dedup.truncate90.as("text")))
         .withColumn("digs", expr("transform(sh, x -> md5(x))"))
         .withColumn("ha", expr(
           "transform(digs, d -> cast(conv(substring(d, 1, 15), 16, 10) as bigint))"))
@@ -479,6 +484,7 @@ object EventsStreaming {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      corpusSets.unpersist(false)
       // a pair surfaces once per co-bucketed band: dedup at drain
       drainSink(s, s.table(sinkTable).distinct(), sinkTable, srcDir)
     },
