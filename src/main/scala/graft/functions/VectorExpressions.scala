@@ -183,13 +183,22 @@ case class HyperplaneSignBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = c)
 }
 
-/** nearest_centroid(array<float>) -> int: argmin of squared Euclidean
+/** nearest_centroid(array<float|double>) -> int: argmin of squared Euclidean
   * distance to the literal centroid set (IVF coarse assignment) in one pass.
+  * Element-type-aware so it runs both on raw `array<float>` embeddings and
+  * on derived `array<double>` residual columns (the IVFPQ encode path).
   */
 case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+
+  private lazy val floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"nearest_centroid expects array<float|double>, got $t")
+  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
@@ -201,7 +210,10 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
       val n = math.min(x.numElements(), c.length)
       var s = 0.0
       var j = 0
-      while (j < n) { val diff = x.getFloat(j).toDouble - c(j); s += diff * diff; j += 1 }
+      while (j < n) {
+        val v = if (floatElems) x.getFloat(j).toDouble else x.getDouble(j)
+        val diff = v - c(j); s += diff * diff; j += 1
+      }
       if (s < bestD) { bestD = s; best = k }
       k += 1
     }
@@ -217,6 +229,7 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
       val s = ctx.freshName("s")
       val diff = ctx.freshName("diff")
       val bestD = ctx.freshName("bestD")
+      val get = if (floatElems) s"(double)$a.getFloat($j)" else s"$a.getDouble($j)"
       s"""
         ${ev.value} = 0;
         double $bestD = Double.MAX_VALUE;
@@ -224,7 +237,7 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
           int $n = java.lang.Math.min($a.numElements(), $centersRef[$k].length);
           double $s = 0.0;
           for (int $j = 0; $j < $n; $j++) {
-            double $diff = (double)$a.getFloat($j) - $centersRef[$k][$j];
+            double $diff = $get - $centersRef[$k][$j];
             $s += $diff * $diff;
           }
           if ($s < $bestD) { $bestD = $s; ${ev.value} = $k; }

@@ -9,10 +9,13 @@ import graft.sources.Tables
 /** Driver-gate entries for the Harmony algorithm itself, run on the
   * `embeddings` test table (vec_id, embedding: array<float>, label) with
   * `label` as the batch covariate. The iterative algorithm is stochastic
-  * (seeded k-means||) and not ANSI-SQL-expressible, so the full runs are
-  * rows-only checks — the invariant suite in src/test mirrors the
-  * reference's own invariant-based tests (SURVEY.md §5). Small derived
-  * operators (normalization, batch priors) do get DuckDB oracles.
+  * (seeded k-means||) and not ANSI-SQL-expressible, so every full fit runs
+  * under the gate as INVARIANTS (the d11 constant-true-oracle pattern,
+  * VERDICT r5 #2): shape constants + `n_cells` the DuckDB oracle recomputes
+  * for real, plus column-stochastic/finiteness booleans. The raw embedding
+  * values stay pinned by the sbt invariant suite, mirroring the reference's
+  * own invariant-based tests (SURVEY.md §5). Small derived operators
+  * (normalization, batch priors) get direct DuckDB oracles.
   */
 object HarmonyQueries {
 
@@ -32,28 +35,44 @@ object HarmonyQueries {
     blockSize = 0.2,
     earlyStop = false)
 
-  /** Sortable scalar projection of a corrected-embedding result: the
-    * driver's canonicalizer can't sort array columns, so the gate sees
-    * per-cell L2 norm and leading components instead of the raw vector
-    * (the full vectors are pinned by the sbt invariant suite). */
-  private def correctedScalars(res: DataFrame): DataFrame = {
-    val l2 = sqrt(aggregate(col("features"), lit(0.0),
-      (acc, x) => acc + x * x))
-    res.select(
-      col("cell_id"),
-      round(l2, 4).as("l2_norm"),
-      round(element_at(col("features"), 1), 4).as("c1"),
-      round(element_at(col("features"), 2), 4).as("c2"))
+  /** Gate-visible invariant payload of a full fit (VERDICT r5 #2 — the
+    * d11/h10 constant-true-oracle pattern, replacing the former rows-only
+    * dump of 500 stochastic per-cell scalars): DuckDB recomputes `n_cells`
+    * and the K/B shape constants for real; the booleans pin
+    * column-stochastic R (every cell's soft assignments sum to 1) and a
+    * finite corrected embedding. Both reductions are distributed map +
+    * scalar agg over the cells Dataset — nothing N-sized reaches the
+    * driver — so a regression in the fit itself now turns the DRIVER red,
+    * not just sbt (the raw vectors stay pinned by HarmonySpec). */
+  private def fitInvariants(res: HarmonyResult): DataFrame = {
+    val sp = res.cells.sparkSession
+    import sp.implicits._
+    val stats = res.cells.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.r.length) { s += c.r(i); i += 1 }
+      (math.abs(s - 1.0),
+        if (c.zCorr.exists(v => v.isNaN || v.isInfinite)) 1L else 0L)
+    }.toDF("r_dev", "bad")
+      .agg(count(lit(1)), max(col("r_dev")), sum(col("bad")))
+      .head()
+    Seq((stats.getLong(0), res.state.K.toLong, res.state.B.toLong,
+        stats.getDouble(1) < 1e-3, stats.getLong(2) == 0L))
+      .toDF("n_cells", "k_clusters", "b_levels",
+        "r_column_stochastic", "corrected_finite")
   }
 
   /** Full pipeline: normalize -> kmeans init -> diversity clustering ->
-    * MoE ridge correction. Output: sortable per-cell scalars of the
-    * corrected embedding. */
+    * MoE ridge correction, under the hash gate as invariants (K is the
+    * harness's fixed 20; B = distinct labels, recomputed by DuckDB). */
   private val h01 = Q(
     "h01_harmony_correct",
-    (s, dir) => correctedScalars(
-      Harmony.run(embCells(s, dir), Seq("batch"), harnessOpts(20, 2.0))),
-    None)
+    (s, dir) => fitInvariants(
+      Harmony.fit(embCells(s, dir), Seq("batch"), harnessOpts(20, 2.0))),
+    Some("""SELECT (SELECT count(*) FROM embeddings) AS n_cells,
+      CAST(20 AS BIGINT) AS k_clusters,
+      (SELECT count(DISTINCT label) FROM embeddings) AS b_levels,
+      true AS r_column_stochastic, true AS corrected_finite"""))
 
   /** L2 (cosine) normalization, SURVEY op 26 — oracle-checked scalars. */
   private val h02 = Q(
@@ -175,23 +194,34 @@ object HarmonyQueries {
     * size-based strategy the engine picks below localThreshold. */
   private val h07 = Q(
     "h07_harmony_default",
-    (s, dir) => correctedScalars(
-      Harmony.run(embCells(s, dir), Seq("batch"), HarmonyOptions())),
-    None)
+    (s, dir) => fitInvariants(
+      Harmony.fit(embCells(s, dir), Seq("batch"), HarmonyOptions())),
+    // default K = min(round(N/30), 100) (Harmony.scala nclust heuristic);
+    // floor(x + 0.5) is exactly Scala's math.round for positive x
+    Some("""SELECT (SELECT count(*) FROM embeddings) AS n_cells,
+      (SELECT least(CAST(floor(count(*) / 30.0 + 0.5) AS BIGINT), 100)
+         FROM embeddings) AS k_clusters,
+      (SELECT count(DISTINCT label) FROM embeddings) AS b_levels,
+      true AS r_column_stochastic, true AS corrected_finite"""))
 
   /** Two-covariate integration (test_two_variable.R:13-55 analogue): a
     * second covariate derived from the id joins `batch`; B = total levels
     * across BOTH covariates flows through θ-expansion, the penalty, and the
-    * MoE design. Output: sortable scalars of the corrected embedding. */
+    * MoE design — and the oracle recomputes exactly that B (labels +
+    * distinct id-mod-3 plates), so a level-counting regression goes red. */
   private val h08 = Q(
     "h08_two_covariates",
     (s, dir) => {
       val cells = embCells(s, dir)
         .withColumn("plate", concat(lit("p"), pmod(col("cell_id"), lit(3))))
-      correctedScalars(
-        Harmony.run(cells, Seq("batch", "plate"), harnessOpts(10, 1.0)))
+      fitInvariants(
+        Harmony.fit(cells, Seq("batch", "plate"), harnessOpts(10, 1.0)))
     },
-    None)
+    Some("""SELECT (SELECT count(*) FROM embeddings) AS n_cells,
+      CAST(10 AS BIGINT) AS k_clusters,
+      (SELECT count(DISTINCT label) FROM embeddings)
+        + (SELECT count(DISTINCT vec_id % 3) FROM embeddings) AS b_levels,
+      true AS r_column_stochastic, true AS corrected_finite"""))
 
   /** The DISTRIBUTED Sequential block-online path itself under the gate
     * (VERDICT r2 stretch #8): a bounded fit on cells derived from lineitem

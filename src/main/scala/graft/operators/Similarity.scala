@@ -542,23 +542,33 @@ object Similarity {
     * composition a 100 TB vector corpus actually deploys): a trained
     * coarse quantizer routes vectors to inverted lists, and the stored
     * per-vector state is a PQ code of the RESIDUAL (vector − its list
-    * centroid) — M=4 bytes/vec. Residual encoding uses the standard
-    * effective-codebook identity argmin_c ‖(x_m − µ_m) − c‖ =
-    * argmin_c ‖x_m − (µ_m + c)‖, so encode is still one corpus pass of
-    * codegen'd argmins (per-list branches of a lazy CASE). Queries probe
+    * centroid) — M=4 bytes/vec. Encode broadcast-joins the centroid table,
+    * materializes the residual once, and runs ONE codegen'd argmin per
+    * subspace against the shared residual codebooks — one corpus pass,
+    * plan size independent of nLists (VERDICT r5 #1). Queries probe
     * their nProbe=2 nearest lists with a per-(query, list) ADC LUT built
     * from the same effective codebooks; candidate generation is the
     * list_id equi-join, and the scan side carries (vec_id, list_id,
     * 4 codes) — never raw vectors. Rows-only (both quantizers trained);
     * planted-twin recall spec-asserted like s08/s09. */
-  private[graft] def ivfpqScores(vecs: DataFrame, seed: Long): DataFrame = {
-    val sp = vecs.sparkSession
-    import sp.implicits._
-    val nLists = 8
-    val nProbe = 2
+  /** Trained IVFPQ model: coarse list centroids + SHARED residual codebooks
+    * (one set of M×K codewords for every list — Jégou '11 §IV.A; per-list
+    * codebooks would multiply codebook storage by nLists for little recall). */
+  private[graft] final case class IvfPqModel(
+      coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]) {
+    def nLists: Int = coarse.length
+    /** Effective codebook (list, subspace): centroid subvector + codeword —
+      * the identity ‖(x−µ)_m − c‖ = ‖x_m − (µ_m + c)‖ both sides use. */
+    def eff(l: Int)(m: Int): Array[Array[Double]] = {
+      val mu = coarse(l).slice(m * pqSubDim, (m + 1) * pqSubDim)
+      books(m).map(cw => mu.zip(cw).map { case (a, b) => a + b })
+    }
+  }
+
+  private[graft] def trainIvfPq(vecs: DataFrame, seed: Long, nLists: Int): IvfPqModel = {
     def nearestOf(v: Array[Double], cs: Array[Array[Double]]): Int =
       cs.indices.minBy(i => sqDist(v, cs(i)))
-
     val sample = quantizerSample(vecs, "embedding", cap = 20000L, seed = seed)
     val coarse = graft.harmony.LocalKMeans.fit(sample, k = nLists, maxIter = 10, seed = seed)
     // PQ codebooks trained on the sample's RESIDUALS (the quantity encoded)
@@ -569,45 +579,75 @@ object Similarity {
     val books = Array.tabulate(pqM)(m => graft.harmony.LocalKMeans.fit(
       residuals.map(_.slice(m * pqSubDim, (m + 1) * pqSubDim)),
       k = pqK, maxIter = 10, seed = seed + 1 + m))
-    // effective codebook per (list, subspace): centroid subvector + codeword
-    val eff: Array[Array[Array[Array[Double]]]] = Array.tabulate(nLists) { l =>
-      Array.tabulate(pqM) { m =>
-        val mu = coarse(l).slice(m * pqSubDim, (m + 1) * pqSubDim)
-        books(m).map(cw => mu.zip(cw).map { case (a, b) => a + b })
-      }
-    }
+    IvfPqModel(coarse, books)
+  }
 
-    val assigned = vecs.withColumn("list_id",
-      graft.functions.VectorExpressions.nearestCentroid(col("embedding"), coarse))
-    val codeCols = (0 until pqM).map { m =>
-      val sub = slice(col("embedding"), m * pqSubDim + 1, pqSubDim)
-      (0 until nLists).foldLeft(lit(-1)) { (acc, l) =>
-        when(col("list_id") === l,
-          graft.functions.VectorExpressions.nearestCentroid(sub, eff(l)(m)))
-          .otherwise(acc)
-      }.as(s"c$m")
-    }
-    val codes = assigned.select(col("vec_id") +: col("list_id") +: codeCols: _*)
+  /** IVFPQ encode — plan size INDEPENDENT of nLists (VERDICT r5 #1; the r5
+    * shape branched a per-list CASE chain whose literal volume grew as
+    * nLists×K×subDim and died at deployment list counts). The scale-safe
+    * plan uses the same effective-codebook identity in the other direction:
+    * broadcast-join the nLists×d centroid table, materialize the residual
+    * column once (`zip_with(x, µ, _-_)`), and run ONE codegen'd
+    * [[graft.functions.NearestCentroid]] per subspace against the SHARED
+    * residual codebooks. Exactly pqM+1 NearestCentroid expressions in the
+    * plan (1 coarse route + M subspace encodes) at ANY list count —
+    * spec-asserted at nLists=64 in OperatorsSpec. */
+  private[graft] def ivfpqEncode(vecs: DataFrame, model: IvfPqModel): DataFrame = {
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    val centTable = model.coarse.zipWithIndex
+      .map { case (c, l) => (l, c.toSeq) }.toSeq.toDF("list_id", "centroid")
+    val assigned = vecs
+      .withColumn("list_id",
+        graft.functions.VectorExpressions.nearestCentroid(col("embedding"), model.coarse))
+      .join(broadcast(centTable), Seq("list_id"))
+      .withColumn("residual",
+        zip_with(col("embedding"), col("centroid"), (x, mu) => x.cast("double") - mu))
+    val codeCols = (0 until pqM).map(m =>
+      graft.functions.VectorExpressions.nearestCentroid(
+        slice(col("residual"), m * pqSubDim + 1, pqSubDim), model.books(m)).as(s"c$m"))
+    assigned.select(col("vec_id") +: col("list_id") +: codeCols: _*)
+  }
 
-    // query side: nProbe nearest lists + one ADC LUT per probed list,
-    // driver-computed from the same effective codebooks, broadcast as
-    // (query_id, list_id, lut) — candidate generation is the list_id join
-    val qLut = vecs.filter(col("vec_id") < 3)
+  /** Query-side LUT rows for the score join: each query probes its nProbe
+    * nearest lists; one ADC LUT per probed list, driver-computed from the
+    * effective codebooks, broadcast as (query_id, list_id, lut, own_list).
+    * `own_list` marks the query's OWN nearest list — the s12 invariant
+    * restricts its min-ADC comparison to it (ADVICE r5: across lists the
+    * twin-attains-min property is not mathematically guaranteed). */
+  private[graft] def ivfpqQueryLuts(vecs: DataFrame, model: IvfPqModel,
+      nProbe: Int): DataFrame = {
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    vecs.filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding")).collect()
       .flatMap { r =>
         val q = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
-        coarse.indices.sortBy(l => sqDist(q, coarse(l))).take(nProbe).map { l =>
-          val lut = (0 until pqM).map(m => eff(l)(m).map(cw =>
+        val probed = model.coarse.indices.sortBy(l => sqDist(q, model.coarse(l))).take(nProbe)
+        probed.zipWithIndex.map { case (l, rank) =>
+          val lut = (0 until pqM).map(m => model.eff(l)(m).map(cw =>
             sqDist(q.slice(m * pqSubDim, (m + 1) * pqSubDim), cw)).toSeq).toSeq
-          (r.getAs[Long]("vec_id"), l, lut)
+          (r.getAs[Long]("vec_id"), l, lut, rank == 0)
         }
-      }.toSeq.toDF("query_id", "list_id", "lut")
+      }.toSeq.toDF("query_id", "list_id", "lut", "own_list")
+  }
+
+  /** ADC scoring stage shared by the inline (s10/s12) and persisted-index
+    * (s13) paths: candidate generation is the list_id equi-join against the
+    * broadcast LUT rows; the scan side carries (vec_id, list_id, M codes). */
+  private[graft] def ivfpqScoreCodes(codes: DataFrame, qLut: DataFrame): DataFrame = {
     val adc = (0 until pqM).map(m =>
       element_at(element_at(col("lut"), m + 1), col(s"c$m") + 1)).reduce(_ + _)
     codes.join(broadcast(qLut), Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adc)
-      .select(col("query_id"), col("vec_id"), col("adc"))
+      .select(col("query_id"), col("vec_id"), col("adc"), col("own_list"))
+  }
+
+  private[graft] def ivfpqScores(vecs: DataFrame, seed: Long,
+      nLists: Int = 8, nProbe: Int = 2): DataFrame = {
+    val model = trainIvfPq(vecs, seed, nLists)
+    ivfpqScoreCodes(ivfpqEncode(vecs, model), ivfpqQueryLuts(vecs, model, nProbe))
   }
 
   private[graft] def ivfpqTopK(vecs: DataFrame, topK: Int, seed: Long): DataFrame = {
@@ -663,11 +703,19 @@ object Similarity {
     Some("""SELECT true AS all_queries_scored, true AS all_twins_are_candidates,
       true AS twins_attain_min_adc"""))
 
+  /** s12 restricts the comparison to candidates in the query's OWN list
+    * (`own_list`, ADVICE r5): the exact twin routes to the query's nearest
+    * list and shares its codes, so within that list its ADC is the codeword
+    * minimum; a candidate in ANOTHER probed list (different µ, shared
+    * residual books) could in principle score lower without being wrong.
+    * Within-list the property still leans on encode (Spark residual argmin)
+    * and LUT (driver ‖q−eff‖) agreeing on near-tie codewords — exact in
+    * real arithmetic, empirical at ulp scale under the fixed seed/data. */
   private val s12 = Q(
     "s12_ivfpq_planted_recall",
     (s, dir) => {
       val (_, corpus) = plantedCorpus(s, dir)
-      twinAttainsMin(ivfpqScores(corpus, seed = 42L))
+      twinAttainsMin(ivfpqScores(corpus, seed = 42L).filter(col("own_list")))
     },
     Some("""SELECT true AS all_queries_scored, true AS all_twins_are_candidates,
       true AS twins_attain_min_adc"""))

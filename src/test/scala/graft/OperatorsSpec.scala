@@ -177,6 +177,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s10 encode plan is nLists-independent: pqM+1 argmins, no CASE, at nLists=64") {
+    // VERDICT r5 #1: the encode must NOT branch per list (the r5 CASE chain
+    // embedded nLists×K×subDim literals — plan blowup at deployment list
+    // counts). The residual-subtract form plans exactly 1 coarse-route +
+    // pqM subspace NearestCentroid expressions at ANY list count.
+    import org.apache.spark.sql.catalyst.expressions.CaseWhen
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    def planCounts(nLists: Int) = {
+      val model = Similarity.trainIvfPq(emb, seed = 42L, nLists = nLists)
+      val codes = Similarity.ivfpqEncode(emb, model)
+      val exprs = codes.queryExecution.optimizedPlan.collect { case p => p.expressions }.flatten
+      (codes,
+        exprs.flatMap(_.collect { case n: graft.functions.NearestCentroid => n }).length,
+        exprs.flatMap(_.collect { case c: CaseWhen => c }).length)
+    }
+    val (_, nc8, case8) = planCounts(8)
+    val (codes, nc64, case64) = planCounts(64)
+    assert(case8 === 0 && case64 === 0,
+      "encode plan must not contain a per-list CASE chain")
+    assert(nc64 === nc8, s"NearestCentroid count must not grow with nLists ($nc8 -> $nc64)")
+    // pqM subspace encodes + the coarse route, which the optimizer plans
+    // twice (project output + the inferred isnotnull on the join key)
+    assert(nc64 === Similarity.pqM + 2,
+      s"expected ${Similarity.pqM + 2} NearestCentroid exprs, saw $nc64")
+    // and the encode stays correct at the larger list count: codes complete,
+    // in range, every list routed by some vector is a trained list id
+    val rows = codes.collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      assert((0 until 64).contains(r.getAs[Int]("list_id")))
+      (0 until Similarity.pqM).foreach(m =>
+        assert((0 until 16).contains(r.getAs[Int](s"c$m"))))
+    }
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
