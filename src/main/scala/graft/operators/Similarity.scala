@@ -720,6 +720,70 @@ object Similarity {
     Some("""SELECT true AS all_queries_scored, true AS all_twins_are_candidates,
       true AS twins_attain_min_adc"""))
 
+  // ---------------------------------------------------------------- s13
+  /** ANN index PERSIST + SERVE (VERDICT r5 missing #2) — the contract a
+    * real vector-search deployment runs: train ONCE, WRITE the index as
+    * parquet tables (coarse centroid table, residual codebooks, coded
+    * corpus — the d10 persisted-corpus-signature pattern), then answer
+    * probes from the RELOADED tables. The serving path never trains:
+    * everything it touches comes out of `spark.read.parquet`, and at
+    * 100 TB the codes table is the only big one — (vec_id, list_id, M
+    * codes), partitionable by list_id so a probe reads nProbe lists. */
+  private[graft] def ivfpqWriteIndex(vecs: DataFrame, model: IvfPqModel,
+      path: String): Unit = {
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    model.coarse.zipWithIndex.map { case (c, l) => (l, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    (for { m <- 0 until pqM; k <- 0 until pqK }
+      yield (m, k, model.books(m)(k).toSeq)).toDF("subspace", "code", "codeword")
+      .write.mode("overwrite").parquet(s"$path/books")
+    ivfpqEncode(vecs, model).write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Reload the small model tables (nLists×d + M×K×subDim doubles — KB) —
+    * parquet doubles roundtrip losslessly, so the reloaded LUTs are
+    * bit-identical to the trained ones. */
+  private[graft] def ivfpqLoadModel(s: SparkSession, path: String): IvfPqModel = {
+    val coarse = s.read.parquet(s"$path/coarse").orderBy(col("list_id")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val bookMap = s.read.parquet(s"$path/books").collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code")) ->
+        r.getAs[scala.collection.Seq[Double]]("codeword").toArray).toMap
+    IvfPqModel(coarse, Array.tabulate(pqM)(m => Array.tabulate(pqK)(k => bookMap((m, k)))))
+  }
+
+  /** Serving path: reloaded model + persisted codes table only — no
+    * LocalKMeans, no encode of the corpus, no raw embeddings except the
+    * probe vectors themselves. */
+  private[graft] def ivfpqServe(s: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int): DataFrame = {
+    val model = ivfpqLoadModel(s, path)
+    ivfpqScoreCodes(s.read.parquet(s"$path/codes"),
+      ivfpqQueryLuts(queries, model, nProbe))
+  }
+
+  private val s13 = Q(
+    "s13_ivfpq_persisted_index",
+    (s, dir) => {
+      val (_, corpus) = plantedCorpus(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_s13_").toString
+      try {
+        // build phase: train + write the three index tables
+        ivfpqWriteIndex(corpus, trainIvfPq(corpus, seed = 42L, nLists = 8), out)
+        // serve phase: reload + probe — the s12 booleans, computed entirely
+        // from the persisted index
+        val served = ivfpqServe(s, out, corpus.filter(col("vec_id") < 3), nProbe = 2)
+        graft.functions.CrossEngine.materializeLocal(s,
+          twinAttainsMin(served.filter(col("own_list"))))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT true AS all_queries_scored, true AS all_twins_are_candidates,
+      true AS twins_attain_min_adc"""))
+
   // ---------------------------------------------------------------- s07
   /** CONTRASTIVE PAIR CONSTRUCTION — the step that turns an embedding
     * corpus into training pairs for a retriever/encoder: per query, the
@@ -777,5 +841,5 @@ object Similarity {
       SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
 
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12)
+    s11, s12, s13)
 }
