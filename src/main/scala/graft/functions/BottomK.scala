@@ -108,7 +108,11 @@ case class BottomKDistinct(
   extends TypedImperativeAggregate[BottomKHeap]
   with UnaryLike[Expression] {
 
-  require(k > 0 && k <= (1 << 22), s"bottom_k_distinct k=$k out of range")
+  // k bound matches the cache-resident-probe design envelope documented on
+  // BottomKHeap (ADVICE r5: the O(k) dedup scan per admitted insert is only
+  // cheaper than a side hash set while the array stays cache-sized; KMV
+  // accuracy needs k in the hundreds, so 64k is already generous headroom)
+  require(k > 0 && k <= (1 << 16), s"bottom_k_distinct k=$k out of range")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == LongType) {

@@ -27,18 +27,29 @@ final class MisraGriesSummary(val k: Int) {
   private[functions] val m = new scala.collection.mutable.LongMap[Long](k * 2)
 
   private def trim(): Unit = {
-    if (m.size > k) {
-      // (k+1)-th largest counter == minimum when size is exactly k+1 (the
-      // per-row update path); the general sort handles merged summaries
+    if (m.size == k + 1) {
+      // per-row update path (ADVICE r5): size is exactly k+1, so the
+      // (k+1)-th largest counter IS the minimum — one O(k) scan, no sort,
+      // no counts-array allocation. A mostly-unique stream hits this on
+      // every insertion once the summary fills, so the classic
+      // O(1)-amortized decrement behavior is preserved up to the map walk.
+      var cStar = Long.MaxValue
+      m.foreachEntry { (_, c) => if (c < cStar) cStar = c }
+      subtractEvict(cStar)
+    } else if (m.size > k) {
+      // merge path only: arbitrary overshoot, sort for the (k+1)-th largest
       val counts = m.values.toArray
       java.util.Arrays.sort(counts)
-      val cStar = counts(counts.length - (k + 1))
-      val dead = new scala.collection.mutable.ArrayBuffer[Long]()
-      m.foreachEntry { (v, c) =>
-        if (c - cStar <= 0L) dead += v else m(v) = c - cStar
-      }
-      dead.foreach(m.remove)
+      subtractEvict(counts(counts.length - (k + 1)))
     }
+  }
+
+  private def subtractEvict(cStar: Long): Unit = {
+    val dead = new scala.collection.mutable.ArrayBuffer[Long]()
+    m.foreachEntry { (v, c) =>
+      if (c - cStar <= 0L) dead += v else m(v) = c - cStar
+    }
+    dead.foreach(m.remove)
   }
 
   def add(v: Long, w: Long = 1L): Unit = {

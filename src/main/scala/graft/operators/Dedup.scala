@@ -477,25 +477,40 @@ object Dedup {
       import graft.functions.VectorExpressions.cosineF
       val dim = 64
       val nPlanes = 8
-      val rng = new scala.util.Random(43)
-      val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-      val (withBucket, releaseCap) = capHotBuckets(
-        vecs.withColumn("bucket",
-          graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes)),
-        Seq("bucket"), "vec_id", bucketCap, "embeddingNeardupPairs")
-      val a = withBucket.alias("a")
-      val b = withBucket.alias("b")
-      val pairs = a.join(b,
-          col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub")
-          && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cosine", cosineF(col("a.embedding"), col("b.embedding")))
-        .filter(col("cosine") >= 0.99)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(col("cosine"), 6).as("cosine"))
+      // TWO independent hyperplane tables (ADVICE r5): the banded MinHash/
+      // SimHash paths keep OR-redundancy under the hot-bucket cap because
+      // every band splits a hot bucket independently, so a pair separated
+      // by one band's id-hash split still co-buckets in another band. A
+      // single sign table has no second chance — a true pair inside an
+      // over-cap bucket whose members hash to different sub-buckets was
+      // permanently lost. The second table (independent seed, its own cap
+      // split) restores that recovery channel; candidates are OR-unioned
+      // and dedup'd after the exact-cosine verify, which both tables
+      // compute identically.
+      val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
+      def tablePairs(seed: Long): DataFrame = {
+        val rng = new scala.util.Random(seed)
+        val planes = Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+        val (withBucket, releaseCap) = capHotBuckets(
+          vecs.withColumn("bucket",
+            graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes)),
+          Seq("bucket"), "vec_id", bucketCap, s"embeddingNeardupPairs[seed=$seed]")
+        releases += releaseCap
+        val a = withBucket.alias("a")
+        val b = withBucket.alias("b")
+        a.join(b,
+            col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub")
+            && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cosine", cosineF(col("a.embedding"), col("b.embedding")))
+          .filter(col("cosine") >= 0.99)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            round(col("cosine"), 6).as("cosine"))
+      }
+      val pairs = tablePairs(43L).unionByName(tablePairs(44L)).distinct()
       if (bucketCap <= 0) pairs
       else {
         val out = pairs.localCheckpoint(eager = true)
-        releaseCap()
+        releases.foreach(_())
         out
       }
   }
