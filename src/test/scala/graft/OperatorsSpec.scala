@@ -214,6 +214,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t16 BPE merges: 6 deterministic rounds, max pair count non-increasing") {
+    val rows = run("t16_bpe_merges").orderBy(col("step")).collect()
+    assert(rows.map(_.getAs[Long]("step")).toSeq === (1L to 6L))
+    // the chosen pair's count can only fall round over round: any new pair
+    // created by a merge occurs at most as often as the sequence it came
+    // from, which was itself bounded by the previous round's maximum
+    val counts = rows.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"pair counts must be non-increasing: ${counts.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[String]("lhs").nonEmpty && r.getAs[String]("rhs").nonEmpty)
+    }
+    // determinism: a second run picks the identical merge table
+    val again = run("t16_bpe_merges").orderBy(col("step")).collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
