@@ -739,7 +739,12 @@ object Similarity {
     (for { m <- 0 until pqM; k <- 0 until pqK }
       yield (m, k, model.books(m)(k).toSeq)).toDF("subspace", "code", "codeword")
       .write.mode("overwrite").parquet(s"$path/books")
-    ivfpqEncode(vecs, model).write.mode("overwrite").parquet(s"$path/codes")
+    // codes PARTITIONED BY list_id: a probe of nProbe lists reads nProbe
+    // directories of the corpus — at 100 TB the probe IO is corpus/nLists ×
+    // nProbe, enforced by directory layout, not a full-scan filter
+    // (ivfpqServe adds the static IN partition filter; spec-asserted).
+    ivfpqEncode(vecs, model).write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/codes")
   }
 
   /** Reload the small model tables (nLists×d + M×K×subDim doubles — KB) —
@@ -756,12 +761,20 @@ object Similarity {
 
   /** Serving path: reloaded model + persisted codes table only — no
     * LocalKMeans, no encode of the corpus, no raw embeddings except the
-    * probe vectors themselves. */
+    * probe vectors themselves. The probed list ids are known driver-side
+    * the moment the LUTs are built, so the codes scan carries a STATIC
+    * `list_id IN (...)` partition filter — with the list_id-partitioned
+    * layout that is nProbe directories of IO regardless of corpus size
+    * (spec-asserted on the scan's PartitionFilters). */
   private[graft] def ivfpqServe(s: SparkSession, path: String,
       queries: DataFrame, nProbe: Int): DataFrame = {
     val model = ivfpqLoadModel(s, path)
-    ivfpqScoreCodes(s.read.parquet(s"$path/codes"),
-      ivfpqQueryLuts(queries, model, nProbe))
+    val qLut = ivfpqQueryLuts(queries, model, nProbe)
+    val probed = qLut.select(col("list_id")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    ivfpqScoreCodes(
+      s.read.parquet(s"$path/codes").filter(col("list_id").isin(probed: _*)),
+      qLut)
   }
 
   private val s13 = Q(

@@ -214,6 +214,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s13 persisted index: codes partitioned by list_id, probe dynamically prunes") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s13spec_").toString
+    try {
+      Similarity.ivfpqWriteIndex(emb, Similarity.trainIvfPq(emb, seed = 42L, nLists = 8), out)
+      // physical layout: one directory per inverted list — probe IO is
+      // corpus/nLists × nProbe by construction at any scale
+      val dirs = new java.io.File(s"$out/codes").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list_id="))
+      assert(dirs.length === 8, s"expected 8 list_id partitions, saw ${dirs.toSeq}")
+      val served = Similarity.ivfpqServe(spark, out, emb.filter(col("vec_id") < 3), nProbe = 2)
+      // the probed lists are known before the scan, so the codes read must
+      // carry a static IN partition filter — probe IO = nProbe directories
+      val explained = served.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val partFilter = explained.linesIterator
+        .find(_.contains("PartitionFilters:")).getOrElse("")
+      assert(partFilter.contains("list_id") && partFilter.contains(" IN ("),
+        s"serve scan must statically prune list_id partitions:\n$explained")
+      assert(served.count() > 0)
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
+
   test("t16 BPE merges: 6 deterministic rounds, max pair count non-increasing") {
     val rows = run("t16_bpe_merges").orderBy(col("step")).collect()
     assert(rows.map(_.getAs[Long]("step")).toSeq === (1L to 6L))
