@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the VECTOR-SEARCH path's 100 TB posture: synthesize an
+  * N-vector embedding corpus (Gaussian mixture so the inverted lists are
+  * meaningful; generated distributed, nothing N-sized on the driver), plant
+  * exact twins of the query vectors, then run the full PERSISTED-index
+  * lifecycle s13 gates at toy scale:
+  *   train (sampled) → encode + write the list_id-partitioned index →
+  *   reload + probe from the persisted tables only.
+  * Reports wall-clock per phase, the codes table's on-disk size vs the raw
+  * embedding bytes (the 64-float → M-byte PQ storage story), the probe's
+  * directory-pruned IO fraction, and the planted-twin recall booleans at
+  * this scale.
+  *
+  * Usage: runMain graft.tools.AnnRehearsal [nMillions] [nLists]
+  */
+object AnnRehearsal {
+  def main(args: Array[String]): Unit = {
+    val nM = if (args.nonEmpty) args(0).toDouble else 1.0
+    val nLists = if (args.length > 1) args(1).toInt else 64
+    val n = (nM * 1e6).toLong
+
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ann-scale] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    def dirBytes(p: java.io.File): Long =
+      if (p.isFile) p.length()
+      else Option(p.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+    val d = 64
+    val vecs = timed(s"synthesize ${nM}M x $d") {
+      val base = spark.range(0, n, 1, 32)
+        .withColumn("cl", pmod(xxhash64(col("id")), lit(16)))
+      val feats = (0 until d).map(j =>
+        (randn(seed = 300 + j) * 0.3
+          + col("cl") * lit(math.sin(j * 2.3))).cast("float"))
+      val df = base.select(col("id").as("vec_id"), array(feats: _*).as("embedding"))
+      val planted = df.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      val out = df.unionByName(planted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    }
+
+    val out = java.nio.file.Files.createTempDirectory("graft_ann_scale_").toString
+    try {
+      val model = timed(s"train IVFPQ (nLists=$nLists, 20k sample)") {
+        graft.operators.Similarity.trainIvfPq(vecs, seed = 42L, nLists = nLists)
+      }
+      timed("encode + write partitioned index") {
+        graft.operators.Similarity.ivfpqWriteIndex(vecs, model, out)
+      }
+      val rawBytes = n * d * 4L
+      val codeBytes = dirBytes(new java.io.File(s"$out/codes"))
+      println(f"[ann-scale] codes on disk: ${codeBytes / 1e6}%.1f MB vs raw " +
+        f"embeddings ${rawBytes / 1e6}%.1f MB (${rawBytes.toDouble / codeBytes}%.1f x)")
+
+      // release the corpus BEFORE serving: the probe must touch only the
+      // persisted tables (the s13 train/serve separation, enforced here by
+      // construction — queries come from a 3-row local frame)
+      val queries = vecs.filter(col("vec_id") < 3)
+        .collect().toSeq match { case rows =>
+          val sp = spark
+          import sp.implicits._
+          rows.map(r => (r.getAs[Long]("vec_id"),
+            r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toFloat)))
+            .toDF("vec_id", "embedding")
+        }
+      vecs.unpersist(false)
+
+      val served = timed("reload + probe (nProbe=2)") {
+        val s = graft.operators.Similarity.ivfpqServe(spark, out, queries, nProbe = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[ann-scale] candidates scored: ${s.count()}")
+        s
+      }
+      val probedDirs = served.sparkSession.read.parquet(s"$out/codes")
+        .select(col("list_id")).distinct().count()
+      println(s"[ann-scale] probe IO: <=6 of $probedDirs list directories " +
+        "(2 probed lists x 3 queries, static IN partition filter)")
+      val twins = served.filter(col("own_list"))
+        .groupBy(col("query_id"))
+        .agg(min(col("adc")).as("min_adc"),
+          min(when(col("vec_id") === col("query_id") + 1000000000L, col("adc")))
+            .as("twin_adc"))
+        .agg(count(lit(1)).as("q"),
+          sum(when(col("twin_adc") <= col("min_adc"), 1).otherwise(0)).as("twins_at_min"))
+        .head()
+      println(s"[ann-scale] planted twins attain min ADC: " +
+        s"${twins.getLong(1)}/${twins.getLong(0)} queries")
+      served.unpersist(false)
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+    spark.stop()
+  }
+}
