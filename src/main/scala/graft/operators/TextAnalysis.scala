@@ -706,12 +706,7 @@ object TextAnalysis {
         val (l, r) = (best.getAs[String]("l"), best.getAs[String]("r"))
         merges += ((step.toLong, l, r, best.getAs[Long]("wt")))
         val prev = state
-        state = state.withColumn("s",
-          aggregate(split(col("s"), " "), lit(""),
-            (acc, x) => when(acc === "", x)
-              .when((acc === l || acc.endsWith(lit(" " + l))) && x === r,
-                concat(acc, x))
-              .otherwise(concat(acc, lit(" "), x))))
+        state = state.withColumn("s", bpeApplyMerge(col("s"), l, r))
           .localCheckpoint(true)
         prev.unpersist(false)
       }
@@ -719,6 +714,20 @@ object TextAnalysis {
       merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
     },
     Some(bpeOracleSql(nBpeMerges)))
+
+  /** Greedy left-to-right application of merge (l, r) to a space-joined
+    * symbol string, as one `aggregate` fold: the accumulator's LAST symbol
+    * equals `l` exactly when the accumulator is `l` itself or ends with
+    * " l" (space-delimited), and appending `r` bare turns that last symbol
+    * into `l+r`. Non-overlapping by construction: a just-merged symbol is
+    * `l+r`, which can never equal `l` again (r is nonempty). Property-
+    * tested against a list-fold reference in OperatorsSpec. */
+  private[graft] def bpeApplyMerge(s: Column, l: String, r: String): Column =
+    aggregate(split(s, " "), lit(""),
+      (acc, x) => when(acc === "", x)
+        .when((acc === l || acc.endsWith(lit(" " + l))) && x === r,
+          concat(acc, x))
+        .otherwise(concat(acc, lit(" "), x)))
 
   /** DuckDB mirror of the t16 loop: N chained CTE rounds, each an adjacent-
     * pair count + ORDER BY/LIMIT argmax + `list_reduce` merge application

@@ -258,6 +258,33 @@ class OperatorsSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
   }
 
+  test("t16 merge fold: property-matches the list-fold reference on random sequences") {
+    val sp = spark
+    import sp.implicits._
+    def ref(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    val rng = new scala.util.Random(7)
+    // alphabet includes multi-char symbols (the state after earlier merges)
+    val alphabet = Vector("a", "b", "c", "ab", "ba", "aab")
+    val cases = (0 until 200).map { _ =>
+      val syms = Vector.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.length)))
+      val l = alphabet(rng.nextInt(alphabet.length))
+      val r = alphabet(rng.nextInt(alphabet.length))
+      (syms.mkString(" "), l, r, ref(syms, l, r).mkString(" "))
+    }
+    // group cases by merge pair so each (l, r) evaluates as one column pass
+    cases.groupBy { case (_, l, r, _) => (l, r) }.foreach { case ((l, r), cs) =>
+      val got = cs.map(c => (c._1, c._4)).toDF("s", "expected")
+        .withColumn("merged", operators.TextAnalysis.bpeApplyMerge(col("s"), l, r))
+        .filter(col("merged") =!= col("expected"))
+        .collect()
+      assert(got.isEmpty, s"fold mismatch for merge ($l,$r): ${got.take(3).mkString}")
+    }
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
