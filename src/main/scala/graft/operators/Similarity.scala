@@ -777,14 +777,39 @@ object Similarity {
       qLut)
   }
 
+  /** Deterministic IVFPQ model from fixed derivations — the s05/s06
+    * precedent, used by the s13 GATE entry so its body contains no
+    * k-means anywhere (train and serve fully separated; the trained
+    * quantizers stay covered by s10/s12 and the AnnRehearsal runs):
+    * coarse centroids = the nLists lowest vec_ids' embeddings; residual
+    * codebooks = the pqK lowest vec_ids' residual subvectors. Bounded
+    * collect of max(nLists, pqK) rows. Codebook QUALITY is irrelevant to
+    * the twin invariant (an exact twin encodes identically to its query
+    * under ANY codebooks), which is exactly why the gate can pin the
+    * persisted-index dataflow without depending on training. */
+  private[graft] def ivfpqFixedModel(vecs: DataFrame, nLists: Int): IvfPqModel = {
+    def nearestOf(v: Array[Double], cs: Array[Array[Double]]): Int =
+      cs.indices.minBy(i => sqDist(v, cs(i)))
+    val low = vecs.orderBy(col("vec_id")).limit(math.max(nLists, pqK)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val coarse = low.take(nLists)
+    val books = Array.tabulate(pqM) { m =>
+      low.take(pqK).map { v =>
+        val mu = coarse(nearestOf(v, coarse))
+        v.zip(mu).map { case (x, c) => x - c }.slice(m * pqSubDim, (m + 1) * pqSubDim)
+      }
+    }
+    IvfPqModel(coarse, books)
+  }
+
   private val s13 = Q(
     "s13_ivfpq_persisted_index",
     (s, dir) => {
       val (_, corpus) = plantedCorpus(s, dir)
       val out = java.nio.file.Files.createTempDirectory("graft_s13_").toString
       try {
-        // build phase: train + write the three index tables
-        ivfpqWriteIndex(corpus, trainIvfPq(corpus, seed = 42L, nLists = 8), out)
+        // build phase: deterministic model + write the three index tables
+        ivfpqWriteIndex(corpus, ivfpqFixedModel(corpus, nLists = 8), out)
         // serve phase: reload + probe — the s12 booleans, computed entirely
         // from the persisted index
         val served = ivfpqServe(s, out, corpus.filter(col("vec_id") < 3), nProbe = 2)
