@@ -203,6 +203,12 @@ class OperatorsSpec extends SparkSpec {
     // twice (project output + the inferred isnotnull on the join key)
     assert(nc64 === Similarity.pqM + 2,
       s"expected ${Similarity.pqM + 2} NearestCentroid exprs, saw $nc64")
+    // and the ENCODE itself (the output projection's code columns) is
+    // exactly pqM argmins — one per subspace, none per list
+    val encodeNcs = codes.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case n: graft.functions.NearestCentroid => n })
+    assert(encodeNcs.length === Similarity.pqM,
+      s"encode projection must hold exactly ${Similarity.pqM} argmins, saw ${encodeNcs.length}")
     // and the encode stays correct at the larger list count: codes complete,
     // in range, every list routed by some vector is a trained list id
     val rows = codes.collect()
