@@ -566,9 +566,13 @@ object Similarity {
     }
   }
 
+  /** Driver-side argmin over a centroid set (shared by the trained and
+    * fixed model builders — one definition so an assignment-semantics
+    * change cannot diverge between them). */
+  private def nearestOf(v: Array[Double], cs: Array[Array[Double]]): Int =
+    cs.indices.minBy(i => sqDist(v, cs(i)))
+
   private[graft] def trainIvfPq(vecs: DataFrame, seed: Long, nLists: Int): IvfPqModel = {
-    def nearestOf(v: Array[Double], cs: Array[Array[Double]]): Int =
-      cs.indices.minBy(i => sqDist(v, cs(i)))
     val sample = quantizerSample(vecs, "embedding", cap = 20000L, seed = seed)
     val coarse = graft.harmony.LocalKMeans.fit(sample, k = nLists, maxIter = 10, seed = seed)
     // PQ codebooks trained on the sample's RESIDUALS (the quantity encoded)
@@ -592,11 +596,17 @@ object Similarity {
     * residual codebooks. Exactly pqM+1 NearestCentroid expressions in the
     * plan (1 coarse route + M subspace encodes) at ANY list count —
     * spec-asserted at nLists=64 in OperatorsSpec. */
-  private[graft] def ivfpqEncode(vecs: DataFrame, model: IvfPqModel): DataFrame = {
-    val sp = vecs.sparkSession
+  /** The (list_id, centroid) lookup frame — ONE derivation shared by the
+    * encode's broadcast join and the persisted coarse table, so the
+    * train/persist/serve contract cannot drift. */
+  private def centroidTable(sp: SparkSession, model: IvfPqModel): DataFrame = {
     import sp.implicits._
-    val centTable = model.coarse.zipWithIndex
-      .map { case (c, l) => (l, c.toSeq) }.toSeq.toDF("list_id", "centroid")
+    model.coarse.zipWithIndex.map { case (c, l) => (l, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+  }
+
+  private[graft] def ivfpqEncode(vecs: DataFrame, model: IvfPqModel): DataFrame = {
+    val centTable = centroidTable(vecs.sparkSession, model)
     val assigned = vecs
       .withColumn("list_id",
         graft.functions.VectorExpressions.nearestCentroid(col("embedding"), model.coarse))
@@ -614,12 +624,15 @@ object Similarity {
     * effective codebooks, broadcast as (query_id, list_id, lut, own_list).
     * `own_list` marks the query's OWN nearest list — the s12 invariant
     * restricts its min-ADC comparison to it (ADVICE r5: across lists the
-    * twin-attains-min property is not mathematically guaranteed). */
-  private[graft] def ivfpqQueryLuts(vecs: DataFrame, model: IvfPqModel,
+    * twin-attains-min property is not mathematically guaranteed).
+    * Collects the WHOLE `queries` frame (one row per probe vector) — the
+    * caller chooses the query set; the harness's `vec_id < 3` convention
+    * lives at the entry call sites, not in this serving-layer API. */
+  private[graft] def ivfpqQueryLuts(queries: DataFrame, model: IvfPqModel,
       nProbe: Int): DataFrame = {
-    val sp = vecs.sparkSession
+    val sp = queries.sparkSession
     import sp.implicits._
-    vecs.filter(col("vec_id") < 3)
+    queries
       .select(col("vec_id"), col("embedding")).collect()
       .flatMap { r =>
         val q = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
@@ -647,7 +660,8 @@ object Similarity {
   private[graft] def ivfpqScores(vecs: DataFrame, seed: Long,
       nLists: Int = 8, nProbe: Int = 2): DataFrame = {
     val model = trainIvfPq(vecs, seed, nLists)
-    ivfpqScoreCodes(ivfpqEncode(vecs, model), ivfpqQueryLuts(vecs, model, nProbe))
+    ivfpqScoreCodes(ivfpqEncode(vecs, model),
+      ivfpqQueryLuts(vecs.filter(col("vec_id") < 3), model, nProbe))
   }
 
   private[graft] def ivfpqTopK(vecs: DataFrame, topK: Int, seed: Long): DataFrame = {
@@ -733,9 +747,7 @@ object Similarity {
       path: String): Unit = {
     val sp = vecs.sparkSession
     import sp.implicits._
-    model.coarse.zipWithIndex.map { case (c, l) => (l, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
-      .write.mode("overwrite").parquet(s"$path/coarse")
+    centroidTable(sp, model).write.mode("overwrite").parquet(s"$path/coarse")
     (for { m <- 0 until pqM; k <- 0 until pqK }
       yield (m, k, model.books(m)(k).toSeq)).toDF("subspace", "code", "codeword")
       .write.mode("overwrite").parquet(s"$path/books")
@@ -788,8 +800,6 @@ object Similarity {
     * under ANY codebooks), which is exactly why the gate can pin the
     * persisted-index dataflow without depending on training. */
   private[graft] def ivfpqFixedModel(vecs: DataFrame, nLists: Int): IvfPqModel = {
-    def nearestOf(v: Array[Double], cs: Array[Array[Double]]): Int =
-      cs.indices.minBy(i => sqDist(v, cs(i)))
     val low = vecs.orderBy(col("vec_id")).limit(math.max(nLists, pqK)).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
     val coarse = low.take(nLists)

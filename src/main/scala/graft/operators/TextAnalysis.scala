@@ -693,7 +693,9 @@ object TextAnalysis {
           i => col("w").substr(i, lit(1))), " ").as("s"))
         .localCheckpoint(true)
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      for (step <- 1 to nBpeMerges) {
+      var step = 1
+      var exhausted = false
+      while (step <= nBpeMerges && !exhausted) {
         val syms = split(col("s"), " ")
         val pairs = state
           .filter(size(syms) > 1) // sequence(1, 0) would run DESCENDING
@@ -702,13 +704,23 @@ object TextAnalysis {
               element_at(syms, i + 1).as("r")))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum(col("cnt")).as("wt"))
-        val best = pairs.orderBy(col("wt").desc, col("l"), col("r")).limit(1).head()
-        val (l, r) = (best.getAs[String]("l"), best.getAs[String]("r"))
-        merges += ((step.toLong, l, r, best.getAs[Long]("wt")))
-        val prev = state
-        state = state.withColumn("s", bpeApplyMerge(col("s"), l, r))
-          .localCheckpoint(true)
-        prev.unpersist(false)
+        pairs.orderBy(col("wt").desc, col("l"), col("r")).limit(1)
+          .collect().headOption match {
+          case None =>
+            // every word is down to one symbol: nothing left to merge. The
+            // oracle's matching round has an empty best-CTE, so IT emits no
+            // row for this or later steps either — both engines stop at
+            // the same merge count instead of failing differently.
+            exhausted = true
+          case Some(best) =>
+            val (l, r) = (best.getAs[String]("l"), best.getAs[String]("r"))
+            merges += ((step.toLong, l, r, best.getAs[Long]("wt")))
+            val prev = state
+            state = state.withColumn("s", bpeApplyMerge(col("s"), l, r))
+              .localCheckpoint(true)
+            prev.unpersist(false)
+            step += 1
+        }
       }
       state.unpersist(false)
       merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev harness for the VECTOR-SEARCH path's 100 TB posture: synthesize an
@@ -23,12 +22,7 @@ object AnnRehearsal {
     val nLists = if (args.length > 1) args(1).toInt else 64
     val n = (nM * 1e6).toLong
 
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(16)
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed[T](label: String)(f: => T): T = {
@@ -89,9 +83,12 @@ object AnnRehearsal {
         println(s"[ann-scale] candidates scored: ${s.count()}")
         s
       }
-      val probedDirs = served.sparkSession.read.parquet(s"$out/codes")
-        .select(col("list_id")).distinct().count()
-      println(s"[ann-scale] probe IO: <=6 of $probedDirs list directories " +
+      // directory count from the filesystem layout — zero table IO (a
+      // distinct over the codes table would full-scan the index this tool
+      // exists to show is NOT read outside the probed lists)
+      val listDirs = new java.io.File(s"$out/codes").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("list_id="))
+      println(s"[ann-scale] probe IO: <=6 of $listDirs list directories " +
         "(2 probed lists x 3 queries, static IN partition filter)")
       val twins = served.filter(col("own_list"))
         .groupBy(col("query_id"))

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev harness for the DEDUP path's 100 TB posture (VERDICT r5 #7 — SCALE.md
@@ -25,13 +24,7 @@ object DedupRehearsal {
     val floodN = if (args.length > 1) args(1).toLong else 2000L
     val cap = if (args.length > 2) args(2).toInt else 64
 
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN") // keep the hot-bucket-cap log line
+    val spark = graft.GraftSession.local(16) // WARN level keeps the cap log line
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()

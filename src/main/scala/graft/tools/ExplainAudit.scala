@@ -28,8 +28,10 @@ object ExplainAudit {
       "t10_pack_sequences", "t11_chunk_windows", "m04_media_resize",
       "s06_ann_pq_oracle", "s08_ann_pq_trained", "s10_ann_ivfpq",
       "p01_table_profile", "t12_filter_verdict",
-      "s13_ivfpq_persisted_index", "d14_semantic_dedup", "t16_bpe_merges",
-      "w05_avro_roundtrip", "q51_heavy_hitters", "q52_funnel")
+      // s13/d14/t16/w05 are excluded on purpose: their entry bodies return
+      // driver-materialized or checkpointed frames, so the printed plan is
+      // a LocalTableScan that audits nothing while paying the full pipeline
+      "q51_heavy_hitters", "q52_funnel")
     targets.foreach { name =>
       println(s"\n================ $name ================")
       val plan = graft.SparkEntry.queries(name)(spark, sfDir)
