@@ -41,7 +41,7 @@ object Similarity {
     * duplicate flood could fill the entire cap with one point and
     * degenerate the quantizer — row-hashing keeps the draw row-uniform. */
   def quantizerSample(e: DataFrame, embCol: String, cap: Long, seed: Long): Array[Array[Double]] = {
-    val rowHash = xxhash64(lit(seed) +: e.columns.map(col): _*)
+    val rowHash = xxhash64((lit(seed) +: e.columns.map(col)).toIndexedSeq: _*)
     e.select(col(embCol), rowHash.as("__h"))
       .orderBy(col("__h"), col(embCol))
       .limit(math.min(cap, Int.MaxValue.toLong).toInt)
@@ -181,7 +181,7 @@ object Similarity {
       }
       val q = assigned.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .withColumn("probes", slice(array_sort(array(probeCols: _*)), 1, 2))
+        .withColumn("probes", slice(array_sort(array(probeCols.toIndexedSeq: _*)), 1, 2))
         .select(col("query_id"), col("q_emb"), explode(col("probes.list_id")).as("list_id"))
 
       val w = Window.partitionBy(col("query_id"))
