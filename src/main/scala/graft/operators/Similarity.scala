@@ -162,27 +162,26 @@ object Similarity {
       // rows of the first file(s), so at 100 TB the quantizer would be fit
       // to one shard's distribution and skew every inverted list (same
       // bounded-sample pattern as Harmony's kmeansSampleCap seeding).
+      import s.implicits._
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val sample = quantizerSample(e, "embedding", cap = 20000L, seed = 42L)
       val centers = graft.harmony.LocalKMeans.fit(sample, k = 8, maxIter = 10, seed = 42L)
 
-      def dist2(emb: Column, c: Array[Double]): Column =
-        (0 until c.length).map(j =>
-          (element_at(emb, j + 1).cast("double") - lit(c(j))) *
-            (element_at(emb, j + 1).cast("double") - lit(c(j)))).reduce(_ + _)
-      // one-pass argmin expression for the distributed assignment (the
-      // struct/array_min expression tree costs ~1000 sub-exprs per row)
       val assigned = e.withColumn("list_id",
         graft.functions.VectorExpressions.nearestCentroid(col("embedding"), centers))
 
-      // nProbe=2: each query also probes its runner-up centroid
-      val probeCols = centers.zipWithIndex.map { case (c, i) =>
-        struct(dist2(col("q_emb"), c).as("d"), lit(i).as("list_id"))
-      }
-      val q = assigned.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .withColumn("probes", slice(array_sort(array(probeCols.toIndexedSeq: _*)), 1, 2))
-        .select(col("query_id"), col("q_emb"), explode(col("probes.list_id")).as("list_id"))
+      // nProbe=2: each query also probes its runner-up centroid. Query
+      // routing happens DRIVER-SIDE from a bounded 3-row collect (the
+      // ivfpqQueryLuts pattern): an IVF deployment routes queries in the
+      // client, and the expression-tree alternative (8 centroids × 64
+      // element_at pairs per struct) spent ~1 s per run just compiling
+      // its ~1000-sub-expression codegen.
+      val q = e.filter(col("vec_id") < 3).collect().flatMap { r =>
+        val emb = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val v = emb.map(_.toDouble).toArray
+        centers.indices.sortBy(i => sqDist(v, centers(i))).take(2)
+          .map(l => (r.getAs[Long]("vec_id"), emb, l))
+      }.toSeq.toDF("query_id", "q_emb", "list_id")
 
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine_raw").desc, col("vec_id"))
