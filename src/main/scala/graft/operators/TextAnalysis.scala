@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -678,24 +679,32 @@ object TextAnalysis {
     * N-round derivation runs under the hash gate. */
   private val nBpeMerges = 6
 
-  private val tBpe = Q(
-    "t16_bpe_merges",
-    (s, dir) => {
-      import s.implicits._
-      val vocab = Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      // char split via substr (split-on-empty-regex edge cases differ
-      // across engines; positional substring is unambiguous in both)
-      var state = vocab.select(col("w"), col("cnt"),
-        array_join(transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))), " ").as("s"))
-        .localCheckpoint(true)
-      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-      var step = 1
-      var exhausted = false
-      while (step <= nBpeMerges && !exhausted) {
+  /** Per-word initial BPE state shared by the t16 learner and the t17
+    * encoder: (word, corpus frequency, space-joined character symbols).
+    * Char split via substr (split-on-empty-regex edge cases differ
+    * across engines; positional substring is unambiguous in both). */
+  private[graft] def bpeState0(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    vocab.select(col("w"), col("cnt"),
+      array_join(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), " ").as("s"))
+  }
+
+  /** The t16 learning loop, factored so t17's encoder trains with the SAME
+    * derivation: returns (learned merges, final vocab state). The final
+    * state is a live localCheckpoint the caller must unpersist; the t17
+    * apply-equals-learn spec compares it against a chained
+    * [[bpeApplyMerge]] fold over [[bpeState0]]. */
+  private[graft] def bpeLearnMerges(docs: DataFrame, n: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    var state = bpeState0(docs).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= n && !exhausted) {
         val syms = split(col("s"), " ")
         val pairs = state
           .filter(size(syms) > 1) // sequence(1, 0) would run DESCENDING
@@ -722,8 +731,16 @@ object TextAnalysis {
             step += 1
         }
       }
+      (merges.toSeq, state)
+    }
+
+  private val tBpe = Q(
+    "t16_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val (merges, state) = bpeLearnMerges(Tables.documents(s, dir), nBpeMerges)
       state.unpersist(false)
-      merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
+      merges.toDF("step", "lhs", "rhs", "pair_count")
     },
     Some(bpeOracleSql(nBpeMerges)))
 
@@ -745,10 +762,11 @@ object TextAnalysis {
     * pair count + ORDER BY/LIMIT argmax + `list_reduce` merge application
     * (same fold as the Spark `aggregate`). Generated so both engines'
     * round structure derives from one template (the kmSqlPrefix pattern). */
-  private def bpeOracleSql(n: Int): String = {
-    def round(i: Int): String = {
-      val prev = s"state${i - 1}"
-      s"""pairs$i AS (
+  /** One t16/t17 oracle merge round (pairs/best/state CTE triple) — shared
+    * so the learn and apply oracles derive merges from ONE template. */
+  private def bpeOracleRound(i: Int): String = {
+    val prev = s"state${i - 1}"
+    s"""pairs$i AS (
         SELECT p.l AS l, p.r AS r, sum(cnt) AS wt FROM (
           SELECT cnt, unnest(list_transform(range(1, len(syms)),
             k -> struct_pack(l := syms[k], r := syms[k + 1]))) AS p
@@ -760,8 +778,10 @@ object TextAnalysis {
           CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
                THEN acc || x ELSE acc || ' ' || x END) AS s
         FROM $prev, best$i b)"""
-    }
-    val rounds = (1 to n).map(round).mkString(",\n      ")
+  }
+
+  private def bpeOracleSql(n: Int): String = {
+    val rounds = (1 to n).map(bpeOracleRound).mkString(",\n      ")
     val out = (1 to n).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs, CAST(wt AS BIGINT) AS pair_count FROM best$i")
       .mkString("\n      UNION ALL ")
@@ -776,8 +796,102 @@ object TextAnalysis {
       $out"""
   }
 
+  // ---------------------------------------------------------------- t17
+  /** BPE APPLY (VERDICT r6 missing #1) — encode the corpus into token ids
+    * with t16's LEARNED merge table, the artifact a trained-tokenizer
+    * pipeline actually ships. Train/serve are separated the s13 way: the
+    * learner persists the merge table as a small parquet, and the encode
+    * phase reads it back (nBpeMerges rows — bounded collect) before
+    * touching the corpus. Tokenization is computed ONCE PER DISTINCT WORD
+    * (the vocab table), never per occurrence: the corpus-scale work is one
+    * join of (doc, word) against the tokenized vocab. The token
+    * vocabulary is globally bounded — |alphabet| + nMerges symbols, since
+    * each merge creates exactly one new symbol — so its dense-rank id
+    * assignment (row_number over symbol order) is a single-partition
+    * window over a structurally tiny frame, and the id lookup broadcasts.
+    * Output: (doc_id, n_tokens, token_ids) with token_ids the
+    * space-joined id sequence in document order, reassembled by an
+    * array_sort over (word_pos, token_pos) — positions are 0-based in
+    * Spark and 1-based in the oracle, which is irrelevant because they
+    * only ever order. Oracle replays the SAME merge derivation through
+    * the t16 chained CTEs and applies stateN via list joins; both engines
+    * assume the gate corpus does not exhaust merges before nBpeMerges
+    * (t16 proves it emits all 6). */
+  private val tBpeApply = Q(
+    "t17_bpe_apply",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_t17_").toString
+      try {
+        // train phase: learn + PERSIST the merge table (s13 model pattern)
+        val (learned, learnedState) = bpeLearnMerges(docs, nBpeMerges)
+        learnedState.unpersist(false)
+        learned.toDF("step", "lhs", "rhs", "pair_count")
+          .write.mode("overwrite").parquet(s"$out/merges")
+        // apply phase: everything below uses only the RELOADED table
+        val merges = s.read.parquet(s"$out/merges").orderBy(col("step"))
+          .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+        val wordToks = merges.foldLeft(bpeState0(docs).select(col("w"), col("s"))) {
+          case (acc, (l, r)) => acc.withColumn("s", bpeApplyMerge(col("s"), l, r))
+        }.withColumn("toks", split(col("s"), " ")).select(col("w"), col("toks"))
+        val tokVocab = wordToks.select(explode(col("toks")).as("sym")).distinct()
+          .withColumn("token_id",
+            row_number().over(Window.orderBy(col("sym"))).cast("long"))
+        val words = docs
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wp", "w")))
+          .filter(col("w") =!= "")
+        words.join(wordToks, Seq("w"))
+          .select(col("doc_id"), col("wp"), posexplode(col("toks")).as(Seq("tp", "sym")))
+          .join(broadcast(tokVocab), Seq("sym"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("wp"), col("tp"), col("token_id")))),
+              x => x.getField("token_id").cast("string")), " ").as("token_ids"))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some(bpeApplyOracleSql(nBpeMerges)))
+
+  /** DuckDB mirror of t17: the t16 round CTEs re-derive the merge table,
+    * stateN IS the tokenized vocab, and the doc-order id sequence is a
+    * string_agg ordered by (word_pos, token_pos). */
+  private def bpeApplyOracleSql(n: Int): String = {
+    val rounds = (1 to n).map(bpeOracleRound).mkString(",\n      ")
+    s"""WITH vocab AS (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' GROUP BY w),
+      state0 AS (
+        SELECT w, cnt, array_to_string(list_transform(range(1, len(w) + 1),
+          i -> w[i:i]), ' ') AS s FROM vocab),
+      $rounds,
+      tokvocab AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS token_id
+        FROM (SELECT DISTINCT unnest(string_split(s, ' ')) AS sym FROM state$n) t),
+      words AS (
+        SELECT doc_id, p.wp AS wp, p.w AS w FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+            i -> struct_pack(wp := i, w := ws[i]))) AS p
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t0) t1
+        WHERE p.w <> ''),
+      wordtoks AS (
+        SELECT w, p.tp AS tp, p.sym AS sym FROM (
+          SELECT w, unnest(list_transform(range(1, len(ts) + 1),
+            i -> struct_pack(tp := i, sym := ts[i]))) AS p
+          FROM (SELECT w, string_split(s, ' ') AS ts FROM state$n) t0) t1)
+      SELECT d.doc_id, count(*) AS n_tokens,
+        string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY d.wp, wt.tp) AS token_ids
+      FROM words d
+      JOIN wordtoks wt ON d.w = wt.w
+      JOIN tokvocab v ON wt.sym = v.sym
+      GROUP BY d.doc_id"""
+  }
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
-      tUnigramLp, tBpe)
+      tUnigramLp, tBpe, tBpeApply)
 }

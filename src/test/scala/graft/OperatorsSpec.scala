@@ -247,6 +247,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s14 index append: only the new batch's list directories gain files") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s14spec_").toString
+    try {
+      val model = Similarity.trainIvfPq(emb, seed = 42L, nLists = 8)
+      Similarity.ivfpqWriteIndex(emb, model, out)
+      def filesPerList: Map[String, Set[String]] =
+        new java.io.File(s"$out/codes").listFiles().filter(_.isDirectory)
+          .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      val before = filesPerList
+      // append a small new batch encoded with the RELOADED (frozen) model
+      val newBatch = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfpqAppendCodes(spark, out, newBatch)
+      val after = filesPerList
+      val gained = after.keySet.filter(d =>
+        (after(d) -- before.getOrElse(d, Set.empty)).nonEmpty)
+      val newLists = Similarity.ivfpqEncode(newBatch, Similarity.ivfpqLoadModel(spark, out))
+        .select(col("list_id")).distinct().collect()
+        .map(r => s"list_id=${r.getInt(0)}").toSet
+      // an append is O(new batch): untouched lists' directories are
+      // byte-identical, and every touched one is a list the batch routed to
+      assert(gained === newLists,
+        s"append touched $gained but the batch routes to $newLists")
+      // and the appended rows serve: each new vec appears among candidates
+      // when probing its own source vector
+      val served = Similarity.ivfpqServe(spark, out, emb.filter(col("vec_id") < 5), nProbe = 2)
+      val newIds = served.filter(col("vec_id") >= 5000000L)
+        .select(col("vec_id")).distinct().count()
+      assert(newIds === 5, s"expected 5 appended vectors served, saw $newIds")
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
+
   test("t16 BPE merges: 6 deterministic rounds, max pair count non-increasing") {
     val rows = run("t16_bpe_merges").orderBy(col("step")).collect()
     assert(rows.map(_.getAs[Long]("step")).toSeq === (1L to 6L))
@@ -289,6 +326,30 @@ class OperatorsSpec extends SparkSpec {
         .collect()
       assert(got.isEmpty, s"fold mismatch for merge ($l,$r): ${got.take(3).mkString}")
     }
+  }
+
+  test("t17 apply == learn: chained merge fold reproduces t16's final vocab state") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val (merges, finalState) = operators.TextAnalysis.bpeLearnMerges(docs, 6)
+    try {
+      assert(merges.nonEmpty)
+      // the encoder's apply path IS the learner's state evolution: folding
+      // the learned merges over state0 must land on the identical per-word
+      // symbol strings the loop ended with (both keyed by the same vocab)
+      val applied = merges.foldLeft(
+        operators.TextAnalysis.bpeState0(docs).select(col("w"), col("s"))) {
+        case (acc, (_, l, r, _)) =>
+          acc.withColumn("s", operators.TextAnalysis.bpeApplyMerge(col("s"), l, r))
+      }
+      assert(applied.count() === finalState.count())
+      assert(applied.except(finalState.select(col("w"), col("s"))).count() === 0)
+    } finally finalState.unpersist(false)
+  }
+
+  test("t17 output: n_tokens equals the emitted id-sequence length") {
+    val bad = run("t17_bpe_apply")
+      .filter(size(split(col("token_ids"), " ")) =!= col("n_tokens")).count()
+    assert(bad === 0)
   }
 
   test("t01 token counts: distinct <= total, chars consistent") {
