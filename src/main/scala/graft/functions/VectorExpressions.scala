@@ -193,11 +193,20 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  // unsupported element types fail at ANALYSIS time, not as an opaque
+  // eval/codegen IllegalArgumentException mid-job (ADVICE r6)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects array<float|double>, got ${t.catalogString}")
+    }
+
   private lazy val floatElems: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case t => throw new IllegalArgumentException(
-      s"nearest_centroid expects array<float|double>, got $t")
+    case _ => false
   }
 
   override protected def nullSafeEval(input: Any): Any = {

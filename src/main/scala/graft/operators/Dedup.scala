@@ -953,7 +953,12 @@ object Dedup {
     "d14_semantic_dedup",
     (s, dir) => {
       import graft.functions.VectorExpressions.cosineF
-      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // ids >= 1e6 would collide with the planted generations and silently
+      // break the min-id-is-original canonical rule — fail loudly instead
+      // (ADVICE r6; the withPlantedDups/guardedId precedent)
+      val base = Tables.embeddings(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("vec_id"), 1000000L, "d14").as("vec_id"),
+        col("embedding"))
       def gen(offset: Long) = base.filter(col("vec_id") < 10)
         .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
       val all0 = base.unionByName(gen(1000000L)).unionByName(gen(2000000L))

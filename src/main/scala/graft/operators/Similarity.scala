@@ -690,7 +690,13 @@ object Similarity {
     * a tie-broken rank could evict the large-id twin from a correct
     * engine's top-k — the min-attainment form is tie-proof. */
   private def plantedCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // ids >= 1e6 would collide with the planted twin range (ADVICE r6:
+    // fail loudly, the guardedId precedent — s14's +2e6 generation is
+    // covered by the same bound since twins only ever derive from ids < 3)
+    val base = Tables.embeddings(s, dir).select(
+      graft.functions.CrossEngine.guardedId(col("vec_id"), 1000000L, "plantedCorpus")
+        .as("vec_id"),
+      col("embedding"))
     val planted = base.filter(col("vec_id") < 3)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     (base, base.unionByName(planted))

@@ -222,6 +222,64 @@ object Sketches {
       JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
         ON rk = CAST(ceil(q * n) AS BIGINT)"""))
 
+  // ---------------------------------------------------------------- q53
+  /** MERGEABLE QUANTILE SKETCH (VERDICT r6 missing #3) — grouped quantiles
+    * from the fixed-universe histogram aggregate
+    * [[graft.functions.HistogramSketch]], completing the sketch family
+    * (KMV NDV q46-q48, Misra-Gries HH q51). Per group the shuffle carries
+    * ONE 64-long buffer, never data rows, and the merge is an elementwise
+    * add — so unlike approx_percentile (engine-private GK state) the whole
+    * derivation is deterministic and runs under the HASH gate: the oracle
+    * recomputes the identical histogram from the same floor((x-lo)/w)
+    * bucketing and extracts the same bucket-upper-edge estimates.
+    * Quantile extraction explodes the 64-bucket array (sketch-sized, not
+    * data-sized), takes the running sum, and picks the first bucket whose
+    * cumulative count reaches rank ceil(q*n) — empty buckets can never be
+    * picked (cum - cnt = cum), so the absent-zero-bucket oracle groupBy
+    * agrees bucket-for-bucket. Estimate = bucket upper edge, which the
+    * error-contract spec pins to within one bucket width above the exact
+    * percentile. */
+  private val q53 = Q(
+    "q53_quantile_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 64
+      val lo = 900.0
+      val w = (105000.0 - lo) / B // l_extendedprice universe; 1626.5625 exact
+      val hists = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.Histogram.histogramSketch(
+            col("l_extendedprice"), lo, w, B).as("hist"),
+          count(lit(1)).as("n"))
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+      hists
+        .select(col("l_returnflag"), col("n"), posexplode(col("hist")).as(Seq("b", "cnt")))
+        .withColumn("cum", sum(col("cnt")).over(cumW))
+        .select(col("l_returnflag"), col("n"), col("b"), col("cnt"), col("cum"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+        .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+        .filter(col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+        .select(col("l_returnflag"), col("q"), col("n"),
+          (lit(lo) + (col("b") + 1).cast("double") * lit(w)).as("est"))
+    },
+    Some(s"""WITH b AS (
+        SELECT l_returnflag,
+          CAST(LEAST(GREATEST(floor((l_extendedprice - 900.0) / 1626.5625), 0), 63) AS BIGINT) AS b
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      n AS (SELECT l_returnflag, count(*) AS n FROM b GROUP BY l_returnflag),
+      hist AS (SELECT l_returnflag, b, count(*) AS cnt FROM b GROUP BY l_returnflag, b),
+      cum AS (
+        SELECT l_returnflag, b, cnt,
+          sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum
+        FROM hist)
+      SELECT c.l_returnflag, q, n.n AS n,
+        900.0 + CAST(c.b + 1 AS DOUBLE) * 1626.5625 AS est
+      FROM cum c
+      JOIN n ON c.l_returnflag = n.l_returnflag
+      JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs ON true
+      WHERE c.cum >= CAST(ceil(q * n.n) AS BIGINT)
+        AND c.cum - c.cnt < CAST(ceil(q * n.n) AS BIGINT)"""))
+
   // ---------------------------------------------------------------- q51
   /** HEAVY HITTERS at unbounded key cardinality — the candidate-generation
     * + exact-verification pattern that makes "which keys exceed p% of the
@@ -265,5 +323,5 @@ object Sketches {
       GROUP BY key
       HAVING count(*) > (SELECT count(*) / 20 FROM keyed)"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51)
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53)
 }

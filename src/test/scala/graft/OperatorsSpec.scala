@@ -559,6 +559,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q53 histogram sketch: partition-wise merge == single-pass bit-identically") {
+    import graft.functions.Histogram.histogramSketch
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("l_returnflag"))
+      .agg(histogramSketch(col("l_extendedprice"), 900.0, 1626.5625, 64).as("hist"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getSeq[Long](1)).toMap
+    // merge() is an elementwise long add: any partitioning must produce the
+    // identical buffer — the q48 pattern for the quantile family
+    val one = hist(li.coalesce(1))
+    val many = hist(li.repartition(13))
+    assert(one.keySet === many.keySet)
+    one.keySet.foreach(k => assert(one(k) === many(k),
+      s"group $k: partition-wise merged histogram differs from single-pass"))
+    // and nothing is lost: bucket counts total the row count
+    assert(one.values.map(_.sum).sum === li.count())
+  }
+
+  test("q53 error contract: upper-edge estimate within one bucket width above exact") {
+    val w = 1626.5625
+    val est = run("q53_quantile_sketch").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("q")) ->
+        r.getAs[Double]("est")).toMap
+    assert(est.size === 9, s"3 groups x 3 quantiles expected, got ${est.size}")
+    // exact discrete percentiles per group (same rank convention: the
+    // ceil(q*n)-th smallest value)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    for (((g, q), e) <- est) {
+      val vs = li(g)
+      val exact = vs(math.ceil(q * vs.length).toInt - 1)
+      assert(e >= exact && e - exact <= w,
+        s"group $g q=$q: est $e must cover exact $exact within bucket width $w")
+    }
+  }
+
   test("d09 dup clusters: one canonical per cluster, label = min member, chains grouped") {
     val rows = run("d09_dup_clusters").collect()
     assert(rows.nonEmpty)
