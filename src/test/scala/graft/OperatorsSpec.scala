@@ -352,6 +352,36 @@ class OperatorsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("m05 image decode: PNG roundtrip is pixel-exact and really runs ImageIO") {
+    // the oracle pins the SUMS; this pins the mechanism — the payload is a
+    // real PNG (magic bytes) and the decoded raster equals the generator
+    // pixel-for-pixel (losslessness is what makes the oracle valid)
+    val (w, h) = (32, 16)
+    val id = 4242L
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+      val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+      val b = ((id * 7 + x * 11 + y * 29) % 256).toInt
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(png.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "not a PNG payload")
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(dec.getWidth === w && dec.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((dec.getRGB(x, y) & 0xffffff) === (img.getRGB(x, y) & 0xffffff),
+        s"PNG roundtrip must be lossless; pixel ($x,$y) differs")
+    // and the gate entry's dims come from the decoder, not constants
+    val row = run("m05_image_decode").filter(col("doc_id") === 0).head()
+    assert(row.getAs[Long]("width") === w.toLong)
+    assert(row.getAs[Long]("height") === h.toLong)
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
