@@ -1006,6 +1006,73 @@ object Dedup {
         l.node = l.cluster_id AS is_canonical
       FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id"""))
 
+  // ---------------------------------------------------------------- d15
+  /** CHUNK-LEVEL near-dup (VERDICT r6 stretch #8 — the RefinedWeb/CCNet
+    * curation step): find duplicated PASSAGES between documents by
+    * composing t11's token-window chunker (size 64, stride 48) with the
+    * shared KM MinHash lane (d06's [[kmBands]] + [[jaccardVerify]], both
+    * unchanged). Each chunk becomes a mini-document keyed
+    * `doc_id * 1e6 + chunk_no` (headroom to 48M-token documents before the
+    * packing could collide — and doc ids are already guarded < 1e7 by
+    * withPlantedDups); pairs whose chunks come from the SAME source doc
+    * are excluded structurally — the chunker's 16-token overlap is a
+    * property of chunking, not duplication (it also sits at J ≈ 0.14,
+    * far under the 0.5 threshold, so the exclusion is belt and braces).
+    * The planted 90%-prefix copies match chunk-for-chunk (early chunks are
+    * token-identical, J = 1), which is exactly the passage-level signal a
+    * paragraph dedup exists to find. Scale shape is d06's: banded
+    * equi-join only — chunking multiplies rows by ~ceil(n/stride) but
+    * NEVER by pairs. */
+  private val d15 = Q(
+    "d15_chunk_neardup",
+    (s, dir) => {
+      val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
+      val chunks = docs.select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(greatest(ceil((size(tk) - 64) / 48.0), 0) as int)), " +
+          "i -> concat_ws(' ', slice(tk, i * 48 + 1, 64)))")))
+        .select((col("doc_id") * 1000000L + col("pos")).as("doc_id"),
+          col("col").as("text"))
+      val sets = shingleSets(chunks)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = kmBands(sets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val cand = a.join(b, col("a.band") === col("b.band")
+          && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("a.doc_id DIV 1000000") =!= expr("b.doc_id DIV 1000000"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val out = jaccardVerify(cand, sets)
+        .select(col("doc_a"), col("doc_b"),
+          expr("doc_a DIV 1000000").as("src_a"), expr("doc_b DIV 1000000").as("src_b"),
+          col("jaccard"))
+        .localCheckpoint(true)
+      sets.unpersist(false)
+      banded.unpersist(false)
+      out
+    },
+    Some {
+      val chunksSql =
+        s"""SELECT doc_id * 1000000 + chunk_no AS doc_id,
+            array_to_string(tk[chunk_no * 48 + 1 : chunk_no * 48 + 64], ' ') AS text
+          FROM (
+            SELECT doc_id, tk,
+              unnest(range(0, CAST(greatest(ceil((len(tk) - 64) / 48.0), 0) AS BIGINT) + 1)) AS chunk_no
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM ($sqlPlanted) p WHERE doc_id % 5 = 0) t) c"""
+      s"""${kmSqlPrefix(chunksSql)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+          WHERE a.doc_id // 1000000 <> b.doc_id // 1000000),
+        verified AS ($kmSqlVerifyTail)
+      SELECT doc_a, doc_b, doc_a // 1000000 AS src_a, doc_b // 1000000 AS src_b,
+        jaccard
+      FROM verified"""
+    })
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14)
+    d11, d12, d13, d14, d15)
 }

@@ -628,6 +628,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d15 chunk near-dup: cross-doc only, planted passages aligned, exact heads") {
+    val rows = run("d15_chunk_neardup").collect()
+    assert(rows.nonEmpty)
+    // the chunker's own 16-token intra-doc overlap must NEVER surface
+    rows.foreach(r => assert(r.getAs[Long]("src_a") !== r.getAs[Long]("src_b"),
+      s"intra-doc chunk pair leaked: $r"))
+    // planted 90%-prefix copies surface as window-ALIGNED chunk pairs
+    // (natural cross-doc passage repeats in the corpus may surface too —
+    // at sf0.001 docs 120/360 genuinely share a chunk; that's the operator
+    // working, not noise)
+    val planted = rows.filter(r =>
+      r.getAs[Long]("src_b") - r.getAs[Long]("src_a") === 10000000L)
+    assert(planted.nonEmpty, "planted passage duplicates must be found")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("doc_a") % 1000000L === r.getAs[Long]("doc_b") % 1000000L,
+        s"planted chunk pair must align by window: $r")
+    }
+    // prefix-identical windows exist (truncate90 keeps early chunks intact)
+    assert(planted.exists(_.getAs[Double]("jaccard") === 1.0),
+      "expected some token-identical early chunks at J = 1")
+  }
+
   test("d09 dup clusters: one canonical per cluster, label = min member, chains grouped") {
     val rows = run("d09_dup_clusters").collect()
     assert(rows.nonEmpty)
