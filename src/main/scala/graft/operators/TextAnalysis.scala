@@ -832,28 +832,50 @@ object TextAnalysis {
         // apply phase: everything below uses only the RELOADED table
         val merges = s.read.parquet(s"$out/merges").orderBy(col("step"))
           .collect().map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
-        val wordToks = merges.foldLeft(bpeState0(docs).select(col("w"), col("s"))) {
-          case (acc, (l, r)) => acc.withColumn("s", bpeApplyMerge(col("s"), l, r))
-        }.withColumn("toks", split(col("s"), " ")).select(col("w"), col("toks"))
-        val tokVocab = wordToks.select(explode(col("toks")).as("sym")).distinct()
-          .withColumn("token_id",
-            row_number().over(Window.orderBy(col("sym"))).cast("long"))
-        val words = docs
-          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wp", "w")))
-          .filter(col("w") =!= "")
-        words.join(wordToks, Seq("w"))
-          .select(col("doc_id"), col("wp"), posexplode(col("toks")).as(Seq("tp", "sym")))
-          .join(broadcast(tokVocab), Seq("sym"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            array_join(transform(
-              array_sort(collect_list(struct(col("wp"), col("tp"), col("token_id")))),
-              x => x.getField("token_id").cast("string")), " ").as("token_ids"))
+        bpeEncodeCorpus(docs, merges.toSeq)
       } finally {
         graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
       }
     },
     Some(bpeApplyOracleSql(nBpeMerges)))
+
+  /** The t17 APPLY stage, reusable by the entry and the scale rehearsal:
+    * tokenize the DISTINCT-word vocab once (chained merge folds), assign
+    * bounded token-vocab ids, and precompute EACH WORD'S id-sequence
+    * string at vocab scale — the per-token explode and the token-id join
+    * never touch the corpus. Corpus-scale work is exactly one join on the
+    * word key plus one grouped concat bounded by document length (measured
+    * in BpeRehearsal: the corpus-explode formulation was ~5× slower at 1M
+    * docs / 191M tokens because every token paid the doc-group shuffle). */
+  private[graft] def bpeEncodeCorpus(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordToks = merges.foldLeft(bpeState0(docs).select(col("w"), col("s"))) {
+      case (acc, (l, r)) => acc.withColumn("s", bpeApplyMerge(col("s"), l, r))
+    }.withColumn("toks", split(col("s"), " ")).select(col("w"), col("toks"))
+    val tokVocab = wordToks.select(explode(col("toks")).as("sym")).distinct()
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("sym"))).cast("long"))
+    // vocab-scale: one row per (distinct word, token) -> per-word id string
+    val wordIds = wordToks
+      .select(col("w"), posexplode(col("toks")).as(Seq("tp", "sym")))
+      .join(broadcast(tokVocab), Seq("sym"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("w_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("token_id")))),
+          x => x.getField("token_id").cast("string")), " ").as("w_ids"))
+    // corpus-scale: join each word occurrence to its precomputed ids and
+    // reassemble the document in word order
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wp", "w")))
+      .filter(col("w") =!= "")
+      .join(wordIds, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_tokens")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wp"), col("w_ids")))),
+          x => x.getField("w_ids")), " ").as("token_ids"))
+  }
 
   /** DuckDB mirror of t17: the t16 round CTEs re-derive the merge table,
     * stateN IS the tokenized vocab, and the doc-order id sequence is a
