@@ -297,5 +297,89 @@ object Multimodal {
         CAST(s.b_sum AS BIGINT) AS b_sum, CAST(r.resized_r_sum AS BIGINT) AS resized_r_sum
       FROM sums s JOIN rsums r ON s.doc_id = r.doc_id"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  final case class DecodedAudio(
+      doc_id: Long, sample_rate: Long, n_samples: Long, duration_us: Long,
+      sum_samples: Long, sum_abs: Long, max_abs: Long, strided_sum: Long)
+
+  /** REAL audio decode — m05's verb for the second JDK-native codec:
+    * `javax.sound.sampled.AudioSystem` WAV (PCM_SIGNED). Each partition
+    * synthesizes a deterministic 240-sample 16-bit mono 8 kHz clip
+    * (sample(t) = (doc_id*131 + t*17) mod 2^16 − 2^15, full int16 range),
+    * container-encodes it to real RIFF/WAVE bytes, then runs the genuine
+    * decode path — `AudioSystem.getAudioInputStream` over the payload —
+    * and extracts the format fields (rate, frame count), amplitude stats
+    * (sum / sum-abs / max-abs), and a fixed-stride frame sample (m03's
+    * verb on decoded samples: every 30th). PCM WAV is lossless, so the
+    * decoded int16 stream equals the generating formula and the DuckDB
+    * oracle recomputes identical sums from the same integer arithmetic —
+    * the decode is real, the verification exact. Batch shape is m01's
+    * contract: one codec init per partition, payloads never leave the
+    * executor, only fixed-width numbers return. Requires no audio
+    * hardware: the WAV reader/writer SPIs are pure stream transforms. */
+  private val m06 = Q(
+    "m06_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val n = 240
+      val rate = 8000f
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate, 16, 1, 2, rate, /* bigEndian = */ false)
+          ids.map { id =>
+            val pcm = new Array[Byte](2 * n)
+            var t = 0
+            while (t < n) {
+              val v = ((id * 131 + t * 17) % 65536 - 32768).toInt
+              pcm(2 * t) = (v & 0xff).toByte        // little-endian int16
+              pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+              t += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            val wav = baos.toByteArray
+            // the REAL decode under test: RIFF bytes -> format + samples
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(wav))
+            val nf = in.getFrameLength.toInt
+            val raw = in.readAllBytes()
+            in.close()
+            var (sum, sumAbs, maxAbs, strided) = (0L, 0L, 0L, 0L)
+            t = 0
+            while (t < nf) {
+              val v = ((raw(2 * t) & 0xff) | (raw(2 * t + 1) << 8)).toShort.toLong
+              sum += v
+              val a = math.abs(v)
+              sumAbs += a
+              if (a > maxAbs) maxAbs = a
+              if (t % 30 == 0) strided += v
+              t += 1
+            }
+            DecodedAudio(
+              id, in.getFormat.getSampleRate.toLong, nf.toLong,
+              duration_us = nf.toLong * 1000000L / 8000L,
+              sum, sumAbs, maxAbs, strided)
+          }
+        }.toDF()
+    },
+    Some("""WITH sm AS (
+        SELECT d.doc_id, ts.t,
+          (d.doc_id * 131 + ts.t * 17) % 65536 - 32768 AS v
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 240)) AS t) ts)
+      SELECT doc_id,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(240 AS BIGINT) AS n_samples,
+        CAST(30000 AS BIGINT) AS duration_us,
+        CAST(sum(v) AS BIGINT) AS sum_samples,
+        CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        CAST(max(abs(v)) AS BIGINT) AS max_abs,
+        CAST(sum(CASE WHEN t % 30 = 0 THEN v ELSE 0 END) AS BIGINT) AS strided_sum
+      FROM sm GROUP BY doc_id"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }

@@ -912,8 +912,74 @@ object TextAnalysis {
       GROUP BY d.doc_id"""
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021 §A.1.1, the standard
+    * LLM-corpus pre-filter; public): word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio ('#' and '...'), fraction of words with
+    * an alphabetic character, and a minimum number of DISTINCT function
+    * words — composed into one keep verdict. Complements t03 (ratio stats)
+    * and t12 (repetition + dedup survivorship): these are the
+    * document-shape rules neither computes. Row-local over the token
+    * array — no shuffle, all built-in HOFs, fully codegen'd. Thresholds
+    * compare ROUNDED values (t12 precedent) so the verdict is bit-stable
+    * across engines. */
+  private val tGopher = Q(
+    "t18_gopher_rules",
+    (s, dir) => {
+      val tk = toks
+      val nW = size(tk).cast("long")
+      val meanLen = round(
+        aggregate(tk, lit(0L), (a, x) => a + length(x).cast("long")).cast("double") / nW, 4)
+      val alphaFrac = round(
+        size(filter(tk, t => t.rlike("[a-z]"))).cast("double") / nW, 4)
+      val hashCnt = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val ellipsisCnt = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+      val symbolRatio = round((hashCnt + ellipsisCnt).cast("double") / nW, 4)
+      // Gopher's rule is a DISTINCT-function-word floor; the paper's word
+      // set is English-prose-specific, so the engine uses its own English
+      // function-word profile (the langProfiles map the language-ID op is
+      // built from) — same rule, corpus-appropriate set
+      val stops = langProfiles("en")
+      val stopHits = size(filter(array_distinct(tk), t => t.isin(stops: _*))).cast("long")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nW.as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stop_hits"))
+        .withColumn("keep",
+          col("n_words").between(50L, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("alpha_word_frac") >= 0.8 &&
+            col("stop_hits") >= 2L)
+    },
+    Some(s"""WITH st AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          round(CAST(list_sum(list_transform(string_split(text, ' '),
+            w -> length(w))) AS DOUBLE)
+            / len(string_split(text, ' ')), 4) AS mean_word_len,
+          round(CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+            / len(string_split(text, ' ')), 4) AS symbol_ratio,
+          round(CAST(len(list_filter(string_split(text, ' '),
+            t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+            / len(string_split(text, ' ')), 4) AS alpha_word_frac,
+          CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+            t -> t IN (${langProfiles("en").map(w => s"'$w'").mkString(", ")})))
+            AS BIGINT) AS stop_hits
+        FROM documents)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+        stop_hits,
+        (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+         AND stop_hits >= 2) AS keep
+      FROM st"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
-      tUnigramLp, tBpe, tBpeApply)
+      tUnigramLp, tBpe, tBpeApply, tGopher)
 }

@@ -382,6 +382,63 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Long]("height") === h.toLong)
   }
 
+  test("m06 audio decode: WAV roundtrip is sample-exact and really runs AudioSystem") {
+    // the oracle pins the SUMS; this pins the mechanism — the payload is a
+    // real RIFF/WAVE container and the decoded int16 stream equals the
+    // generator sample-for-sample (PCM losslessness validates the oracle)
+    val n = 240
+    val id = 4242L
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val pcm = new Array[Byte](2 * n)
+    for (t <- 0 until n) {
+      val v = ((id * 131 + t * 17) % 65536 - 32768).toInt
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF", "not a RIFF payload")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE", "not a WAVE container")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFrameLength === n.toLong)
+    assert(in.getFormat.getSampleRate === 8000f)
+    val raw = in.readAllBytes()
+    in.close()
+    for (t <- 0 until n) {
+      val got = ((raw(2 * t) & 0xff) | (raw(2 * t + 1) << 8)).toShort.toInt
+      val want = ((id * 131 + t * 17) % 65536 - 32768).toInt
+      assert(got === want, s"WAV roundtrip must be lossless; sample $t differs")
+    }
+    // and the gate entry's rate/length come from the decoder, not constants
+    val row = run("m06_audio_decode").filter(col("doc_id") === 0).head()
+    assert(row.getAs[Long]("sample_rate") === 8000L)
+    assert(row.getAs[Long]("n_samples") === n.toLong)
+    assert(row.getAs[Long]("duration_us") === 30000L)
+  }
+
+  test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
+    val rows = run("t18_gopher_rules").collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n_words") >= 50 && r.getAs[Long]("n_words") <= 100000 &&
+        r.getAs[Double]("mean_word_len") >= 3.0 && r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("symbol_ratio") <= 0.1 &&
+        r.getAs[Double]("alpha_word_frac") >= 0.8 &&
+        r.getAs[Long]("stop_hits") >= 2
+      assert(r.getAs[Boolean]("keep") === expect, s"keep != rule conjunction for $r")
+    }
+    // the rules discriminate on this corpus (neither all-pass nor all-fail)
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
