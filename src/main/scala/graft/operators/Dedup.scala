@@ -1073,6 +1073,78 @@ object Dedup {
       FROM verified"""
     })
 
+  /** TRAIN/TEST DECONTAMINATION (GPT-3 Appendix C / Dolma-style, public):
+    * flag evaluation documents that share any word 8-gram with the
+    * training corpus — the benchmark-leakage check every LLM training run
+    * performs before holding out an eval set. Planted eval frame: for
+    * every 97th corpus doc, a CONTAMINATED test doc (a 20-word passage
+    * lifted verbatim, so its 8-grams exist in train by construction) and
+    * a CLEAN twin (the same passage with every word suffixed 'zz' —
+    * suffixed words are outside the corpus vocabulary, so no n-gram can
+    * match; spec-asserted). Scale shape: the eval side is benchmark-sized
+    * (MBs against a 100 TB corpus) and is BROADCAST, so the train corpus
+    * explodes its n-grams map-side and the overlap join is shuffle-free
+    * on the corpus axis; only the post-join hit set (bounded by eval
+    * n-gram count × collisions) reaches the grouped count. */
+  private val d16 = Q(
+    "d16_decontaminate",
+    (s, dir) => {
+      val n = 8
+      val docs = Tables.documents(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 50000000L, "d16").as("doc_id"),
+        col("text"))
+      def ngrams = expr(
+        s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
+          s"i -> concat_ws(' ', slice(tk, i, $n)))")
+      val src = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), slice(toks, 3, 20).as("ptk"))
+      val evalDocs = src.select((col("doc_id") + 50000000L).as("test_id"),
+          concat_ws(" ", col("ptk")).as("text"))
+        .unionByName(src.select((col("doc_id") + 60000000L).as("test_id"),
+          concat_ws(" ", transform(col("ptk"), w => concat(w, lit("zz")))).as("text")))
+      val evalGrams = evalDocs.select(col("test_id"), split(col("text"), " ").as("tk"))
+        .select(col("test_id"), explode(ngrams).as("g")).distinct()
+      val trainGrams = docs.select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), explode(ngrams).as("g"))
+      val hits = trainGrams.join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("test_id"))
+        .agg(countDistinct(col("g")).as("hit_grams"),
+          countDistinct(col("doc_id")).as("hit_train_docs"))
+      evalDocs.select(col("test_id")).join(hits, Seq("test_id"), "left")
+        .select(col("test_id"),
+          coalesce(col("hit_grams"), lit(0L)).as("n_overlap_grams"),
+          coalesce(col("hit_train_docs"), lit(0L)).as("n_train_docs"),
+          (coalesce(col("hit_grams"), lit(0L)) > 0L).as("contaminated"))
+    },
+    Some("""WITH src AS (
+        SELECT doc_id, (string_split(text, ' '))[3:22] AS ptk
+        FROM documents WHERE doc_id % 97 = 0),
+      eval AS (
+        SELECT doc_id + 50000000 AS test_id, array_to_string(ptk, ' ') AS text FROM src
+        UNION ALL
+        SELECT doc_id + 60000000,
+          array_to_string(list_transform(ptk, w -> w || 'zz'), ' ') FROM src),
+      evalg AS (
+        SELECT DISTINCT test_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT test_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT test_id, string_split(text, ' ') AS tk FROM eval) t) u),
+      traing AS (
+        SELECT doc_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t) u),
+      hits AS (
+        SELECT e.test_id,
+          count(DISTINCT e.g) AS hit_grams,
+          count(DISTINCT t.doc_id) AS hit_train_docs
+        FROM evalg e JOIN traing t ON e.g = t.g GROUP BY e.test_id)
+      SELECT ev.test_id,
+        CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS n_overlap_grams,
+        CAST(coalesce(h.hit_train_docs, 0) AS BIGINT) AS n_train_docs,
+        coalesce(h.hit_grams, 0) > 0 AS contaminated
+      FROM eval ev LEFT JOIN hits h ON ev.test_id = h.test_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15)
+    d11, d12, d13, d14, d15, d16)
 }

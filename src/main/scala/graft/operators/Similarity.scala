@@ -901,6 +901,85 @@ object Similarity {
     Some("""SELECT true AS all_queries_scored, true AS old_twins_are_candidates,
       true AS new_twins_are_candidates, true AS twins_attain_min_adc"""))
 
+  // ---------------------------------------------------------------- s15
+  /** Data files of one list directory of the persisted codes table. */
+  private def listFiles(path: String, listId: Int): Seq[String] = {
+    val d = new java.io.File(s"$path/codes/list_id=$listId")
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles.map(_.getName).filter(n => n.endsWith(".parquet")).toSeq.sorted
+  }
+
+  /** COMPACT the fragmented lists of a persisted codes table in place:
+    * every append (s14) adds files to the touched list directories, and a
+    * long-lived index accumulates small files until probe IO is dominated
+    * by per-file open cost — the standard maintenance pass of any
+    * partitioned table (the q50 CDC-compaction spirit applied to the ANN
+    * index). Only lists with >1 data file are rewritten: their rows are
+    * re-read, hash-repartitioned BY list_id (all rows of a list land in
+    * one task → exactly one output file per list), materialized to break
+    * the read-path lineage, and written back under DYNAMIC partition
+    * overwrite — untouched lists' files are never rewritten, so the pass
+    * costs O(fragmented lists), not O(index). Returns the compacted ids. */
+  private[graft] def ivfpqCompactCodes(s: SparkSession, path: String): Seq[Int] = {
+    val dirs = Option(new java.io.File(s"$path/codes").listFiles).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("list_id="))
+      .map(_.getName.stripPrefix("list_id=").toInt).toSeq
+    val fragged = dirs.filter(id => listFiles(path, id).size > 1)
+    if (fragged.nonEmpty) {
+      val compacted = s.read.parquet(s"$path/codes")
+        .filter(col("list_id").isin(fragged: _*))
+        .repartition(col("list_id"))
+        .localCheckpoint(true) // break lineage: the write overwrites its own read path
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try compacted.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    fragged
+  }
+
+  /** s15: append fragments the index, compaction heals it, serving is
+    * unchanged — s14's dataflow plus the maintenance pass, gated by the
+    * same twin booleans AND file-level invariants computed from the real
+    * directory listing: every compacted list ends at exactly one data
+    * file, and lists the append never touched keep their original files
+    * byte-for-byte (names compared; a compaction that rewrites the whole
+    * index would fail the gate). Constant-true oracle, the s13/s14
+    * pattern — the booleans are recomputed facts, not assumptions. */
+  private val s15 = Q(
+    "s15_ivfpq_index_compact",
+    (s, dir) => {
+      import s.implicits._
+      val (base, corpus) = plantedCorpus(s, dir)
+      val newBatch = base.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val out = java.nio.file.Files.createTempDirectory("graft_s15_").toString
+      try {
+        ivfpqWriteIndex(corpus, ivfpqFixedModel(corpus, nLists = 8), out)
+        val before = (0 until 8).map(id => id -> listFiles(out, id)).toMap
+        ivfpqAppendCodes(s, out, newBatch)
+        val fragged = ivfpqCompactCodes(s, out)
+        val after = (0 until 8).map(id => id -> listFiles(out, id)).toMap
+        val compactedSingle = fragged.forall(id => after(id).size == 1)
+        val untouchedIntact = (0 until 8).filterNot(fragged.contains)
+          .forall(id => after(id) == before(id))
+        val served = ivfpqServe(s, out, corpus.filter(col("vec_id") < 3), nProbe = 2)
+        val twins = graft.functions.CrossEngine.materializeLocal(s,
+          twinsAttainMinAfterAppend(served.filter(col("own_list"))))
+        twins.withColumn("compacted_lists_single_file",
+            lit(fragged.nonEmpty && compactedSingle))
+          .withColumn("untouched_lists_intact", lit(untouchedIntact))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT true AS all_queries_scored, true AS old_twins_are_candidates,
+      true AS new_twins_are_candidates, true AS twins_attain_min_adc,
+      true AS compacted_lists_single_file, true AS untouched_lists_intact"""))
+
   // ---------------------------------------------------------------- s07
   /** CONTRASTIVE PAIR CONSTRUCTION — the step that turns an embedding
     * corpus into training pairs for a retriever/encoder: per query, the
@@ -958,5 +1037,5 @@ object Similarity {
       SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
 
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14)
+    s11, s12, s13, s14, s15)
 }

@@ -978,8 +978,91 @@ object TextAnalysis {
          AND stop_hits >= 2) AS keep
       FROM st"""))
 
+  /** TEMPERATURE-WEIGHTED SOURCE SAMPLING (the multinomial mixture
+    * reweighting of XLM-R / T5 / LLaMA data recipes, public): sample
+    * source s with p_s ∝ n_s^α, α = 0.5 — small sources are UPSAMPLED
+    * (docs repeat across epochs), large ones downsampled, unlike t14's
+    * fixed per-source fractions. Determinism: the float part is exactly
+    * one correctly-rounded IEEE sqrt per source, floored to integer
+    * MICROS (the t15 trick) so the normalization and per-source targets
+    * are pure BIGINT arithmetic — no cross-engine float-sum ordering can
+    * flip a floor. Each doc's copy count is closed-form from its md5 rank:
+    * full epochs target/n_src for everyone, plus one extra for the
+    * target%n_src lowest-ranked docs. Scale shape: per-source stats are
+    * #sources-sized → computed driver-side (BigInt, overflow-safe) and
+    * broadcast back; the corpus pays one window rank per source and no
+    * other shuffle. */
+  private val tTemperature = Q(
+    "t19_temperature_mix",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      // the corpus generator emits UNIFORM sources (25 docs each), under
+      // which any temperature flattens to the identity — so the entry
+      // plants a deterministic per-source skew (keep rate 2/10..10/10 by
+      // trailing source number, t14's parse) to give the reweighting real
+      // work: small sources must come out upsampled (n_copies > 1)
+      // NB the corpus assigns source = doc_id % 20, so the within-source
+      // index is doc_id DIV 20 — the keep rule must key on THAT (doc_id %
+      // 10 is fully correlated with the source and skews all-or-nothing)
+      val srcNum = expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS int)")
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(expr("doc_id DIV 20"), lit(10)) <
+          lit(2) + pmod(coalesce(srcNum, lit(0)), lit(9)))
+        .select(col("doc_id"), col("source"),
+          graft.functions.CrossEngine.md5Hash60(col("doc_id")).as("h"))
+      // bounded collect: one row per distinct source
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val total = counts.map(_._2).sum
+      val wMicro = counts.map { case (src, n) =>
+        src -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+      val sumMicro = wMicro.map(_._2).sum
+      val targets = wMicro.map { case (src, w) =>
+        (src, (BigInt(total) * BigInt(w) / BigInt(sumMicro)).toLong, w) }
+      val targetDf = broadcast(
+        targets.toSeq.toDF("source", "target_docs", "w_micro"))
+      val rk = row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+      docs
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .withColumn("rk", rk.cast("long"))
+        .join(targetDf, Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_src"), col("w_micro"),
+          col("target_docs"), col("rk"),
+          (expr("target_docs DIV n_src") +
+            when(col("rk") <= col("target_docs") % col("n_src"), 1L).otherwise(0L))
+            .cast("long").as("n_copies"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, source,
+          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents
+        WHERE (doc_id // 20) % 10 <
+          2 + coalesce(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT), 0) % 9),
+      counts AS (SELECT source, count(*) AS n_src FROM docs GROUP BY source),
+      w AS (
+        SELECT source, n_src,
+          CAST(floor(sqrt(CAST(n_src AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+        FROM counts),
+      tot AS (SELECT sum(n_src) AS total, sum(w_micro) AS sum_micro FROM w),
+      tgt AS (
+        SELECT source, n_src, w_micro,
+          CAST((SELECT total FROM tot) * w_micro
+            // (SELECT sum_micro FROM tot) AS BIGINT) AS target_docs
+        FROM w),
+      ranked AS (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+        FROM docs)
+      SELECT r.doc_id, r.source, t.n_src, t.w_micro, t.target_docs, r.rk,
+        CAST(t.target_docs // t.n_src
+          + CASE WHEN r.rk <= t.target_docs % t.n_src THEN 1 ELSE 0 END AS BIGINT)
+          AS n_copies
+      FROM ranked r JOIN tgt t ON r.source = t.source"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
-      tUnigramLp, tBpe, tBpeApply, tGopher)
+      tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature)
 }

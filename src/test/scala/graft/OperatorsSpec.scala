@@ -439,6 +439,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("t19 temperature mix: copies hit targets exactly, small sources flattened up") {
+    val rows = run("t19_temperature_mix").collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rs) =>
+      val target = rs.head.getAs[Long]("target_docs")
+      // the copy-count closed form must hit the integer target EXACTLY:
+      // target/n full epochs + one extra for the target%n lowest md5 ranks
+      assert(rs.map(_.getAs[Long]("n_copies")).sum === target,
+        s"$src: sum of n_copies must equal target_docs")
+    }
+    val stats = bySrc.values.map { rs =>
+      (rs.head.getAs[Long]("n_src"), rs.head.getAs[Long]("target_docs")) }.toSeq
+    val (nSmall, tSmall) = stats.minBy(_._1)
+    val (nBig, tBig) = stats.maxBy(_._1)
+    assert(nSmall < nBig, "the planted skew must produce unequal source sizes")
+    // α = 0.5 flattening signature: sampling rate decreases with source
+    // size (exact integer cross-multiplication, no float compare)
+    assert(BigInt(tSmall) * BigInt(nBig) > BigInt(tBig) * BigInt(nSmall),
+      s"small source rate ($tSmall/$nSmall) must exceed big source rate ($tBig/$nBig)")
+    // and both directions of the reweighting actually occur on this corpus
+    assert(rows.exists(_.getAs[Long]("n_copies") >= 2L), "upsampling must occur")
+    assert(tBig < nBig, "downsampling must occur")
+  }
+
   test("t01 token counts: distinct <= total, chars consistent") {
     val bad = run("t01_token_counts")
       .filter(col("n_distinct_tokens") > col("n_tokens")).count()
@@ -834,6 +858,86 @@ class OperatorsSpec extends SparkSpec {
     }.flatten
     assert(partialFns.exists(_.isInstanceOf[Max]),
       s"q50 must fold versions map-side (Partial-mode max) before the shuffle; saw $partialFns")
+  }
+
+  test("s15 index compaction: serves bit-identical scores, heals fragmented lists only") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s15spec_").toString
+    try {
+      Similarity.ivfpqWriteIndex(emb, Similarity.trainIvfPq(emb, seed = 42L, nLists = 8), out)
+      val newBatch = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfpqAppendCodes(spark, out, newBatch)
+      def serve() = Similarity
+        .ivfpqServe(spark, out, emb.filter(col("vec_id") < 3), nProbe = 2)
+        .select(col("query_id"), col("vec_id"), col("adc")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val before = serve()
+      def filesPerList: Map[String, Seq[String]] =
+        new java.io.File(s"$out/codes").listFiles().filter(_.isDirectory)
+          .map(d => d.getName ->
+            d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq.sorted)
+          .toMap
+      val preFiles = filesPerList
+      val fragged = Similarity.ivfpqCompactCodes(spark, out)
+      assert(fragged.nonEmpty, "the append must have fragmented at least one list")
+      val postFiles = filesPerList
+      // compaction is a pure layout change: the index answers every probe
+      // with bit-identical candidate sets and ADC scores
+      assert(serve() === before, "compaction must not change served scores")
+      // fragmented lists end at exactly one data file; untouched lists'
+      // files are never rewritten (O(fragmented) pass, not O(index))
+      fragged.foreach { id =>
+        assert(postFiles(s"list_id=$id").size === 1,
+          s"list $id still fragmented: ${postFiles(s"list_id=$id")}")
+      }
+      postFiles.keySet.filterNot(d => fragged.contains(d.stripPrefix("list_id=").toInt))
+        .foreach(d => assert(postFiles(d) === preFiles(d),
+          s"compaction rewrote untouched list $d"))
+      // idempotence: a second pass finds nothing to do
+      assert(Similarity.ivfpqCompactCodes(spark, out).isEmpty)
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
+
+  test("d16 decontamination: planted leaks flagged, clean twins never, eval side broadcast") {
+    val rows = run("d16_decontaminate").collect()
+    assert(rows.nonEmpty && rows.length % 2 === 0, "one contaminated + one clean twin per source")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("test_id")
+      val contaminated = r.getAs[Boolean]("contaminated")
+      assert(contaminated === (r.getAs[Long]("n_overlap_grams") > 0))
+      if (id >= 60000000L) {
+        // clean twin: every word carries the 'zz' suffix, which is outside
+        // the corpus vocabulary -> no 8-gram can exist in train
+        assert(!contaminated, s"clean twin $id must not be flagged: $r")
+      } else {
+        // contaminated doc: a verbatim 20-word passage of a train doc (the
+        // corpus min doc length of 10 words still yields >= 1 8-gram)
+        assert(contaminated && r.getAs[Long]("n_train_docs") >= 1L,
+          s"planted leak $id must be flagged: $r")
+      }
+    }
+    // the suffix guarantee is real: no suffixed vocab word is itself a word
+    val vocab = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(vocab.map(_ + "zz").intersect(vocab).isEmpty,
+      "suffix construction must leave the corpus vocabulary")
+    // scale shape: the benchmark-sized eval side broadcasts; the train
+    // corpus never shuffles its exploded n-grams into the overlap join
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan0 = SparkEntry.queries("d16_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = (plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "d16's overlap join must broadcast the eval n-gram side")
   }
 
   test("BottomKHeap: dedup, eviction order, merge == union bottom-k") {
