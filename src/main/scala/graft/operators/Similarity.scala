@@ -768,7 +768,11 @@ object Similarity {
     // directories of the corpus — at 100 TB the probe IO is corpus/nLists ×
     // nProbe, enforced by directory layout, not a full-scan filter
     // (ivfpqServe adds the static IN partition filter; spec-asserted).
-    ivfpqEncode(vecs, model).write.mode("overwrite")
+    // Tasks are ALIGNED to lists before the write: partitionBy from
+    // hash-distributed data writes one file per (task × list) — #tasks ×
+    // nLists small files per build — while hash-repartitioning on list_id
+    // first lands each list in one task → exactly one file per list.
+    ivfpqEncode(vecs, model).repartition(col("list_id")).write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/codes")
   }
 
@@ -859,8 +863,10 @@ object Similarity {
     * stay covered by s10/s12 + AnnRehearsal). */
   private[graft] def ivfpqAppendCodes(s: SparkSession, path: String,
       newVecs: DataFrame): Unit =
-    ivfpqEncode(newVecs, ivfpqLoadModel(s, path)).write.mode("append")
-      .partitionBy("list_id").parquet(s"$path/codes")
+    // task-aligned like the build write: each append adds exactly ONE file
+    // per touched list (fragmentation grows per append, not per task)
+    ivfpqEncode(newVecs, ivfpqLoadModel(s, path)).repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
 
   /** Old (+1e6, indexed at build) and new (+2e6, appended) exact twins of
     * the 3 probe queries must BOTH surface as candidates and tie the

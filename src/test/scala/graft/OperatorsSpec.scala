@@ -232,6 +232,12 @@ class OperatorsSpec extends SparkSpec {
       val dirs = new java.io.File(s"$out/codes").listFiles()
         .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list_id="))
       assert(dirs.length === 8, s"expected 8 list_id partitions, saw ${dirs.toSeq}")
+      // task-aligned build write: one data file per list, not tasks × lists
+      dirs.foreach { d =>
+        val files = new java.io.File(s"$out/codes/$d").listFiles()
+          .map(_.getName).filter(_.endsWith(".parquet"))
+        assert(files.length === 1, s"$d must hold exactly one build file, saw ${files.toSeq}")
+      }
       val served = Similarity.ivfpqServe(spark, out, emb.filter(col("vec_id") < 3), nProbe = 2)
       // the probed lists are known before the scan, so the codes read must
       // carry a static IN partition filter — probe IO = nProbe directories
