@@ -1086,35 +1086,43 @@ object Dedup {
     * explodes its n-grams map-side and the overlap join is shuffle-free
     * on the corpus axis; only the post-join hit set (bounded by eval
     * n-gram count × collisions) reaches the grouped count. */
+  /** The d16 overlap core, reusable by the gate entry and the scale
+    * rehearsal: per eval doc, the count of distinct shared word n-grams
+    * and of distinct train docs sharing one. The eval side is broadcast;
+    * train n-grams explode map-side and never shuffle. */
+  private[graft] def decontaminate(train: DataFrame, evalDocs: DataFrame,
+      n: Int): DataFrame = {
+    def ngrams = expr(
+      s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
+        s"i -> concat_ws(' ', slice(tk, i, $n)))")
+    val evalGrams = evalDocs.select(col("test_id"), split(col("text"), " ").as("tk"))
+      .select(col("test_id"), explode(ngrams).as("g")).distinct()
+    val trainGrams = train.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), explode(ngrams).as("g"))
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("test_id"))
+      .agg(countDistinct(col("g")).as("hit_grams"),
+        countDistinct(col("doc_id")).as("hit_train_docs"))
+    evalDocs.select(col("test_id")).join(hits, Seq("test_id"), "left")
+      .select(col("test_id"),
+        coalesce(col("hit_grams"), lit(0L)).as("n_overlap_grams"),
+        coalesce(col("hit_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("hit_grams"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   private val d16 = Q(
     "d16_decontaminate",
     (s, dir) => {
-      val n = 8
       val docs = Tables.documents(s, dir).select(
         graft.functions.CrossEngine.guardedId(col("doc_id"), 50000000L, "d16").as("doc_id"),
         col("text"))
-      def ngrams = expr(
-        s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
-          s"i -> concat_ws(' ', slice(tk, i, $n)))")
       val src = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), slice(toks, 3, 20).as("ptk"))
       val evalDocs = src.select((col("doc_id") + 50000000L).as("test_id"),
           concat_ws(" ", col("ptk")).as("text"))
         .unionByName(src.select((col("doc_id") + 60000000L).as("test_id"),
           concat_ws(" ", transform(col("ptk"), w => concat(w, lit("zz")))).as("text")))
-      val evalGrams = evalDocs.select(col("test_id"), split(col("text"), " ").as("tk"))
-        .select(col("test_id"), explode(ngrams).as("g")).distinct()
-      val trainGrams = docs.select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), explode(ngrams).as("g"))
-      val hits = trainGrams.join(broadcast(evalGrams), Seq("g"))
-        .groupBy(col("test_id"))
-        .agg(countDistinct(col("g")).as("hit_grams"),
-          countDistinct(col("doc_id")).as("hit_train_docs"))
-      evalDocs.select(col("test_id")).join(hits, Seq("test_id"), "left")
-        .select(col("test_id"),
-          coalesce(col("hit_grams"), lit(0L)).as("n_overlap_grams"),
-          coalesce(col("hit_train_docs"), lit(0L)).as("n_train_docs"),
-          (coalesce(col("hit_grams"), lit(0L)) > 0L).as("contaminated"))
+      decontaminate(docs, evalDocs, n = 8)
     },
     Some("""WITH src AS (
         SELECT doc_id, (string_split(text, ' '))[3:22] AS ptk
