@@ -1086,15 +1086,53 @@ object Dedup {
     * explodes its n-grams map-side and the overlap join is shuffle-free
     * on the corpus axis; only the post-join hit set (bounded by eval
     * n-gram count × collisions) reaches the grouped count. */
+  /** The src/eval/evalg/traing CTEs shared by the d16 and st11 oracles —
+    * the SQL mirror of [[evalFrame]] plus both sides' 8-gram tables. */
+  private[graft] val decontamSqlPrefix: String =
+    """src AS (
+        SELECT doc_id, (string_split(text, ' '))[3:22] AS ptk
+        FROM documents WHERE doc_id % 97 = 0),
+      eval AS (
+        SELECT doc_id + 50000000 AS test_id, array_to_string(ptk, ' ') AS text FROM src
+        UNION ALL
+        SELECT doc_id + 60000000,
+          array_to_string(list_transform(ptk, w -> w || 'zz'), ' ') FROM src),
+      evalg AS (
+        SELECT DISTINCT test_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT test_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT test_id, string_split(text, ' ') AS tk FROM eval) t) u),
+      traing AS (
+        SELECT doc_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t) u)"""
+
   /** The d16 overlap core, reusable by the gate entry and the scale
     * rehearsal: per eval doc, the count of distinct shared word n-grams
     * and of distinct train docs sharing one. The eval side is broadcast;
     * train n-grams explode map-side and never shuffle. */
+  /** All word n-grams of the token-array column `tk`. */
+  private[graft] def wordNgrams(n: Int): Column = expr(
+    s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
+      s"i -> concat_ws(' ', slice(tk, i, $n)))")
+
+  /** The planted eval frame shared by d16 and st11: for every 97th corpus
+    * doc, a CONTAMINATED test doc (a verbatim 20-word passage) and a CLEAN
+    * twin (the same passage with every word suffixed out of the corpus
+    * vocabulary). */
+  private[graft] def evalFrame(docs: DataFrame): DataFrame = {
+    val src = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), slice(toks, 3, 20).as("ptk"))
+    src.select((col("doc_id") + 50000000L).as("test_id"),
+        concat_ws(" ", col("ptk")).as("text"))
+      .unionByName(src.select((col("doc_id") + 60000000L).as("test_id"),
+        concat_ws(" ", transform(col("ptk"), w => concat(w, lit("zz")))).as("text")))
+  }
+
   private[graft] def decontaminate(train: DataFrame, evalDocs: DataFrame,
       n: Int): DataFrame = {
-    def ngrams = expr(
-      s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
-        s"i -> concat_ws(' ', slice(tk, i, $n)))")
+    def ngrams = wordNgrams(n)
     val evalGrams = evalDocs.select(col("test_id"), split(col("text"), " ").as("tk"))
       .select(col("test_id"), explode(ngrams).as("g")).distinct()
     val trainGrams = train.select(col("doc_id"), toks.as("tk"))
@@ -1116,32 +1154,9 @@ object Dedup {
       val docs = Tables.documents(s, dir).select(
         graft.functions.CrossEngine.guardedId(col("doc_id"), 50000000L, "d16").as("doc_id"),
         col("text"))
-      val src = docs.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id"), slice(toks, 3, 20).as("ptk"))
-      val evalDocs = src.select((col("doc_id") + 50000000L).as("test_id"),
-          concat_ws(" ", col("ptk")).as("text"))
-        .unionByName(src.select((col("doc_id") + 60000000L).as("test_id"),
-          concat_ws(" ", transform(col("ptk"), w => concat(w, lit("zz")))).as("text")))
-      decontaminate(docs, evalDocs, n = 8)
+      decontaminate(docs, evalFrame(docs), n = 8)
     },
-    Some("""WITH src AS (
-        SELECT doc_id, (string_split(text, ' '))[3:22] AS ptk
-        FROM documents WHERE doc_id % 97 = 0),
-      eval AS (
-        SELECT doc_id + 50000000 AS test_id, array_to_string(ptk, ' ') AS text FROM src
-        UNION ALL
-        SELECT doc_id + 60000000,
-          array_to_string(list_transform(ptk, w -> w || 'zz'), ' ') FROM src),
-      evalg AS (
-        SELECT DISTINCT test_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
-          SELECT test_id, tk,
-            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
-          FROM (SELECT test_id, string_split(text, ' ') AS tk FROM eval) t) u),
-      traing AS (
-        SELECT doc_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
-          SELECT doc_id, tk,
-            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
-          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t) u),
+    Some(s"""WITH $decontamSqlPrefix,
       hits AS (
         SELECT e.test_id,
           count(DISTINCT e.g) AS hit_grams,
@@ -1153,6 +1168,86 @@ object Dedup {
         coalesce(h.hit_grams, 0) > 0 AS contaminated
       FROM eval ev LEFT JOIN hits h ON ev.test_id = h.test_id"""))
 
+  /** WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken '03 §4, the MOSS
+    * algorithm; public) — EXACT-substring overlap detection, the lane the
+    * MinHash family (set similarity) does not cover: hash every word
+    * k-gram, slide a window of w consecutive k-gram hashes, keep each
+    * window's MINIMUM — the selected set is ~2/(w+1) of all grams, and
+    * the guarantee holds that any shared run of >= w+k-1 tokens shares at
+    * least one fingerprint. Docs are then paired by fingerprint equi-join
+    * (the d02 candidate shape — never all-pairs), so corpus-scale cost is
+    * the sparsified fingerprint table, not the stride-1 gram table.
+    * Hashes are md5-derived (the oracle lane) so the full selection +
+    * pairing dataflow runs under the DuckDB hash gate. Planted: for every
+    * 89th doc a splice twin (+7e7) carrying a verbatim 30-token run
+    * (>= w+k-1 = 11, so a shared fingerprint is GUARANTEED, not
+    * probabilistic) padded with out-of-vocabulary filler. k=4, w=8. */
+  private val d17 = Q(
+    "d17_winnowing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (k, w) = (4, 8)
+      val base = Tables.documents(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 70000000L, "d17").as("doc_id"),
+        col("text"))
+      val spliced = base.filter(col("doc_id") % 89 === 0)
+        .select((col("doc_id") + 70000000L).as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", slice(toks, 5, 30)),
+            concat_ws(" ", transform(slice(toks, 1, 4), t => concat(t, lit("zz")))))
+            .as("text"))
+      val docs = base.unionByName(spliced)
+      val grams = docs.select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(1, greatest(size(tk) - ${k - 1}, 0)), " +
+            s"i -> concat_ws(' ', slice(tk, i, $k)))").as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          posexplode(col("gs")).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("n_grams"), col("pos"),
+          graft.functions.CrossEngine.md5Hash60(col("g")).as("h"))
+      // robust-winnowing selection: the min hash of each length-w window;
+      // the fingerprint SET is the distinct window minima (identical
+      // definition in both engines; ties collapse in the distinct)
+      val fp = grams
+        .withColumn("wmin", min(col("h")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.currentRow, w - 1)))
+        .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+      val a = fp.alias("a")
+      val b = fp.alias("b")
+      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_fp"))
+    },
+    Some("""WITH spliced AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 70000000,
+          array_to_string(tk[5:34], ' ') || ' ' ||
+            array_to_string(list_transform(tk[1:4], t -> t || 'zz'), ' ')
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+        WHERE doc_id % 89 = 0),
+      grams AS (
+        SELECT doc_id, len(tk) - 3 AS n_grams, i - 1 AS pos,
+          CAST(concat('0x',
+            substring(md5(array_to_string(tk[i : i + 3], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 3, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM spliced) t) u),
+      fp AS (
+        SELECT DISTINCT doc_id, wmin AS fp FROM (
+          SELECT doc_id, pos, n_grams,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+          FROM grams) t
+        WHERE pos <= greatest(n_grams - 8, 0))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS n_shared_fp
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16)
+    d11, d12, d13, d14, d15, d16, d17)
 }

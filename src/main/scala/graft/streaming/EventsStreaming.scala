@@ -499,6 +499,68 @@ object EventsStreaming {
       ${Dedup.kmSqlVerifyTail}"""
     })
 
+  /** STREAMING DECONTAMINATION — d16's check in the production direction:
+    * the benchmark/eval set is FROZEN and its 8-gram table is a static
+    * broadcast-sized frame; the TRAIN data is what arrives. Each incoming
+    * micro-batch explodes its word 8-grams statelessly and joins the
+    * static eval grams — zero streaming state (no watermark, no store),
+    * so per-batch cost is O(batch n-grams); the grouped per-doc counts
+    * run at drain (the st10 contract: the stream emits raw hit rows, the
+    * bounded aggregation happens on the drained sink). A doc that shares
+    * any 8-gram with the eval set is quarantined BEFORE it enters the
+    * training corpus. Oracle: the shared d16 CTEs grouped by train doc. */
+  private val st11 = Q(
+    "st11_stream_decontaminate",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Dedup
+      val sinkTable = "st11_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st11_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+      // static side: the frozen eval set's distinct 8-grams (d16's planted
+      // frame over the same corpus — benchmark-sized at any corpus scale)
+      val evalGrams = Dedup.evalFrame(
+          Tables.documents(s, dir).select(
+            graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 50000000L, "st11").as("doc_id"), col("text")))
+        .select(col("test_id"), split(col("text"), " ").as("tk"))
+        .select(col("test_id"), explode(Dedup.wordNgrams(8)).as("g")).distinct()
+
+      // streaming side: arriving train docs -> stateless 8-gram explode
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      val streamGrams = raw
+        .select(graft.functions.CrossEngine.guardedId(
+            col("doc_id"), 50000000L, "st11-stream").as("doc_id"),
+          split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), explode(Dedup.wordNgrams(8)).as("g"))
+
+      val hits = streamGrams.join(broadcast(evalGrams), Seq("g"))
+        .select(col("doc_id"), col("test_id"), col("g"))
+      val query = hits.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s,
+        s.table(sinkTable)
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("g")).as("n_hit_grams"),
+            countDistinct(col("test_id")).as("n_test_docs")),
+        sinkTable, srcDir)
+    },
+    Some(s"""WITH ${graft.operators.Dedup.decontamSqlPrefix}
+      SELECT t.doc_id,
+        CAST(count(DISTINCT t.g) AS BIGINT) AS n_hit_grams,
+        CAST(count(DISTINCT e.test_id) AS BIGINT) AS n_test_docs
+      FROM traing t JOIN evalg e ON t.g = e.g
+      GROUP BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10)
+    st10, st11)
 }

@@ -946,6 +946,40 @@ class OperatorsSpec extends SparkSpec {
       "d16's overlap join must broadcast the eval n-gram side")
   }
 
+  test("d17 winnowing: planted splices guaranteed found, selection sparsifies") {
+    val rows = run("d17_winnowing").collect()
+    // every 89th doc has a splice twin carrying a verbatim 30-token run;
+    // winnowing GUARANTEES a shared fingerprint for runs >= w+k-1 = 11
+    val expected = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 89 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty)
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    expected.foreach { id =>
+      assert(found.contains((id, id + 70000000L)),
+        s"splice pair ($id, ${id + 70000000L}) must share a fingerprint — the w+k-1 guarantee")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_shared_fp") >= 1L))
+  }
+
+  test("st11 stream decontamination: every passage source is quarantined") {
+    val rows = run("st11_stream_decontaminate").collect()
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    val sources = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sources.nonEmpty)
+    // a source doc contains its own leaked 20-word passage -> all 13 of
+    // the passage's 8-grams hit, so quarantine is deterministic
+    sources.foreach { id =>
+      assert(flagged.contains(id), s"passage source $id must be quarantined")
+      val r = rows.find(_.getAs[Long]("doc_id") == id).get
+      assert(r.getAs[Long]("n_hit_grams") >= 13L,
+        s"source $id must hit all 13 passage 8-grams: $r")
+      assert(r.getAs[Long]("n_test_docs") >= 1L)
+    }
+  }
+
   test("BottomKHeap: dedup, eviction order, merge == union bottom-k") {
     val h = new graft.functions.BottomKHeap(4)
     Seq(9L, 3L, 9L, 7L, 5L, 1L, 5L, 8L).foreach(h.insert)
