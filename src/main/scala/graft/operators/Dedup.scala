@@ -1112,10 +1112,15 @@ object Dedup {
     * rehearsal: per eval doc, the count of distinct shared word n-grams
     * and of distinct train docs sharing one. The eval side is broadcast;
     * train n-grams explode map-side and never shuffle. */
-  /** All word n-grams of the token-array column `tk`. */
+  /** All word n-grams of the token-array column `tk`. Total over any input
+    * length (ADVICE r7): `sequence(1, 0)` runs DESCENDING in Spark, so the
+    * unguarded form threw on docs shorter than n tokens; the sequence upper
+    * bound is clamped to 1 (always ascending) and the explicit
+    * `size(tk) >= n` predicate drops the one spurious short gram — the
+    * same guard shingleSets and bpeLearnMerges carry. */
   private[graft] def wordNgrams(n: Int): Column = expr(
-    s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 0)), " +
-      s"i -> concat_ws(' ', slice(tk, i, $n)))")
+    s"filter(transform(sequence(1, greatest(size(tk) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice(tk, i, $n))), g -> size(tk) >= $n)")
 
   /** The planted eval frame shared by d16 and st11: for every 97th corpus
     * doc, a CONTAMINATED test doc (a verbatim 20-word passage) and a CLEAN
@@ -1190,7 +1195,11 @@ object Dedup {
       val base = Tables.documents(s, dir).select(
         graft.functions.CrossEngine.guardedId(col("doc_id"), 70000000L, "d17").as("doc_id"),
         col("text"))
-      val spliced = base.filter(col("doc_id") % 89 === 0)
+      // splice only docs long enough that slice(toks, 5, 30) yields a
+      // verbatim run >= w+k-1 = 11 tokens (needs >= 15 tokens; ADVICE r7:
+      // shorter docs' twins carry no guaranteed shared fingerprint and the
+      // spec's every-pair assertion held only by hash coincidence)
+      val spliced = base.filter(col("doc_id") % 89 === 0 && size(toks) >= 15)
         .select((col("doc_id") + 70000000L).as("doc_id"),
           concat_ws(" ",
             concat_ws(" ", slice(toks, 5, 30)),
@@ -1227,7 +1236,7 @@ object Dedup {
           array_to_string(tk[5:34], ' ') || ' ' ||
             array_to_string(list_transform(tk[1:4], t -> t || 'zz'), ' ')
         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
-        WHERE doc_id % 89 = 0),
+        WHERE doc_id % 89 = 0 AND len(tk) >= 15),
       grams AS (
         SELECT doc_id, len(tk) - 3 AS n_grams, i - 1 AS pos,
           CAST(concat('0x',

@@ -922,27 +922,37 @@ object Similarity {
     * partitioned table (the q50 CDC-compaction spirit applied to the ANN
     * index). Only lists with >1 data file are rewritten: their rows are
     * re-read, hash-repartitioned BY list_id (all rows of a list land in
-    * one task → exactly one output file per list), materialized to break
-    * the read-path lineage, and written back under DYNAMIC partition
-    * overwrite — untouched lists' files are never rewritten, so the pass
-    * costs O(fragmented lists), not O(index). Returns the compacted ids. */
+    * one task → exactly one output file per list), written to a STAGING
+    * directory, then swapped in per list with metadata moves — the live
+    * read path is never overwritten before the staged copy is durable
+    * (ADVICE r7: the previous in-place dynamic overwrite leaned on
+    * non-fault-tolerant localCheckpoint, so an executor loss between
+    * checkpoint and commit could lose the fragmented lists' rows).
+    * Untouched lists' files are never rewritten, so the pass costs
+    * O(fragmented lists), not O(index); on HDFS/S3 the per-list swap is
+    * the same two FileSystem renames. Returns the compacted ids. */
   private[graft] def ivfpqCompactCodes(s: SparkSession, path: String): Seq[Int] = {
     val dirs = Option(new java.io.File(s"$path/codes").listFiles).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("list_id="))
       .map(_.getName.stripPrefix("list_id=").toInt).toSeq
     val fragged = dirs.filter(id => listFiles(path, id).size > 1)
     if (fragged.nonEmpty) {
-      val compacted = s.read.parquet(s"$path/codes")
+      val staging = s"$path/codes_compact_staging"
+      s.read.parquet(s"$path/codes")
         .filter(col("list_id").isin(fragged: _*))
         .repartition(col("list_id"))
-        .localCheckpoint(true) // break lineage: the write overwrites its own read path
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try compacted.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        .write.mode("overwrite").partitionBy("list_id").parquet(staging)
+      // swap: live list dir aside, staged dir in, retired dir dropped —
+      // a failure before the first move leaves the live index intact; one
+      // between the two moves leaves the list recoverable from staging
+      fragged.foreach { id =>
+        val live = java.nio.file.Paths.get(s"$path/codes/list_id=$id")
+        val staged = java.nio.file.Paths.get(s"$staging/list_id=$id")
+        val retired = java.nio.file.Paths.get(s"$staging/retired_list_id=$id")
+        java.nio.file.Files.move(live, retired)
+        java.nio.file.Files.move(staged, live)
       }
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(staging))
     }
     fragged
   }

@@ -909,6 +909,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("wordNgrams is total on docs shorter than n (ADVICE r7)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), graft.operators.Dedup.wordNgrams(8).as("gs"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L).isEmpty, "a 3-token doc has no 8-grams (and must not throw)")
+    assert(m(2L) === Seq("a b c d e f g h", "b c d e f g h i", "c d e f g h i j"))
+  }
+
   test("d16 decontamination: planted leaks flagged, clean twins never, eval side broadcast") {
     val rows = run("d16_decontaminate").collect()
     assert(rows.nonEmpty && rows.length % 2 === 0, "one contaminated + one clean twin per source")
@@ -948,10 +959,12 @@ class OperatorsSpec extends SparkSpec {
 
   test("d17 winnowing: planted splices guaranteed found, selection sparsifies") {
     val rows = run("d17_winnowing").collect()
-    // every 89th doc has a splice twin carrying a verbatim 30-token run;
-    // winnowing GUARANTEES a shared fingerprint for runs >= w+k-1 = 11
+    // every 89th doc of >= 15 tokens has a splice twin carrying a verbatim
+    // run of >= 11 tokens; winnowing GUARANTEES a shared fingerprint for
+    // runs >= w+k-1 = 11 (shorter docs are not spliced — ADVICE r7)
     val expected = graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 89 === 0).select(col("doc_id"))
+      .filter(col("doc_id") % 89 === 0 && size(split(col("text"), " ")) >= 15)
+      .select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
     assert(expected.nonEmpty)
     val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
@@ -965,18 +978,26 @@ class OperatorsSpec extends SparkSpec {
   test("st11 stream decontamination: every passage source is quarantined") {
     val rows = run("st11_stream_decontaminate").collect()
     val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    // a source doc contains its own leaked passage verbatim, so every one
+    // of the passage's 8-grams hits; the expected gram count derives from
+    // the doc's ACTUAL length (passage = tokens 3..22, so
+    // min(20, len - 2) - 7 grams), not a fixture-specific constant
+    // (ADVICE r7: the old hardcoded 13 assumed every source doc yields a
+    // full 20-token passage)
     val sources = graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 97 === 0).select(col("doc_id"))
-      .collect().map(_.getLong(0)).toSet
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
     assert(sources.nonEmpty)
-    // a source doc contains its own leaked 20-word passage -> all 13 of
-    // the passage's 8-grams hit, so quarantine is deterministic
-    sources.foreach { id =>
-      assert(flagged.contains(id), s"passage source $id must be quarantined")
-      val r = rows.find(_.getAs[Long]("doc_id") == id).get
-      assert(r.getAs[Long]("n_hit_grams") >= 13L,
-        s"source $id must hit all 13 passage 8-grams: $r")
-      assert(r.getAs[Long]("n_test_docs") >= 1L)
+    sources.foreach { case (id, len) =>
+      val expectedGrams = math.max(math.min(20, len - 2) - 7, 0).toLong
+      if (expectedGrams > 0) {
+        assert(flagged.contains(id), s"passage source $id must be quarantined")
+        val r = rows.find(_.getAs[Long]("doc_id") == id).get
+        assert(r.getAs[Long]("n_hit_grams") >= expectedGrams,
+          s"source $id (len $len) must hit all $expectedGrams passage 8-grams: $r")
+        assert(r.getAs[Long]("n_test_docs") >= 1L)
+      }
     }
   }
 
