@@ -1184,14 +1184,96 @@ object Dedup {
     * the sparsified fingerprint table, not the stride-1 gram table.
     * Hashes are md5-derived (the oracle lane) so the full selection +
     * pairing dataflow runs under the DuckDB hash gate. Planted: for every
-    * 89th doc a splice twin (+7e7) carrying a verbatim 30-token run
-    * (>= w+k-1 = 11, so a shared fingerprint is GUARANTEED, not
-    * probabilistic) padded with out-of-vocabulary filler. k=4, w=8. */
+    * 89th doc of >= 15 tokens a splice twin (+7e7) carrying a verbatim
+    * run of >= 11 tokens (>= w+k-1, so a shared fingerprint is
+    * GUARANTEED, not probabilistic) padded with out-of-vocabulary filler.
+    * k=4, w=8. Hot fingerprints are bounded by [[winnowingPairs]]'s MOSS
+    * document-frequency ceiling (inactive at gate scale — max df is 6 at
+    * sf0.1 — so the oracle sees the uncapped result). */
+
+  /** Winnowing fingerprint table (`doc_id`, `fp`): hash every word
+    * k-gram (md5-derived 60-bit — the engine-shared oracle lane), slide a
+    * window of w consecutive gram hashes, keep each window's MINIMUM —
+    * ~2/(w+1) of all grams, with the Schleimer '03 §4 guarantee that any
+    * shared token run >= w+k-1 shares at least one selected fingerprint.
+    * Total over any doc length: docs shorter than k tokens yield no grams
+    * (the wordNgrams guard), docs shorter than w+k-1 yield exactly one
+    * window over what grams exist. */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), expr(
+        s"filter(transform(sequence(1, greatest(size(tk) - ${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', slice(tk, i, $k))), g -> size(tk) >= $k)").as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("n_grams"),
+        posexplode(col("gs")).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("n_grams"), col("pos"),
+        graft.functions.CrossEngine.md5Hash60(col("g")).as("h"))
+    // robust-winnowing selection: the min hash of each length-w window;
+    // the fingerprint SET is the distinct window minima (identical
+    // definition in both engines; ties collapse in the distinct)
+    grams
+      .withColumn("wmin", min(col("h")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, w - 1)))
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+  }
+
+  /** Fingerprint-sharing pairs (`doc_a`, `doc_b`, `n_shared_fp`) with the
+    * MOSS boilerplate ceiling (VERDICT r7 #1): fingerprints whose DOCUMENT
+    * FREQUENCY exceeds `maxDocFreq` are dropped — counted and logged,
+    * never silent — before the self-join. Winnowing fingerprints exact
+    * substrings, so corpus-scale boilerplate (license blocks, repeated
+    * disclaimers) concentrates millions of docs on single fingerprints;
+    * an uncapped equi-join emits w²/2 pairs from one such key. Schleimer
+    * '03's own MOSS deployment drops over-frequent fingerprints as
+    * boilerplate for exactly this reason — unlike the banded MinHash
+    * lanes there is no second band to recover a split pair, and a
+    * substring shared by thousands of documents is by definition not
+    * evidence of pairwise duplication, so dropping (not sub-bucketing)
+    * is the semantically right bound here. `maxDocFreq <= 0` disables
+    * (spec/rehearsal use only). */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 8,
+      maxDocFreq: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp0 = winnowFingerprints(docs, k, w)
+    val (fp, release): (DataFrame, () => Unit) =
+      if (maxDocFreq <= 0) (fp0, () => ())
+      else {
+        // df via an unordered count window (the capHotBuckets shape): one
+        // hash exchange on fp that KEEPS the rows; persisted so the stats
+        // job feeding the log line materializes exactly what the pair
+        // join reads back
+        val withDf = fp0.withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("fp"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = withDf.filter(col("df") > maxDocFreq)
+          .agg(countDistinct(col("fp")).as("n_hot"), max(col("df")).as("widest")).head()
+        if (hot.getLong(0) > 0) {
+          log.warn(s"winnowingPairs: dropping ${hot.getLong(0)} boilerplate " +
+            s"fingerprint(s) with document frequency > $maxDocFreq " +
+            s"(widest ${hot.getLong(1)}) — the MOSS over-frequency rule")
+        }
+        (withDf.filter(col("df") <= maxDocFreq).select(col("doc_id"), col("fp")),
+          () => { withDf.unpersist(false); () })
+      }
+    val a = fp.alias("a")
+    val b = fp.alias("b")
+    val pairs = a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+    if (maxDocFreq <= 0) pairs
+    else {
+      val out = pairs.localCheckpoint(eager = true)
+      release()
+      out
+    }
+  }
+
   private val d17 = Q(
     "d17_winnowing",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val (k, w) = (4, 8)
       val base = Tables.documents(s, dir).select(
         graft.functions.CrossEngine.guardedId(col("doc_id"), 70000000L, "d17").as("doc_id"),
         col("text"))
@@ -1205,29 +1287,7 @@ object Dedup {
             concat_ws(" ", slice(toks, 5, 30)),
             concat_ws(" ", transform(slice(toks, 1, 4), t => concat(t, lit("zz")))))
             .as("text"))
-      val docs = base.unionByName(spliced)
-      val grams = docs.select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), expr(
-          s"transform(sequence(1, greatest(size(tk) - ${k - 1}, 0)), " +
-            s"i -> concat_ws(' ', slice(tk, i, $k)))").as("gs"))
-        .select(col("doc_id"), size(col("gs")).as("n_grams"),
-          posexplode(col("gs")).as(Seq("pos", "g")))
-        .select(col("doc_id"), col("n_grams"), col("pos"),
-          graft.functions.CrossEngine.md5Hash60(col("g")).as("h"))
-      // robust-winnowing selection: the min hash of each length-w window;
-      // the fingerprint SET is the distinct window minima (identical
-      // definition in both engines; ties collapse in the distinct)
-      val fp = grams
-        .withColumn("wmin", min(col("h")).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-            .rowsBetween(Window.currentRow, w - 1)))
-        .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
-        .select(col("doc_id"), col("wmin").as("fp")).distinct()
-      val a = fp.alias("a")
-      val b = fp.alias("b")
-      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared_fp"))
+      winnowingPairs(base.unionByName(spliced), k = 4, w = 8)
     },
     Some("""WITH spliced AS (
         SELECT doc_id, text FROM documents

@@ -1148,6 +1148,37 @@ class OperatorsSpec extends SparkSpec {
     assert(vSeen.size === 500)
   }
 
+  test("winnowing boilerplate ceiling: a 1000-doc shared-passage flood stays bounded (VERDICT r7 #1)") {
+    val sp = spark
+    import sp.implicits._
+    // 1000 docs all carrying one 30-token boilerplate passage (a license
+    // block), each followed by 10 unique filler tokens; one organic
+    // near-dup pair (df = 2, far under any ceiling) outside the flood
+    val passage = (0 until 30).map(i => s"boiler$i").mkString(" ")
+    val flood = (0L until 1000L).map(i =>
+      (i, passage + " " + (0 until 10).map(j => s"u${i}x$j").mkString(" ")))
+    val organicText = (0 until 40).map(j => s"org$j").mkString(" ")
+    val organic = Seq((5000L, organicText), (5001L, organicText + " tail1 tail2"))
+    val docs = (flood ++ organic).toDF("doc_id", "text")
+
+    // UNCAPPED, the passage fingerprints (document frequency 1000) alone
+    // emit C(1000,2) = 499,500 pairs — the quadratic blowup the ceiling
+    // exists for
+    val uncapped = graft.operators.Dedup.winnowingPairs(docs, maxDocFreq = 0)
+    assert(uncapped.count() >= 499500L, "flood sanity: uncapped join must go quadratic")
+
+    // with the MOSS ceiling, the boilerplate fingerprints are dropped
+    // (logged): flood docs share ONLY the passage, so they emit zero
+    // pairs; the organic pair's fingerprints (df = 2) are untouched
+    val pairs = graft.operators.Dedup.winnowingPairs(docs, maxDocFreq = 8).collect()
+    assert(pairs.length < 100, s"boilerplate flood not bounded: ${pairs.length} pairs")
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") === 5000L &&
+      r.getAs[Long]("doc_b") === 5001L), "organic pair outside the flood lost")
+    assert(!pairs.exists(r => r.getAs[Long]("doc_a") < 1000L &&
+      r.getAs[Long]("doc_b") < 1000L),
+      "flood docs share only dropped boilerplate — no pair may survive")
+  }
+
   test("t12 filter verdict: planted copies never survive, keeps are within bounds") {
     val rows = run("t12_filter_verdict").collect()
     val planted = rows.filter(_.getAs[Long]("doc_id") >= 30000000L)
