@@ -251,7 +251,7 @@ object Dedup {
     * Source ids are guarded below 1e7 inside the scan (see
     * CrossEngine.guardedId) — id collisions with the planted range would
     * otherwise produce silently-wrong pairs on BOTH engines. */
-  private def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).select(
       graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "withPlantedDups").as("doc_id"),
       col("text"))
@@ -1022,17 +1022,48 @@ object Dedup {
     * token-identical, J = 1), which is exactly the passage-level signal a
     * paragraph dedup exists to find. Scale shape is d06's: banded
     * equi-join only — chunking multiplies rows by ~ceil(n/stride) but
-    * NEVER by pairs. */
+    * NEVER by pairs. This is the GATE lane (km oracle hash family,
+    * uncapped); the production 100 TB path is [[chunkMinhashPairs]] —
+    * the same chunker riding the capped xxhash generator — and the spec
+    * ties its pair set to this lane's results (the d14 precedent). */
+  /** t11's token-window chunker as a doc->mini-doc frame: each size-64 /
+    * stride-48 chunk keyed `doc_id * 1e6 + chunk_no` (headroom to
+    * 48M-token documents; doc ids guarded < 1e7 upstream). ONE definition
+    * shared by the d15 gate lane and the production lane
+    * [[chunkMinhashPairs]] so the two cannot drift. */
+  private[graft] def chunkDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(greatest(ceil((size(tk) - 64) / 48.0), 0) as int)), " +
+        "i -> concat_ws(' ', slice(tk, i * 48 + 1, 64)))")))
+      .select((col("doc_id") * 1000000L + col("pos")).as("doc_id"),
+        col("col").as("text"))
+
+  /** PRODUCTION chunk-level near-dup (VERDICT r7 missing #2): the chunker
+    * composed with the CAPPED production generator [[minhashPairs]]
+    * (32-permutation xxhash signatures + [[capHotBuckets]]) — the lane a
+    * 100 TB passage dedup actually rides, while d15 pins the identical
+    * dataflow under the DuckDB gate via the km oracle hash family.
+    * Same-source pairs are excluded structurally (the chunker's 16-token
+    * overlap is a property of chunking, not duplication; it also sits at
+    * J ≈ 0.14, far under minhashPairs' 0.5 threshold, so the exclusion
+    * is belt and braces — applied after the verify, whose cost for
+    * same-source candidates is negligible because overlap chunks almost
+    * never co-bucket at J ≈ 0.14). Scale shape: chunking multiplies rows
+    * by ~ceil(n/stride), never pairs; candidates stay a capped band
+    * equi-join. */
+  def chunkMinhashPairs(docs: DataFrame, bucketCap: Int = 256): DataFrame =
+    minhashPairs(chunkDocs(docs), bucketCap)
+      .filter(expr("doc_a DIV 1000000") =!= expr("doc_b DIV 1000000"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("doc_a DIV 1000000").as("src_a"), expr("doc_b DIV 1000000").as("src_b"),
+        col("est_jaccard"), col("jaccard"))
+
   private val d15 = Q(
     "d15_chunk_neardup",
     (s, dir) => {
       val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
-      val chunks = docs.select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, cast(greatest(ceil((size(tk) - 64) / 48.0), 0) as int)), " +
-          "i -> concat_ws(' ', slice(tk, i * 48 + 1, 64)))")))
-        .select((col("doc_id") * 1000000L + col("pos")).as("doc_id"),
-          col("col").as("text"))
+      val chunks = chunkDocs(docs)
       val sets = shingleSets(chunks)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = kmBands(sets)

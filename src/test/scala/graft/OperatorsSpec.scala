@@ -737,6 +737,27 @@ class OperatorsSpec extends SparkSpec {
       "expected some token-identical early chunks at J = 1")
   }
 
+  test("chunkMinhashPairs production lane covers d15's gate pairs (VERDICT r7 missing #2)") {
+    // the production lane (capped xxhash generator) over the SAME planted
+    // corpus as the d15 gate lane (km oracle hash family): every verified
+    // gate pair must also surface in the production lane — the two differ
+    // only in LSH hash family, and verification (exact Jaccard >= 0.5 on
+    // the same shingle sets) is identical, so coverage can only diverge if
+    // the 32-perm banding misses a candidate the km banding caught
+    val docs = graft.operators.Dedup.withPlantedDups(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+    val prod = graft.operators.Dedup.chunkMinhashPairs(docs).collect()
+    prod.foreach(r => assert(r.getAs[Long]("src_a") !== r.getAs[Long]("src_b")))
+    val prodPairs = prod.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val gate = run("d15_chunk_neardup").collect()
+    gate.foreach { r =>
+      val p = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(prodPairs.contains(p),
+        s"gate pair $p (J=${r.getAs[Double]("jaccard")}) missing from the production lane")
+    }
+  }
+
   test("d09 dup clusters: one canonical per cluster, label = min member, chains grouped") {
     val rows = run("d09_dup_clusters").collect()
     assert(rows.nonEmpty)
