@@ -62,7 +62,7 @@ object Dedup {
     * thunk once their result is materialized (all three call sites
     * eagerly localCheckpoint their pairs, so nothing stays cached across
     * calls — the r4 leak-class contract). */
-  private def capHotBuckets(banded0: DataFrame, keys: Seq[String], idCol: String,
+  private[graft] def capHotBuckets(banded0: DataFrame, keys: Seq[String], idCol: String,
       cap: Int, what: String): (DataFrame, () => Unit) = {
     if (cap <= 0) (banded0.withColumn("sub", lit(0L)), () => ())
     else {

@@ -381,5 +381,185 @@ object Multimodal {
         CAST(sum(CASE WHEN t % 30 = 0 THEN v ELSE 0 END) AS BIGINT) AS strided_sum
       FROM sm GROUP BY doc_id"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  final case class DHashRow(doc_id: Long, dhash_hi: Long, dhash_lo: Long)
+
+  /** dHash (difference hash, the public perceptual-hash family aHash/dHash/
+    * pHash popularized by Krawetz) of a decoded raster: NN-downscale to a
+    * 9x8 GRAYSCALE grid with the m04/m05 integer formula
+    * `src = (i * w) / target`, then one bit per horizontally adjacent
+    * cell pair — bit set iff the left cell is brighter. 8 comparisons x 8
+    * rows = 64 bits, returned as two positive 32-bit halves (rows 0-3 ->
+    * `lo`, rows 4-7 -> `hi`) so every downstream band/xor/bit_count runs
+    * on non-negative BIGINTs in BOTH engines — no sign-extension or
+    * shift-semantics drift between Spark and DuckDB to reason about. */
+  private def dhashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (gw, gh) = (9, 8)
+    val g = Array.ofDim[Int](gh, gw)
+    var j = 0
+    while (j < gh) {
+      var i = 0
+      while (i < gw) {
+        val p = img.getRGB(i * img.getWidth / gw, j * img.getHeight / gh)
+        g(j)(i) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        i += 1
+      }
+      j += 1
+    }
+    var (lo, hi) = (0L, 0L)
+    j = 0
+    while (j < gh) {
+      var i = 0
+      while (i < 8) {
+        if (g(j)(i) > g(j)(i + 1)) {
+          if (j < 4) lo |= 1L << (j * 8 + i) else hi |= 1L << ((j - 4) * 8 + i)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (lo, hi)
+  }
+
+  /** Per-doc dHash over REAL decoded pixels, with planted near-identical
+    * twins: each partition synthesizes a deterministic 32x16 RGB image per
+    * doc (per-channel phase offsets mixed from the doc id's HIGH product
+    * bits — a plain `id * prime % 256` phase sees only the low byte and
+    * collapses the corpus to 256 distinct images), ENCODES it to real PNG
+    * bytes, decodes with ImageIO, and computes the dHash from the DECODED
+    * raster (m05's contract: lossless codec => decoded pixels equal the
+    * generating formula, so the DuckDB oracle recomputes the identical
+    * hash). For every 37th doc a twin (+8e7) with ONE perturbed pixel —
+    * the sampled corner (0,0)'s red channel +1 mod 256 — lands within
+    * Hamming 1 of its source: the LAION-style near-duplicate a pixel-hash
+    * would miss but a perceptual hash must catch. */
+  private[graft] def imageDHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 80000000L, "m07").as("doc_id"))
+      .as[Long]
+      .flatMap(id =>
+        if (id % 37 == 0) Seq((id, id, false), (id + 80000000L, id, true))
+        else Seq((id, id, false)))
+      .mapPartitions { rows =>
+        rows.map { case (outId, src, pert) =>
+          val (w, h) = (32, 16)
+          // phase offsets from the HIGH bits of (id * xxhash-prime): the
+          // divisor pushes distinct ids to distinct (a, b, c) phases
+          val a = ((src * 2654435761L) / 997L % 256L).toInt
+          val bb = ((src * 2246822519L) / 1009L % 256L).toInt
+          val cc = ((src * 3266489917L) / 1013L % 256L).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val d = if (pert && x == 0 && y == 0) 1 else 0
+              val r = (a + 7 * x + 13 * y + d) % 256
+              val g = (bb + 3 * x + 5 * y) % 256
+              val b = (cc + 11 * x + 29 * y) % 256
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          // the REAL decode under test (the m05 batch contract: one codec
+          // init per partition, payloads never leave the executor)
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(baos.toByteArray))
+          val (lo, hi) = dhashOf(dec)
+          DHashRow(outId, hi, lo)
+        }
+      }.toDF()
+  }
+
+  /** IMAGE NEAR-DUP (VERDICT r7 missing #1 — LAION-style multimodal
+    * curation): Hamming-banded candidate generation over the dHash table —
+    * 4 bands of 16 bits, the d03/d07 SimHash shape, routed through
+    * [[Dedup.capHotBuckets]] (a hot dHash value — thousands of
+    * near-identical thumbnails, solid-color fills — floods one band
+    * bucket exactly like boilerplate text floods an LSH band) — then
+    * exact Hamming verify via `bit_count(xor)` on the reattached halves.
+    * Candidates are a capped equi-join; the dHash table is one row per
+    * image, so corpus-scale cost is linear in images at fixed cap. */
+  private[graft] def imageNeardupPairs(dh0: DataFrame, maxHamming: Int = 2,
+      bucketCap: Int = 256): DataFrame = {
+    val dh = dh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded0 = dh.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), pmod(col("dhash_lo"), lit(65536L)).as("bucket")),
+        struct(lit(1).as("band"), expr("dhash_lo div 65536").as("bucket")),
+        struct(lit(2).as("band"), pmod(col("dhash_hi"), lit(65536L)).as("bucket")),
+        struct(lit(3).as("band"), expr("dhash_hi div 65536").as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val (banded, releaseCap) = Dedup.capHotBuckets(
+      banded0, Seq("band", "bucket"), "doc_id", bucketCap, "imageNeardupPairs")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.sub") === col("b.sub") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(dh.select(col("doc_id").as("doc_a"),
+        col("dhash_hi").as("hi_a"), col("dhash_lo").as("lo_a")), Seq("doc_a"))
+      .join(dh.select(col("doc_id").as("doc_b"),
+        col("dhash_hi").as("hi_b"), col("dhash_lo").as("lo_b")), Seq("doc_b"))
+      .withColumn("hamming",
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val out = pairs.localCheckpoint(eager = true)
+    releaseCap()
+    dh.unpersist(false)
+    out
+  }
+
+  private val m07 = Q(
+    "m07_image_neardup",
+    (s, dir) => imageNeardupPairs(imageDHashes(s, dir)),
+    Some("""WITH ids AS (SELECT doc_id FROM documents),
+      twins AS (
+        SELECT doc_id, doc_id AS src, false AS pert FROM ids
+        UNION ALL
+        SELECT doc_id + 80000000, doc_id, true FROM ids WHERE doc_id % 37 = 0),
+      grid AS (
+        SELECT t.doc_id, t.src, t.pert, ii.i, jj.j,
+          (ii.i * 32) // 9 AS sx, (jj.j * 16) // 8 AS sy
+        FROM twins t
+        CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+      gray AS (
+        SELECT doc_id, i, j,
+          (((((src * 2654435761) // 997) % 256 + 7 * sx + 13 * sy
+             + CASE WHEN pert AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END) % 256)
+           + ((((src * 2246822519) // 1009) % 256 + 3 * sx + 5 * sy) % 256)
+           + ((((src * 3266489917) // 1013) % 256 + 11 * sx + 29 * sy) % 256)) // 3 AS g
+        FROM grid),
+      bits AS (
+        SELECT a.doc_id, a.j, a.i, CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      dh AS (
+        SELECT doc_id,
+          sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS lo,
+          sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, 0 AS band, lo % 65536 AS bucket FROM dh
+        UNION ALL SELECT doc_id, 1, lo // 65536 FROM dh
+        UNION ALL SELECT doc_id, 2, hi % 65536 FROM dh
+        UNION ALL SELECT doc_id, 3, hi // 65536 FROM dh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+      FROM cand c JOIN dh x ON c.doc_a = x.doc_id JOIN dh y ON c.doc_b = y.doc_id
+      WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 2"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

@@ -429,6 +429,30 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Long]("duration_us") === 30000L)
   }
 
+  test("m07 image near-dup: every planted one-pixel twin pairs with its source") {
+    val rows = run("m07_image_neardup").collect()
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val sources = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sources.nonEmpty)
+    // a one-pixel perturbation of a SAMPLED pixel moves at most the one
+    // dHash bit its grid cell feeds -> Hamming <= 1 -> at least 3 of the
+    // 4 bands still collide, so recall is structural, not probabilistic
+    sources.foreach { id =>
+      assert(found.contains((id, id + 80000000L)),
+        s"planted twin pair ($id, ${id + 80000000L}) must surface")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 2L))
+    // near-dup, not exact-dup: some planted twins genuinely differ in a bit
+    // (the perturbed comparison flips) yet still pair — the perceptual-hash
+    // property a byte-level hash lacks
+    val twinRows = rows.filter(r =>
+      sources.contains(r.getAs[Long]("doc_a")) &&
+        r.getAs[Long]("doc_b") === r.getAs[Long]("doc_a") + 80000000L)
+    assert(twinRows.nonEmpty)
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
