@@ -689,7 +689,7 @@ object Similarity {
     * (any vector sharing the query's code tuple scores identically), and
     * a tie-broken rank could evict the large-id twin from a correct
     * engine's top-k — the min-attainment form is tie-proof. */
-  private def plantedCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def plantedCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // ids >= 1e6 would collide with the planted twin range (ADVICE r6:
     // fail loudly, the guardedId precedent — s14's +2e6 generation is
     // covered by the same bound since twins only ever derive from ids < 3)
@@ -872,7 +872,7 @@ object Similarity {
     * the 3 probe queries must BOTH surface as candidates and tie the
     * per-query min ADC — identical codes make the tie exact up to the
     * encode/LUT float caveat behind [[adcTieEps]]. */
-  private def twinsAttainMinAfterAppend(scores: DataFrame): DataFrame =
+  private[graft] def twinsAttainMinAfterAppend(scores: DataFrame): DataFrame =
     scores.groupBy(col("query_id"))
       .agg(min(col("adc")).as("min_adc"),
         min(when(col("vec_id") === col("query_id") + 1000000L, col("adc")))

@@ -561,6 +561,85 @@ object EventsStreaming {
       FROM traing t JOIN evalg e ON t.g = e.g
       GROUP BY t.doc_id"""))
 
+  /** MD5 over the sorted data files of the given directories — the
+    * cheap bit-identity witness for "the stream never touched the model
+    * tables" (nLists + M*K rows of doubles; KB of local metadata IO). */
+  private def filesDigest(dirs: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    dirs.flatMap(p => Option(new java.io.File(p).listFiles).getOrElse(Array.empty).toSeq)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach(f => md.update(java.nio.file.Files.readAllBytes(f.toPath)))
+    md.digest.map("%02x".format(_)).mkString
+  }
+
+  /** STREAMING ANN INDEX INGEST (VERDICT r7 missing #3) — s14's append in
+    * the production direction: vectors ARRIVE as a stream and are folded
+    * into the persisted s13 index without ever retraining it. The stream
+    * reads the embeddings file source, derives the arriving batch (the
+    * +2e6 exact twins of the 3 probe queries — s14's planting, computed
+    * statelessly per row), and `foreachBatch` appends via
+    * [[graft.operators.Similarity.ivfpqAppendCodes]]: each micro-batch
+    * encodes with the FROZEN model RELOADED from the index directory —
+    * there is no k-means anywhere in this entry (deterministic fixed
+    * model at build, reload-only in the stream), and the
+    * `model_frozen_through_stream` boolean is the recomputed witness: an
+    * md5 over the coarse/books data files taken before the stream must
+    * equal the one taken after the drain, so a streaming path that
+    * retrained or rewrote the model FAILS the gate. Serving afterwards is
+    * byte-identical to s13/s14 (reload + static partition-filter probe);
+    * the gate booleans are s14's old+new twin invariants. Scale shape:
+    * per-batch cost is O(batch) encode + one file per touched list
+    * (s14's append contract); zero streaming state — no watermark, no
+    * store — because the index directory IS the state. */
+  private val st12 = Q(
+    "st12_stream_ann_ingest",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Similarity
+      val out = java.nio.file.Files.createTempDirectory("graft_st12_").toString
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st12_src_")
+      try {
+        val (_, corpus) = Similarity.plantedCorpus(s, dir)
+        Similarity.ivfpqWriteIndex(corpus,
+          Similarity.ivfpqFixedModel(corpus, nLists = 8), out)
+        val modelBefore = filesDigest(s"$out/coarse", s"$out/books")
+
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve("embeddings.parquet"),
+          java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+        val raw = s.readStream
+          .schema(s.read.parquet(s"$dir/embeddings.parquet").schema)
+          .option("maxFilesPerTrigger", Int.MaxValue)
+          .parquet(srcDir.toString)
+        // the arriving vectors, derived statelessly inside the stream
+        val arriving = raw.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+        val query = arriving.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", srcDir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // encode with the FROZEN model reloaded from the index dir;
+            // append one file per touched list — no training anywhere
+            Similarity.ivfpqAppendCodes(batch.sparkSession, out, batch)
+          }
+          .start()
+        query.awaitTermination()
+        val frozen = filesDigest(s"$out/coarse", s"$out/books") == modelBefore
+
+        val served = Similarity.ivfpqServe(s, out,
+          corpus.filter(col("vec_id") < 3), nProbe = 2)
+        graft.functions.CrossEngine.materializeLocal(s,
+            Similarity.twinsAttainMinAfterAppend(served.filter(col("own_list"))))
+          .withColumn("model_frozen_through_stream", lit(frozen))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+        graft.functions.CrossEngine.deleteRecursive(srcDir)
+      }
+    },
+    Some("""SELECT true AS all_queries_scored, true AS old_twins_are_candidates,
+      true AS new_twins_are_candidates, true AS twins_attain_min_adc,
+      true AS model_frozen_through_stream"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11)
+    st10, st11, st12)
 }

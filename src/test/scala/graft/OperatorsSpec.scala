@@ -1046,6 +1046,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("st12 stream ANN ingest: streamed vectors served, model frozen through the stream") {
+    val rows = run("st12_stream_ann_ingest").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    // new_twins_are_candidates can only be true if the STREAM appended
+    // them — the built index contains only the base corpus + old twins
+    for (c <- Seq("all_queries_scored", "old_twins_are_candidates",
+        "new_twins_are_candidates", "twins_attain_min_adc",
+        "model_frozen_through_stream"))
+      assert(r.getAs[Boolean](c), s"$c must hold: $r")
+  }
+
   test("BottomKHeap: dedup, eviction order, merge == union bottom-k") {
     val h = new graft.functions.BottomKHeap(4)
     Seq(9L, 3L, 9L, 7L, 5L, 1L, 5L, 8L).foreach(h.insert)
