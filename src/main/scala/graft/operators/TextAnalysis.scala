@@ -676,8 +676,14 @@ object TextAnalysis {
     * exactly when its LAST symbol is `l` (space-delimited), and appending
     * `r` bare turns that last symbol into `l+r` — one CASE per element,
     * identical in Spark `aggregate` and DuckDB `list_reduce`, so the whole
-    * N-round derivation runs under the hash gate. */
-  private val nBpeMerges = 6
+    * N-round derivation runs under the hash gate.
+    *
+    * Depth 24 (up from 6, VERDICT r7 stretch #8): deep enough that merge
+    * INTERACTIONS occur on the gate corpus — multi-char symbols produced
+    * by earlier rounds are themselves the best pair of later rounds — so
+    * the gate exercises the re-pairing path production 30k-merge training
+    * lives in, not just first-order character pairs. */
+  private[graft] val nBpeMerges = 24
 
   /** Per-word initial BPE state shared by the t16 learner and the t17
     * encoder: (word, corpus frequency, space-joined character symbols).
@@ -763,7 +769,12 @@ object TextAnalysis {
     * (same fold as the Spark `aggregate`). Generated so both engines'
     * round structure derives from one template (the kmSqlPrefix pattern). */
   /** One t16/t17 oracle merge round (pairs/best/state CTE triple) — shared
-    * so the learn and apply oracles derive merges from ONE template. */
+    * so the learn and apply oracles derive merges from ONE template.
+    * `state`/`best` are MATERIALIZED: each round references the previous
+    * state twice (pair counting + merge application), so inlined CTEs
+    * would double the scan tree per round — 2^N scans of documents at
+    * depth N. Materialization makes the chain linear, the DuckDB twin of
+    * the Spark loop's per-round localCheckpoint. */
   private def bpeOracleRound(i: Int): String = {
     val prev = s"state${i - 1}"
     s"""pairs$i AS (
@@ -772,8 +783,8 @@ object TextAnalysis {
             k -> struct_pack(l := syms[k], r := syms[k + 1]))) AS p
           FROM (SELECT cnt, string_split(s, ' ') AS syms FROM $prev))
         GROUP BY p.l, p.r),
-      best$i AS (SELECT l, r, wt FROM pairs$i ORDER BY wt DESC, l, r LIMIT 1),
-      state$i AS (
+      best$i AS MATERIALIZED (SELECT l, r, wt FROM pairs$i ORDER BY wt DESC, l, r LIMIT 1),
+      state$i AS MATERIALIZED (
         SELECT w, cnt, list_reduce(string_split(s, ' '), (acc, x) ->
           CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
                THEN acc || x ELSE acc || ' ' || x END) AS s
@@ -789,7 +800,7 @@ object TextAnalysis {
         SELECT w, count(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         WHERE w <> '' GROUP BY w),
-      state0 AS (
+      state0 AS MATERIALIZED (
         SELECT w, cnt, array_to_string(list_transform(range(1, len(w) + 1),
           i -> w[i:i]), ' ') AS s FROM vocab),
       $rounds
@@ -886,7 +897,7 @@ object TextAnalysis {
         SELECT w, count(*) AS cnt FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
         WHERE w <> '' GROUP BY w),
-      state0 AS (
+      state0 AS MATERIALIZED (
         SELECT w, cnt, array_to_string(list_transform(range(1, len(w) + 1),
           i -> w[i:i]), ' ') AS s FROM vocab),
       $rounds,

@@ -290,9 +290,10 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("t16 BPE merges: 6 deterministic rounds, max pair count non-increasing") {
+  test("t16 BPE merges: deterministic rounds, max pair count non-increasing") {
+    val n = operators.TextAnalysis.nBpeMerges.toLong
     val rows = run("t16_bpe_merges").orderBy(col("step")).collect()
-    assert(rows.map(_.getAs[Long]("step")).toSeq === (1L to 6L))
+    assert(rows.map(_.getAs[Long]("step")).toSeq === (1L to n))
     // the chosen pair's count can only fall round over round: any new pair
     // created by a merge occurs at most as often as the sequence it came
     // from, which was itself bounded by the previous round's maximum
