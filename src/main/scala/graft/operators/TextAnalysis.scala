@@ -1072,8 +1072,193 @@ object TextAnalysis {
           AS n_copies
       FROM ranked r JOIN tgt t ON r.source = t.source"""))
 
+  // ---------------------------------------------------------------- t20
+  /** GOPHER REPETITION RULES (Rae '21 §A.1.1 — the n-gram half; t18 covers
+    * the document-shape half, t08 the count-based top-token/dup-bigram
+    * signals): per doc, the CHARACTER-fraction repetition statistics Gopher
+    * filters on, over word n-grams (the corpus is single-line, so the
+    * line/paragraph rules are n/a by data shape):
+    *   - top-{2,3,4}-gram fraction: characters covered by occurrences of
+    *     the most frequent n-gram, thresholds 0.20 / 0.18 / 0.16;
+    *   - duplicate-{5..10}-gram fraction: characters covered by ALL
+    *     n-grams occurring more than once, thresholds 0.15 … 0.10.
+    * Both families use COVERAGE semantics: characters are counted over
+    * DISTINCT token positions, so overlapping occurrences never
+    * double-count a character (Gopher's "fraction of characters
+    * contained within" reading) and every fraction is a true ratio in
+    * [0, 1] — the occurrence-weighted approximation exceeds 1.0 on
+    * self-overlapping grams ("z z z z": top-2-gram mass 3×2 over 4
+    * chars), which the spec pins at exactly 1.0 here.
+    * Character mass is summed TOKEN lengths, spaces excluded from both
+    * numerator and denominator (the gram separator is an artifact of the
+    * join, not content). All masses are exact integers; each fraction is
+    * one int/int IEEE division, rounded to 4 decimals, and the pass
+    * verdict derives from the ROUNDED fractions — bit-stable across
+    * engines. Top-gram tie-break: (count, gram char length, gram)
+    * lexicographic max, mirrored in SQL by ORDER BY cnt/len/gram DESC.
+    *
+    * Plan shape: ONE explode produces (doc, n, start, gram) for all nine
+    * gram sizes; a window count per (doc, n, gram) marks duplicates; the
+    * coverage expansion explodes duplicated occurrences to token
+    * positions and distincts them. Every key carries doc_id, so all
+    * shuffles are doc-bounded — a 1000-executor run partitions by doc
+    * with no cross-doc traffic, and per-doc work is O(len × 9). */
+  private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("tk"))
+    val grams = base
+      .select(col("doc_id"), col("tk"),
+        explode(array((2 to 10).map(lit(_)): _*)).as("n"))
+      .filter(size(col("tk")) >= col("n"))
+      .select(col("doc_id"), col("n"), explode(expr(
+        """transform(sequence(1, size(tk) - n + 1),
+           i -> struct(i AS start, concat_ws(' ', slice(tk, i, n)) AS gram))"""))
+        .as("g"))
+      .select(col("doc_id"), col("n"), col("g.start").as("start"),
+        col("g.gram").as("gram"))
+    val withCnt = grams.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("n"), col("gram"))))
+    // the most frequent n-gram per (doc, n), n = 2..4; tie-break
+    // (count, gram token-chars, gram) lexicographic max
+    val glen = length(col("gram")) - (col("n") - 1)
+    val winners = grams.filter(col("n") <= 4)
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("n"),
+        struct(col("cnt"), glen.as("glen"), col("gram")).as("t"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(col("t")).as("t"))
+      .select(col("doc_id"), col("n"), col("t.gram").as("gram"))
+    // occurrences whose characters count: the top gram's (n <= 4) and
+    // every duplicated gram's (n >= 5); ONE coverage expansion serves both
+    val marked = withCnt.filter(col("n") >= 5 && col("cnt") > 1)
+      .select(col("doc_id"), col("n"), col("start"))
+      .unionByName(grams.filter(col("n") <= 4)
+        .join(winners, Seq("doc_id", "n", "gram"))
+        .select(col("doc_id"), col("n"), col("start")))
+    val covered = marked
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("start"), col("start") + col("n") - 1)).as("pos"))
+      .distinct()
+    val tokLens = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        length(col("tok")).as("toklen"))
+    val charSum = covered.join(tokLens, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("toklen")).as("chars"))
+    val topChars = charSum.filter(col("n") <= 4)
+    val dupChars = charSum.filter(col("n") >= 5)
+    val totals = base.select(col("doc_id"),
+      length(regexp_replace(col("text"), " ", "")).as("tok_chars"))
+    def pivotChars(df: DataFrame, ks: Seq[Int], pre: String) = {
+      val aggs = ks.map(k =>
+        max(when(col("n") === k, col("chars"))).as(s"$pre$k"))
+      df.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
+    val thresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16, 5 -> 0.15,
+      6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    def frac(pre: String, k: Int) =
+      round(coalesce(col(s"$pre$k"), lit(0L)).cast("double") / col("tok_chars"), 4)
+    val out = totals
+      .join(pivotChars(topChars, 2 to 4, "top"), Seq("doc_id"), "left")
+      .join(pivotChars(dupChars, 5 to 10, "dup"), Seq("doc_id"), "left")
+    val fracCols =
+      (2 to 4).map(k => frac("top", k).as(s"top${k}_frac")) ++
+        (5 to 10).map(k => frac("dup", k).as(s"dup${k}_frac"))
+    val pass = ((2 to 4).map(k => frac("top", k) <= thresholds(k)) ++
+      (5 to 10).map(k => frac("dup", k) <= thresholds(k)))
+      .reduce(_ && _)
+    out.select(col("doc_id") +: fracCols :+ pass.as("gopher_rep_pass"): _*)
+  }
+
+  private val t20OracleSql: String = """WITH base AS (
+        SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      grams AS (
+        SELECT doc_id, n, g.start AS start, g.gram AS gram FROM (
+          SELECT doc_id, n, unnest(list_transform(range(1, len(tk) - n + 2),
+            i -> struct_pack(start := i,
+              gram := array_to_string(tk[i:i+n-1], ' ')))) AS g
+          FROM base, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+          WHERE len(tk) >= n)),
+      cnts AS (
+        SELECT doc_id, n, gram, count(*) AS cnt
+        FROM grams GROUP BY doc_id, n, gram),
+      winners AS (
+        SELECT doc_id, n, gram FROM (
+          SELECT doc_id, n, gram, row_number() OVER (
+            PARTITION BY doc_id, n
+            ORDER BY cnt DESC, length(gram) - (n - 1) DESC, gram DESC) AS rk
+          FROM cnts WHERE n <= 4)
+        WHERE rk = 1),
+      marked AS (
+        SELECT g.doc_id, g.n, g.start
+        FROM grams g JOIN cnts c
+          ON g.doc_id = c.doc_id AND g.n = c.n AND g.gram = c.gram
+        WHERE g.n >= 5 AND c.cnt > 1
+        UNION ALL
+        SELECT g.doc_id, g.n, g.start
+        FROM grams g JOIN winners w
+          ON g.doc_id = w.doc_id AND g.n = w.n AND g.gram = w.gram),
+      covered AS (
+        SELECT DISTINCT doc_id, n, pos FROM (
+          SELECT doc_id, n, unnest(range(start, start + n)) AS pos
+          FROM marked)),
+      toklens AS (
+        SELECT doc_id, p.pos AS pos, p.l AS toklen FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+            i -> struct_pack(pos := i, l := length(tk[i])))) AS p
+          FROM base)),
+      charsum AS (
+        SELECT c.doc_id, c.n, sum(t.toklen) AS chars
+        FROM covered c JOIN toklens t ON c.doc_id = t.doc_id AND c.pos = t.pos
+        GROUP BY c.doc_id, c.n),
+      totals AS (
+        SELECT doc_id, length(replace(text, ' ', '')) AS tok_chars FROM base),
+      topp AS (
+        SELECT doc_id,
+          max(CASE WHEN n = 2 THEN chars END) AS top2,
+          max(CASE WHEN n = 3 THEN chars END) AS top3,
+          max(CASE WHEN n = 4 THEN chars END) AS top4
+        FROM charsum WHERE n <= 4 GROUP BY doc_id),
+      dupp AS (
+        SELECT doc_id,
+          max(CASE WHEN n = 5 THEN chars END) AS dup5,
+          max(CASE WHEN n = 6 THEN chars END) AS dup6,
+          max(CASE WHEN n = 7 THEN chars END) AS dup7,
+          max(CASE WHEN n = 8 THEN chars END) AS dup8,
+          max(CASE WHEN n = 9 THEN chars END) AS dup9,
+          max(CASE WHEN n = 10 THEN chars END) AS dup10
+        FROM charsum WHERE n >= 5 GROUP BY doc_id),
+      fr AS (
+        SELECT t.doc_id,
+          round(CAST(coalesce(p.top2, 0) AS DOUBLE) / t.tok_chars, 4) AS top2_frac,
+          round(CAST(coalesce(p.top3, 0) AS DOUBLE) / t.tok_chars, 4) AS top3_frac,
+          round(CAST(coalesce(p.top4, 0) AS DOUBLE) / t.tok_chars, 4) AS top4_frac,
+          round(CAST(coalesce(d.dup5, 0) AS DOUBLE) / t.tok_chars, 4) AS dup5_frac,
+          round(CAST(coalesce(d.dup6, 0) AS DOUBLE) / t.tok_chars, 4) AS dup6_frac,
+          round(CAST(coalesce(d.dup7, 0) AS DOUBLE) / t.tok_chars, 4) AS dup7_frac,
+          round(CAST(coalesce(d.dup8, 0) AS DOUBLE) / t.tok_chars, 4) AS dup8_frac,
+          round(CAST(coalesce(d.dup9, 0) AS DOUBLE) / t.tok_chars, 4) AS dup9_frac,
+          round(CAST(coalesce(d.dup10, 0) AS DOUBLE) / t.tok_chars, 4) AS dup10_frac
+        FROM totals t
+        LEFT JOIN topp p ON t.doc_id = p.doc_id
+        LEFT JOIN dupp d ON t.doc_id = d.doc_id)
+      SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac, dup6_frac,
+        dup7_frac, dup8_frac, dup9_frac, dup10_frac,
+        (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+         AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+         AND dup8_frac <= 0.12 AND dup9_frac <= 0.11 AND dup10_frac <= 0.10)
+          AS gopher_rep_pass
+      FROM fr"""
+
+  private val tGopherRep = Q(
+    "t20_gopher_repetition",
+    (s, dir) => gopherRepetition(Tables.documents(s, dir)),
+    Some(t20OracleSql))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
-      tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature)
+      tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep)
 }

@@ -353,6 +353,45 @@ class OperatorsSpec extends SparkSpec {
     } finally finalState.unpersist(false)
   }
 
+  test("t20 gopher repetition: coverage semantics exact on planted docs") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: maximal self-overlap — occurrence-weighted top-2-gram mass
+    // would be 5x2/6 > 1; coverage must pin exactly 1.0
+    // doc 2: 40 distinct 3-char tokens — all dup fracs 0, passes every rule
+    // doc 3: a 5-token phrase repeated once + distinct tail; dup5 coverage
+    // is the 10 phrase positions' chars over 31 total
+    val docs = Seq(
+      (1L, "z z z z z z"),
+      (2L, (0 until 40).map(i => f"t$i%02d").mkString(" ")),
+      (3L, "p q r s t p q r s t u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.gopherRepetition(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def f(id: Long, c: String) = got(id).getAs[Double](c)
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    // doc 1: every fraction with grams present is exactly 1.0
+    for (c <- Seq("top2_frac", "top3_frac", "top4_frac", "dup5_frac"))
+      assert(approx(f(1, c), 1.0), s"doc1 $c = ${f(1, c)}")
+    // 6-gram occurs once (not duplicated); 7..10-grams don't exist
+    for (c <- Seq("dup6_frac", "dup7_frac", "dup8_frac", "dup9_frac", "dup10_frac"))
+      assert(approx(f(1, c), 0.0), s"doc1 $c = ${f(1, c)}")
+    assert(!got(1L).getAs[Boolean]("gopher_rep_pass"))
+    // doc 2: single-occurrence top grams cover n tokens of 3 chars / 120
+    assert(approx(f(2, "top2_frac"), 0.05) && approx(f(2, "top3_frac"), 0.075)
+      && approx(f(2, "top4_frac"), 0.1))
+    for (k <- 5 to 10) assert(approx(f(2, s"dup${k}_frac"), 0.0))
+    assert(got(2L).getAs[Boolean]("gopher_rep_pass"))
+    // doc 3: hand-computed coverages over 31 token chars; the repeated
+    // phrase's two occurrences cover 10 single-char positions
+    assert(approx(f(3, "top2_frac"), 0.129), s"${f(3, "top2_frac")}")
+    assert(approx(f(3, "top3_frac"), 0.1935), s"${f(3, "top3_frac")}")
+    assert(approx(f(3, "top4_frac"), 0.2581), s"${f(3, "top4_frac")}")
+    assert(approx(f(3, "dup5_frac"), 0.3226), s"${f(3, "dup5_frac")}")
+    for (k <- 6 to 10) assert(approx(f(3, s"dup${k}_frac"), 0.0))
+    assert(!got(3L).getAs[Boolean]("gopher_rep_pass"))
+  }
+
   test("t17 output: n_tokens equals the emitted id-sequence length") {
     val bad = run("t17_bpe_apply")
       .filter(size(split(col("token_ids"), " ")) =!= col("n_tokens")).count()
