@@ -493,6 +493,23 @@ class OperatorsSpec extends SparkSpec {
     assert(twinRows.nonEmpty)
   }
 
+  test("m08 audio near-dup: every planted one-sample twin pairs with its source") {
+    val rows = run("m08_audio_neardup").collect()
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val sources = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 41 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sources.nonEmpty)
+    // a one-sample perturbation moves only window 0's energy, so only
+    // fingerprint bit 0 can flip -> Hamming <= 1 -> at least 3 of the 4
+    // bands still collide: recall is structural, not probabilistic
+    sources.foreach { id =>
+      assert(found.contains((id, id + 90000000L)),
+        s"planted twin pair ($id, ${id + 90000000L}) must surface")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 2L))
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
