@@ -1150,7 +1150,9 @@ object TextAnalysis {
     val topChars = charSum.filter(col("n") <= 4)
     val dupChars = charSum.filter(col("n") >= 5)
     val totals = base.select(col("doc_id"),
-      length(regexp_replace(col("text"), " ", "")).as("tok_chars"))
+      greatest(length(regexp_replace(col("text"), " ", "")), lit(1))
+        .as("tok_chars"))  // floor 1: an empty doc has no grams either,
+                           // so 0/0-NaN never reaches the verdicts
     def pivotChars(df: DataFrame, ks: Seq[Int], pre: String) = {
       val aggs = ks.map(k =>
         max(when(col("n") === k, col("chars"))).as(s"$pre$k"))
@@ -1214,7 +1216,8 @@ object TextAnalysis {
         FROM covered c JOIN toklens t ON c.doc_id = t.doc_id AND c.pos = t.pos
         GROUP BY c.doc_id, c.n),
       totals AS (
-        SELECT doc_id, length(replace(text, ' ', '')) AS tok_chars FROM base),
+        SELECT doc_id, greatest(length(replace(text, ' ', '')), 1) AS tok_chars
+        FROM base),
       topp AS (
         SELECT doc_id,
           max(CASE WHEN n = 2 THEN chars END) AS top2,
