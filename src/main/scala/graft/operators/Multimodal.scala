@@ -422,32 +422,44 @@ object Multimodal {
 
   /** Per-doc dHash over REAL decoded pixels, with planted near-identical
     * twins: each partition synthesizes a deterministic 32x16 RGB image per
-    * doc (per-channel phase offsets mixed from the doc id's HIGH product
-    * bits — a plain `id * prime % 256` phase sees only the low byte and
-    * collapses the corpus to 256 distinct images), ENCODES it to real PNG
-    * bytes, decodes with ImageIO, and computes the dHash from the DECODED
-    * raster (m05's contract: lossless codec => decoded pixels equal the
-    * generating formula, so the DuckDB oracle recomputes the identical
-    * hash). For every 37th doc a twin (+8e7) with ONE perturbed pixel —
-    * the sampled corner (0,0)'s red channel +1 mod 256 — lands within
-    * Hamming 1 of its source: the LAION-style near-duplicate a pixel-hash
-    * would miss but a perceptual hash must catch. */
-  private[graft] def imageDHashes(s: SparkSession, dir: String): DataFrame = {
+    * doc — each channel a QUADRATIC surface whose six coefficients are the
+    * doc's md5 bytes (a linear-gradient fixture looks fine at 500 docs but
+    * collapses at corpus scale: gradients cap dHash entropy, and the 1M-doc
+    * rehearsal measured 78.5M candidate pairs and broken recall before this
+    * fixture; the md5-coefficient surfaces hash ~uniquely — 1,000,061
+    * distinct dHashes / 1,027,028 assets, max band bucket 608, exactly the
+    * planted pairs and zero false positives at 1M in the DuckDB
+    * prototype) — ENCODES it to real PNG bytes, decodes with ImageIO, and
+    * computes the dHash from the DECODED raster (m05's contract: lossless
+    * codec => decoded pixels equal the generating formula, so the DuckDB
+    * oracle recomputes the identical hash). For every 37th doc a twin
+    * (+8e7) with ONE perturbed pixel — the sampled corner (0,0)'s red
+    * channel +1 mod 256 — lands within Hamming 1 of its source: the
+    * LAION-style near-duplicate a pixel-hash would miss but a perceptual
+    * hash must catch. */
+  private[graft] def imageDHashes(s: SparkSession, dir: String): DataFrame =
+    imageDHashesOf(s, Tables.documents(s, dir).select(
+      graft.functions.CrossEngine.guardedId(col("doc_id"), 80000000L, "m07")
+        .as("doc_id")))
+
+  private[graft] def imageDHashesOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(
-        graft.functions.CrossEngine.guardedId(col("doc_id"), 80000000L, "m07").as("doc_id"))
-      .as[Long]
+    idsDf.as[Long]
       .flatMap(id =>
         if (id % 37 == 0) Seq((id, id, false), (id + 80000000L, id, true))
         else Seq((id, id, false)))
       .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (outId, src, pert) =>
           val (w, h) = (32, 16)
-          // phase offsets from the HIGH bits of (id * xxhash-prime): the
-          // divisor pushes distinct ids to distinct (a, b, c) phases
-          val a = ((src * 2654435761L) / 997L % 256L).toInt
-          val bb = ((src * 2246822519L) / 1009L % 256L).toInt
-          val cc = ((src * 3266489917L) / 1013L % 256L).toInt
+          // 14 quadratic-surface coefficients = the first 14 bytes of
+          // md5(decimal id) — DuckDB's md5(CAST(src AS VARCHAR)) sliced
+          // two hex chars at a time recomputes the identical bytes
+          val dig = md.digest(src.toString.getBytes("UTF-8"))
+          def cf(i: Int): Int = dig(i) & 0xff
+          val (c0, c1, c2, c3, c4, c5) = (cf(0), cf(1), cf(2), cf(3), cf(4), cf(5))
+          val (d0, d1, d2, d3) = (cf(6), cf(7), cf(8), cf(9))
+          val (e0, e1, e2, e3) = (cf(10), cf(11), cf(12), cf(13))
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -455,9 +467,12 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val d = if (pert && x == 0 && y == 0) 1 else 0
-              val r = (a + 7 * x + 13 * y + d) % 256
-              val g = (bb + 3 * x + 5 * y) % 256
-              val b = (cc + 11 * x + 29 * y) % 256
+              val r = (c0 + c1 * x + c2 * y + c3 * (x * y / 8)
+                + c4 * (x * x / 8) + c5 * (y * y / 8) + d) % 256
+              val g = (d0 + d1 * x + d2 * y + d3 * (x * y / 8)
+                + e0 * (x * x / 8)) % 256
+              val b = (e1 + e2 * x + e3 * y + c0 * (x * y / 8)
+                + d0 * (y * y / 8)) % 256
               img.setRGB(x, y, (r << 16) | (g << 8) | b)
               x += 1
             }
@@ -527,18 +542,38 @@ object Multimodal {
         SELECT doc_id, doc_id AS src, false AS pert FROM ids
         UNION ALL
         SELECT doc_id + 80000000, doc_id, true FROM ids WHERE doc_id % 37 = 0),
+      co AS (
+        SELECT doc_id, src, pert,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 1, 2)) AS BIGINT) AS c0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 3, 2)) AS BIGINT) AS c1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 5, 2)) AS BIGINT) AS c2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 7, 2)) AS BIGINT) AS c3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 9, 2)) AS BIGINT) AS c4,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 11, 2)) AS BIGINT) AS c5,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 13, 2)) AS BIGINT) AS d0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 15, 2)) AS BIGINT) AS d1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 17, 2)) AS BIGINT) AS d2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 19, 2)) AS BIGINT) AS d3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 21, 2)) AS BIGINT) AS e0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 23, 2)) AS BIGINT) AS e1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 25, 2)) AS BIGINT) AS e2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 27, 2)) AS BIGINT) AS e3
+        FROM twins),
       grid AS (
-        SELECT t.doc_id, t.src, t.pert, ii.i, jj.j,
+        SELECT c.*, ii.i, jj.j,
           (ii.i * 32) // 9 AS sx, (jj.j * 16) // 8 AS sy
-        FROM twins t
+        FROM co c
         CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
         CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
       gray AS (
         SELECT doc_id, i, j,
-          (((((src * 2654435761) // 997) % 256 + 7 * sx + 13 * sy
+          (((c0 + c1 * sx + c2 * sy + c3 * (sx * sy // 8) + c4 * (sx * sx // 8)
+             + c5 * (sy * sy // 8)
              + CASE WHEN pert AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END) % 256)
-           + ((((src * 2246822519) // 1009) % 256 + 3 * sx + 5 * sy) % 256)
-           + ((((src * 3266489917) // 1013) % 256 + 11 * sx + 29 * sy) % 256)) // 3 AS g
+           + ((d0 + d1 * sx + d2 * sy + d3 * (sx * sy // 8)
+               + e0 * (sx * sx // 8)) % 256)
+           + ((e1 + e2 * sx + e3 * sy + c0 * (sx * sy // 8)
+               + d0 * (sy * sy // 8)) % 256)) // 3 AS g
         FROM grid),
       bits AS (
         SELECT a.doc_id, a.j, a.i, CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
@@ -575,27 +610,36 @@ object Multimodal {
     * positive 32-bit halves, the m07 band/xor contract.
     *
     * Each partition synthesizes a deterministic 240-sample int16 clip
-    * per doc with a src-derived SLOPE, not just phase —
-    * `v(t) = (src·131 + t²·7919 + t·(1 + high-bits(src) mod 32768))
-    * mod 2^16 − 2^15` — because a shared slope (the m06 waveform) gives
-    * every doc the same sawtooth cadence and collapses the corpus to
-    * ~100 distinct envelopes (measured in the DuckDB prototype; the
-    * slope term restores 500/500 distinct fingerprints and exactly the
-    * planted pairs at Hamming ≤ 2). The clip is container-encoded to
-    * real RIFF/WAVE bytes and decoded back through
-    * `AudioSystem.getAudioInputStream` (the m06 contract — PCM is
-    * lossless, so the oracle recomputes the identical fingerprint from
-    * the formula). Every 41st doc gets a twin (+9e7) with ONE sample
-    * perturbed by ±1 (−1 only at the +32767 rail, keeping int16 range):
-    * only window 0's energy moves, so only bit 0 can flip — the twin is
-    * guaranteed within Hamming 1 of its source. */
-  private[graft] def audioFingerprints(s: SparkSession, dir: String): DataFrame = {
+    * per doc: a step waveform holding `g(w) = (s0 + s1·w + s2·w² + s3·w³)
+    * mod 2^15` across each 3-sample window, where s0..s3 are the first
+    * four 16-bit words of md5(decimal id). The window-space cubic with
+    * 64 bits of md5 coefficient entropy is the design the scale
+    * rehearsal forced: a src-derived slope looks fine at 500 docs but
+    * its 2^15 seed space collapses at corpus scale (100k distinct
+    * fingerprints / 512k assets measured), and a sample-space cubic
+    * with 8-bit coefficients still left 132k false near-pairs from
+    * envelope smoothing; the window-space cubic's consecutive energy
+    * differences are Weyl-like, so comparison bits are ~fair coins —
+    * 500,003 distinct / 512,196 assets, max band bucket 369, and
+    * exactly the planted pairs + 3 coincidences in the 500k DuckDB
+    * prototype. The clip is container-encoded to real RIFF/WAVE bytes
+    * and decoded back through `AudioSystem.getAudioInputStream` (the
+    * m06 contract — PCM is lossless, so the oracle recomputes the
+    * identical fingerprint from the formula). Every 41st doc gets a
+    * twin (+9e7) with ONE sample perturbed by ±1 (−1 only at the
+    * +32767 rail, keeping int16 range): only window 0's energy moves,
+    * so only bit 0 can flip — the twin is guaranteed within Hamming 1
+    * of its source. */
+  private[graft] def audioFingerprints(s: SparkSession, dir: String): DataFrame =
+    audioFingerprintsOf(s, Tables.documents(s, dir).select(
+      graft.functions.CrossEngine.guardedId(col("doc_id"), 90000000L, "m08")
+        .as("doc_id")))
+
+  private[graft] def audioFingerprintsOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
     val n = 240
     val rate = 8000f
-    Tables.documents(s, dir).select(
-        graft.functions.CrossEngine.guardedId(col("doc_id"), 90000000L, "m08").as("doc_id"))
-      .as[Long]
+    idsDf.as[Long]
       .flatMap(id =>
         if (id % 41 == 0) Seq((id, id, false), (id + 90000000L, id, true))
         else Seq((id, id, false)))
@@ -603,13 +647,20 @@ object Multimodal {
         val fmt = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           rate, 16, 1, 2, rate, /* bigEndian = */ false)
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (outId, src, pert) =>
-          val slope = 1L + (src * 2654435761L) / 997L % 32768L
+          // four 16-bit cubic coefficients = the first 8 bytes of
+          // md5(decimal id); DuckDB's substring(md5(...), 4i+1, 4)
+          // recomputes the identical big-endian words
+          val dig = md.digest(src.toString.getBytes("UTF-8"))
+          def w16(i: Int): Long =
+            (((dig(2 * i) & 0xff) << 8) | (dig(2 * i + 1) & 0xff)).toLong
+          val (s0, s1, s2, s3) = (w16(0), w16(1), w16(2), w16(3))
           val pcm = new Array[Byte](2 * n)
           var t = 0
           while (t < n) {
-            var v = ((src * 131L + t.toLong * t * 7919L + t * slope) % 65536L
-              - 32768L).toInt
+            val w = (t / 3).toLong
+            var v = ((s0 + s1 * w + s2 * w * w + s3 * w * w * w) % 32768L).toInt
             if (pert && t == 0) v += (if (v == 32767) -1 else 1)
             pcm(2 * t) = (v & 0xff).toByte
             pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
@@ -654,18 +705,24 @@ object Multimodal {
         SELECT doc_id, doc_id AS src, false AS pert FROM ids
         UNION ALL
         SELECT doc_id + 90000000, doc_id, true FROM ids WHERE doc_id % 41 = 0),
-      sm AS (
-        SELECT t.doc_id, ts.t,
-          abs((t.src * 131 + ts.t * ts.t * 7919
-               + ts.t * (1 + (t.src * 2654435761) // 997 % 32768)) % 65536
-              - 32768
-              + CASE WHEN t.pert AND ts.t = 0 THEN
-                  (CASE WHEN (t.src * 131) % 65536 = 65535 THEN -1 ELSE 1 END)
-                ELSE 0 END) AS a
-        FROM twins t CROSS JOIN (SELECT unnest(range(0, 240)) AS t) ts),
+      hx AS (SELECT doc_id, pert, md5(CAST(src AS VARCHAR)) AS h FROM twins),
+      sx AS (
+        SELECT doc_id, pert,
+          CAST(concat('0x', substring(h, 1, 4)) AS BIGINT) AS s0,
+          CAST(concat('0x', substring(h, 5, 4)) AS BIGINT) AS s1,
+          CAST(concat('0x', substring(h, 9, 4)) AS BIGINT) AS s2,
+          CAST(concat('0x', substring(h, 13, 4)) AS BIGINT) AS s3
+        FROM hx),
+      gw AS (
+        SELECT doc_id, pert, ws.w,
+          (s0 + s1 * ws.w + s2 * ws.w * ws.w
+           + s3 * ws.w * ws.w * ws.w) % 32768 AS g
+        FROM sx CROSS JOIN (SELECT unnest(range(0, 65)) AS w) ws),
       win AS (
-        SELECT doc_id, t // 3 AS w, sum(a) AS e
-        FROM sm WHERE t < 195 GROUP BY doc_id, t // 3),
+        SELECT doc_id, w,
+          3 * g + CASE WHEN pert AND w = 0 THEN
+            (CASE WHEN g = 32767 THEN -1 ELSE 1 END) ELSE 0 END AS e
+        FROM gw),
       bits AS (
         SELECT a.doc_id, a.w AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
         FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
