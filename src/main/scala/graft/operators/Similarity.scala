@@ -996,6 +996,94 @@ object Similarity {
       true AS new_twins_are_candidates, true AS twins_attain_min_adc,
       true AS compacted_lists_single_file, true AS untouched_lists_intact"""))
 
+  // ---------------------------------------------------------------- s16
+  /** DELETE from the persisted ANN index — the lifecycle op s13 (build) /
+    * s14 (append) / s15 (compact) leave open: a real deployment removes
+    * vectors (takedowns, dedup-driven removals, TTL-expired documents)
+    * without rebuilding. The id set is bounded — a takedown batch, not a
+    * corpus — so locating the lists that hold the doomed rows is one
+    * pushed-filter scan of the codes table, and the rewrite is the s15
+    * staging + per-list swap (never overwrite the live read path in
+    * place, ADVICE r7) over O(touched lists), not O(index). A list whose
+    * rows are ALL deleted ends as an absent directory, which the probe
+    * path already treats as zero candidates (partition pruning of a
+    * missing value). Returns the touched list ids; a second call with the
+    * same ids finds no rows and touches nothing — deletes are idempotent
+    * by construction. */
+  private[graft] def ivfpqDeleteCodes(s: SparkSession, path: String,
+      ids: Seq[Long]): Seq[Int] = {
+    val touched = s.read.parquet(s"$path/codes")
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("list_id")).distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val staging = s"$path/codes_delete_staging"
+      s.read.parquet(s"$path/codes")
+        .filter(col("list_id").isin(touched: _*))
+        .filter(!col("vec_id").isin(ids: _*))
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(staging)
+      touched.foreach { id =>
+        val live = java.nio.file.Paths.get(s"$path/codes/list_id=$id")
+        val staged = java.nio.file.Paths.get(s"$staging/list_id=$id")
+        val retired = java.nio.file.Paths.get(s"$staging/retired_list_id=$id")
+        java.nio.file.Files.move(live, retired)
+        // a fully-deleted list writes no staged rows: absent dir == empty
+        if (java.nio.file.Files.isDirectory(staged))
+          java.nio.file.Files.move(staged, live)
+      }
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(staging))
+    }
+    touched
+  }
+
+  /** s16: build the s13 index, DELETE two of the three planted twins (the
+    * takedown batch), and serve — gate booleans are recomputed facts, the
+    * s13-s15 pattern: the deleted twins never surface as candidates, the
+    * surviving twin still ties its query's min ADC, the pass touched at
+    * most |batch| lists and rewrote each to a single file, untouched
+    * lists keep their original files byte-for-byte, and a second delete
+    * of the same ids is a no-op. Constant-true oracle. */
+  private val s16 = Q(
+    "s16_ivfpq_index_delete",
+    (s, dir) => {
+      val (_, corpus) = plantedCorpus(s, dir)
+      val doomed = Seq(1000001L, 1000002L)
+      val out = java.nio.file.Files.createTempDirectory("graft_s16_").toString
+      try {
+        ivfpqWriteIndex(corpus, ivfpqFixedModel(corpus, nLists = 8), out)
+        val before = (0 until 8).map(id => id -> listFiles(out, id)).toMap
+        val touched = ivfpqDeleteCodes(s, out, doomed)
+        val again = ivfpqDeleteCodes(s, out, doomed)
+        val after = (0 until 8).map(id => id -> listFiles(out, id)).toMap
+        val untouchedIntact = (0 until 8).filterNot(touched.contains)
+          .forall(id => after(id) == before(id))
+        val touchedSingle = touched.forall(id => after(id).size <= 1)
+        val served = ivfpqServe(s, out, corpus.filter(col("vec_id") < 3), nProbe = 2)
+          .filter(col("own_list"))
+        graft.functions.CrossEngine.materializeLocal(s,
+          served.agg(
+            (countDistinct(col("query_id")) === 3).as("all_queries_scored"),
+            (count(when(col("vec_id").isin(doomed: _*), 1)) === 0)
+              .as("deleted_twins_absent"),
+            (count(when(col("query_id") === 0 && col("vec_id") === 1000000L, 1)) > 0)
+              .as("surviving_twin_is_candidate"),
+            ((min(when(col("query_id") === 0 && col("vec_id") === 1000000L, col("adc")))
+              - min(when(col("query_id") === 0, col("adc")))) <= adcTieEps)
+              .as("surviving_twin_attains_min"))
+          .withColumn("touched_lists_bounded",
+            lit(touched.nonEmpty && touched.size <= doomed.size))
+          .withColumn("touched_lists_single_file", lit(touchedSingle))
+          .withColumn("untouched_lists_intact", lit(untouchedIntact))
+          .withColumn("delete_idempotent", lit(again.isEmpty)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT true AS all_queries_scored, true AS deleted_twins_absent,
+      true AS surviving_twin_is_candidate, true AS surviving_twin_attains_min,
+      true AS touched_lists_bounded, true AS touched_lists_single_file,
+      true AS untouched_lists_intact, true AS delete_idempotent"""))
+
   // ---------------------------------------------------------------- s07
   /** CONTRASTIVE PAIR CONSTRUCTION — the step that turns an embedding
     * corpus into training pairs for a retriever/encoder: per query, the
@@ -1053,5 +1141,5 @@ object Similarity {
       SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
 
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15)
+    s11, s12, s13, s14, s15, s16)
 }

@@ -1011,6 +1011,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s16 index delete: removes exactly the doomed rows, touches only their lists") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val out = java.nio.file.Files.createTempDirectory("graft_s16spec_").toString
+    try {
+      Similarity.ivfpqWriteIndex(emb, Similarity.trainIvfPq(emb, seed = 42L, nLists = 8), out)
+      def serve() = Similarity
+        .ivfpqServe(spark, out, emb.filter(col("vec_id") < 3), nProbe = 8)
+        .select(col("query_id"), col("vec_id"), col("adc")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      def filesPerList: Map[String, Seq[String]] =
+        new java.io.File(s"$out/codes").listFiles().filter(_.isDirectory)
+          .map(d => d.getName ->
+            d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSeq.sorted)
+          .toMap
+      val before = serve()
+      val preFiles = filesPerList
+      // the takedown batch: three arbitrary corpus ids
+      val doomed = Seq(7L, 11L, 23L)
+      val touched = Similarity.ivfpqDeleteCodes(spark, out, doomed)
+      assert(touched.nonEmpty && touched.size <= doomed.size)
+      // a delete is surgical: afterwards the index serves EXACTLY the
+      // prior answers minus the doomed rows — nothing else moves
+      assert(serve() === before.filterNot { case ((_, v), _) => doomed.contains(v) })
+      val postFiles = filesPerList
+      postFiles.keySet.filterNot(d => touched.contains(d.stripPrefix("list_id=").toInt))
+        .foreach(d => assert(postFiles(d) === preFiles(d),
+          s"delete rewrote untouched list $d"))
+      // idempotence: the rows are gone, so a second pass touches nothing
+      assert(Similarity.ivfpqDeleteCodes(spark, out, doomed).isEmpty)
+      // the empty-list edge: deleting EVERY row of one list leaves an
+      // absent directory, and serving still works (zero candidates there)
+      val victim = touched.head
+      val allOfList = spark.read.parquet(s"$out/codes")
+        .filter(col("list_id") === victim)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      assert(Similarity.ivfpqDeleteCodes(spark, out, allOfList) === Seq(victim))
+      assert(!new java.io.File(s"$out/codes/list_id=$victim").exists)
+      val finalServed = serve()
+      assert(finalServed.nonEmpty)
+      assert(finalServed.keySet.forall { case (_, v) =>
+        !allOfList.contains(v) && !doomed.contains(v) })
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
+
   test("wordNgrams is total on docs shorter than n (ADVICE r7)") {
     val s = spark
     import s.implicits._
