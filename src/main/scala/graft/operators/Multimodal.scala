@@ -746,5 +746,188 @@ object Multimodal {
       FROM cand c JOIN fp x ON c.doc_a = x.doc_id JOIN fp y ON c.doc_b = y.doc_id
       WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 2"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  final case class VideoFrameRow(
+      doc_id: Long, frame_no: Int, dhash_hi: Long, dhash_lo: Long)
+
+  /** Per-FRAME dHash over a REAL decoded video container — the temporal
+    * member of the m07/m08 perceptual-hash family, in the shape every
+    * published near-duplicate-video pipeline shares (frame-level
+    * perceptual hashes compared positionally; the simplest member of the
+    * family that includes Facebook's TMK and CDVA): a video is near-dup
+    * of another when most of its frames hash alike, which catches the
+    * re-encode/single-frame-edit duplicates a whole-file hash misses.
+    *
+    * The container is motion-PNG: 4 length-prefixed REAL PNG frames (the
+    * honest codec available in the JDK — each frame genuinely
+    * ImageIO-encoded and, on the hash side, genuinely parsed back out of
+    * the container and ImageIO-decoded; an H.264-style inter-frame codec
+    * would need external libs, but the Spark-side cost model — one codec
+    * init per partition, payload bytes never leaving the executor, one
+    * hash row per frame — is identical). Frame f's pixels are the m07
+    * md5-coefficient quadratic surfaces with a +17·f drift on each
+    * channel's constant term (a deterministic brightness pan, so the 4
+    * frame hashes are distinct per video while staying oracle-exact).
+    * Every 43rd doc gets a twin (+7e7) whose FRAME 0 has the one-pixel
+    * m07 perturbation: frames 1-3 stay bit-identical, so the twin shares
+    * >= 3 of 4 frame hashes structurally. */
+  private[graft] def videoFrameHashes(s: SparkSession, dir: String): DataFrame =
+    videoFrameHashesOf(s, Tables.documents(s, dir).select(
+      graft.functions.CrossEngine.guardedId(col("doc_id"), 70000000L, "m09")
+        .as("doc_id")))
+
+  private[graft] def videoFrameHashesOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
+    import s.implicits._
+    val nFrames = 4
+    idsDf.as[Long]
+      .flatMap(id =>
+        if (id % 43 == 0) Seq((id, id, false), (id + 70000000L, id, true))
+        else Seq((id, id, false)))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (outId, src, pert) =>
+          val (w, h) = (32, 16)
+          val dig = md.digest(src.toString.getBytes("UTF-8"))
+          def cf(i: Int): Int = dig(i) & 0xff
+          val (c0, c1, c2, c3, c4, c5) = (cf(0), cf(1), cf(2), cf(3), cf(4), cf(5))
+          val (d0, d1, d2, d3) = (cf(6), cf(7), cf(8), cf(9))
+          val (e0, e1, e2, e3) = (cf(10), cf(11), cf(12), cf(13))
+          // ENCODE: length-prefixed real PNG frames into one payload
+          val baos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(baos)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val d = if (pert && f == 0 && x == 0 && y == 0) 1 else 0
+                val r = (c0 + 17 * f + c1 * x + c2 * y + c3 * (x * y / 8)
+                  + c4 * (x * x / 8) + c5 * (y * y / 8) + d) % 256
+                val g = (d0 + 17 * f + d1 * x + d2 * y + d3 * (x * y / 8)
+                  + e0 * (x * x / 8)) % 256
+                val b = (e1 + 17 * f + e2 * x + e3 * y + c0 * (x * y / 8)
+                  + d0 * (y * y / 8)) % 256
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", fb)
+            dos.writeInt(fb.size)
+            fb.writeTo(dos)
+            f += 1
+          }
+          dos.flush()
+          val payload = baos.toByteArray
+          // the REAL decode under test: parse the container, decode each
+          // frame, hash the DECODED rasters
+          val dis = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          (0 until nFrames).map { g =>
+            val fbytes = new Array[Byte](dis.readInt())
+            dis.readFully(fbytes)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(fbytes))
+            val (lo, hi) = dhashOf(dec)
+            VideoFrameRow(outId, g, hi, lo)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Video-level near-dup verdict: two videos pair when >= minShared of
+    * their frame positions carry the EXACT same frame dHash. Candidates
+    * come from a (frame_no, hash) equi-join routed through
+    * [[Dedup.capHotBuckets]] (a hot frame hash — intros, black frames,
+    * station idents repeated across a corpus — floods one key exactly
+    * like boilerplate text floods an LSH band; over-cap keys split and
+    * are logged, never silent). One row per frame in, pair volume
+    * bounded by the cap; planted-twin recall is structural while every
+    * shared frame-hash key stays under the cap (at gate and rehearsal
+    * scale the md5-surface hashes are ~unique, max measured key width
+    * well under the default 256). */
+  private[graft] def videoNeardupPairs(fr0: DataFrame, minShared: Int = 3,
+      bucketCap: Int = 256): DataFrame = {
+    val (fr, releaseCap) = Dedup.capHotBuckets(
+      fr0, Seq("frame_no", "dhash_hi", "dhash_lo"), "doc_id", bucketCap,
+      "videoNeardupPairs")
+    val a = fr.alias("a")
+    val b = fr.alias("b")
+    val pairs = a.join(b,
+        col("a.frame_no") === col("b.frame_no") &&
+          col("a.dhash_hi") === col("b.dhash_hi") &&
+          col("a.dhash_lo") === col("b.dhash_lo") &&
+          col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minShared)
+    val out = pairs.localCheckpoint(eager = true)
+    releaseCap()
+    out
+  }
+
+  private val m09 = Q(
+    "m09_video_neardup",
+    (s, dir) => videoNeardupPairs(videoFrameHashes(s, dir)),
+    Some("""WITH ids AS (SELECT doc_id FROM documents),
+      twins AS (
+        SELECT doc_id, doc_id AS src, false AS pert FROM ids
+        UNION ALL
+        SELECT doc_id + 70000000, doc_id, true FROM ids WHERE doc_id % 43 = 0),
+      co AS (
+        SELECT doc_id, src, pert,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 1, 2)) AS BIGINT) AS c0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 3, 2)) AS BIGINT) AS c1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 5, 2)) AS BIGINT) AS c2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 7, 2)) AS BIGINT) AS c3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 9, 2)) AS BIGINT) AS c4,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 11, 2)) AS BIGINT) AS c5,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 13, 2)) AS BIGINT) AS d0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 15, 2)) AS BIGINT) AS d1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 17, 2)) AS BIGINT) AS d2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 19, 2)) AS BIGINT) AS d3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 21, 2)) AS BIGINT) AS e0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 23, 2)) AS BIGINT) AS e1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 25, 2)) AS BIGINT) AS e2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 27, 2)) AS BIGINT) AS e3
+        FROM twins),
+      grid AS (
+        SELECT c.*, ff.f, ii.i, jj.j,
+          (ii.i * 32) // 9 AS sx, (jj.j * 16) // 8 AS sy
+        FROM co c
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS f) ff
+        CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+      gray AS (
+        SELECT doc_id, f, i, j,
+          (((c0 + 17 * f + c1 * sx + c2 * sy + c3 * (sx * sy // 8)
+             + c4 * (sx * sx // 8) + c5 * (sy * sy // 8)
+             + CASE WHEN pert AND f = 0 AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END) % 256)
+           + ((d0 + 17 * f + d1 * sx + d2 * sy + d3 * (sx * sy // 8)
+               + e0 * (sx * sx // 8)) % 256)
+           + ((e1 + 17 * f + e2 * sx + e3 * sy + c0 * (sx * sy // 8)
+               + d0 * (sy * sy // 8)) % 256)) // 3 AS g
+        FROM grid),
+      bits AS (
+        SELECT a.doc_id, a.f, a.j, a.i, CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      fh AS (
+        SELECT doc_id, f,
+          sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS lo,
+          sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id, f)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS n_shared_frames
+      FROM fh a JOIN fh b
+        ON a.f = b.f AND a.lo = b.lo AND a.hi = b.hi AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 3"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

@@ -510,6 +510,33 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 2L))
   }
 
+  test("m09 video near-dup: every planted frame-0-edited twin pairs with its source") {
+    val rows = run("m09_video_neardup").collect()
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val sources = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 43 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sources.nonEmpty)
+    // the twin's edit touches only frame 0, so frames 1-3 hash
+    // bit-identically: >= 3 shared frame positions is structural
+    sources.foreach { id =>
+      assert(found.contains((id, id + 70000000L)),
+        s"planted twin pair ($id, ${id + 70000000L}) must surface")
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shared_frames")
+      assert(n >= 3L && n <= 4L)
+    }
+    // the temporal granularity is the point: at least one twin pair must
+    // share only 3 of 4 frames (the edited frame 0 hash actually moved) —
+    // a whole-file hash would call these videos unrelated
+    val twinShared = rows.filter(r =>
+      sources.contains(r.getAs[Long]("doc_a")) &&
+        r.getAs[Long]("doc_b") === r.getAs[Long]("doc_a") + 70000000L)
+      .map(_.getAs[Long]("n_shared_frames"))
+    assert(twinShared.nonEmpty)
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
