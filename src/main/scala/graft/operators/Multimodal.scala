@@ -929,5 +929,102 @@ object Multimodal {
       GROUP BY a.doc_id, b.doc_id
       HAVING count(*) >= 3"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  /** IMAGE DEDUP CANONICALIZATION — the step that turns m07's pair list
+    * into the LAION-style curation verdict: perceptual pairs → connected
+    * components ([[Dedup.connectedComponents]], the d09/d14 hash-to-min
+    * machinery — pair-volume-bounded rounds, no full-corpus state) →
+    * cluster sizes and the min-id canonical representative each cluster
+    * keeps. Composes the production image lane with the production
+    * clustering lane unchanged; at 100 TB the cost profile is m07's
+    * capped candidate join plus CC rounds bounded by pair volume. Oracle
+    * re-derives the pairs from the generator formula and closes them with
+    * a recursive CTE (the d14 precedent). */
+  private val m10 = Q(
+    "m10_image_dedup_canonical",
+    (s, dir) => {
+      val pairs = bitHashNeardupPairs(imageDHashes(s, dir))
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = Dedup.connectedComponents(edges)
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      val out = labels.join(sizes, Seq("label"))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"), (col("node") === col("label")).as("is_canonical"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      out
+    },
+    Some("""WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+      twins AS (
+        SELECT doc_id, doc_id AS src, false AS pert FROM ids
+        UNION ALL
+        SELECT doc_id + 80000000, doc_id, true FROM ids WHERE doc_id % 37 = 0),
+      co AS (
+        SELECT doc_id, src, pert,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 1, 2)) AS BIGINT) AS c0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 3, 2)) AS BIGINT) AS c1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 5, 2)) AS BIGINT) AS c2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 7, 2)) AS BIGINT) AS c3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 9, 2)) AS BIGINT) AS c4,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 11, 2)) AS BIGINT) AS c5,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 13, 2)) AS BIGINT) AS d0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 15, 2)) AS BIGINT) AS d1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 17, 2)) AS BIGINT) AS d2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 19, 2)) AS BIGINT) AS d3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 21, 2)) AS BIGINT) AS e0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 23, 2)) AS BIGINT) AS e1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 25, 2)) AS BIGINT) AS e2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 27, 2)) AS BIGINT) AS e3
+        FROM twins),
+      grid AS (
+        SELECT c.*, ii.i, jj.j,
+          (ii.i * 32) // 9 AS sx, (jj.j * 16) // 8 AS sy
+        FROM co c
+        CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+      gray AS (
+        SELECT doc_id, i, j,
+          (((c0 + c1 * sx + c2 * sy + c3 * (sx * sy // 8) + c4 * (sx * sx // 8)
+             + c5 * (sy * sy // 8)
+             + CASE WHEN pert AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END) % 256)
+           + ((d0 + d1 * sx + d2 * sy + d3 * (sx * sy // 8)
+               + e0 * (sx * sx // 8)) % 256)
+           + ((e1 + e2 * sx + e3 * sy + c0 * (sx * sy // 8)
+               + d0 * (sy * sy // 8)) % 256)) // 3 AS g
+        FROM grid),
+      bits AS (
+        SELECT a.doc_id, a.j, a.i, CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      dh AS (
+        SELECT doc_id,
+          sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS lo,
+          sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, 0 AS band, lo % 65536 AS bucket FROM dh
+        UNION ALL SELECT doc_id, 1, lo // 65536 FROM dh
+        UNION ALL SELECT doc_id, 2, hi % 65536 FROM dh
+        UNION ALL SELECT doc_id, 3, hi // 65536 FROM dh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      fpairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c JOIN dh x ON c.doc_a = x.doc_id JOIN dh y ON c.doc_b = y.doc_id
+        WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 2),
+      und AS (SELECT doc_a AS src, doc_b AS dst FROM fpairs
+        UNION ALL SELECT doc_b, doc_a FROM fpairs),
+      reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id)
+      SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+        l.node = l.cluster_id AS is_canonical
+      FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }

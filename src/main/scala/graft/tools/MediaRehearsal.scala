@@ -53,6 +53,25 @@ object MediaRehearsal {
       assert(recalled == nTwins, s"every planted twin must pair ($label)")
       fp.unpersist(false)
     }
+
+    // video lane: nAssets/4 videos x 4 frames = the same codec-op count as
+    // the image lane, so the build numbers are directly comparable
+    val nVideos = nAssets / 4
+    val vids = spark.range(0, nVideos, 1, 32).toDF("doc_id")
+    val fr = graft.operators.Multimodal.videoFrameHashesOf(spark, vids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nFr = timed("video frame dHash (4-frame motion-PNG)") { fr.count() }
+    val vPairs = timed("video pair join") {
+      val p = graft.operators.Multimodal.videoNeardupPairs(fr, bucketCap = 1024)
+      p.count()
+      p
+    }
+    val nVTwins = (nVideos + 42) / 43
+    val vRecalled = vPairs.filter(col("doc_b") === col("doc_a") + 70000000L).count()
+    println(s"[media-scale]   video: $nFr frame hashes, ${vPairs.count()} pairs, " +
+      s"twin recall $vRecalled/$nVTwins")
+    assert(vRecalled == nVTwins, "every planted frame-0-edited twin must pair")
+    fr.unpersist(false)
     spark.stop()
   }
 }

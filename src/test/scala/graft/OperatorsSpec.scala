@@ -537,6 +537,29 @@ class OperatorsSpec extends SparkSpec {
     assert(twinShared.nonEmpty)
   }
 
+  test("m10 image dedup canonicalization: twin clusters keep the min-id original") {
+    val rows = run("m10_image_dedup_canonical").collect()
+    val sources = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sources.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    sources.foreach { id =>
+      // source and twin land in the same cluster, labeled by the source
+      // (min id), and exactly the source is the canonical keeper
+      val (src, twin) = (byId(id), byId(id + 80000000L))
+      assert(src.getAs[Long]("cluster_id") === id)
+      assert(twin.getAs[Long]("cluster_id") === id)
+      assert(src.getAs[Boolean]("is_canonical"))
+      assert(!twin.getAs[Boolean]("is_canonical"))
+    }
+    // every cluster keeps exactly one canonical representative
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (_, members) =>
+      assert(members.count(_.getAs[Boolean]("is_canonical")) === 1)
+      assert(members.forall(_.getAs[Long]("cluster_size") === members.length.toLong))
+    }
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
