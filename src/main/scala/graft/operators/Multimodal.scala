@@ -444,11 +444,20 @@ object Multimodal {
 
   private[graft] def imageDHashesOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
-    idsDf.as[Long]
+    imageDHashRows(idsDf.as[Long]
       .flatMap(id =>
         if (id % 37 == 0) Seq((id, id, false), (id + 80000000L, id, true))
-        else Seq((id, id, false)))
-      .mapPartitions { rows =>
+        else Seq((id, id, false))))
+  }
+
+  /** The hash core over explicit (outId, srcId, perturbed) rows — row-local
+    * and stateless, so it runs unchanged on a STREAMING frame (st13 hashes
+    * arriving images inside the stream with this exact function). */
+  private[graft] def imageDHashRows(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Boolean)]): DataFrame = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (outId, src, pert) =>
           val (w, h) = (32, 16)

@@ -640,6 +640,147 @@ object EventsStreaming {
       true AS new_twins_are_candidates, true AS twins_attain_min_adc,
       true AS model_frozen_through_stream"""))
 
+  /** STREAMING MEDIA INGEST NEAR-DUP — the m07 perceptual lane in st10's
+    * production direction: images ARRIVE as a stream and are checked
+    * against the persisted corpus hash table before admission (the
+    * LAION-style ingest filter). The static side is the corpus's dHash
+    * table — one 64-bit row per image, the persisted artifact a real
+    * ingest keeps; arriving images are PNG-decoded and hashed INSIDE the
+    * stream by the exact m07 hash core
+    * ([[graft.operators.Multimodal.imageDHashRows]] is row-local and
+    * stateless, so it runs on a streaming frame unchanged), banded into
+    * the 4x16-bit Hamming bands statelessly, joined to the static banded
+    * corpus, and verified inline by bit_count(xor). Zero streaming state —
+    * no watermark, no store; per-batch cost is O(batch) codec work plus
+    * the band equi-join. The arriving frame is the 1-in-10 slice
+    * re-ingested as one-pixel-perturbed copies (+8e7 ids): every
+    * arrival's source sits in the 1-in-5 corpus slice, so each must pair
+    * within Hamming 1 — recall is structural, and the oracle recomputes
+    * both sides' hashes from the generator formula. */
+  private val st13 = Q(
+    "st13_stream_image_ingest",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val sinkTable = "st13_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st13_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+      def banded(dh: DataFrame): DataFrame = dh.select(
+          col("doc_id"), col("dhash_hi"), col("dhash_lo"), explode(array(
+            struct(lit(0).as("band"), pmod(col("dhash_lo"), lit(65536L)).as("bucket")),
+            struct(lit(1).as("band"), expr("dhash_lo div 65536").as("bucket")),
+            struct(lit(2).as("band"), pmod(col("dhash_hi"), lit(65536L)).as("bucket")),
+            struct(lit(3).as("band"), expr("dhash_hi div 65536").as("bucket")))).as("bb"))
+        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+      // static corpus hash table: originals of the 1-in-5 slice
+      val corpusHashes = Multimodal.imageDHashRows(
+          Tables.documents(s, dir)
+            .filter(col("doc_id") % 5 === 0)
+            .select(graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 80000000L, "st13").as("doc_id"))
+            .as[Long].map(id => (id, id, false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusBanded = banded(corpusHashes)
+        .select(col("doc_id").as("doc_a"), col("dhash_hi").as("hi_a"),
+          col("dhash_lo").as("lo_a"), col("band"), col("bucket"))
+
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      // arriving: perturbed re-ingests of the 1-in-10 slice, hashed
+      // inside the stream by the shared m07 core
+      val streamBanded = banded(Multimodal.imageDHashRows(
+          raw.filter(col("doc_id") % 10 === 0)
+            .select(graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 80000000L, "st13-stream").as("doc_id"))
+            .as[Long].map(id => (id + 80000000L, id, true))))
+        .select(col("doc_id").as("doc_b"), col("dhash_hi").as("hi_b"),
+          col("dhash_lo").as("lo_b"), col("band"), col("bucket"))
+
+      val joined = streamBanded.join(corpusBanded, Seq("band", "bucket"))
+        .withColumn("hamming",
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      val query = joined.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      corpusHashes.unpersist(false)
+      // a pair surfaces once per co-bucketed band: dedup at drain
+      drainSink(s, s.table(sinkTable).distinct(), sinkTable, srcDir)
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents),
+      twins AS (
+        SELECT doc_id, doc_id AS src, false AS pert FROM ids WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 80000000, doc_id, true FROM ids WHERE doc_id % 10 = 0),
+      co AS (
+        SELECT doc_id, src, pert,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 1, 2)) AS BIGINT) AS c0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 3, 2)) AS BIGINT) AS c1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 5, 2)) AS BIGINT) AS c2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 7, 2)) AS BIGINT) AS c3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 9, 2)) AS BIGINT) AS c4,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 11, 2)) AS BIGINT) AS c5,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 13, 2)) AS BIGINT) AS d0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 15, 2)) AS BIGINT) AS d1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 17, 2)) AS BIGINT) AS d2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 19, 2)) AS BIGINT) AS d3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 21, 2)) AS BIGINT) AS e0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 23, 2)) AS BIGINT) AS e1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 25, 2)) AS BIGINT) AS e2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 27, 2)) AS BIGINT) AS e3
+        FROM twins),
+      grid AS (
+        SELECT c.*, ii.i, jj.j,
+          (ii.i * 32) // 9 AS sx, (jj.j * 16) // 8 AS sy
+        FROM co c
+        CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+      gray AS (
+        SELECT doc_id, i, j,
+          (((c0 + c1 * sx + c2 * sy + c3 * (sx * sy // 8) + c4 * (sx * sx // 8)
+             + c5 * (sy * sy // 8)
+             + CASE WHEN pert AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END) % 256)
+           + ((d0 + d1 * sx + d2 * sy + d3 * (sx * sy // 8)
+               + e0 * (sx * sx // 8)) % 256)
+           + ((e1 + e2 * sx + e3 * sy + c0 * (sx * sy // 8)
+               + d0 * (sy * sy // 8)) % 256)) // 3 AS g
+        FROM grid),
+      bits AS (
+        SELECT a.doc_id, a.j, a.i, CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      dh AS (
+        SELECT doc_id,
+          sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS lo,
+          sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, 0 AS band, lo % 65536 AS bucket FROM dh
+        UNION ALL SELECT doc_id, 1, lo // 65536 FROM dh
+        UNION ALL SELECT doc_id, 2, hi % 65536 FROM dh
+        UNION ALL SELECT doc_id, 3, hi // 65536 FROM dh),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < 80000000 AND b.doc_id >= 80000000)
+      SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+      FROM cand c JOIN dh x ON c.doc_a = x.doc_id JOIN dh y ON c.doc_b = y.doc_id
+      WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 2"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12)
+    st10, st11, st12, st13)
 }

@@ -560,6 +560,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("st13 streaming image ingest: every perturbed arrival pairs with its source") {
+    val rows = run("st13_stream_image_ingest").collect()
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val arrivals = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(arrivals.nonEmpty)
+    // the arrival is a one-pixel perturbation of its corpus source, so it
+    // sits within Hamming 1 and >= 3 of 4 bands co-bucket: recall is
+    // structural, the ingest filter can never wave a re-upload through
+    arrivals.foreach { id =>
+      assert(found.contains((id, id + 80000000L)),
+        s"arrival ${id + 80000000L} must pair with its corpus source $id")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 2L))
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
