@@ -280,6 +280,38 @@ object Sketches {
       WHERE c.cum >= CAST(ceil(q * n.n) AS BIGINT)
         AND c.cum - c.cnt < CAST(ceil(q * n.n) AS BIGINT)"""))
 
+  // ---------------------------------------------------------------- q54
+  /** GROUPED TOP-K WITHOUT A WINDOW SORT — the bounded-buffer member of
+    * the sketch family for "top k rows per group" (the per-source best
+    * documents every curation pipeline materializes). The textbook plan
+    * is `row_number() OVER (PARTITION BY source ORDER BY score DESC)` —
+    * at 100x scale WindowExec sort-shuffles EVERY data row into #groups
+    * partitions (parallelism collapse + full-data sort). Here
+    * [[graft.functions.TopKPairs]] folds each input partition into a
+    * k-pair heap map-side; the shuffle carries k-sized buffers, never
+    * rows, and the Final merge unions heaps — the q46/q53 shuffle
+    * contract applied to ranked rows. Descending (sort_key, payload)
+    * order with unique payload ids makes the result deterministic, so
+    * the DuckDB oracle's window formulation must agree pair-for-pair
+    * under the hash gate. */
+  private val q54 = Q(
+    "q54_grouped_topk",
+    (s, dir) => Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.topKPairs(
+        length(col("text")).cast("long"), col("doc_id"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("p.payload").as("doc_id"), col("p.sort_key").as("text_len")),
+    Some("""SELECT source, CAST(rn AS BIGINT) AS rnk, doc_id,
+        CAST(len AS BIGINT) AS text_len
+      FROM (
+        SELECT source, doc_id, length(text) AS len,
+          row_number() OVER (PARTITION BY source
+            ORDER BY length(text) DESC, doc_id DESC) AS rn
+        FROM documents) t
+      WHERE rn <= 3"""))
+
   // ---------------------------------------------------------------- q51
   /** HEAVY HITTERS at unbounded key cardinality — the candidate-generation
     * + exact-verification pattern that makes "which keys exceed p% of the
@@ -323,5 +355,5 @@ object Sketches {
       GROUP BY key
       HAVING count(*) > (SELECT count(*) / 20 FROM keyed)"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53)
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54)
 }

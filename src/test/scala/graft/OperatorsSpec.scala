@@ -1340,6 +1340,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q54 grouped top-k: Partial-mode heap aggregate, no window sort, window-exact") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+    val df = run("q54_grouped_topk")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "grouped top-k must not plan a window sort")
+    val partialFns = plan.collect { case h: BaseAggregateExec =>
+      h.aggregateExpressions
+        .filter(e => e.mode == Partial || e.mode == PartialMerge)
+        .map(_.aggregateFunction)
+    }.flatten
+    assert(partialFns.exists(_.isInstanceOf[graft.functions.TopKPairs]),
+      s"q54 must fold the top-k heap map-side before the exchange; saw $partialFns")
+    // pair-for-pair equal to Spark's own window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(length(col("text")).desc, col("doc_id").desc)
+    val expect = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("source"), col("rn").cast("long"), col("doc_id"),
+        length(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    // merge == single-pass: identical output under adversarial splits
+    def topkOf(parts: Int) = graft.sources.Tables.documents(spark, sfDir)
+      .repartition(parts)
+      .groupBy(col("source"))
+      .agg(graft.functions.TopK.topKPairs(
+        length(col("text")).cast("long"), col("doc_id"), 3).as("top"))
+      .select(col("source"), col("top").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(topkOf(1) === topkOf(13))
+  }
+
   test("LSH hot-bucket cap: a 1000-identical-doc flood stays bounded, organic recall intact") {
     val sp = spark
     import sp.implicits._
