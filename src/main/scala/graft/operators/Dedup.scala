@@ -1348,6 +1348,122 @@ object Dedup {
       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id"""))
 
+  // ---------------------------------------------------------------- d18
+  /** EXACT DUPLICATED-SUBSTRING REMOVAL (Lee/Ippolito/Nystrom/Zhang/Eck/
+    * Callison-Burch/Carlini 2021, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 §4.1 ExactSubstr; public) —
+    * the REMOVAL transform the detection lanes (d02–d17) stop short of:
+    * every token covered by a word w-gram that occurs at two or more sites
+    * in the corpus (cross-document OR within-document, Lee et al.'s
+    * definition — all copies go, not all-but-one) is deleted from the
+    * document, and the cleaned text is emitted alongside removal counts.
+    *
+    * Lee et al. reach exact-substring semantics through a suffix array; the
+    * Spark-native shape is a stride-1 gram table, and its structural win is
+    * that this lane is PAIR-FREE: unlike winnowing (d17), whose fingerprint
+    * equi-join emits df²/2 pairs from a boilerplate key and needs the MOSS
+    * ceiling, removal only needs the BOOLEAN "this gram occurs ≥ 2 times".
+    * A license block shared by a million documents costs one map-side-
+    * combined count and a million boolean joins — linear, no cap required.
+    * Plan: one grouped count over gram hashes (map-side combine absorbs hot
+    * grams), one hash join back (AQE skew-split handles a hot gram's fan-
+    * out), one per-doc regroup of duplicated start positions, then a
+    * row-local coverage mask — two shuffles of the gram table total, both
+    * on uniform md5-derived keys, never a doc×doc join. The grouped-count +
+    * join shape is chosen over a `count() OVER (PARTITION BY h)` window
+    * deliberately: the window would buffer every copy of a hot gram in one
+    * task, the agg reduces them map-side.
+    *
+    * Gram hashes ride [[graft.functions.CrossEngine.md5Hash60]] so the
+    * whole dataflow (gram marking → coverage → text reconstruction) runs
+    * under the DuckDB hash gate. Positions are 1-based in both engines; a
+    * gram starting at s covers tokens [s, s+w-1]; docs shorter than w
+    * tokens have no grams and pass through unchanged. */
+  private[graft] def exactSubstringRemove(docs: DataFrame, w: Int): DataFrame = {
+    val grams = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), posexplode(wordNgrams(w)).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        graft.functions.CrossEngine.md5Hash60(col("g")).as("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val starts = grams.join(dupH, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    docs.select(col("doc_id"), toks.as("tk"))
+      .join(starts, Seq("doc_id"), "left")
+      .withColumn("ss", coalesce(col("ss"), expr("array()")))
+      .withColumn("kept", expr(
+        "filter(transform(sequence(1, size(tk)), i -> struct(i AS i, element_at(tk, i) AS t)), " +
+          s"p -> size(filter(ss, s -> s <= p.i AND p.i < s + $w)) = 0)"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", expr("transform(kept, p -> p.t)")).as("text_clean"))
+  }
+
+  /** d18 gate entry. Planted: every 101st doc of ≥ 20 tokens gets a twin
+    * (+8e7) carrying a verbatim 10-token run (source tokens 5–14) flanked
+    * by filler made unique PER TWIN (source tokens suffixed 'qq'/'rr' plus
+    * the source doc_id), so the twin's duplicated-gram set is exactly the
+    * run's grams (positions 5–7): the twin must lose precisely tokens 5–14
+    * (n_removed = 10) and keep both filler flanks — deterministic, spec-
+    * asserted — while the source doc loses the same run (all copies go).
+    * The 10-token run with w = 8 yields three shared stride-1 grams whose
+    * coverage union is the full run. */
+  private val d18 = Q(
+    "d18_exact_substring_rm",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 80000000L, "d18").as("doc_id"),
+        col("text"))
+      // the source id is renamed `sid` before the twin select: a select
+      // list that aliases `doc_id + 8e7 AS doc_id` would otherwise capture
+      // the NEW id in the filler suffix via lateral-column-alias resolution
+      val idStr = col("sid").cast("string")
+      val twins = base.filter(col("doc_id") % 101 === 0 && size(toks) >= 20)
+        .select(col("doc_id").as("sid"), col("text"))
+        .select((col("sid") + 80000000L).as("doc_id"),
+          concat_ws(" ",
+            concat_ws(" ", transform(slice(toks, 1, 4),
+              t => concat(t, lit("qq"), idStr))),
+            concat_ws(" ", slice(toks, 5, 10)),
+            concat_ws(" ", transform(slice(toks, 15, 4),
+              t => concat(t, lit("rr"), idStr)))).as("text"))
+      exactSubstringRemove(base.unionByName(twins), w = 8)
+    },
+    Some("""WITH twins AS (
+        SELECT doc_id + 80000000 AS doc_id,
+          array_to_string(list_transform(tk[1:4], t -> t || 'qq' || CAST(doc_id AS VARCHAR)), ' ')
+          || ' ' || array_to_string(tk[5:14], ' ')
+          || ' ' || array_to_string(list_transform(tk[15:18], t -> t || 'rr' || CAST(doc_id AS VARCHAR)), ' ') AS text
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) t
+        WHERE doc_id % 101 = 0 AND len(tk) >= 20),
+      corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM twins),
+      grams AS (
+        SELECT doc_id, i AS pos,
+          CAST(concat('0x', substring(md5(array_to_string(tk[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) t) u),
+      duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+      starts AS (
+        SELECT doc_id, list_sort(list(pos)) AS ss
+        FROM grams JOIN duph USING (h) GROUP BY doc_id)
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+        coalesce(
+          array_to_string(list_transform(kept, p -> tk[CAST(p AS BIGINT)]), ' '),
+          '') AS text_clean
+      FROM (
+        SELECT c.doc_id, tk,
+          list_filter(range(1, len(tk) + 1), i ->
+            len(list_filter(coalesce(ss, [])::BIGINT[], s -> s <= i AND i < s + 8)) = 0) AS kept
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) c
+        LEFT JOIN starts USING (doc_id)) k"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17)
+    d11, d12, d13, d14, d15, d16, d17, d18)
 }

@@ -1260,8 +1260,89 @@ object TextAnalysis {
     (s, dir) => gopherRepetition(Tables.documents(s, dir)),
     Some(t20OracleSql))
 
+  // ---------------------------------------------------------------- t21
+  /** BIGRAM LANGUAGE-MODEL PERPLEXITY SCORING (the CCNet signal — Wenzek
+    * et al. 2020, arXiv:1911.00359 §4.3 score documents by LM perplexity
+    * and filter the tail; public) — the t15 unigram lane's next order:
+    * P(w2|w1) = (c(w1,w2) + 0.5) / (c(w1) + 0.5·V) — add-½ smoothing over
+    * the corpus's OWN vocabulary V — and a document scores the mean log10
+    * of its bigram probabilities. Low-probability documents are gibberish
+    * or boilerplate-OOV; CCNet keeps the low-perplexity head.
+    *
+    * Cross-engine determinism is t15's micro-units trick one level up:
+    * each bigram's log10 P is rounded to integer MICRO-units once, so the
+    * per-doc mean is exact long arithmetic in both engines regardless of
+    * aggregation order (the same libm caveat as t15, documented there).
+    *
+    * Scale shape: bigram extraction is row-local (one transform over the
+    * token array, no self-join, no window); the model is two grouped
+    * counts with map-side combine (bigram table ~ corpus tokens, unigram
+    * table ~ vocab); scoring is one shuffle join of the corpus's bigram
+    * occurrences against the model keyed by the bigram, then a per-doc
+    * long-sum. V and the smoothing ride a broadcast scalar. Docs with
+    * fewer than 2 tokens have no bigrams: n_bigrams = 0, score NULL in
+    * both engines. */
+  private val tBigramLp = Q(
+    "t21_bigram_logprob",
+    (s, dir) => {
+      // total over any doc length (the wordNgrams lesson): zip of the two
+      // length-(n-1) slices — no index arithmetic to run past the array
+      // end under ANSI mode; 0/1-token docs zip to empty and explode away
+      val big = Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"),
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))).as("aa"),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))).as("bb"))
+        .select(col("doc_id"), explode(arrays_zip(col("aa"), col("bb"))).as("bg"))
+        .select(col("doc_id"), col("bg.aa").as("w1"), col("bg.bb").as("w2"))
+      val uni = Tables.documents(s, dir)
+        .select(explode(toks).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bigCounts = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val micro = bigCounts.join(uni, Seq("w1")).crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          round(log10((col("cb") + 0.5) / (col("cu") + col("v") * 0.5)) * 1e6)
+            .cast("long").as("lp_micro"))
+      val scored = big.join(micro, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sm"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sm").cast("double") / col("n_bigrams") / 1e6, 6)
+            .as("avg_bigram_logprob10"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_bigram_logprob10"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      big AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 1, 0) AS BIGINT) + 1)) AS i
+          FROM toks) t),
+      uni AS (
+        SELECT w1, count(*) AS cu FROM (
+          SELECT unnest(tk) AS w1 FROM toks) u GROUP BY w1),
+      micro AS (
+        SELECT b.w1, b.w2, CAST(round(log10(
+            (count(*) + 0.5) / (any_value(u.cu) + 0.5 * (SELECT count(*) FROM uni))
+          ) * 1e6) AS BIGINT) AS lp_micro
+        FROM big b JOIN uni u ON b.w1 = u.w1 GROUP BY b.w1, b.w2),
+      scored AS (
+        SELECT b.doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(m.lp_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_bigram_logprob10
+        FROM big b JOIN micro m ON b.w1 = m.w1 AND b.w2 = m.w2
+        GROUP BY b.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        s.avg_bigram_logprob10
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
-      tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep)
+      tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp)
 }

@@ -1192,6 +1192,55 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_shared_fp") >= 1L))
   }
 
+  test("d18 exact-substring removal: twins lose exactly the verbatim run, flanks survive") {
+    val out = run("d18_exact_substring_rm").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))
+      .toMap
+    // every 101st doc of >= 20 tokens gets a twin (+8e7): 4 'qq'-suffixed
+    // filler tokens, the verbatim run (source tokens 5..14), 4 'rr'-suffixed
+    // filler tokens. The run's grams are duplicated (they exist in the
+    // source); the filler grams are unique per twin (doc_id suffix), so the
+    // twin must lose EXACTLY the 10-token run and keep both flanks.
+    val sources = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 101 === 0 && size(split(col("text"), " ")) >= 20)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(sources.nonEmpty)
+    sources.foreach { case (sid, tk) =>
+      val (nTok, nRem, clean) = out(sid + 80000000L)
+      assert(nTok === 18L, s"twin of $sid must have 4+10+4 tokens")
+      assert(nRem === 10L, s"twin of $sid must lose exactly the 10-token run, lost $nRem")
+      val expected = (tk.take(4).map(t => s"${t}qq$sid") ++
+        tk.slice(14, 18).map(t => s"${t}rr$sid")).mkString(" ")
+      assert(clean === expected, s"twin of $sid must keep exactly its unique flanks")
+      // the source doc itself loses (at least) the same run — all copies go
+      assert(out(sid)._2 >= 10L, s"source $sid must lose its copy of the run too")
+    }
+    // docs shorter than the gram width pass through untouched
+    out.values.foreach { case (nTok, nRem, _) => assert(nRem <= nTok) }
+  }
+
+  test("t21 bigram logprob: one score per doc, n-1 bigrams, mass is negative") {
+    val rows = run("t21_bigram_logprob").collect()
+    val lens = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length === lens.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") === math.max(lens(id) - 1, 0).toLong)
+      if (r.getAs[Long]("n_bigrams") > 0) {
+        val lp = r.getAs[Double]("avg_bigram_logprob10")
+        // a probability is < 1 (V >= 2 makes every smoothed P < 1), so the
+        // mean log10 is strictly negative; and no smoothed P can be below
+        // 0.5 / (maxCu + 0.5 V) — loose floor of -12 catches unit slips
+        assert(lp < 0.0 && lp > -12.0, s"doc $id scored $lp")
+      }
+    }
+  }
+
   test("st11 stream decontamination: every passage source is quarantined") {
     val rows = run("st11_stream_decontaminate").collect()
     val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
