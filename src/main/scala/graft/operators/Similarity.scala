@@ -1084,6 +1084,68 @@ object Similarity {
       true AS touched_lists_bounded, true AS touched_lists_single_file,
       true AS untouched_lists_intact, true AS delete_idempotent"""))
 
+  // ---------------------------------------------------------------- s17
+  /** IVFADC+R — EXACT RE-RANKING of the ADC shortlist (Jégou/Tavenard/
+    * Douze/Amsaleg 2011, "Searching in one billion vectors: re-rank with
+    * source coding", ICASSP; public) — the serving pattern every
+    * production ANN deployment runs: the compressed index proposes a
+    * shortlist of L candidates by approximate (ADC) distance, then the
+    * ORIGINAL vectors of just those L are fetched and re-scored exactly,
+    * repairing quantization error before results leave the system.
+    *
+    * Scale shape: the shortlist is queries × L rows — broadcast — so the
+    * full-precision vector table is semi-joined WITHOUT shuffling (at
+    * 100 TB the originals never move; only Q × L of them are read), the
+    * exact distance is computed for Q × L pairs instead of Q × N, and the
+    * final rank is a window over Q × L rows. The refinement cost is
+    * independent of corpus size — exactly the paper's point.
+    *
+    * The oracle is REAL (not constant-true): DuckDB brute-forces the
+    * exact global nearest neighbor over the planted corpus. The engine's
+    * reranked top-1 must equal it, which holds because the planted twin
+    * (identical embedding ⇒ exact d² = 0, globally unique at 6 dp) shares
+    * its query's codes and list, so it attains the min ADC (the s12
+    * property) and cannot miss an L = 32 shortlist; exact re-ranking then
+    * must surface it over every quantization-error impostor. A shortlist
+    * engine that drops the true neighbor, or a rerank that scores the
+    * compressed codes instead of the originals, fails the gate. */
+  private val s17 = Q(
+    "s17_ivfadc_rerank",
+    (s, dir) => {
+      val (_, corpus) = plantedCorpus(s, dir)
+      val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+      val short = ivfpqScores(corpus, seed = 42L)
+        .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= 32)
+        .select(col("query_id"), col("vec_id"))
+      val qv = corpus.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      def d2(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b,
+          (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, dd) => acc + dd)
+      val wEx = Window.partitionBy(col("query_id")).orderBy(col("exact_d2"), col("vec_id"))
+      corpus.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("exact_d2", round(d2(col("embedding"), col("q_emb")), 6))
+        .withColumn("rk", row_number().over(wEx)).filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id").as("nn_id"), col("exact_d2").as("nn_d2"))
+    },
+    Some("""WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 3),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM corpus WHERE vec_id < 3),
+      pairs AS (
+        SELECT q.query_id, c.vec_id,
+          round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+            i -> (CAST(c.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+               * (CAST(c.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE)))), 6) AS d2
+        FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+      SELECT query_id, vec_id AS nn_id, d2 AS nn_d2 FROM (
+        SELECT query_id, vec_id, d2,
+          row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        FROM pairs) t WHERE rk = 1"""))
+
   // ---------------------------------------------------------------- s07
   /** CONTRASTIVE PAIR CONSTRUCTION — the step that turns an embedding
     * corpus into training pairs for a retriever/encoder: per query, the
@@ -1141,5 +1203,5 @@ object Similarity {
       SELECT * FROM pos UNION ALL SELECT * FROM neg"""))
 
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16)
+    s11, s12, s13, s14, s15, s16, s17)
 }

@@ -1174,6 +1174,29 @@ class OperatorsSpec extends SparkSpec {
       "d16's overlap join must broadcast the eval n-gram side")
   }
 
+  test("s17 rerank: exact refine surfaces the planted twin at distance zero, shortlist broadcasts") {
+    val rows = run("s17_ivfadc_rerank").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert(r.getAs[Long]("nn_id") === q + 1000000L,
+        s"query $q: exact rerank must surface the identical twin as top-1")
+      assert(r.getAs[Double]("nn_d2") === 0.0,
+        s"query $q: the twin's exact distance is identically zero")
+    }
+    // scale shape: the Q x L shortlist broadcasts into the full-precision
+    // vector table; the corpus side is semi-joined without a shuffle
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan0 = SparkEntry.queries("s17_ivfadc_rerank")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = (plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "s17's refine join must broadcast the shortlist side")
+  }
+
   test("d17 winnowing: planted splices guaranteed found, selection sparsifies") {
     val rows = run("d17_winnowing").collect()
     // every 89th doc of >= 15 tokens has a splice twin carrying a verbatim
