@@ -355,5 +355,58 @@ object Sketches {
       GROUP BY key
       HAVING count(*) > (SELECT count(*) / 20 FROM keyed)"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54)
+  // ---------------------------------------------------------------- q55
+  /** POINT-FREQUENCY SKETCH (count-min, Cormode/Muthukrishnan 2005) — the
+    * sketch-family member that answers "how often is THIS key" for ANY
+    * key from fixed-size state (Misra-Gries q51 only answers it for the
+    * heavies it retained). One pass folds the 4 x 256 counter matrix
+    * map-side ([[graft.functions.CountMinSketch]]); the shuffle carries
+    * 8 KB buffers, never keys; estimates are array lookups against the
+    * broadcast one-row sketch. The md5-salt row hashes make the sketch
+    * cell-for-cell reproducible in DuckDB (Spark's own count_min_sketch
+    * returns an opaque engine-private binary), so the gate compares real
+    * estimates, and `never_underestimates` is the CMS guarantee computed
+    * from both sides' numbers rather than asserted. Probe set: the
+    * deterministic custkey residue class 1 mod 149, true counts exact. */
+  private val q55 = Q(
+    "q55_count_min",
+    (s, dir) => {
+      val D = 4
+      val W = 256
+      val keys = Tables.orders(s, dir).select(col("o_custkey").cast("string").as("k"))
+      val sketch = keys.agg(
+        graft.functions.CountMin.countMinSketch(col("k"), D, W).as("cms"))
+      val probes = Tables.orders(s, dir).filter(col("o_custkey") % 149 === 1)
+        .select(col("o_custkey").cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("true_cnt"))
+      val est = (0 until D).map { j =>
+        element_at(col("cms"),
+          (lit(j * W) + pmod(graft.functions.CrossEngine.md5Hash60(col("k"), Some(j)),
+            lit(W.toLong)) + 1).cast("int"))
+      }.reduce(least(_, _))
+      probes.crossJoin(broadcast(sketch))
+        .select(col("k"), col("true_cnt"), est.as("est"),
+          (est >= col("true_cnt")).as("never_underestimates"))
+    },
+    Some("""WITH keys AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+      js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      cells AS (
+        SELECT j,
+          CAST(concat('0x', substring(md5(k || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS b,
+          count(*) AS cnt
+        FROM keys CROSS JOIN js GROUP BY 1, 2),
+      probes AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS true_cnt
+        FROM orders WHERE o_custkey % 149 = 1 GROUP BY 1),
+      est AS (
+        SELECT p.k, p.true_cnt, min(c.cnt) AS est
+        FROM probes p CROSS JOIN js
+        JOIN cells c ON c.j = js.j
+          AND c.b = CAST(concat('0x', substring(md5(p.k || '#' || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+        GROUP BY 1, 2)
+      SELECT k, CAST(true_cnt AS BIGINT) AS true_cnt, CAST(est AS BIGINT) AS est,
+        est >= true_cnt AS never_underestimates
+      FROM est"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55)
 }

@@ -843,6 +843,29 @@ class OperatorsSpec extends SparkSpec {
     assert(one.values.map(_.sum).sum === li.count())
   }
 
+  test("q55 count-min: merge == single-pass bit-identically, estimates never underestimate") {
+    import graft.functions.CountMin.countMinSketch
+    val keys = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_custkey").cast("string").as("k"))
+    def cms(df: org.apache.spark.sql.DataFrame) = df
+      .agg(countMinSketch(col("k"), 4, 256)).head().getSeq[Long](0)
+    val one = cms(keys.coalesce(1))
+    val many = cms(keys.repartition(13))
+    assert(one === many, "partition-wise merged CMS differs from single-pass")
+    // mass conservation: every row adds exactly 1 to each of the 4 rows
+    val n = keys.count()
+    (0 until 4).foreach { j =>
+      assert(one.slice(j * 256, (j + 1) * 256).sum === n,
+        s"row $j of the sketch must hold the full input mass")
+    }
+    // the gate entry's own guarantee column, across every probe
+    run("q55_count_min").collect().foreach { r =>
+      assert(r.getAs[Boolean]("never_underestimates"),
+        s"probe ${r.getAs[String]("k")}: est ${r.getAs[Long]("est")} " +
+          s"below true ${r.getAs[Long]("true_cnt")}")
+    }
+  }
+
   test("q53 error contract: upper-edge estimate within one bucket width above exact") {
     val w = 1626.5625
     val est = run("q53_quantile_sketch").collect()
