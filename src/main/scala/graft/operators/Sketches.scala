@@ -408,5 +408,102 @@ object Sketches {
         est >= true_cnt AS never_underestimates
       FROM est"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55)
+  // ---------------------------------------------------------------- q56
+  /** BLOOM-FILTER SEMI-JOIN PRUNING (Bloom 1970; the runtime-filter
+    * pattern Spark itself injects as `InjectRuntimeFilter`/
+    * `bloom_filter_agg`, but with an engine-private sketch) — build an
+    * 8 KB bitmap over the SELECTIVE dim-side keys (BUILDING-segment
+    * customers), broadcast it, and pre-filter the fact table BEFORE the
+    * join. At 100 TB this is the difference between shuffling every fact
+    * row and shuffling only candidate matches: the bitmap rides the
+    * broadcast lane (8 KB, m=65536 bits, 4 md5-salted hashes — the q55
+    * salt scheme), membership is 4 O(1) word probes per row, and no
+    * false negatives means the downstream exact join loses nothing.
+    *
+    * Why not Spark's own `bloom_filter_agg`: its serialized layout is
+    * engine-private (like `count_min_sketch`, q55), so the gate could
+    * never see inside it. The md5-derived bitmap is cell-for-cell
+    * reproducible in DuckDB, so the oracle recomputes the EXACT pass
+    * set — the false-positive count is compared as a hard number, not a
+    * probabilistic bound.
+    *
+    * The sketch row is built in two bounded aggregations (positions →
+    * per-word `bit_or`, ≤1024 rows → one dense long[1024]); the probe is
+    * `element_at(word) & (1<<bit)` per salt — array index, not a scan.
+    * Output is one row of exact counts: fact size, bloom-pass count,
+    * true semi-join count, true matches that passed (no-false-negative
+    * proof as data), and the false-positive count. */
+  private val q56 = Q(
+    "q56_bloom_semijoin",
+    (s, dir) => {
+      val m = 65536L // bits; 1024 longs = 8 KB
+      val kH = 4
+      def posCol(key: Column, j: Int): Column =
+        pmod(graft.functions.CrossEngine.md5Hash60(key.cast("string"), Some(j)), lit(m))
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      // build: key -> kH positions -> per-word OR of set bits -> dense bitmap
+      val words = dim
+        .select(explode(array((0 until kH).map(j => posCol(col("k"), j)): _*)).as("pos"))
+        .select((col("pos") / 64).cast("long").as("w"),
+          expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+        .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
+      val sketch = words
+        .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
+        .select(transform(sequence(lit(0L), lit(m / 64 - 1)),
+          w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+      def hits(key: Column): Column = (0 until kH).map { j =>
+        val p = posCol(key, j)
+        when((element_at(col("bloom"), ((p / 64).cast("long") + 1).cast("int"))
+          .bitwiseAND(expr(s"shiftleft(1L, cast(pmod(" +
+            s"conv(substring(md5(concat(cast(o_custkey as string), '#$j')), 1, 15), 16, 10) % $m" +
+            s", 64) as int))"))) =!= 0, 1).otherwise(0)
+      }.reduce(_ + _)
+      val fact = Tables.orders(s, dir).select(col("o_custkey"))
+      val probed = fact.crossJoin(broadcast(sketch))
+        .withColumn("bloom_pass", hits(col("o_custkey")) === kH)
+        .withColumn("is_true", col("o_custkey").isin() || lit(false)) // placeholder, replaced below
+      val withTruth = fact.crossJoin(broadcast(sketch))
+        .withColumn("bloom_pass", hits(col("o_custkey")) === kH)
+        .join(broadcast(dim.withColumn("is_true", lit(true))),
+          col("o_custkey") === col("k"), "left")
+        .withColumn("is_true", coalesce(col("is_true"), lit(false)))
+      withTruth.agg(
+        count(lit(1)).as("n_fact"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("is_true") && col("bloom_pass"), 1L).otherwise(0L)).as("n_true_pass"),
+        sum(when(col("bloom_pass") && !col("is_true"), 1L).otherwise(0L)).as("n_false_pos"))
+        .withColumn("no_false_negatives", col("n_true_pass") === col("n_true"))
+    },
+    Some("""WITH dim AS (
+        SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      bits AS (
+        SELECT DISTINCT
+          CAST(concat('0x', substring(md5(CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS pos
+        FROM dim CROSS JOIN js),
+      probe AS (
+        SELECT o_custkey,
+          CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS pos
+        FROM orders CROSS JOIN js),
+      passed AS (
+        SELECT o_custkey, count(*) - count(b.pos) AS n_miss
+        FROM (SELECT row_number() OVER () AS rid, o_custkey, pos FROM probe) p
+        LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY rid, o_custkey),
+      flags AS (
+        SELECT p.o_custkey, p.n_miss = 0 AS bloom_pass,
+          EXISTS (SELECT 1 FROM dim d WHERE d.k = p.o_custkey) AS is_true
+        FROM passed p)
+      SELECT CAST(count(*) AS BIGINT) AS n_fact,
+        CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        CAST(sum(CASE WHEN is_true AND bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pass,
+        CAST(sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+        sum(CASE WHEN is_true AND bloom_pass THEN 1 ELSE 0 END) = sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS no_false_negatives
+      FROM flags"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56)
 }
