@@ -16,18 +16,32 @@ object Tables {
     normalizeNanos(df)
   }
 
-  /** The driver's `events` parquet stores TIMESTAMP(NANOS), which Spark only
-    * reads as LongType under `spark.sql.legacy.parquet.nanosAsLong` (set in
-    * our session builders). Convert any such column back to a (microsecond)
-    * timestamp — the test data carries no sub-microsecond components.
+  /** Timestamp-LAYOUT normalizer for `events.ts` — the driver has shipped
+    * the column in two physical layouts across testdata generations, and
+    * every engine path (batch windows, watermarked streams, oracles) needs
+    * one canonical `TimestampType`:
+    *
+    *  - TIMESTAMP(NANOS): Spark only reads it as LongType under
+    *    `spark.sql.legacy.parquet.nanosAsLong` (set in [[graft.GraftSession]]);
+    *    converted back to a microsecond timestamp (the corpus carries no
+    *    sub-microsecond components).
+    *  - `timestamp[us]` with no timezone: Spark reads TIMESTAMP_NTZ, which
+    *    `withWatermark` REJECTS at analysis (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    *    TYPE`) even though batch windows tolerate it. Cast to TimestampType —
+    *    the session timezone is pinned to UTC (GraftSession contract), so the
+    *    wall-clock values are preserved bit-for-bit.
     */
   def normalizeNanos(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    import org.apache.spark.sql.types.LongType
-    // the only nanos column in the corpus is events.ts
-    if (df.columns.contains("ts") && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
-    else df
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
