@@ -453,17 +453,18 @@ object Sketches {
         .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("wm"))
         .select(transform(sequence(lit(0L), lit(m / 64 - 1)),
           w => coalesce(element_at(col("wm"), w), lit(0L))).as("bloom"))
+      // Probe: both the word index AND the bit mask derive from the ONE
+      // exact `posCol` position (md5Hash60, string->long — never a double).
+      // An earlier revision re-derived the bit through a raw-SQL
+      // `conv(..) % m` whose string operand coerced to DOUBLE, silently
+      // dropping low bits of the 60-bit hash (hash-RED in r8's gate).
       def hits(key: Column): Column = (0 until kH).map { j =>
         val p = posCol(key, j)
         when((element_at(col("bloom"), ((p / 64).cast("long") + 1).cast("int"))
-          .bitwiseAND(expr(s"shiftleft(1L, cast(pmod(" +
-            s"conv(substring(md5(concat(cast(o_custkey as string), '#$j')), 1, 15), 16, 10) % $m" +
-            s", 64) as int))"))) =!= 0, 1).otherwise(0)
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            pmod(p, lit(64L)).cast("int")))) =!= 0, 1).otherwise(0)
       }.reduce(_ + _)
       val fact = Tables.orders(s, dir).select(col("o_custkey"))
-      val probed = fact.crossJoin(broadcast(sketch))
-        .withColumn("bloom_pass", hits(col("o_custkey")) === kH)
-        .withColumn("is_true", col("o_custkey").isin() || lit(false)) // placeholder, replaced below
       val withTruth = fact.crossJoin(broadcast(sketch))
         .withColumn("bloom_pass", hits(col("o_custkey")) === kH)
         .join(broadcast(dim.withColumn("is_true", lit(true))),
@@ -485,14 +486,15 @@ object Sketches {
           CAST(concat('0x', substring(md5(CAST(k AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS pos
         FROM dim CROSS JOIN js),
       probe AS (
-        SELECT o_custkey,
-          CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS pos
-        FROM orders CROSS JOIN js),
+        SELECT o.rid, o.o_custkey,
+          CAST(concat('0x', substring(md5(CAST(o.o_custkey AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS pos
+        FROM (SELECT row_number() OVER () AS rid, o_custkey FROM orders) o
+        CROSS JOIN js),
       passed AS (
         SELECT o_custkey, count(*) - count(b.pos) AS n_miss
-        FROM (SELECT row_number() OVER () AS rid, o_custkey, pos FROM probe) p
+        FROM probe p
         LEFT JOIN bits b ON p.pos = b.pos
-        GROUP BY rid, o_custkey),
+        GROUP BY p.rid, p.o_custkey),
       flags AS (
         SELECT p.o_custkey, p.n_miss = 0 AS bloom_pass,
           EXISTS (SELECT 1 FROM dim d WHERE d.k = p.o_custkey) AS is_true

@@ -866,6 +866,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q56 bloom semi-join: zero false negatives, exact false-positive count vs a JVM-recomputed bitmap") {
+    // recompute the 8 KB bitmap on the driver via the documented md5Hash60
+    // contract (md5 of "<key>#<salt>", first 15 hex chars -> long, mod m) —
+    // the JVM digest of the same bytes must land on the same bits as both
+    // the Spark build side and the DuckDB oracle
+    def h(s: String, j: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$s#$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 65536L).toInt
+    }
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val bits = new java.util.BitSet(65536)
+    for (k <- dim; j <- 0 until 4) bits.set(h(k.toString, j))
+    val facts = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey").collect().map(_.getLong(0))
+    def passes(k: Long) = (0 until 4).forall(j => bits.get(h(k.toString, j)))
+    val nPass = facts.count(passes).toLong
+    val nTrue = facts.count(dim.contains).toLong
+    val row = run("q56_bloom_semijoin").head()
+    assert(row.getAs[Long]("n_fact") === facts.length.toLong)
+    assert(row.getAs[Long]("n_pass") === nPass,
+      "probe bit indices disagree with the recomputed bitmap (the r8 double-precision bug class)")
+    assert(row.getAs[Long]("n_true") === nTrue)
+    // a bloom filter CANNOT miss a built key: every true member must pass
+    assert(row.getAs[Long]("n_true_pass") === nTrue)
+    assert(row.getAs[Boolean]("no_false_negatives"))
+    assert(row.getAs[Long]("n_false_pos") === nPass - nTrue)
+  }
+
   test("q53 error contract: upper-edge estimate within one bucket width above exact") {
     val w = 1626.5625
     val est = run("q53_quantile_sketch").collect()
