@@ -1389,16 +1389,38 @@ object Dedup {
     val starts = grams.join(dupH, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("ss"))
+    // Coverage complement in O(len + k) per document, k = |ss|: `ss` is
+    // strictly increasing (distinct positions per doc), and a position p is
+    // UNcovered iff it falls strictly between the coverage of consecutive
+    // starts — p in [s_j + w, s_{j+1} - 1] for the unique j with
+    // s_j <= p < s_{j+1} (earlier starts reach at most s_j + w - 1), or in
+    // the head gap [1, s_1 - 1] / tail gap [s_last + w, len]. zip_with
+    // pairs each start with its successor (null-padded at the end = tail),
+    // so the kept positions materialize as a flatten of guarded sequences —
+    // no per-token scan of `ss` (the previous HOF was O(len * k): a
+    // 100k-token boilerplate-heavy doc did 10^10 comparisons in one task)
+    // and no array-append accumulator (aggregate() copies its buffer per
+    // element — O(k^2) for interval merging).
     docs.select(col("doc_id"), toks.as("tk"))
       .join(starts, Seq("doc_id"), "left")
       .withColumn("ss", coalesce(col("ss"), expr("array()")))
-      .withColumn("kept", expr(
-        "filter(transform(sequence(1, size(tk)), i -> struct(i AS i, element_at(tk, i) AS t)), " +
-          s"p -> size(filter(ss, s -> s <= p.i AND p.i < s + $w)) = 0)"))
+      .withColumn("kept", expr(s"""
+        CASE WHEN size(ss) = 0 THEN sequence(1, greatest(size(tk), 1))
+        ELSE concat(
+          IF(element_at(ss, 1) > 1, sequence(1, element_at(ss, 1) - 1), array()),
+          flatten(zip_with(ss, slice(ss, 2, size(ss)), (a, b) -> CASE
+            WHEN b IS NULL THEN
+              IF(a + $w <= size(tk), sequence(a + $w, size(tk)), array())
+            WHEN a + $w <= b - 1 THEN sequence(a + $w, b - 1)
+            ELSE array() END)))
+        END"""))
+      // the size(tk)=0 guard above: sequence(1, 0) would DESCEND in Spark;
+      // an empty doc has no starts and must keep zero tokens
+      .withColumn("kept", expr("IF(size(tk) = 0, array(), kept)"))
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_tokens"),
         (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"),
-        concat_ws(" ", expr("transform(kept, p -> p.t)")).as("text_clean"))
+        concat_ws(" ", expr("transform(kept, i -> element_at(tk, i))")).as("text_clean"))
   }
 
   /** d18 gate entry. Planted: every 101st doc of ≥ 20 tokens gets a twin
