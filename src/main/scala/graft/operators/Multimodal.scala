@@ -646,12 +646,21 @@ object Multimodal {
 
   private[graft] def audioFingerprintsOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
-    val n = 240
-    val rate = 8000f
-    idsDf.as[Long]
+    audioFpRows(idsDf.as[Long]
       .flatMap(id =>
         if (id % 41 == 0) Seq((id, id, false), (id + 90000000L, id, true))
-        else Seq((id, id, false)))
+        else Seq((id, id, false))))
+  }
+
+  /** The row-local fingerprint core of m08 on pre-planted (out_id, src,
+    * perturbed) rows — stateless, so it runs unchanged on a streaming
+    * frame (st14), the imageDHashRows factoring. */
+  private[graft] def audioFpRows(
+      rows0: org.apache.spark.sql.Dataset[(Long, Long, Boolean)]): DataFrame = {
+    import rows0.sparkSession.implicits._
+    val n = 240
+    val rate = 8000f
+    rows0
       .mapPartitions { rows =>
         val fmt = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,

@@ -781,6 +781,133 @@ object EventsStreaming {
       FROM cand c JOIN dh x ON c.doc_a = x.doc_id JOIN dh y ON c.doc_b = y.doc_id
       WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 2"""))
 
+  /** STREAMING AUDIO INGEST NEAR-DUP — st13's admission-filter shape for
+    * the audio modality: clips ARRIVE as a stream and are checked against
+    * the persisted corpus fingerprint table before admission. The static
+    * side is the corpus's Haitsma-Kalker envelope fingerprint table (one
+    * 64-bit row per clip — the persisted artifact a real audio ingest
+    * keeps); arriving clips are WAV-encoded/decoded and fingerprinted
+    * INSIDE the stream by the exact m08 core
+    * ([[graft.operators.Multimodal.audioFpRows]] is row-local and
+    * stateless, so it runs on a streaming frame unchanged), banded into
+    * 4x16-bit Hamming bands statelessly, joined to the static banded
+    * corpus, and verified inline by bit_count(xor). Zero streaming state —
+    * no watermark, no store; per-batch cost is O(batch) codec work plus
+    * the band equi-join. Arrivals are the 1-in-10 slice re-uploaded as
+    * one-sample-perturbed copies (+9e7 ids): the perturbation moves only
+    * window 0's energy, so only bit 0 can flip — every arrival is within
+    * Hamming 1 of its source in the 1-in-5 corpus slice, recall is
+    * structural, and the oracle recomputes both sides' fingerprints from
+    * the md5-cubic generator formula (PCM is lossless, decode == formula). */
+  private val st14 = Q(
+    "st14_stream_audio_ingest",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val sinkTable = "st14_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st14_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+      def banded(fp: DataFrame): DataFrame = fp.select(
+          col("doc_id"), col("dhash_hi"), col("dhash_lo"), explode(array(
+            struct(lit(0).as("band"), pmod(col("dhash_lo"), lit(65536L)).as("bucket")),
+            struct(lit(1).as("band"), expr("dhash_lo div 65536").as("bucket")),
+            struct(lit(2).as("band"), pmod(col("dhash_hi"), lit(65536L)).as("bucket")),
+            struct(lit(3).as("band"), expr("dhash_hi div 65536").as("bucket")))).as("bb"))
+        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+      // static corpus fingerprint table: originals of the 1-in-5 slice
+      val corpusFp = Multimodal.audioFpRows(
+          Tables.documents(s, dir)
+            .filter(col("doc_id") % 5 === 0)
+            .select(graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 90000000L, "st14").as("doc_id"))
+            .as[Long].map(id => (id, id, false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusBanded = banded(corpusFp)
+        .select(col("doc_id").as("doc_a"), col("dhash_hi").as("hi_a"),
+          col("dhash_lo").as("lo_a"), col("band"), col("bucket"))
+
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      // arriving: perturbed re-uploads of the 1-in-10 slice, fingerprinted
+      // inside the stream by the shared m08 core
+      val streamBanded = banded(Multimodal.audioFpRows(
+          raw.filter(col("doc_id") % 10 === 0)
+            .select(graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 90000000L, "st14-stream").as("doc_id"))
+            .as[Long].map(id => (id + 90000000L, id, true))))
+        .select(col("doc_id").as("doc_b"), col("dhash_hi").as("hi_b"),
+          col("dhash_lo").as("lo_b"), col("band"), col("bucket"))
+
+      val joined = streamBanded.join(corpusBanded, Seq("band", "bucket"))
+        .withColumn("hamming",
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      val query = joined.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      corpusFp.unpersist(false)
+      // a pair surfaces once per co-bucketed band: dedup at drain
+      drainSink(s, s.table(sinkTable).distinct(), sinkTable, srcDir)
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents),
+      twins AS (
+        SELECT doc_id, doc_id AS src, false AS pert FROM ids WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 90000000, doc_id, true FROM ids WHERE doc_id % 10 = 0),
+      hx AS (SELECT doc_id, pert, md5(CAST(src AS VARCHAR)) AS h FROM twins),
+      sx AS (
+        SELECT doc_id, pert,
+          CAST(concat('0x', substring(h, 1, 4)) AS BIGINT) AS s0,
+          CAST(concat('0x', substring(h, 5, 4)) AS BIGINT) AS s1,
+          CAST(concat('0x', substring(h, 9, 4)) AS BIGINT) AS s2,
+          CAST(concat('0x', substring(h, 13, 4)) AS BIGINT) AS s3
+        FROM hx),
+      gw AS (
+        SELECT doc_id, pert, ws.w,
+          (s0 + s1 * ws.w + s2 * ws.w * ws.w
+           + s3 * ws.w * ws.w * ws.w) % 32768 AS g
+        FROM sx CROSS JOIN (SELECT unnest(range(0, 65)) AS w) ws),
+      win AS (
+        SELECT doc_id, w,
+          3 * g + CASE WHEN pert AND w = 0 THEN
+            (CASE WHEN g = 32767 THEN -1 ELSE 1 END) ELSE 0 END AS e
+        FROM gw),
+      bits AS (
+        SELECT a.doc_id, a.w AS k, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        FROM win a JOIN win b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        WHERE a.w < 64),
+      fp AS (
+        SELECT doc_id,
+          sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS lo,
+          sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, 0 AS band, lo % 65536 AS bucket FROM fp
+        UNION ALL SELECT doc_id, 1, lo // 65536 FROM fp
+        UNION ALL SELECT doc_id, 2, hi % 65536 FROM fp
+        UNION ALL SELECT doc_id, 3, hi // 65536 FROM fp),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < 90000000 AND b.doc_id >= 90000000)
+      SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+      FROM cand c JOIN fp x ON c.doc_a = x.doc_id JOIN fp y ON c.doc_b = y.doc_id
+      WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 2"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13)
+    st10, st11, st12, st13, st14)
 }

@@ -577,6 +577,24 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 2L))
   }
 
+  test("st14 streaming audio ingest: every perturbed arrival pairs with its source") {
+    val rows = run("st14_stream_audio_ingest").collect()
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val arrivals = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(arrivals.nonEmpty)
+    // the arrival perturbs ONE sample of its corpus source, which moves
+    // only window 0's energy, so only fingerprint bit 0 can flip: the
+    // re-upload sits within Hamming 1 and >= 3 of 4 bands co-bucket —
+    // recall is structural, the ingest filter can never wave it through
+    arrivals.foreach { id =>
+      assert(found.contains((id, id + 90000000L)),
+        s"arrival ${id + 90000000L} must pair with its corpus source $id")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 2L))
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
