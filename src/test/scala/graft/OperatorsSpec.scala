@@ -595,6 +595,19 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 2L))
   }
 
+  test("m11 cross-codec dHash: JPEG q90 re-encode survives within Hamming 2, twins pair") {
+    val row = run("m11_jpeg_crosscodec").head()
+    assert(row.getAs[Long]("n_assets") > 0)
+    assert(row.getAs[Long]("n_twins") > 0, "the 1-in-29 twin slice must be non-empty")
+    // the published perceptual-hash claim, on REAL lossy bytes: hashing the
+    // decoded JPEG must land within the band-join pairing bound of the
+    // PNG-master hash for EVERY asset...
+    assert(row.getAs[Boolean]("all_jpeg_hamming_le2"))
+    // ...and a perturbed re-upload hashed from JPEG still pairs with its
+    // PNG-hashed corpus source (the cross-codec re-upload catch)
+    assert(row.getAs[Boolean]("all_twins_pair_cross_codec"))
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
