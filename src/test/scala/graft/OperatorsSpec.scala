@@ -1282,6 +1282,26 @@ class OperatorsSpec extends SparkSpec {
       "s17's refine join must broadcast the shortlist side")
   }
 
+  test("s18 codebook retrain: twins survive the generation swap, migration is incremental") {
+    val row = run("s18_ivfpq_codebook_retrain").head()
+    // the retrain must actually change the model, and the half-migrated
+    // serve must genuinely mix generations across the probe queries' own
+    // lists — otherwise the mid-transition booleans prove nothing
+    assert(row.getAs[Boolean]("retrained_books_differ"))
+    assert(row.getAs[Boolean]("mixed_generations_served"))
+    // the planted twin shares its query's list and codes under ANY
+    // codebooks, so it ties the min ADC both MID-transition (each list
+    // scored under its own generation's LUT) and after the full swap
+    Seq("mid_all_queries_scored", "mid_twins_are_candidates",
+      "mid_twins_attain_min_adc", "final_all_queries_scored",
+      "final_twins_are_candidates", "final_twins_attain_min_adc")
+      .foreach(c => assert(row.getAs[Boolean](c), s"$c must hold"))
+    // s15-pattern file invariants: staged+swapped lists end single-file,
+    // not-yet-migrated lists keep their original files byte-for-byte
+    assert(row.getAs[Boolean]("migrated_lists_single_file"))
+    assert(row.getAs[Boolean]("pending_lists_intact"))
+  }
+
   test("d17 winnowing: planted splices guaranteed found, selection sparsifies") {
     val rows = run("d17_winnowing").collect()
     // every 89th doc of >= 15 tokens has a splice twin carrying a verbatim
