@@ -795,11 +795,21 @@ object Multimodal {
 
   private[graft] def videoFrameHashesOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
-    val nFrames = 4
-    idsDf.as[Long]
+    videoFrameRows(idsDf.as[Long]
       .flatMap(id =>
         if (id % 43 == 0) Seq((id, id, false), (id + 70000000L, id, true))
-        else Seq((id, id, false)))
+        else Seq((id, id, false))))
+  }
+
+  /** The row-local container-parse + per-frame hash core of m09 on
+    * pre-planted (out_id, src, perturbed) rows — stateless, so it runs
+    * unchanged on a streaming frame (st15), the imageDHashRows/audioFpRows
+    * factoring. */
+  private[graft] def videoFrameRows(
+      rows0: org.apache.spark.sql.Dataset[(Long, Long, Boolean)]): DataFrame = {
+    import rows0.sparkSession.implicits._
+    val nFrames = 4
+    rows0
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (outId, src, pert) =>

@@ -908,6 +908,133 @@ object EventsStreaming {
       FROM cand c JOIN fp x ON c.doc_a = x.doc_id JOIN fp y ON c.doc_b = y.doc_id
       WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 2"""))
 
+  /** STREAMING VIDEO INGEST NEAR-DUP — the third modality of the
+    * st13/st14 admission-filter family: videos ARRIVE as a stream, each
+    * container is genuinely parsed and its frames ImageIO-decoded and
+    * dHashed INSIDE the stream by the exact m09 core
+    * ([[graft.operators.Multimodal.videoFrameRows]] — row-local,
+    * stateless), then matched positionally against the persisted corpus
+    * frame-hash table (one row per frame — the artifact a real video
+    * ingest keeps). Unlike st13/st14, the video-level verdict is an
+    * AGGREGATE — two videos pair when >= 3 of 4 frame positions carry the
+    * same hash — so this lane exercises the streaming shape the image/
+    * audio lanes don't: a stream-static equi-join feeding a streaming
+    * AGGREGATION (complete mode; the running (arrival, corpus-video)
+    * shared-frame counts ARE the operator's state, bounded by matched
+    * pairs, not by the corpus). Arrivals are the 1-in-10 slice re-uploaded
+    * with the frame-0 one-pixel edit (+7e7 ids): frames 1-3 stay
+    * bit-identical, so every arrival shares >= 3 of 4 frame hashes with
+    * its corpus source structurally; the oracle recomputes both sides'
+    * frame hashes from the generator formula (PNG lossless). */
+  private val st15 = Q(
+    "st15_stream_video_ingest",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Multimodal
+      import s.implicits._
+      val sinkTable = "st15_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st15_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+      // static corpus frame-hash table: originals of the 1-in-5 slice
+      val corpusFrames = Multimodal.videoFrameRows(
+          Tables.documents(s, dir)
+            .filter(col("doc_id") % 5 === 0)
+            .select(graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 70000000L, "st15").as("doc_id"))
+            .as[Long].map(id => (id, id, false)))
+        .select(col("doc_id").as("doc_a"), col("frame_no"),
+          col("dhash_hi"), col("dhash_lo"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      corpusFrames.count() // materialize before the stream starts
+
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      // arriving: frame-0-edited re-uploads of the 1-in-10 slice, parsed,
+      // decoded and hashed inside the stream by the shared m09 core
+      val streamFrames = Multimodal.videoFrameRows(
+          raw.filter(col("doc_id") % 10 === 0)
+            .select(graft.functions.CrossEngine.guardedId(
+              col("doc_id"), 70000000L, "st15-stream").as("doc_id"))
+            .as[Long].map(id => (id + 70000000L, id, true)))
+        .select(col("doc_id").as("doc_b"), col("frame_no"),
+          col("dhash_hi"), col("dhash_lo"))
+      // positional frame match -> running shared-frame counts (the
+      // streaming state IS the verdict aggregate, bounded by matched pairs)
+      val counted = streamFrames
+        .join(corpusFrames, Seq("frame_no", "dhash_hi", "dhash_lo"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+      val query = counted.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      corpusFrames.unpersist(false)
+      drainSink(s, s.table(sinkTable).filter(col("n_shared_frames") >= 3),
+        sinkTable, srcDir)
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents),
+      twins AS (
+        SELECT doc_id, doc_id AS src, false AS pert FROM ids WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 70000000, doc_id, true FROM ids WHERE doc_id % 10 = 0),
+      co AS (
+        SELECT doc_id, src, pert,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 1, 2)) AS BIGINT) AS c0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 3, 2)) AS BIGINT) AS c1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 5, 2)) AS BIGINT) AS c2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 7, 2)) AS BIGINT) AS c3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 9, 2)) AS BIGINT) AS c4,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 11, 2)) AS BIGINT) AS c5,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 13, 2)) AS BIGINT) AS d0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 15, 2)) AS BIGINT) AS d1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 17, 2)) AS BIGINT) AS d2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 19, 2)) AS BIGINT) AS d3,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 21, 2)) AS BIGINT) AS e0,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 23, 2)) AS BIGINT) AS e1,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 25, 2)) AS BIGINT) AS e2,
+          CAST(concat('0x', substring(md5(CAST(src AS VARCHAR)), 27, 2)) AS BIGINT) AS e3
+        FROM twins),
+      grid AS (
+        SELECT c.*, ff.f, ii.i, jj.j,
+          (ii.i * 32) // 9 AS sx, (jj.j * 16) // 8 AS sy
+        FROM co c
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS f) ff
+        CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+      gray AS (
+        SELECT doc_id, f, i, j,
+          (((c0 + 17 * f + c1 * sx + c2 * sy + c3 * (sx * sy // 8)
+             + c4 * (sx * sx // 8) + c5 * (sy * sy // 8)
+             + CASE WHEN pert AND f = 0 AND sx = 0 AND sy = 0 THEN 1 ELSE 0 END) % 256)
+           + ((d0 + 17 * f + d1 * sx + d2 * sy + d3 * (sx * sy // 8)
+               + e0 * (sx * sx // 8)) % 256)
+           + ((e1 + 17 * f + e2 * sx + e3 * sy + c0 * (sx * sy // 8)
+               + d0 * (sy * sy // 8)) % 256)) // 3 AS g
+        FROM grid),
+      bits AS (
+        SELECT a.doc_id, a.f, a.j, a.i, CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      fh AS (
+        SELECT doc_id, f,
+          sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS lo,
+          sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id, f)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(count(*) AS BIGINT) AS n_shared_frames
+      FROM fh a JOIN fh b
+        ON a.f = b.f AND a.lo = b.lo AND a.hi = b.hi
+      WHERE a.doc_id < 70000000 AND b.doc_id >= 70000000
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 3"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14)
+    st10, st11, st12, st13, st14, st15)
 }

@@ -608,6 +608,23 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("all_twins_pair_cross_codec"))
   }
 
+  test("st15 streaming video ingest: every frame-0-edited arrival pairs with its source") {
+    val rows = run("st15_stream_video_ingest").collect()
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val arrivals = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(arrivals.nonEmpty)
+    // the arrival's frame 0 carries the one-pixel edit; frames 1-3 are
+    // bit-identical to the corpus source, so >= 3 of 4 positions match
+    // structurally — the streaming aggregate must count them
+    arrivals.foreach { id =>
+      assert(found.contains((id, id + 70000000L)),
+        s"arrival ${id + 70000000L} must share >= 3 frame hashes with its source $id")
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_shared_frames") >= 3L))
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
