@@ -1226,7 +1226,7 @@ object Similarity {
 
   /** List-level generation manifest (list_id, gen) — KB-scale metadata the
     * mixed-generation scorer broadcasts; rewritten at each transition step. */
-  private def writeGenManifest(s: SparkSession, path: String,
+  private[graft] def writeGenManifest(s: SparkSession, path: String,
       gens: Map[Int, Int]): Unit = {
     import s.implicits._
     gens.toSeq.toDF("list_id", "gen").coalesce(1)

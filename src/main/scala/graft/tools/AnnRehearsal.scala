@@ -147,6 +147,81 @@ object AnnRehearsal {
       println(s"[ann-scale] after append: old twins ${twins2.getLong(1)}/${twins2.getLong(0)}, " +
         s"new twins ${twins2.getLong(2)}/${twins2.getLong(0)} attain min ADC")
       served2.unpersist(false)
+
+      // s18's scale claim measured: CODEBOOK RETRAIN + INCREMENTAL
+      // RE-ENCODE. A real re-encode reads the originals back from the
+      // vector store; here the store is the deterministic synthesis —
+      // rebuilt with the EXACT same range partitioning as the indexed
+      // frames (seeded randn draws depend on partition boundaries, and a
+      // vector that re-synthesizes differently would re-encode into a
+      // DIFFERENT list and break the per-list swap).
+      val source = {
+        def synth(lo: Long, hi: Long, parts: Int) = {
+          val base = spark.range(lo, hi, 1, parts)
+            .withColumn("cl", pmod(xxhash64(col("id")), lit(16)))
+          val feats = (0 until d).map(j =>
+            (randn(seed = 300 + j) * 0.3
+              + col("cl") * lit(math.sin(j * 2.3))).cast("float"))
+          base.select(col("id").as("vec_id"), array(feats: _*).as("embedding"))
+        }
+        val m = synth(0, n, 32)
+          .unionByName(synth(n, n + batchN, 8))
+          .unionByName(queries.select((col("vec_id") + 1000000000L).as("vec_id"),
+            col("embedding")))
+          .unionByName(queries.select((col("vec_id") + 2000000000L).as("vec_id"),
+            col("embedding")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()
+        m
+      }
+      val model2 = timed("retrain gen-2 books (hash-bottom-k sample)") {
+        graft.operators.Similarity.IvfPqModel(model.coarse,
+          graft.operators.Similarity.ivfpqRetrainedBooks(source, model.coarse))
+      }
+      graft.operators.Similarity.writeGenManifest(spark, out,
+        (0 until nLists).map(_ -> 1).toMap)
+      // one maintenance-window step: 4 of nLists lists migrate (staged +
+      // swapped); cost must track the MIGRATED lists, not the index
+      val step1 = (0 until nLists by nLists / 4).take(4)
+      timed(s"re-encode ${step1.size} of $nLists lists (gen-2)") {
+        graft.operators.Similarity.ivfpqReencodeLists(spark, out, source, model2, step1)
+      }
+      graft.operators.Similarity.writeGenManifest(spark, out,
+        (0 until nLists).map(l => l -> (if (step1.contains(l)) 2 else 1)).toMap)
+      val servedMid = timed("probe MID-migration (mixed generations)") {
+        graft.operators.Similarity.ivfpqServeMixed(spark, out, queries, nProbe = 2,
+          Map(1 -> model, 2 -> model2))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      def twinReport(srv: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val t = srv.filter(col("own_list"))
+          .groupBy(col("query_id"))
+          .agg(min(col("adc")).as("min_adc"),
+            min(when(col("vec_id") === col("query_id") + 1000000000L, col("adc")))
+              .as("twin_adc"))
+          .agg(count(lit(1)).as("q"),
+            sum(when(col("twin_adc") <= col("min_adc") + 1e-9, 1).otherwise(0))
+              .as("at_min"))
+          .head()
+        println(s"[ann-scale] $label: twins ${t.getLong(1)}/${t.getLong(0)} attain min ADC")
+      }
+      twinReport(servedMid, "mid-migration")
+      servedMid.unpersist(false)
+      // finish the migration: the remaining lists in one pass
+      val rest = (0 until nLists).filterNot(step1.contains)
+      timed(s"re-encode remaining ${rest.size} lists (gen-2)") {
+        graft.operators.Similarity.ivfpqReencodeLists(spark, out, source, model2, rest)
+      }
+      graft.operators.Similarity.writeGenManifest(spark, out,
+        (0 until nLists).map(_ -> 2).toMap)
+      val servedFin = timed("probe after full migration (gen-2 only)") {
+        graft.operators.Similarity.ivfpqServeMixed(spark, out, queries, nProbe = 2,
+          Map(2 -> model2))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      twinReport(servedFin, "post-migration")
+      servedFin.unpersist(false)
+      source.unpersist(false)
     } finally {
       graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
     }
