@@ -499,6 +499,20 @@ object Multimodal {
       }.toDF()
   }
 
+  /** The 4×16-bit Hamming banding of a (doc_id, dhash_hi, dhash_lo) hash
+    * table, hash halves carried through — the stateless band shape shared
+    * by the streaming ingest lanes (st13/st14) and their rehearsal; the
+    * batch pair generator ([[bitHashNeardupPairs]]) bands the same way but
+    * drops the halves before its capped join. */
+  private[graft] def bandedHalves(dh: DataFrame): DataFrame = dh.select(
+      col("doc_id"), col("dhash_hi"), col("dhash_lo"), explode(array(
+        struct(lit(0).as("band"), pmod(col("dhash_lo"), lit(65536L)).as("bucket")),
+        struct(lit(1).as("band"), expr("dhash_lo div 65536").as("bucket")),
+        struct(lit(2).as("band"), pmod(col("dhash_hi"), lit(65536L)).as("bucket")),
+        struct(lit(3).as("band"), expr("dhash_hi div 65536").as("bucket")))).as("bb"))
+    .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+      col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
   /** 64-BIT PERCEPTUAL-HASH NEAR-DUP (VERDICT r7 missing #1 — LAION-style
     * multimodal curation; shared by the m07 image-dHash and m08
     * audio-fingerprint lanes, which both emit (doc_id, hi, lo) 32-bit

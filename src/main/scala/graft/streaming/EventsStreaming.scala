@@ -667,14 +667,7 @@ object EventsStreaming {
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$dir/documents.parquet"))
 
-      def banded(dh: DataFrame): DataFrame = dh.select(
-          col("doc_id"), col("dhash_hi"), col("dhash_lo"), explode(array(
-            struct(lit(0).as("band"), pmod(col("dhash_lo"), lit(65536L)).as("bucket")),
-            struct(lit(1).as("band"), expr("dhash_lo div 65536").as("bucket")),
-            struct(lit(2).as("band"), pmod(col("dhash_hi"), lit(65536L)).as("bucket")),
-            struct(lit(3).as("band"), expr("dhash_hi div 65536").as("bucket")))).as("bb"))
-        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      def banded(dh: DataFrame): DataFrame = Multimodal.bandedHalves(dh)
 
       // static corpus hash table: originals of the 1-in-5 slice
       val corpusHashes = Multimodal.imageDHashRows(
@@ -809,14 +802,7 @@ object EventsStreaming {
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
         java.nio.file.Paths.get(s"$dir/documents.parquet"))
 
-      def banded(fp: DataFrame): DataFrame = fp.select(
-          col("doc_id"), col("dhash_hi"), col("dhash_lo"), explode(array(
-            struct(lit(0).as("band"), pmod(col("dhash_lo"), lit(65536L)).as("bucket")),
-            struct(lit(1).as("band"), expr("dhash_lo div 65536").as("bucket")),
-            struct(lit(2).as("band"), pmod(col("dhash_hi"), lit(65536L)).as("bucket")),
-            struct(lit(3).as("band"), expr("dhash_hi div 65536").as("bucket")))).as("bb"))
-        .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      def banded(fp: DataFrame): DataFrame = Multimodal.bandedHalves(fp)
 
       // static corpus fingerprint table: originals of the 1-in-5 slice
       val corpusFp = Multimodal.audioFpRows(

@@ -44,14 +44,8 @@ object StreamingMediaRehearsal {
       r
     }
 
-    def banded(dh: DataFrame): DataFrame = dh.select(
-        col("doc_id"), col("dhash_hi"), col("dhash_lo"), explode(array(
-          struct(lit(0).as("band"), pmod(col("dhash_lo"), lit(65536L)).as("bucket")),
-          struct(lit(1).as("band"), expr("dhash_lo div 65536").as("bucket")),
-          struct(lit(2).as("band"), pmod(col("dhash_hi"), lit(65536L)).as("bucket")),
-          struct(lit(3).as("band"), expr("dhash_hi div 65536").as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    def banded(dh: DataFrame): DataFrame =
+      graft.operators.Multimodal.bandedHalves(dh)
 
     // one parquet file of arriving doc_ids per micro-batch; batch b
     // re-uploads corpus slice [b*batchSize, (b+1)*batchSize)
