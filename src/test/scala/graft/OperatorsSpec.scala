@@ -15,6 +15,18 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no-oracle set is exactly the documented randomized-twin entries") {
+    // drift guard: every gate entry ships WITH a DuckDB oracle unless it is
+    // one of the documented engine-hash randomized variants (each twinned
+    // by an oracle-green or planted-recall entry). A new query landing
+    // oracle-less — the r8 failure mode where breakage hid outside the
+    // gate — fails here by name.
+    val noOracle = graft.Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle === Set(
+      "d02_minhash_lsh", "d03_simhash", "d05_embedding_neardup",
+      "s02_knn_lsh", "s03_ann_ivf", "s08_ann_pq_trained", "s10_ann_ivfpq"))
+  }
+
   test("q01 pricing summary: 6 (returnflag, linestatus) groups, counts add up") {
     val rows = run("q01_pricing_summary").collect()
     assert(rows.length === 6)
