@@ -1282,9 +1282,10 @@ object TextAnalysis {
     * long-sum. V and the smoothing ride a broadcast scalar. Docs with
     * fewer than 2 tokens have no bigrams: n_bigrams = 0, score NULL in
     * both engines. */
-  private val tBigramLp = Q(
-    "t21_bigram_logprob",
-    (s, dir) => {
+  /** t21's per-doc scorer, shared with the t22 bucketing lane: (doc_id,
+    * n_bigrams, avg_bigram_logprob10), score NULL when a doc has no
+    * bigrams. */
+  private def bigramScored(s: SparkSession, dir: String): DataFrame = {
       // total over any doc length (the wordNgrams lesson): zip of the two
       // length-(n-1) slices — no index arithmetic to run past the array
       // end under ANSI mode; 0/1-token docs zip to empty and explode away
@@ -1315,7 +1316,11 @@ object TextAnalysis {
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           col("avg_bigram_logprob10"))
-    },
+  }
+
+  private val tBigramLp = Q(
+    "t21_bigram_logprob",
+    (s, dir) => bigramScored(s, dir),
     Some("""WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       big AS (
@@ -1341,8 +1346,82 @@ object TextAnalysis {
         s.avg_bigram_logprob10
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""))
 
+  // ---------------------------------------------------------------- t22
+  /** CCNET PERPLEXITY BUCKETING (Wenzek et al. 2020, arXiv:1911.00359
+    * §4.3; public) — the decision CCNet actually ships on top of the t21
+    * signal: per LANGUAGE, documents split into head / middle / tail by
+    * perplexity terciles, and downstream training keeps the head (or
+    * head+middle). Higher mean bigram log-probability = lower perplexity
+    * = head.
+    *
+    * The cutoffs are the per-language interpolated tercile values of the
+    * (already micro-exact, 6-dp-rounded) t21 score — Spark `percentile` ==
+    * DuckDB `percentile_cont`, the q40 cross-engine precedent — rounded to
+    * 6 dp themselves, so bucket assignment is a deterministic comparison
+    * of two identical doubles in both engines. Scoreless docs (no
+    * bigrams) are excluded, as CCNet drops them.
+    *
+    * Scale shape: assignment is ROW-LOCAL against a broadcast cutoff
+    * table (one row per language) — no per-language sort, no window over
+    * the corpus (an ntile() formulation would single-task each language's
+    * full sort at 100 TB). The cutoff aggregation here is the exact
+    * `percentile` (buffers one double per doc within each language
+    * group) for oracle exactness; the production swap at corpus scale is
+    * the q53 `HistogramSketch` cutoffs — bounded mergeable buffers — with
+    * this same assignment join unchanged (the q49 sampled-quantiles
+    * framing: the gate pins the verifiable cousin of the sketch path). */
+  private val tCcnetBuckets = Q(
+    "t22_ccnet_buckets",
+    (s, dir) => {
+      val scored = bigramScored(s, dir).filter(col("n_bigrams") > 0)
+      val withLang = scored
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val cuts = withLang.groupBy(col("lang")).agg(
+        round(expr("percentile(avg_bigram_logprob10, 2.0/3)"), 6).as("c_head"),
+        round(expr("percentile(avg_bigram_logprob10, 1.0/3)"), 6).as("c_mid"))
+      withLang.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("avg_bigram_logprob10"),
+          when(col("avg_bigram_logprob10") >= col("c_head"), "head")
+            .when(col("avg_bigram_logprob10") >= col("c_mid"), "middle")
+            .otherwise("tail").as("bucket"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      big AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 1, 0) AS BIGINT) + 1)) AS i
+          FROM toks) t),
+      uni AS (
+        SELECT w1, count(*) AS cu FROM (
+          SELECT unnest(tk) AS w1 FROM toks) u GROUP BY w1),
+      micro AS (
+        SELECT b.w1, b.w2, CAST(round(log10(
+            (count(*) + 0.5) / (any_value(u.cu) + 0.5 * (SELECT count(*) FROM uni))
+          ) * 1e6) AS BIGINT) AS lp_micro
+        FROM big b JOIN uni u ON b.w1 = u.w1 GROUP BY b.w1, b.w2),
+      scored AS (
+        SELECT b.doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(m.lp_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_bigram_logprob10
+        FROM big b JOIN micro m ON b.w1 = m.w1 AND b.w2 = m.w2
+        GROUP BY b.doc_id),
+      langed AS (
+        SELECT s.doc_id, d.lang, s.avg_bigram_logprob10
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+      cuts AS (
+        SELECT lang,
+          round(percentile_cont(2.0/3) WITHIN GROUP (ORDER BY avg_bigram_logprob10), 6) AS c_head,
+          round(percentile_cont(1.0/3) WITHIN GROUP (ORDER BY avg_bigram_logprob10), 6) AS c_mid
+        FROM langed GROUP BY lang)
+      SELECT l.doc_id, l.lang, l.avg_bigram_logprob10,
+        CASE WHEN l.avg_bigram_logprob10 >= c.c_head THEN 'head'
+          WHEN l.avg_bigram_logprob10 >= c.c_mid THEN 'middle'
+          ELSE 'tail' END AS bucket
+      FROM langed l JOIN cuts c ON l.lang = c.lang"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
-      tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp)
+      tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
+      tCcnetBuckets)
 }

@@ -637,6 +637,33 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_shared_frames") >= 3L))
   }
 
+  test("t22 ccnet buckets: per-lang tercile ordering holds, all buckets populated") {
+    val rows = run("t22_ccnet_buckets").collect()
+    assert(rows.nonEmpty)
+    val scored = run("t21_bigram_logprob").collect()
+      .count(_.getAs[Long]("n_bigrams") > 0)
+    // every scored doc lands in exactly one bucket, scoreless docs dropped
+    assert(rows.length === scored)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("avg_bigram_logprob10"))).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"),
+        s"$lang: all three buckets must be populated")
+      // higher log-prob = lower perplexity = head; buckets are ordered by
+      // construction (cutoff comparison), so the ranges must not cross
+      assert(byBucket("head").min >= byBucket("middle").max,
+        s"$lang: head scores must dominate middle")
+      assert(byBucket("middle").min >= byBucket("tail").max,
+        s"$lang: middle scores must dominate tail")
+      // terciles: no bucket can hold more than ~60% of a language's docs
+      // (exact thirds modulo ties at the interpolated cutoffs)
+      byBucket.foreach { case (b, vs) =>
+        assert(vs.length <= math.ceil(rs.length * 0.6),
+          s"$lang/$b: bucket holds ${vs.length} of ${rs.length} docs")
+      }
+    }
+  }
+
   test("t18 gopher rules: keep is exactly the conjunction; both verdicts occur") {
     val rows = run("t18_gopher_rules").collect()
     assert(rows.length === 500)
