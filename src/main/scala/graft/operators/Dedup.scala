@@ -1486,6 +1486,106 @@ object Dedup {
         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) c
         LEFT JOIN starts USING (doc_id)) k"""))
 
+  // ---------------------------------------------------------------- d19
+  /** CORPUS-LEVEL EXACT LINE DEDUPLICATION (Penedo et al. 2023, RefinedWeb,
+    * arXiv:2306.01116 §3.3 / Rae et al. 2021 Gopher §A.1.2; public) — the
+    * boilerplate-removal pass real crawl pipelines run BEFORE document-level
+    * dedup: a "line" (navigation menu, cookie banner, footer) that appears
+    * in ≥ `maxDf` distinct documents is a site template, not content, and is
+    * deleted from every document that carries it. This differs from d18
+    * (Lee et al. within-corpus repeated substrings, any 2 occurrences go)
+    * in both unit (whole segments, not sliding grams — no coverage mask)
+    * and threshold (DOCUMENT frequency, so a quote copied once survives
+    * while a 250-site template dies).
+    *
+    * The synthetic corpus has no newline structure, so the segmenter is
+    * parameterized: a "line" is a non-overlapping `blockTokens`-token
+    * segment (last partial segment kept). Segmentation is row-local; the
+    * document-frequency model is ONE grouped count over 60-bit md5 block
+    * hashes ([[graft.functions.CrossEngine.md5Hash60]] — the shuffle
+    * carries 8-byte keys, not block text, and map-side combine absorbs a
+    * million-document template into one partial per partition); removal is
+    * a left-anti hash join of the block table against the (tiny — only
+    * blocks with df ≥ maxDf) hot set, exactly d18's pair-free shape:
+    * never a doc×doc join, linear in corpus size, no cap needed.
+    * Reassembly is a per-doc struct-sort of kept (pos, block) pairs —
+    * doc-bounded, no corpus-wide window. */
+  private[graft] def lineDedup(docs: DataFrame, blockTokens: Int, maxDf: Int): DataFrame = {
+    val blocks = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(tk) / $blockTokens.0) AS INT) - 1),
+            i -> array_join(slice(tk, i * $blockTokens + 1, $blockTokens), ' '))"""))
+        .as(Seq("pos", "blk")))
+      .withColumn("h", graft.functions.CrossEngine.md5Hash60(col("blk")))
+    val hot = blocks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .filter(col("doc_freq") >= maxDf).select(col("h"))
+    val kept = blocks.join(hot, Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, blk))), x -> x.blk)"),
+          " ").as("text_clean"))
+    blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The 20-token (= exactly two 10-token blocks) site template d19 plants
+    * on every even doc_id — a deterministic stand-in for the nav/footer
+    * boilerplate a real crawl repeats across a whole domain. */
+  private[graft] val d19Template: String =
+    "tmplnav home about contact privacy terms cookie banner subscribe newsletter " +
+      "tmplfoot copyright rights reserved sitemap search login register help faq"
+
+  /** d19 gate entry. Planted: even doc_ids get [[d19Template]] PREPENDED
+    * (prepending keeps the template aligned to block boundaries — blocks 0
+    * and 1 of every even doc are byte-identical, df = 250 ≫ 50), so the
+    * pass must strip exactly those two blocks from every even doc
+    * (n_removed = 2, text_clean == the original text — spec-asserted) and
+    * remove nothing from odd docs. maxDf = 50 sits between the organic
+    * ceiling (short partial tail blocks of common single words reach
+    * df 28 at sf0.1 — content, not template) and the planted template's
+    * 250 — the threshold IS the operator's knob for exactly this
+    * content-vs-boilerplate call (RefinedWeb strips lines shared across a
+    * domain's pages, not every 3-way coincidence). */
+  private val d19 = Q(
+    "d19_line_dedup",
+    (s, dir) => {
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(lit(d19Template), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      lineDedup(corpus, blockTokens = 10, maxDf = 50)
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN '$d19Template' || ' ' || text
+            ELSE text END AS text
+        FROM documents),
+      blocks AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(tk[(i * 10 + 1) : (i * 10 + 10)], ' ') AS blk
+        FROM (SELECT doc_id, tk,
+            unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) t) u),
+      hashed AS (
+        SELECT doc_id, pos, blk,
+          CAST(concat('0x', substring(md5(blk), 1, 15)) AS BIGINT) AS h
+        FROM blocks),
+      hot AS (
+        SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 50),
+      kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(blk, ' ' ORDER BY pos) AS text_clean
+        FROM hashed WHERE h NOT IN (SELECT h FROM hot)
+        GROUP BY doc_id),
+      totals AS (SELECT doc_id, count(*) AS n_blocks FROM hashed GROUP BY doc_id)
+      SELECT t.doc_id, CAST(t.n_blocks AS BIGINT) AS n_blocks,
+        CAST(t.n_blocks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+        coalesce(k.text_clean, '') AS text_clean
+      FROM totals t LEFT JOIN kept k USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19)
 }

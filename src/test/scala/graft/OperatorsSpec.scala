@@ -1406,6 +1406,33 @@ class OperatorsSpec extends SparkSpec {
     out.values.foreach { case (nTok, nRem, _) => assert(nRem <= nTok) }
   }
 
+  test("d19 line dedup: planted template stripped from every even doc, odd docs untouched") {
+    val out = run("d19_line_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty && out.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val (nBlocks, nRemoved, clean) = out(id)
+      val nOrig = math.ceil(text.split(" ").length / 10.0).toLong
+      if (id % 2 == 0) {
+        // the 20-token template is exactly blocks 0-1; stripping them must
+        // restore the original text byte-for-byte (prepend keeps the
+        // organic blocks aligned to the same boundaries)
+        assert(nBlocks === nOrig + 2, s"doc $id block count")
+        assert(nRemoved === 2L, s"doc $id must lose exactly the 2 template blocks, lost $nRemoved")
+        assert(clean === text, s"doc $id must reassemble to its original text")
+      } else {
+        assert(nBlocks === nOrig, s"doc $id block count")
+        assert(nRemoved === 0L, s"odd doc $id must be untouched")
+        assert(clean === text)
+      }
+    }
+  }
+
   test("t21 bigram logprob: one score per doc, n-1 bigrams, mass is negative") {
     val rows = run("t21_bigram_logprob").collect()
     val lens = graft.sources.Tables.documents(spark, sfDir)
