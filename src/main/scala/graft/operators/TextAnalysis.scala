@@ -1419,9 +1419,103 @@ object TextAnalysis {
           ELSE 'tail' END AS bucket
       FROM langed l JOIN cuts c ON l.lang = c.lang"""))
 
+  // ---------------------------------------------------------------- t23
+  /** DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169 §3;
+    * public) — the data-selection signal behind DoReMi-era pretraining
+    * mixes: score every raw document by how much it resembles a TARGET
+    * corpus (here: the `lang = 'en'` slice, DSIR's "select web data that
+    * looks like Wikipedia" setup) under two hashed-n-gram bag models.
+    * Features are unigrams ∪ bigrams hashed into B = 10,000 buckets
+    * (Xie's exact featurization); the per-doc weight is the mean per-gram
+    * log10 importance ratio log(p_target(b)/p_raw(b)) with add-½
+    * smoothing over the bucket space. Positive ⇒ looks like the target;
+    * the resampling step downstream is t14/t19's weighted mixing.
+    *
+    * Cross-engine determinism: the ratio is ONE double quotient (products
+    * first — IEEE-identical in both engines) through one log10, rounded
+    * to integer micro-units per BUCKET, so per-doc means are exact long
+    * arithmetic (the t15/t21 pattern; same libm caveat, documented at
+    * t15).
+    *
+    * Scale shape: gram extraction is row-local; both bag models are ONE
+    * grouped count each over bucket ids — the shuffle carries ≤ B keys
+    * per partition after map-side combine, and the finished model is
+    * B = 10k rows ⇒ BROADCAST to the scoring join, which therefore
+    * shuffles nothing but the final per-doc aggregation. The target pass
+    * is a pushed-down filter on the same scan. At 100 TB the model cost
+    * is two map-side-combined counts; scoring is embarrassingly parallel. */
+  private val tDsir = Q(
+    "t23_dsir_weights",
+    (s, dir) => {
+      val B = 10000L
+      val docs = Tables.documents(s, dir)
+      val uni = docs.select(col("doc_id"), col("lang"), explode(toks).as("g"))
+      val big = docs
+        .select(col("doc_id"), col("lang"), toks.as("tk"))
+        .select(col("doc_id"), col("lang"),
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))).as("aa"),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))).as("bb"))
+        .select(col("doc_id"), col("lang"),
+          explode(arrays_zip(col("aa"), col("bb"))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          concat(col("bg.aa"), lit(" "), col("bg.bb")).as("g"))
+      val grams = uni.unionByName(big).select(col("doc_id"), col("lang"),
+        pmod(graft.functions.CrossEngine.md5Hash60(col("g")), lit(B)).as("b"))
+      val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("craw"))
+      val tgt = grams.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ctgt"))
+      val tot = grams.agg(count(lit(1)).as("nraw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ntgt"))
+      val model = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"),
+          round(log10(((coalesce(col("ctgt"), lit(0L)) + 0.5) * (col("nraw") + B / 2.0)) /
+            ((col("craw") + 0.5) * (col("ntgt") + B / 2.0))) * 1e6)
+            .cast("long").as("lr_micro"))
+      val scored = grams.join(broadcast(model), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("lr_micro")).as("sm"))
+        .select(col("doc_id"), col("n_grams"),
+          round(col("sm").cast("double") / col("n_grams") / 1e6, 6)
+            .as("dsir_logratio"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          col("dsir_logratio"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+      uni AS (SELECT doc_id, lang, unnest(tk) AS g FROM toks),
+      big AS (
+        SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g FROM (
+          SELECT doc_id, lang, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 1, 0) AS BIGINT) + 1)) AS i
+          FROM toks) t),
+      grams AS (
+        SELECT doc_id, lang,
+          CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 10000 AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) u),
+      raw AS (SELECT b, count(*) AS craw FROM grams GROUP BY b),
+      tgt AS (SELECT b, count(*) AS ctgt FROM grams WHERE lang = 'en' GROUP BY b),
+      tot AS (SELECT
+        (SELECT count(*) FROM grams) AS nraw,
+        (SELECT count(*) FROM grams WHERE lang = 'en') AS ntgt),
+      model AS (
+        SELECT r.b, CAST(round(log10(
+            ((coalesce(t.ctgt, 0) + 0.5) * (nraw + 5000.0)) /
+            ((r.craw + 0.5) * (ntgt + 5000.0))) * 1e6) AS BIGINT) AS lr_micro
+        FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot),
+      scored AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+          round(CAST(sum(m.lr_micro) AS DOUBLE) / count(*) / 1e6, 6) AS dsir_logratio
+        FROM grams g JOIN model m ON g.b = m.b GROUP BY g.doc_id)
+      SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+        s.dsir_logratio
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
-      tCcnetBuckets)
+      tCcnetBuckets, tDsir)
 }

@@ -1452,6 +1452,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t23 DSIR weights: target-language docs outscore the off-target slice") {
+    val langs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val rows = run("t23_dsir_weights").collect()
+    assert(rows.length === langs.size)
+    var enSum = 0.0; var enN = 0; var zhSum = 0.0; var zhN = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (lang, len) = langs(id)
+      // unigrams + bigrams of an n-token doc: n + (n-1)
+      assert(r.getAs[Long]("n_grams") === (2 * len - 1).toLong)
+      val w = r.getAs[Double]("dsir_logratio")
+      assert(!w.isNaN && !w.isInfinite)
+      if (lang == "en") { enSum += w; enN += 1 }
+      if (lang == "zh") { zhSum += w; zhN += 1 }
+    }
+    assert(enN > 0 && zhN > 0)
+    // the importance ratio must recognize its own target distribution:
+    // mean weight of the en slice strictly above the zh slice
+    assert(enSum / enN > zhSum / zhN,
+      s"en mean ${enSum / enN} should exceed zh mean ${zhSum / zhN}")
+  }
+
   test("st11 stream decontamination: every passage source is quarantined") {
     val rows = run("st11_stream_decontaminate").collect()
     val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
