@@ -1513,9 +1513,120 @@ object TextAnalysis {
         s.dsir_logratio
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""))
 
+  // ---------------------------------------------------------------- t24
+  /** TRIGRAM STUPID-BACKOFF SCORING (Brants et al. 2007, "Large Language
+    * Models in Machine Translation", EMNLP, §4; public) — the web-scale LM
+    * that deliberately skips discounting: S(w₃|w₁w₂) = c₃/c₂(w₁w₂) when
+    * the trigram was seen, else 0.4·c₂(w₂w₃)/c₁(w₂), else
+    * 0.4²·(c₁(w₃)+½)/(N+½V) (a smoothed unigram floor so OOV scores are
+    * finite — Brants leaves the base case open). Backoff only fires on
+    * UNSEEN grams, so the model trains on the even-doc_id half of the
+    * corpus and scores the held-out odd half — every tier is exercised.
+    *
+    * Cross-engine determinism: each tier is left-associated double
+    * arithmetic on exact integer counts (IEEE-identical in both engines)
+    * through one log10, micro-rounded per position (the t15/t21 pattern).
+    *
+    * Scale shape: three grouped counts over the training half (map-side
+    * combine; pushed-down `doc_id % 2 = 0` filter), then the held-out
+    * trigram table left-joins the count tables on gram keys — every join
+    * is keyed by the gram (uniform md5-distributed after hashing; hot
+    * grams are absorbed by the grouped counts, the join fan-out is linear
+    * in corpus positions), and the scalar (N, V) rides a broadcast. No
+    * window, no self-join; per-doc mean is one aggregation. */
+  private val tStupidBackoff = Q(
+    "t24_stupid_backoff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def ngrams(df: DataFrame, n: Int): DataFrame = {
+        val named = Seq("w1", "w2", "w3").take(n)
+        val sliced = (0 until n).map(i =>
+          slice(col("tk"), lit(i + 1), greatest(size(col("tk")) - (n - 1), lit(0)))
+            .as(s"s$i"))
+        df.select((col("doc_id") +: sliced): _*)
+          .select(col("doc_id"),
+            explode(arrays_zip((0 until n).map(i => col(s"s$i")): _*)).as("g"))
+          .select((col("doc_id") +: named.zipWithIndex.map { case (nm, i) =>
+            col(s"g.s$i").as(nm) }): _*)
+      }
+      val train = docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), toks.as("tk"))
+      val test = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), toks.as("tk"))
+      val c3 = ngrams(train, 3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      val c2 = ngrams(train, 2).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = ngrams(train, 1).groupBy("w1").agg(count(lit(1)).as("c1"))
+      val tot = c1.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("v"))
+      val scored = ngrams(test, 3)
+        .join(c3, Seq("w1", "w2", "w3"), "left")
+        .join(c2.withColumnRenamed("c2", "c2ctx"), Seq("w1", "w2"), "left")
+        .join(c2.select(col("w1").as("w2"), col("w2").as("w3"), col("c2").as("c2hist")),
+          Seq("w2", "w3"), "left")
+        .join(c1.select(col("w1").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+        .join(c1.select(col("w1").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log10(
+            when(col("c3").isNotNull, col("c3").cast("double") / col("c2ctx"))
+              .when(col("c2hist").isNotNull,
+                lit(0.4) * col("c2hist") / col("c1w2"))
+              .otherwise(lit(0.16) * (coalesce(col("c1w3"), lit(0L)) + 0.5) /
+                (col("n_tok") + lit(0.5) * col("v")))) * 1e6)
+            .cast("long").as("lp_micro"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"), sum(col("lp_micro")).as("sm"))
+        .select(col("doc_id"), col("n_scored"),
+          round(col("sm").cast("double") / col("n_scored") / 1e6, 6)
+            .as("avg_sbo_logprob10"))
+      test.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          col("avg_sbo_logprob10"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      tri3 AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3 FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 2, 0) AS BIGINT) + 1)) AS i
+          FROM toks) t),
+      bi2 AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 1, 0) AS BIGINT) + 1)) AS i
+          FROM toks) t),
+      c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri3
+        WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi2
+        WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM (
+          SELECT doc_id, unnest(tk) AS w1 FROM toks) u
+        WHERE doc_id % 2 = 0 GROUP BY w1),
+      tot AS (SELECT sum(c1) AS n_tok, count(*) AS v FROM c1),
+      pos AS (
+        SELECT t.doc_id, CAST(round(log10(
+            CASE WHEN g3.c3 IS NOT NULL THEN CAST(g3.c3 AS DOUBLE) / gctx.c2
+              WHEN ghist.c2 IS NOT NULL THEN 0.4 * ghist.c2 / gw2.c1
+              ELSE 0.16 * (coalesce(gw3.c1, 0) + 0.5) / (n_tok + 0.5 * v)
+            END) * 1e6) AS BIGINT) AS lp_micro
+        FROM tri3 t
+        LEFT JOIN c3 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
+        LEFT JOIN c2 gctx ON t.w1 = gctx.w1 AND t.w2 = gctx.w2
+        LEFT JOIN c2 ghist ON t.w2 = ghist.w1 AND t.w3 = ghist.w2
+        LEFT JOIN c1 gw2 ON t.w2 = gw2.w1
+        LEFT JOIN c1 gw3 ON t.w3 = gw3.w1
+        CROSS JOIN tot
+        WHERE t.doc_id % 2 = 1),
+      scored AS (
+        SELECT doc_id, count(*) AS n_scored,
+          round(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_sbo_logprob10
+        FROM pos GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+        s.avg_sbo_logprob10
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      WHERE d.doc_id % 2 = 1"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
-      tCcnetBuckets, tDsir)
+      tCcnetBuckets, tDsir, tStupidBackoff)
 }

@@ -1476,6 +1476,35 @@ class OperatorsSpec extends SparkSpec {
       s"en mean ${enSum / enN} should exceed zh mean ${zhSum / zhN}")
   }
 
+  test("t24 stupid backoff: held-out docs scored, every tier exercised") {
+    val rows = run("t24_stupid_backoff").collect()
+    val lens = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length === lens.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_scored") === math.max(lens(id) - 2, 0).toLong)
+      if (r.getAs[Long]("n_scored") > 0) {
+        val lp = r.getAs[Double]("avg_sbo_logprob10")
+        assert(lp < 0.0 && lp > -12.0, s"doc $id scored $lp")
+      }
+    }
+    // the held-out split must actually exercise backoff: some test trigrams
+    // exist in the training half (tier 1) and some don't (tier 2/3)
+    def tris(parity: Int) = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === parity)
+      .select(explode(expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+           i -> array_join(slice(split(text, ' '), i, 3), ' '))""")).as("g"))
+      .distinct()
+    val seen = tris(1).intersect(tris(0)).count()
+    val unseen = tris(1).except(tris(0)).count()
+    assert(seen > 0, "no held-out trigram hits the trigram table - tier 1 dead")
+    assert(unseen > 0, "every held-out trigram was seen - backoff never fires")
+  }
+
   test("st11 stream decontamination: every passage source is quarantined") {
     val rows = run("st11_stream_decontaminate").collect()
     val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
