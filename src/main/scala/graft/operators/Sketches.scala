@@ -507,5 +507,86 @@ object Sketches {
         sum(CASE WHEN is_true AND bloom_pass THEN 1 ELSE 0 END) = sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS no_false_negatives
       FROM flags"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56)
+  // ---------------------------------------------------------------- q57
+  /** KMV SET-OPERATION ESTIMATES (Beyer/Haas/Reinwald/Sismanis/Gemulla
+    * 2007, "On Synopses for Distinct-Value Estimation Under Multiset
+    * Operations", SIGMOD; public) — the property that makes bottom-k
+    * sketches an ALGEBRA, not just a counter: from the k smallest hashes
+    * of A ∪ B you can estimate |A ∪ B| (the q46 estimator on the merged
+    * sketch), the Jaccard J = |A∩B|/|A∪B| (the fraction of the union
+    * sketch's members that sit in BOTH sets — the sketch is a uniform
+    * sample of the union's distinct values), and |A ∩ B| = J·|A ∪ B|.
+    * Audience-overlap at 100 TB runs exactly this: per-segment sketches
+    * built independently, merged and intersected without ever touching
+    * the raw keys again.
+    *
+    * Here A/B = distinct customers with URGENT vs HIGH priority orders.
+    * Scale shape: each set's hashes come off a pushed-down filter of the
+    * same scan; the union sketch is the native [[graft.functions.BottomK]]
+    * aggregate (k-long buffers, map-side folded); the membership flags
+    * are two BROADCAST semi-joins of the ≤ k sketch rows against the
+    * distinct-key sets — nothing NDV-sized ever shuffles to one task.
+    * Exact values ride along (this corpus is countable) so the row also
+    * certifies the estimator's error. */
+  private val q57 = Q(
+    "q57_kmv_setops",
+    (s, dir) => {
+      val k = 256
+      val ord = Tables.orders(s, dir)
+      def keys(p: String): DataFrame =
+        ord.filter(col("o_orderpriority") === p)
+          .select(h60(col("o_custkey")).as("h")).distinct()
+      val a = keys("1-URGENT")
+      val b = keys("2-HIGH")
+      val bottom = a.unionByName(b)
+        .agg(graft.functions.BottomK.bottomKDistinct(col("h"), k).as("bottom"))
+      val st = bottom.select(size(col("bottom")).cast("long").as("kc"),
+        element_at(col("bottom"), -1).as("kth"))
+      val sk = bottom.select(explode(col("bottom")).as("h"))
+      val aHit = a.join(broadcast(sk), Seq("h"), "left_semi")
+      val bHit = b.join(broadcast(sk), Seq("h"), "left_semi")
+      val nBoth = aHit.join(bHit, Seq("h")).agg(count(lit(1)).as("n_both"))
+      val exU = a.unionByName(b).distinct().agg(count(lit(1)).as("exact_union"))
+      val exI = a.join(b, Seq("h")).agg(count(lit(1)).as("exact_intersect"))
+      val estU = when(col("kc") < k, col("kc").cast("double"))
+        .otherwise((col("kc") - 1).cast("double") * lit(TwoPow60) /
+          col("kth").cast("double"))
+      val jacc = col("n_both").cast("double") / col("kc")
+      st.crossJoin(nBoth).crossJoin(exU).crossJoin(exI)
+        .select(col("kc").as("k"),
+          round(estU, 4).as("est_union"),
+          round(jacc, 6).as("est_jaccard"),
+          round(jacc * estU, 4).as("est_intersect"),
+          col("exact_union"), col("exact_intersect"))
+    },
+    Some("""WITH a AS (
+        SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+      b AS (
+        SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders WHERE o_orderpriority = '2-HIGH'),
+      un AS (SELECT h FROM a UNION SELECT h FROM b),
+      sk AS (SELECT h FROM un ORDER BY h LIMIT 256),
+      st AS (SELECT max(h) AS kth, count(*) AS kc FROM sk),
+      nb AS (SELECT count(*) AS n_both FROM sk
+        WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+      ex AS (SELECT
+        (SELECT count(*) FROM un) AS exact_union,
+        (SELECT count(*) FROM a WHERE h IN (SELECT h FROM b)) AS exact_intersect),
+      raw AS (
+        SELECT kc, n_both, exact_union, exact_intersect,
+          CASE WHEN kc < 256 THEN CAST(kc AS DOUBLE)
+            ELSE CAST(kc - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+          END AS est_u,
+          CAST(n_both AS DOUBLE) / kc AS jacc
+        FROM st CROSS JOIN nb CROSS JOIN ex)
+      SELECT CAST(kc AS BIGINT) AS k,
+        round(est_u, 4) AS est_union,
+        round(jacc, 6) AS est_jaccard,
+        round(jacc * est_u, 4) AS est_intersect,
+        CAST(exact_union AS BIGINT) AS exact_union,
+        CAST(exact_intersect AS BIGINT) AS exact_intersect
+      FROM raw"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57)
 }

@@ -1452,6 +1452,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q57 KMV set ops: estimates track exact union/intersection") {
+    val r = run("q57_kmv_setops").collect().head
+    val k = r.getAs[Long]("k")
+    val estU = r.getAs[Double]("est_union")
+    val estI = r.getAs[Double]("est_intersect")
+    val exU = r.getAs[Long]("exact_union")
+    val exI = r.getAs[Long]("exact_intersect")
+    assert(k > 0 && exU >= exI && exI >= 0)
+    if (k < 256) {
+      // below-k the union sketch IS the full distinct set: both exact
+      assert(estU === exU.toDouble)
+      assert(math.abs(estI - exI.toDouble) < 1e-6)
+    } else {
+      // k=256 KMV: 1/sqrt(k) ~ 6% expected error; 25% is a loose 4-sigma
+      assert(math.abs(estU - exU) / exU < 0.25, s"union est $estU vs $exU")
+      assert(math.abs(estI - exI) / math.max(exI, 1L) < 0.25, s"intersect est $estI vs $exI")
+    }
+  }
+
   test("t23 DSIR weights: target-language docs outscore the off-target slice") {
     val langs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("len"))
