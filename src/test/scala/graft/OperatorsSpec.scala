@@ -1452,6 +1452,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q58 z-order: every bucket bounds both dimensions within 2^13") {
+    val rows = run("q58_zorder_layout").collect()
+    assert(rows.length === 64, "top-6 morton bits must yield all 64 buckets")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("zbucket")
+      assert(b >= 0 && b < 64)
+      // bucket = interleaved top-3 bits of each normalized dim, so within
+      // a bucket each dimension varies only in its low 13 bits — this is
+      // the min/max tightness that makes file-stat pruning work on EITHER
+      // filter dimension after a z-order write
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") < 8192, s"bucket $b x-span")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") < 8192, s"bucket $b y-span")
+      assert(r.getAs[Long]("n_rows") > 0)
+    }
+  }
+
   test("q57 KMV set ops: estimates track exact union/intersection") {
     val r = run("q57_kmv_setops").collect().head
     val k = r.getAs[Long]("k")
