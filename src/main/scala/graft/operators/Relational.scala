@@ -1029,10 +1029,48 @@ object Relational {
         min(y) AS min_y, max(y) AS max_y
       FROM m GROUP BY zbucket"""))
 
+  // ---------------------------------------------------------------- q59
+  /** SCD TYPE-2 DIMENSION BUILD (Kimball's slowly-changing-dimension
+    * pattern; public) — q50 keeps only the LATEST state per key; the
+    * type-2 build keeps the whole history as half-open validity intervals
+    * [valid_from, valid_to) with the live row marked current — the shape
+    * every warehouse joins facts against "as of" a date. One `lead()`
+    * window per key closes each interval with the next change's
+    * timestamp.
+    *
+    * Scale shape: the window is partitioned by the DIMENSION KEY — the
+    * sort is per-key history (bounded: an entity's change count, not the
+    * table), never a global order. This is the one place a window beats
+    * the q45/q50 map-side `max_by` shape: SCD2 needs EVERY consecutive
+    * pair, so per-key ordering is inherent to the semantics, and the
+    * partition key keeps it shuffle-bounded at 100 TB. */
+  private val q59 = Q(
+    "q59_scd2_history",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"),
+          lead(col("ts"), 1).over(w).as("ts_next"))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 4).as("value"),
+          unix_timestamp(col("ts")).as("valid_from"),
+          unix_timestamp(col("ts_next")).as("valid_to"),
+          col("ts_next").isNull.as("is_current"))
+    },
+    Some("""WITH h AS (
+        SELECT user_id, event_id, value, ts,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts_next
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, event_id, round(value, 4) AS value,
+        CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        CAST(floor(epoch(ts_next)) AS BIGINT) AS valid_to,
+        ts_next IS NULL AS is_current
+      FROM h"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q50, q52, q58)
+    q41, q42, q43, q44, q45, q50, q52, q58, q59)
 }

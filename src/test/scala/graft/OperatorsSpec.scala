@@ -1452,6 +1452,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q59 SCD2: per key exactly one current row, intervals chain without gaps") {
+    val rows = run("q59_scd2_history").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, hist) =>
+      assert(hist.count(_.getAs[Boolean]("is_current")) === 1,
+        s"user $uid must have exactly one open interval")
+      val sorted = hist.sortBy(_.getAs[Long]("valid_from"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        // half-open intervals: each version closes exactly where the next
+        // opens (epoch-second resolution), and only the last is open-ended
+        assert(!a.isNullAt(a.fieldIndex("valid_to")), s"user $uid closed out of order")
+        assert(a.getAs[Long]("valid_to") === b.getAs[Long]("valid_from"),
+          s"user $uid has a gap/overlap")
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")))
+    }
+  }
+
   test("q58 z-order: every bucket bounds both dimensions within 2^13") {
     val rows = run("q58_zorder_layout").collect()
     assert(rows.length === 64, "top-6 morton bits must yield all 64 buckets")
