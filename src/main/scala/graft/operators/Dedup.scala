@@ -1510,26 +1510,44 @@ object Dedup {
     * never a doc×doc join, linear in corpus size, no cap needed.
     * Reassembly is a per-doc struct-sort of kept (pos, block) pairs —
     * doc-bounded, no corpus-wide window. */
-  private[graft] def lineDedup(docs: DataFrame, blockTokens: Int, maxDf: Int): DataFrame = {
-    val blocks = docs.select(col("doc_id"), toks.as("tk"))
+  /** d19's segmenter, shared with the streaming admission lane (st16):
+    * one row per non-overlapping `blockTokens`-token segment (last partial
+    * segment kept), 0-based pos, 60-bit md5 block hash. Row-local — safe
+    * on a streaming frame unchanged. */
+  private[graft] def blockTable(docs: DataFrame, blockTokens: Int): DataFrame =
+    docs.select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, CAST(ceil(size(tk) / $blockTokens.0) AS INT) - 1),
             i -> array_join(slice(tk, i * $blockTokens + 1, $blockTokens), ' '))"""))
         .as(Seq("pos", "blk")))
       .withColumn("h", graft.functions.CrossEngine.md5Hash60(col("blk")))
-    val hot = blocks.groupBy(col("h"))
+
+  /** d19's document-frequency model: the (tiny) set of block hashes seen
+    * in ≥ maxDf distinct documents — what a production pass persists. */
+  private[graft] def hotBlocks(docs: DataFrame, blockTokens: Int, maxDf: Int): DataFrame =
+    blockTable(docs, blockTokens).groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"))
       .filter(col("doc_freq") >= maxDf).select(col("h"))
-    val kept = blocks.join(hot, Seq("h"), "left_anti")
-      .groupBy(col("doc_id"))
+
+  /** Reassembles [[blockTable]] rows (minus removed blocks) into d19's
+    * output shape; `totalsOf` supplies per-doc block counts so fully-
+    * stripped docs still surface with text_clean = ''. */
+  private[graft] def reassembleBlocks(keptBlocks: DataFrame, allBlocks: DataFrame): DataFrame = {
+    val kept = keptBlocks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(expr("transform(array_sort(collect_list(struct(pos, blk))), x -> x.blk)"),
           " ").as("text_clean"))
-    blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
+    allBlocks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_blocks"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_blocks"),
         (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  private[graft] def lineDedup(docs: DataFrame, blockTokens: Int, maxDf: Int): DataFrame = {
+    val blocks = blockTable(docs, blockTokens)
+    val hot = hotBlocks(docs, blockTokens, maxDf)
+    reassembleBlocks(blocks.join(hot, Seq("h"), "left_anti"), blocks)
   }
 
   /** The 20-token (= exactly two 10-token blocks) site template d19 plants
@@ -1550,15 +1568,16 @@ object Dedup {
     * 250 — the threshold IS the operator's knob for exactly this
     * content-vs-boilerplate call (RefinedWeb strips lines shared across a
     * domain's pages, not every 3-way coincidence). */
-  private val d19 = Q(
-    "d19_line_dedup",
-    (s, dir) => {
-      val corpus = Tables.documents(s, dir).select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, concat(lit(d19Template), lit(" "), col("text")))
-          .otherwise(col("text")).as("text"))
-      lineDedup(corpus, blockTokens = 10, maxDf = 50)
-    },
-    Some(s"""WITH corpus AS (
+  /** The d19 planted corpus (template prepended to even doc_ids), shared
+    * with the st16 streaming twin so the derivations cannot drift. */
+  private[graft] def d19Corpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(lit(d19Template), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** d19's DuckDB oracle, shared verbatim with st16 (the streaming lane
+    * must land on the identical cleaned corpus). */
+  private[graft] val d19OracleSql: String = s"""WITH corpus AS (
         SELECT doc_id,
           CASE WHEN doc_id % 2 = 0 THEN '$d19Template' || ' ' || text
             ELSE text END AS text
@@ -1584,7 +1603,13 @@ object Dedup {
       SELECT t.doc_id, CAST(t.n_blocks AS BIGINT) AS n_blocks,
         CAST(t.n_blocks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
         coalesce(k.text_clean, '') AS text_clean
-      FROM totals t LEFT JOIN kept k USING (doc_id)"""))
+      FROM totals t LEFT JOIN kept k USING (doc_id)"""
+
+  private val d19 = Q(
+    "d19_line_dedup",
+    (s, dir) => lineDedup(d19Corpus(Tables.documents(s, dir)),
+      blockTokens = 10, maxDf = 50),
+    Some(d19OracleSql))
 
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19)

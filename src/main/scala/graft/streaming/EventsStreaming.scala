@@ -1021,6 +1021,54 @@ object EventsStreaming {
       GROUP BY a.doc_id, b.doc_id
       HAVING count(*) >= 3"""))
 
+  // ---------------------------------------------------------------- streaming line dedup
+  /** STREAMING LINE-DEDUP ADMISSION — d19's boilerplate strip at the
+    * ingest boundary, the shape a crawl pipeline actually deploys: the
+    * hot-block model (block hashes in ≥ 50 distinct docs — what the batch
+    * d19 pass persists) is STATIC; arriving documents explode into
+    * 10-token blocks PER ROW (row-local, so the segmenter applies to a
+    * streaming frame unchanged) and known boilerplate is dropped by a
+    * stateless stream-static LEFT ANTI join — zero watermark state, no
+    * streaming aggregation; per-batch cost is O(batch blocks). The
+    * bounded per-doc reassembly happens at drain (the st10/st11
+    * contract: the stream emits kept block rows, the sink aggregates).
+    * Every derivation (template plant, segmenter, model, reassembly) is
+    * the SHARED d19 code, and the oracle is d19's SQL verbatim — the
+    * streaming lane must land on the identical cleaned corpus. */
+  private val st16 = Q(
+    "st16_stream_line_dedup",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Dedup
+      val sinkTable = "st16_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st16_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+      val corpus = Dedup.d19Corpus(Tables.documents(s, dir))
+      val hot = Dedup.hotBlocks(corpus, blockTokens = 10, maxDf = 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      val keptStream = Dedup.blockTable(Dedup.d19Corpus(raw), blockTokens = 10)
+        .join(hot, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("pos"), col("blk"))
+      val query = keptStream.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      hot.unpersist(false)
+      val out = Dedup.reassembleBlocks(s.table(sinkTable),
+        Dedup.blockTable(corpus, blockTokens = 10))
+      drainSink(s, out, sinkTable, srcDir)
+    },
+    Some(graft.operators.Dedup.d19OracleSql))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15)
+    st10, st11, st12, st13, st14, st15, st16)
 }

@@ -211,4 +211,15 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1)._2 === 1L && rows(1)._3 === 8.0)
     } finally q.stop()
   }
+
+  test("st16 streaming line dedup lands on exactly the batch d19 corpus") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))
+    val batch = SparkEntry.queries("d19_line_dedup")(spark, sfDir).collect().map(key).toSet
+    val stream = SparkEntry.queries("st16_stream_line_dedup")(spark, sfDir).collect().map(key).toSet
+    assert(batch.nonEmpty)
+    assert(stream === batch,
+      "the streaming admission filter must produce the identical cleaned corpus")
+  }
 }
