@@ -1366,6 +1366,132 @@ object Similarity {
       true AS retrained_books_differ, true AS mixed_generations_served,
       true AS migrated_lists_single_file, true AS pending_lists_intact"""))
 
+  // ---------------------------------------------------------------- s19
+  /** MMR DIVERSIFIED RE-RANKING (Carbonell & Goldstein 1998, "The Use of
+    * MMR, Diversity-Based Reranking", SIGIR; public) — the serving-side
+    * fix for the failure every dedup lane in this engine hunts: a corpus
+    * with near-duplicates answers top-k with k copies of one document.
+    * MMR re-ranks a SHORTLIST greedily: next = argmax over remaining of
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — step 1 is pure
+    * relevance, every later step trades relevance against similarity to
+    * what's already picked.
+    *
+    * Scale shape: the shortlist is the s17 re-rank frame — top-L per
+    * query from any ANN lane, L = 50 here — so the greedy loop runs
+    * per-query over ≤ L rows inside `flatMapGroups` (k·L² ≈ 25k flops per
+    * query, executor-side, no driver collect; the groupByKey shuffles L
+    * rows per query). The greedy argmax is inherently sequential in k and
+    * has no built-in composition (k chained self-joins would re-shuffle
+    * the shortlist k times); a bounded per-group fold is the honest
+    * shape, same justification class as the media lanes' mapPartitions.
+    *
+    * Gate: planted like s11 — each query gets TWO ε-perturbed twins of
+    * itself appended to the corpus (ids +9e7/+9.5e7), so relevance-only
+    * top-k seats BOTH twins (the redundancy failure, recomputed as a
+    * boolean) while MMR at λ=0.5 must seat EXACTLY ONE and strictly
+    * reduce the selected set's worst pairwise cosine. Constant-true
+    * oracle over recomputed booleans (the s11 pattern — the greedy
+    * trajectory itself is not SQL-expressible). */
+  private[graft] def mmrSelect(shortlist: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val s = shortlist.sparkSession
+    import s.implicits._
+    shortlist
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        col("emb").cast("array<double>"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.toArray.sortBy(c => (-c._3, c._2))
+        def cos(a: Seq[Double], b: Seq[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Seq[Double])]
+        val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+        while (selected.length < k && remaining.nonEmpty) {
+          val next = remaining.maxBy { c =>
+            val penalty =
+              if (selected.isEmpty) 0.0
+              else selected.map(sel => cos(c._4, sel._4)).max
+            // deterministic argmax: score desc, then vec_id asc
+            (lambda * c._3 - (1 - lambda) * penalty, -c._2.toDouble)
+          }
+          selected += next
+          remaining -= next
+        }
+        selected.iterator.zipWithIndex.map { case (c, i) =>
+          (qid, i + 1L, c._2, c._3)
+        }
+      }
+      .toDF("query_id", "mmr_rank", "vec_id", "rel")
+  }
+
+  private val s19 = Q(
+    "s19_mmr_diversify",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // two ε-perturbed twins of each query: coordinate 0 nudged by
+      // distinct tiny offsets so ids, vectors, and relevances all differ
+      def twin(off: Long, eps: Double) = e.filter(col("vec_id") < 3)
+        .select((col("vec_id") + off).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> IF(i = 0, x + CAST($eps AS FLOAT), x))")
+            .as("embedding"))
+      val corpus = e.unionByName(twin(90000000L, 0.001)).unionByName(twin(95000000L, 0.002))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("vec_id"))
+      val shortlist = corpus.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rel", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("pos_rk", row_number().over(w))
+        .filter(col("pos_rk") <= 50)
+        .select(col("query_id"), col("vec_id"), col("rel"),
+          col("embedding").as("emb"), col("pos_rk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mmr = mmrSelect(shortlist, k = 10, lambda = 0.5)
+      val brute = shortlist.filter(col("pos_rk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("pos_rk").cast("long").as("rk"))
+      val isTwin = (col("vec_id") >= 90000000L).cast("int")
+      val twinMmr = mmr.groupBy(col("query_id"))
+        .agg(sum(isTwin).as("n_twins_mmr"), count(lit(1)).as("n_mmr"))
+      val twinBrute = brute.groupBy(col("query_id")).agg(sum(isTwin).as("n_twins_brute"))
+      // worst pairwise cosine inside each selected set (MMR vs relevance-only)
+      def maxPairwise(sel: DataFrame): DataFrame = {
+        val withEmb = sel.join(shortlist.select(col("query_id"), col("vec_id"), col("emb")),
+          Seq("query_id", "vec_id"))
+        withEmb.alias("a").join(withEmb.alias("b"),
+            col("a.query_id") === col("b.query_id") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.query_id").as("query_id"),
+            (dot(col("a.emb"), col("b.emb")) /
+              (l2(col("a.emb")) * l2(col("b.emb")))).as("pc"))
+          .groupBy(col("query_id")).agg(max(col("pc")).as("max_pc"))
+      }
+      val firstPick = mmr.filter(col("mmr_rank") === 1)
+        .select(col("query_id"), col("vec_id").as("mmr_first"))
+        .join(brute.filter(col("rk") === 1)
+          .select(col("query_id"), col("vec_id").as("brute_first")), Seq("query_id"))
+      twinMmr.join(twinBrute, Seq("query_id"))
+        .join(maxPairwise(mmr.select(col("query_id"), col("vec_id"))).withColumnRenamed("max_pc", "pc_mmr"), Seq("query_id"))
+        .join(maxPairwise(brute.select(col("query_id"), col("vec_id"))).withColumnRenamed("max_pc", "pc_brute"), Seq("query_id"))
+        .join(firstPick, Seq("query_id"))
+        .agg(
+          (count(lit(1)) === 3 && min(col("n_mmr")) === 10L).as("all_queries_scored"),
+          (min(col("n_twins_brute")) === 2L).as("twins_crowd_bruteforce"),
+          (min(col("n_twins_mmr")) === 1L && max(col("n_twins_mmr")) === 1L)
+            .as("mmr_seats_exactly_one_twin"),
+          (max(col("pc_mmr") - col("pc_brute")) < 0.0).as("mmr_strictly_diversifies"),
+          (count(when(col("mmr_first") === col("brute_first"), 1)) === count(lit(1)))
+            .as("first_pick_is_relevance_argmax"))
+    },
+    Some("""SELECT true AS all_queries_scored, true AS twins_crowd_bruteforce,
+      true AS mmr_seats_exactly_one_twin, true AS mmr_strictly_diversifies,
+      true AS first_pick_is_relevance_argmax"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }

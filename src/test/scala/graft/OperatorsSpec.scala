@@ -1452,6 +1452,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s19 MMR greedy: hand-computable trajectory on a 4-candidate shortlist") {
+    val ss = spark
+    import ss.implicits._
+    // query = x-axis. Candidates: a/b near-duplicates hugging the query
+    // (rel .999950/.999928), c diagonal (rel .7071), d orthogonal (rel 0).
+    // At λ=0.3 the hand-computed trajectory is a, d, c, b: step 2 scores
+    // b ≈ .3·.999928 − .7·cos(b,a)≈1 = −.400, c = .2121 − .7·.7141 =
+    // −.288, d = 0 − .7·.0100 = −.007 → d; step 3 c (−.288) beats b
+    // (−.400); the redundant twin seats LAST.
+    val shortlist = Seq(
+      (1L, 10L, Seq(1.0, 0.01), 0.0),
+      (1L, 11L, Seq(1.0, 0.012), 0.0),
+      (1L, 12L, Seq(1.0, 1.0), 0.0),
+      (1L, 13L, Seq(0.0, 1.0), 0.0))
+      .toDF("query_id", "vec_id", "v", "ignore")
+      .select(col("query_id"), col("vec_id"),
+        expr("v[0] / sqrt(v[0]*v[0] + v[1]*v[1])").as("rel"),
+        col("v").cast("array<float>").as("emb"))
+    val out = graft.operators.Similarity.mmrSelect(shortlist, k = 4, lambda = 0.3)
+      .orderBy("mmr_rank").collect()
+      .map(r => r.getAs[Long]("mmr_rank") -> r.getAs[Long]("vec_id"))
+    assert(out.toSeq === Seq(1L -> 10L, 2L -> 13L, 3L -> 12L, 4L -> 11L))
+  }
+
   test("q59 SCD2: per key exactly one current row, intervals chain without gaps") {
     val rows = run("q59_scd2_history").collect()
     assert(rows.nonEmpty)
