@@ -1492,6 +1492,52 @@ object Similarity {
       true AS mmr_seats_exactly_one_twin, true AS mmr_strictly_diversifies,
       true AS first_pick_is_relevance_argmax"""))
 
+  // ---------------------------------------------------------------- s20
+  /** HARD-NEGATIVE MINING (Karpukhin et al. 2020, DPR, arXiv:2004.04906
+    * §3.2; public) — the contrastive-training composition s07 stops short
+    * of: for each query, the most-similar corpus vectors with a DIFFERENT
+    * label are exactly the "hard negatives" a retriever trains against
+    * (random negatives are too easy; same-label vectors are positives).
+    * One pushed-down label predicate + the s01 broadcast-scored rank —
+    * the label filter lands BEFORE the window, so the per-query sort is
+    * over the off-label slice only. Top-8 per query by (cosine desc, id). */
+  private val s20 = Q(
+    "s20_hard_negatives",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 8)
+        .select(col("query_id"), col("vec_id").as("negative_id"),
+          col("label").as("negative_label"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < 3),
+      pairs AS (
+        SELECT q.query_id, e.vec_id, e.label,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM embeddings e CROSS JOIN q WHERE e.label <> q.q_label)
+      SELECT query_id, vec_id AS negative_id, label AS negative_label,
+        round(cosine_raw, 6) AS cosine, rn FROM (
+        SELECT query_id, vec_id, label, cosine_raw,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS rn
+        FROM pairs) t WHERE rn <= 8"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
 }

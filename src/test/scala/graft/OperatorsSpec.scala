@@ -1452,6 +1452,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s20 hard negatives: off-label only, 8 per query, cosine-descending") {
+    val labels = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("s20_hard_negatives").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 3)
+    byQ.foreach { case (qid, negs) =>
+      assert(negs.length === 8)
+      negs.foreach { n =>
+        assert(n.getAs[Int]("negative_label") !== labels(qid),
+          s"query $qid mined a positive as a negative")
+      }
+      val ordered = negs.sortBy(_.getAs[Long]("rn"))
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(a.getAs[Double]("cosine") >= b.getAs[Double]("cosine"))
+      }
+    }
+  }
+
   test("s19 MMR greedy: hand-computable trajectory on a 4-candidate shortlist") {
     val ss = spark
     import ss.implicits._
