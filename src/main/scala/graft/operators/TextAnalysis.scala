@@ -1624,9 +1624,53 @@ object TextAnalysis {
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       WHERE d.doc_id % 2 = 1"""))
 
+  // ---------------------------------------------------------------- t25
+  /** DETERMINISTIC STRATIFIED TRAIN/VAL/TEST SPLIT — the eval-hygiene
+    * primitive every pipeline runs before training: assign each document
+    * to train/val/test by a HASH of its id (80/10/10), never by position
+    * or randomness. Hash assignment is row-local (no shuffle, no state,
+    * no sort — a rank-exact split would sort each stratum, which at
+    * 100 TB single-tasks the biggest language), reproducible across runs
+    * and machines, and stable under corpus growth: adding documents never
+    * moves an existing one between splits (the property that keeps
+    * yesterday's test set untouchable — d16's decontamination guards the
+    * content side, this guards the identity side). Proportions are
+    * binomial-approximate per stratum; the gate emits per-language
+    * realized fractions and the spec bounds their deviation.
+    *
+    * The output aggregation is per (lang, split) counts with a fraction
+    * against the language total — one grouped count + a broadcast join
+    * of 5 language totals. */
+  private val tSplit = Q(
+    "t25_stratified_split",
+    (s, dir) => {
+      val assigned = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        pmod(graft.functions.CrossEngine.md5Hash60(col("doc_id")), lit(10L)).as("slot"))
+        .select(col("doc_id"), col("lang"),
+          when(col("slot") < 8, "train").when(col("slot") === 8, "val")
+            .otherwise("test").as("split"))
+      val totals = assigned.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      assigned.groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("split"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_lang"), 6).as("frac"))
+    },
+    Some("""WITH assigned AS (
+        SELECT doc_id, lang,
+          CASE WHEN slot < 8 THEN 'train' WHEN slot = 8 THEN 'val'
+            ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang,
+          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS slot
+          FROM documents) t),
+      totals AS (SELECT lang, count(*) AS n_lang FROM assigned GROUP BY lang)
+      SELECT a.lang, a.split, count(*) AS n_docs,
+        round(CAST(count(*) AS DOUBLE) / any_value(t.n_lang), 6) AS frac
+      FROM assigned a JOIN totals t ON a.lang = t.lang
+      GROUP BY a.lang, a.split"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
-      tCcnetBuckets, tDsir, tStupidBackoff)
+      tCcnetBuckets, tDsir, tStupidBackoff, tSplit)
 }

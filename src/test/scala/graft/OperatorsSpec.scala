@@ -1452,6 +1452,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t25 stratified split: fractions near 80/10/10, partition per language") {
+    val rows = run("t25_stratified_split").collect()
+    val target = Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, parts) =>
+      // fractions within a stratum must sum to 1 and every split must exist
+      assert(parts.map(_.getAs[String]("split")).toSet === target.keySet, s"lang $lang")
+      val fracSum = parts.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fracSum - 1.0) < 1e-4, s"lang $lang fracs sum to $fracSum")
+      parts.foreach { p =>
+        val f = p.getAs[Double]("frac")
+        val t = target(p.getAs[String]("split"))
+        // binomial tolerance at the smallest stratum (~60 docs at
+        // sf0.001): 4 sigma of sqrt(p(1-p)/n) ~ 0.2
+        assert(math.abs(f - t) < 0.2, s"lang $lang ${p.getAs[String]("split")} frac $f")
+      }
+    }
+  }
+
   test("s20 hard negatives: off-label only, 8 per query, cosine-descending") {
     val labels = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label")).collect()
