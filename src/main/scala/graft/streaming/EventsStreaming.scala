@@ -1069,6 +1069,60 @@ object EventsStreaming {
     },
     Some(graft.operators.Dedup.d19OracleSql))
 
+  // ---------------------------------------------------------------- streaming NDV sketch
+  /** STREAMING NDV SKETCH MAINTENANCE — the mergeable-sketch claim
+    * (q46–q48) carried into Structured Streaming: the SAME native
+    * [[graft.functions.BottomKDistinct]] aggregate runs as a streaming
+    * aggregation, its k-long buffer IS the state-store row (bounded state
+    * by construction — the watermark-free complete-mode agg holds exactly
+    * one k-sized heap, never the distinct set), and each micro-batch
+    * map-side-folds its rows before the buffer merge. The estimate after
+    * the final batch must equal the batch q46-family computation on the
+    * same data — md5-deterministic, so the full DuckDB oracle applies,
+    * not just a rows check. */
+  private val st17 = Q(
+    "st17_stream_ndv_sketch",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val k = 64
+      val sinkTable = "st17_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st17_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      val query = raw
+        .select(graft.functions.CrossEngine.md5Hash60(col("user_id")).as("h"))
+        .agg(graft.functions.BottomK.bottomKDistinct(col("h"), k).as("bottom"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val out = s.table(sinkTable)
+        .select(size(col("bottom")).cast("long").as("n_in_sketch"),
+          element_at(col("bottom"), -1).as("kth_min"))
+        .select(col("n_in_sketch"), col("kth_min"),
+          round(when(col("n_in_sketch") < k, col("n_in_sketch").cast("double"))
+            .otherwise((col("n_in_sketch") - 1).cast("double") *
+              lit(1.152921504606846976e18) / col("kth_min").cast("double")), 4)
+            .as("est_ndv"))
+      drainSink(s, out, sinkTable, srcDir)
+    },
+    Some("""WITH hs AS (
+        SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+      bottomk AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+      agg AS (SELECT max(h) AS kth_min, count(*) AS n_in_sketch FROM bottomk)
+      SELECT CAST(n_in_sketch AS BIGINT) AS n_in_sketch, kth_min,
+        round(CASE WHEN n_in_sketch < 64 THEN CAST(n_in_sketch AS DOUBLE)
+          ELSE CAST(n_in_sketch - 1 AS DOUBLE) * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
+        END, 4) AS est_ndv
+      FROM agg"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16)
+    st10, st11, st12, st13, st14, st15, st16, st17)
 }

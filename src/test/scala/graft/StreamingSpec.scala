@@ -222,4 +222,33 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch,
       "the streaming admission filter must produce the identical cleaned corpus")
   }
+
+  test("st17 NDV sketch state merges across micro-batches to the batch sketch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val input = MemoryStream[Long]
+    val k = 8
+    val sketched = input.toDF().select(
+        graft.functions.CrossEngine.md5Hash60(col("value")).as("h"))
+      .agg(graft.functions.BottomK.bottomKDistinct(col("h"), k).as("bottom"))
+    val q = sketched.writeStream.format("memory").queryName("st17_spec_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // 30 distinct ids > k, split across two batches with overlap: the
+      // state-store buffer must carry batch-1's heap into batch 2
+      input.addData(0L until 20L: _*)
+      q.processAllAvailable()
+      input.addData(10L until 30L: _*)
+      q.processAllAvailable()
+      val streamed = sp.table("st17_spec_sink").collect().last.getSeq[Long](0)
+      val batch = (0L until 30L).toDF("value")
+        .select(graft.functions.CrossEngine.md5Hash60(col("value")).as("h"))
+        .agg(graft.functions.BottomK.bottomKDistinct(col("h"), k).as("bottom"))
+        .collect().head.getSeq[Long](0)
+      assert(streamed === batch,
+        "final streaming sketch must be bit-identical to the batch sketch")
+      assert(streamed.length === k)
+    } finally q.stop()
+  }
 }
