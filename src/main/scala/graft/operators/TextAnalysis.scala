@@ -1462,14 +1462,15 @@ object TextAnalysis {
           concat(col("bg.aa"), lit(" "), col("bg.bb")).as("g"))
       val grams = uni.unionByName(big).select(col("doc_id"), col("lang"),
         pmod(graft.functions.CrossEngine.md5Hash60(col("g")), lit(B)).as("b"))
-      val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("craw"))
-      val tgt = grams.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ctgt"))
-      val tot = grams.agg(count(lit(1)).as("nraw"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ntgt"))
-      val model = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+      // ONE grouped pass serves both bag models (the target count is a
+      // conditional sum) and, summed, both normalizers — no second corpus
+      // scan, no second shuffle
+      val counts = grams.groupBy(col("b")).agg(count(lit(1)).as("craw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ctgt"))
+      val tot = counts.agg(sum(col("craw")).as("nraw"), sum(col("ctgt")).as("ntgt"))
+      val model = counts.crossJoin(broadcast(tot))
         .select(col("b"),
-          round(log10(((coalesce(col("ctgt"), lit(0L)) + 0.5) * (col("nraw") + B / 2.0)) /
+          round(log10(((col("ctgt") + 0.5) * (col("nraw") + B / 2.0)) /
             ((col("craw") + 0.5) * (col("ntgt") + B / 2.0))) * 1e6)
             .cast("long").as("lr_micro"))
       val scored = grams.join(broadcast(model), Seq("b"))
