@@ -47,5 +47,63 @@ object Profile {
       per
     })
 
-  val all: Seq[Q] = Seq(p01)
+  // ---------------------------------------------------------------- p02
+  /** DISTRIBUTION-DRIFT DETECTION via the Population Stability Index
+    * (the standard model-monitoring statistic in credit scoring and ML
+    * ops; public) — the data-quality pass that catches "this month's data
+    * doesn't look like last month's" BEFORE a model trains on it:
+    * PSI = Σ_bins (p_i − q_i)·log(p_i/q_i) between a baseline period and
+    * a comparison period. Here: 1995 vs 1996 order totals, 10 equal-width
+    * bins over the GLOBAL price range (bin edges from data bounds, the
+    * q58 pattern), add-½ smoothing so empty bins stay finite. Convention:
+    * log10 (any fixed base scales PSI; documented here, micro-rounded per
+    * bin so the sum is exact long arithmetic — the t15/t21 pattern).
+    *
+    * Scale shape: bin edges are one global agg (broadcast scalar); the
+    * two period histograms are ONE conditional-count pass over the
+    * pushed-down year filter (the t23 lesson — never two scans for two
+    * slices of one table); everything downstream operates on ≤ 10 rows. */
+  private val p02 = Q(
+    "p02_drift_psi",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+          year(col("o_orderdate")).as("yr"))
+      val bounds = o.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+      val binned = o.filter(col("yr").isin(1995, 1996))
+        .crossJoin(broadcast(bounds))
+        .select(least(lit(9L), expr("(c - cmin) * 10 div (cmax - cmin + 1)")).as("bin"),
+          col("yr"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n_b"))
+      val tot = binned.agg(sum(col("n_a")).as("na_tot"), sum(col("n_b")).as("nb_tot"))
+      binned.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          round(round(((col("n_a") + 0.5) / (col("na_tot") + 5.0) -
+            (col("n_b") + 0.5) / (col("nb_tot") + 5.0)) *
+            log10(((col("n_a") + 0.5) * (col("nb_tot") + 5.0)) /
+              ((col("n_b") + 0.5) * (col("na_tot") + 5.0))) * 1e6)
+            .cast("long") / 1e6, 6).as("psi_term"))
+    },
+    Some("""WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+          year(o_orderdate) AS yr
+        FROM orders),
+      bounds AS (SELECT min(c) AS cmin, max(c) AS cmax FROM o),
+      binned AS (
+        SELECT least(9, (c - cmin) * 10 // (cmax - cmin + 1)) AS bin,
+          sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS n_a,
+          sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS n_b
+        FROM o CROSS JOIN bounds WHERE yr IN (1995, 1996)
+        GROUP BY 1),
+      tot AS (SELECT sum(n_a) AS na_tot, sum(n_b) AS nb_tot FROM binned)
+      SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        round(CAST(round(((n_a + 0.5) / (na_tot + 5.0) -
+          (n_b + 0.5) / (nb_tot + 5.0)) *
+          log10(((n_a + 0.5) * (nb_tot + 5.0)) /
+            ((n_b + 0.5) * (na_tot + 5.0))) * 1e6) AS BIGINT) / 1e6, 6) AS psi_term
+      FROM binned CROSS JOIN tot"""))
+
+  val all: Seq[Q] = Seq(p01, p02)
 }

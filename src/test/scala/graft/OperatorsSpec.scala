@@ -1452,6 +1452,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("p02 PSI drift: terms nonnegative, same-process years read as stable") {
+    val rows = run("p02_drift_psi").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      // (p-q) and log(p/q) share a sign, so every PSI term is >= 0 up to
+      // the micro rounding
+      assert(r.getAs[Double]("psi_term") >= -1e-6,
+        s"bin ${r.getAs[Long]("bin")} has a negative PSI term")
+    }
+    val total = rows.map(_.getAs[Double]("psi_term")).sum
+    // 1995 and 1996 orders come from the same synthetic process: PSI must
+    // sit under the industry "no significant shift" threshold of 0.1
+    assert(total >= 0.0 && total < 0.1, s"total PSI $total")
+  }
+
   test("t25 stratified split: fractions near 80/10/10, partition per language") {
     val rows = run("t25_stratified_split").collect()
     val target = Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
