@@ -177,5 +177,47 @@ object Sinks {
       min(c_custkey) AS min_key, max(c_custkey) AS max_key
       FROM customer GROUP BY c_mktsegment"""))
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05)
+  // ---------------------------------------------------------------- w06
+  /** SCHEMA EVOLUTION roundtrip — the lifecycle fact every long-lived
+    * 100 TB table hits: files written before a column existed must stay
+    * readable after it's added. Generation 1 (pre-1996 orders) is written
+    * WITHOUT `o_orderpriority`; generation 2 (1996+) appends WITH it;
+    * the read unifies them via `mergeSchema` (per-file footer union —
+    * exactly how parquet schema evolution works in production; the
+    * old files surface the new column as NULL). The aggregate groups by
+    * the evolved column, so the NULL group IS the old generation —
+    * count and money totals must reconcile exactly against the source
+    * table (cents-exact, the w01 pattern). */
+  private val w06 = Q(
+    "w06_schema_evolution",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w06_").toString
+      try {
+        val o = Tables.orders(s, dir)
+        o.filter(year(col("o_orderdate")) < 1996)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/gen")
+        o.filter(year(col("o_orderdate")) >= 1996)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("append").parquet(s"$out/gen")
+        val back = s.read.option("mergeSchema", "true").parquet(s"$out/gen")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+              .as("sum_price"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+        graft.functions.CrossEngine.materializeLocal(s, back)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT CASE WHEN year(o_orderdate) < 1996 THEN NULL
+        ELSE o_orderpriority END AS o_orderpriority,
+      count(*) AS n,
+      round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06)
 }
