@@ -279,9 +279,9 @@ object Similarity {
     * probed lists. Distances round to 6dp before every argmin/rank so
     * 1-ulp summation differences can't flip them; ties break on ids.
     * The trained-quantizer variant (sampled k-means) stays s03. */
-  private val s05 = Q(
-    "s05_ann_ivf_oracle",
-    (s, dir) => {
+  /** s05's fixed-quantizer IVF top-10, factored so the recall harness
+    * (s21) scores the exact same dataflow the gate checks. */
+  private[graft] def ivfFixedRanked(s: SparkSession, dir: String): DataFrame = {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val centers = broadcast(
         emb.orderBy(col("vec_id")).limit(8)
@@ -315,8 +315,11 @@ object Similarity {
         .filter(col("rn") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("cosine_raw"), 6).as("cosine"), col("rn"))
-    },
-    Some("""WITH centers AS (
+  }
+
+  /** The s05 oracle's CTE chain through `ranked` (IVF top-k candidates),
+    * shared with s21's recall oracle. */
+  private val ivfOracleCtes = """WITH centers AS (
         SELECT vec_id AS cid, embedding AS center FROM embeddings
         ORDER BY vec_id LIMIT 8),
       crossed AS (
@@ -349,7 +352,12 @@ object Similarity {
         SELECT query_id, neighbor_id, cosine_raw,
           row_number() OVER (PARTITION BY query_id
             ORDER BY cosine_raw DESC, neighbor_id) AS rn
-        FROM cand)
+        FROM cand)"""
+
+  private val s05 = Q(
+    "s05_ann_ivf_oracle",
+    (s, dir) => ivfFixedRanked(s, dir),
+    Some(s"""$ivfOracleCtes
       SELECT query_id, neighbor_id, round(cosine_raw, 6) AS cosine,
         CAST(rn AS BIGINT) AS rn
       FROM ranked WHERE rn <= 10"""))
@@ -1538,6 +1546,58 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS rn
         FROM pairs) t WHERE rn <= 8"""))
 
+  // ---------------------------------------------------------------- s21
+  /** ANN RECALL EVALUATION HARNESS — the measurement loop that decides
+    * every production ANN knob (nProbe, list count, codebook size):
+    * recall@k of the approximate lane against the exact brute-force
+    * ground truth on the SAME queries. Here: s05's fixed-quantizer IVF
+    * (nProbe=2 of 8 lists) scored against s01's exact top-10 — per-query
+    * hit counts from ONE equi-join of two 10-row frames (both sides are
+    * the already-bounded rank outputs; the join is on (query, neighbor)).
+    * Both lanes are deterministic, so recall itself sits under the full
+    * DuckDB hash gate — an eval harness whose own numbers are verified.
+    * At 100 TB this exact query runs on a sampled query set (q49/t25's
+    * hash sampling) against the production index; ground truth is the s17
+    * re-rank path over the sample. */
+  private val s21 = Q(
+    "s21_ann_recall_eval",
+    (s, dir) => {
+      val exact = cosineRanked(s, dir)
+        .filter(col("pos_rk") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val approx = ivfFixedRanked(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k"), 6).as("recall_at_10"))
+    },
+    Some(s"""$ivfOracleCtes,
+      approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10),
+      exact_pairs AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+        WHERE e.vec_id <> q.vec_id),
+      exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine_raw DESC, neighbor_id) AS rn
+          FROM exact_pairs) t WHERE rn <= 10)
+      SELECT x.query_id, count(*) AS k,
+        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*), 6) AS recall_at_10
+      FROM exact_top x LEFT JOIN approx a
+        ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+      GROUP BY x.query_id"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
 }

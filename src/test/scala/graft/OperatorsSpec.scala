@@ -1452,6 +1452,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s21 recall eval: k=10 per query, recall in [0,1], consistent with hits") {
+    val rows = run("s21_ann_recall_eval").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") === 10L)
+      val hits = r.getAs[Long]("n_hits")
+      val rec = r.getAs[Double]("recall_at_10")
+      assert(hits >= 0L && hits <= 10L)
+      assert(math.abs(rec - hits / 10.0) < 1e-9)
+      // nProbe=2 of 8 lists must beat random candidate coverage: an IVF
+      // probing a quarter of the lists that found NOTHING is broken
+      assert(hits >= 1L, s"query ${r.getAs[Long]("query_id")} had zero recall")
+    }
+  }
+
   test("p02 PSI drift: terms nonnegative, same-process years read as stable") {
     val rows = run("p02_drift_psi").collect()
     assert(rows.nonEmpty && rows.length <= 10)
