@@ -1123,6 +1123,73 @@ object EventsStreaming {
         END, 4) AS est_ndv
       FROM agg"""))
 
+  // ---------------------------------------------------------------- streaming count-min
+  /** STREAMING COUNT-MIN MAINTENANCE — q55's point-frequency sketch as a
+    * streaming aggregation (the st17 contract at depth×width state): the
+    * native [[graft.functions.CountMin]] aggregate's D×W long grid IS the
+    * state-store row — bounded regardless of stream length or key
+    * cardinality — and micro-batches fold map-side before the elementwise
+    * buffer add. After the final batch the sketch must answer point
+    * queries exactly as the batch-built sketch would: cells are
+    * md5-reproducible, so the DuckDB oracle recomputes every estimate
+    * cell-for-cell (q55's contract), and never-underestimates is checked
+    * as a hard boolean per probe. */
+  private val st18 = Q(
+    "st18_stream_count_min",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val D = 4
+      val W = 256
+      val sinkTable = "st18_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st18_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      val query = raw
+        .select(col("user_id").cast("string").as("k"))
+        .agg(graft.functions.CountMin.countMinSketch(col("k"), D, W).as("cms"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val probes = Tables.events(s, dir).filter(col("user_id") % 13 === 1)
+        .select(col("user_id").cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("true_cnt"))
+      val est = (0 until D).map { j =>
+        element_at(col("cms"),
+          (lit(j * W) + pmod(graft.functions.CrossEngine.md5Hash60(col("k"), Some(j)),
+            lit(W.toLong)) + 1).cast("int"))
+      }.reduce(least(_, _))
+      val out = probes.crossJoin(broadcast(s.table(sinkTable)))
+        .select(col("k"), col("true_cnt"), est.as("est"),
+          (est >= col("true_cnt")).as("never_underestimates"))
+      drainSink(s, out, sinkTable, srcDir)
+    },
+    Some("""WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+      js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      cells AS (
+        SELECT j,
+          CAST(concat('0x', substring(md5(k || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS b,
+          count(*) AS cnt
+        FROM keys CROSS JOIN js GROUP BY 1, 2),
+      probes AS (
+        SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS true_cnt
+        FROM events WHERE user_id % 13 = 1 GROUP BY 1),
+      est AS (
+        SELECT p.k, p.true_cnt, min(c.cnt) AS est
+        FROM probes p CROSS JOIN js
+        JOIN cells c ON c.j = js.j
+          AND c.b = CAST(concat('0x', substring(md5(p.k || '#' || CAST(js.j AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+        GROUP BY 1, 2)
+      SELECT k, CAST(true_cnt AS BIGINT) AS true_cnt, CAST(est AS BIGINT) AS est,
+        est >= true_cnt AS never_underestimates
+      FROM est"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18)
 }

@@ -251,4 +251,29 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.length === k)
     } finally q.stop()
   }
+
+  test("st18 count-min state merges across micro-batches to the batch sketch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val input = MemoryStream[String]
+    val sketched = input.toDF().select(col("value").as("k"))
+      .agg(graft.functions.CountMin.countMinSketch(col("k"), 4, 32).as("cms"))
+    val q = sketched.writeStream.format("memory").queryName("st18_spec_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((0 until 50).map(i => s"k${i % 7}"): _*)
+      q.processAllAvailable()
+      input.addData((0 until 30).map(i => s"k${i % 11}"): _*)
+      q.processAllAvailable()
+      val streamed = sp.table("st18_spec_sink").collect().last.getSeq[Long](0)
+      val batch = ((0 until 50).map(i => s"k${i % 7}") ++
+        (0 until 30).map(i => s"k${i % 11}")).toDF("k")
+        .agg(graft.functions.CountMin.countMinSketch(col("k"), 4, 32).as("cms"))
+        .collect().head.getSeq[Long](0)
+      assert(streamed === batch,
+        "final streaming CMS grid must be cell-identical to the batch sketch")
+      assert(streamed.sum === 4L * 80)
+    } finally q.stop()
+  }
 }
