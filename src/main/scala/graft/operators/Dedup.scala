@@ -1611,6 +1611,51 @@ object Dedup {
       blockTokens = 10, maxDf = 50),
     Some(d19OracleSql))
 
+  // ---------------------------------------------------------------- d20
+  /** INCREMENTAL LINE-DEDUP MODEL MAINTENANCE — d19's document-frequency
+    * model updated the way a production crawl actually grows: per-BATCH
+    * block counts (countDistinct within the batch) summed into the running
+    * model, never a rescan of history. Correct because ingest batches
+    * partition the document space (a doc lands in exactly one batch — the
+    * same identity guarantee t25's hash split and d10's id guard provide;
+    * a re-crawled doc must re-use its id or be deduped upstream), so
+    * per-batch distinct-doc counts are additive. The gate splits the d19
+    * corpus into two disjoint batches, merges their count tables, and
+    * emits the merged model's hot set WITH frequencies — which must
+    * hash-match the full-recompute oracle exactly (the q48 sketch-merge
+    * contract, applied to the dedup model).
+    *
+    * Scale shape: each batch's count is the d19 grouped pass over that
+    * batch only; the merge is a groupBy-sum over (hash, df) pairs —
+    * model-sized, not corpus-sized. The running model a deployment keeps
+    * is exactly `counts`; this query materializes the merge == recompute
+    * invariant that makes keeping it sound. */
+  private val d20 = Q(
+    "d20_line_dedup_incremental",
+    (s, dir) => {
+      val corpus = d19Corpus(Tables.documents(s, dir))
+      def batchCounts(b: DataFrame): DataFrame =
+        blockTable(b, blockTokens = 10).groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+      val merged = batchCounts(corpus.filter(col("doc_id") % 2 === 0))
+        .unionByName(batchCounts(corpus.filter(col("doc_id") % 2 === 1)))
+        .groupBy(col("h")).agg(sum(col("df")).as("doc_freq"))
+      merged.filter(col("doc_freq") >= 50).select(col("h"), col("doc_freq"))
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN '$d19Template' || ' ' || text
+            ELSE text END AS text
+        FROM documents),
+      blocks AS (
+        SELECT doc_id, array_to_string(tk[(i * 10 + 1) : (i * 10 + 10)], ' ') AS blk
+        FROM (SELECT doc_id, tk,
+            unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) t) u)
+      SELECT CAST(concat('0x', substring(md5(blk), 1, 15)) AS BIGINT) AS h,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM blocks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

@@ -1433,6 +1433,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d20 incremental model merge equals the full recompute, batch by batch") {
+    val merged = run("d20_line_dedup_incremental").collect()
+      .map(r => r.getAs[Long]("h") -> r.getAs[Long]("doc_freq")).toMap
+    // full recompute, same corpus derivation
+    val corpus = graft.operators.Dedup.d19Corpus(
+      graft.sources.Tables.documents(spark, sfDir))
+    val full = graft.operators.Dedup.blockTable(corpus, 10)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 50).collect()
+      .map(r => r.getAs[Long]("h") -> r.getAs[Long]("df")).toMap
+    assert(full.nonEmpty, "the planted template must clear the threshold")
+    assert(merged === full,
+      "summing per-batch distinct counts must reproduce the full model exactly")
+  }
+
   test("t21 bigram logprob: one score per doc, n-1 bigrams, mass is negative") {
     val rows = run("t21_bigram_logprob").collect()
     val lens = graft.sources.Tables.documents(spark, sfDir)
