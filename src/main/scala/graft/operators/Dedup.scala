@@ -1656,6 +1656,80 @@ object Dedup {
         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
       FROM blocks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50"""))
 
+  // ---------------------------------------------------------------- d21
+  /** DEDUP TUNING EVAL HARNESS — precision/recall of the banded-MinHash
+    * candidate generator against EXACT Jaccard ground truth, the
+    * measurement loop that tunes (nPerm, bands, threshold) before a
+    * production run (the s21 recall-eval pattern applied to dedup;
+    * banding-curve methodology per Leskovec/Rajaraman/Ullman, Mining of
+    * Massive Datasets ch. 3 — public).
+    *
+    * Ground truth is ALL-PAIRS exact Jaccard — the thing a 100 TB corpus
+    * can never compute. That is exactly why the harness exists: it runs on
+    * a bounded sample slice (the d06 1-in-5 slice here; a hash-sampled
+    * slice in production), where all-pairs is affordable, and the measured
+    * precision/recall transfers to the full corpus because banding
+    * probability depends only on pair similarity, not corpus size. Both
+    * sides reuse d06's exact machinery ([[kmBands]] / [[shingleSets]] and
+    * the [[kmSqlPrefix]] template), so the eval measures the REAL lane,
+    * not a reimplementation. Ratios are integer micros (`div`) — no float
+    * division anywhere. */
+  private val d21 = Q(
+    "d21_dedup_eval",
+    (s, dir) => {
+      val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
+      val sets = shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = kmBands(sets)
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val cand = a.join(b, col("a.band") === col("b.band")
+          && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val truth = sa.join(sb, col("doc_a") < col("doc_b"))
+        .filter(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      val out = truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 1000000 div greatest(n_cand, 1)").as("precision_micro"),
+          expr("n_hit * 1000000 div greatest(n_truth, 1)").as("recall_micro"))
+        .localCheckpoint(true)
+      sets.unpersist(false); cand.unpersist(false); truth.unpersist(false)
+      out
+    },
+    Some {
+      s"""${kmSqlPrefix(s"SELECT * FROM ($sqlPlanted) p WHERE doc_id % 5 = 0")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        truth AS (
+          SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+          FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+        hit AS (
+          SELECT t.* FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand c
+            WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b))
+      SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+        CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+        CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+        (SELECT count(*) FROM hit) * 1000000 //
+          greatest((SELECT count(*) FROM cand), 1) AS precision_micro,
+        (SELECT count(*) FROM hit) * 1000000 //
+          greatest((SELECT count(*) FROM truth), 1) AS recall_micro"""
+    })
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 }
