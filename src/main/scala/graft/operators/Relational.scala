@@ -1067,10 +1067,101 @@ object Relational {
         ts_next IS NULL AS is_current
       FROM h"""))
 
+  // ---------------------------------------------------------------- q60
+  /** BLOCKED FUZZY MATCH (entity resolution / record linkage — the
+    * Fellegi-Sunter blocking+compare shape every large-scale ER system
+    * uses; public) — a "dirty" side with one character deleted per title
+    * is linked back to the clean side. The scale contract is the BLOCKING
+    * key: candidate generation is an EQUI-join on a stable prefix (never
+    * an all-pairs edit-distance cross join, which is O(N²) and cannot run
+    * at 100 TB); `levenshtein` verifies only within blocks, and the
+    * per-dirty-row winner is a map-side partial `min(struct(dist, id))` —
+    * no window sort. The deletion position is always past the block
+    * prefix, so blocking recall is structural (the true source always
+    * co-blocks); a production blocker adds a second key (e.g. soundex) for
+    * typos inside the prefix — the d05 two-table OR-redundancy pattern.
+    * Hot prefixes are bounded by the title vocabulary here; the
+    * [[graft.operators.Dedup]] hot-bucket cap applies unchanged if a
+    * real corpus floods one block. */
+  private val q60 = Q(
+    "q60_fuzzy_match",
+    (s, dir) => {
+      val titles = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("title"))
+      // delete ONE char at deterministic position p = 5 + doc_id % 7 —
+      // always past the 4-char blocking prefix
+      val dirty = titles.select(
+        (col("doc_id") + 5000000L).as("dirty_id"),
+        expr("""concat(substring(title, 1, 4 + cast(doc_id % 7 as int)),
+                       substring(title, 6 + cast(doc_id % 7 as int), 100000))""")
+          .as("dtitle"))
+      val cand = dirty.join(titles,
+          substring(col("dtitle"), 1, 4) === substring(col("title"), 1, 4))
+        .select(col("dirty_id"), col("doc_id"),
+          levenshtein(col("dtitle"), col("title")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+      cand.groupBy(col("dirty_id"))
+        .agg(min(struct(col("dist"), col("doc_id"))).as("m"))
+        .select(col("dirty_id"), col("m.doc_id").as("matched_id"),
+          col("m.dist").as("dist"))
+    },
+    Some("""WITH titles AS (
+        SELECT doc_id, array_to_string(string_split(text, ' ')[1:6], ' ') AS title
+        FROM documents),
+      dirty AS (
+        SELECT doc_id + 5000000 AS dirty_id,
+          substring(title, 1, 4 + CAST(doc_id % 7 AS INT)) ||
+          substring(title, 6 + CAST(doc_id % 7 AS INT), 100000) AS dtitle
+        FROM titles),
+      cand AS (
+        SELECT d.dirty_id, t.doc_id,
+          CAST(levenshtein(d.dtitle, t.title) AS BIGINT) AS dist
+        FROM dirty d JOIN titles t
+          ON substring(d.dtitle, 1, 4) = substring(t.title, 1, 4)
+        WHERE levenshtein(d.dtitle, t.title) <= 2)
+      SELECT dirty_id, doc_id AS matched_id, dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY dirty_id ORDER BY dist, doc_id) AS rn FROM cand)
+      WHERE rn = 1"""))
+
+  // ---------------------------------------------------------------- q61
+  /** INTERVAL CONCURRENCY (temporal overlap counting — the
+    * how-many-in-flight-at-once question behind resource peaks, genomics
+    * coverage depth, and concurrent-session counts; public) — each
+    * lineitem carries a BOUNDED transit window [ship, ship + dur] (dur =
+    * quantity-derived, <= 15 days) and the query computes the number of
+    * in-transit shipments for every day. Strategy: EXPLODE the interval to
+    * day grain and count — the scale-correct form precisely BECAUSE the
+    * span is bounded (rows out <= 16 × input, partial aggregation absorbs
+    * them map-side; the alternative sweep-line +1/-1 prefix sum needs a
+    * global time order and is the t10 machinery when spans are unbounded).
+    * Day arithmetic is pure integers (days since epoch-anchor) — no
+    * date/interval dialect anywhere near the gate. */
+  private val q61 = Q(
+    "q61_interval_concurrency",
+    (s, dir) => {
+      Tables.lineitem(s, dir).select(
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("d0"),
+          (col("l_quantity").cast("long") % 14 + 1).as("dur"))
+        .select(explode(expr("sequence(d0, d0 + dur)")).as("day_no"))
+        .groupBy(col("day_no"))
+        .agg(count(lit(1)).as("n_active"))
+    },
+    Some("""WITH iv AS (
+        SELECT date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d0,
+          CAST(l_quantity AS BIGINT) % 14 + 1 AS dur
+        FROM lineitem),
+      days AS (SELECT unnest(range(d0, d0 + dur + 1)) AS day_no FROM iv)
+      SELECT CAST(day_no AS BIGINT) AS day_no,
+        CAST(count(*) AS BIGINT) AS n_active
+      FROM days GROUP BY day_no"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q50, q52, q58, q59)
+    q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
+    q61)
 }

@@ -2053,6 +2053,48 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d21 dedup eval: metrics are consistent and banding recall is high") {
+    val r = run("d21_dedup_eval").head()
+    val (nTruth, nCand, nHit) = (r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_cand"), r.getAs[Long]("n_hit"))
+    assert(nTruth > 0 && nCand > 0)
+    // hits are an intersection: bounded by both sides
+    assert(nHit <= nTruth && nHit <= nCand)
+    assert(r.getAs[Long]("precision_micro") === nHit * 1000000L / nCand)
+    assert(r.getAs[Long]("recall_micro") === nHit * 1000000L / nTruth)
+    // planted truncations sit at J~0.9 where 4-band/2-row banding catches
+    // ~99.9%; organic >= 0.5 pairs pull the floor down — 60% is the loose
+    // bound that still proves the candidate generator finds real pairs
+    assert(r.getAs[Long]("recall_micro") >= 600000L,
+      s"banding recall collapsed: ${r.getAs[Long]("recall_micro")}")
+  }
+
+  test("q60 fuzzy match: every dirty row links at distance <= 1, mostly to its source") {
+    val rows = run("q60_fuzzy_match").collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    // the true source always co-blocks (deletion is past the prefix) and
+    // sits at exactly distance 1, so min-dist can never exceed 1
+    assert(rows.length === nDocs, "every dirty row must find a match")
+    assert(rows.forall(_.getAs[Long]("dist") <= 1L))
+    // duplicate titles make a few dirty rows tie to a smaller doc_id; the
+    // overwhelming majority must still link to their exact source
+    val exact = rows.count(r =>
+      r.getAs[Long]("matched_id") === r.getAs[Long]("dirty_id") - 5000000L)
+    assert(exact.toDouble / rows.length > 0.9,
+      s"only $exact/${rows.length} linked to their source")
+  }
+
+  test("q61 interval concurrency: day counts conserve exploded interval mass") {
+    val rows = run("q61_interval_concurrency").collect()
+    // each lineitem contributes exactly dur+1 day-rows; the per-day counts
+    // must conserve that mass exactly (explode drops/duplicates nothing)
+    val expected = graft.sources.Tables.lineitem(spark, sfDir)
+      .select((col("l_quantity").cast("long") % 14 + 2).as("m"))
+      .agg(sum(col("m"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_active")).sum === expected)
+    assert(rows.forall(_.getAs[Long]("n_active") > 0))
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
