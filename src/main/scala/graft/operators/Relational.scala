@@ -1157,11 +1157,113 @@ object Relational {
         CAST(count(*) AS BIGINT) AS n_active
       FROM days GROUP BY day_no"""))
 
+  // ---------------------------------------------------------------- q62
+  /** WEIGHTED SYSTEMATIC SAMPLE (probability-proportional-to-size
+    * sampling with a fixed stride — the survey-statistics PPS design and
+    * the resampling step of particle filters; public) — walk the
+    * key-ordered population accumulating integer weights and emit every
+    * row whose weight interval crosses a multiple of `step = total/n`.
+    * Pure integer arithmetic end to end (weights are cents, selection is
+    * floor-division crossing), so the sample is exact across engines — no
+    * float RNG anywhere.
+    *
+    * Scale shape: the cumulative weight is [[TextAnalysis.packSequences]]'s
+    * DISTRIBUTED prefix sum (range exchange + driver-summed partition
+    * offsets + one narrow sweep — t10's machinery, reused verbatim), never
+    * a single-partition window; the only driver values are the grand total
+    * (one scalar) and the #partitions offset table. A row heavier than
+    * `step` is emitted once (certainty inclusion) — the standard PPS
+    * treatment of outsize units. */
+  private val q62 = Q(
+    "q62_systematic_sample",
+    (s, dir) => {
+      val nSamples = 200L
+      val w = Tables.orders(s, dir).select(
+        col("o_orderkey").as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("n_tokens"))
+      val total = w.agg(sum(col("n_tokens"))).head().getLong(0)
+      val step = total / nSamples
+      TextAnalysis.packSequences(w, step)
+        .filter(col("seq_offset") + col("n_tokens") >= step)
+        .select(col("doc_id").as("o_orderkey"),
+          col("n_tokens").as("w_cents"),
+          expr(s"seq_id + (seq_offset + n_tokens) div $step").as("sample_no"))
+    },
+    Some("""WITH w AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+        FROM orders),
+      c AS (
+        SELECT o_orderkey, w_cents,
+          CAST(sum(w_cents) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end,
+          CAST((SELECT sum(w_cents) FROM w) AS BIGINT) // 200 AS step
+        FROM w)
+      SELECT o_orderkey, w_cents, cum_end // step AS sample_no
+      FROM c WHERE (cum_end - w_cents) // step < cum_end // step"""))
+
+  // ---------------------------------------------------------------- q63
+  /** PAGERANK (Page/Brin '99; the canonical iterated-join graph workload —
+    * web-corpus curation ranks crawl URLs exactly this way; public) over
+    * the bipartite customer-supplier purchase graph, made undirected so
+    * every node has out-degree >= 1 (no dangling-mass sink). Five damped
+    * iterations in EXACT integer micros: contrib = rank div deg, rank' =
+    * 150000 + 17*Σcontrib div 20 (= 0.85 damping as the reduced fraction
+    * 17/20 — small multiplier keeps ~2^59 of BIGINT headroom at
+    * billion-node mass, where a 850000× multiplier would overflow).
+    *
+    * Scale shape: each iteration is ONE equi-join of the (u,v,deg)
+    * adjacency against the node-sized rank table plus one grouped sum —
+    * the shuffle key is the node id both times, ranks never leave the
+    * cluster, and `localCheckpoint` per iteration truncates the iterative
+    * lineage (the d09/CC lesson). Output is the deterministic top-25
+    * (rank desc, node asc) via TakeOrderedAndProject. */
+  private val q63 = Q(
+    "q63_pagerank",
+    (s, dir) => {
+      val e0 = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val adj = deg.join(edges, "u")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 5) {
+        ranks = adj.join(ranks, col("u") === col("node"))
+          .select(col("v"), expr("rank div deg").as("contrib"))
+          .groupBy(col("v")).agg(sum(col("contrib")).as("in_mass"))
+          .select(col("v").as("node"),
+            expr("150000 + 17 * in_mass div 20").as("rank"))
+          .localCheckpoint(true)
+      }
+      val out = ranks.orderBy(col("rank").desc, col("node")).limit(25)
+        .localCheckpoint(true)
+      adj.unpersist(false)
+      out
+    },
+    Some {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+          SELECT v AS node, 150000 + 17 * sum(rank // deg) // 20 AS rank
+          FROM adj JOIN r${i - 1} ON adj.u = r${i - 1}.node GROUP BY v)"""
+      }.mkString(",\n        ")
+      s"""WITH e0 AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+      adj AS (SELECT e.u, e.v, d.deg FROM edges e JOIN deg d ON e.u = d.u),
+      r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      $iters
+      SELECT node, CAST(rank AS BIGINT) AS rank FROM r5
+      ORDER BY rank DESC, node LIMIT 25"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61)
+    q61, q62, q63)
 }

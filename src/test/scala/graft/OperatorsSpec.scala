@@ -2095,6 +2095,52 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_active") > 0))
   }
 
+  test("q62 systematic sample: exactly one row per crossed stride, 200 strides") {
+    val rows = run("q62_systematic_sample").collect()
+    // 200 sample points (multiples of step <= total) each land in exactly
+    // one weight interval; a heavy row may swallow several points but is
+    // emitted once, so rows <= 200 with distinct, increasing sample_no
+    assert(rows.length <= 200 && rows.length >= 150)
+    val nos = rows.map(_.getAs[Long]("sample_no")).sorted
+    assert(nos.distinct.length === nos.length, "duplicate sample_no")
+    assert(nos.last === 200L, s"last stride must be crossed, got ${nos.last}")
+    assert(rows.forall(_.getAs[Long]("w_cents") > 0))
+  }
+
+  test("q63 pagerank: top-25 are suppliers, ranks bounded below by the damping floor") {
+    val rows = run("q63_pagerank").collect()
+    assert(rows.length === 25)
+    // suppliers are ~10x rarer than customers in the bipartite purchase
+    // graph, so they absorb ~10x the incoming mass — the top of the
+    // ranking must be supplier nodes (odd ids under the 2k/2k+1
+    // namespacing) for as many suppliers as exist (sf0.001 has only 10)
+    val nSupp = graft.sources.Tables.supplier(spark, sfDir).count().toInt
+    assert(rows.take(math.min(nSupp, 25))
+        .forall(_.getAs[Long]("node") % 2 === 1),
+      "a customer outranked suppliers")
+    val ranks = rows.map(_.getAs[Long]("rank"))
+    // every rank carries at least the (1-d) teleport floor, and the
+    // returned set is ordered
+    assert(ranks.forall(_ >= 150000L))
+    assert(ranks.sameElements(ranks.sorted.reverse))
+  }
+
+  test("t26 naive bayes: held-out accuracy on the planted label is perfect") {
+    val rows = run("t26_naive_bayes").collect()
+    val nTest = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(rows.length === nTest, "every held-out doc must be classified")
+    // the planted promo template gives marker tokens decisive likelihood
+    // ratios, and promo's larger token total depresses non-marker
+    // likelihoods for organic docs — the learned model must recover the
+    // plant on docs it never trained on
+    rows.foreach { r =>
+      val truth = if (r.getAs[Long]("doc_id") % 3 === 0) "promo" else "organic"
+      assert(r.getAs[String]("pred_label") === truth,
+        s"doc ${r.getAs[Long]("doc_id")} predicted ${r.getAs[String]("pred_label")}")
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
