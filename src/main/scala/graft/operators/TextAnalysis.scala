@@ -1669,9 +1669,119 @@ object TextAnalysis {
       FROM assigned a JOIN totals t ON a.lang = t.lang
       GROUP BY a.lang, a.split"""))
 
+  // ---------------------------------------------------------------- t26
+  /** MULTINOMIAL NAIVE BAYES CLASSIFIER (train AND apply — the fastText/
+    * CCNet-style linear quality classifier every curation pipeline runs at
+    * scale; McCallum & Nigam '98, public). The labeled signal is PLANTED
+    * (the d16/d19 harness pattern — the corpus's own lang/source fields
+    * carry no lexical signal in this synthetic data): every doc_id % 3 ==
+    * 0 doc gets a promo template prepended and the label 'promo', the
+    * rest are 'organic'. Trained on the even-doc half with add-one
+    * smoothing, applied to the held-out odd half — where the learned
+    * marker-token weights must recover the plant (spec asserts held-out
+    * accuracy; organic docs win too, because the promo class's larger
+    * token total depresses every non-marker likelihood). All log terms
+    * are integer micros (the t15/t21 contract), so per-doc class scores
+    * are exact long sums and the argmax is bit-stable across engines.
+    *
+    * Scale shape: training is ONE grouped count over exploded train
+    * tokens (map-side combined); the model is the (class × vocab) term
+    * grid — C is small, so the grid is C×|V| rows, the natural broadcast-
+    * or-join model table. Scoring joins test tokens to the grid on the
+    * TOKEN key (C rows per occurrence), one grouped long-sum per (doc,
+    * class), and the per-doc argmax is a map-side partial
+    * `min(struct(-score, label))` — never a per-doc window. Unseen-in-
+    * train tokens drop out identically in both engines (closed-vocab
+    * scoring, the standard NB treatment). */
+  private[graft] val nbPromoTemplate =
+    "buy cheap sale now limited offer click here exclusive deal"
+
+  private val tNaiveBayes = Q(
+    "t26_naive_bayes",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("promo")).otherwise(lit("organic"))
+          .as("label"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit(nbPromoTemplate), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toksTr = train
+        .select(col("label"), explode(split(col("text"), " ")).as("token"))
+      val nwc = toksTr.groupBy(col("label"), col("token"))
+        .agg(count(lit(1)).as("nwc"))
+      val nc = toksTr.groupBy(col("label")).agg(count(lit(1)).as("nc"))
+      val vocab = toksTr.select(col("token")).distinct()
+      val vsize = broadcast(vocab.agg(count(lit(1)).as("v")))
+      val grid = nc.crossJoin(vocab)
+        .join(nwc, Seq("label", "token"), "left")
+        .na.fill(0L, Seq("nwc"))
+        .crossJoin(vsize)
+        .select(col("label"), col("token"),
+          round(log10((col("nwc") + 1).cast("double") / (col("nc") + col("v")))
+            * 1e6).cast("long").as("lp_micro"))
+      val nd = train.groupBy(col("label")).agg(count(lit(1)).as("nd"))
+      val prior = nd.crossJoin(broadcast(nd.agg(sum(col("nd")).as("ndt"))))
+        .select(col("label"),
+          round(log10(col("nd").cast("double") / col("ndt")) * 1e6)
+            .cast("long").as("prior_micro"))
+      val toksTe = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val scored = toksTe.join(grid, Seq("token"))
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum(col("lp_micro")).as("s"))
+        .join(prior, Seq("label"))
+        .select(col("doc_id"), col("label"),
+          (col("s") + col("prior_micro")).as("score"))
+      val out = scored.groupBy(col("doc_id"))
+        .agg(min(struct((-col("score")).as("neg"), col("label"))).as("m"))
+        .select(col("doc_id"), col("m.label").as("pred_label"),
+          (-col("m.neg")).as("score_micro"))
+        .localCheckpoint(true)
+      train.unpersist(false)
+      out
+    },
+    Some(s"""WITH labeled AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'promo' ELSE 'organic' END AS label,
+          CASE WHEN doc_id % 3 = 0 THEN '$nbPromoTemplate' || ' ' || text
+            ELSE text END AS text
+        FROM documents),
+      train AS (SELECT * FROM labeled WHERE doc_id % 2 = 0),
+      tok_tr AS (
+        SELECT label, unnest(string_split(text, ' ')) AS token FROM train),
+      nwc AS (SELECT label, token, count(*) AS nwc FROM tok_tr GROUP BY 1, 2),
+      nc AS (SELECT label, count(*) AS nc FROM tok_tr GROUP BY 1),
+      vocab AS (SELECT DISTINCT token FROM tok_tr),
+      grid AS (
+        SELECT c.label, vo.token,
+          CAST(round(log10(CAST(coalesce(w.nwc, 0) + 1 AS DOUBLE) /
+            (c.nc + (SELECT count(*) FROM vocab))) * 1e6) AS BIGINT) AS lp_micro
+        FROM nc c CROSS JOIN vocab vo
+        LEFT JOIN nwc w ON w.label = c.label AND w.token = vo.token),
+      nd AS (SELECT label, count(*) AS nd FROM train GROUP BY 1),
+      prior AS (
+        SELECT label, CAST(round(log10(CAST(nd AS DOUBLE) /
+          (SELECT sum(nd) FROM nd)) * 1e6) AS BIGINT) AS prior_micro
+        FROM nd),
+      tok_te AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM labeled WHERE doc_id % 2 = 1),
+      sc AS (
+        SELECT t.doc_id, g.label,
+          CAST(sum(g.lp_micro) AS BIGINT) + p.prior_micro AS score
+        FROM tok_te t JOIN grid g ON t.token = g.token
+        JOIN prior p ON p.label = g.label
+        GROUP BY t.doc_id, g.label, p.prior_micro)
+      SELECT doc_id, label AS pred_label, score AS score_micro FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
+      WHERE rn = 1"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
-      tCcnetBuckets, tDsir, tStupidBackoff, tSplit)
+      tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes)
 }
