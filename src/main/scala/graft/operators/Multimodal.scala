@@ -1197,5 +1197,251 @@ object Multimodal {
       true AS all_twins_pair_cross_codec
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+  final case class VadRow(
+      doc_id: Long, n_segments: Long, n_active_windows: Long,
+      first_start_us: Long, first_end_us: Long)
+
+  // ---------------------------------------------------------------- m12
+  /** AUDIO VOICE-ACTIVITY SEGMENTATION (energy-threshold VAD — the
+    * classic first pass of every speech pipeline, Rabiner/Sambur '75;
+    * public) over the REAL decoded WAV stream: per-asset speech/silence
+    * segmentation from 30-sample energy windows. The clip generator
+    * plants the ground truth — window k of 8 is active iff bit k of the
+    * asset's first md5 byte is set (window 2 forced active so every
+    * asset has >= 1 segment); active windows carry a tone whose samples
+    * are all >= 8192, silent windows are exact digital zero, so the
+    * energy threshold has a provable >= 245k-vs-0 margin and the decoded
+    * verdict is bit-stable. PCM WAV is lossless (the m06 contract), so
+    * the DuckDB oracle recomputes segments from the generating formula
+    * while Spark derives them from the genuinely decoded bytes.
+    *
+    * Scale shape: segmentation is ROW-LOCAL (one pass over the decoded
+    * samples inside the same mapPartitions that decodes — m01's batch
+    * contract, payloads never leave the executor); the output is five
+    * fixed-width numbers per asset, no shuffle at all. */
+  private val m12 = Q(
+    "m12_audio_vad",
+    (s, dir) => {
+      import s.implicits._
+      val n = 240
+      val winLen = 30
+      val rate = 8000f
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate, 16, 1, 2, rate, false)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.map { id =>
+            val act = (md.digest(id.toString.getBytes("UTF-8"))(0) & 0xff).toLong
+            def activeGen(k: Int): Boolean = ((act >> k) & 1L) == 1L || k == 2
+            val pcm = new Array[Byte](2 * n)
+            var t = 0
+            while (t < n) {
+              val v = if (activeGen(t / winLen))
+                ((id * 131 + t * 17) % 16384 + 8192).toInt else 0
+              pcm(2 * t) = (v & 0xff).toByte
+              pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+              t += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            // the REAL decode under test; the VAD sees only decoded bytes
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val raw = in.readAllBytes()
+            in.close()
+            val energy = new Array[Long](n / winLen)
+            t = 0
+            while (t < n) {
+              val v = ((raw(2 * t) & 0xff) | (raw(2 * t + 1) << 8)).toShort.toLong
+              energy(t / winLen) += math.abs(v)
+              t += 1
+            }
+            val active = energy.map(_ > 30000L)
+            var (nSeg, nAct) = (0L, 0L)
+            var (firstStart, firstEnd) = (-1, -1)
+            var k = 0
+            while (k < active.length) {
+              if (active(k)) {
+                nAct += 1
+                if (k == 0 || !active(k - 1)) {
+                  nSeg += 1
+                  if (firstStart < 0) firstStart = k
+                }
+              } else if (firstStart >= 0 && firstEnd < 0) firstEnd = k
+              k += 1
+            }
+            if (firstEnd < 0) firstEnd = active.length
+            // window k starts at sample 30k -> 30k/8000 s = k * 3750 us
+            VadRow(id, nSeg, nAct, firstStart.toLong * 3750L,
+              firstEnd.toLong * 3750L)
+          }
+        }.toDF()
+    },
+    Some("""WITH act AS (
+        SELECT d.doc_id, ks.k,
+          CASE WHEN ((CAST(concat('0x',
+              substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)) AS BIGINT)
+              >> ks.k) & 1) = 1 OR ks.k = 2 THEN 1 ELSE 0 END AS a
+        FROM documents d CROSS JOIN (SELECT unnest(range(0, 8)) AS k) ks),
+      runs AS (
+        SELECT doc_id, k, a,
+          CASE WHEN a = 1 AND coalesce(lag(a) OVER (
+            PARTITION BY doc_id ORDER BY k), 0) = 0 THEN 1 ELSE 0 END AS is_start
+        FROM act),
+      s1 AS (SELECT doc_id, min(k) AS s FROM runs WHERE is_start = 1 GROUP BY doc_id),
+      e1 AS (
+        SELECT r.doc_id, min(r.k) AS e FROM runs r
+        JOIN s1 ON s1.doc_id = r.doc_id AND r.k > s1.s
+        WHERE r.a = 0 GROUP BY r.doc_id)
+      SELECT r.doc_id,
+        CAST(sum(r.is_start) AS BIGINT) AS n_segments,
+        CAST(sum(r.a) AS BIGINT) AS n_active_windows,
+        s1.s * 3750 AS first_start_us,
+        coalesce(e1.e, 8) * 3750 AS first_end_us
+      FROM runs r JOIN s1 ON s1.doc_id = r.doc_id
+      LEFT JOIN e1 ON e1.doc_id = r.doc_id
+      GROUP BY r.doc_id, s1.s, e1.e"""))
+
+  final case class ShotFrameRow(doc_id: Long, frame_no: Long, dhash_hi: Long, dhash_lo: Long)
+
+  // ---------------------------------------------------------------- m13
+  /** VIDEO SHOT-BOUNDARY DETECTION (hard-cut detection via perceptual-
+    * hash distance between consecutive frames — the standard shot
+    * segmentation baseline, Boreczky/Rowe '96; public): 8 real PNG
+    * frames per video, a planted hard cut at frame p = 2 + doc_id % 5
+    * where the md5-coefficient surface switches to an independent second
+    * digest (md5(id || 'b')); frames within a shot are identical. A cut
+    * is declared where consecutive-frame dHash Hamming >= 8 — within-shot
+    * distance is exactly 0, across the cut the two ~independent 64-bit
+    * hashes differ in ~32 bits, so detection has a wide structural
+    * margin (and the oracle applies the identical rule to the identically
+    * recomputed hashes, so even a pathological near-collision stays
+    * cross-engine exact).
+    *
+    * Scale shape: frame decode + dHash is the m09 row-local core (one
+    * codec init per partition); consecutive-frame comparison is a
+    * self-join on (doc_id, frame_no+1) — shuffle key is the video id,
+    * per-video state is its own 8 frames, never corpus-sized. */
+  private val m13 = Q(
+    "m13_shot_boundaries",
+    (s, dir) => {
+      import s.implicits._
+      val nFrames = 8
+      val fr = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          ids.flatMap { id =>
+            val digA = md.digest(id.toString.getBytes("UTF-8"))
+            val digB = md.digest((id.toString + "b").getBytes("UTF-8"))
+            val cut = 2 + (id % 5).toInt
+            val (w, h) = (32, 16)
+            (0 until nFrames).map { f =>
+              val dig = if (f < cut) digA else digB
+              def cf(i: Int): Int = dig(i) & 0xff
+              val (c0, c1, c2, c3, c4, c5) = (cf(0), cf(1), cf(2), cf(3), cf(4), cf(5))
+              val (d0, d1, d2, d3) = (cf(6), cf(7), cf(8), cf(9))
+              val (e0, e1, e2, e3) = (cf(10), cf(11), cf(12), cf(13))
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val r = (c0 + c1 * x + c2 * y + c3 * (x * y / 8)
+                    + c4 * (x * x / 8) + c5 * (y * y / 8)) % 256
+                  val g = (d0 + d1 * x + d2 * y + d3 * (x * y / 8)
+                    + e0 * (x * x / 8)) % 256
+                  val b = (e1 + e2 * x + e3 * y + c0 * (x * y / 8)
+                    + d0 * (y * y / 8)) % 256
+                  img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                  x += 1
+                }
+                y += 1
+              }
+              // real PNG roundtrip: encode, decode, hash the DECODED raster
+              val fb = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", fb)
+              val dec = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(fb.toByteArray))
+              val (lo, hi) = dhashOf(dec)
+              ShotFrameRow(id, f.toLong, hi, lo)
+            }
+          }
+        }.toDF()
+        // materialize once: the consecutive-frame self-join must not run
+        // the codec a second time
+        .localCheckpoint(true)
+      val a = fr.alias("a")
+      val b = fr.alias("b")
+      a.join(b, col("a.doc_id") === col("b.doc_id")
+          && col("b.frame_no") === col("a.frame_no") + 1)
+        .select(col("a.doc_id").as("doc_id"),
+          col("b.frame_no").as("cut_frame"),
+          (bit_count(col("a.dhash_hi").bitwiseXOR(col("b.dhash_hi"))) +
+            bit_count(col("a.dhash_lo").bitwiseXOR(col("b.dhash_lo"))))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") >= 8)
+    },
+    Some("""WITH scenes AS (
+        SELECT d.doc_id, sc.scene,
+          CASE WHEN sc.scene = 0 THEN md5(CAST(d.doc_id AS VARCHAR))
+            ELSE md5(CAST(d.doc_id AS VARCHAR) || 'b') END AS h,
+          2 + d.doc_id % 5 AS cut
+        FROM documents d CROSS JOIN (SELECT unnest(range(0, 2)) AS scene) sc),
+      co AS (
+        SELECT doc_id, scene, cut,
+          CAST(concat('0x', substring(h, 1, 2)) AS BIGINT) AS c0,
+          CAST(concat('0x', substring(h, 3, 2)) AS BIGINT) AS c1,
+          CAST(concat('0x', substring(h, 5, 2)) AS BIGINT) AS c2,
+          CAST(concat('0x', substring(h, 7, 2)) AS BIGINT) AS c3,
+          CAST(concat('0x', substring(h, 9, 2)) AS BIGINT) AS c4,
+          CAST(concat('0x', substring(h, 11, 2)) AS BIGINT) AS c5,
+          CAST(concat('0x', substring(h, 13, 2)) AS BIGINT) AS d0,
+          CAST(concat('0x', substring(h, 15, 2)) AS BIGINT) AS d1,
+          CAST(concat('0x', substring(h, 17, 2)) AS BIGINT) AS d2,
+          CAST(concat('0x', substring(h, 19, 2)) AS BIGINT) AS d3,
+          CAST(concat('0x', substring(h, 21, 2)) AS BIGINT) AS e0,
+          CAST(concat('0x', substring(h, 23, 2)) AS BIGINT) AS e1,
+          CAST(concat('0x', substring(h, 25, 2)) AS BIGINT) AS e2,
+          CAST(concat('0x', substring(h, 27, 2)) AS BIGINT) AS e3
+        FROM scenes),
+      grid AS (
+        SELECT c.*, ii.i, jj.j,
+          (ii.i * 32) // 9 AS sx, (jj.j * 16) // 8 AS sy
+        FROM co c
+        CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj),
+      gray AS (
+        SELECT doc_id, scene, cut, i, j,
+          (((c0 + c1 * sx + c2 * sy + c3 * (sx * sy // 8)
+             + c4 * (sx * sx // 8) + c5 * (sy * sy // 8)) % 256)
+           + ((d0 + d1 * sx + d2 * sy + d3 * (sx * sy // 8)
+               + e0 * (sx * sx // 8)) % 256)
+           + ((e1 + e2 * sx + e3 * sy + c0 * (sx * sy // 8)
+               + d0 * (sy * sy // 8)) % 256)) // 3 AS g
+        FROM grid),
+      bits AS (
+        SELECT a.doc_id, a.scene, a.cut, a.j, a.i,
+          CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM gray a JOIN gray b
+          ON a.doc_id = b.doc_id AND a.scene = b.scene
+            AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      sh AS (
+        SELECT doc_id, scene, cut,
+          sum(CASE WHEN j < 4 THEN bit * (1::BIGINT << (j * 8 + i)) ELSE 0 END) AS lo,
+          sum(CASE WHEN j >= 4 THEN bit * (1::BIGINT << ((j - 4) * 8 + i)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id, scene, cut)
+      SELECT a.doc_id, CAST(a.cut AS BIGINT) AS cut_frame,
+        CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.scene = 0 AND b.scene = 1
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) >= 8"""))
+
+  val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
+    m12, m13)
 }

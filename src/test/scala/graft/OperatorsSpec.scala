@@ -2141,6 +2141,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("m12 audio VAD: every clip segments, bounds are consistent") {
+    val rows = run("m12_audio_vad").collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length === nDocs)
+    rows.foreach { r =>
+      val (nSeg, nAct) = (r.getAs[Long]("n_segments"), r.getAs[Long]("n_active_windows"))
+      // window 2 is forced active, so every clip has at least one segment
+      // and its first segment starts no later than window 2
+      assert(nSeg >= 1 && nSeg <= 4, s"doc ${r.getAs[Long]("doc_id")}: $nSeg segments")
+      assert(nAct >= nSeg && nAct <= 8)
+      val (s0, e0) = (r.getAs[Long]("first_start_us"), r.getAs[Long]("first_end_us"))
+      assert(s0 >= 0 && s0 <= 2 * 3750L)
+      assert(e0 > s0 && e0 <= 8 * 3750L)
+    }
+  }
+
+  test("m13 shot boundaries: exactly the planted cut per video, wide margin") {
+    val rows = run("m13_shot_boundaries").collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    // one hard cut planted per video at frame 2 + doc_id % 5; within-shot
+    // frames are identical (Hamming 0) so no spurious boundary can appear
+    assert(rows.length === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cut_frame") === 2 + r.getAs[Long]("doc_id") % 5,
+        s"doc ${r.getAs[Long]("doc_id")} cut at wrong frame")
+      assert(r.getAs[Long]("hamming") >= 8L)
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
