@@ -1190,6 +1190,57 @@ object EventsStreaming {
         est >= true_cnt AS never_underestimates
       FROM est"""))
 
+  // ---------------------------------------------------------------- streaming top-k
+  /** STREAMING GROUPED TOP-K MAINTENANCE — the third mergeable-sketch
+    * family carried into Structured Streaming (after st17's bottom-k NDV
+    * and st18's count-min): q54's native [[graft.functions.TopKPairs]]
+    * heap aggregate runs as a complete-mode streaming aggregation, so the
+    * per-group state-store row is the k-pair heap itself — bounded by k
+    * regardless of stream length — and each micro-batch folds its rows
+    * into the heap map-side before the buffer merge. A live leaderboard
+    * ("top events by value per type, right now") at O(groups × k) state.
+    * After the final batch the heap must equal the batch window-rank
+    * formulation pair-for-pair — the q54 contract, under the full DuckDB
+    * oracle. The sort key is value micros (exact integer), payload the
+    * event id; ties break (key, payload) descending in both engines. */
+  private val st19 = Q(
+    "st19_stream_topk",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val sinkTable = "st19_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st19_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      val query = raw
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopK.topKPairs(
+          expr("cast(round(value * 10000) as bigint)"), col("event_id"), 3).as("top"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val out = s.table(sinkTable)
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("p.payload").as("event_id"), col("p.sort_key").as("value_micro"))
+      drainSink(s, out, sinkTable, srcDir)
+    },
+    Some("""SELECT event_type, CAST(rn AS BIGINT) AS rnk, event_id,
+        CAST(vm AS BIGINT) AS value_micro
+      FROM (
+        SELECT event_type, event_id,
+          CAST(round(value * 10000) AS BIGINT) AS vm,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY CAST(round(value * 10000) AS BIGINT) DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
 }

@@ -276,4 +276,35 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.sum === 4L * 80)
     } finally q.stop()
   }
+
+  test("st19 top-k heap state merges across micro-batches to the batch heap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val sketched = input.toDF().toDF("g", "key", "payload")
+      .groupBy(col("g"))
+      .agg(graft.functions.TopK.topKPairs(col("key"), col("payload"), 3).as("top"))
+    val q = sketched.writeStream.format("memory").queryName("st19_spec_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // batch 2 must EVICT batch-1 heap entries: group a's batch-1 top-3
+      // is (30,29,28) and batch 2 delivers larger keys — the state-store
+      // heap must merge, not append
+      input.addData((1L to 30L).map(i => ("a", i, 100 + i)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(("a", 50L, 500L), ("a", 40L, 400L), ("b", 7L, 70L)): _*)
+      q.processAllAvailable()
+      val streamed = sp.table("st19_spec_sink")
+        .select(col("g"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("g"), col("pos"), col("p.sort_key"), col("p.payload"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.toSeq === Seq(
+        ("a", 0, 50L, 500L), ("a", 1, 40L, 400L), ("a", 2, 30L, 130L),
+        ("b", 0, 7L, 70L)),
+        s"heap must evict across batches, got ${streamed.toSeq}")
+    } finally q.stop()
+  }
 }
