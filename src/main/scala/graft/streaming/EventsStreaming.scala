@@ -1241,6 +1241,113 @@ object EventsStreaming {
         FROM events) t
       WHERE rn <= 3"""))
 
+  // ---------------------------------------------------------- left-outer join
+  /** WATERMARKED LEFT-OUTER STREAM-STREAM JOIN — the attribution query
+    * every funnel needs in production: clicks that NEVER converted must
+    * still come out (with NULL purchase columns), and in a stream that
+    * answer can only be emitted once the watermark proves no matching
+    * purchase can still arrive. This is st09's inner join upgraded to the
+    * semantics Structured Streaming gates hardest: outer emission happens
+    * at STATE EVICTION time, i.e. when the watermark passes
+    * click_ts + 30min.
+    *
+    * Determinism harness: the event-time frontier is driven explicitly —
+    * two far-future sentinel FILES (type 'sentinel', filtered out of both
+    * join sides AFTER the watermark node so they move event time without
+    * joining) are appended to the scratch source; with maxFilesPerTrigger
+    * = 1 the corpus is batch 1, sentinel +2h advances the watermark past
+    * every click's window at the end of batch 2, and sentinel +4h makes
+    * the eviction pass a REAL batch 3 (no reliance on no-data-micro-batch
+    * scheduling), so every unmatched click flushes before AvailableNow
+    * terminates and the drained sink equals the batch LEFT JOIN exactly.
+    *
+    * Scale: state is bounded by the 40-minute watermark horizon per user
+    * key — the range condition is what lets Spark evict; an outer join
+    * without it would hold every click forever. */
+  private val st20 = Q(
+    "st20_stream_left_outer_join",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val sinkTable = "st20_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st20_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("0_events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // sentinel files: same raw schema, far-future ts, a type neither side
+      // keeps — they exist only to advance the watermark (batch 2) and to
+      // force a real eviction batch (batch 3)
+      val rawBatch = s.read.parquet(s"$dir/events.parquet")
+      val scratch = java.nio.file.Files.createTempDirectory("graft_st20_scratch_")
+      // three sentinel files, each holding one far-future 'click' AND one
+      // 'purchase' row (user_id = -1, negative event ids): each side's own
+      // type filter — which Catalyst pushes BELOW the EventTimeWatermark
+      // node, so a foreign-typed sentinel would never register (measured:
+      // the watermark tracked only each side's own max) — keeps its
+      // sentinel, so BOTH watermark nodes advance past every real click's
+      // window at batch 2, and batches 3-4 are real eviction batches (the
+      // outer flush trails eviction eligibility; two spare batches cover
+      // it). Same-file sentinels join only each other, and every sentinel
+      // artifact carries click_id < 0, dropped after the join.
+      (1 to 3).foreach { i =>
+        val mxdf = rawBatch.agg(max(col("ts")).as("mx"))
+        def sentRow(tpe: String, id: Long) = mxdf
+          .select(lit(id).as("event_id"),
+            expr(s"mx + INTERVAL ${2 * i} HOURS").as("ts"),
+            lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+        sentRow("click", -2L * i).unionByName(sentRow("purchase", -2L * i - 1))
+          .coalesce(1).write.mode("overwrite").parquet(s"$scratch/s$i")
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$scratch/s$i"))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, srcDir.resolve(s"${i}_sentinel.parquet"))
+      }
+      def side(eventType: String, prefix: String) =
+        Tables.normalizeNanos(
+            s.readStream
+              .schema(rawFileSchema(s, dir))
+              .option("maxFilesPerTrigger", 1)
+              .parquet(srcDir.toString))
+          .withWatermark("ts", "10 minutes")
+          .filter(col("event_type") === eventType)
+          .select(col("event_id").as(s"${prefix}_id"),
+            col("user_id").as(s"${prefix}_user"),
+            col("ts").as(s"${prefix}_ts"))
+      val joined = side("click", "click").join(side("purchase", "purch"),
+        col("click_user") === col("purch_user") &&
+          col("purch_ts") >= col("click_ts") &&
+          col("purch_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      // NO sentinel-excluding filter inside the streaming query: any
+      // predicate on click attributes is pushed below the click side's
+      // EventTimeWatermark node and would silently kill the sentinel at
+      // the scan (measured: with `.filter(click_id >= 0)` here the click
+      // watermark never advanced and the newest unmatched click never
+      // flushed). The 3 sentinel artifacts (each click sentinel inner-
+      // matches its same-file purchase sentinel) are dropped from the
+      // DRAINED batch frame instead.
+      val query = joined
+        .select(col("click_id"), col("purch_id"), col("click_user").as("user_id"),
+          (unix_timestamp(col("purch_ts")) - unix_timestamp(col("click_ts")))
+            .as("secs_to_purchase"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      graft.functions.CrossEngine.deleteRecursive(scratch)
+      drainSink(s, s.table(sinkTable).filter(col("click_id") >= 0),
+        sinkTable, srcDir)
+    },
+    Some("""SELECT a.event_id AS click_id, b.event_id AS purch_id,
+        a.user_id,
+        CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS secs_to_purchase
+      FROM events a LEFT JOIN events b
+        ON a.user_id = b.user_id
+        AND b.event_type = 'purchase'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      WHERE a.event_type = 'click'"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
 }

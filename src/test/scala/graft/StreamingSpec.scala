@@ -277,6 +277,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st20 left-outer join equals the batch left join, nulls included") {
+    val stream = SparkEntry.queries("st20_stream_left_outer_join")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("click_id"),
+        if (r.isNullAt(r.fieldIndex("purch_id"))) -1L else r.getAs[Long]("purch_id")))
+      .toSet
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts").as("cts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = a.join(b, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"), "left_outer")
+      .collect()
+      .map(r => (r.getAs[Long]("click_id"),
+        if (r.isNullAt(r.fieldIndex("purch_id"))) -1L else r.getAs[Long]("purch_id")))
+      .toSet
+    assert(stream === batch,
+      "every unmatched click must flush as a null row before termination")
+    // the outer semantics must actually fire: unconverted clicks exist
+    assert(stream.exists(_._2 === -1L), "no null rows — outer emission never happened")
+    assert(stream.exists(_._2 >= 0L), "no matched rows")
+  }
+
   test("st19 top-k heap state merges across micro-batches to the batch heap") {
     val sp = spark
     import sp.implicits._
