@@ -105,5 +105,99 @@ object Profile {
             ((n_b + 0.5) * (na_tot + 5.0))) * 1e6) AS BIGINT) / 1e6, 6) AS psi_term
       FROM binned CROSS JOIN tot"""))
 
-  val all: Seq[Q] = Seq(p01, p02)
+  // ---------------------------------------------------------------- p03
+  /** DATA-QUALITY ASSERTION SUITE (the dbt-test / Great-Expectations /
+    * Deequ contract pattern; public) — the named checks a pipeline gates a
+    * new data drop on, each emitting (check, n_bad, pass). Two check
+    * shapes, each in its scale-correct plan: (a) WITHIN-TABLE predicates
+    * fold into ONE conditional-count scan per table (the t23 lesson —
+    * never two scans for two predicates on one table; the violation
+    * counts are map-side-combined sums of CASE expressions); (b)
+    * REFERENTIAL-INTEGRITY checks are left-anti joins on the key — the
+    * shuffle is key-only, and on a star schema the dimension side
+    * broadcasts. The suite result is a fixed-size frame (one row per
+    * check) regardless of data volume. */
+  private val p03 = Q(
+    "p03_quality_checks",
+    (s, dir) => {
+      def check(name: String, nBad: org.apache.spark.sql.Column) = struct(
+        lit(name).as("check"), nBad.cast("long").as("n_bad"))
+      // one conditional-count pass per table
+      val ordersChecks = Tables.orders(s, dir).agg(
+        check("orders_orderkey_unique",
+          count(lit(1)) - countDistinct(col("o_orderkey"))).as("c1"),
+        check("orders_totalprice_positive",
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))).as("c2"),
+        check("orders_orderdate_bounds",
+          sum(when(col("o_orderdate").cast("date") < lit("1990-01-01").cast("date") ||
+            col("o_orderdate").cast("date") >= lit("2030-01-01").cast("date"), 1L)
+            .otherwise(0L))).as("c3"))
+        .select(explode(array(col("c1"), col("c2"), col("c3"))).as("c"))
+      val lineitemChecks = Tables.lineitem(s, dir).agg(
+        check("lineitem_quantity_range",
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L))).as("c1"),
+        check("lineitem_discount_range",
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+            .otherwise(0L))).as("c2"))
+        .select(explode(array(col("c1"), col("c2"))).as("c"))
+      val custChecks = Tables.customer(s, dir).agg(
+        check("customer_name_format",
+          sum(when(!col("c_name").rlike("^Customer#[0-9]+$"), 1L)
+            .otherwise(0L))).as("c1"))
+        .select(explode(array(col("c1"))).as("c"))
+      // referential integrity: anti-join on the key (dimension broadcasts)
+      val fkOrders = Tables.orders(s, dir).join(
+          broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(check("orders_custkey_fk", count(lit(1))).as("c"))
+        .select(col("c"))
+      val fkLineitem = Tables.lineitem(s, dir).join(
+          Tables.orders(s, dir).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(check("lineitem_orderkey_fk", count(lit(1))).as("c"))
+        .select(col("c"))
+      ordersChecks.unionByName(lineitemChecks).unionByName(custChecks)
+        .unionByName(fkOrders).unionByName(fkLineitem)
+        .select(col("c.check").as("check"), col("c.n_bad").as("n_bad"),
+          (col("c.n_bad") === 0L).as("pass"))
+    },
+    Some("""WITH o AS (
+        SELECT 'orders_orderkey_unique' AS "check",
+            CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_bad
+          FROM orders
+        UNION ALL
+        SELECT 'orders_totalprice_positive',
+            CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+        UNION ALL
+        SELECT 'orders_orderdate_bounds',
+            CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+              OR CAST(o_orderdate AS DATE) >= DATE '2030-01-01'
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+        UNION ALL
+        SELECT 'lineitem_quantity_range',
+            CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+            CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+        UNION ALL
+        SELECT 'customer_name_format',
+            CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]+$')
+              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM customer
+        UNION ALL
+        SELECT 'orders_custkey_fk',
+            CAST(count(*) AS BIGINT)
+          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk',
+            CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      SELECT "check", n_bad, n_bad = 0 AS pass FROM o"""))
+
+  val all: Seq[Q] = Seq(p01, p02, p03)
 }

@@ -588,5 +588,68 @@ object Sketches {
         CAST(exact_intersect AS BIGINT) AS exact_intersect
       FROM raw"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57)
+  // ---------------------------------------------------------------- q64
+  /** LOG-BUCKET (HDR/DDSketch-FAMILY) QUANTILES — the RELATIVE-error
+    * member of the quantile family (HdrHistogram, Tene; DDSketch, Masson
+    * '19 — public): q53's fixed-universe histogram needs known bounds and
+    * gives absolute error; production latency/price distributions are
+    * open-ended and need error proportional to the value. Buckets are
+    * (bit-length, 4-bit mantissa) of the integer cents — a base-2
+    * exponential grid with 16 sub-buckets per octave, i.e. relative error
+    * <= 2^-5 ≈ 3% at ANY magnitude, ~16×47 buckets for the whole 2^47
+    * positive-long range. Bucket assignment is `length(bin(x))` plus one
+    * integer divide — row-local, codegen'd, exactly reproducible in
+    * DuckDB (no float log), and the histogram is mergeable (counts add),
+    * the q53 shuffle contract. Quantile estimate = inclusive upper edge
+    * of the bucket where the cumulative count crosses ceil(q·n); the
+    * cumulative window runs over <= 768 bucket rows per group, never data
+    * rows. */
+  private val q64 = Q(
+    "q64_hdr_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b2 = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        .withColumn("msb", length(bin(col("cents"))))
+        .withColumn("denom", expr("cast(pow(2, greatest(msb - 5, 0)) as bigint)"))
+        .withColumn("mant", expr("cents div denom"))
+      val hist = b2.groupBy(col("l_returnflag"), col("msb"), col("mant"), col("denom"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = b2.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("msb"), col("mant"))
+      hist.withColumn("cum", sum(col("cnt")).over(cumW))
+        .join(n, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("cnt"), col("cum"),
+          col("mant"), col("denom"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+        .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+        .filter(col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+        .select(col("l_returnflag"), col("q"), col("n"),
+          ((col("mant") + 1) * col("denom") - 1).as("est_cents"))
+    },
+    Some("""WITH base AS (
+        SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      b2 AS (
+        SELECT l_returnflag, cents, msb,
+          CAST(power(2, greatest(msb - 5, 0)) AS BIGINT) AS denom,
+          cents // CAST(power(2, greatest(msb - 5, 0)) AS BIGINT) AS mant
+        FROM (SELECT l_returnflag, cents, length(bin(cents)) AS msb FROM base) t),
+      hist AS (
+        SELECT l_returnflag, msb, mant, denom, count(*) AS cnt
+        FROM b2 GROUP BY 1, 2, 3, 4),
+      n AS (SELECT l_returnflag, count(*) AS n FROM b2 GROUP BY 1),
+      cum AS (
+        SELECT l_returnflag, msb, mant, denom, cnt,
+          CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY msb, mant) AS BIGINT) AS cum
+        FROM hist)
+      SELECT c.l_returnflag, q, CAST(n.n AS BIGINT) AS n,
+        (c.mant + 1) * c.denom - 1 AS est_cents
+      FROM cum c JOIN n ON c.l_returnflag = n.l_returnflag
+      JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs ON true
+      WHERE c.cum >= CAST(ceil(q * n.n) AS BIGINT)
+        AND c.cum - c.cnt < CAST(ceil(q * n.n) AS BIGINT)"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57, q64)
 }

@@ -2170,6 +2170,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("p03 quality suite: all eight checks run and the clean fixtures pass") {
+    val rows = run("p03_quality_checks").collect()
+    assert(rows.length === 8)
+    val byName = rows.map(r => r.getAs[String]("check") ->
+      (r.getAs[Long]("n_bad"), r.getAs[Boolean]("pass"))).toMap
+    assert(byName.size === 8, "check names must be unique")
+    // pass must be exactly n_bad == 0
+    byName.values.foreach { case (n, p) => assert(p === (n === 0L)) }
+    // the driver's synthetic star schema is referentially intact
+    assert(byName("orders_custkey_fk")._1 === 0L)
+    assert(byName("lineitem_orderkey_fk")._1 === 0L)
+    assert(byName("orders_orderkey_unique")._1 === 0L)
+    assert(byName("customer_name_format")._1 === 0L)
+  }
+
+  test("q64 HDR quantiles: log-bucket estimates bound exact percentiles within 2^-5") {
+    val rows = run("q64_hdr_quantiles").collect()
+    val flags = rows.map(_.getAs[String]("l_returnflag")).distinct
+    assert(rows.length === flags.length * 3)
+    val exact = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(cast(round(l_extendedprice * 100) as bigint), array(0.5, 0.9, 0.99))").as("p"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_cents").toDouble
+      val q = r.getAs[Double]("q")
+      val ex = exact(r.getAs[String]("l_returnflag"))(Seq(0.5, 0.9, 0.99).indexOf(q))
+      // est is the inclusive upper edge of the bucket containing the
+      // ceil(q*n)-th order statistic; bucket width is <= 2^-4 of its
+      // lower edge, and Spark's `percentile` interpolates between order
+      // stats, so the estimate must sit within one relative bucket width
+      // of the interpolated exact value on either side
+      assert(est >= ex * (1 - 0.0625) - 1, s"$q est $est below exact $ex")
+      assert(est <= ex * (1 + 0.0625) + 1, s"$q est $est too far above exact $ex")
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
