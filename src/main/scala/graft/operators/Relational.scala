@@ -1216,6 +1216,29 @@ object Relational {
     * cluster, and `localCheckpoint` per iteration truncates the iterative
     * lineage (the d09/CC lesson). Output is the deterministic top-25
     * (rank desc, node asc) via TakeOrderedAndProject. */
+  /** The damped integer-micro PageRank core shared by q63 and
+    * [[graft.tools.PageRankRehearsal]]: undirected-ize the edge list,
+    * bake out-degree into the adjacency, then `iters` rounds of ONE
+    * node-keyed equi-join + one grouped sum each, lineage truncated per
+    * round. Input (u, v) directed pairs; output (node, rank). */
+  private[graft] def pageRank(e0: DataFrame, iters: Int): DataFrame = {
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val adj = deg.join(edges, "u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, col("u") === col("node"))
+        .select(col("v"), expr("rank div deg").as("contrib"))
+        .groupBy(col("v")).agg(sum(col("contrib")).as("in_mass"))
+        .select(col("v").as("node"),
+          expr("150000 + 17 * in_mass div 20").as("rank"))
+        .localCheckpoint(true)
+    }
+    adj.unpersist(false)
+    ranks
+  }
+
   private val q63 = Q(
     "q63_pagerank",
     (s, dir) => {
@@ -1223,23 +1246,8 @@ object Relational {
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
         .distinct()
-      val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val adj = deg.join(edges, "u")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
-      for (_ <- 1 to 5) {
-        ranks = adj.join(ranks, col("u") === col("node"))
-          .select(col("v"), expr("rank div deg").as("contrib"))
-          .groupBy(col("v")).agg(sum(col("contrib")).as("in_mass"))
-          .select(col("v").as("node"),
-            expr("150000 + 17 * in_mass div 20").as("rank"))
-          .localCheckpoint(true)
-      }
-      val out = ranks.orderBy(col("rank").desc, col("node")).limit(25)
+      pageRank(e0, 5).orderBy(col("rank").desc, col("node")).limit(25)
         .localCheckpoint(true)
-      adj.unpersist(false)
-      out
     },
     Some {
       val iters = (1 to 5).map { i =>
