@@ -1730,6 +1730,41 @@ object Dedup {
           greatest((SELECT count(*) FROM truth), 1) AS recall_micro"""
     })
 
+  // ---------------------------------------------------------------- d22
+  /** PER-DOMAIN DOCUMENT CAP (the RefinedWeb/C4 per-host quota — no
+    * single domain may contribute more than K documents, with the kept K
+    * drawn uniformly, not first-seen; public). The selection rank is a
+    * deterministic per-doc md5 hash, so "uniform random per domain"
+    * is reproducible and oracle-checkable; the kept set is the K
+    * hash-smallest docs per source. Plan: [[graft.functions.TopKPairs]]
+    * over the NEGATED hash — the q54 bounded-heap shape — so the shuffle
+    * carries K-pair buffers per domain, never the domain's documents. A
+    * window row_number would sort-shuffle the whole corpus into #domains
+    * partitions; at web scale (millions of pages on one host) the heap
+    * plan is the difference between a bounded exchange and a skew
+    * disaster. */
+  private val d22 = Q(
+    "d22_domain_cap",
+    (s, dir) => {
+      val k = 20
+      val ranked = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        graft.functions.CrossEngine.md5Hash60(col("doc_id")).as("h"))
+      ranked.groupBy(col("source"))
+        .agg(graft.functions.TopK.topKPairs(-col("h"), col("doc_id"), k).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+          col("p.payload").as("doc_id"), (-col("p.sort_key")).as("h"))
+    },
+    Some("""WITH ranked AS (
+        SELECT source, doc_id,
+          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents)
+      SELECT source, CAST(rn AS BIGINT) AS rnk, doc_id, h FROM (
+        SELECT source, doc_id, h,
+          row_number() OVER (PARTITION BY source
+            ORDER BY h, doc_id DESC) AS rn
+        FROM ranked) t WHERE rn <= 20"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }

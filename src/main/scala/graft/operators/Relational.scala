@@ -1267,11 +1267,60 @@ object Relational {
       ORDER BY rank DESC, node LIMIT 25"""
     })
 
+  // ---------------------------------------------------------------- q65
+  /** MERGE / UPSERT (the ANSI MERGE INTO / Delta-Lake CDC-apply
+    * semantics — apply a change batch of inserts, updates and deletes to
+    * a snapshot in one pass; public). The change batch is derived
+    * deterministically from the snapshot itself (key%7: 0 → update
+    * +1000.00, 1 → delete, 2 → insert under a shifted key), and the merge
+    * is the canonical FULL OUTER join on the key with a CASE resolution —
+    * matched+update takes the new value, matched+delete drops, unmatched
+    * change inserts, untouched snapshot rows pass through tagged 'K'.
+    *
+    * Scale shape: one key-shuffle full-outer join (a full outer cannot
+    * broadcast — when the change batch is small and delete-free, the q50
+    * max_by compaction is the cheaper upsert-only form; a lakehouse MERGE
+    * additionally prunes to touched partitions, the s15/s16 staged-
+    * rewrite pattern this engine applies on the ANN index). Money stays
+    * in integer cents throughout. */
+  private val q65 = Q(
+    "q65_merge_upsert",
+    (s, dir) => {
+      val snap = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val changes = snap.filter(col("k") % 7 <= 2).select(
+        when(col("k") % 7 === 2, col("k") + 10000000L).otherwise(col("k")).as("ck"),
+        when(col("k") % 7 === 0, col("cents") + 100000L)
+          .when(col("k") % 7 === 2, lit(12345L)).otherwise(lit(0L)).as("new_cents"),
+        when(col("k") % 7 === 0, lit("U"))
+          .when(col("k") % 7 === 1, lit("D")).otherwise(lit("I")).as("op"))
+      snap.join(changes, col("k") === col("ck"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("k"), col("ck")).as("o_orderkey"),
+          when(col("op") === "U" || col("op") === "I", col("new_cents"))
+            .otherwise(col("cents")).as("cents"),
+          coalesce(col("op"), lit("K")).as("op"))
+    },
+    Some("""WITH snap AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      changes AS (
+        SELECT CASE WHEN k % 7 = 2 THEN k + 10000000 ELSE k END AS ck,
+          CASE WHEN k % 7 = 0 THEN cents + 100000
+            WHEN k % 7 = 2 THEN 12345 ELSE 0 END AS new_cents,
+          CASE WHEN k % 7 = 0 THEN 'U' WHEN k % 7 = 1 THEN 'D' ELSE 'I' END AS op
+        FROM snap WHERE k % 7 <= 2)
+      SELECT coalesce(k, ck) AS o_orderkey,
+        CASE WHEN op IN ('U', 'I') THEN new_cents ELSE cents END AS cents,
+        coalesce(op, 'K') AS op
+      FROM snap FULL OUTER JOIN changes ON k = ck
+      WHERE op IS NULL OR op <> 'D'"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61, q62, q63)
+    q61, q62, q63, q65)
 }

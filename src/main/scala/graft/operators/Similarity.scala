@@ -1598,6 +1598,56 @@ object Similarity {
         ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
       GROUP BY x.query_id"""))
 
+  // ---------------------------------------------------------------- s22
+  /** FILTERED VECTOR SEARCH (metadata-constrained kNN — the "filtered
+    * ANN" problem every production vector store faces: top-k among
+    * vectors satisfying a predicate; public). The naive plan filters
+    * AFTER scoring — at 100 TB that computes distances against the whole
+    * corpus to keep a sliver. Here the label predicate becomes the JOIN
+    * KEY: queries broadcast with their label, candidates come from a
+    * broadcast hash join ON label (the predicate prunes before any
+    * arithmetic — pre-filtering, in vector-store terms), and only
+    * same-label rows ever reach the dot product. With an IVF index the
+    * same predicate pushes into the list scan (the s13 partition-pruned
+    * probe composes unchanged); this lane pins the semantics the index
+    * variant must match. */
+  private val s22 = Q(
+    "s22_filtered_knn",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      e.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < 3),
+      pairs AS (
+        SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM embeddings e JOIN q
+          ON e.label = q.q_label AND e.vec_id <> q.query_id)
+      SELECT query_id, vec_id AS neighbor_id, label,
+        round(cosine_raw, 6) AS cosine, rn FROM (
+        SELECT query_id, vec_id, label, cosine_raw,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS rn
+        FROM pairs) t WHERE rn <= 10"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

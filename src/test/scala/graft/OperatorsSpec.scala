@@ -2208,6 +2208,59 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s22 filtered kNN: every neighbor satisfies the predicate") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("s22_filtered_knn").collect()
+    assert(rows.length === 30, "3 queries x top-10")
+    rows.foreach { r =>
+      val qLabel = e(r.getAs[Long]("query_id"))
+      // the filter is part of candidate generation, not post-hoc: no
+      // off-label vector may appear at any rank
+      assert(r.getAs[Long]("label") === qLabel.toLong,
+        s"query ${r.getAs[Long]("query_id")} got an off-label neighbor")
+      assert(r.getAs[Long]("rn") >= 1 && r.getAs[Long]("rn") <= 10)
+    }
+  }
+
+  test("d22 domain cap: exactly min(k, |domain|) kept, hash-uniform") {
+    val perSource = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = run("d22_domain_cap").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet === perSource.keySet)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length === math.min(20L, perSource(src)).toInt, s"source $src")
+      val ids = rs.map(_.getAs[Long]("doc_id"))
+      assert(ids.distinct.length === ids.length, s"source $src kept a doc twice")
+      // ranks are 1..n and follow ascending hash order (uniform draw)
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq === (1L to rs.length).toSeq)
+      val hs = byRank.map(_.getAs[Long]("h"))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, s"source $src not hash-ordered")
+    }
+  }
+
+  test("q65 merge upsert: op accounting and values are exact") {
+    val rows = run("q65_merge_upsert").collect()
+    val n = graft.sources.Tables.orders(spark, sfDir).count()
+    val keys = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val (nU, nD, nI) = (keys.count(_ % 7 === 0), keys.count(_ % 7 === 1), keys.count(_ % 7 === 2))
+    val byOp = rows.groupBy(_.getAs[String]("op")).map { case (k, v) => k -> v.length }
+    assert(byOp("U") === nU)
+    assert(byOp("I") === nI)
+    // inserts land under NEW keys; their source snapshot rows stay 'K'
+    assert(byOp("K") === (n - nU - nD).toInt)
+    assert(rows.length === (n - nD + nI).toInt, "merged cardinality must be n - deletes + inserts")
+    rows.filter(_.getAs[String]("op") === "I").foreach { r =>
+      assert(r.getAs[Long]("o_orderkey") >= 10000000L)
+      assert(r.getAs[Long]("cents") === 12345L)
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
