@@ -219,5 +219,55 @@ object Sinks {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06)
+  // ---------------------------------------------------------------- w07
+  /** SMALL-FILE COMPACTION (the lakehouse OPTIMIZE / bin-packing
+    * maintenance pass; public) — streaming ingests and per-task writes
+    * fragment a table into thousands of tiny files, and scan throughput
+    * dies on per-file open cost; the maintenance pass rewrites the data
+    * into few right-sized files WITHOUT changing a single row. Harness:
+    * orders is deliberately shattered into 64 shards, compacted back via
+    * `repartitionByRange(4, key)` (range layout so each output file also
+    * carries tight min/max key stats for skipping — compaction is the
+    * natural moment to fix ordering), and the gate verifies BOTH the
+    * data identity (row count, key checksum, cents total — DuckDB
+    * recomputes all three from the source table) and the file mechanics
+    * (real before/after file-listing counts as recomputed booleans, the
+    * s15 pattern). At 100 TB this runs per-partition on fragmented
+    * partitions only — the s15/s16 staged-rewrite machinery this engine
+    * already applies to the ANN index. */
+  private val w07 = Q(
+    "w07_compact_small_files",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w07_").toString
+      def nFiles(p: String): Long =
+        java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+          .map(_.toString).count(_.endsWith(".parquet")).toLong
+      try {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        o.repartition(64).write.mode("overwrite").parquet(s"$out/frag")
+        val before = nFiles(s"$out/frag")
+        s.read.parquet(s"$out/frag")
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$out/compact")
+        val after = nFiles(s"$out/compact")
+        val back = s.read.parquet(s"$out/compact")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .select(col("n_rows"), col("key_sum"), col("cents_sum"),
+            lit(before == 64L).as("fragmented_to_64"),
+            lit(after <= 4L && after >= 1L).as("compacted_to_4"))
+        graft.functions.CrossEngine.materializeLocal(s, back)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        true AS fragmented_to_64, true AS compacted_to_4
+      FROM orders"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07)
 }

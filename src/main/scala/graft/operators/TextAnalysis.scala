@@ -858,11 +858,17 @@ object TextAnalysis {
     * word key plus one grouped concat bounded by document length (measured
     * in BpeRehearsal: the corpus-explode formulation was ~5× slower at 1M
     * docs / 191M tokens because every token paid the doc-group shuffle). */
-  private[graft] def bpeEncodeCorpus(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val wordToks = merges.foldLeft(bpeState0(docs).select(col("w"), col("s"))) {
+  /** Vocab-scale word → BPE-token-array table (the merges fold), shared
+    * by [[bpeEncodeCorpus]] and the t27 fertility eval. */
+  private[graft] def bpeWordToks(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(bpeState0(docs).select(col("w"), col("s"))) {
       case (acc, (l, r)) => acc.withColumn("s", bpeApplyMerge(col("s"), l, r))
     }.withColumn("toks", split(col("s"), " ")).select(col("w"), col("toks"))
+
+  private[graft] def bpeEncodeCorpus(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordToks = bpeWordToks(docs, merges)
     val tokVocab = wordToks.select(explode(col("toks")).as("sym")).distinct()
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("sym"))).cast("long"))
@@ -891,7 +897,10 @@ object TextAnalysis {
   /** DuckDB mirror of t17: the t16 round CTEs re-derive the merge table,
     * stateN IS the tokenized vocab, and the doc-order id sequence is a
     * string_agg ordered by (word_pos, token_pos). */
-  private def bpeApplyOracleSql(n: Int): String = {
+  /** Shared CTE prefix: merge-table re-derivation + tokenized vocab +
+    * per-occurrence word/token position tables (used by t17's encode
+    * oracle and t27's fertility oracle). */
+  private def bpeApplyOracleCtes(n: Int): String = {
     val rounds = (1 to n).map(bpeOracleRound).mkString(",\n      ")
     s"""WITH vocab AS (
         SELECT w, count(*) AS cnt FROM (
@@ -914,14 +923,17 @@ object TextAnalysis {
         SELECT w, p.tp AS tp, p.sym AS sym FROM (
           SELECT w, unnest(list_transform(range(1, len(ts) + 1),
             i -> struct_pack(tp := i, sym := ts[i]))) AS p
-          FROM (SELECT w, string_split(s, ' ') AS ts FROM state$n) t0) t1)
+          FROM (SELECT w, string_split(s, ' ') AS ts FROM state$n) t0) t1)"""
+  }
+
+  private def bpeApplyOracleSql(n: Int): String =
+    s"""${bpeApplyOracleCtes(n)}
       SELECT d.doc_id, count(*) AS n_tokens,
         string_agg(CAST(v.token_id AS VARCHAR), ' ' ORDER BY d.wp, wt.tp) AS token_ids
       FROM words d
       JOIN wordtoks wt ON d.w = wt.w
       JOIN tokvocab v ON wt.sym = v.sym
       GROUP BY d.doc_id"""
-  }
 
   /** Gopher-style quality rules (Rae et al. 2021 §A.1.1, the standard
     * LLM-corpus pre-filter; public): word-count bounds, mean-word-length
@@ -1779,9 +1791,61 @@ object TextAnalysis {
           PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
       WHERE rn = 1"""))
 
+  // ---------------------------------------------------------------- t27
+  /** TOKENIZER EFFICIENCY EVAL (compression rate + fertility — the
+    * chars-per-token and tokens-per-word metrics every tokenizer paper
+    * reports (e.g. mBERT/XLM fertility studies) and every pipeline
+    * watches per SOURCE, because token budget IS training cost; public).
+    * Completes the engine's eval-harness trio: s21 measures the ANN lane,
+    * d21 the dedup lane, t27 the tokenizer lane — each eval itself
+    * hash-gated. Ratios are integer micros (`div`), zero float division.
+    *
+    * Scale shape: the merge fold and the word→token-count table live at
+    * VOCAB scale (the t17 lesson); the corpus pays one word-keyed join
+    * and one per-source conditional-count agg — no per-doc state at all,
+    * so the eval runs casually on the full corpus at any scale. */
+  private val tFertility = Q(
+    "t27_tokenizer_eval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (learned, learnedState) = bpeLearnMerges(docs, nBpeMerges)
+      learnedState.unpersist(false)
+      val merges = learned.map { case (_, l, r, _) => (l, r) }
+      val wtc = bpeWordToks(docs, merges)
+        .select(col("w"), size(col("toks")).cast("long").as("w_tokens"),
+          length(col("w")).cast("long").as("w_chars"))
+      docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(wtc, Seq("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("w_chars")).as("n_chars"),
+          sum(col("w_tokens")).as("n_tokens"))
+        .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+          expr("n_chars * 1000000 div n_tokens").as("chars_per_token_micro"),
+          expr("n_tokens * 1000000 div n_words").as("fertility_micro"))
+    },
+    Some(s"""${bpeApplyOracleCtes(nBpeMerges)},
+      src AS (SELECT doc_id, source FROM documents),
+      wtc AS (SELECT w, CAST(count(*) AS BIGINT) AS w_tokens FROM wordtoks GROUP BY w),
+      agg AS (
+        SELECT s.source,
+          CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(len(d.w)) AS BIGINT) AS n_chars,
+          CAST(sum(wtc.w_tokens) AS BIGINT) AS n_tokens
+        FROM words d
+        JOIN src s ON d.doc_id = s.doc_id
+        JOIN wtc ON d.w = wtc.w
+        GROUP BY s.source)
+      SELECT source, n_words, n_chars, n_tokens,
+        n_chars * 1000000 // n_tokens AS chars_per_token_micro,
+        n_tokens * 1000000 // n_words AS fertility_micro
+      FROM agg"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
-      tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes)
+      tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility)
 }

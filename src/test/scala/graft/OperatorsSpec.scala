@@ -2261,6 +2261,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t27 tokenizer eval: fertility and compression are consistent per source") {
+    val rows = run("t27_tokenizer_eval").collect()
+    val nSources = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(rows.length === nSources)
+    rows.foreach { r =>
+      val (w, c, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_tokens"))
+      // BPE with merges can never emit more tokens than characters, nor
+      // fewer tokens than words (within-word merges only)
+      assert(t <= c && t >= w, s"source ${r.getAs[String]("source")}: w=$w c=$c t=$t")
+      assert(r.getAs[Long]("chars_per_token_micro") === c * 1000000L / t)
+      assert(r.getAs[Long]("fertility_micro") === t * 1000000L / w)
+      // 24 merges on this corpus must actually compress: fewer tokens
+      // than characters by a real margin
+      assert(r.getAs[Long]("chars_per_token_micro") > 1000000L)
+    }
+  }
+
+  test("w07 compaction preserves data identity and reduces files") {
+    val r = run("w07_compact_small_files").head()
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    assert(r.getAs[Long]("n_rows") === o.count())
+    assert(r.getAs[Long]("key_sum") ===
+      o.agg(sum(col("o_orderkey"))).head().getLong(0))
+    assert(r.getAs[Boolean]("fragmented_to_64"), "harness must start fragmented")
+    assert(r.getAs[Boolean]("compacted_to_4"), "compaction must reduce file count")
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
