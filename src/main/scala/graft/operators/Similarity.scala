@@ -281,8 +281,13 @@ object Similarity {
     * The trained-quantizer variant (sampled k-means) stays s03. */
   /** s05's fixed-quantizer IVF top-10, factored so the recall harness
     * (s21) scores the exact same dataflow the gate checks. */
-  private[graft] def ivfFixedRanked(s: SparkSession, dir: String): DataFrame = {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+  /** Shared IVF head (s05/s21/s23): coarse assignment + nProbe=2 query
+    * probes. Labels ride along for the filtered variant — Catalyst prunes
+    * the column away when a caller never touches it, so the unfiltered
+    * lanes' plans are unchanged. Returns (assigned, probes). */
+  private def ivfParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("lbl"))
       val centers = broadcast(
         emb.orderBy(col("vec_id")).limit(8)
           .select(col("vec_id").as("cid"), col("embedding").as("center")))
@@ -291,20 +296,27 @@ object Similarity {
           (x, c) => (x.cast("double") - c.cast("double")) * (x.cast("double") - c.cast("double"))),
         lit(0.0), (acc, dd) => acc + dd)
       val crossed = emb.crossJoin(centers)
-        .select(col("vec_id"), col("embedding"), col("cid"), round(d2, 6).as("d2"))
+        .select(col("vec_id"), col("embedding"), col("lbl"), col("cid"),
+          round(d2, 6).as("d2"))
       // list assignment: argmin center per vector
       val assigned = crossed
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("cid"))).as("best"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"), col("best.cid").as("list_id"))
+          first(col("embedding")).as("embedding"), first(col("lbl")).as("lbl"))
+        .select(col("vec_id"), col("embedding"), col("lbl"),
+          col("best.cid").as("list_id"))
       // nProbe=2: each query probes its two nearest lists
       val probeW = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
       val probes = crossed.filter(col("vec_id") < 3)
         .withColumn("pr", row_number().over(probeW))
         .filter(col("pr") <= 2)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("cid").as("list_id"))
+          col("lbl").as("q_lbl"), col("cid").as("list_id"))
+      (assigned, probes)
+  }
+
+  private[graft] def ivfFixedRanked(s: SparkSession, dir: String): DataFrame = {
+      val (assigned, probes) = ivfParts(s, dir)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine_raw").desc, col("vec_id"))
       assigned.join(broadcast(probes), Seq("list_id"))
@@ -319,7 +331,9 @@ object Similarity {
 
   /** The s05 oracle's CTE chain through `ranked` (IVF top-k candidates),
     * shared with s21's recall oracle. */
-  private val ivfOracleCtes = """WITH centers AS (
+  /** The s05 oracle chain through `probes` (coarse assignment + probe
+    * selection), shared with s23's filtered variant. */
+  private val ivfOracleProbeCtes = """WITH centers AS (
         SELECT vec_id AS cid, embedding AS center FROM embeddings
         ORDER BY vec_id LIMIT 8),
       crossed AS (
@@ -336,7 +350,9 @@ object Similarity {
         SELECT vec_id AS query_id, cid AS list_id FROM (
           SELECT vec_id, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
-          FROM crossed WHERE vec_id < 3) t WHERE pr <= 2),
+          FROM crossed WHERE vec_id < 3) t WHERE pr <= 2)"""
+
+  private val ivfOracleCtes = s"""$ivfOracleProbeCtes,
       cand AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
           list_sum(list_transform(range(1, len(e.embedding) + 1),
@@ -1648,6 +1664,57 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY cosine_raw DESC, vec_id) AS rn
         FROM pairs) t WHERE rn <= 10"""))
 
+  // ---------------------------------------------------------------- s23
+  /** FILTERED SEARCH INSIDE THE IVF INDEX — the composition s22's
+    * docstring promises: the metadata predicate pushes INTO the
+    * inverted-list scan, so only same-label rows in the probed lists ever
+    * reach the dot product. Candidate cost drops from |probed lists| to
+    * |probed lists ∩ predicate| — on a label-partitioned 100 TB corpus
+    * this is the difference between scanning a list and scanning its
+    * matching sliver (and with the s13 persisted index the label becomes
+    * a second partition column, pruned statically at the file level).
+    * Same nProbe=2 recall trade as s05; the oracle replays the filter in
+    * the identical CTE chain. */
+  private val s23 = Q(
+    "s23_ivf_filtered",
+    (s, dir) => {
+      val (assigned, probes) = ivfParts(s, dir)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine_raw").desc, col("vec_id"))
+      assigned.join(broadcast(probes),
+          assigned("list_id") === probes("list_id") &&
+            col("lbl") === col("q_lbl") &&
+            col("vec_id") =!= col("query_id"))
+        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
+          (l2(col("embedding")) * l2(col("q_emb"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("lbl").as("label"),
+          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+    },
+    Some(s"""$ivfOracleProbeCtes,
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, CAST(e.label AS BIGINT) AS label,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS cosine_raw
+        FROM probes p
+        JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE e.label = q.label),
+      ranked AS (
+        SELECT query_id, neighbor_id, label, cosine_raw,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_raw DESC, neighbor_id) AS rn
+        FROM cand)
+      SELECT query_id, neighbor_id, label, round(cosine_raw, 6) AS cosine,
+        CAST(rn AS BIGINT) AS rn
+      FROM ranked WHERE rn <= 10"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }

@@ -1348,6 +1348,76 @@ object EventsStreaming {
         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.event_type = 'click'"""))
 
+  // ---------------------------------------------------------- drift monitor
+  /** STREAMING DRIFT MONITOR — p02's Population Stability Index run the
+    * way model monitoring actually deploys it: the BASELINE histogram is
+    * a frozen batch artifact (the training-period distribution), the LIVE
+    * histogram is a complete-mode streaming aggregation over the serving
+    * stream (state = 10 bin counts, bounded regardless of stream length —
+    * the st17/st18 sketch-state contract applied to a histogram), and the
+    * per-bin PSI terms come from joining the drained live counts against
+    * the static baseline with the identical smoothed integer-micro
+    * formula. Bins are fixed-width on the value domain so the stream
+    * side needs no data-dependent bounds (a production monitor freezes
+    * bin edges WITH the baseline — edges derived from live data would
+    * make drift invisible). */
+  private val st21 = Q(
+    "st21_stream_drift_psi",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val sinkTable = "st21_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st21_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val cutoff = "2024-01-16"
+      def binOf = least(lit(9L), greatest(lit(0L),
+        floor(col("value") / 10.0).cast("long"))).as("bin")
+      // frozen baseline: the pre-cutoff period, batch-computed
+      val baseline = Tables.events(s, dir)
+        .filter(col("ts") < lit(cutoff).cast("timestamp"))
+        .select(binOf).groupBy(col("bin")).agg(count(lit(1)).as("n_a"))
+      val raw = Tables.normalizeNanos(
+        s.readStream
+          .schema(rawFileSchema(s, dir))
+          .option("maxFilesPerTrigger", Int.MaxValue)
+          .parquet(srcDir.toString))
+      val query = raw
+        .filter(col("ts") >= lit(cutoff).cast("timestamp"))
+        .select(binOf)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val live = s.table(sinkTable)
+      val joined = baseline.join(live, Seq("bin"), "full_outer")
+        .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val tot = joined.agg(sum(col("n_a")).as("na_tot"), sum(col("n_b")).as("nb_tot"))
+      val out = joined.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          round(round(((col("n_a") + 0.5) / (col("na_tot") + 5.0) -
+            (col("n_b") + 0.5) / (col("nb_tot") + 5.0)) *
+            log10(((col("n_a") + 0.5) * (col("nb_tot") + 5.0)) /
+              ((col("n_b") + 0.5) * (col("na_tot") + 5.0))) * 1e6)
+            .cast("long") / 1e6, 6).as("psi_term"))
+      drainSink(s, out, sinkTable, srcDir)
+    },
+    Some("""WITH b AS (
+        SELECT least(9, greatest(0, CAST(floor(value / 10.0) AS BIGINT))) AS bin,
+          sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_a,
+          sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS n_b
+        FROM events GROUP BY 1),
+      tot AS (SELECT sum(n_a) AS na_tot, sum(n_b) AS nb_tot FROM b)
+      SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        round(CAST(round(((n_a + 0.5) / (na_tot + 5.0) -
+          (n_b + 0.5) / (nb_tot + 5.0)) *
+          log10(((n_a + 0.5) * (nb_tot + 5.0)) /
+            ((n_b + 0.5) * (na_tot + 5.0))) * 1e6) AS BIGINT) / 1e6, 6) AS psi_term
+      FROM b CROSS JOIN tot"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21)
 }

@@ -2290,6 +2290,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("compacted_to_4"), "compaction must reduce file count")
   }
 
+  test("s23 IVF filtered search: predicate holds and recall can only shrink vs s05") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("s23_ivf_filtered").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("label") === e(r.getAs[Long]("query_id")).toLong,
+        "off-label neighbor escaped the pushed filter")
+    }
+    // restricting candidates can never improve the best hit: per query,
+    // the filtered top-1 cosine is bounded by the unfiltered top-1
+    val unfilteredBest = run("s05_ann_ivf_oracle").collect()
+      .filter(_.getAs[Long]("rn") === 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cosine")).toMap
+    rows.filter(_.getAs[Long]("rn") === 1L).foreach { r =>
+      assert(r.getAs[Double]("cosine") <=
+        unfilteredBest(r.getAs[Long]("query_id")) + 1e-9,
+        s"filtered top-1 beat unfiltered for query ${r.getAs[Long]("query_id")}")
+    }
+  }
+
+  test("st21 drift monitor: PSI terms match the two-period batch formula") {
+    val rows = run("st21_stream_drift_psi").collect()
+    assert(rows.length === 10, "all 10 frozen bins must materialize")
+    val (na, nb) = (rows.map(_.getAs[Long]("n_a")).sum, rows.map(_.getAs[Long]("n_b")).sum)
+    val total = graft.sources.Tables.events(spark, sfDir).count()
+    assert(na + nb === total, "every event must land in exactly one period+bin")
+    assert(na > 0 && nb > 0, "both periods must be populated")
+    rows.foreach(r => assert(!r.getAs[Double]("psi_term").isNaN))
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
