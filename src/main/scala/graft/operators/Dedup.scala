@@ -1673,11 +1673,17 @@ object Dedup {
     * sides reuse d06's exact machinery ([[kmBands]] / [[shingleSets]] and
     * the [[kmSqlPrefix]] template), so the eval measures the REAL lane,
     * not a reimplementation. Ratios are integer micros (`div`) — no float
-    * division anywhere. */
+    * division anywhere.
+    *
+    * The all-pairs truth side carries the standard EXACT size-ratio prune
+    * (J >= 0.5 forces 2·min(|a|,|b|) >= max — a pair failing it cannot be
+    * a true duplicate, so the expensive intersect never runs for it), and
+    * the eval slice is 1-in-10 — the harness's cost knob; the planted
+    * truths (sources are doc_id % 10 == 0) all survive the slice. */
   private val d21 = Q(
     "d21_dedup_eval",
     (s, dir) => {
-      val docs = withPlantedDups(s, dir).filter(col("doc_id") % 5 === 0)
+      val docs = withPlantedDups(s, dir).filter(col("doc_id") % 10 === 0)
       val sets = shingleSets(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = kmBands(sets)
@@ -1690,7 +1696,9 @@ object Dedup {
       val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val truth = sa.join(sb, col("doc_a") < col("doc_b"))
+      val truth = sa.join(sb, col("doc_a") < col("doc_b") &&
+          size(col("sh_a")) * 2 >= size(col("sh_b")) &&
+          size(col("sh_b")) * 2 >= size(col("sh_a")))
         .filter(inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
@@ -1707,7 +1715,7 @@ object Dedup {
       out
     },
     Some {
-      s"""${kmSqlPrefix(s"SELECT * FROM ($sqlPlanted) p WHERE doc_id % 5 = 0")},
+      s"""${kmSqlPrefix(s"SELECT * FROM ($sqlPlanted) p WHERE doc_id % 10 = 0")},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM banded a JOIN banded b
@@ -1715,6 +1723,7 @@ object Dedup {
         truth AS (
           SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
           FROM sets sa JOIN sets sb ON sa.doc_id < sb.doc_id
+            AND 2 * len(sa.sh) >= len(sb.sh) AND 2 * len(sb.sh) >= len(sa.sh)
           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
         hit AS (
