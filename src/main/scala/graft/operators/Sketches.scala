@@ -614,9 +614,13 @@ object Sketches {
         .withColumn("msb", length(bin(col("cents"))))
         .withColumn("denom", expr("cast(pow(2, greatest(msb - 5, 0)) as bigint)"))
         .withColumn("mant", expr("cents div denom"))
+      // bucket-sized (<= 768 rows/group): materialize once so BOTH the
+      // cumulative path and the group totals reuse it — never a second
+      // corpus scan (the t23 one-pass lesson)
       val hist = b2.groupBy(col("l_returnflag"), col("msb"), col("mant"), col("denom"))
         .agg(count(lit(1)).as("cnt"))
-      val n = b2.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val n = hist.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("n"))
       val cumW = Window.partitionBy(col("l_returnflag")).orderBy(col("msb"), col("mant"))
       hist.withColumn("cum", sum(col("cnt")).over(cumW))
         .join(n, Seq("l_returnflag"))
@@ -639,7 +643,7 @@ object Sketches {
       hist AS (
         SELECT l_returnflag, msb, mant, denom, count(*) AS cnt
         FROM b2 GROUP BY 1, 2, 3, 4),
-      n AS (SELECT l_returnflag, count(*) AS n FROM b2 GROUP BY 1),
+      n AS (SELECT l_returnflag, sum(cnt) AS n FROM hist GROUP BY 1),
       cum AS (
         SELECT l_returnflag, msb, mant, denom, cnt,
           CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY msb, mant) AS BIGINT) AS cum
