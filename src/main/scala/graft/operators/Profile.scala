@@ -145,7 +145,7 @@ object Profile {
         check("customer_name_format",
           sum(when(!col("c_name").rlike("^Customer#[0-9]+$"), 1L)
             .otherwise(0L))).as("c1"))
-        .select(explode(array(col("c1"))).as("c"))
+        .select(col("c1").as("c"))
       // referential integrity: anti-join on the key (dimension broadcasts)
       val fkOrders = Tables.orders(s, dir).join(
           broadcast(Tables.customer(s, dir)),

@@ -240,8 +240,10 @@ object Sinks {
     (s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_w07_").toString
       def nFiles(p: String): Long =
-        java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
-          .map(_.toString).count(_.endsWith(".parquet")).toLong
+        // File.listFiles, not Files.list: the NIO stream holds a directory
+        // fd that must be closed, and this runs per gate/bench iteration
+        Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")).toLong
       try {
         val o = Tables.orders(s, dir).select(col("o_orderkey"),
           expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))

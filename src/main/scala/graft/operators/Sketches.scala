@@ -595,8 +595,10 @@ object Sketches {
     * gives absolute error; production latency/price distributions are
     * open-ended and need error proportional to the value. Buckets are
     * (bit-length, 4-bit mantissa) of the integer cents — a base-2
-    * exponential grid with 16 sub-buckets per octave, i.e. relative error
-    * <= 2^-5 ≈ 3% at ANY magnitude, ~16×47 buckets for the whole 2^47
+    * exponential grid with 16 sub-buckets per octave: bucket width is
+    * <= 2^-4 of its lower edge, so the inclusive-upper-edge estimate is
+    * within 2^-4 ≈ 6% relative at ANY magnitude (a midpoint estimator
+    * would halve that to 2^-5), ~16×47 buckets for the whole 2^47
     * positive-long range. Bucket assignment is `length(bin(x))` plus one
     * integer divide — row-local, codegen'd, exactly reproducible in
     * DuckDB (no float log), and the histogram is mergeable (counts add),

@@ -1808,12 +1808,15 @@ object TextAnalysis {
     "t27_tokenizer_eval",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (learned, learnedState) = bpeLearnMerges(docs, nBpeMerges)
-      learnedState.unpersist(false)
-      val merges = learned.map { case (_, l, r, _) => (l, r) }
-      val wtc = bpeWordToks(docs, merges)
-        .select(col("w"), size(col("toks")).cast("long").as("w_tokens"),
+      // the learner's final state IS the fully-merged vocab (column s) —
+      // reuse it instead of refolding all 24 merges from scratch
+      val (_, learnedState) = bpeLearnMerges(docs, nBpeMerges)
+      val wtc = learnedState
+        .select(col("w"),
+          size(split(col("s"), " ")).cast("long").as("w_tokens"),
           length(col("w")).cast("long").as("w_chars"))
+        .localCheckpoint(true)
+      learnedState.unpersist(false)
       docs
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")

@@ -1286,13 +1286,28 @@ object EventsStreaming {
       // outer flush trails eviction eligibility; two spare batches cover
       // it). Same-file sentinels join only each other, and every sentinel
       // artifact carries click_id < 0, dropped after the join.
+      // max(ts) computed ONCE on the normalized frame (the raw layout may
+      // be nanos-as-long or NTZ — normalizeNanos canonicalizes exactly
+      // like every other events lane), then each sentinel ts converts
+      // BACK to the raw file's ts layout so the written file matches
+      // rawFileSchema byte-for-byte
+      val rawTsType = rawBatch.schema("ts").dataType
+      val mxdf = Tables.normalizeNanos(rawBatch).agg(max(col("ts")).as("mx"))
+        .localCheckpoint(true)
       (1 to 3).foreach { i =>
-        val mxdf = rawBatch.agg(max(col("ts")).as("mx"))
-        def sentRow(tpe: String, id: Long) = mxdf
-          .select(lit(id).as("event_id"),
-            expr(s"mx + INTERVAL ${2 * i} HOURS").as("ts"),
+        def sentRow(tpe: String, id: Long) = {
+          val shifted = expr(s"mx + INTERVAL ${2 * i} HOURS")
+          val tsCol = rawTsType match {
+            case org.apache.spark.sql.types.LongType =>
+              (unix_micros(shifted) * 1000L).as("ts")
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              shifted.cast(org.apache.spark.sql.types.TimestampNTZType).as("ts")
+            case _ => shifted.as("ts")
+          }
+          mxdf.select(lit(id).as("event_id"), tsCol,
             lit(-1L).as("user_id"), lit(tpe).as("event_type"),
             lit(0.0).as("value"), lit("{}").as("props"))
+        }
         sentRow("click", -2L * i).unionByName(sentRow("purchase", -2L * i - 1))
           .coalesce(1).write.mode("overwrite").parquet(s"$scratch/s$i")
         val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$scratch/s$i"))

@@ -27,10 +27,12 @@ object PageRankRehearsal {
     // deterministic skewed edges: cust uniform, supplier popularity
     // quadratic in a uniform hash (low ids drain most edges)
     val quadDiv = (1L << 40) / nSupp // (2^20)^2 / nSupp, precomputed in long
+    // least() clamp: quadDiv floors, so hash 1048575 alone would map to
+    // supplier nSupp — one past the declared [0, nSupp) universe
     val supp =
       if (topo == "hub") lit(0L)
-      else expr(s"cast((xxhash64(id) & 1048575) * (xxhash64(id) & 1048575) " +
-        s"div $quadDiv as bigint)")
+      else expr(s"least(cast((xxhash64(id) & 1048575) * (xxhash64(id) & 1048575) " +
+        s"div $quadDiv as bigint), ${nSupp - 1})")
     val e0 = spark.range(nEdges)
       .select((pmod(xxhash64(col("id"), lit(7)), lit(nCust)) * 2).as("u"),
         (supp * 2 + 1).as("v"))

@@ -2185,7 +2185,7 @@ class OperatorsSpec extends SparkSpec {
     assert(byName("customer_name_format")._1 === 0L)
   }
 
-  test("q64 HDR quantiles: log-bucket estimates bound exact percentiles within 2^-5") {
+  test("q64 HDR quantiles: log-bucket estimates bound exact percentiles within 2^-4") {
     val rows = run("q64_hdr_quantiles").collect()
     val flags = rows.map(_.getAs[String]("l_returnflag")).distinct
     assert(rows.length === flags.length * 3)
