@@ -1433,6 +1433,95 @@ object EventsStreaming {
             ((n_b + 0.5) * (na_tot + 5.0))) * 1e6) AS BIGINT) / 1e6, 6) AS psi_term
       FROM b CROSS JOIN tot"""))
 
+  // ---------------------------------------------------------- CDC apply
+  /** STREAMING CDC APPLY — q65's MERGE semantics run the way a lakehouse
+    * ingests change streams: the change batches ARRIVE as a stream and
+    * `foreachBatch` applies each micro-batch to the persisted snapshot
+    * table with the full-outer/CASE merge, writing through a STAGING
+    * directory and swapping — the table's live read path is never
+    * overwritten in place (the s15/s16 staging contract; the prior state
+    * is eagerly materialized before the swap so the swap cannot corrupt
+    * the frame that produced it). The change set is q65's derived I/U/D
+    * batch split into two files by key parity; with maxFilesPerTrigger=1
+    * the two merges apply sequentially, and disjoint key sets make the
+    * outcome order-independent. After drain the table must equal the
+    * batch MERGE exactly (q65's oracle, cents-exact).
+    *
+    * Scale: each batch costs one key-shuffle join of the snapshot against
+    * the (small) batch; a production table additionally prunes the
+    * rewrite to touched partitions — the exact mechanism s16 demonstrates
+    * on the ANN index's list partitions. */
+  private val st22 = Q(
+    "st22_stream_cdc_apply",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st22_")
+      val tableDir = s"$work/table"
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("changes"))
+      val scratch = java.nio.file.Files.createDirectory(work.resolve("scratch"))
+      try {
+        val snap = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        snap.write.mode("overwrite").parquet(tableDir)
+        val changes = snap.filter(col("k") % 7 <= 2).select(
+          when(col("k") % 7 === 2, col("k") + 10000000L).otherwise(col("k")).as("ck"),
+          when(col("k") % 7 === 0, col("cents") + 100000L)
+            .when(col("k") % 7 === 2, lit(12345L)).otherwise(lit(0L)).as("new_cents"),
+          when(col("k") % 7 === 0, lit("U"))
+            .when(col("k") % 7 === 1, lit("D")).otherwise(lit("I")).as("op"))
+        Seq(0, 1).foreach { par =>
+          changes.filter(col("ck") % 2 === par)
+            .coalesce(1).write.mode("overwrite").parquet(s"$scratch/c$par")
+          val part = Option(new java.io.File(s"$scratch/c$par").listFiles())
+            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath, srcDir.resolve(s"${par}_changes.parquet"))
+        }
+        val raw = s.readStream
+          .schema(s.read.parquet(srcDir.resolve("0_changes.parquet").toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val query = raw.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // materialize the CURRENT state eagerly, merge, stage, swap —
+            // never overwrite the directory a live plan still reads
+            val cur = s.read.parquet(tableDir).localCheckpoint(true)
+            val b = batch.localCheckpoint(true)
+            val merged = cur.join(b, col("k") === col("ck"), "full_outer")
+              .filter(col("op").isNull || col("op") =!= "D")
+              .select(coalesce(col("k"), col("ck")).as("k"),
+                when(col("op") === "U" || col("op") === "I", col("new_cents"))
+                  .otherwise(col("cents")).as("cents"))
+            val staged = s"$work/stage_$batchId"
+            merged.write.mode("overwrite").parquet(staged)
+            graft.functions.CrossEngine.deleteRecursive(
+              java.nio.file.Paths.get(tableDir))
+            java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+              java.nio.file.Paths.get(tableDir))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        graft.functions.CrossEngine.materializeLocal(s,
+          s.read.parquet(tableDir).select(col("k").as("o_orderkey"), col("cents")))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH snap AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      changes AS (
+        SELECT CASE WHEN k % 7 = 2 THEN k + 10000000 ELSE k END AS ck,
+          CASE WHEN k % 7 = 0 THEN cents + 100000
+            WHEN k % 7 = 2 THEN 12345 ELSE 0 END AS new_cents,
+          CASE WHEN k % 7 = 0 THEN 'U' WHEN k % 7 = 1 THEN 'D' ELSE 'I' END AS op
+        FROM snap WHERE k % 7 <= 2)
+      SELECT coalesce(k, ck) AS o_orderkey,
+        CASE WHEN op IN ('U', 'I') THEN new_cents ELSE cents END AS cents
+      FROM snap FULL OUTER JOIN changes ON k = ck
+      WHERE op IS NULL OR op <> 'D'"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
+    st22)
 }

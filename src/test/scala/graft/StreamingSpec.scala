@@ -302,6 +302,16 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exists(_._2 >= 0L), "no matched rows")
   }
 
+  test("st22 streaming CDC apply lands on exactly the batch MERGE") {
+    val stream = SparkEntry.queries("st22_stream_cdc_apply")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("cents"))).toSet
+    val batch = SparkEntry.queries("q65_merge_upsert")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("cents"))).toSet
+    assert(batch.nonEmpty)
+    assert(stream === batch,
+      "two sequential micro-batch merges must equal the one-shot batch MERGE")
+  }
+
   test("st19 top-k heap state merges across micro-batches to the batch heap") {
     val sp = spark
     import sp.implicits._
