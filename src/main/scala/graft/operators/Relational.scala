@@ -1316,11 +1316,99 @@ object Relational {
       FROM snap FULL OUTER JOIN changes ON k = ck
       WHERE op IS NULL OR op <> 'D'"""))
 
+  // ---------------------------------------------------------------- q66
+  /** UNPIVOT / MELT (wide → long, the inverse of q31's pivot; ANSI
+    * UNPIVOT / pandas melt; public) — three order-money measures unpivot
+    * into (measure, value) rows. Spark's `stack()` generator is the
+    * codegen'd row-local form (3 rows out per row in, no shuffle until
+    * the summarizing groupBy); the wide-table alternative — one query per
+    * measure unioned — scans the table once per measure. Values are
+    * integer cents before any aggregation (the money contract). */
+  private val q66 = Q(
+    "q66_unpivot_measures",
+    (s, dir) => {
+      Tables.lineitem(s, dir).select(
+          col("l_returnflag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("extended_cents"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            .as("disc_cents"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) as bigint)")
+            .as("charge_cents"))
+        .select(col("l_returnflag"), expr(
+          """stack(3, 'extended', extended_cents,
+                      'discounted', disc_cents,
+                      'charged', charge_cents) AS (measure, cents)"""))
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+    },
+    Some("""WITH wide AS (
+        SELECT l_returnflag,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS extended_cents,
+          CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_cents,
+          CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_cents
+        FROM lineitem),
+      long AS (
+        SELECT l_returnflag, 'extended' AS measure, extended_cents AS cents FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'discounted', disc_cents FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'charged', charge_cents FROM wide)
+      SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM long GROUP BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q67
+  /** BATCH SESSIONIZATION (gap-based session assignment — the classic
+    * web-analytics transform; st03/st08 are its streaming
+    * `session_window` twin; public): a new session starts wherever the
+    * gap to the user's previous event exceeds 30 minutes, computed as a
+    * per-user `lag` + running sum of session-start flags. Per-session
+    * rollup gives start/end/count.
+    *
+    * Scale shape: BOTH windows partition by user_id — each sort is one
+    * user's history (bounded), never a global order; the rollup reuses
+    * the same user-keyed shuffle. Epoch-second integers end to end. */
+  private val q67 = Q(
+    "q67_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val prev = lag(col("sec"), 1).over(byTime)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("new_session",
+          when(prev.isNull || col("sec") - prev > 1800L, 1L).otherwise(0L))
+        .withColumn("session_no", sum(col("new_session")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, sec,
+          CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+              OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+            THEN 1 ELSE 0 END AS new_session
+        FROM e),
+      numbered AS (
+        SELECT user_id, sec,
+          CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM flagged)
+      SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
+        min(sec) AS start_sec, max(sec) AS end_sec
+      FROM numbered GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61, q62, q63, q65)
+    q61, q62, q63, q65, q66, q67)
 }

@@ -2322,6 +2322,38 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(!r.getAs[Double]("psi_term").isNaN))
   }
 
+  test("q66 unpivot: 3 measures per flag, discount/tax ordering holds") {
+    val rows = run("q66_unpivot_measures").collect()
+    val flags = rows.map(_.getAs[String]("l_returnflag")).distinct
+    assert(rows.length === flags.length * 3)
+    flags.foreach { f =>
+      val m = rows.filter(_.getAs[String]("l_returnflag") === f)
+        .map(r => r.getAs[String]("measure") -> r.getAs[Long]("total_cents")).toMap
+      assert(m.keySet === Set("extended", "discounted", "charged"))
+      // discounts only subtract; tax only adds
+      assert(m("discounted") <= m("extended"))
+      assert(m("charged") >= m("discounted"))
+      val ns = rows.filter(_.getAs[String]("l_returnflag") === f)
+        .map(_.getAs[Long]("n")).distinct
+      assert(ns.length === 1, "every measure sees the same row count")
+    }
+  }
+
+  test("q67 batch sessionization agrees with the streaming session windows") {
+    val rows = run("q67_sessionize").collect()
+    // same 30-minute gap rule as st03's session_window lane: the batch
+    // window formulation and Structured Streaming's session merge must
+    // carve the identical sessions
+    val streaming = run("st03_session_window").count()
+    assert(rows.length.toLong === streaming,
+      s"batch carved ${rows.length} sessions, streaming $streaming")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("end_sec") >= r.getAs[Long]("start_sec"))
+      assert(r.getAs[Long]("n_events") >= 1L)
+      assert(r.getAs[Long]("session_no") >= 1L)
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
