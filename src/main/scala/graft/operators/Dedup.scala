@@ -1774,6 +1774,112 @@ object Dedup {
             ORDER BY h, doc_id DESC) AS rn
         FROM ranked) t WHERE rn <= 20"""))
 
+  // ---------------------------------------------------------------- d23
+  /** QUALITY-AWARE CANONICALIZATION — d09/d14 keep the MIN-ID member of
+    * each duplicate cluster; real curation keeps the BEST one (C4/
+    * RefinedWeb keep the longest/cleanest variant — a crawl's later,
+    * richer copy should beat a truncated early snapshot; public). Same
+    * cluster machinery ([[connectedComponents]] over verified-Jaccard
+    * edges), but the keeper is the max-quality member (quality = token
+    * count; ties break to the smaller id), chosen by one map-side
+    * `max(struct(n_tokens, -doc_id))` per cluster — no window.
+    *
+    * The plant makes the rule OBSERVABLE: generation 1 (+1e7) is base +
+    * its own first half appended — STRICTLY LONGER than its base, so in
+    * every planted cluster the correct keeper is the +1e7 member, which
+    * the min-id rule would never pick. Generation 2 (+2e7) is an 80%
+    * truncation (always loses). */
+  private val d23 = Q(
+    "d23_quality_canonical",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+          graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "d23").as("doc_id"),
+          col("text"))
+        .filter(col("doc_id") % 10 === 0)
+      val g1 = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" "),
+          array_join(slice(toks, lit(1),
+            greatest((size(toks) / 2).cast("int"), lit(1))), " "))
+          .as("text"))
+      val g2 = base.select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))
+      val docs = base.unionByName(g1).unionByName(g2)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets = shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sets.select(col("doc_id").as("src"), col("sh").as("sh_a"))
+      val b = sets.select(col("doc_id").as("dst"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val edges = a.join(b,
+          col("src") % 10000000L === col("dst") % 10000000L && col("src") < col("dst"))
+        .filter(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter) >= 0.5)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = connectedComponents(edges)
+      edges.unpersist(false)
+      sets.unpersist(false)
+      val labeled = labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .join(docs.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      val keepers = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("best"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (-col("best.neg")).as("keeper_id"))
+      val out = labeled.join(keepers, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("n_tokens"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      docs.unpersist(false)
+      out
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 0),
+      docs AS (
+        SELECT doc_id, array_to_string(tk, ' ') AS text FROM base
+        UNION ALL
+        SELECT doc_id + 10000000,
+          array_to_string(tk, ' ') || ' ' ||
+          array_to_string(tk[1:greatest(len(tk) // 2, 1)], ' ') FROM base
+        UNION ALL
+        SELECT doc_id + 20000000,
+          array_to_string(tk[1:greatest(CAST(floor(len(tk) * 0.8) AS INT), 1)], ' ')
+        FROM base),
+      docs2 AS (
+        SELECT doc_id, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM docs),
+      sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        FROM docs2),
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sets a JOIN sets b
+          ON a.doc_id % 10000000 = b.doc_id % 10000000 AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      labeled AS (
+        SELECT l.node AS doc_id, l.cluster_id, d.n_tokens
+        FROM labels l JOIN docs2 d ON d.doc_id = l.node),
+      keepers AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+          first(doc_id ORDER BY n_tokens DESC, doc_id) AS keeper_id
+        FROM labeled GROUP BY cluster_id)
+      SELECT lb.doc_id, lb.cluster_id, k.cluster_size, lb.n_tokens,
+        lb.doc_id = k.keeper_id AS is_keeper
+      FROM labeled lb JOIN keepers k ON lb.cluster_id = k.cluster_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
 }

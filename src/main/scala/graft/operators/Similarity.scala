@@ -1715,6 +1715,41 @@ object Similarity {
         CAST(rn AS BIGINT) AS rn
       FROM ranked WHERE rn <= 10"""))
 
+  // ---------------------------------------------------------------- s24
+  /** ANN INDEX HEALTH STATS — the monitoring pass a serving team runs
+    * against an IVF index (list-size distribution + imbalance factor;
+    * imbalance = max list / mean list, the standard FAISS health metric;
+    * public). A drifting corpus concentrates vectors into few lists and
+    * probe latency collapses onto the hot list — this is the signal that
+    * triggers the s18 retraining lifecycle. One grouped count over the
+    * coarse assignment (the same `ivfParts` head s05/s23 serve from) plus
+    * a broadcast of the (nLists-sized) totals; integer-micro shares. */
+  private val s24 = Q(
+    "s24_ivf_stats",
+    (s, dir) => {
+      val (assigned, _) = ivfParts(s, dir)
+      val lists = assigned.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = lists.agg(sum(col("n_vecs")).as("total"),
+        max(col("n_vecs")).as("mx"), count(lit(1)).as("n_lists"))
+      lists.crossJoin(broadcast(tot))
+        .select(col("list_id"), col("n_vecs"),
+          expr("n_vecs * 1000000 div total").as("share_micro"),
+          expr("mx * n_lists * 1000000 div total").as("imbalance_micro"))
+    },
+    Some(s"""$ivfOracleProbeCtes,
+      lists AS (
+        SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assigned GROUP BY list_id),
+      tot AS (
+        SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+          max(n_vecs) AS mx, CAST(count(*) AS BIGINT) AS n_lists
+        FROM lists)
+      SELECT list_id, n_vecs,
+        n_vecs * 1000000 // total AS share_micro,
+        mx * n_lists * 1000000 // total AS imbalance_micro
+      FROM lists CROSS JOIN tot"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 }

@@ -2354,6 +2354,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d23 quality canonical: the keeper is the longest member, not the min id") {
+    val rows = run("d23_quality_canonical").collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("is_keeper"))
+      assert(keepers.length === 1, s"cluster $cid has ${keepers.length} keepers")
+      val k = keepers.head
+      // the keeper carries the cluster's max token count
+      assert(k.getAs[Long]("n_tokens") === members.map(_.getAs[Long]("n_tokens")).max)
+      // the plant makes quality-keep observable: generation 1 (+1e7) is
+      // strictly longer than its base, so min-id would ALWAYS pick the
+      // base and always be wrong here
+      assert(k.getAs[Long]("doc_id") >= 10000000L && k.getAs[Long]("doc_id") < 20000000L,
+        s"cluster $cid kept ${k.getAs[Long]("doc_id")} — not the long variant")
+      assert(k.getAs[Long]("doc_id") !== cid, "keeper must differ from the min-id label")
+    }
+  }
+
+  test("s24 IVF stats: shares sum to ~1, imbalance bounded below by 1") {
+    val rows = run("s24_ivf_stats").collect()
+    assert(rows.length === 8, "one row per coarse list")
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total === graft.sources.Tables.embeddings(spark, sfDir).count())
+    val shares = rows.map(_.getAs[Long]("share_micro")).sum
+    assert(shares > 990000L && shares <= 1000000L, s"shares sum $shares")
+    val imb = rows.map(_.getAs[Long]("imbalance_micro")).distinct
+    assert(imb.length === 1, "imbalance is a global stat replicated per row")
+    assert(imb.head >= 1000000L, "max/mean can never be below 1")
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
