@@ -307,5 +307,68 @@ object HarmonyQueries {
     Some("""SELECT true AS gap_shrinks, true AS gap_finite,
       true AS cells_preserved"""))
 
-  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10)
+  // ---------------------------------------------------------------- h11
+  /** iLISI INTEGRATION-QUALITY EVAL — the headline metric of the harmony
+    * PAPER itself (Korsunsky et al. 2019 report integration LISI —
+    * inverse Simpson's index over each cell's neighborhood batch
+    * composition; public): well-integrated data has every cell's k-NN
+    * drawn from all batches (LISI → #batches), uncorrected batch effects
+    * drive it toward 1. The engine's eval-harness family applied to its
+    * own core: s21 measures the ANN lane, d21 the dedup lane, t27 the
+    * tokenizer — h11 measures the integration itself, asserting the
+    * corrected embedding MIXES BETTER than the raw one on the same
+    * planted-batch fixture h10 uses (simplified iLISI: uniform k-NN
+    * weights instead of the paper's perplexity kernel — the ordering
+    * claim is kernel-independent).
+    *
+    * Scale shape: LISI is evaluated on a deterministic hash-bottom
+    * PROBE SAMPLE (the s-lane sampling primitive) — neighbors are
+    * searched over ALL cells but only |probes|×N distances are computed,
+    * the production form of a post-integration QC pass; per-probe state
+    * is a k-row neighborhood, reduced map-side. */
+  private val h11 = Q(
+    "h11_lisi_eval",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cells = embCells(s, dir)
+      val corrected = Harmony.run(cells, Seq("batch"), harnessOpts(20, 2.0))
+        .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id"))
+      val nBatches = cells.select(col("batch")).distinct().count().toDouble
+      val kNn = 15
+      def meanLisi(df: DataFrame): Double = {
+        val probes = df
+          .select(col("cell_id").as("pid"), col("features").as("pf"),
+            graft.functions.CrossEngine.md5Hash60(col("cell_id")).as("h"))
+          .orderBy(col("h")).limit(200).drop("h")
+        val d2 = aggregate(
+          zip_with(col("features"), col("pf"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, dd) => acc + dd)
+        val w = Window.partitionBy(col("pid")).orderBy(col("d2"), col("cell_id"))
+        df.select(col("cell_id"), col("features"), col("batch"))
+          .crossJoin(broadcast(probes))
+          .filter(col("cell_id") =!= col("pid"))
+          .withColumn("d2", d2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= kNn)
+          .groupBy(col("pid"), col("batch")).agg(count(lit(1)).as("nb"))
+          .groupBy(col("pid"))
+          .agg((lit(1.0) / sum(pow(col("nb").cast("double") / kNn, 2.0))).as("lisi"))
+          .agg(avg(col("lisi"))).head().getDouble(0)
+      }
+      val before = meanLisi(cells)
+      val after = meanLisi(corrected)
+      Seq((after > before,
+          before >= 1.0 && after <= nBatches + 1e-9,
+          !before.isNaN && !after.isNaN,
+          corrected.count() == cells.count()))
+        .toDF("mixing_improves", "lisi_in_range", "lisi_finite", "cells_preserved")
+        .crossJoin(cells.agg(count(lit(1)).as("n_cells")))
+    },
+    Some("""SELECT true AS mixing_improves, true AS lisi_in_range,
+      true AS lisi_finite, true AS cells_preserved,
+      CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_cells"""))
+
+  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11)
 }

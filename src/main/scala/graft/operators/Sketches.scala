@@ -657,5 +657,96 @@ object Sketches {
       WHERE c.cum >= CAST(ceil(q * n.n) AS BIGINT)
         AND c.cum - c.cnt < CAST(ceil(q * n.n) AS BIGINT)"""))
 
-  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57, q64)
+  // ---------------------------------------------------------------- q68
+  /** SOURCE-OVERLAP MATRIX (pairwise corpus-overlap estimation — "how
+    * much of source A's vocabulary is also in source B", the question a
+    * curation team asks before mixing crawl dumps; Beyer '07 KMV set
+    * algebra generalized from q57's one pair to the ALL-PAIRS matrix over
+    * groups; public). Each source folds to ONE k-hash sketch (the q46
+    * bounded-buffer aggregate — the corpus is touched once, the matrix is
+    * computed entirely on #sources × k longs); pair estimates are pure
+    * array ops on sketch pairs (merged bottom-k, membership in both), so
+    * the 45–190-pair matrix costs nothing data-sized. The exact Jaccard
+    * rides alongside for the gate — affordable at test scale, impossible
+    * at 100 TB, which is precisely the sketch's reason to exist. Integer
+    * micros, no float division. */
+  private val q68 = Q(
+    "q68_source_overlap",
+    (s, dir) => {
+      val k = 128
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("source"), graft.functions.CrossEngine.md5Hash60(col("w")).as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sk = words.groupBy(col("source"))
+        .agg(graft.functions.BottomK.bottomKDistinct(col("h"), k).as("bk"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val a = sk.select(col("source").as("source_a"), col("bk").as("bk_a"),
+        col("n").as("n_a"))
+      val b = sk.select(col("source").as("source_b"), col("bk").as("bk_b"),
+        col("n").as("n_b"))
+      val inter = words.alias("wa").join(words.alias("wb"),
+          col("wa.h") === col("wb.h") && col("wa.source") < col("wb.source"))
+        .groupBy(col("wa.source").as("source_a"), col("wb.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val out = a.join(b, col("source_a") < col("source_b"))
+        .withColumn("merged",
+          slice(array_sort(array_distinct(concat(col("bk_a"), col("bk_b")))), 1, k))
+        .withColumn("kc", size(col("merged")).cast("long"))
+        .withColumn("n_both",
+          size(array_intersect(array_intersect(col("merged"), col("bk_a")),
+            col("bk_b"))).cast("long"))
+        .join(inter, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"), col("kc").as("k_used"),
+          expr("n_both * 1000000 div kc").as("est_jaccard_micro"),
+          expr("n_inter * 1000000 div (n_a + n_b - n_inter)").as("exact_jaccard_micro"))
+        .localCheckpoint(true)
+      words.unpersist(false)
+      out
+    },
+    Some("""WITH words AS (
+        SELECT DISTINCT source,
+          CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> ''),
+      sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1),
+      sk AS (
+        SELECT source, h FROM (
+          SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM words) t WHERE rn <= 128),
+      pr AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM sizes a JOIN sizes b ON a.source < b.source),
+      mg AS (
+        SELECT DISTINCT p.sa, p.sb, s.h
+        FROM pr p JOIN sk s ON s.source = p.sa OR s.source = p.sb),
+      msk AS (
+        SELECT sa, sb, h FROM (
+          SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+          FROM mg) t WHERE rn <= 128),
+      kc AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS kc FROM msk GROUP BY 1, 2),
+      nb AS (
+        SELECT m.sa, m.sb, CAST(count(*) AS BIGINT) AS n_both
+        FROM msk m
+        WHERE EXISTS (SELECT 1 FROM sk x WHERE x.source = m.sa AND x.h = m.h)
+          AND EXISTS (SELECT 1 FROM sk y WHERE y.source = m.sb AND y.h = m.h)
+        GROUP BY 1, 2),
+      iv AS (
+        SELECT wa.source AS sa, wb.source AS sb, CAST(count(*) AS BIGINT) AS n_inter
+        FROM words wa JOIN words wb ON wa.h = wb.h AND wa.source < wb.source
+        GROUP BY 1, 2)
+      SELECT k.sa AS source_a, k.sb AS source_b, k.kc AS k_used,
+        coalesce(nb.n_both, 0) * 1000000 // k.kc AS est_jaccard_micro,
+        iv.n_inter * 1000000 // (za.n + zb.n - iv.n_inter) AS exact_jaccard_micro
+      FROM kc k
+      LEFT JOIN nb ON nb.sa = k.sa AND nb.sb = k.sb
+      JOIN iv ON iv.sa = k.sa AND iv.sb = k.sb
+      JOIN sizes za ON za.source = k.sa
+      JOIN sizes zb ON zb.source = k.sb"""))
+
+  val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57, q64,
+    q68)
 }

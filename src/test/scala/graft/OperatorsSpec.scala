@@ -2384,6 +2384,36 @@ class OperatorsSpec extends SparkSpec {
     assert(imb.head >= 1000000L, "max/mean can never be below 1")
   }
 
+  test("h11 LISI eval: correction improves neighborhood batch mixing") {
+    val r = run("h11_lisi_eval").head()
+    // the planted batch offset separates raw neighborhoods by batch;
+    // after harmony's correction each probe's k-NN must be more
+    // batch-diverse — the harmony paper's own iLISI ordering
+    assert(r.getAs[Boolean]("mixing_improves"), "iLISI did not increase")
+    assert(r.getAs[Boolean]("lisi_in_range"))
+    assert(r.getAs[Boolean]("lisi_finite"))
+    assert(r.getAs[Boolean]("cells_preserved"))
+    assert(r.getAs[Long]("n_cells") ===
+      graft.sources.Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("q68 source overlap: matrix covers all pairs, below-k estimates exact") {
+    val rows = run("q68_source_overlap").collect()
+    val nSources = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count().toInt
+    assert(rows.length === nSources * (nSources - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val (k, est, ex) = (r.getAs[Long]("k_used"),
+        r.getAs[Long]("est_jaccard_micro"), r.getAs[Long]("exact_jaccard_micro"))
+      assert(est >= 0L && est <= 1000000L && ex >= 0L && ex <= 1000000L)
+      // the synthetic vocab keeps every pair union below k=128: the KMV
+      // sketch then IS the distinct set and the estimate must be exact
+      // (the q57 below-k contract); at real vocab sizes this becomes the
+      // 1/sqrt(k) approximate regime
+      if (k < 128L) assert(est === ex, s"below-k must be exact: $est vs $ex")
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
