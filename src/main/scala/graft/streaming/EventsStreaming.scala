@@ -1521,7 +1521,102 @@ object EventsStreaming {
       FROM snap FULL OUTER JOIN changes ON k = ck
       WHERE op IS NULL OR op <> 'D'"""))
 
+  // ---------------------------------------------------------- late-data drop
+  /** WATERMARK LATE-DATA DISCARD under the gate — the semantic that makes
+    * streaming state bounded: rows arriving after the watermark passed
+    * their window are DROPPED, not merged. st04 proves on-time equality;
+    * this lane proves the DISCARD with exact accounting: a deterministic
+    * late slice (event_id % 17 == 3) is withheld into a file delivered
+    * only AFTER a sentinel advanced the watermark past every real window,
+    * the windowed aggregation runs in APPEND mode (windows emit once,
+    * when the watermark closes them; state is then cleaned, so the late
+    * file's rows hit the watermark filter and vanish), and the drained
+    * result must equal the batch aggregation WITHOUT the late slice —
+    * row-for-row, under the DuckDB oracle.
+    *
+    * Harness notes carried from st20: sentinels are raw rows with their
+    * own event_type, excluded from the DRAINED frame (never filtered
+    * inside the query — pushdown would starve the watermark); emission
+    * trails eviction by a batch, so a second sentinel file provides the
+    * final real batch. The first sentinel's own window eventually closes
+    * under the second's watermark — the drain-side type filter drops it. */
+  private val st23 = Q(
+    "st23_stream_late_drop",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val sinkTable = "st23_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val work = java.nio.file.Files.createTempDirectory("graft_st23_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val isLate = col("event_id") % 17 === 3
+      // Files.move PRESERVES the staged part file's mtime, and the file
+      // source orders by modification time — so delivery order must be
+      // pinned EXPLICITLY (measured: without this, the late file could
+      // sort before the sentinel and its tail rows beat the watermark)
+      var seq = 0
+      def writeAs(df: DataFrame, name: String): Unit = {
+        val stage = s"$work/${name}_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Option(new java.io.File(stage).listFiles())
+          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+        val dest = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        seq += 1
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
+      }
+      val rawTsType = raw.schema("ts").dataType
+      val mxdf = Tables.normalizeNanos(raw).agg(max(col("ts")).as("mx"))
+        .localCheckpoint(true)
+      def sentinel(hours: Int, id: Long): DataFrame = {
+        val shifted = expr(s"mx + INTERVAL $hours HOURS")
+        val tsCol = rawTsType match {
+          case org.apache.spark.sql.types.LongType =>
+            (unix_micros(shifted) * 1000L).as("ts")
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            shifted.cast(org.apache.spark.sql.types.TimestampNTZType).as("ts")
+          case _ => shifted.as("ts")
+        }
+        mxdf.select(lit(id).as("event_id"), tsCol, lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+      }
+      // TWO sentinels ahead of the late file: the watermark propagates
+      // with one batch of lag (measured: with a single sentinel, late
+      // rows inside the final 10-minute delay window still beat the
+      // filter — they were filtered against the ON-TIME batch's
+      // watermark), so the batch before the late file must itself follow
+      // a far-future batch
+      writeAs(raw.filter(!isLate), "0_ontime")
+      writeAs(sentinel(2, -2L), "1_sentinel")
+      writeAs(sentinel(3, -3L), "2_sentinel")
+      writeAs(raw.filter(isLate), "3_late")
+      writeAs(sentinel(4, -4L), "4_sentinel")
+      val stream = Tables.normalizeNanos(
+          s.readStream
+            .schema(rawFileSchema(s, dir))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.toString))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable)
+        .filter(col("event_type") =!= "sentinel")
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value")),
+        sinkTable, work)
+    },
+    Some("""SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+      event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      FROM events WHERE event_id % 17 <> 3 GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22)
+    st22, st23)
 }

@@ -312,6 +312,18 @@ class StreamingSpec extends SparkSpec {
       "two sequential micro-batch merges must equal the one-shot batch MERGE")
   }
 
+  test("st23 late rows are discarded: result equals batch minus the late slice") {
+    val rows = SparkEntry.queries("st23_stream_late_drop")(spark, sfDir)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val onTime = ev.filter(col("event_id") % 17 =!= 3).count()
+    val late = ev.filter(col("event_id") % 17 === 3).count()
+    // exact discard accounting: every on-time event lands in exactly one
+    // emitted window; not one late event leaks in
+    assert(rows === onTime, s"emitted $rows events, expected $onTime")
+    assert(late > 0, "the late slice must be non-empty for the test to bite")
+  }
+
   test("st19 top-k heap state merges across micro-batches to the batch heap") {
     val sp = spark
     import sp.implicits._
