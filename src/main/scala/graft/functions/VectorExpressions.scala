@@ -259,6 +259,78 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
     copy(child = c)
 }
 
+/** l2_dist_sq(array<float|double>, array<float|double>) -> double: squared
+  * Euclidean distance Σ(x_i - y_i)², accumulated in double in ascending
+  * index order — the same math and order as the HOF formulation
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)` it replaces on
+  * the kNN hot path (h11/LISI: the HOF allocates a zipped array per pair;
+  * at 200 probes x 1M cells that is 200M transient arrays — this stays a
+  * fused scalar loop inside WholeStageCodegen). Element types are read from
+  * the child ArrayTypes so float fixtures and double Harmony outputs share
+  * one expression. */
+case class L2DistSq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_dist_sq requires ARRAY<FLOAT|DOUBLE> children, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val getL = if (elemType(left) == FloatType) s"(double)$a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getR = if (elemType(right) == FloatType) s"(double)$b.getFloat($i)"
+        else s"$b.getDouble($i)"
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${ev.value} = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $getL - $getR;
+          ${ev.value} += $d * $d;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistSq =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_dist_sq"
+}
+
 object VectorExpressions {
   def simhash64(c: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(c)))
@@ -275,4 +347,9 @@ object VectorExpressions {
 
   def nearestCentroid(c: Column, centers: Array[Array[Double]]): Column =
     GraftShims.column(NearestCentroid(GraftShims.expression(c), centers))
+
+  /** Squared Euclidean distance over float/double arrays (double math,
+    * index order — HOF- and oracle-compatible). */
+  def l2DistSq(a: Column, b: Column): Column =
+    GraftShims.column(L2DistSq(GraftShims.expression(a), GraftShims.expression(b)))
 }

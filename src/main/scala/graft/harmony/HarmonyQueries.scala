@@ -325,12 +325,25 @@ object HarmonyQueries {
     * PROBE SAMPLE (the s-lane sampling primitive) — neighbors are
     * searched over ALL cells but only |probes|×N distances are computed,
     * the production form of a post-integration QC pass; per-probe state
-    * is a k-row neighborhood, reduced map-side. */
+    * is a k-row neighborhood, reduced map-side through the engine's one
+    * audited kNN shape ([[graft.operators.Similarity.knnJoin]]: bounded
+    * k-pair heaps on the exchange, no WindowExec — the HarmonySpec
+    * plan-asserts it). The improvement gate carries a margin (VERDICT r9
+    * ADVICE): on this fixture the measured gap is large (see
+    * [[LisiMargin]]), so `after > before + margin` is a stable boolean,
+    * not a knife-edge strict inequality. */
+
+  /** h11's improvement margin. Measured gap on the gate fixtures
+    * (tools/LisiRehearsal fixture mode, round 10): sf0.001 before=6.30
+    * after=6.80 gap=0.49; sf0.01 before=6.42 after=6.88 gap=0.46. 0.1
+    * asserts a real integration effect while sitting ~4.6x under the
+    * smallest measured gap — a stable gate, not a knife edge. */
+  private val LisiMargin = 0.1
+
   private val h11 = Q(
     "h11_lisi_eval",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val cells = embCells(s, dir)
       val corrected = Harmony.run(cells, Seq("batch"), harnessOpts(20, 2.0))
         .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id"))
@@ -341,17 +354,19 @@ object HarmonyQueries {
           .select(col("cell_id").as("pid"), col("features").as("pf"),
             graft.functions.CrossEngine.md5Hash60(col("cell_id")).as("h"))
           .orderBy(col("h")).limit(200).drop("h")
-        val d2 = aggregate(
-          zip_with(col("features"), col("pf"),
-            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, dd) => acc + dd)
-        val w = Window.partitionBy(col("pid")).orderBy(col("d2"), col("cell_id"))
-        df.select(col("cell_id"), col("features"), col("batch"))
-          .crossJoin(broadcast(probes))
-          .filter(col("cell_id") =!= col("pid"))
-          .withColumn("d2", d2)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= kNn)
+        // codegen'd fused scalar loop (same double math + index order as
+        // the zip_with/aggregate HOF form, which allocates a zipped array
+        // per scored pair — 200M transient arrays at 1M cells)
+        val d2 = graft.functions.VectorExpressions.l2DistSq(col("features"), col("pf"))
+        // bounded-heap kNN: the exchange carries 15-pair buffers per
+        // (partition, probe); the 3k-row neighbor list then broadcasts
+        // back onto the corpus to pick up each neighbor's batch label
+        val nn = graft.operators.Similarity.knnJoin(
+          df.select(col("cell_id"), col("features")), probes, d2, kNn,
+          probeIdCol = "pid", idCol = "cell_id", ascending = true)
+          .select(col("pid"), col("cell_id"))
+        df.select(col("cell_id"), col("batch"))
+          .join(broadcast(nn), Seq("cell_id"))
           .groupBy(col("pid"), col("batch")).agg(count(lit(1)).as("nb"))
           .groupBy(col("pid"))
           .agg((lit(1.0) / sum(pow(col("nb").cast("double") / kNn, 2.0))).as("lisi"))
@@ -359,7 +374,7 @@ object HarmonyQueries {
       }
       val before = meanLisi(cells)
       val after = meanLisi(corrected)
-      Seq((after > before,
+      Seq((after > before + LisiMargin,
           before >= 1.0 && after <= nBatches + 1e-9,
           !before.isNaN && !after.isNaN,
           corrected.count() == cells.count()))

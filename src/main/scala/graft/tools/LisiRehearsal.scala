@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the INTEGRATION-QC (iLISI) eval's 100 TB posture on the
+  * round-10 heap shape (VERDICT r9 #1/#7): the eval is a probe-sampled kNN
+  * pass — |probes| x N distances folded into bounded 15-pair heaps via
+  * [[graft.operators.Similarity.knnJoin]], never a WindowExec — so its
+  * wall-time must scale linearly in N with parallelism set by the corpus
+  * partitioning, not collapse to |probes| single-task sorts.
+  *
+  * Two modes:
+  *  - `runMain graft.tools.LisiRehearsal /root/testdata/sf0.01` — fixture
+  *    mode: run h11's exact before/after wiring (real Harmony fit) and
+  *    print the measured LISI gap, the number [[graft.harmony
+  *    .HarmonyQueries]] documents its improvement margin against.
+  *  - `runMain graft.tools.LisiRehearsal 1.0` — scale mode: synthesize
+  *    N-million cells with a planted per-batch offset, then time the LISI
+  *    pass on the raw embedding vs an ideal correction (offset removed —
+  *    the fit itself is rehearsed separately in ScaleRehearsal; this
+  *    isolates the EVAL's cost and discrimination at scale).
+  */
+object LisiRehearsal {
+  def main(args: Array[String]): Unit = {
+    val arg = if (args.nonEmpty) args(0) else "1.0"
+    val spark = graft.GraftSession.local(16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[lisi-scale] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val kNn = 15
+    def meanLisi(df: DataFrame, nProbes: Int): Double = {
+      val probes = df
+        .select(col("cell_id").as("pid"), col("features").as("pf"),
+          graft.functions.CrossEngine.md5Hash60(col("cell_id")).as("h"))
+        .orderBy(col("h")).limit(nProbes).drop("h")
+      val d2 = graft.functions.VectorExpressions.l2DistSq(col("features"), col("pf"))
+      val nn = graft.operators.Similarity.knnJoin(
+        df.select(col("cell_id"), col("features")), probes, d2, kNn,
+        probeIdCol = "pid", idCol = "cell_id", ascending = true)
+        .select(col("pid"), col("cell_id"))
+      df.select(col("cell_id"), col("batch"))
+        .join(broadcast(nn), Seq("cell_id"))
+        .groupBy(col("pid"), col("batch")).agg(count(lit(1)).as("nb"))
+        .groupBy(col("pid"))
+        .agg((lit(1.0) / sum(pow(col("nb").cast("double") / kNn, 2.0))).as("lisi"))
+        .agg(avg(col("lisi"))).head().getDouble(0)
+    }
+
+    if (arg.startsWith("/")) {
+      // fixture mode: h11's exact wiring, real fit
+      val cells = graft.sources.Tables.embeddings(spark, arg).select(
+        col("vec_id").as("cell_id"),
+        col("embedding").as("features"),
+        col("label").cast("string").as("batch"))
+      val opts = graft.harmony.HarmonyOptions(
+        nclust = Some(20), theta = Seq(2.0), maxIterHarmony = 2,
+        maxIterCluster = 2, blockSize = 0.2)
+      val before = timed("LISI(raw)")(meanLisi(cells, 200))
+      val corrected = timed("Harmony fit") {
+        graft.harmony.Harmony.run(cells, Seq("batch"), opts)
+          .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id"))
+      }
+      val after = timed("LISI(corrected)")(meanLisi(corrected, 200))
+      println(f"[lisi-scale] fixture $arg: before=$before%.4f after=$after%.4f " +
+        f"gap=${after - before}%.4f (h11 margin must sit well under this gap)")
+    } else {
+      val nM = arg.toDouble
+      val n = (nM * 1e6).toLong
+      val d = 20
+      val nBatches = 3
+      // planted batch structure: 16 Gaussian cell clusters shared across
+      // batches, plus a per-batch offset on every component — raw
+      // neighborhoods are batch-pure (LISI ~ 1), ideal correction removes
+      // the offset (LISI -> nBatches)
+      val cells = timed(s"synthesize ${nM}M x $d") {
+        val base = spark.range(0, n, 1, 32)
+          .withColumn("b", pmod(xxhash64(col("id"), lit(1)), lit(nBatches)))
+          .withColumn("cl", pmod(xxhash64(col("id"), lit(2)), lit(16)))
+        val offset = (j: Int) => col("b").cast("double") * lit(4.0 + math.cos(j * 1.7))
+        val feats = (j: Int) =>
+          (randn(seed = 700 + j) * 0.3 + col("cl") * lit(math.sin(j * 2.3))).cast("double")
+        val raw = base.select(col("id").as("cell_id"), col("b").cast("string").as("batch"),
+          array((0 until d).map(j => feats(j) + offset(j)): _*).as("features"))
+        val out = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count(); out
+      }
+      val ideal = timed("ideal correction (offset removed)") {
+        val undo = (j: Int) =>
+          col("c").cast("double") * lit(4.0 + math.cos(j * 1.7))
+        val out = cells
+          .withColumn("c", col("batch").cast("double"))
+          .select(col("cell_id"), col("batch"),
+            array((0 until d).map(j =>
+              element_at(col("features"), j + 1) - undo(j)): _*).as("features"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count(); out
+      }
+      val before = timed(s"LISI(raw, ${n} cells, 200 probes)")(meanLisi(cells, 200))
+      val after = timed(s"LISI(ideal, ${n} cells, 200 probes)")(meanLisi(ideal, 200))
+      println(f"[lisi-scale] n=$n before=$before%.4f after=$after%.4f " +
+        f"(expect ~1 raw -> ~$nBatches ideal; eval cost above is the QC pass a " +
+        "deployment runs after every fit)")
+    }
+    spark.stop()
+  }
+}

@@ -2414,6 +2414,113 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ordered-bits bijection: order-isomorphic and exactly invertible") {
+    import graft.functions.OrderedBits
+    val sp = spark
+    import sp.implicits._
+    // adversarial doubles: signs, zeros, denormals, magnitudes, exact ties
+    val vals = Seq(-1.0e300, -3.5, -1.0, -1.0e-310, -0.0, 0.0, 1.0e-310,
+      0.1, 0.1, 1.0, 2.5, 1.0e300, Double.MinPositiveValue,
+      -Double.MinPositiveValue, math.Pi, -math.Pi)
+    val rows = vals.toDF("d")
+      .select(col("d"), OrderedBits.toBits(col("d")).as("k"))
+      .select(col("d"), col("k"), OrderedBits.toDouble(col("k")).as("back"))
+      .collect()
+    rows.foreach { r =>
+      val (d, back) = (r.getDouble(0), r.getDouble(2))
+      assert(java.lang.Double.compare(d + 0.0, back + 0.0) === 0 || d === back,
+        s"roundtrip $d -> ${r.getLong(1)} -> $back")
+    }
+    val byD = rows.sortBy(_.getDouble(0))
+    val byK = rows.sortBy(_.getLong(1))
+    assert(byD.map(_.getDouble(0)).toSeq === byK.map(_.getDouble(0)).toSeq,
+      "long-key order must equal double order")
+  }
+
+  test("l2DistSq matches the HOF zip_with formulation bit-for-bit") {
+    // the codegen'd distance must be a pure drop-in for the HOF form it
+    // replaces on the kNN hot path: same double math, same index order
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.crossJoin(broadcast(
+        e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .select(
+        graft.functions.VectorExpressions.l2DistSq(col("embedding"), col("q_emb")).as("fast"),
+        aggregate(
+          zip_with(col("embedding"), col("q_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, dd) => acc + dd).as("hof"))
+    assert(pairs.filter(col("fast") =!= col("hof")).count() === 0L)
+  }
+
+  test("knnJoin: window-exact for both directions, ties break toward small ids") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // deliberately tie-heavy scores (score = id % 5 has 20 ties per value)
+    // plus negatives, so selection AT the k boundary exercises tie-break
+    val corpus = sp.range(0, 100).toDF("vec_id")
+      .withColumn("score_base", (col("vec_id") % 5).cast("double") - lit(2.0))
+    val probes = Seq(0L, 1L).toDF("query_id")
+    val score = col("score_base") + col("query_id") * lit(0.25)
+    for (asc <- Seq(false, true)) {
+      val got = graft.operators.Similarity.knnJoin(
+          corpus, probes, score, k = 7, ascending = asc)
+        .select(col("query_id"), col("vec_id"), col("score"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(if (asc) col("s") else col("s").desc, col("vec_id"))
+      val want = corpus.crossJoin(probes)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("s", score)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 7)
+        .select(col("query_id"), col("vec_id"), col("s"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._4))
+      assert(got.toSeq === want.toSeq, s"knnJoin(asc=$asc) diverged from window")
+    }
+  }
+
+  test("s01/knnJoin scale contract: Partial-mode heap aggregate, no window sort") {
+    // VERDICT r9 #1: rank-after-distance lanes must fold per-probe
+    // neighborhoods into the bounded TopKPairs heap map-side — never a
+    // WindowExec over the scored pairs (the q54 pattern, applied to kNN)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+    val sp = spark
+    import sp.implicits._
+    // s01 itself (cosine desc) plus h11's shape (d2 asc over the same table)
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val d2 = graft.functions.VectorExpressions.l2DistSq(col("embedding"), col("q_emb"))
+    val shapes = Seq(
+      "s01 gate query" -> run("s01_knn_bruteforce"),
+      "h11 d2-ascending shape" ->
+        graft.operators.Similarity.knnJoin(e, probes, d2, k = 15, ascending = true))
+    for ((label, df) <- shapes) {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$label must not plan a window sort")
+      val partialFns = plan.collect { case h: BaseAggregateExec =>
+        h.aggregateExpressions
+          .filter(x => x.mode == Partial || x.mode == PartialMerge)
+          .map(_.aggregateFunction)
+      }.flatten
+      assert(partialFns.exists(_.isInstanceOf[graft.functions.TopKPairs]),
+        s"$label must fold neighborhoods map-side; saw $partialFns")
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
