@@ -247,18 +247,25 @@ object Sinks {
       try {
         val o = Tables.orders(s, dir).select(col("o_orderkey"),
           expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val nRows = o.count()
         o.repartition(64).write.mode("overwrite").parquet(s"$out/frag")
         val before = nFiles(s"$out/frag")
         s.read.parquet(s"$out/frag")
           .repartitionByRange(4, col("o_orderkey"))
           .write.mode("overwrite").parquet(s"$out/compact")
         val after = nFiles(s"$out/compact")
+        // r9 ADVICE: don't pin `before == 64` — that couples the gate to
+        // Spark writing a part-file for every task INCLUDING empty ones
+        // and to the fixture having >= 64 rows. The invariant that matters
+        // is: the source really was fragmented (>= one file per row up to
+        // the 64 tasks) and compaction strictly shrank it to the target
+        val wasFragmented = before >= math.min(64L, math.max(nRows, 1L)) && before > after
         val back = s.read.parquet(s"$out/compact")
           .agg(count(lit(1)).as("n_rows"),
             sum(col("o_orderkey")).as("key_sum"),
             sum(col("cents")).as("cents_sum"))
           .select(col("n_rows"), col("key_sum"), col("cents_sum"),
-            lit(before == 64L).as("fragmented_to_64"),
+            lit(wasFragmented).as("fragmented"),
             lit(after <= 4L && after >= 1L).as("compacted_to_4"))
         graft.functions.CrossEngine.materializeLocal(s, back)
       } finally {
@@ -268,7 +275,7 @@ object Sinks {
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
         CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
-        true AS fragmented_to_64, true AS compacted_to_4
+        true AS fragmented, true AS compacted_to_4
       FROM orders"""))
 
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07)

@@ -699,7 +699,12 @@ object Sketches {
         .withColumn("n_both",
           size(array_intersect(array_intersect(col("merged"), col("bk_a")),
             col("bk_b"))).cast("long"))
-        .join(inter, Seq("source_a", "source_b"))
+        // left join + coalesce (r9 ADVICE): a zero-overlap pair has no row
+        // in the word-intersection table, but the ALL-PAIRS matrix must
+        // still surface it with jaccard 0 — an inner join would silently
+        // drop exactly the disjoint pairs a mixing decision cares about
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
         .select(col("source_a"), col("source_b"), col("kc").as("k_used"),
           expr("n_both * 1000000 div kc").as("est_jaccard_micro"),
           expr("n_inter * 1000000 div (n_a + n_b - n_inter)").as("exact_jaccard_micro"))
@@ -740,10 +745,11 @@ object Sketches {
         GROUP BY 1, 2)
       SELECT k.sa AS source_a, k.sb AS source_b, k.kc AS k_used,
         coalesce(nb.n_both, 0) * 1000000 // k.kc AS est_jaccard_micro,
-        iv.n_inter * 1000000 // (za.n + zb.n - iv.n_inter) AS exact_jaccard_micro
+        coalesce(iv.n_inter, 0) * 1000000
+          // (za.n + zb.n - coalesce(iv.n_inter, 0)) AS exact_jaccard_micro
       FROM kc k
       LEFT JOIN nb ON nb.sa = k.sa AND nb.sb = k.sb
-      JOIN iv ON iv.sa = k.sa AND iv.sb = k.sb
+      LEFT JOIN iv ON iv.sa = k.sa AND iv.sb = k.sb
       JOIN sizes za ON za.source = k.sa
       JOIN sizes zb ON zb.source = k.sb"""))
 

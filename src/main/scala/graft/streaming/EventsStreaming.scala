@@ -1271,9 +1271,10 @@ object EventsStreaming {
       val srcDir = java.nio.file.Files.createTempDirectory("graft_st20_")
       java.nio.file.Files.createSymbolicLink(srcDir.resolve("0_events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      // sentinel files: same raw schema, far-future ts, a type neither side
-      // keeps — they exist only to advance the watermark (batch 2) and to
-      // force a real eviction batch (batch 3)
+      // sentinel files: same raw schema, far-future ts, one row of EACH
+      // side's kept type (so each side's pushed-down filter retains its
+      // sentinel — see below) — they exist only to advance the watermark
+      // (batch 2) and to force a real eviction batch (batch 3)
       val rawBatch = s.read.parquet(s"$dir/events.parquet")
       val scratch = java.nio.file.Files.createTempDirectory("graft_st20_scratch_")
       // three sentinel files, each holding one far-future 'click' AND one

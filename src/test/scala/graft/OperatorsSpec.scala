@@ -2286,7 +2286,7 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") === o.count())
     assert(r.getAs[Long]("key_sum") ===
       o.agg(sum(col("o_orderkey"))).head().getLong(0))
-    assert(r.getAs[Boolean]("fragmented_to_64"), "harness must start fragmented")
+    assert(r.getAs[Boolean]("fragmented"), "harness must start fragmented")
     assert(r.getAs[Boolean]("compacted_to_4"), "compaction must reduce file count")
   }
 
