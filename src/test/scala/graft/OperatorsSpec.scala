@@ -2521,6 +2521,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("URL canonicalizer: adversarial raw forms normalize correctly") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      // case noise + default port + utm-only query + fragment: all erased
+      ("HTTP://WWW.Example.COM:80/Path?utm_source=a#frag",
+        "http://www.example.com/Path", "example.com"),
+      // https default port; utm leading, real param kept with repaired '?'
+      ("https://Example.com:443/p?utm_campaign=c&id=2",
+        "https://example.com/p?id=2", "example.com"),
+      // non-default port survives; trailing utm stripped cleanly
+      ("http://example.com:8080/p?id=2&utm_medium=m",
+        "http://example.com:8080/p?id=2", "example.com"),
+      // consecutive utm params, nothing else: whole query goes
+      ("http://a.org/x?utm_a=1&utm_b=2", "http://a.org/x", "a.org"),
+      // utm sandwich: leading and trailing around a kept param
+      ("http://a.org/x?utm_a=1&id=3&utm_b=2", "http://a.org/x?id=3", "a.org"),
+      // path/query case is preserved; only scheme+authority folds
+      ("HTTPS://A.ORG/CasePath?ID=Q", "https://a.org/CasePath?ID=Q", "a.org"),
+      // :80 on https is NOT default and must survive
+      ("https://a.org:80/p", "https://a.org:80/p", "a.org"),
+      // fragment containing '?' must not resurrect a query
+      ("http://a.org/p#frag?utm_x=1", "http://a.org/p", "a.org"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.operators.Dedup.canonicalUrl(col("u")).as("c"))
+      .select(col("c"), graft.operators.Dedup.urlHost(col("c")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.zip(cases).foreach { case ((canon, host), (raw, wantCanon, wantHost)) =>
+      assert(canon === wantCanon, s"canonical($raw)")
+      assert(host === wantHost, s"host($raw)")
+    }
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
