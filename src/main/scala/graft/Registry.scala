@@ -20,6 +20,7 @@ object Registry {
       operators.Profile.all ++
       operators.TextAnalysis.all ++
       operators.Dedup.all ++
+      operators.Curation.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++
       streaming.EventsStreaming.all ++

@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables
+
+/** The COMPOSED end-to-end curation pipeline (VERDICT r9 Missing #3): every
+  * stage exists as its own oracle-green gate entry, but a real pretraining
+  * run chains them — and inter-stage schema/semantics interop (does stage
+  * N+1 accept and correctly interpret stage N's output?) is exactly what
+  * per-stage unit gates cannot test. One entry runs the chain
+  *
+  *   quality filter (t12 verdict formulas)
+  *     → corpus line dedup (d19 core: block df model, template strip)
+  *     → near-dup keep-one (d06 MinHash banding + exact-Jaccard verify,
+  *       d09 connected components, min-id canonical)
+  *     → decontamination (d16 8-gram overlap vs a held-out eval set)
+  *     → sequence packing (t10 distributed prefix sum, budget 256)
+  *     → stratified hash split (t25 80/10/10)
+  *
+  * over a corpus with BOTH canonical plants (the d19 boilerplate template
+  * on even ids; d09's 80%-prefix near-dup twins on every 10th id) so every
+  * stage demonstrably does work, and the DuckDB oracle mirrors the WHOLE
+  * chain CTE-for-CTE — built from the same factored SQL (kmSqlPrefix /
+  * kmSqlVerifyTail, the d19 CTE shapes, the d09 recursive-CTE components,
+  * the t10 window prefix sum) the per-stage oracles use, so the two
+  * engines' pipelines cannot drift stage-by-stage OR end-to-end.
+  *
+  * Conservation is asserted as REAL cross-engine columns, not constants:
+  * per-stage cardinalities (n_input … n_after_decontam) are computed
+  * independently by both engines and hash-compared, `rows_monotone` and
+  * `tokens_conserved` (Σ tokens into packing == the final pack cursor) are
+  * genuine comparisons on both sides.
+  *
+  * Scale shape: each stage keeps its own audited posture — the filter is
+  * two grouped aggregates; line dedup shuffles 8-byte block hashes;
+  * near-dup candidates come from banding (never doc×doc) with exact verify
+  * on candidates only; CC runs on the (tiny) verified-edge set; decontam
+  * broadcasts the eval-gram side; packing is the two-pass prefix sum with
+  * driver state = #partitions offsets; the split is row-local hash math.
+  * Five .count() actions materialize stage cardinalities — each reads a
+  * persisted stage output, none collects rows.
+  */
+object Curation {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private val p04 = Q(
+    "p04_curation_pipeline",
+    (s, dir) => {
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // ---- stage 0: corpus with near-dup twins + boilerplate plant.
+      // The gate runs the chain on a deterministic THIRD of the corpus —
+      // composition/interop is what this entry tests (each stage's scale
+      // posture is its own entry's + SCALE.md's job), and the subset keeps
+      // the 6-stage chain from dominating the bench; both plants survive
+      // the subset (evens for the template, %30 ids for the twins)
+      val base = Tables.documents(s, dir).select(
+          graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "p04").as("doc_id"),
+          col("text"))
+        .filter(col("doc_id") % 3 === 0)
+      val g1 = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest((size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))
+      val corpus = Dedup.d19Corpus(base.unionByName(g1)).persist(mem)
+      val nInput = corpus.count()
+
+      // ---- stage 1: quality verdict (t12 formulas; bounds widened for
+      // the +20-token template and the 80% twins)
+      val cnts = corpus.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      val stats = cnts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
+      val filtered = corpus.join(stats, Seq("doc_id"))
+        .filter(col("n_tokens").between(30, 130) &&
+          round(col("top_cnt").cast("double") / col("n_tokens"), 4) <= 0.2)
+        .select(col("doc_id"), col("text"))
+        .persist(mem)
+      val nAfterFilter = filtered.count()
+
+      // ---- stage 2: corpus line dedup (d19 core); fully-stripped docs drop
+      val cleaned = Dedup.lineDedup(filtered, blockTokens = 10, maxDf = 50)
+        .filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean").as("text"), col("n_removed"))
+        .persist(mem)
+      val nAfterLineDedup = cleaned.count()
+
+      // ---- stage 3: near-dup keep-one (d06 banding + verify, d09 CC)
+      val sets = Dedup.shingleSets(cleaned.select(col("doc_id"), col("text")))
+        .persist(mem)
+      val banded = Dedup.kmBands(sets)
+      val cand = banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val edges = Dedup.jaccardVerify(cand, sets)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = Dedup.connectedComponents(edges)
+      val kept3 = cleaned.join(
+          labels.filter(col("node") =!= col("label"))
+            .select(col("node").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .persist(mem)
+      val nAfterNearDup = kept3.count()
+      sets.unpersist(false)
+
+      // ---- stage 4: decontamination (d16 core, 8-grams; eval = the
+      // 20-token passages of every 97th KEPT doc — the self-overlap plant)
+      val evalGrams = kept3.filter(col("doc_id") % 97 === 0)
+        .select(concat_ws(" ", slice(toks, 3, 20)).as("text"))
+        .select(split(col("text"), " ").as("tk"))
+        .select(explode(Dedup.wordNgrams(8)).as("g")).distinct()
+      val contaminated = kept3.select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), explode(Dedup.wordNgrams(8)).as("g"))
+        .join(broadcast(evalGrams), Seq("g"))
+        .select(col("doc_id")).distinct()
+      val kept4 = kept3.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(mem)
+      val nAfterDecontam = kept4.count()
+
+      // ---- stage 5: sequence packing (t10 core), budget 256 tokens
+      val counted = kept4.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"), col("n_removed"))
+      val packed = TextAnalysis.packSequences(
+        counted.select(col("doc_id"), col("n_tokens")), budget = 256L)
+      val totalTokens = counted
+        .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+      val packEnd = packed
+        .agg(coalesce(max(col("seq_id") * 256L + col("seq_offset") + col("n_tokens")),
+          lit(0L))).head().getLong(0)
+
+      // ---- stage 6: stratified hash split (t25 slots) + final assembly
+      val out = packed
+        .join(counted.select(col("doc_id"), col("n_removed")), Seq("doc_id"))
+        .withColumn("slot",
+          pmod(graft.functions.CrossEngine.md5Hash60(col("doc_id")), lit(10L)))
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_removed").cast("long").as("n_removed_blocks"),
+          col("seq_id"), col("seq_offset"),
+          when(col("slot") < 8, "train").when(col("slot") === 8, "val")
+            .otherwise("test").as("split"),
+          lit(nInput).as("n_input"),
+          lit(nAfterFilter).as("n_after_filter"),
+          lit(nAfterLineDedup).as("n_after_linededup"),
+          lit(nAfterNearDup).as("n_after_neardup"),
+          lit(nAfterDecontam).as("n_after_decontam"),
+          lit(nInput >= nAfterFilter && nAfterFilter >= nAfterLineDedup &&
+            nAfterLineDedup >= nAfterNearDup && nAfterNearDup >= nAfterDecontam)
+            .as("rows_monotone"),
+          lit(totalTokens == packEnd).as("tokens_conserved"))
+        .localCheckpoint(true)
+      Seq(corpus, filtered, cleaned, kept3, kept4).foreach(_.unpersist(false))
+      out
+    },
+    Some {
+      val kmCtes = Dedup.kmSqlPrefix("SELECT doc_id, text FROM cleaned")
+        .stripPrefix("WITH ")
+      s"""WITH RECURSIVE g1base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 10 = 0),
+      corpus AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN '${Dedup.d19Template}' || ' ' || text
+            ELSE text END AS text
+        FROM (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 10000000,
+            array_to_string(tk[1:greatest(CAST(floor(len(tk) * 0.8) AS INT), 1)], ' ')
+          FROM g1base) u),
+      cnts AS (SELECT doc_id, token, count(*) AS cnt FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus) t
+        GROUP BY 1, 2),
+      stats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        max(cnt) AS top_cnt FROM cnts GROUP BY 1),
+      filtered AS MATERIALIZED (
+        SELECT c.doc_id, c.text FROM corpus c JOIN stats s USING (doc_id)
+        WHERE s.n_tokens BETWEEN 30 AND 130
+          AND round(CAST(s.top_cnt AS DOUBLE) / s.n_tokens, 4) <= 0.2),
+      blocks AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(tk[(i * 10 + 1) : (i * 10 + 10)], ' ') AS blk
+        FROM (SELECT doc_id, tk,
+            unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM filtered) t) u),
+      hashed AS MATERIALIZED (
+        SELECT doc_id, pos, blk,
+          CAST(concat('0x', substring(md5(blk), 1, 15)) AS BIGINT) AS h
+        FROM blocks),
+      hot AS (
+        SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 50),
+      keptb AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(blk, ' ' ORDER BY pos) AS text_clean
+        FROM hashed WHERE h NOT IN (SELECT h FROM hot)
+        GROUP BY doc_id),
+      totalsb AS (SELECT doc_id, count(*) AS n_blocks FROM hashed GROUP BY doc_id),
+      cleaned AS MATERIALIZED (
+        SELECT t.doc_id, coalesce(k.text_clean, '') AS text,
+          t.n_blocks - coalesce(k.n_kept, 0) AS n_removed
+        FROM totalsb t LEFT JOIN keptb k USING (doc_id)
+        WHERE coalesce(k.text_clean, '') <> ''),
+      $kmCtes,
+      cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      verified AS MATERIALIZED (${Dedup.kmSqlVerifyTail}),
+      und AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION ALL SELECT doc_b, doc_a FROM verified),
+      reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src),
+      cclabels AS MATERIALIZED (
+        SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      kept3 AS MATERIALIZED (
+        SELECT c.* FROM cleaned c LEFT JOIN cclabels l ON c.doc_id = l.node
+        WHERE l.node IS NULL OR l.node = l.cluster_id),
+      evalg AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT tk, unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT string_split(array_to_string(string_split(text, ' ')[3:22], ' '), ' ') AS tk
+            FROM kept3 WHERE doc_id % 97 = 0) t) u),
+      traing AS MATERIALIZED (
+        SELECT doc_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM kept3) t) u),
+      contaminated AS MATERIALIZED (
+        SELECT DISTINCT t.doc_id FROM traing t JOIN evalg e ON t.g = e.g),
+      kept4 AS MATERIALIZED (
+        SELECT * FROM kept3
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      counted AS MATERIALIZED (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          n_removed
+        FROM kept4),
+      packedc AS MATERIALIZED (
+        SELECT doc_id, n_tokens, n_removed,
+          sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+        FROM counted),
+      sc AS MATERIALIZED (SELECT
+        (SELECT count(*) FROM corpus) AS n_input,
+        (SELECT count(*) FROM filtered) AS n_after_filter,
+        (SELECT count(*) FROM cleaned) AS n_after_linededup,
+        (SELECT count(*) FROM kept3) AS n_after_neardup,
+        (SELECT count(*) FROM kept4) AS n_after_decontam)
+      SELECT p.doc_id, p.n_tokens, CAST(p.n_removed AS BIGINT) AS n_removed_blocks,
+        CAST((p.cum_end - p.n_tokens) // 256 AS BIGINT) AS seq_id,
+        CAST((p.cum_end - p.n_tokens) % 256 AS BIGINT) AS seq_offset,
+        CASE WHEN p.slot < 8 THEN 'train' WHEN p.slot = 8 THEN 'val'
+          ELSE 'test' END AS split,
+        CAST(sc.n_input AS BIGINT) AS n_input,
+        CAST(sc.n_after_filter AS BIGINT) AS n_after_filter,
+        CAST(sc.n_after_linededup AS BIGINT) AS n_after_linededup,
+        CAST(sc.n_after_neardup AS BIGINT) AS n_after_neardup,
+        CAST(sc.n_after_decontam AS BIGINT) AS n_after_decontam,
+        (sc.n_input >= sc.n_after_filter
+          AND sc.n_after_filter >= sc.n_after_linededup
+          AND sc.n_after_linededup >= sc.n_after_neardup
+          AND sc.n_after_neardup >= sc.n_after_decontam) AS rows_monotone,
+        ((SELECT coalesce(sum(n_tokens), 0) FROM counted)
+          = (SELECT coalesce(max(cum_end), 0) FROM packedc)) AS tokens_conserved
+      FROM (SELECT *,
+          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS slot
+        FROM packedc) p, sc"""
+    })
+
+  val all: Seq[Q] = Seq(p04)
+}

@@ -585,7 +585,7 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the shingle-set table; keeps pairs at or above `threshold`. */
-  private def jaccardVerify(cand: DataFrame, sets: DataFrame,
+  private[graft] def jaccardVerify(cand: DataFrame, sets: DataFrame,
       threshold: Double = 0.5): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -607,7 +607,7 @@ object Dedup {
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS bucket FROM sigs")
       .mkString("\n         UNION ALL ")
-    s"""WITH sets AS (
+    s"""WITH sets AS MATERIALIZED (
          SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
            i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
@@ -616,10 +616,10 @@ object Dedup {
            CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS ha,
            CAST(concat('0x', substring(md5(shingle), 17, 15)) AS BIGINT) AS hb
          FROM (SELECT doc_id, unnest(sh) AS shingle FROM sets) u),
-        sigs AS (SELECT doc_id,
+        sigs AS MATERIALIZED (SELECT doc_id,
            $hs
          FROM shingles GROUP BY doc_id),
-        banded AS ($bands)"""
+        banded AS MATERIALIZED ($bands)"""
   }
 
   private[graft] val kmSqlVerifyTail: String =

@@ -2554,6 +2554,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("p04 composed curation pipeline: stages chain, conservation holds") {
+    val rows = run("p04_curation_pipeline").collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getAs[Boolean]("rows_monotone"), "every stage may only drop rows")
+    assert(r.getAs[Boolean]("tokens_conserved"),
+      "packing must place every surviving token exactly once")
+    assert(rows.length.toLong === r.getAs[Long]("n_after_decontam"),
+      "output rows = final-stage survivors")
+    // near-dup stage must do real work: the 80%-prefix twins are planted
+    // on every 30th id (10th of the 1/3 subset) and must collapse
+    assert(r.getAs[Long]("n_after_neardup") < r.getAs[Long]("n_after_linededup"),
+      "planted near-dup twins must be removed")
+    // packing is gapless: offsets live inside the budget, seq ids dense
+    rows.foreach { x =>
+      assert(x.getAs[Long]("seq_offset") >= 0L && x.getAs[Long]("seq_offset") < 256L)
+    }
+    val seqIds = rows.map(_.getAs[Long]("seq_id")).distinct.sorted
+    assert(seqIds.head === 0L && seqIds.last === seqIds.length - 1L,
+      "seq ids must be dense from 0")
+    assert(rows.map(_.getAs[String]("split")).distinct.toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
