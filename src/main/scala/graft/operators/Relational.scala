@@ -452,12 +452,18 @@ object Relational {
       val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
       val o = Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      // per-event argmax as a map-side max(struct) — an event with a
+      // long-lived user can have thousands of earlier orders, and a
+      // row_number window would sort-shuffle all of them per event; the
+      // struct max folds partials inside the join's own exchange
+      // (lexicographic (date desc, key desc) take-1 == max(struct))
       e.join(o, col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"), col("o_totalprice")))
+          .as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("o_orderkey"),
+          col("best.o_totalprice").as("o_totalprice"))
     },
     Some("""SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
       SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,

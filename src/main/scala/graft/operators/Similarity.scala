@@ -90,21 +90,42 @@ object Similarity {
       idCol: String = "vec_id",
       ascending: Boolean = false,
       excludeSelf: Boolean = true): DataFrame = {
-    import graft.functions.OrderedBits
     val joined0 = corpus.crossJoin(broadcast(probes))
     val joined = if (excludeSelf) joined0.filter(col(idCol) =!= col(probeIdCol)) else joined0
+    topKByScore(joined, probeIdCol, idCol, score, k, ascending)
+  }
+
+  /** [[knnJoin]]'s heap stage on an ALREADY-JOINED candidate frame — the
+    * form every index-assisted lane (LSH bucket join, IVF probed lists,
+    * PQ/ADC scores, filtered search) needs, since their candidate
+    * generation is an equi-join, not a broadcast cross join. Same
+    * contract: per-group top-k by (score best-first, id ascending), the
+    * exchange carries k-pair heap buffers via the exact OrderedBits
+    * bijection, and the decoded score is bit-identical to the input —
+    * window-oracle-exact. Callers needing extra neighbor attributes join
+    * the (k x #groups)-row result back by `idCol` (broadcast-sized by
+    * construction). */
+  def topKByScore(
+      scored: DataFrame,
+      groupCol: String,
+      idCol: String,
+      score: Column,
+      k: Int,
+      ascending: Boolean = false): DataFrame = {
+    import graft.functions.OrderedBits
     val keyBits = OrderedBits.toBits(score)
     // heap keeps the k LARGEST (key, payload) pairs; negating the key
     // flips to ascending score, negating the id makes ties rank smaller
     // ids first (the bits map never yields Long.MinValue, so both
     // negations are overflow-safe)
     val sortKey = if (ascending) -keyBits else keyBits
-    joined
-      .groupBy(col(probeIdCol))
-      .agg(graft.functions.TopK.topKPairs(sortKey, -col(idCol), k).as("__top"))
-      .select(col(probeIdCol), posexplode(col("__top")).as(Seq("__pos", "__p")))
+    scored
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topKPairs(sortKey, -col(idCol).cast("long"), k)
+        .as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__p")))
       .select(
-        col(probeIdCol),
+        col(groupCol),
         (-col("__p.payload")).as(idCol),
         OrderedBits.toDouble(
           if (ascending) -col("__p.sort_key") else col("__p.sort_key")).as("score"),
@@ -186,16 +207,13 @@ object Similarity {
           graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes))
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      e.join(broadcast(q), Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      topKByScore(
+          e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("query_id")),
+          "query_id", "vec_id",
+          dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+          k = 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+          round(col("score"), 6).as("cosine"), col("rn"))
   }
 
   private val s02 = Q(
@@ -258,16 +276,14 @@ object Similarity {
           .map(l => (r.getAs[Long]("vec_id"), emb, l))
       }.toSeq.toDF("query_id", "q_emb", "list_id")
 
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      assigned.join(broadcast(q), Seq("list_id"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      topKByScore(
+          assigned.join(broadcast(q), Seq("list_id"))
+            .filter(col("vec_id") =!= col("query_id")),
+          "query_id", "vec_id",
+          dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+          k = 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+          round(col("score"), 6).as("cosine"), col("rn"))
     },
     None)
 
@@ -299,16 +315,13 @@ object Similarity {
           graft.functions.VectorExpressions.hyperplaneBucket(col("embedding"), planes))
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      e.join(broadcast(q), Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      topKByScore(
+          e.join(broadcast(q), Seq("bucket")).filter(col("vec_id") =!= col("query_id")),
+          "query_id", "vec_id",
+          dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+          k = 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+          round(col("score"), 6).as("cosine"), col("rn"))
     },
     Some {
       val planes = md5Planes(4, 64)
@@ -380,11 +393,16 @@ object Similarity {
           first(col("embedding")).as("embedding"), first(col("lbl")).as("lbl"))
         .select(col("vec_id"), col("embedding"), col("lbl"),
           col("best.cid").as("list_id"))
-      // nProbe=2: each query probes its two nearest lists
-      val probeW = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val probes = crossed.filter(col("vec_id") < 3)
-        .withColumn("pr", row_number().over(probeW))
-        .filter(col("pr") <= 2)
+      // nProbe=2: each query probes its two nearest lists — the same heap
+      // shape as the candidate rank (bounded by nLists per query either
+      // way, but one audited top-k path everywhere); the query's own
+      // embedding/label ride back via the (2 x #queries)-row join
+      val qRows = crossed.filter(col("vec_id") < 3)
+      val probeTop = topKByScore(qRows, "vec_id", "cid", col("d2"),
+        k = 2, ascending = true)
+      val probes = qRows
+        .join(broadcast(probeTop.select(col("vec_id"), col("cid"))),
+          Seq("vec_id", "cid"))
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("lbl").as("q_lbl"), col("cid").as("list_id"))
       (assigned, probes)
@@ -392,16 +410,14 @@ object Similarity {
 
   private[graft] def ivfFixedRanked(s: SparkSession, dir: String): DataFrame = {
       val (assigned, probes) = ivfParts(s, dir)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("list_id"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      topKByScore(
+          assigned.join(broadcast(probes), Seq("list_id"))
+            .filter(col("vec_id") =!= col("query_id")),
+          "query_id", "vec_id",
+          dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+          k = 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+          round(col("score"), 6).as("cosine"), col("rn"))
   }
 
   /** The s05 oracle's CTE chain through `ranked` (IVF top-k candidates),
@@ -503,11 +519,9 @@ object Similarity {
         .agg(dCols.head, dCols.tail: _*)
         .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
         .filter(col("vec_id") =!= col("query_id"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-      adc.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      topKByScore(adc, "query_id", "vec_id", col("adc"), k = 10, ascending = true)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(col("adc"), 6).as("adc"), col("rn"))
+          round(col("score"), 6).as("adc"), col("rn"))
     },
     Some("""WITH subv AS (
         SELECT vec_id, m, embedding[m * 16 + 1 : (m + 1) * 16] AS subvec
@@ -617,14 +631,11 @@ object Similarity {
   }
 
   private[graft] def pqTopK(vecs: DataFrame,
-      codebooks: Array[Array[Array[Double]]], topK: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    pqScores(vecs, codebooks)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= topK)
+      codebooks: Array[Array[Array[Double]]], topK: Int): DataFrame =
+    topKByScore(pqScores(vecs, codebooks), "query_id", "vec_id",
+        col("adc"), topK, ascending = true)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("adc"), 6).as("adc"), col("rn"))
-  }
+        round(col("score"), 6).as("adc"), col("rn"))
 
   private val s08 = Q(
     "s08_ann_pq_trained",
@@ -762,14 +773,11 @@ object Similarity {
       ivfpqQueryLuts(vecs.filter(col("vec_id") < 3), model, nProbe))
   }
 
-  private[graft] def ivfpqTopK(vecs: DataFrame, topK: Int, seed: Long): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    ivfpqScores(vecs, seed)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= topK)
+  private[graft] def ivfpqTopK(vecs: DataFrame, topK: Int, seed: Long): DataFrame =
+    topKByScore(ivfpqScores(vecs, seed), "query_id", "vec_id",
+        col("adc"), topK, ascending = true)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("adc"), 6).as("adc"), col("rn"))
-  }
+        round(col("score"), 6).as("adc"), col("rn"))
 
   private val s10 = Q(
     "s10_ann_ivfpq",
@@ -1212,9 +1220,8 @@ object Similarity {
     "s17_ivfadc_rerank",
     (s, dir) => {
       val (_, corpus) = plantedCorpus(s, dir)
-      val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-      val short = ivfpqScores(corpus, seed = 42L)
-        .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= 32)
+      val short = topKByScore(ivfpqScores(corpus, seed = 42L),
+          "query_id", "vec_id", col("adc"), k = 32, ascending = true)
         .select(col("query_id"), col("vec_id"))
       val qv = corpus.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -1222,12 +1229,15 @@ object Similarity {
         zip_with(a, b,
           (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
         lit(0.0), (acc, dd) => acc + dd)
-      val wEx = Window.partitionBy(col("query_id")).orderBy(col("exact_d2"), col("vec_id"))
+      // exact re-rank of the 32-row shortlist: the winner is a map-side
+      // min(struct) per query, not a window (the q60/d23 argmin shape)
       corpus.join(broadcast(short), Seq("vec_id"))
         .join(broadcast(qv), Seq("query_id"))
         .withColumn("exact_d2", round(d2(col("embedding"), col("q_emb")), 6))
-        .withColumn("rk", row_number().over(wEx)).filter(col("rk") === 1)
-        .select(col("query_id"), col("vec_id").as("nn_id"), col("exact_d2").as("nn_d2"))
+        .groupBy(col("query_id"))
+        .agg(min(struct(col("exact_d2"), col("vec_id"))).as("best"))
+        .select(col("query_id"), col("best.vec_id").as("nn_id"),
+          col("best.exact_d2").as("nn_d2"))
     },
     Some("""WITH corpus AS (
         SELECT vec_id, embedding FROM embeddings
@@ -1541,16 +1551,17 @@ object Similarity {
       val corpus = e.unionByName(twin(90000000L, 0.001)).unionByName(twin(95000000L, 0.002))
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("rel").desc, col("vec_id"))
-      val shortlist = corpus.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("rel", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("pos_rk", row_number().over(w))
-        .filter(col("pos_rk") <= 50)
-        .select(col("query_id"), col("vec_id"), col("rel"),
-          col("embedding").as("emb"), col("pos_rk"))
+      // heap top-50 over the corpus, then the (150-row) shortlist joins
+      // back for its embeddings — the MMR re-ranker needs the vectors, but
+      // only the shortlist's, never the corpus's
+      val shortRows = knnJoin(corpus, q,
+          dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+          k = 50)
+        .select(col("query_id"), col("vec_id"), col("score").as("rel"),
+          col("rn").cast("int").as("pos_rk"))
+      val shortlist = corpus.select(col("vec_id"), col("embedding").as("emb"))
+        .join(broadcast(shortRows), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("rel"), col("emb"), col("pos_rk"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mmr = mmrSelect(shortlist, k = 10, lambda = 0.5)
       val brute = shortlist.filter(col("pos_rk") <= 10)
@@ -1608,17 +1619,17 @@ object Similarity {
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("label").as("q_label"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      e.crossJoin(broadcast(q))
-        .filter(col("label") =!= col("q_label"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 8)
+      val negs = topKByScore(
+        e.crossJoin(broadcast(q)).filter(col("label") =!= col("q_label")),
+        "query_id", "vec_id",
+        dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+        k = 8)
+      // neighbor label rides back via the (24-row) broadcast join
+      e.select(col("vec_id"), col("label"))
+        .join(broadcast(negs), Seq("vec_id"))
         .select(col("query_id"), col("vec_id").as("negative_id"),
           col("label").as("negative_label"),
-          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+          round(col("score"), 6).as("cosine"), col("rn"))
     },
     Some("""WITH q AS (
         SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
@@ -1709,16 +1720,16 @@ object Similarity {
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("label").as("q_label"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      e.join(broadcast(q),
-          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+      val hits = topKByScore(
+        e.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id")),
+        "query_id", "vec_id",
+        dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+        k = 10)
+      e.select(col("vec_id"), col("label"))
+        .join(broadcast(hits), Seq("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
-          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+          round(col("score"), 6).as("cosine"), col("rn"))
     },
     Some("""WITH q AS (
         SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
@@ -1753,19 +1764,19 @@ object Similarity {
     "s23_ivf_filtered",
     (s, dir) => {
       val (assigned, probes) = ivfParts(s, dir)
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine_raw").desc, col("vec_id"))
-      assigned.join(broadcast(probes),
+      val hits = topKByScore(
+        assigned.join(broadcast(probes),
           assigned("list_id") === probes("list_id") &&
             col("lbl") === col("q_lbl") &&
-            col("vec_id") =!= col("query_id"))
-        .withColumn("cosine_raw", dot(col("embedding"), col("q_emb")) /
-          (l2(col("embedding")) * l2(col("q_emb"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 10)
+            col("vec_id") =!= col("query_id")),
+        "query_id", "vec_id",
+        dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+        k = 10)
+      assigned.select(col("vec_id"), col("lbl"))
+        .join(broadcast(hits), Seq("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("lbl").as("label"),
-          round(col("cosine_raw"), 6).as("cosine"), col("rn"))
+          round(col("score"), 6).as("cosine"), col("rn"))
     },
     Some(s"""$ivfOracleProbeCtes,
       cand AS (

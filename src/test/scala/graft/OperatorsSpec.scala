@@ -2500,9 +2500,14 @@ class OperatorsSpec extends SparkSpec {
     val probes = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val d2 = graft.functions.VectorExpressions.l2DistSq(col("embedding"), col("q_emb"))
-    val shapes = Seq(
-      "s01 gate query" -> run("s01_knn_bruteforce"),
-      "h11 d2-ascending shape" ->
+    // every rank-after-distance gate entry (brute force, LSH buckets, IVF
+    // probes, PQ/ADC, filtered, hard negatives) plus h11's ascending shape;
+    // s07 is the one deliberate window (it needs unbounded ranks)
+    val shapes = Seq("s01_knn_bruteforce", "s02_knn_lsh", "s03_ann_ivf",
+        "s04_knn_lsh_oracle", "s05_ann_ivf_oracle", "s06_ann_pq_oracle",
+        "s08_ann_pq_trained", "s10_ann_ivfpq", "s20_hard_negatives",
+        "s22_filtered_knn", "s23_ivf_filtered").map(n => n -> run(n)) :+
+      ("h11 d2-ascending shape" ->
         graft.operators.Similarity.knnJoin(e, probes, d2, k = 15, ascending = true))
     for ((label, df) <- shapes) {
       val plan = df.queryExecution.executedPlan match {
