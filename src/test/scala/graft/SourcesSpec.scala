@@ -97,4 +97,38 @@ class SourcesSpec extends SparkSpec {
           s"loading mismatch: $g vs $e") }
     }
   }
+  test("w08 WET reader survives file-split-straddling records") {
+    // the scale claim: lineSep record reading is safe under
+    // maxPartitionBytes because Hadoop's reader resynchronizes at the
+    // first boundary after each split start — force MANY splits so most
+    // records straddle one, and demand byte-exact recovery
+    val out = Files.createTempDirectory("graft_w08_spec_").toString
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      docs.select(concat(
+          lit("WARC/1.0\nWARC-Target-URI: http://h/doc/"), col("doc_id").cast("string"),
+          lit("\nContent-Length: "), length(col("text")).cast("string"),
+          lit("\n\n"), col("text")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(out)
+      spark.conf.set(key, "1024") // ~3-6 records per split at sf0.001
+      val recovered = spark.read.option("lineSep", "WARC/1.0\n").text(out)
+        .filter(length(col("value")) > 0)
+        .select(
+          regexp_extract(col("value"), "/doc/([0-9]+)", 1).cast("long").as("doc_id"),
+          md5(regexp_replace(element_at(split(col("value"), "\n\n", 2), 2), "\n$", ""))
+            .as("h"))
+      assert(recovered.rdd.getNumPartitions > 3,
+        "the test must actually produce many splits")
+      val got = recovered.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val want = docs.select(col("doc_id"), md5(col("text")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq === want.toSeq, "split-straddling records must parse exactly")
+    } finally {
+      spark.conf.set(key, prev)
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
 }
