@@ -1617,6 +1617,25 @@ object EventsStreaming {
       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       FROM events WHERE event_id % 17 <> 3 GROUP BY 1, 2"""))
 
+  /** 4-file deterministic split of the events corpus into `work/files`,
+    * returned name-sorted — the restart harness's raw material (st24/st25). */
+  private def splitEventFiles(s: SparkSession, dir: String,
+      work: java.nio.file.Path): Array[java.io.File] = {
+    s.read.parquet(s"$dir/events.parquet")
+      .repartition(4).write.mode("overwrite")
+      .parquet(work.resolve("files").toString)
+    Option(work.resolve("files").toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+  }
+
+  /** Batch ids with a commit marker in the checkpoint — the durable record
+    * of what a streaming query has fully processed. */
+  private def committedBatches(ckpt: String): Seq[Long] =
+    Option(new java.io.File(s"$ckpt/commits").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted.toSeq
+
   // ---------------------------------------------------------------- st24
   /** CHECKPOINT RECOVERY — the first thing a real deployment exercises
     * (VERDICT r9 Missing #1): a production stream dies mid-corpus and
@@ -1653,12 +1672,7 @@ object EventsStreaming {
       val ckpt = work.resolve("ckpt").toString
       // deterministic 4-file split of the corpus (complete mode makes the
       // result independent of which rows land in which file)
-      s.read.parquet(s"$dir/events.parquet")
-        .repartition(4).write.mode("overwrite")
-        .parquet(work.resolve("files").toString)
-      val parts = Option(work.resolve("files").toFile.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val parts = splitEventFiles(s, dir, work)
       def expose(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
         java.nio.file.Files.createSymbolicLink(srcDir.resolve(f.getName), f.toPath)
       }
@@ -1679,17 +1693,13 @@ object EventsStreaming {
           .trigger(Trigger.AvailableNow())
           .start()
       }
-      def committedBatches: Seq[Long] =
-        Option(new java.io.File(s"$ckpt/commits").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .flatMap(f => scala.util.Try(f.getName.toLong).toOption).sorted.toSeq
       try {
         // ---- run 1: half the corpus, then a mid-corpus stop
         expose(parts.take(2))
         val sink1 = s"st24_a_$uid"
         runOnce(sink1).awaitTermination()
         s.catalog.dropTempView(sink1)
-        val run1Batches = committedBatches
+        val run1Batches = committedBatches(ckpt)
         // ---- new data lands while the stream is down
         expose(parts.drop(2))
         val lateRows = s.read.parquet(parts.drop(2).map(_.getPath): _*).count()
@@ -1698,7 +1708,7 @@ object EventsStreaming {
         val q2 = runOnce(sink2)
         q2.awaitTermination()
         val run2Input = q2.recentProgress.map(_.numInputRows).sum
-        val run2Batches = committedBatches.filterNot(run1Batches.contains)
+        val run2Batches = committedBatches(ckpt).filterNot(run1Batches.contains)
         val out = s.table(sink2)
           .select(unix_timestamp(col("window.start")).as("window_start"),
             col("event_type"), col("n_events"), col("sum_value"),
@@ -1718,7 +1728,111 @@ object EventsStreaming {
       true AS no_reprocessing
       FROM events GROUP BY 1, 2, 5, 6, 7"""))
 
+  // ---------------------------------------------------------------- st25
+  /** CHECKPOINT RECOVERY FOR CUSTOM STATE — st24 proves the windowed-
+    * aggregation state store reloads; this proves the HARDER path: user
+    * code's own `flatMapGroupsWithState` state (st05's per-user running
+    * (count, sum, last-seen)), whose serialized tuples the restarted query
+    * must deserialize and keep folding. The discriminating population is
+    * users whose events SPAN the stop: their run-2 emissions can only show
+    * the full count if run 2 resumed from run 1's state (state lost →
+    * second-half-only counts; files re-read → double counts). The sink is
+    * a foreachBatch parquet append — the memory sink refuses checkpoint
+    * recovery outside complete mode (measured: "This query does not
+    * support recovering from checkpoint location"), and foreachBatch is
+    * what a production stateful pipeline writes through anyway. Emissions
+    * accumulate across both runs; the final table is the per-user latest
+    * row (n_events is strictly increasing per user — the st05 max(struct)
+    * reduction, applied across the restart boundary, which also absorbs
+    * foreachBatch's at-least-once replays: a replayed batch re-appends
+    * identical rows that the max fold collapses). Same runtime-recomputed
+    * proof obligations as st24 from the commits log and run-2 input rows,
+    * and the whole table equals the batch oracle over all events. */
+  private val st25 = Q(
+    "st25_stream_state_recovery",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val work = java.nio.file.Files.createTempDirectory("graft_st25_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      val ckpt = work.resolve("ckpt").toString
+      val parts = splitEventFiles(s, dir, work)
+      def expose(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve(f.getName), f.toPath)
+      }
+      def runOnce(emitDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+        val stream = Tables.normalizeNanos(
+            s.readStream
+              .schema(rawFileSchema(s, dir))
+              .option("maxFilesPerTrigger", 1)
+              .parquet(srcDir.toString))
+          .select(col("user_id").cast("long"), col("value").cast("double"),
+            unix_timestamp(col("ts")).as("epoch"))
+          .as[(Long, Double, Long)]
+        val updated = stream
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Double, Long), (Long, Long, Double, Long)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            case (user, events, state: GroupState[(Long, Double, Long)]) =>
+              var (n, sum, lastTs) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
+              events.foreach { e =>
+                n += 1
+                sum += e._2
+                if (e._3 > lastTs) lastTs = e._3
+              }
+              state.update((n, sum, lastTs))
+              Iterator((user, n, sum, lastTs))
+          }
+        updated.toDF("user_id", "n_events", "sum_raw", "last_ts")
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(emitDir)
+          }
+          .start()
+      }
+      // per-user LATEST emission of a drained update-mode sink (n_events
+      // strictly increases per user, so max(struct) is the last update)
+      def latest(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("last_ts"), col("sum_raw"))).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          col("fin.sum_raw").as("sum_raw"), col("fin.last_ts").as("last_ts"))
+      val emitDir = work.resolve("emit").toString
+      try {
+        expose(parts.take(2))
+        runOnce(emitDir).awaitTermination()
+        val run1Batches = committedBatches(ckpt)
+        expose(parts.drop(2))
+        val lateRows = s.read.parquet(parts.drop(2).map(_.getPath): _*).count()
+        val q2 = runOnce(emitDir)
+        q2.awaitTermination()
+        val run2Input = q2.recentProgress.map(_.numInputRows).sum
+        val run2Batches = committedBatches(ckpt).filterNot(run1Batches.contains)
+        val out = latest(s.read.parquet(emitDir))
+          .select(col("user_id"), col("n_events"),
+            round(col("sum_raw"), 4).as("sum_value"), col("last_ts"),
+            lit(run1Batches.size >= 2).as("multi_batch_run1"),
+            lit(run2Batches.nonEmpty &&
+              run2Batches.min == run1Batches.max + 1).as("resumed_not_restarted"),
+            lit(run2Input == lateRows).as("no_reprocessing"))
+        val local = graft.functions.CrossEngine.materializeLocal(s, out)
+        graft.functions.CrossEngine.deleteRecursive(work)
+        local
+      } catch { case e: Throwable =>
+        graft.functions.CrossEngine.deleteRecursive(work)
+        throw e
+      }
+    },
+    Some("""SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts,
+      true AS multi_batch_run1, true AS resumed_not_restarted,
+      true AS no_reprocessing
+      FROM events GROUP BY user_id"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24)
+    st22, st23, st24, st25)
 }

@@ -379,4 +379,25 @@ class StreamingSpec extends SparkSpec {
         x.getAs[Long]("n_events"))).sorted
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("st25 custom-state recovery: span users keep full counts across restart") {
+    val rows = SparkEntry.queries("st25_stream_state_recovery")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getAs[Boolean]("multi_batch_run1"))
+    assert(r.getAs[Boolean]("resumed_not_restarted"),
+      "run 2 must continue run 1's batch numbering")
+    assert(r.getAs[Boolean]("no_reprocessing"),
+      "run 2 must read exactly the late files")
+    // per-user counts must equal the batch frame — only possible if run 2
+    // deserialized and kept folding run 1's flatMapGroupsWithState state
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val streamed = rows
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("n_events"))).sorted
+    assert(streamed.toSeq === batch.toSeq,
+      "state store must reload across the restart (no loss, no double count)")
+  }
 }
