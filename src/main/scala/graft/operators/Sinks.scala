@@ -304,34 +304,46 @@ object Sinks {
     * doc_id from the URI, payload md5, char count, canonical host (the
     * d24 normalizer applied to the crawl URI) all hash-gated against
     * DuckDB recomputing them from the source table. */
+  /** Writes `docs` (doc_id, text) as a WET-style multi-record text corpus
+    * under `out` — shared by the batch roundtrip (w08) and the streaming
+    * admission lane (st26) so the format cannot drift between them. */
+  private[graft] def wetWrite(docs: DataFrame, out: String, nFiles: Int): Unit = {
+    val uri = concat(lit("http://site-"), (col("doc_id") % 37).cast("string"),
+      lit(".example/doc/"), col("doc_id").cast("string"))
+    docs.select(concat(
+        lit("WARC/1.0\nWARC-Target-URI: "), uri,
+        lit("\nContent-Length: "), length(col("text")).cast("string"),
+        lit("\n\n"), col("text")).as("value"))
+      .repartition(nFiles)
+      .write.mode("overwrite").text(out)
+  }
+
+  /** Parses lineSep-split WET records (one row per record, header block +
+    * payload) into (uri, clen, body) — row-local string expressions, safe
+    * on a streaming frame unchanged. */
+  private[graft] def wetParse(records: DataFrame): DataFrame = records
+    .filter(length(col("value")) > 0)
+    .select(
+      regexp_extract(col("value"), "WARC-Target-URI: ([^\\n]+)", 1).as("uri"),
+      regexp_extract(col("value"), "Content-Length: ([0-9]+)", 1)
+        .cast("long").as("clen"),
+      regexp_replace(element_at(split(col("value"), "\n\n", 2), 2), "\n$", "")
+        .as("body"))
+
   private val w08 = Q(
     "w08_wet_ingest",
     (s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_w08_").toString
       try {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val uri = concat(lit("http://site-"), (col("doc_id") % 37).cast("string"),
-          lit(".example/doc/"), col("doc_id").cast("string"))
-        docs.select(concat(
-            lit("WARC/1.0\nWARC-Target-URI: "), uri,
-            lit("\nContent-Length: "), length(col("text")).cast("string"),
-            lit("\n\n"), col("text")).as("value"))
-          .repartition(4)
-          .write.mode("overwrite").text(out)
-        val records = s.read.option("lineSep", "WARC/1.0\n").text(out)
-          .filter(length(col("value")) > 0)
+        wetWrite(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          out, nFiles = 4)
+        val parsed = wetParse(s.read.option("lineSep", "WARC/1.0\n").text(out))
           .select(
-            regexp_extract(col("value"), "WARC-Target-URI: ([^\\n]+)", 1).as("uri"),
-            regexp_extract(col("value"), "Content-Length: ([0-9]+)", 1)
-              .cast("long").as("clen"),
-            regexp_replace(element_at(split(col("value"), "\n\n", 2), 2), "\n$", "")
-              .as("body"))
-        val parsed = records.select(
-          regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
-          length(col("body")).cast("long").as("n_chars"),
-          md5(col("body")).as("text_md5"),
-          Dedup.urlHost(Dedup.canonicalUrl(col("uri"))).as("host"),
-          (col("clen") === length(col("body"))).as("len_ok"))
+            regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            length(col("body")).cast("long").as("n_chars"),
+            md5(col("body")).as("text_md5"),
+            Dedup.urlHost(Dedup.canonicalUrl(col("uri"))).as("host"),
+            (col("clen") === length(col("body"))).as("len_ok"))
         graft.functions.CrossEngine.materializeLocal(s, parsed)
       } finally {
         graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))

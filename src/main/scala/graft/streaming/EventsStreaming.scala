@@ -1832,7 +1832,63 @@ object EventsStreaming {
       true AS no_reprocessing
       FROM events GROUP BY user_id"""))
 
+  // ---------------------------------------------------------------- st26
+  /** STREAMING CRAWL ADMISSION — the front door of a continuously-fed
+    * pretraining pipeline, closing the loop w08/d24 opened: raw WET-style
+    * multi-record crawl files ARRIVE as a stream, and every admission
+    * decision happens inside it. Per micro-batch: the lineSep record
+    * reader splits arriving files into records (the w08 reader on a
+    * readStream — record parsing is row-local, so the streaming plan is
+    * STATELESS, O(batch) cost, nothing held between batches); headers and
+    * payload parse with the shared `Sinks.wetParse` expressions; the
+    * crawl URI flows through d24's canonicalizer to a host key checked
+    * against a broadcast BLOCKLIST (the domain-policy gate every crawl
+    * front door applies); and a length-window quality rule drops shape
+    * outliers. The drained admissions must equal DuckDB recomputing the
+    * same policy over the source table — admission is deterministic, so
+    * the full frame sits under the hash gate, not just counts. */
+  private val st26 = Q(
+    "st26_stream_wet_admission",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val sinkTable = "st26_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val work = java.nio.file.Files.createTempDirectory("graft_st26_")
+      val srcDir = work.resolve("wet").toString
+      graft.operators.Sinks.wetWrite(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        srcDir, nFiles = 4)
+      val blocklist = Seq("site-0.example", "site-1.example", "site-2.example")
+      val admitted = graft.operators.Sinks.wetParse(
+          s.readStream.option("lineSep", "WARC/1.0\n")
+            .option("maxFilesPerTrigger", 1)
+            .text(srcDir))
+        .withColumn("doc_id",
+          regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long"))
+        .withColumn("host",
+          graft.operators.Dedup.urlHost(graft.operators.Dedup.canonicalUrl(col("uri"))))
+        .withColumn("n_tokens", size(split(col("body"), " ")).cast("long"))
+        .filter(!col("host").isin(blocklist: _*))
+        .filter(col("n_tokens").between(30, 90))
+        .filter(col("clen") === length(col("body")))
+        .select(col("doc_id"), col("host"), col("n_tokens"),
+          md5(col("body")).as("text_md5"))
+      val query = admitted.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable), sinkTable, work)
+    },
+    Some("""SELECT doc_id,
+        'site-' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS host,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        md5(text) AS text_md5
+      FROM documents
+      WHERE doc_id % 37 NOT IN (0, 1, 2)
+        AND len(string_split(text, ' ')) BETWEEN 30 AND 90"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25)
+    st22, st23, st24, st25, st26)
 }
