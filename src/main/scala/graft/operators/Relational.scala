@@ -1410,11 +1410,119 @@ object Relational {
         min(sec) AS start_sec, max(sec) AS end_sec
       FROM numbered GROUP BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q69
+  /** TRIANGLE COUNTING with degree-ordered orientation (Schank & Wagner
+    * '05 forward algorithm / Suri & Vassilvitskii '11 MapReduce form;
+    * public) — the third member of the graph family after q63 PageRank
+    * and the d09/d14 connected components: triangles drive clustering
+    * coefficients, community quality, and spam/bot subgraph detection.
+    *
+    * The naive plan joins the edge list to itself twice — on a power-law
+    * graph the hub's degree d contributes d² wedges and the join
+    * explodes. Orientation fixes it: direct every edge from the
+    * (degree, id)-SMALLER endpoint to the larger, so each node's
+    * OUT-degree is bounded by O(√E) regardless of its true degree, every
+    * triangle has exactly one node with two out-edges (counted once, no
+    * /6 dedup), and the wedge join's output is Σ outdeg² = O(E^1.5)
+    * worst-case instead of Σ deg². All three steps are equi-joins +
+    * grouped counts — no windows, no driver state beyond the node-count
+    * scalar used to size the ring.
+    *
+    * Graph: a deterministic construction over the documents ids — a
+    * double ring (i→i+1, i→i+2: plants exactly V triangles) plus one
+    * md5-hash chord per node (irregular degrees, incidental triangles) —
+    * derived identically in both engines, so global counts AND the
+    * top-10 local triangle counts (folded through the q54 bounded heap,
+    * never a window) sit under the hash gate. */
+  private val q69 = Q(
+    "q69_triangle_count",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val v = ids.agg(max(col("i"))).head().getLong(0) + 1L
+      val e0 = ids.select(col("i"), pmod(col("i") + 1L, lit(v)).as("j"))
+        .unionByName(ids.select(col("i"), pmod(col("i") + 2L, lit(v)).as("j")))
+        .unionByName(ids.select(col("i"),
+          pmod(graft.functions.CrossEngine.md5Hash60(col("i")), lit(v)).as("j")))
+      val edges = e0.select(least(col("i"), col("j")).as("a"),
+          greatest(col("i"), col("j")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val deg = edges.select(col("a").as("n")).unionByName(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      // orient each edge from the (deg, id)-smaller endpoint to the larger
+      val oriented = edges
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("src"), col("b").as("dst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .localCheckpoint(true)
+      val wedges = oriented.alias("x").join(oriented.alias("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .select(col("x.src").as("u"),
+          least(col("x.dst"), col("y.dst")).as("p"),
+          greatest(col("x.dst"), col("y.dst")).as("q"))
+      val tris = wedges.join(edges,
+          col("p") === col("a") && col("q") === col("b"))
+        .select(col("u"), col("p"), col("q"))
+        .localCheckpoint(true)
+      val nTris = tris.count()
+      val local = tris.select(col("u").as("node"))
+        .unionByName(tris.select(col("p").as("node")))
+        .unionByName(tris.select(col("q").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("t_cnt"))
+      local
+        .agg(graft.functions.TopK.topKPairs(col("t_cnt"), col("node"), 10).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "p")))
+        .select((col("pos") + 1).cast("long").as("rnk"),
+          col("p.payload").as("node"), col("p.sort_key").as("t_cnt"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .withColumn("n_triangles", lit(nTris))
+    },
+    Some("""WITH ids AS (SELECT doc_id AS i FROM documents),
+      vmax AS (SELECT max(i) + 1 AS v FROM ids),
+      e0 AS (
+        SELECT i, (i + 1) % (SELECT v FROM vmax) AS j FROM ids
+        UNION ALL
+        SELECT i, (i + 2) % (SELECT v FROM vmax) FROM ids
+        UNION ALL
+        SELECT i, CAST(concat('0x', substring(md5(CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+          % (SELECT v FROM vmax) FROM ids),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT least(i, j) AS a, greatest(i, j) AS b
+        FROM e0 WHERE i <> j),
+      deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT a AS n FROM edges UNION ALL SELECT b FROM edges) t GROUP BY n),
+      oriented AS MATERIALIZED (
+        SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+          CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst
+        FROM edges e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+      tris AS MATERIALIZED (
+        SELECT x.src AS u, least(x.dst, y.dst) AS p, greatest(x.dst, y.dst) AS q
+        FROM oriented x JOIN oriented y
+          ON x.src = y.src AND x.dst < y.dst
+        JOIN edges ON least(x.dst, y.dst) = a AND greatest(x.dst, y.dst) = b),
+      localc AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t_cnt FROM (
+          SELECT u AS node FROM tris
+          UNION ALL SELECT p FROM tris
+          UNION ALL SELECT q FROM tris) t GROUP BY node)
+      SELECT CAST(rn AS BIGINT) AS rnk, node, t_cnt,
+        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        (SELECT CAST(count(*) AS BIGINT) FROM tris) AS n_triangles
+      FROM (
+        SELECT node, t_cnt,
+          row_number() OVER (ORDER BY t_cnt DESC, node DESC) AS rn
+        FROM localc) t WHERE rn <= 10"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61, q62, q63, q65, q66, q67)
+    q61, q62, q63, q65, q66, q67, q69)
 }

@@ -2583,6 +2583,30 @@ class OperatorsSpec extends SparkSpec {
       Set("train", "val", "test")))
   }
 
+  test("q69 triangle count matches a brute-force local recount") {
+    val rows = run("q69_triangle_count").collect()
+    assert(rows.length === 10)
+    val nTris = rows.head.getAs[Long]("n_triangles")
+    // rebuild the same deterministic graph locally and count naively
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val v = ids.max + 1
+    def h60(i: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val es = ids.flatMap(i => Seq((i, (i + 1) % v), (i, (i + 2) % v), (i, h60(i) % v)))
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(p => p._1 != p._2).distinct
+    val adj = es.groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    val brute = es.map { case (a, b) => (adj(a) & adj(b)).size }.sum
+    assert(nTris.toInt === brute, s"oriented count $nTris vs brute $brute")
+    // local counts are consistent: every triangle increments 3 nodes
+    assert(rows.forall(_.getAs[Long]("t_cnt") >= 1L))
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
