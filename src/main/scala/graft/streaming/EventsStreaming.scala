@@ -1888,7 +1888,173 @@ object EventsStreaming {
       WHERE doc_id % 37 NOT IN (0, 1, 2)
         AND len(string_split(text, ' ')) BETWEEN 30 AND 90"""))
 
+  // ---------------------------------------------------------------- st27
+  /** CHECKPOINT RECOVERY FOR STREAM-STREAM JOIN STATE — the third and last
+    * state-store family after st24 (windowed aggregation) and st25
+    * (custom flatMapGroupsWithState state): the buffered click rows a
+    * watermarked interval join holds while waiting for purchases must
+    * survive a restart, or every click-before-the-stop /
+    * purchase-after-the-stop attribution silently disappears.
+    *
+    * The split is BY TIME (range-partitioned on ts), not random: a
+    * watermark is monotone across the restart, so a randomly-split corpus
+    * would deliver pre-watermark rows in run 2 and the join would drop
+    * them as late — not a recovery bug, a delivery-order violation (the
+    * st23 lesson). Time-ordered files mean nothing is ever late, run 1's
+    * final watermark sits 10 minutes behind the split point, and every
+    * click still inside its 30-minute attribution window at the stop is
+    * provably still in the reloaded state. The inner join emits on match
+    * (no outer-flush sentinels needed — the st20 machinery stays where
+    * outer emission is the semantics); the sink is the st25 foreachBatch
+    * parquet append.
+    *
+    * Spanning matches are PLANTED (the st20 artifact pattern): the test
+    * data has no organic click→purchase pair hugging one split point, so
+    * 5 negative-id users click 5 minutes before the split (delivered LAST
+    * in run 1 — file-source order is mtime, the st22 lesson, and a plant
+    * delivered first would advance the watermark past the real quartile-1
+    * rows and drop them as late) and purchase 5 minutes after it
+    * (delivered last in run 2). Their matches can only be emitted by run
+    * 2 joining against run 1's reloaded click state; they are counted for
+    * the `spanning_recovered` boolean and dropped (id < 0) before the
+    * gate rows. Proof obligations, all runtime-recomputed: batch
+    * numbering continues; run 2's input rows stay within [late rows,
+    * 2x late rows] (both join sides read each late file; any re-read of
+    * a run-1 file busts the ceiling); all 5 planted spans surface; and
+    * the organic matches equal the batch interval-join oracle exactly —
+    * missing if state were lost, duplicated if files were re-read. */
+  private val st27 = Q(
+    "st27_stream_join_recovery",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st27_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      val ckpt = work.resolve("ckpt").toString
+      val emitDir = work.resolve("emit").toString
+      // time-ordered 4-file split of the RAW events layout (ts stays in
+      // its on-disk encoding so rawFileSchema matches)
+      s.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(work.resolve("files").toString)
+      val parts = Option(work.resolve("files").toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      // deliver in mtime order: each exposure stamps a strictly later mtime
+      var stamp = System.currentTimeMillis() - 600000L
+      def expose(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        val link = srcDir.resolve(f.getName)
+        java.nio.file.Files.createSymbolicLink(link, f.toPath)
+        stamp += 1000L
+        f.setLastModified(stamp)
+      }
+      // 5 spanning plants: negative users click 5 min before the first
+      // late file's min ts and purchase 5 min after it, in the raw layout
+      val rawTsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      val splitDf = Tables.normalizeNanos(s.read.parquet(parts(2).getPath))
+        .agg(min(col("ts")).as("mn"))
+      def plantFile(tpe: String, offsetMin: Int, idBase: Long, name: String): java.io.File = {
+        val shifted = expr(s"mn + INTERVAL $offsetMin MINUTES")
+        val tsCol = rawTsType match {
+          case org.apache.spark.sql.types.LongType =>
+            (unix_micros(shifted) * 1000L).as("ts")
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            shifted.cast(org.apache.spark.sql.types.TimestampNTZType).as("ts")
+          case _ => shifted.as("ts")
+        }
+        val outDir = work.resolve(name).toString
+        splitDf.crossJoin(s.range(0, 5).toDF("k"))
+          .select((lit(idBase) - col("k")).as("event_id"), tsCol,
+            (lit(-10L) - col("k")).as("user_id"), lit(tpe).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.mode("overwrite").parquet(outDir)
+        Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet")).get
+      }
+      val clickPlant = plantFile("click", -5, -100L, "plant_click")
+      val purchPlant = plantFile("purchase", 5, -200L, "plant_purch")
+      def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+        def side(eventType: String, prefix: String) =
+          Tables.normalizeNanos(
+              s.readStream
+                .schema(rawFileSchema(s, dir))
+                .option("maxFilesPerTrigger", 1)
+                .parquet(srcDir.toString))
+            .filter(col("event_type") === eventType)
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              col("ts").as(s"${prefix}_ts"))
+            .withWatermark(s"${prefix}_ts", "10 minutes")
+        side("click", "click").join(side("purchase", "purch"),
+            col("click_user") === col("purch_user") &&
+              col("purch_ts") >= col("click_ts") &&
+              col("purch_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("click_id"), col("purch_id"),
+            col("click_user").as("user_id"),
+            unix_timestamp(col("click_ts")).as("click_sec"),
+            unix_timestamp(col("purch_ts")).as("purch_sec"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(emitDir)
+          }
+          .start()
+      }
+      try {
+        expose(parts.take(2) :+ clickPlant)
+        runOnce().awaitTermination()
+        val run1Batches = committedBatches(ckpt)
+        // purchase plant FIRST: its ts hugs the split point, so delivered
+        // after file 4 it would sit below the by-then-advanced watermark
+        // and drop as late (the st23 delivery-order lesson, again)
+        expose(purchPlant +: parts.drop(2))
+        val lateRows = s.read.parquet(
+          (parts.drop(2) :+ purchPlant).map(_.getPath): _*).count()
+        val q2 = runOnce()
+        q2.awaitTermination()
+        val run2Input = q2.recentProgress.map(_.numInputRows).sum
+        val run2Batches = committedBatches(ckpt).filterNot(run1Batches.contains)
+        val emitted = s.read.parquet(emitDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the planted spans can only appear if run 2 joined against run
+        // 1's reloaded click buffer; counted, then dropped from the gate
+        val spanning = emitted.filter(col("click_id") < 0L).count()
+        val out = emitted
+          .filter(col("click_id") >= 0L)
+          .select(col("click_id"), col("purch_id"), col("user_id"),
+            (col("purch_sec") - col("click_sec")).as("secs_to_purchase"),
+            lit(run1Batches.size >= 2).as("multi_batch_run1"),
+            lit(run2Batches.nonEmpty &&
+              run2Batches.min == run1Batches.max + 1).as("resumed_not_restarted"),
+            // each late file feeds BOTH sides of the self-join, so run 2
+            // reads at most 2x the late rows — and ANY re-read of a run-1
+            // file (thousands of rows) would push past that ceiling.
+            // Exact 2x is NOT pinned: AvailableNow's per-source file
+            // admission read the 5-row plant once (measured 10,001 vs
+            // 2x5,003) — an implementation detail, not a recovery property
+            lit(run2Input >= lateRows && run2Input <= 2 * lateRows)
+              .as("no_reprocessing"),
+            lit(spanning == 5L).as("spanning_recovered"))
+        val local = graft.functions.CrossEngine.materializeLocal(s, out)
+        emitted.unpersist(false)
+        graft.functions.CrossEngine.deleteRecursive(work)
+        local
+      } catch { case e: Throwable =>
+        graft.functions.CrossEngine.deleteRecursive(work)
+        throw e
+      }
+    },
+    Some("""SELECT a.event_id AS click_id, b.event_id AS purch_id,
+        a.user_id,
+        CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS secs_to_purchase,
+        true AS multi_batch_run1, true AS resumed_not_restarted,
+        true AS no_reprocessing, true AS spanning_recovered
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+        AND a.event_type = 'click' AND b.event_type = 'purchase'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26)
+    st22, st23, st24, st25, st26, st27)
 }

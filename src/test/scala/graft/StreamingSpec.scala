@@ -400,4 +400,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq,
       "state store must reload across the restart (no loss, no double count)")
   }
+
+  test("st27 join-state recovery: planted spans surface, organic matches batch-exact") {
+    val rows = SparkEntry.queries("st27_stream_join_recovery")(spark, sfDir)
+      .collect()
+    val r = rows.head
+    assert(r.getAs[Boolean]("multi_batch_run1"))
+    assert(r.getAs[Boolean]("resumed_not_restarted"))
+    assert(r.getAs[Boolean]("no_reprocessing"))
+    assert(r.getAs[Boolean]("spanning_recovered"),
+      "all 5 planted click-before/purchase-after pairs must join across the restart")
+    // organic matches equal the batch interval join
+    val batch = graft.sources.Tables.events(spark, sfDir).alias("a")
+      .join(graft.sources.Tables.events(spark, sfDir).alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") === "click" && col("b.event_type") === "purchase" &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val streamed = rows
+      .map(x => (x.getAs[Long]("click_id"), x.getAs[Long]("purch_id"))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
