@@ -355,5 +355,109 @@ object Sinks {
         true AS len_ok
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08)
+  // ---------------------------------------------------------------- w09
+  /** TIME TRAVEL via COPY-ON-WRITE VERSIONED MANIFESTS (the Delta/Iceberg
+    * snapshot mechanic, reduced to its plain-parquet essence): a table
+    * version is a MANIFEST — a metadata-sized list of immutable data
+    * files — and a change commit rewrites only the files it touches,
+    * re-listing every untouched file verbatim. Reading "as of v1" after
+    * v2 committed is just reading v1's file list; storage cost of a
+    * version is O(changed files), not O(table).
+    *
+    * Layout here: orders cents bucketed into 8 key-hash files; the v2
+    * change batch (updates + deletes + inserts, all ≡ 2 mod 8 by
+    * construction) touches ONLY bucket 2, so v2's manifest must share
+    * exactly 7 of 8 files with v1 and introduce exactly one rewrite —
+    * both recomputed from the real directory/manifest listings (the w07
+    * pattern), alongside both versions' full aggregates which DuckDB
+    * recomputes from the source table (v1) and the change semantics (v2).
+    * The gate writes buckets one file at a time for deterministic
+    * file-per-bucket layout; a production commit writes all touched
+    * buckets in one partitioned job and appends a manifest — the
+    * mechanics this entry pins are the manifest indirection and the
+    * untouched-file reuse. At 100 TB manifests stay KB-sized metadata and
+    * old versions VACUUM by deleting files referenced only by expired
+    * manifests. */
+  private val w09 = Q(
+    "w09_time_travel",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w09_")
+      try {
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val mx = base.agg(max(col("k"))).head().getLong(0)
+        def writeBucket(df: DataFrame, name: String): String = {
+          val d = root.resolve(name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(d)
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet")).get.getPath
+        }
+        // v1: one immutable file per key-hash bucket
+        val v1Files = (0 until 8).map { b =>
+          writeBucket(base.filter(pmod(col("k"), lit(8L)) === b), s"b${b}_v1")
+        }
+        // v2 change batch, confined to bucket 2: update (%3==0), delete
+        // (%3==1), insert 25 fresh ≡2-mod-8 keys with cents = 7k
+        val b2v2 = base.filter(pmod(col("k"), lit(8L)) === 2)
+          .filter(pmod(col("k"), lit(3L)) =!= 1)
+          .select(col("k"),
+            when(pmod(col("k"), lit(3L)) === 0, col("cents") + 100L)
+              .otherwise(col("cents")).as("cents"))
+          .unionByName(s.range(1, 26).toDF("j")
+            .select((lit(mx - mx % 8) + col("j") * 8L + 2L).as("k"),
+              ((lit(mx - mx % 8) + col("j") * 8L + 2L) * 7L).as("cents")))
+        val b2v2File = writeBucket(b2v2, "b2_v2")
+        val manifests = Map(
+          "v1" -> v1Files,
+          "v2" -> (v1Files.patch(2, Nil, 1) :+ b2v2File))
+        manifests.foreach { case (v, files) =>
+          java.nio.file.Files.write(root.resolve(s"manifest_$v.txt"),
+            files.mkString("\n").getBytes("UTF-8"))
+        }
+        // ---- read both versions back THROUGH the manifests only
+        def readVersion(v: String): (Seq[String], DataFrame) = {
+          val files = new String(java.nio.file.Files.readAllBytes(
+            root.resolve(s"manifest_$v.txt")), "UTF-8").split("\n").toSeq
+          (files, s.read.parquet(files: _*))
+        }
+        val (f1, d1) = readVersion("v1")
+        val (f2, d2) = readVersion("v2")
+        val shared = f1.toSet.intersect(f2.toSet).size
+        val out = Seq("v1" -> d1, "v2" -> d2).map { case (v, df) =>
+          df.agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+              sum(col("cents")).as("cents_sum"))
+            .select(lit(v).as("version"), col("n_rows"), col("key_sum"),
+              col("cents_sum"),
+              lit(f1.size == 8 && f2.size == 8).as("eight_files_each"),
+              lit(shared == 7).as("seven_files_shared"),
+              lit(f2.toSet.diff(f1.toSet).size == 1).as("one_file_rewritten"))
+        }.reduce(_ unionByName _)
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      mx AS (SELECT max(k) AS mx FROM base),
+      v2 AS (
+        SELECT k, CASE WHEN k % 8 = 2 AND k % 3 = 0 THEN cents + 100
+          ELSE cents END AS cents
+        FROM base WHERE NOT (k % 8 = 2 AND k % 3 = 1)
+        UNION ALL
+        SELECT (mx - mx % 8) + j * 8 + 2,
+          ((mx - mx % 8) + j * 8 + 2) * 7
+        FROM mx, (SELECT unnest(range(1, 26)) AS j) js)
+      SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        true AS eight_files_each, true AS seven_files_shared,
+        true AS one_file_rewritten
+      FROM base
+      UNION ALL
+      SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+        CAST(sum(cents) AS BIGINT), true, true, true
+      FROM v2"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09)
 }
