@@ -378,48 +378,59 @@ object Sinks {
     * untouched-file reuse. At 100 TB manifests stay KB-sized metadata and
     * old versions VACUUM by deleting files referenced only by expired
     * manifests. */
+  /** Builds the w09/w10 copy-on-write versioned table under `root`:
+    * orders cents in 8 key-hash bucket files (v1), plus a v2 commit whose
+    * change batch (update %3==0, delete %3==1, 25 inserts, all keys
+    * ≡ 2 mod 8) rewrites ONLY bucket 2. Writes `manifest_v1.txt` /
+    * `manifest_v2.txt` and returns both file lists. */
+  private[graft] def cowVersionedTable(s: SparkSession, dir: String,
+      root: java.nio.file.Path): (Seq[String], Seq[String]) = {
+    val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val mx = base.agg(max(col("k"))).head().getLong(0)
+    def writeBucket(df: DataFrame, name: String): String = {
+      val d = root.resolve(name).toString
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet")).get.getPath
+    }
+    val v1Files = (0 until 8).map { b =>
+      writeBucket(base.filter(pmod(col("k"), lit(8L)) === b), s"b${b}_v1")
+    }
+    val b2v2 = base.filter(pmod(col("k"), lit(8L)) === 2)
+      .filter(pmod(col("k"), lit(3L)) =!= 1)
+      .select(col("k"),
+        when(pmod(col("k"), lit(3L)) === 0, col("cents") + 100L)
+          .otherwise(col("cents")).as("cents"))
+      .unionByName(s.range(1, 26).toDF("j")
+        .select((lit(mx - mx % 8) + col("j") * 8L + 2L).as("k"),
+          ((lit(mx - mx % 8) + col("j") * 8L + 2L) * 7L).as("cents")))
+    val b2v2File = writeBucket(b2v2, "b2_v2")
+    val v2Files = v1Files.patch(2, Nil, 1) :+ b2v2File
+    Seq("v1" -> v1Files, "v2" -> v2Files).foreach { case (v, files) =>
+      java.nio.file.Files.write(root.resolve(s"manifest_$v.txt"),
+        files.mkString("\n").getBytes("UTF-8"))
+    }
+    (v1Files, v2Files)
+  }
+
+  /** Reads a manifest version back — file list + frame over exactly those
+    * files, nothing else. */
+  private[graft] def readManifestVersion(s: SparkSession, root: java.nio.file.Path,
+      v: String): (Seq[String], DataFrame) = {
+    val files = new String(java.nio.file.Files.readAllBytes(
+      root.resolve(s"manifest_$v.txt")), "UTF-8").split("\n").toSeq
+    (files, s.read.parquet(files: _*))
+  }
+
   private val w09 = Q(
     "w09_time_travel",
     (s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_w09_")
       try {
-        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
-          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
-        val mx = base.agg(max(col("k"))).head().getLong(0)
-        def writeBucket(df: DataFrame, name: String): String = {
-          val d = root.resolve(name).toString
-          df.coalesce(1).write.mode("overwrite").parquet(d)
-          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-            .find(_.getName.endsWith(".parquet")).get.getPath
-        }
-        // v1: one immutable file per key-hash bucket
-        val v1Files = (0 until 8).map { b =>
-          writeBucket(base.filter(pmod(col("k"), lit(8L)) === b), s"b${b}_v1")
-        }
-        // v2 change batch, confined to bucket 2: update (%3==0), delete
-        // (%3==1), insert 25 fresh ≡2-mod-8 keys with cents = 7k
-        val b2v2 = base.filter(pmod(col("k"), lit(8L)) === 2)
-          .filter(pmod(col("k"), lit(3L)) =!= 1)
-          .select(col("k"),
-            when(pmod(col("k"), lit(3L)) === 0, col("cents") + 100L)
-              .otherwise(col("cents")).as("cents"))
-          .unionByName(s.range(1, 26).toDF("j")
-            .select((lit(mx - mx % 8) + col("j") * 8L + 2L).as("k"),
-              ((lit(mx - mx % 8) + col("j") * 8L + 2L) * 7L).as("cents")))
-        val b2v2File = writeBucket(b2v2, "b2_v2")
-        val manifests = Map(
-          "v1" -> v1Files,
-          "v2" -> (v1Files.patch(2, Nil, 1) :+ b2v2File))
-        manifests.foreach { case (v, files) =>
-          java.nio.file.Files.write(root.resolve(s"manifest_$v.txt"),
-            files.mkString("\n").getBytes("UTF-8"))
-        }
-        // ---- read both versions back THROUGH the manifests only
-        def readVersion(v: String): (Seq[String], DataFrame) = {
-          val files = new String(java.nio.file.Files.readAllBytes(
-            root.resolve(s"manifest_$v.txt")), "UTF-8").split("\n").toSeq
-          (files, s.read.parquet(files: _*))
-        }
+        cowVersionedTable(s, dir, root)
+        def readVersion(v: String): (Seq[String], DataFrame) =
+          readManifestVersion(s, root, v)
         val (f1, d1) = readVersion("v1")
         val (f2, d2) = readVersion("v2")
         val shared = f1.toSet.intersect(f2.toSet).size
@@ -459,5 +470,69 @@ object Sinks {
         CAST(sum(cents) AS BIGINT), true, true, true
       FROM v2"""))
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09)
+  // ---------------------------------------------------------------- w10
+  /** VACUUM — retention cleanup of the w09 versioned table: when a
+    * version expires, delete exactly the data files referenced ONLY by
+    * expired manifests, never a file any live version still lists (the
+    * Delta VACUUM contract; get it wrong in either direction and you
+    * either leak storage forever or corrupt a live snapshot). The
+    * computation is pure set algebra over manifest file lists — metadata-
+    * sized at any table size; the deletes are O(expired files).
+    *
+    * Gate: build v1+v2, expire v1, vacuum. Recomputed obligations: the
+    * only deleted file is bucket 2's v1 incarnation (v1-only reference),
+    * all 8 of v2's files survive on disk, v1's manifest is gone, a v1
+    * read is now impossible by construction — and v2 re-reads AFTER the
+    * vacuum with aggregates the oracle recomputes from the change
+    * semantics (deleting the wrong file would shift the sums or fail the
+    * scan). */
+  private val w10 = Q(
+    "w10_vacuum",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w10_")
+      try {
+        val (v1Files, v2Files) = cowVersionedTable(s, dir, root)
+        // expire v1: live = {v2}; deletable = referenced only by expired
+        val live = v2Files.toSet
+        val deletable = v1Files.toSet.diff(live)
+        val deleted = deletable.toSeq.sorted.map { p =>
+          val f = new java.io.File(p)
+          val ok = f.delete()
+          (p, ok)
+        }
+        java.nio.file.Files.deleteIfExists(root.resolve("manifest_v1.txt"))
+        val survivors = v2Files.count(p => new java.io.File(p).exists())
+        val (f2, d2) = readManifestVersion(s, root, "v2")
+        val out = d2
+          .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .select(col("n_rows"), col("key_sum"), col("cents_sum"),
+            lit(deleted.size == 1 && deleted.forall(_._2)).as("deleted_exactly_one"),
+            lit(survivors == 8 && f2.size == 8).as("live_files_intact"),
+            lit(!java.nio.file.Files.exists(root.resolve("manifest_v1.txt")))
+              .as("expired_manifest_gone"))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      mx AS (SELECT max(k) AS mx FROM base),
+      v2 AS (
+        SELECT k, CASE WHEN k % 8 = 2 AND k % 3 = 0 THEN cents + 100
+          ELSE cents END AS cents
+        FROM base WHERE NOT (k % 8 = 2 AND k % 3 = 1)
+        UNION ALL
+        SELECT (mx - mx % 8) + j * 8 + 2,
+          ((mx - mx % 8) + j * 8 + 2) * 7
+        FROM mx, (SELECT unnest(range(1, 26)) AS j) js)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        true AS deleted_exactly_one, true AS live_files_intact,
+        true AS expired_manifest_gone
+      FROM v2"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10)
 }
