@@ -2054,7 +2054,163 @@ object EventsStreaming {
         AND a.event_type = 'click' AND b.event_type = 'purchase'
         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"""))
 
+  // ---------------------------------------------------------------- st28
+  /** OUTER EMISSION ACROSS A CHECKPOINT RESTART — the composition st20
+    * (watermark-driven outer flush) x st27 (join-state recovery) leaves
+    * open: a LEFT-OUTER attribution stream dies mid-corpus, restarts from
+    * its checkpoint, and must STILL emit every unmatched click exactly
+    * once — clicks buffered before the stop whose 30-minute windows close
+    * after it can only flush from run 2's reloaded state, and a
+    * lost-state restart would re-admit nothing, silently dropping their
+    * null rows (the quiet corruption outer joins make possible).
+    *
+    * Assembles the proven pieces: st27's time-range file split +
+    * mtime-pinned delivery + negative-id spanning plants (matched pairs
+    * hugging the split), st20's typed far-future sentinel files (the
+    * watermark node sits before each side's type filter, so each side
+    * must keep its own sentinel) delivered as run 2's LAST batches to
+    * push both watermarks past every real click's window and force the
+    * trailing eviction/flush batches, and st25's foreachBatch parquet
+    * sink (memory sinks refuse recovery). Drained (sentinel and plant
+    * artifacts dropped, plants counted first: all 5 planted spans emit
+    * MATCHED, none emit null) must equal the batch LEFT JOIN exactly —
+    * nulls included, each exactly once. */
+  private val st28 = Q(
+    "st28_stream_outer_recovery",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st28_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      val ckpt = work.resolve("ckpt").toString
+      val emitDir = work.resolve("emit").toString
+      s.read.parquet(s"$dir/events.parquet")
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(work.resolve("files").toString)
+      val parts = Option(work.resolve("files").toFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      var stamp = System.currentTimeMillis() - 600000L
+      def expose(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve(f.getName), f.toPath)
+        stamp += 1000L
+        f.setLastModified(stamp)
+      }
+      val rawBatch = s.read.parquet(s"$dir/events.parquet")
+      val rawTsType = rawBatch.schema("ts").dataType
+      def tsAs(shifted: org.apache.spark.sql.Column): org.apache.spark.sql.Column = rawTsType match {
+        case org.apache.spark.sql.types.LongType =>
+          (unix_micros(shifted) * 1000L).as("ts")
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          shifted.cast(org.apache.spark.sql.types.TimestampNTZType).as("ts")
+        case _ => shifted.as("ts")
+      }
+      def onePart(d: String): java.io.File =
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet")).get
+      // st27's spanning plants around the first late file's min ts
+      val splitDf = Tables.normalizeNanos(s.read.parquet(parts(2).getPath))
+        .agg(min(col("ts")).as("mn")).localCheckpoint(true)
+      def plantFile(tpe: String, offsetMin: Int, idBase: Long, name: String): java.io.File = {
+        val d = work.resolve(name).toString
+        splitDf.crossJoin(s.range(0, 5).toDF("k"))
+          .select((lit(idBase) - col("k")).as("event_id"),
+            tsAs(expr(s"mn + INTERVAL $offsetMin MINUTES")),
+            (lit(-10L) - col("k")).as("user_id"), lit(tpe).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        onePart(d)
+      }
+      val clickPlant = plantFile("click", -5, -100L, "plant_click")
+      val purchPlant = plantFile("purchase", 5, -200L, "plant_purch")
+      // st20's typed far-future sentinels (3 files, each one click AND one
+      // purchase row) to flush every real click after the restart
+      val mxdf = Tables.normalizeNanos(rawBatch).agg(max(col("ts")).as("mx"))
+        .localCheckpoint(true)
+      val sentinels = (1 to 3).map { i =>
+        def sentRow(tpe: String, id: Long) =
+          mxdf.select(lit(id).as("event_id"),
+            tsAs(expr(s"mx + INTERVAL ${2 * i} HOURS")),
+            lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+        val d = work.resolve(s"sent$i").toString
+        sentRow("click", -1000L - 2 * i)
+          .unionByName(sentRow("purchase", -1000L - 2 * i - 1))
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        onePart(d)
+      }
+      def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+        def side(eventType: String, prefix: String) =
+          Tables.normalizeNanos(
+              s.readStream
+                .schema(rawFileSchema(s, dir))
+                .option("maxFilesPerTrigger", 1)
+                .parquet(srcDir.toString))
+            .withWatermark("ts", "10 minutes")
+            .filter(col("event_type") === eventType)
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              col("ts").as(s"${prefix}_ts"))
+        side("click", "click").join(side("purchase", "purch"),
+            col("click_user") === col("purch_user") &&
+              col("purch_ts") >= col("click_ts") &&
+              col("purch_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+            "left_outer")
+          // NO artifact filter here — pushed below the watermark node it
+          // would kill the sentinels at the scan (the st20 measurement)
+          .select(col("click_id"), col("purch_id"),
+            col("click_user").as("user_id"),
+            (unix_timestamp(col("purch_ts")) - unix_timestamp(col("click_ts")))
+              .as("secs_to_purchase"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(emitDir)
+          }
+          .start()
+      }
+      try {
+        expose(parts.take(2) :+ clickPlant)
+        runOnce().awaitTermination()
+        val run1Batches = committedBatches(ckpt)
+        expose((purchPlant +: parts.drop(2)) ++ sentinels)
+        runOnce().awaitTermination()
+        val run2Batches = committedBatches(ckpt).filterNot(run1Batches.contains)
+        val emitted = s.read.parquet(emitDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val plantMatched = emitted
+          .filter(col("click_id") <= -100L && col("click_id") >= -104L)
+        val spanningOk = plantMatched.count() == 5L &&
+          plantMatched.filter(col("purch_id").isNull).count() == 0L
+        val out = emitted
+          .filter(col("click_id") >= 0L)
+          .select(col("click_id"), col("purch_id"), col("user_id"),
+            col("secs_to_purchase"),
+            lit(run1Batches.size >= 2).as("multi_batch_run1"),
+            lit(run2Batches.nonEmpty &&
+              run2Batches.min == run1Batches.max + 1).as("resumed_not_restarted"),
+            lit(spanningOk).as("spanning_matched_not_flushed"))
+        val local = graft.functions.CrossEngine.materializeLocal(s, out)
+        emitted.unpersist(false)
+        graft.functions.CrossEngine.deleteRecursive(work)
+        local
+      } catch { case e: Throwable =>
+        graft.functions.CrossEngine.deleteRecursive(work)
+        throw e
+      }
+    },
+    Some("""SELECT a.event_id AS click_id, b.event_id AS purch_id,
+        a.user_id,
+        CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS secs_to_purchase,
+        true AS multi_batch_run1, true AS resumed_not_restarted,
+        true AS spanning_matched_not_flushed
+      FROM events a LEFT JOIN events b
+        ON a.user_id = b.user_id
+        AND b.event_type = 'purchase'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      WHERE a.event_type = 'click'"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27)
+    st22, st23, st24, st25, st26, st27, st28)
 }

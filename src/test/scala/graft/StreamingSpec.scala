@@ -423,4 +423,32 @@ class StreamingSpec extends SparkSpec {
       .map(x => (x.getAs[Long]("click_id"), x.getAs[Long]("purch_id"))).sorted
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("st28 outer recovery: nulls flush exactly once across the restart") {
+    val rows = SparkEntry.queries("st28_stream_outer_recovery")(spark, sfDir)
+      .collect()
+    val r = rows.head
+    assert(r.getAs[Boolean]("multi_batch_run1"))
+    assert(r.getAs[Boolean]("resumed_not_restarted"))
+    assert(r.getAs[Boolean]("spanning_matched_not_flushed"),
+      "planted spans must emit matched (never as a null flush)")
+    // unmatched clicks must surface exactly once, nulls included
+    val batchRows = graft.sources.Tables.events(spark, sfDir).alias("a")
+      .join(graft.sources.Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase").alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 30 MINUTES"),
+        "left")
+      .filter(col("a.event_type") === "click")
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).sorted
+    val streamed = rows.map(x => (x.getAs[Long]("click_id"),
+      if (x.isNullAt(x.fieldIndex("purch_id"))) -1L
+      else x.getAs[Long]("purch_id"))).sorted
+    assert(streamed.count(_._2 == -1L) > 0, "fixture must contain unmatched clicks")
+    assert(streamed.toSeq === batchRows.toSeq,
+      "outer result must equal the batch left join, nulls exactly once")
+  }
 }
