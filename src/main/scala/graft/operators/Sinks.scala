@@ -534,5 +534,79 @@ object Sinks {
         true AS expired_manifest_gone
       FROM v2"""))
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10)
+  // ---------------------------------------------------------------- w11
+  /** GZIP MULTI-MEMBER WET INGESTION — the container real crawl dumps
+    * ship as (`.warc.gz`/`.wet.gz`: each record its own gzip MEMBER,
+    * members concatenated, so consumers can seek to member offsets): w08
+    * proved the record grammar over plain text; this proves the BINARY
+    * container path. Read side: `binaryFile` source → per-file
+    * GZIPInputStream decode (the JDK reader consumes concatenated members
+    * natively) inside mapPartitions — the one place a codec justifies
+    * imperative code (the m05/m06 contract) — then the record grammar
+    * splits on the same boundary token and the SAME `wetParse`
+    * expressions w08/st26 use. Parallelism is per FILE (gzip is not
+    * splittable): exactly how production ingests .warc.gz — thousands of
+    * ~1 GB files, each one task; the spec pins multi-file parallelism.
+    * The 4 fixture .gz files are assembled driver-side (bounded: this is
+    * fixture SETUP standing in for the crawler that produced them; the
+    * engine's own write path is the w08 text form). Every document must
+    * roundtrip byte-exactly under the same oracle as w08. */
+  private val w11 = Q(
+    "w11_wet_gzip_ingest",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w11_").toString
+      try {
+        // fixture: records grouped into 4 files, one gzip member each
+        val recs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .select(pmod(col("doc_id"), lit(4L)).as("f"),
+            concat(lit("WARC/1.0\nWARC-Target-URI: http://site-"),
+              (col("doc_id") % 37).cast("string"), lit(".example/doc/"),
+              col("doc_id").cast("string"),
+              lit("\nContent-Length: "), length(col("text")).cast("string"),
+              lit("\n\n"), col("text"), lit("\n")).as("rec"))
+          .collect().groupBy(_.getLong(0))
+        recs.foreach { case (f, rows) =>
+          val os = new java.io.FileOutputStream(s"$out/part-$f.wet.gz")
+          rows.foreach { r =>
+            val gz = new java.util.zip.GZIPOutputStream(os)
+            gz.write(r.getString(1).getBytes("UTF-8"))
+            gz.finish() // one MEMBER per record; stream stays open
+          }
+          os.close()
+        }
+        // ingest: one decode per file, record split on the boundary token
+        val sp = s
+        import sp.implicits._
+        val records = s.read.format("binaryFile").load(out)
+          .select(col("content"))
+          .as[Array[Byte]]
+          .mapPartitions { files =>
+            files.flatMap { bytes =>
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val text = new String(in.readAllBytes(), "UTF-8")
+              in.close()
+              text.split("WARC/1\\.0\n").iterator.filter(_.nonEmpty)
+            }
+          }
+          .toDF("value")
+        val parsed = wetParse(records)
+          .select(
+            regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            length(col("body")).cast("long").as("n_chars"),
+            md5(col("body")).as("text_md5"),
+            Dedup.urlHost(Dedup.canonicalUrl(col("uri"))).as("host"),
+            (col("clen") === length(col("body"))).as("len_ok"))
+        graft.functions.CrossEngine.materializeLocal(s, parsed)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        md5(text) AS text_md5,
+        'site-' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS host,
+        true AS len_ok
+      FROM documents"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11)
 }

@@ -131,4 +131,39 @@ class SourcesSpec extends SparkSpec {
       graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
     }
   }
+  test("w11 gzip members: concatenated-member decode, per-file parallelism") {
+    // one task per .gz file (gzip is not splittable) and the JDK reader
+    // must consume ALL concatenated members, not stop after the first
+    val out = Files.createTempDirectory("graft_w11_spec_").toString
+    try {
+      val os = new java.io.FileOutputStream(s"$out/two_members.wet.gz")
+      Seq("WARC/1.0\nWARC-Target-URI: http://h/doc/1\nContent-Length: 5\n\nhello\n",
+          "WARC/1.0\nWARC-Target-URI: http://h/doc/2\nContent-Length: 5\n\nworld\n")
+        .foreach { rec =>
+          val gz = new java.util.zip.GZIPOutputStream(os)
+          gz.write(rec.getBytes("UTF-8")); gz.finish()
+        }
+      os.close()
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/two_members.wet.gz"))
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val text = new String(in.readAllBytes(), "UTF-8")
+      assert(text.split("WARC/1\\.0\n").count(_.nonEmpty) === 2,
+        "both gzip members must decode")
+      assert(text.contains("hello") && text.contains("world"))
+      // per-file task parallelism on the binaryFile scan
+      val files = spark.read.format("binaryFile").load(out)
+      assert(files.count() === 1L)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$out/two_members.wet.gz"),
+        java.nio.file.Paths.get(s"$out/copy2.wet.gz"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$out/two_members.wet.gz"),
+        java.nio.file.Paths.get(s"$out/copy3.wet.gz"))
+      val rdd = spark.read.format("binaryFile").load(out).rdd
+      assert(rdd.getNumPartitions >= 2,
+        "multiple .gz files must scan as multiple tasks")
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
 }
