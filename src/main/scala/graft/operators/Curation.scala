@@ -47,9 +47,19 @@ object Curation {
 
   private def toks: Column = split(col("text"), " ")
 
-  private val p04 = Q(
-    "p04_curation_pipeline",
-    (s, dir) => {
+  /** The pipeline's stage frames (each persisted) + cardinalities; p04
+    * packs/splits the survivors, p05 audits every input doc's outcome.
+    * Call `release()` after materializing an output. */
+  private final case class Stages(
+      corpus: DataFrame, filtered: DataFrame, cleaned: DataFrame,
+      kept3: DataFrame, kept4: DataFrame,
+      nInput: Long, nAfterFilter: Long, nAfterLineDedup: Long,
+      nAfterNearDup: Long, nAfterDecontam: Long) {
+    def release(): Unit =
+      Seq(corpus, filtered, cleaned, kept3, kept4).foreach(_.unpersist(false))
+  }
+
+  private def runStages(s: org.apache.spark.sql.SparkSession, dir: String): Stages = {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // ---- stage 0: corpus with near-dup twins + boilerplate plant.
       // The gate runs the chain on a deterministic THIRD of the corpus —
@@ -120,6 +130,15 @@ object Curation {
       val kept4 = kept3.join(contaminated, Seq("doc_id"), "left_anti")
         .persist(mem)
       val nAfterDecontam = kept4.count()
+      Stages(corpus, filtered, cleaned, kept3, kept4,
+        nInput, nAfterFilter, nAfterLineDedup, nAfterNearDup, nAfterDecontam)
+  }
+
+  private val p04 = Q(
+    "p04_curation_pipeline",
+    (s, dir) => {
+      val st = runStages(s, dir)
+      import st._
 
       // ---- stage 5: sequence packing (t10 core), budget 256 tokens
       val counted = kept4.select(col("doc_id"),
@@ -152,10 +171,13 @@ object Curation {
             .as("rows_monotone"),
           lit(totalTokens == packEnd).as("tokens_conserved"))
         .localCheckpoint(true)
-      Seq(corpus, filtered, cleaned, kept3, kept4).foreach(_.unpersist(false))
+      st.release()
       out
     },
-    Some {
+    p04Oracle)
+  /** The oracle's stage CTE chain (through kept4), shared by p04 and p05
+    * so the two gates cannot drift. */
+  private def stagesSql: String = {
       val kmCtes = Dedup.kmSqlPrefix("SELECT doc_id, text FROM cleaned")
         .stripPrefix("WITH ")
       s"""WITH RECURSIVE g1base AS (
@@ -234,7 +256,10 @@ object Curation {
         SELECT DISTINCT t.doc_id FROM traing t JOIN evalg e ON t.g = e.g),
       kept4 AS MATERIALIZED (
         SELECT * FROM kept3
-        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+  }
+
+  private def p04OracleSql: String = s"""$stagesSql,
       counted AS MATERIALIZED (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           n_removed
@@ -268,7 +293,55 @@ object Curation {
       FROM (SELECT *,
           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS slot
         FROM packedc) p, sc"""
-    })
 
-  val all: Seq[Q] = Seq(p04)
+  private def p04Oracle = Some(p04OracleSql)
+
+  // ---------------------------------------------------------------- p05
+  /** CURATION AUDIT / ROW-LEVEL LINEAGE — the operational question behind
+    * every curation pipeline: "why is my document not in the training
+    * set?" p04 emits the survivors; p05 emits a verdict for EVERY input
+    * document — which stage dropped it and why (quality filter, fully-
+    * boilerplate strip, near-dup collapse, decontamination) or `kept` —
+    * the audit/appeals table a data-governance process works from, and
+    * the per-stage attrition report in one shape. Built by left-marking
+    * the corpus against each stage's survivor set (broadcast-sized id
+    * projections at gate scale; at 100 TB these are id-keyed anti-joins —
+    * no stage output is ever collected); runs the SAME factored stage
+    * chain and the SAME factored oracle CTEs as p04, so the audit cannot
+    * drift from the pipeline it audits. */
+  private val p05 = Q(
+    "p05_curation_audit",
+    (s, dir) => {
+      val st = runStages(s, dir)
+      def mark(df: DataFrame, name: String): DataFrame =
+        df.select(col("doc_id"), lit(true).as(name))
+      val out = st.corpus.select(col("doc_id"))
+        .join(mark(st.filtered, "f"), Seq("doc_id"), "left")
+        .join(mark(st.cleaned, "c"), Seq("doc_id"), "left")
+        .join(mark(st.kept3, "k3"), Seq("doc_id"), "left")
+        .join(mark(st.kept4, "k4"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("f").isNull, "filtered_out")
+            .when(col("c").isNull, "fully_boilerplate")
+            .when(col("k3").isNull, "near_dup")
+            .when(col("k4").isNull, "contaminated")
+            .otherwise("kept").as("outcome"))
+        .localCheckpoint(true)
+      st.release()
+      out
+    },
+    Some(s"""$stagesSql
+      SELECT c.doc_id,
+        CASE WHEN f.doc_id IS NULL THEN 'filtered_out'
+          WHEN cl.doc_id IS NULL THEN 'fully_boilerplate'
+          WHEN k3.doc_id IS NULL THEN 'near_dup'
+          WHEN k4.doc_id IS NULL THEN 'contaminated'
+          ELSE 'kept' END AS outcome
+      FROM corpus c
+      LEFT JOIN filtered f ON f.doc_id = c.doc_id
+      LEFT JOIN cleaned cl ON cl.doc_id = c.doc_id
+      LEFT JOIN kept3 k3 ON k3.doc_id = c.doc_id
+      LEFT JOIN kept4 k4 ON k4.doc_id = c.doc_id"""))
+
+  val all: Seq[Q] = Seq(p04, p05)
 }

@@ -2607,6 +2607,26 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("t_cnt") >= 1L))
   }
 
+  test("p05 audit outcomes reconcile exactly with p04's stage cardinalities") {
+    val audit = run("p05_curation_audit").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byOutcome = audit.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
+    val p04row = run("p04_curation_pipeline").head()
+    val nIn = p04row.getAs[Long]("n_input")
+    assert(audit.length.toLong === nIn, "one verdict per input document")
+    assert(audit.map(_._1).distinct.length === audit.length, "one verdict each")
+    // the audit's attrition must equal the pipeline's own stage counts
+    assert(byOutcome("filtered_out") === nIn - p04row.getAs[Long]("n_after_filter"))
+    assert(byOutcome("fully_boilerplate") ===
+      p04row.getAs[Long]("n_after_filter") - p04row.getAs[Long]("n_after_linededup"))
+    assert(byOutcome("near_dup") ===
+      p04row.getAs[Long]("n_after_linededup") - p04row.getAs[Long]("n_after_neardup"))
+    assert(byOutcome("contaminated") ===
+      p04row.getAs[Long]("n_after_neardup") - p04row.getAs[Long]("n_after_decontam"))
+    assert(byOutcome("kept") === p04row.getAs[Long]("n_after_decontam"))
+  }
+
   test("h09 distributed-Sequential invariants all hold") {
     val row = run("h09_sequential_invariants").head()
     // n_cells must equal the oracle's recomputation of the slice predicate
