@@ -1442,6 +1442,99 @@ object Multimodal {
       FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.scene = 0 AND b.scene = 1
       WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) >= 8"""))
 
+  // ---------------------------------------------------------------- m14
+  /** IN-CONTAINER METADATA EXTRACTION (the image-pipeline EXIF analogue,
+    * exercised on PNG's chunked container because the JDK codec is real
+    * here): asset metadata — camera/source/license strings — lives INSIDE
+    * the binary container as ancillary chunks, and a curation pipeline
+    * must extract it without decoding pixels (metadata policy filters run
+    * orders of magnitude cheaper than decode). The synthesizer builds a
+    * REAL PNG via ImageIO, then splices a spec-conformant `tEXt` chunk
+    * (length + type + keyword\\0value + CRC32 over type+data) after IHDR —
+    * byte-level container surgery both directions. The reader walks the
+    * chunk sequence (8-byte signature, then length/type/data/CRC frames),
+    * extracts tEXt key/values, VERIFIES the chunk CRC (a corrupted
+    * container must not pass silently), counts chunks, and proves the
+    * spliced file still DECODES (ancillary chunks must not break the
+    * image). Row-local; one codec pass per asset; oracle recomputes the
+    * metadata from the synthesis formula, booleans are the recomputed
+    * m11 pattern. */
+  private val m14 = Q(
+    "m14_png_text_metadata",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            // real 8x8 PNG (the m05 pixel formula, small)
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) % 256).toInt << 16))
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", baos)
+            val png = baos.toByteArray
+            // splice tEXt after IHDR: signature(8) + IHDR frame (4 len +
+            // 4 type + 13 data + 4 crc = 25)
+            val keyword = "Source"
+            val value = s"crawler-${id % 7}/license-${id % 3}"
+            val data = keyword.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+              value.getBytes("ISO-8859-1")
+            val crc = new java.util.zip.CRC32()
+            crc.update("tEXt".getBytes("ISO-8859-1"))
+            crc.update(data)
+            val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+            bb.putInt(data.length).put("tEXt".getBytes("ISO-8859-1"))
+              .put(data).putInt(crc.getValue.toInt)
+            val cut = 8 + 25
+            val spliced = png.take(cut) ++ bb.array() ++ png.drop(cut)
+
+            // ---- the reader under test: walk chunks, no pixel decode
+            val buf = java.nio.ByteBuffer.wrap(spliced)
+            buf.position(8)
+            var (nChunks, kw, vl) = (0L, "", "")
+            var crcOk = false
+            var done = false
+            while (!done && buf.remaining() >= 12) {
+              val len = buf.getInt
+              val tpe = new Array[Byte](4); buf.get(tpe)
+              val body = new Array[Byte](len); buf.get(body)
+              val fileCrc = buf.getInt
+              nChunks += 1
+              if (new String(tpe, "ISO-8859-1") == "tEXt") {
+                val zero = body.indexOf(0.toByte)
+                kw = new String(body.take(zero), "ISO-8859-1")
+                vl = new String(body.drop(zero + 1), "ISO-8859-1")
+                val c = new java.util.zip.CRC32()
+                c.update(tpe); c.update(body)
+                crcOk = c.getValue.toInt == fileCrc
+              }
+              if (new String(tpe, "ISO-8859-1") == "IEND") done = true
+            }
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(spliced))
+            (id, kw, vl, nChunks, crcOk,
+              dec != null && dec.getWidth == 8 && dec.getHeight == 8)
+          }
+        }
+        .toDF("doc_id", "keyword", "value", "n_chunks", "crc_ok", "decodes_with_text")
+        .select(col("doc_id"), col("keyword"), col("value"),
+          (col("n_chunks") >= 4L).as("has_chunk_framing"), col("crc_ok"),
+          col("decodes_with_text"))
+    },
+    Some("""SELECT doc_id, 'Source' AS keyword,
+        'crawler-' || CAST(doc_id % 7 AS VARCHAR) || '/license-'
+          || CAST(doc_id % 3 AS VARCHAR) AS value,
+        true AS has_chunk_framing, true AS crc_ok, true AS decodes_with_text
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13)
+    m12, m13, m14)
 }
