@@ -1442,6 +1442,45 @@ object Multimodal {
       FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.scene = 0 AND b.scene = 1
       WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) >= 8"""))
 
+  /** PNG chunk-frame walker (no pixel decode): returns (nChunks, tEXt
+    * keyword, tEXt value, crcOk). Bounds-checks every untrusted chunk
+    * length against the remaining buffer so a truncated or corrupt
+    * container reports crcOk=false instead of throwing (ADVICE r10) —
+    * the graceful-degradation contract a 100 TB crawl reader needs,
+    * since corrupt assets WILL appear and must route to quarantine, not
+    * kill the task. Shared by the m14 query and its corruption spec. */
+  private[graft] def pngTextWalk(spliced: Array[Byte]): (Long, String, String, Boolean) = {
+    val buf = java.nio.ByteBuffer.wrap(spliced)
+    if (buf.remaining() < 8) return (0L, "", "", false)
+    buf.position(8)
+    var (nChunks, kw, vl) = (0L, "", "")
+    var crcOk = false
+    var done = false
+    while (!done && buf.remaining() >= 12) {
+      val len = buf.getInt
+      // untrusted length: a truncated/corrupt container must take the
+      // graceful crc_ok=false path, not NegativeArraySize/OOM/
+      // BufferUnderflow — type(4)+body(len)+crc(4) must all still fit
+      if (len < 0 || len > buf.remaining() - 8) { crcOk = false; done = true }
+      else {
+        val tpe = new Array[Byte](4); buf.get(tpe)
+        val body = new Array[Byte](len); buf.get(body)
+        val fileCrc = buf.getInt
+        nChunks += 1
+        if (new String(tpe, "ISO-8859-1") == "tEXt") {
+          val zero = body.indexOf(0.toByte)
+          kw = new String(body.take(zero), "ISO-8859-1")
+          vl = new String(body.drop(zero + 1), "ISO-8859-1")
+          val c = new java.util.zip.CRC32()
+          c.update(tpe); c.update(body)
+          crcOk = c.getValue.toInt == fileCrc
+        }
+        if (new String(tpe, "ISO-8859-1") == "IEND") done = true
+      }
+    }
+    (nChunks, kw, vl, crcOk)
+  }
+
   // ---------------------------------------------------------------- m14
   /** IN-CONTAINER METADATA EXTRACTION (the image-pipeline EXIF analogue,
     * exercised on PNG's chunked container because the JDK codec is real
@@ -1497,27 +1536,7 @@ object Multimodal {
             val spliced = png.take(cut) ++ bb.array() ++ png.drop(cut)
 
             // ---- the reader under test: walk chunks, no pixel decode
-            val buf = java.nio.ByteBuffer.wrap(spliced)
-            buf.position(8)
-            var (nChunks, kw, vl) = (0L, "", "")
-            var crcOk = false
-            var done = false
-            while (!done && buf.remaining() >= 12) {
-              val len = buf.getInt
-              val tpe = new Array[Byte](4); buf.get(tpe)
-              val body = new Array[Byte](len); buf.get(body)
-              val fileCrc = buf.getInt
-              nChunks += 1
-              if (new String(tpe, "ISO-8859-1") == "tEXt") {
-                val zero = body.indexOf(0.toByte)
-                kw = new String(body.take(zero), "ISO-8859-1")
-                vl = new String(body.drop(zero + 1), "ISO-8859-1")
-                val c = new java.util.zip.CRC32()
-                c.update(tpe); c.update(body)
-                crcOk = c.getValue.toInt == fileCrc
-              }
-              if (new String(tpe, "ISO-8859-1") == "IEND") done = true
-            }
+            val (nChunks, kw, vl, crcOk) = pngTextWalk(spliced)
             val dec = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(spliced))
             (id, kw, vl, nChunks, crcOk,

@@ -296,7 +296,8 @@ object Sinks {
     * expressions — no mapPartitions, no custom InputFormat. Contract: the
     * payload must not contain the boundary token (true of WET text
     * records, which forbid bare "WARC/1.0" lines; a format whose payloads
-    * can embed it needs the length-prefixed binaryFiles reader instead).
+    * can legally embed it — full WARC — must use w12's Content-Length-
+    * framed reader, `warcFrame`, which never inspects payload content).
     *
     * The gate writes a 4-file WET-style corpus from `documents` (URI
     * carries the doc id; Content-Length is real), re-ingests it through
@@ -327,7 +328,12 @@ object Sinks {
       regexp_extract(col("value"), "WARC-Target-URI: ([^\\n]+)", 1).as("uri"),
       regexp_extract(col("value"), "Content-Length: ([0-9]+)", 1)
         .cast("long").as("clen"),
-      regexp_replace(element_at(split(col("value"), "\n\n", 2), 2), "\n$", "")
+      // \z (not $): in Java regex $ ALSO matches just before a final line
+      // terminator, so "abc\n\n".replaceAll("\n$","") strips TWO newlines
+      // and a document whose own text ends with "\n" would lose it. \z
+      // anchors at the true end of input, removing exactly the one
+      // record terminator the text sink appended (ADVICE r10).
+      regexp_replace(element_at(split(col("value"), "\n\n", 2), 2), "\n\\z", "")
         .as("body"))
 
   private val w08 = Q(
@@ -567,10 +573,15 @@ object Sinks {
           .collect().groupBy(_.getLong(0))
         recs.foreach { case (f, rows) =>
           val os = new java.io.FileOutputStream(s"$out/part-$f.wet.gz")
+          // close-shield: lets each member's GZIPOutputStream.close() run
+          // (which end()s its native Deflater — finish() alone leaks the
+          // native buffer until finalization, ADVICE r10) while keeping
+          // the underlying file stream open across members
+          val shield = new java.io.FilterOutputStream(os) { override def close(): Unit = flush() }
           rows.foreach { r =>
-            val gz = new java.util.zip.GZIPOutputStream(os)
+            val gz = new java.util.zip.GZIPOutputStream(shield)
             gz.write(r.getString(1).getBytes("UTF-8"))
-            gz.finish() // one MEMBER per record; stream stays open
+            gz.close() // one MEMBER per record; ends the Deflater, file stays open
           }
           os.close()
         }
@@ -608,5 +619,135 @@ object Sinks {
         true AS len_ok
       FROM documents"""))
 
-  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11)
+  // ---------------------------------------------------------------- w12
+  /** Byte-count record framer for Content-Length-driven WARC streams: the
+    * true WARC framing honors the DECLARED payload length instead of
+    * scanning for the boundary token, so a payload that legally CONTAINS
+    * "WARC/1.0" lines (a crawled page quoting WARC itself) ingests
+    * byte-exactly — the one correctness boundary the w08/st26 lineSep
+    * formulation honestly documents (see the w08 contract above).
+    *
+    * Walks one file's bytes: leading token → header block (up to the
+    * first "\n\n") → `Content-Length: N` parsed from the HEADER ONLY →
+    * exactly N payload BYTES sliced with no content inspection → one
+    * record-terminator newline. Emits each record in the same canonical
+    * shape the lineSep reader produces (header + "\n\n" + payload + "\n")
+    * so the SAME `wetParse` grammar serves both paths — only the framing
+    * layer differs. Every untrusted length/offset is bounds-checked; a
+    * truncated or malformed file stops cleanly at the last whole record
+    * (quarantine semantics, not a task kill). Framing is sequential
+    * within a file by construction (each offset depends on the previous
+    * declared length), so parallelism is per FILE — exactly how
+    * production ingests .warc/.warc.gz: thousands of ~1 GB files, one
+    * task each. */
+  private[graft] def warcFrame(bytes: Array[Byte]): Seq[String] = {
+    val token = "WARC/1.0\n".getBytes("UTF-8")
+    val clenRe = "(?m)^Content-Length: ([0-9]+)$".r
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var o = 0
+    var malformed = false
+    def hasTokenAt(p: Int): Boolean =
+      p + token.length <= bytes.length &&
+        token.indices.forall(i => bytes(p + i) == token(i))
+    while (!malformed && o < bytes.length) {
+      if (!hasTokenAt(o)) malformed = true
+      else {
+        val h = o + token.length
+        var he = h
+        while (he + 1 < bytes.length &&
+          !(bytes(he) == '\n'.toByte && bytes(he + 1) == '\n'.toByte)) he += 1
+        if (he + 1 >= bytes.length) malformed = true // no header terminator
+        else {
+          val header = new String(bytes, h, he - h, "UTF-8")
+          val clen = clenRe.findFirstMatchIn(header)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          val ps = he + 2
+          if (clen < 0 || clen > Int.MaxValue || ps + clen > bytes.length)
+            malformed = true // missing/absurd length or truncated payload
+          else {
+            val payload = new String(bytes, ps, clen.toInt, "UTF-8")
+            out += header + "\n\n" + payload + "\n"
+            o = ps + clen.toInt
+            if (o < bytes.length && bytes(o) == '\n'.toByte) o += 1
+            else if (o < bytes.length) malformed = true // terminator missing
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Writes `docs` (doc_id, text) as a Content-Length-framed WARC-style
+    * corpus under `out` — identical grammar to `wetWrite` but the
+    * declared length is a true BYTE count (`octet_length`), the invariant
+    * the length-driven reader slices by. */
+  private[graft] def warcWrite(docs: DataFrame, out: String, nFiles: Int): Unit = {
+    val uri = concat(lit("http://site-"), (col("doc_id") % 37).cast("string"),
+      lit(".example/doc/"), col("doc_id").cast("string"))
+    docs.select(concat(
+        lit("WARC/1.0\nWARC-Target-URI: "), uri,
+        lit("\nContent-Length: "), octet_length(col("text")).cast("string"),
+        lit("\n\n"), col("text")).as("value"))
+      .repartition(nFiles)
+      .write.mode("overwrite").text(out)
+  }
+
+  /** LENGTH-FRAMED WARC INGESTION (VERDICT r10 next-1: close the crawl
+    * lane's acknowledged correctness boundary): the fixture PLANTS a full
+    * decoy record header — a bare "WARC/1.0" line AND a fake
+    * "Content-Length:" line — INSIDE the payload of every 13th document,
+    * the exact adversarial content that shears the token-split reader
+    * (the spec proves the shear as a negative control). The Content-
+    * Length-framed reader must recover every document byte-exactly
+    * anyway, because framing never looks at payload content. Oracle
+    * recomputes the augmented corpus (md5, char count, host, planted
+    * flag) from the source table; `embeds_boundary` is recomputed from
+    * the recovered BODY (instr), not from the id, so it proves the decoy
+    * text itself survived. */
+  private val w12 = Q(
+    "w12_warc_length_framed",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w12_").toString
+      try {
+        val decoy = "\nWARC/1.0\nContent-Length: 999999\n\ndecoy payload that is not a record"
+        val aug = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(decoy)))
+            .otherwise(col("text")).as("text"))
+        warcWrite(aug, out, nFiles = 4)
+        val sp = s
+        import sp.implicits._
+        val records = s.read.format("binaryFile").load(out)
+          .select(col("content")).as[Array[Byte]]
+          .mapPartitions(files => files.flatMap(warcFrame)) // one frame walk per file
+          .toDF("value")
+        val parsed = wetParse(records)
+          .select(
+            regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            length(col("body")).cast("long").as("n_chars"),
+            md5(col("body")).as("text_md5"),
+            Dedup.urlHost(Dedup.canonicalUrl(col("uri"))).as("host"),
+            (col("clen") === octet_length(col("body"))).as("len_ok"),
+            (instr(col("body"), "WARC/1.0") > 0).as("embeds_boundary"))
+        graft.functions.CrossEngine.materializeLocal(s, parsed)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0
+            THEN text || chr(10) || 'WARC/1.0' || chr(10)
+              || 'Content-Length: 999999' || chr(10) || chr(10)
+              || 'decoy payload that is not a record'
+            ELSE text END AS text
+        FROM documents)
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        md5(text) AS text_md5,
+        'site-' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS host,
+        true AS len_ok,
+        (doc_id % 13 = 0) AS embeds_boundary
+      FROM aug"""))
+
+  val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
+    w12)
 }

@@ -2170,6 +2170,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("m14 chunk walker: truncated/corrupt containers degrade to crc_ok=false, never throw") {
+    // ADVICE r10: the chunk length is untrusted input; a corrupt container
+    // must route to quarantine (crcOk=false), not kill the task
+    def validPng(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val png = validPng()
+    // 1) truncated mid-chunk: drop the tail
+    val truncated = png.take(png.length / 2)
+    assert(graft.operators.Multimodal.pngTextWalk(truncated)._4 === false)
+    // 2) absurd declared length in the first chunk (IHDR len field at offset 8)
+    val hugeLen = png.clone()
+    hugeLen(8) = 0x7F.toByte; hugeLen(9) = 0xFF.toByte
+    assert(graft.operators.Multimodal.pngTextWalk(hugeLen)._4 === false)
+    // 3) negative declared length
+    val negLen = png.clone()
+    negLen(8) = 0xFF.toByte
+    assert(graft.operators.Multimodal.pngTextWalk(negLen)._4 === false)
+    // 4) tiny buffer (shorter than the signature)
+    assert(graft.operators.Multimodal.pngTextWalk(Array[Byte](1, 2, 3))._4 === false)
+    // 5) a well-formed spliced container still extracts and CRC-verifies
+    val keyword = "Source"; val value = "unit-test"
+    val data = keyword.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      value.getBytes("ISO-8859-1")
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes("ISO-8859-1")); crc.update(data)
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put("tEXt".getBytes("ISO-8859-1"))
+      .put(data).putInt(crc.getValue.toInt)
+    val cut = 8 + 25
+    val spliced = png.take(cut) ++ bb.array() ++ png.drop(cut)
+    val (n, kw, vl, ok) = graft.operators.Multimodal.pngTextWalk(spliced)
+    assert(ok && kw === keyword && vl === value && n >= 4L)
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)

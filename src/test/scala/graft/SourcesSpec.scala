@@ -118,7 +118,7 @@ class SourcesSpec extends SparkSpec {
         .filter(length(col("value")) > 0)
         .select(
           regexp_extract(col("value"), "/doc/([0-9]+)", 1).cast("long").as("doc_id"),
-          md5(regexp_replace(element_at(split(col("value"), "\n\n", 2), 2), "\n$", ""))
+          md5(regexp_replace(element_at(split(col("value"), "\n\n", 2), 2), "\n\\z", ""))
             .as("h"))
       assert(recovered.rdd.getNumPartitions > 3,
         "the test must actually produce many splits")
@@ -128,6 +128,70 @@ class SourcesSpec extends SparkSpec {
       assert(got.toSeq === want.toSeq, "split-straddling records must parse exactly")
     } finally {
       spark.conf.set(key, prev)
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
+  test("wetParse strips exactly ONE record terminator (doc text ending in \\n survives)") {
+    // ADVICE r10: "\n$" in Java regex also matches before a final line
+    // terminator, so a payload whose own text ends with "\n" lost it on
+    // the roundtrip. wetParse now anchors with \z; prove the byte-exact
+    // contract on exactly that adversarial payload.
+    val out = Files.createTempDirectory("graft_wet_nl_spec_").toString
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = Seq((1L, "plain"), (2L, "ends with newline\n"),
+        (3L, "two newlines\n\n"), (4L, "\nstarts and ends\n")).toDF("doc_id", "text")
+      graft.operators.Sinks.wetWrite(docs, out, nFiles = 1)
+      val got = graft.operators.Sinks.wetParse(
+          spark.read.option("lineSep", "WARC/1.0\n").text(out))
+        .select(regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long"),
+          col("body"), (col("clen") === length(col("body"))).as("len_ok"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+        .sortBy(_._1)
+      val want = docs.collect().map(r => (r.getLong(0), r.getString(1), true)).sortBy(_._1)
+      assert(got.toSeq === want.toSeq,
+        "payload bytes incl. trailing newlines must roundtrip exactly")
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+    }
+  }
+  test("w12 length-framed WARC: boundary-token payloads survive; token reader shears") {
+    // the adversarial corpus: every doc's payload EMBEDS a full decoy
+    // record header ("WARC/1.0" line + fake Content-Length + blank line)
+    val out = Files.createTempDirectory("graft_w12_spec_").toString
+    try {
+      val sp = spark
+      import sp.implicits._
+      val docs = Seq(
+        (1L, "plain text"),
+        (2L, "quoting the spec:\nWARC/1.0\nContent-Length: 999999\n\nis legal in a crawled page"),
+        (3L, "ends with newline\n"),
+        (4L, "WARC/1.0\nstarts with the token")).toDF("doc_id", "text")
+      graft.operators.Sinks.warcWrite(docs, out, nFiles = 1)
+      val bytes = java.nio.file.Files.list(java.nio.file.Paths.get(out)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .flatMap(java.nio.file.Files.readAllBytes)
+      // length-framed reader: byte-exact recovery of all 4 payloads
+      val recs = graft.operators.Sinks.warcFrame(bytes)
+      assert(recs.length === 4, s"expected 4 records, got ${recs.length}")
+      val got = graft.operators.Sinks.wetParse(recs.toDF("value"))
+        .select(regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long"), col("body"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val want = docs.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(got.toSeq === want.toSeq, "length framing must recover payloads byte-exactly")
+      // negative control: the token-split formulation shears these payloads
+      val sheared = new String(bytes, "UTF-8").split("WARC/1\\.0\n").count(_.nonEmpty)
+      assert(sheared > 4, s"token split should shear the planted payloads (got $sheared)")
+      // graceful truncation: cutting the file mid-payload yields only whole records
+      val cut = bytes.take(bytes.length - 10)
+      val partial = graft.operators.Sinks.warcFrame(cut)
+      assert(partial.length < 4 && partial.nonEmpty, "truncation stops at last whole record")
+      // malformed declared length: stops cleanly, no throw
+      val bad = new String(bytes, "UTF-8").replaceFirst("Content-Length: [0-9]+", "Content-Length: 999999")
+      assert(graft.operators.Sinks.warcFrame(bad.getBytes("UTF-8")).isEmpty)
+    } finally {
       graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
     }
   }
