@@ -301,7 +301,7 @@ object Dedup {
 
   /** The (doc_a, doc_b) pairs withPlanted*Dups planted, derived from the
     * same frame so the invariant queries can't drift from the planting. */
-  private def plantedPairsOf(docs: DataFrame): DataFrame =
+  private[graft] def plantedPairsOf(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") < 10000000L && col("doc_id") % 10 === 0)
       .select(col("doc_id").as("doc_a"), (col("doc_id") + 10000000L).as("doc_b"))
 
@@ -309,7 +309,7 @@ object Dedup {
   /** MinHash signatures (32 permutations over 3-word shingles) -> banded
     * LSH (8 bands x 4 rows) -> candidate pairs -> exact Jaccard verification
     * on the shingle sets. Hash family: xxhash64 with per-permutation salt
-    * (deterministic). Shared by d02 (rows-only: the hash family is
+    * (deterministic). Shared by d02 (gated since r11 via contract+recall booleans; the hash family is
     * engine-specific) and d11 (planted-recall invariant under the gate).
     * `bucketCap` bounds hot-bucket width (see [[capHotBuckets]]); <= 0
     * disables. Library entry point, invoked repeatedly per session — the
@@ -383,15 +383,45 @@ object Dedup {
       out
   }
 
+  /** d02 under the driver's hash gate (r11 no-oracle greening, VERDICT
+    * r10 next-6): the raw xxhash64 MinHash+LSH pipeline still runs on the
+    * near-planted corpus — its pair set stays the library return of
+    * [[minhashPairs]] — and the GATE entry folds it into recomputed
+    * booleans a constant-true oracle can pin: raw-lane contract (ordered
+    * pairs, every emitted pair exact-verified at >= 0.5) plus NEAR-twin
+    * recall of the truncate90 plants. Thresholds sit strictly inside
+    * measured behavior under the fixed hash family (tools/
+    * NoOracleRecallScratch, 2026-08-14: recall 50/50 @sf0.01, 499/500
+    * @sf0.1; min found-twin jaccard 0.7778; min est 0.6563), so any
+    * banding, signature, or verification regression flips a boolean. */
   private val d02 = Q(
     "d02_minhash_lsh",
-    (s, dir) => minhashPairs(withPlantedDups(s, dir)),
-    None)
+    (s, dir) => {
+      val docs = withPlantedDups(s, dir)
+      val raw = minhashPairs(docs)
+      val rawAgg = raw.agg(
+        (count(lit(1)) > 0).as("raw_nonempty"),
+        coalesce(min(col("jaccard")) >= 0.5, lit(true)).as("raw_all_verified"),
+        (coalesce(max(when(col("doc_a") >= col("doc_b"), 1).otherwise(0)), lit(0)) === 0)
+          .as("raw_pairs_ordered"))
+      val rec = plantedPairsOf(docs).join(raw, Seq("doc_a", "doc_b"), "left")
+        .agg(
+          (count(lit(1)) > 0).as("planted_nonempty"),
+          (count(col("jaccard")).cast("double") / count(lit(1)) >= 0.95)
+            .as("near_recall_ge_095"),
+          coalesce(min(col("jaccard")) >= 0.7, lit(false)).as("found_twins_verified"),
+          coalesce(min(col("est_jaccard")) >= 0.5, lit(false)).as("est_tracks_jaccard"))
+      rawAgg.crossJoin(rec)
+    },
+    Some("""SELECT true AS raw_nonempty, true AS raw_all_verified,
+      true AS raw_pairs_ordered, true AS planted_nonempty,
+      true AS near_recall_ge_095, true AS found_twins_verified,
+      true AS est_tracks_jaccard"""))
 
   // ---------------------------------------------------------------- simhash
   /** 64-bit SimHash over unigram token hashes, entirely in codegen'd
     * higher-order functions; near-dup candidates via 16-bit band buckets and
-    * Hamming distance (bit_count(xor)) <= 8. Shared by d03 (rows-only:
+    * Hamming distance (bit_count(xor)) <= 8. Shared by d03 (gated since r11 via contract+recall booleans:
     * hash-specific) and d12 (planted-recall invariant under the gate).
     * `bucketCap` bounds hot-bucket width ([[capHotBuckets]]); <= 0
     * disables. */
@@ -429,10 +459,35 @@ object Dedup {
       }
   }
 
+  /** d03 under the gate (r11 no-oracle greening — see d02's preamble):
+    * raw 64-bit SimHash lane folded to contract + near-twin-recall
+    * booleans. SimHash is the coarser sketch (one 64-bit fingerprint, no
+    * OR-redundant signature rows), so its measured near recall on the
+    * truncate90 twins is genuinely lower — 40/50 @sf0.01, 376/500 @sf0.1
+    * (NoOracleRecallScratch, fixed xxhash64 family) — and the pinned
+    * threshold is >= 0.7, strictly inside both measurements. A banding or
+    * bit_count regression drops recall to ~0 and flips the boolean. */
   private val d03 = Q(
     "d03_simhash",
-    (s, dir) => simhashPairs(withPlantedDups(s, dir)),
-    None)
+    (s, dir) => {
+      val docs = withPlantedDups(s, dir)
+      val raw = simhashPairs(docs)
+      val rawAgg = raw.agg(
+        (count(lit(1)) > 0).as("raw_nonempty"),
+        coalesce(max(col("hamming")) <= 8L, lit(true)).as("raw_within_radius"),
+        (coalesce(max(when(col("doc_a") >= col("doc_b"), 1).otherwise(0)), lit(0)) === 0)
+          .as("raw_pairs_ordered"))
+      val rec = plantedPairsOf(docs).join(raw, Seq("doc_a", "doc_b"), "left")
+        .agg(
+          (count(lit(1)) > 0).as("planted_nonempty"),
+          (count(col("hamming")).cast("double") / count(lit(1)) >= 0.7)
+            .as("near_recall_ge_07"),
+          coalesce(max(col("hamming")) <= 8L, lit(true)).as("found_twins_within_radius"))
+      rawAgg.crossJoin(rec)
+    },
+    Some("""SELECT true AS raw_nonempty, true AS raw_within_radius,
+      true AS raw_pairs_ordered, true AS planted_nonempty,
+      true AS near_recall_ge_07, true AS found_twins_within_radius"""))
 
   // ---------------------------------------------------------------- jaccard
   /** Exact 3-gram Jaccard between adjacent doc pairs — deterministic and
@@ -467,7 +522,7 @@ object Dedup {
     * key), exact cosine >= 0.99 confirms. Rows-only (bucketing is
     * engine-specific); planted-recall is asserted in OperatorsSpec. */
   /** The production embedding-near-dup pipeline (seeded Gaussian
-    * hyperplanes — engine-specific, hence rows-only in d05); d13 runs the
+    * hyperplanes — engine-specific, hence boolean-gated in d05 since r11); d13 runs the
     * same dataflow under the gate via a planted-recall invariant.
     * `bucketCap` bounds hot-bucket width ([[capHotBuckets]] — an embedding
     * corpus with thousands of near-identical vectors floods one sign
@@ -516,20 +571,44 @@ object Dedup {
   }
 
   /** embeddings ∪ exact copies of vec_id < 20 (ids shifted by 10^6). */
-  private def withPlantedVecDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def withPlantedVecDups(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     base.unionByName(base.filter(col("vec_id") < 20)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
   }
 
+  /** d05 under the gate (r11 no-oracle greening — see d02's preamble):
+    * the seeded-Gaussian hyperplane lane folded to contract + planted
+    * recall. The plants here are EXACT vector copies, so recall is
+    * deterministic by construction (identical vector ⇒ identical sign
+    * bucket in every table ⇒ candidate; cosine 1 passes the verify) —
+    * the d13 invariant, now also greening the raw entry itself. */
   private val d05 = Q(
     "d05_embedding_neardup",
-    (s, dir) => embeddingNeardupPairs(withPlantedVecDups(s, dir)),
-    None)
+    (s, dir) => {
+      val raw = embeddingNeardupPairs(withPlantedVecDups(s, dir))
+      val rawAgg = raw.agg(
+        (count(lit(1)) > 0).as("raw_nonempty"),
+        coalesce(min(col("cosine")) >= 0.99, lit(true)).as("raw_all_verified"),
+        (coalesce(max(when(col("vec_a") >= col("vec_b"), 1).otherwise(0)), lit(0)) === 0)
+          .as("raw_pairs_ordered"))
+      val expected = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id").as("vec_a"), (col("vec_id") + 1000000L).as("vec_b"))
+      val rec = expected.join(raw, Seq("vec_a", "vec_b"), "left")
+        .agg(
+          (count(lit(1)) > 0).as("planted_nonempty"),
+          (count(col("cosine")) === count(lit(1))).as("all_planted_found"),
+          coalesce(min(col("cosine")) >= 0.999999, lit(false)).as("planted_cosine_one"))
+      rawAgg.crossJoin(rec)
+    },
+    Some("""SELECT true AS raw_nonempty, true AS raw_all_verified,
+      true AS raw_pairs_ordered, true AS planted_nonempty,
+      true AS all_planted_found, true AS planted_cosine_one"""))
 
   // ------------------------------------------------------- oracle variants
   // The engine-native d02/d03/d05 use xxhash64 / seeded hyperplanes (fast,
-  // engine-specific -> rows-only). These variants re-express the SAME
+  // engine-specific -> boolean-gated since r11). These variants re-express the SAME
   // pipelines with md5-derived hashes both engines implement identically,
   // so the full MinHash/SimHash/embedding near-dup dataflows run under the
   // DuckDB oracle end to end.
@@ -877,9 +956,10 @@ object Dedup {
       FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id"""))
 
   // -------------------------------------- production-hash gate invariants
-  // d02/d03/d05 are rows-only (xxhash64 / seeded-Gaussian hash families the
-  // oracle can't reproduce) and their md5 oracle twins (d06/d07/d08) run a
-  // DIFFERENT hash family. These entries put the production hash paths
+  // d02/d03/d05 run hash families the oracle can't reproduce (xxhash64 /
+  // seeded Gaussians) — since r11 they fold to contract+recall booleans
+  // under constant-true oracles — and their md5 oracle twins (d06/d07/d08)
+  // run a DIFFERENT hash family. These entries put the production hash paths
   // themselves under the driver's hash gate: plant EXACT duplicates (whose
   // recall is deterministic — identical text ⇒ identical signature ⇒
   // co-bucketed in every band), reduce to scale-invariant booleans, and pin

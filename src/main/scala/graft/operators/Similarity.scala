@@ -192,10 +192,10 @@ object Similarity {
   // ---------------------------------------------------------------- s02
   /** Random-hyperplane LSH: 6 sign bits -> bucket; exact cosine re-rank
     * within the query's bucket. The scale path — candidate generation is an
-    * equi-join on the bucket key. Shared by s02 (rows-only: seeded Gaussian
+    * equi-join on the bucket key. Shared by s02 (gated since r11 via contract+recall booleans: seeded Gaussian
     * planes are engine-specific) and s09 (planted-recall invariant that
     * puts this production path under the driver's hash gate). */
-  private def lshRanked(vecs: DataFrame): DataFrame = {
+  private[graft] def lshRanked(vecs: DataFrame): DataFrame = {
       val dim = 64
       val nPlanes = 6 // 64 buckets; enough recall at test scale while still
                       // exercising the bucketed-join plan shape
@@ -216,10 +216,29 @@ object Similarity {
           round(col("score"), 6).as("cosine"), col("rn"))
   }
 
+  /** s02 under the driver's hash gate (r11 no-oracle greening, VERDICT
+    * r10 next-6): the seeded-hyperplane production lane still runs —
+    * raw ranked neighbors remain the library return of [[lshRanked]] —
+    * and the GATE entry folds it into [[rankingContract]] booleans
+    * (hash-independent invariants of the heap machinery) plus exact-twin
+    * recall on the planted corpus (deterministic: identical vector ⇒
+    * same bucket ⇒ candidate; cosine 1 tops the rank). Measured 3/3 at
+    * rn=1 on both gate SFs (NoOracleRecallScratch). */
   private val s02 = Q(
     "s02_knn_lsh",
-    (s, dir) => lshRanked(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))),
-    None)
+    (s, dir) => {
+      val (_, corpus) = plantedCorpus(s, dir)
+      val ranked = lshRanked(corpus)
+      rankingContract(ranked, "cosine", ascending = false)
+        .crossJoin(ranked
+          .filter(col("neighbor_id") === col("query_id") + 1000000L)
+          .agg((count(lit(1)) === 3).as("all_queries_recover_planted"),
+            coalesce(min(col("cosine")) >= 0.999999, lit(false))
+              .as("planted_cosine_one")))
+    },
+    Some("""SELECT true AS three_queries_answered, true AS ranks_dense,
+      true AS k_bounded, true AS no_self_pairs, true AS scores_monotone,
+      true AS all_queries_recover_planted, true AS planted_cosine_one"""))
 
   /** s09: the s02 production path under the gate. Exact copies of the three
     * query vectors are planted at vec_id + 10^6; an identical vector lands
@@ -245,9 +264,9 @@ object Similarity {
     * nearest centroids' inverted lists, exact cosine re-rank inside. The
     * centroid assignment reuses the engine's L2/centroid machinery
     * (Harmony ops 26/32-34). Rows-only (k-means is engine-specific). */
-  private val s03 = Q(
-    "s03_ann_ivf",
-    (s, dir) => {
+  /** The s03 IVF dataflow, factored so the gate wrap (planted-recall +
+    * ranking-contract booleans) and the raw library path share one body. */
+  private[graft] def ivfRanked(e: DataFrame): DataFrame = {
       // coarse quantizer trained on a driver-side SAMPLE (the standard IVF
       // pattern at scale: k-means on ~1e5 sampled vectors, assignment
       // applied distributed), then inverted-list probing. The sample MUST
@@ -255,8 +274,8 @@ object Similarity {
       // rows of the first file(s), so at 100 TB the quantizer would be fit
       // to one shard's distribution and skew every inverted list (same
       // bounded-sample pattern as Harmony's kmeansSampleCap seeding).
-      import s.implicits._
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val sp = e.sparkSession
+      import sp.implicits._
       val sample = quantizerSample(e, "embedding", cap = 20000L, seed = 42L)
       val centers = graft.harmony.LocalKMeans.fit(sample, k = 8, maxIter = 10, seed = 42L)
 
@@ -284,8 +303,28 @@ object Similarity {
           k = 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(col("score"), 6).as("cosine"), col("rn"))
+  }
+
+  /** s03 under the gate (r11 no-oracle greening — see s02's preamble):
+    * the trained-IVF lane folded to contract + exact-twin recall. The
+    * twin recall is deterministic: an identical vector takes the same
+    * nearest-centroid argmin, so it lands in the query's OWN list — which
+    * nProbe >= 1 always probes — and re-ranks at cosine 1. */
+  private val s03 = Q(
+    "s03_ann_ivf",
+    (s, dir) => {
+      val (_, corpus) = plantedCorpus(s, dir)
+      val ranked = ivfRanked(corpus)
+      rankingContract(ranked, "cosine", ascending = false)
+        .crossJoin(ranked
+          .filter(col("neighbor_id") === col("query_id") + 1000000L)
+          .agg((count(lit(1)) === 3).as("all_queries_recover_planted"),
+            coalesce(min(col("cosine")) >= 0.999999, lit(false))
+              .as("planted_cosine_one")))
     },
-    None)
+    Some("""SELECT true AS three_queries_answered, true AS ranks_dense,
+      true AS k_bounded, true AS no_self_pairs, true AS scores_monotone,
+      true AS all_queries_recover_planted, true AS planted_cosine_one"""))
 
   // ---------------------------------------------------------------- s04
   /** LSH kNN, oracle-checked end-to-end (the d06–d08 pattern applied to
@@ -637,13 +676,27 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("score"), 6).as("adc"), col("rn"))
 
+  /** s08 under the gate (r11 no-oracle greening — see s02's preamble):
+    * the trained-PQ lane folded to contract + the tie-proof s11 invariant
+    * (twin attains the per-query min ADC — an exact twin encodes to the
+    * query's own codes, so its ADC equals the query's own quantization
+    * error, the global minimum). One pqScores pass feeds both folds. */
   private val s08 = Q(
     "s08_ann_pq_trained",
     (s, dir) => {
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      pqTopK(emb, pqTrainedCodebooks(emb, seed = 42L), topK = 10)
+      val (base, corpus) = plantedCorpus(s, dir)
+      val scores = pqScores(corpus, pqTrainedCodebooks(base, seed = 42L))
+      val ranked = topKByScore(scores, "query_id", "vec_id",
+          col("adc"), 10, ascending = true)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("score"), 6).as("adc"), col("rn"))
+      rankingContract(ranked, "adc", ascending = true)
+        .crossJoin(twinAttainsMin(scores))
     },
-    None)
+    Some("""SELECT true AS three_queries_answered, true AS ranks_dense,
+      true AS k_bounded, true AS no_self_pairs, true AS scores_monotone,
+      true AS all_queries_scored, true AS all_twins_are_candidates,
+      true AS twins_attain_min_adc"""))
 
   // ---------------------------------------------------------------- s10
   /** IVF+PQ COMPOSED index (Jégou et al. 2011's IVFADC, the structure
@@ -779,12 +832,26 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(col("score"), 6).as("adc"), col("rn"))
 
+  /** s10 under the gate (r11 no-oracle greening — see s02's preamble):
+    * the composed IVFADC lane folded to contract + the s12 own-list
+    * tie-proof invariant. One trained model / one scoring pass feeds both
+    * folds (ivfpqScores carries own_list for the restriction). */
   private val s10 = Q(
     "s10_ann_ivfpq",
-    (s, dir) => ivfpqTopK(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
-      topK = 10, seed = 42L),
-    None)
+    (s, dir) => {
+      val (_, corpus) = plantedCorpus(s, dir)
+      val scores = ivfpqScores(corpus, seed = 42L)
+      val ranked = topKByScore(scores, "query_id", "vec_id",
+          col("adc"), 10, ascending = true)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("score"), 6).as("adc"), col("rn"))
+      rankingContract(ranked, "adc", ascending = true)
+        .crossJoin(twinAttainsMin(scores.filter(col("own_list"))))
+    },
+    Some("""SELECT true AS three_queries_answered, true AS ranks_dense,
+      true AS k_bounded, true AS no_self_pairs, true AS scores_monotone,
+      true AS all_queries_scored, true AS all_twins_are_candidates,
+      true AS twins_attain_min_adc"""))
 
   /** s11/s12: the s08/s10 production paths under the driver's HASH gate
     * (the s09/d11 constant-true-oracle pattern). An exact planted twin
@@ -816,6 +883,56 @@ object Similarity {
     * Distances are O(1..100) doubles; 1e-9 absolute is far above ulp noise
     * and far below any genuine codeword separation. */
   private val adcTieEps = 1e-9
+
+  /** Ranking-contract booleans over a raw ranked frame (query_id,
+    * neighbor_id, <score>, rn) — the r11 no-oracle greening (VERDICT r10
+    * next-6). These are hash-INDEPENDENT invariants of the shared
+    * `topKByScore` machinery as exercised by each production lane: dense
+    * contiguous ranks, the k bound, score monotonicity along the rank
+    * order, no self-pairs, and all three queries answered. A heap bug,
+    * rank-order drift, or tie-handling regression on the randomized lane
+    * flips one of these and the driver goes red — while the neighbor IDS
+    * stay free to be whatever the engine's hash family produces. */
+  private[graft] def rankingContract(ranked: DataFrame, scoreCol: String,
+      ascending: Boolean): DataFrame = {
+    val perQ = ranked.groupBy(col("query_id"))
+      .agg(min(col("rn")).as("mn"), max(col("rn")).as("mx"),
+        count(lit(1)).as("n"),
+        max(when(col("neighbor_id") === col("query_id"), 1).otherwise(0)).as("selfs"))
+    val qb = perQ.agg(
+      (count(lit(1)) === 3).as("three_queries_answered"),
+      (max(when(col("mn") =!= 1 || col("mx") =!= col("n"), 1).otherwise(0)) === 0)
+        .as("ranks_dense"),
+      (max(col("n")) <= 10).as("k_bounded"),
+      (max(col("selfs")) === 0).as("no_self_pairs"))
+    // monotone along rank: adjacent-rank self-join (gate-scale frame);
+    // rounding is monotone so rounded scores cannot invert a correct order
+    val a = ranked.alias("a")
+    val b = ranked.alias("b")
+    val viol = if (ascending) col(s"a.$scoreCol") - col(s"b.$scoreCol")
+               else col(s"b.$scoreCol") - col(s"a.$scoreCol")
+    val mono = a.join(b, col("a.query_id") === col("b.query_id") &&
+        col("b.rn") === col("a.rn") + 1)
+      .agg(coalesce(max(viol) <= 0.0, lit(true)).as("scores_monotone"))
+    qb.crossJoin(mono)
+  }
+
+  /** r11 measurement helper (tools/NoOracleRecallScratch): exact-twin
+    * top-10 recall of each randomized ANN lane on the planted corpus —
+    * read BEFORE pinning any constant-true boolean on these lanes. */
+  private[graft] def twinRecallScratch(s: SparkSession, dir: String): Seq[String] = {
+    val (base, corpus) = plantedCorpus(s, dir)
+    def check(name: String, ranked: DataFrame): String = {
+      val r = ranked.filter(col("neighbor_id") === col("query_id") + 1000000L)
+        .agg(count(lit(1)).as("n"), max(col("rn")).as("max_rn")).head()
+      s"$name: twins_in_top10=${r.getLong(0)}/3 max_rn=${r.get(1)}"
+    }
+    Seq(
+      check("s02 lsh", lshRanked(corpus)),
+      check("s03 ivf", ivfRanked(corpus)),
+      check("s08 pq", pqTopK(corpus, pqTrainedCodebooks(base, seed = 42L), topK = 10)),
+      check("s10 ivfpq", ivfpqTopK(corpus, topK = 10, seed = 42L)))
+  }
 
   /** Per-query (min ADC, twin ADC) reduced to the tie-proof booleans. */
   private def twinAttainsMin(scores: DataFrame): DataFrame =

@@ -22,9 +22,10 @@ class OperatorsSpec extends SparkSpec {
     // oracle-less — the r8 failure mode where breakage hid outside the
     // gate — fails here by name.
     val noOracle = graft.Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle === Set(
-      "d02_minhash_lsh", "d03_simhash", "d05_embedding_neardup",
-      "s02_knn_lsh", "s03_ann_ivf", "s08_ann_pq_trained", "s10_ann_ivfpq"))
+    // r11: empty — the last 7 randomized-hash lanes now fold their raw
+    // pipelines into recomputed contract + planted-recall booleans under
+    // constant-true oracles, so EVERY gate entry carries an oracle.
+    assert(noOracle === Set.empty[String])
   }
 
   test("q01 pricing summary: 6 (returnflag, linestatus) groups, counts add up") {
@@ -71,7 +72,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("d02 minhash LSH finds every planted near-duplicate pair") {
-    val pairs = run("d02_minhash_lsh").collect()
+    // raw pair lane via the library entry point (the gate entry now folds
+    // it into booleans; the raw frame remains minhashPairs' return)
+    val pairs = operators.Dedup.minhashPairs(
+        operators.Dedup.withPlantedDups(spark, sfDir)).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val expected = (0L until 500L by 10).map(i => (i, i + 10000000L)).toSet
     val found = expected.intersect(pairs)
@@ -81,10 +85,27 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("d03 simhash: planted pairs have small hamming distance") {
-    val pairs = run("d03_simhash").collect()
+    val pairs = operators.Dedup.simhashPairs(
+        operators.Dedup.withPlantedDups(spark, sfDir)).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val expected = (0L until 500L by 10).map(i => (i, i + 10000000L)).toSet
     assert(expected.intersect(pairs).size >= (expected.size * 0.6).toInt)
+  }
+
+  test("r11 no-oracle greening: all seven wrapped lanes report every boolean true") {
+    // the wrapped gate entries reduce the randomized-hash lanes to
+    // recomputed booleans; at the test SF every one must hold (thresholds
+    // were pinned strictly inside NoOracleRecallScratch measurements)
+    Seq("d02_minhash_lsh", "d03_simhash", "d05_embedding_neardup",
+        "s02_knn_lsh", "s03_ann_ivf", "s08_ann_pq_trained", "s10_ann_ivfpq")
+      .foreach { name =>
+        val rows = run(name).collect()
+        assert(rows.length === 1, s"$name must fold to one summary row")
+        val row = rows.head
+        row.schema.fields.zipWithIndex.foreach { case (f, i) =>
+          assert(row.getBoolean(i), s"$name.${f.name} must be true")
+        }
+      }
   }
 
   test("s01 brute-force kNN: 10 neighbors per query, cosine in [-1,1], descending") {
@@ -102,7 +123,9 @@ class OperatorsSpec extends SparkSpec {
     val bf = run("s01_knn_bruteforce").collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
       .toMap
-    val lsh = run("s02_knn_lsh").collect()
+    val lsh = operators.Similarity.lshRanked(
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))).collect()
     lsh.foreach { r =>
       val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
       bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-9))
@@ -808,7 +831,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("d05 embedding near-dup finds every planted exact copy") {
-    val pairs = run("d05_embedding_neardup").collect()
+    val pairs = operators.Dedup.embeddingNeardupPairs(
+        operators.Dedup.withPlantedVecDups(spark, sfDir)).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     val expected = (0L until 20L).map(i => (i, i + 1000000L)).toSet
     // exact copies share every hyperplane sign -> always co-bucketed
