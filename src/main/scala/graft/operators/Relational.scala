@@ -1518,11 +1518,96 @@ object Relational {
           row_number() OVER (ORDER BY t_cnt DESC, node DESC) AS rn
         FROM localc) t WHERE rn <= 10"""))
 
+  // ---------------------------------------------------------------- q70
+  /** LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al. '07, the
+    * synchronous deterministic variant; public — VERDICT r10 next-7),
+    * rounding out the graph family: unlike connected components (d09),
+    * LPA partitions by EDGE DENSITY — a node adopts the most FREQUENT
+    * label among its neighbors (ties to the smallest label), so a sparse
+    * bridge between two dense groups is outvoted and the groups stay
+    * separate, where the d09 closure would merge them into one component.
+    *
+    * Graph: a deterministic construction over the documents ids — 8-node
+    * CLIQUES (community c = id div 8) chained by single bridge edges
+    * (c's last node ↔ c+1's first), derived identically in both engines.
+    * The bridges make the whole graph ONE connected component, so the
+    * gate genuinely separates LPA from CC: four synchronous rounds must
+    * converge every clique to its min id while every bridge label is
+    * outvoted (clique-mates vote m−2 ≥ 2 strong vs the bridge's 1).
+    *
+    * Scale shape: each round is ONE node-keyed equi-join of the adjacency
+    * against the label table, a grouped (node, label) count, and a
+    * per-node top-1 via the q54 bounded heap — no windows; lineage
+    * truncated per round (the q63/d09 localCheckpoint lesson). A
+    * neighborless node keeps its label through the left join, so the
+    * round is total on any corpus. The oracle mirrors round-for-round;
+    * its row_number forms are the per-node argmax DuckDB-side only. */
+  private val q70 = Q(
+    "q70_label_propagation",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+        .localCheckpoint(true)
+      val cliquePairs = ids.alias("x").join(ids.alias("y"),
+          expr("x.i div 8") === expr("y.i div 8") && col("x.i") < col("y.i"))
+        .select(col("x.i").as("a"), col("y.i").as("b"))
+      val bridges = ids.alias("x").join(ids.alias("y"),
+          col("y.i") === col("x.i") + 1)
+        .filter(col("x.i") % 8 === 7)
+        .select(col("x.i").as("a"), col("y.i").as("b"))
+      val edges = cliquePairs.unionByName(bridges)
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      var labels = ids.select(col("i").as("node"), col("i").as("label"))
+      for (_ <- 1 to 4) {
+        // neighbor-label histogram -> per-node mode (count desc, label asc)
+        // through the bounded heap: payload -label makes the heap's
+        // descending payload tiebreak equal the smallest-label rule
+        val mode = und.join(labels, col("v") === col("node"))
+          .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(graft.functions.TopK.topKPairs(col("c"), -col("label"), 1).as("top"))
+          .select(col("u").as("node"), (-col("top")(0)("payload")).as("new_label"))
+        labels = labels.join(mode, Seq("node"), "left")
+          .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""m$i AS (
+          SELECT u AS node, label AS new_label FROM (
+            SELECT e.u, r.label, count(*) AS c,
+              row_number() OVER (PARTITION BY e.u
+                ORDER BY count(*) DESC, r.label) AS rn
+            FROM und e JOIN r${i - 1} r ON e.v = r.node
+            GROUP BY e.u, r.label) t WHERE rn = 1),
+        r$i AS MATERIALIZED (
+          SELECT p.node, coalesce(m.new_label, p.label) AS label
+          FROM r${i - 1} p LEFT JOIN m$i m ON p.node = m.node)"""
+      }.mkString(",\n        ")
+      s"""WITH ids AS (SELECT doc_id AS i FROM documents),
+      cliq AS (
+        SELECT x.i AS a, y.i AS b FROM ids x JOIN ids y
+        ON x.i // 8 = y.i // 8 AND x.i < y.i),
+      bri AS (
+        SELECT x.i AS a, y.i AS b FROM ids x JOIN ids y
+        ON y.i = x.i + 1 WHERE x.i % 8 = 7),
+      edges AS (SELECT a, b FROM cliq UNION ALL SELECT a, b FROM bri),
+      und AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b AS u, a AS v FROM edges),
+      r0 AS (SELECT i AS node, i AS label FROM ids),
+      $rounds
+      SELECT node, label FROM r4"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61, q62, q63, q65, q66, q67, q69)
+    q61, q62, q63, q65, q66, q67, q69, q70)
 }

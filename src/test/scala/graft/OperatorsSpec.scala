@@ -2233,6 +2233,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ok && kw === keyword && vl === value && n >= 4L)
   }
 
+  test("q70 label propagation: cliques converge to min id, bridges outvoted (not CC)") {
+    val rows = run("q70_label_propagation").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.size === n)
+    // every node must carry its clique's min id — including bridge
+    // endpoints, whose foreign neighbor label is outvoted by clique-mates
+    rows.foreach { case (node, label) =>
+      assert(label === (node / 8) * 8, s"node $node got label $label")
+    }
+    // the bridges chain every clique into ONE connected component, so a
+    // CC-style closure would yield a single label; LPA must keep them apart
+    val nCommunities = rows.values.toSet.size
+    assert(nCommunities === ((n + 7) / 8).toInt,
+      s"expected ${(n + 7) / 8} communities, got $nCommunities")
+    assert(nCommunities > 1)
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
