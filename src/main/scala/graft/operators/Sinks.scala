@@ -748,6 +748,178 @@ object Sinks {
         (doc_id % 13 = 0) AS embeds_boundary
       FROM aug"""))
 
+  // ---------------------------------------------------------------- w13
+  /** OPTIMISTIC-CONCURRENCY COMMIT PROTOCOL for the w09 versioned table
+    * (the Delta/Iceberg commit mechanic — VERDICT r10 next-3, the
+    * remaining lakehouse mechanic after time travel and VACUUM): a commit
+    * claims version N+1 by ATOMIC manifest creation (CREATE_NEW — exactly
+    * one writer can create a given version file; everyone else gets
+    * FileAlreadyExists and must react). A loser compares its touched
+    * buckets against what the winner changed:
+    *   - DISJOINT → REBASE: re-merge its already-written files onto the
+    *     winner's manifest and retry — no data rewrite, commit cost stays
+    *     O(own changed files);
+    *   - OVERLAP → CONFLICT: its files were computed against a stale
+    *     base, so it must RE-EXECUTE the change against the winner's
+    *     version (the lost-update hazard: blindly retrying the stale
+    *     files would silently erase the winner's edit) and then retry.
+    * Retries are IDEMPOTENT: every manifest records its commit id, so a
+    * duplicate delivery of an already-landed commit finds its id in the
+    * log and no-ops (the s15 exactly-once contract applied to commits).
+    *
+    * At 100 TB this is exactly the production shape: manifests stay
+    * KB-sized metadata, the atomic-create primitive is the object store's
+    * if-none-match PUT, validation is set algebra over bucket ids, and
+    * only genuine same-bucket conflicts pay a recompute. */
+  private[graft] final class OccTable(val root: java.nio.file.Path) {
+    /** manifest line format: commit id on line 1, then "bucket\tpath". */
+    def latest(): Int =
+      Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .collect { case n if n.startsWith("manifest_v") && n.endsWith(".txt") =>
+          n.stripPrefix("manifest_v").stripSuffix(".txt").toInt }
+        .foldLeft(0)(math.max)
+    def read(v: Int): (String, Map[Int, String]) = {
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        root.resolve(s"manifest_v$v.txt")), "UTF-8").split("\n")
+      (lines.head, lines.tail.map { l =>
+        val Array(b, p) = l.split("\t"); b.toInt -> p
+      }.toMap)
+    }
+    def committedVersionOf(commitId: String): Option[Int] =
+      (1 to latest()).find(v => read(v)._1 == commitId)
+    /** One optimistic attempt: returns Some(version) on success. */
+    private def tryCreate(v: Int, commitId: String,
+        files: Map[Int, String]): Boolean =
+      try {
+        val body = (commitId +: files.toSeq.sortBy(_._1)
+          .map { case (b, p) => s"$b\t$p" }).mkString("\n")
+        java.nio.file.Files.write(root.resolve(s"manifest_v$v.txt"),
+          body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    /** Commit `touched` (bucket -> new file), computed against `baseV`.
+      * `reexec(newBase)` recomputes the change against a conflicting
+      * winner's version. Returns (landed version, rebases, reexecs). */
+    def commit(commitId: String, baseV: Int, touched: Map[Int, String],
+        reexec: Int => Map[Int, String]): (Int, Int, Int) = {
+      var base = baseV
+      var files = touched
+      var rebases = 0
+      var reexecs = 0
+      var landed = committedVersionOf(commitId) // duplicate delivery no-ops
+      while (landed.isEmpty) {
+        val (_, baseFiles) = read(base)
+        if (tryCreate(base + 1, commitId, baseFiles ++ files)) landed = Some(base + 1)
+        else {
+          val winnerV = base + 1
+          val (_, winnerFiles) = read(winnerV)
+          val winnerChanged = winnerFiles.collect {
+            case (b, p) if baseFiles.get(b) != Some(p) => b
+          }.toSet
+          if (winnerChanged.intersect(files.keySet).isEmpty) rebases += 1
+          else { files = reexec(winnerV); reexecs += 1 }
+          base = winnerV
+        }
+      }
+      (landed.get, rebases, reexecs)
+    }
+  }
+
+  /** The w13 gate: three writers race on one table, sequenced to exercise
+    * every protocol branch DETERMINISTICALLY (the interleaving is pinned;
+    * the atomic-create primitive itself is raced for real by two threads
+    * in the spec): X commits first; Y holds a stale base but touched a
+    * disjoint bucket (must REBASE, its pre-written file lands verbatim);
+    * Z holds a stale base AND touched Y's bucket (must RE-EXECUTE against
+    * the winner — Z doubles cents, Y added 1000 to k%3==0, so composing
+    * in the wrong order or losing Y's update shifts the final sums the
+    * oracle recomputes). A duplicate delivery of Z's commit must no-op.
+    * All file-reuse booleans recompute from the real manifest listings. */
+  private val w13 = Q(
+    "w13_occ_commit",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w13_")
+      try {
+        val t = new OccTable(root)
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        def writeBucket(df: DataFrame, name: String): String = {
+          val d = root.resolve(name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(d)
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet")).get.getPath
+        }
+        // v1: 8 key-hash bucket files
+        val v1 = (0 until 8).map { b =>
+          b -> writeBucket(base.filter(pmod(col("k"), lit(8L)) === b), s"b${b}_v1")
+        }.toMap
+        java.nio.file.Files.write(root.resolve("manifest_v1.txt"),
+          ("init" +: v1.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
+            .mkString("\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        def bucketOf(v: Int, b: Int): DataFrame = s.read.parquet(t.read(v)._2(b))
+        // X: +7 cents on bucket 1, base v1 — lands v2 clean
+        val (vx, rbx, rxx) = t.commit("X", 1, Map(1 ->
+          writeBucket(bucketOf(1, 1).withColumn("cents", col("cents") + 7L), "b1_X")),
+          _ => sys.error("X must not conflict"))
+        // Y: +1000 cents on k%3==0 of bucket 2, computed against STALE v1
+        val yFile = writeBucket(bucketOf(1, 2).withColumn("cents",
+          when(col("k") % 3 === 0, col("cents") + 1000L).otherwise(col("cents"))), "b2_Y")
+        val (vy, rby, rxy) = t.commit("Y", 1, Map(2 -> yFile),
+          _ => sys.error("Y touched a disjoint bucket; must rebase, not re-execute"))
+        // Z: double ALL cents of bucket 2, ALSO computed against stale v1 —
+        // must re-execute against the winner so Y's +1000 doubles with it
+        def zChange(v: Int): Map[Int, String] = Map(2 ->
+          writeBucket(bucketOf(v, 2).withColumn("cents", col("cents") * 2L), s"b2_Z_base$v"))
+        val (vz, rbz, rxz) = t.commit("Z", 1, zChange(1), zChange)
+        // duplicate delivery of Z's commit: must find its id and no-op
+        val (vz2, rbz2, rxz2) = t.commit("Z", 1, zChange(1),
+          _ => sys.error("duplicate delivery must not re-execute"))
+        val m = (1 to 4).map(v => v -> t.read(v)._2).toMap
+        val flags = Seq(
+          (vx, rbx, rxx) == ((2, 0, 0)),
+          (vy, rby, rxy) == ((3, 1, 0)),      // one rebase, zero re-execs
+          (vz, rbz, rxz) == ((4, 1, 1)),      // rebase past X, re-exec past Y
+          (vz2, rbz2, rxz2) == ((4, 0, 0)),   // idempotent duplicate
+          t.latest() == 4,                    // retry minted no new version
+          m(3)(2) == yFile,                   // rebase landed Y's file verbatim
+          m(3)(1) == m(2)(1),                 // rebase preserved X's rewrite
+          (0 until 8).count(b => m(4)(b) == m(1)(b)) == 6, // only b1,b2 ever rewritten
+          m(4)(2) != m(3)(2))                 // re-exec produced a fresh file
+        val out = (1 to 4).map { v =>
+          s.read.parquet(m(v).values.toSeq: _*)
+            .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+              sum(col("cents")).as("cents_sum"))
+            .select(lit(s"v$v").as("version"), col("n_rows"), col("key_sum"),
+              col("cents_sum"), lit(flags.forall(identity)).as("protocol_ok"))
+        }.reduce(_ unionByName _)
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v2 AS (SELECT k, CASE WHEN k % 8 = 1 THEN cents + 7 ELSE cents END AS cents
+        FROM base),
+      v3 AS (SELECT k, CASE WHEN k % 8 = 2 AND k % 3 = 0 THEN cents + 1000
+        ELSE cents END AS cents FROM v2),
+      v4 AS (SELECT k, CASE WHEN k % 8 = 2 THEN cents * 2 ELSE cents END AS cents
+        FROM v3),
+      versions AS (
+        SELECT 'v1' AS version, k, cents FROM base
+        UNION ALL SELECT 'v2', k, cents FROM v2
+        UNION ALL SELECT 'v3', k, cents FROM v3
+        UNION ALL SELECT 'v4', k, cents FROM v4)
+      SELECT version, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(k) AS BIGINT) AS key_sum,
+        CAST(sum(cents) AS BIGINT) AS cents_sum,
+        true AS protocol_ok
+      FROM versions GROUP BY version"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12)
+    w12, w13)
 }

@@ -195,6 +195,58 @@ class SourcesSpec extends SparkSpec {
       graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
     }
   }
+  test("w13 OCC: a REAL two-thread race — exactly one winner per version, no lost update") {
+    // the gate pins the protocol branches deterministically; this races the
+    // atomic-create primitive for real: two writers commit concurrently
+    // from the same base. CREATE_NEW guarantees exactly one claims v2; the
+    // other must land v3 with BOTH changes present in the final manifest.
+    val root = Files.createTempDirectory("graft_w13_spec_")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val t = new graft.operators.Sinks.OccTable(root)
+      def writeBucket(df: org.apache.spark.sql.DataFrame, name: String): String = {
+        val d = root.resolve(name).toString
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        new java.io.File(d).listFiles().find(_.getName.endsWith(".parquet")).get.getPath
+      }
+      val v1 = (0 until 4).map { b =>
+        b -> writeBucket(Seq.tabulate(25)(i => (i * 4 + b, 100L)).toDF("k", "cents"),
+          s"b${b}_v1")
+      }.toMap
+      Files.write(root.resolve("manifest_v1.txt"),
+        ("init" +: v1.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
+          .mkString("\n").getBytes("UTF-8"))
+      // pre-write both writers' files (Spark jobs stay on the main thread;
+      // the RACED section is the commit protocol itself)
+      val fa = writeBucket(spark.read.parquet(v1(0)).withColumn("cents", col("cents") + 1L), "b0_A")
+      val fb = writeBucket(spark.read.parquet(v1(1)).withColumn("cents", col("cents") + 2L), "b1_B")
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def racer(id: String, b: Int, f: String) = pool.submit(
+        new java.util.concurrent.Callable[(Int, Int, Int)] {
+          def call(): (Int, Int, Int) = {
+            gate.await()
+            t.commit(id, 1, Map(b -> f),
+              _ => sys.error(s"$id touched a disjoint bucket; must rebase"))
+          }
+        })
+      val (ra, rb) = (racer("A", 0, fa), racer("B", 1, fb))
+      gate.countDown()
+      val (va, vb) = (ra.get(), rb.get())
+      pool.shutdown()
+      assert(Set(va._1, vb._1) === Set(2, 3), s"got versions ${(va, vb)}")
+      assert(va._3 === 0 && vb._3 === 0, "disjoint race must never re-execute")
+      assert(t.latest() === 3)
+      val (_, fin) = t.read(3)
+      assert(fin(0) === fa && fin(1) === fb,
+        "both racers' changes must survive in the final version")
+      assert(fin(2) === v1(2) && fin(3) === v1(3), "untouched buckets reused")
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(root)
+    }
+  }
   test("w11 gzip members: concatenated-member decode, per-file parallelism") {
     // one task per .gz file (gzip is not splittable) and the JDK reader
     // must consume ALL concatenated members, not stop after the first
