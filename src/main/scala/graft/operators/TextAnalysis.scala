@@ -1791,6 +1791,259 @@ object TextAnalysis {
           PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
       WHERE rn = 1"""))
 
+  // ------------------------------------------------------------ t28/t29
+  /** UNIGRAM-LM (SentencePiece-style) TOKENIZER — Kudo '18, the other
+    * half of the production tokenizer space next to t16/t17 BPE (VERDICT
+    * r10 next-2): pieces carry probabilities and a word's tokenization is
+    * the max-likelihood segmentation (Viterbi), trained by hard
+    * (Viterbi-) EM over a seeded candidate vocabulary.
+    *
+    * Spark shape — the t16 lesson applied: the corpus is touched ONCE to
+    * build the distinct-word frequency table; seeding is one substring
+    * explode + grouped Long sum + a bounded top-cap TakeOrdered; every EM
+    * round maps the WORD table under a broadcast piece-prob model (the
+    * per-row bounded DP is a pure executor kernel, the LocalKMeans
+    * precedent) and folds Long piece counts map-side. At 100 TB that is
+    * one corpus pass + EM over a ~1e7-row vocab with a ~50k-entry
+    * broadcast — no shuffle ever carries more than (piece, count) pairs.
+    * Counts stay in exact Longs, so the trained model is bit-identical
+    * under any partitioning; only the reported log-likelihood sums
+    * doubles (tolerance-gated).
+    *
+    * Gate strategy (NOTES.md backlog; Viterbi-in-SQL is not expressible
+    * in ANSI): a PLANTED-STRUCTURE corpus — every 5th doc gains the word
+    * "zxzxzx", over letters absent from the corpus. The whole-word piece
+    * dominates any split under the count-ratio argument (its 3x-more-
+    * frequent "zx" sub-piece still loses: 3·log(3c/T) < log(c/T) for all
+    * T > 5.2c, and T/c ≈ the corpus-to-plant mass ratio ≫ 6), so
+    * training MUST learn the whole morpheme and segment it as one piece —
+    * recomputed booleans under a constant-true oracle, alongside
+    * SQL-recomputable corpus counts that keep the hash non-trivial. */
+  private[graft] val ugMaxPieceLen = 6
+  /** Seed breadth: how many candidate multi-char substrings enter EM.
+    * Must be wider than the final cap — Kudo '18 seeds "a reasonably big"
+    * candidate set precisely so that coherent-but-rarer morphemes (the
+    * planted 100-freq word against ~900-freq natural substrings here)
+    * are not cut before likelihood gets to judge them. Bounded driver
+    * collect either way (TakeOrdered). */
+  private[graft] val ugSeedCap = 600
+  private[graft] val ugVocabCap = 80 // multi-char pieces; single chars always kept
+  private[graft] val ugRounds = 4
+
+  /** documents text with the planted morpheme appended to every 5th doc. */
+  private[graft] def ugCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" zxzxzx")))
+        .otherwise(col("text")).as("text"))
+
+  /** (word, corpus frequency) — the unit every training stage iterates on. */
+  private[graft] def ugWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Max-likelihood segmentation of `w` under piece log-probs: bounded DP
+    * over positions (pieces <= ugMaxPieceLen chars). Deterministic: ties
+    * resolve to the LONGEST final piece (j ascending + strict >). Returns
+    * (pieces, score) or None when some character lacks a vocab entry. */
+  private[graft] def ugViterbi(w: String,
+      lp: scala.collection.Map[String, Double]): Option[(List[String], Double)] = {
+    val n = w.length
+    val NEG = Double.NegativeInfinity
+    val best = Array.fill(n + 1)(NEG)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - ugMaxPieceLen)
+      while (j < i) {
+        if (best(j) != NEG) {
+          lp.get(w.substring(j, i)) match {
+            case Some(p) =>
+              val sc = best(j) + p
+              if (sc > best(i)) { best(i) = sc; back(i) = j }
+            case None =>
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0 || back(n) < 0) None
+    else {
+      var pieces = List.empty[String]
+      var k = n
+      while (k > 0) { pieces = w.substring(back(k), k) :: pieces; k = back(k) }
+      Some((pieces, best(n)))
+    }
+  }
+
+  /** Hard-EM unigram trainer over a (w, cnt) word table. Returns the
+    * final piece log-prob model and the per-round total negative
+    * log-likelihood trace (round 0 = under the seed model). */
+  private[graft] def unigramTrain(words: DataFrame)
+      : (Map[String, Double], Seq[Double]) = {
+    val sp = words.sparkSession
+    import sp.implicits._
+    val wcnt = words.select(col("w"), col("cnt")).as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed: every substring up to ugMaxPieceLen, weighted by word freq x
+    // occurrence count — one explode + grouped Long sum
+    val subs = words.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           i -> transform(sequence(1, least($ugMaxPieceLen, length(w) - i + 1)),
+           l -> substring(w, i, l))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val singles = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)) // bounded: alphabet
+    val top = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("f").desc, col("piece")).limit(ugSeedCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)) // bounded: the cap
+    subs.unpersist(false)
+    def toLogProbs(counts: Seq[(String, Long)]): Map[String, Double] = {
+      val total = counts.map(_._2).sum
+      counts.map { case (p, c) => p -> math.log(c.toDouble / total) }.toMap
+    }
+    var model = toLogProbs((singles ++ top).toSeq)
+    val lls = scala.collection.mutable.ArrayBuffer[Double]()
+    for (round <- 0 to ugRounds) {
+      val bc = sp.sparkContext.broadcast(model)
+      // E-step: Viterbi counts (exact Longs) + corpus neg log-likelihood
+      val seg = wcnt.mapPartitions { it =>
+        it.map { case (w, c) =>
+          ugViterbi(w, bc.value) match {
+            case Some((pieces, score)) => (pieces, c, -score * c)
+            case None => (List.empty[String], c, 0.0)
+          }
+        }
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lls += seg.map(_._3).reduce(_ + _)
+      if (round < ugRounds) {
+        val counts = seg.flatMap { case (ps, c, _) => ps.map(p => (p, c)) }
+          .toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("c"))
+          .as[(String, Long)].collect() // bounded by vocab size
+        // M-step + prune: keep the top-cap multi-char pieces by (count
+        // desc, piece asc); single chars always survive (coverage floor 1)
+        val multi = counts.filter(_._1.length > 1)
+          .sortBy { case (p, c) => (-c, p) }.take(ugVocabCap)
+        val singleKept = singles.map { case (p, _) =>
+          p -> math.max(1L, counts.toMap.getOrElse(p, 0L)) }
+        model = toLogProbs((singleKept ++ multi).toSeq)
+      }
+      seg.unpersist(false)
+      bc.destroy()
+    }
+    wcnt.unpersist(false)
+    (model, lls.toSeq)
+  }
+
+  /** Per-distinct-word tokenization table under a frozen model — the t17
+    * lesson: tokenize each distinct word ONCE, join corpus words against
+    * it (at 100 TB the corpus pays one word-keyed join, never per-doc
+    * segmentation). Columns: w, n_pieces, lossless, segmentable. */
+  private[graft] def ugWordTokens(words: DataFrame,
+      model: Map[String, Double]): DataFrame = {
+    val sp = words.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(model)
+    words.select(col("w")).as[String].mapPartitions { it =>
+      it.map { w =>
+        ugViterbi(w, bc.value) match {
+          case Some((pieces, _)) =>
+            (w, pieces.length.toLong, pieces.mkString("") == w, true,
+              pieces.contains("zxzxzx"))
+          case None => (w, 0L, false, false, false)
+        }
+      }
+    }.toDF("w", "n_pieces", "lossless", "segmentable", "has_planted_piece")
+  }
+
+  private val tUgTrain = Q(
+    "t28_unigram_train",
+    (s, dir) => {
+      val words = ugWords(ugCorpus(s, dir)).localCheckpoint(true)
+      val (model, lls) = unigramTrain(words)
+      val sp = s
+      import sp.implicits._
+      // recomputed gate booleans (constant-true oracle): coverage, the
+      // planted morpheme learned AND segmented whole, every word
+      // segmentable, training improved the corpus likelihood, cap held
+      val perWord = ugWordTokens(words, model)
+        .agg(min(col("segmentable")).as("all_segmentable"),
+          min(col("lossless")).as("all_lossless"))
+      val corpusChars = words.select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("ch"))
+        .distinct().as[String].collect() // bounded: alphabet
+      val flags = Seq(
+        corpusChars.forall(model.contains),                 // coverage
+        model.contains("zxzxzx"),                           // morpheme learned
+        ugViterbi("zxzxzx", model).exists(_._1 == List("zxzxzx")),
+        lls.last <= lls.head + 1e-6,                        // likelihood improved
+        model.keys.count(_.length > 1) <= ugVocabCap)       // cap held
+      words.select(count(lit(1)).as("n_distinct_words"),
+          sum(col("cnt")).as("n_word_occurrences"))
+        .crossJoin(perWord)
+        .select(col("n_distinct_words"), col("n_word_occurrences"),
+          col("all_segmentable"), col("all_lossless"),
+          lit(flags(0)).as("single_char_coverage"),
+          lit(flags(1)).as("planted_piece_learned"),
+          lit(flags(2)).as("planted_segments_whole"),
+          lit(flags(3)).as("loglik_improved"),
+          lit(flags(4)).as("vocab_cap_held"))
+    },
+    Some("""WITH aug AS (
+        SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' zxzxzx' ELSE text END AS text
+        FROM documents),
+      w AS (
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM aug) t
+        WHERE w <> '' GROUP BY w)
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+        CAST(sum(c) AS BIGINT) AS n_word_occurrences,
+        true AS all_segmentable, true AS all_lossless,
+        true AS single_char_coverage, true AS planted_piece_learned,
+        true AS planted_segments_whole, true AS loglik_improved,
+        true AS vocab_cap_held
+      FROM w"""))
+
+  private val tUgApply = Q(
+    "t29_unigram_apply",
+    (s, dir) => {
+      val docs = ugCorpus(s, dir)
+      val words = ugWords(docs).localCheckpoint(true)
+      val (model, _) = unigramTrain(words)
+      val wtoks = ugWordTokens(words, model).localCheckpoint(true)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(wtoks, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars"),
+          sum(col("n_pieces")).as("n_tokens"),
+          min(col("lossless")).as("lossless"),
+          max(col("has_planted_piece")).as("has_planted_token"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          // n_tokens itself is model-specific; the gate pins its provable
+          // bounds and keeps the raw count out of the hash
+          (col("n_tokens") >= col("n_words") && col("n_tokens") <= col("n_chars"))
+            .as("fertility_bounded"),
+          col("lossless"), col("has_planted_token"))
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' zxzxzx' ELSE text END AS text
+        FROM documents),
+      words AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM aug) t
+        WHERE w <> '')
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(len(w)) AS BIGINT) AS n_chars,
+        true AS fertility_bounded, true AS lossless,
+        (doc_id % 5 = 0) AS has_planted_token
+      FROM words GROUP BY doc_id"""))
+
   // ---------------------------------------------------------------- t27
   /** TOKENIZER EFFICIENCY EVAL (compression rate + fertility — the
     * chars-per-token and tokens-per-word metrics every tokenizer paper
@@ -1817,17 +2070,31 @@ object TextAnalysis {
           length(col("w")).cast("long").as("w_chars"))
         .localCheckpoint(true)
       learnedState.unpersist(false)
+      // r11: the unigram-LM challenger on the SAME corpus — its per-word
+      // token counts join in next to BPE's, and the duel reduces to
+      // recomputed booleans (raw unigram counts are model-specific; the
+      // oracle pins the comparison, not the numbers)
+      val uwords = ugWords(docs).localCheckpoint(true)
+      val (ugModel, _) = unigramTrain(uwords)
+      val uwt = ugWordTokens(uwords, ugModel)
+        .select(col("w"), col("n_pieces").as("u_tokens"), col("lossless"))
+        .localCheckpoint(true)
       docs
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .join(wtc, Seq("w"))
+        .join(uwt, Seq("w"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_words"),
           sum(col("w_chars")).as("n_chars"),
-          sum(col("w_tokens")).as("n_tokens"))
+          sum(col("w_tokens")).as("n_tokens"),
+          sum(col("u_tokens")).as("u_tokens"),
+          min(col("lossless")).as("unigram_lossless"))
         .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
           expr("n_chars * 1000000 div n_tokens").as("chars_per_token_micro"),
-          expr("n_tokens * 1000000 div n_words").as("fertility_micro"))
+          expr("n_tokens * 1000000 div n_words").as("fertility_micro"),
+          (col("u_tokens") <= col("n_tokens")).as("unigram_fertility_le_bpe"),
+          col("unigram_lossless"))
     },
     Some(s"""${bpeApplyOracleCtes(nBpeMerges)},
       src AS (SELECT doc_id, source FROM documents),
@@ -1843,12 +2110,14 @@ object TextAnalysis {
         GROUP BY s.source)
       SELECT source, n_words, n_chars, n_tokens,
         n_chars * 1000000 // n_tokens AS chars_per_token_micro,
-        n_tokens * 1000000 // n_words AS fertility_micro
+        n_tokens * 1000000 // n_words AS fertility_micro,
+        true AS unigram_fertility_le_bpe, true AS unigram_lossless
       FROM agg"""))
 
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
-      tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility)
+      tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
+      tUgTrain, tUgApply)
 }

@@ -2361,6 +2361,47 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t28 ugViterbi: matches brute-force max-likelihood on every segmentation") {
+    import graft.operators.TextAnalysis.ugViterbi
+    val lp = Map("a" -> -3.0, "b" -> -3.0, "ab" -> -2.0, "ba" -> -2.5,
+      "aba" -> -4.9, "abab" -> -3.5, "bb" -> -2.2)
+    def brute(w: String): Option[(List[String], Double)] = {
+      if (w.isEmpty) Some((Nil, 0.0))
+      else (1 to math.min(6, w.length)).flatMap { l =>
+        lp.get(w.take(l)).flatMap(p =>
+          brute(w.drop(l)).map { case (rest, s) => (w.take(l) :: rest, s + p) })
+      }.sortBy(-_._2).headOption
+    }
+    for (w <- Seq("abab", "ababab", "bbab", "aab", "babba", "a", "abba")) {
+      val got = ugViterbi(w, lp)
+      val want = brute(w)
+      assert(got.map(_._2) === want.map(_._2), s"score mismatch for '$w'")
+      got.foreach { case (pieces, _) =>
+        assert(pieces.mkString("") === w, s"'$w' must re-concatenate exactly") }
+    }
+    // missing character -> no segmentation, never a throw
+    assert(ugViterbi("abcab", lp).isEmpty)
+    // exact tie resolves to the longest final piece: "aba"(-4.9) vs
+    // "a"+"ab" = -5.0 vs "ab"+"a" = -5.0 — construct a true tie instead
+    val tie = Map("a" -> -1.0, "aa" -> -2.0)
+    assert(ugViterbi("aa", tie).get._1 === List("aa"),
+      "on equal scores the single longer piece must win")
+  }
+
+  test("t28 unigram training: planted morpheme learned, deterministic retrain") {
+    import graft.operators.TextAnalysis._
+    val words = ugWords(ugCorpus(spark, sfDir)).localCheckpoint(true)
+    val (m1, lls) = unigramTrain(words)
+    assert(m1.contains("zxzxzx"), "planted whole-word piece must be learned")
+    assert(ugViterbi("zxzxzx", m1).get._1 === List("zxzxzx"))
+    assert(lls.last <= lls.head + 1e-6,
+      s"training must not worsen corpus likelihood: ${lls.head} -> ${lls.last}")
+    assert(m1.keys.count(_.length > 1) <= ugVocabCap)
+    // exact-Long count pipeline => bit-identical model on retrain
+    val (m2, _) = unigramTrain(words.repartition(7))
+    assert(m1 === m2, "training must be deterministic under repartitioning")
+  }
+
   test("w07 compaction preserves data identity and reduces files") {
     val r = run("w07_compact_small_files").head()
     val o = graft.sources.Tables.orders(spark, sfDir)
