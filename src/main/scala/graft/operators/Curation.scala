@@ -343,5 +343,73 @@ object Curation {
       LEFT JOIN kept3 k3 ON k3.doc_id = c.doc_id
       LEFT JOIN kept4 k4 ON k4.doc_id = c.doc_id"""))
 
+  /** ROW-LOCAL ADMISSION VERDICT under FROZEN models (the st29 streaming
+    * lane's kernel — VERDICT r10 next-4): the production direction of the
+    * p04 chain, where models are trained batch-side and each ARRIVING doc
+    * is judged statelessly — quality verdict (the t12/p04 stage-1
+    * formulas recomputed with array HOFs inside the row), d19 hot-block
+    * strip against the frozen template-hash set, and d16 decontamination
+    * against the frozen eval-gram hash set. Everything is a codegen'd
+    * expression over one row: no explode, no regroup, no state store —
+    * which is exactly what lets the SAME frame run unchanged under a
+    * streaming source in append mode.
+    *
+    * Model-size contract: both frozen sets ride into the plan as single
+    * array literals. Hot-template sets are tiny by construction (blocks
+    * with df >= maxDf are boilerplate); eval-benchmark gram sets are
+    * bounded (a finite benchmark suite). If an eval set outgrew literal
+    * scale, the lane switches to st11/st16's stream-static broadcast-join
+    * form with drain-side reassembly — the documented alternative, at the
+    * cost of the verdict no longer being single-row. */
+  private[graft] def admissionVerdict(docs: DataFrame, hotHashes: Seq[Long],
+      evalGramHashes: Seq[Long]): DataFrame = {
+    val hotLit = typedlit(hotHashes)
+    val evalLit = typedlit(evalGramHashes)
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long") // = CrossEngine.md5Hash60
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("top_cnt", array_max(transform(array_distinct(col("tk")),
+        t => size(filter(col("tk"), x => x === t)))).cast("long"))
+      .withColumn("quality_ok", col("n_tokens").between(30, 130) &&
+        (round(col("top_cnt").cast("double") / col("n_tokens"), 4) <= 0.2))
+      .withColumn("blks", expr(
+        """transform(sequence(0, CAST(ceil(size(tk) / 10.0) AS INT) - 1),
+           i -> array_join(slice(tk, i * 10 + 1, 10), ' '))"""))
+      .withColumn("keptb", filter(col("blks"), b => !array_contains(hotLit, h60(b))))
+      .withColumn("n_removed", (size(col("blks")) - size(col("keptb"))).cast("long"))
+      .withColumn("text_clean", array_join(col("keptb"), " "))
+      .withColumn("stripped_empty", col("text_clean") === "")
+      .withColumn("ctk", split(col("text_clean"), " "))
+      .withColumn("grams", expr(
+        """filter(transform(sequence(1, greatest(size(ctk) - 7, 1)),
+           i -> concat_ws(' ', slice(ctk, i, 8))), g -> size(ctk) >= 8)"""))
+      .withColumn("contaminated", exists(col("grams"), g => array_contains(evalLit, h60(g))))
+      .select(col("doc_id"), col("n_tokens"), col("quality_ok"), col("n_removed"),
+        col("stripped_empty"), col("contaminated"),
+        (col("quality_ok") && !col("stripped_empty") && !col("contaminated"))
+          .as("admitted"))
+  }
+
+  /** The frozen models the st29 admission lane serves: (hot-block hashes,
+    * eval-gram hashes), both batch-derived from the d19 template corpus —
+    * train-then-serve, the production direction. */
+  private[graft] def frozenAdmissionModels(corpus: DataFrame): (Seq[Long], Seq[Long]) = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val hot = Dedup.hotBlocks(corpus, blockTokens = 10, maxDf = 50)
+      .as[Long].collect().sorted.toSeq // bounded: boilerplate templates
+    val cleaned = Dedup.lineDedup(corpus, blockTokens = 10, maxDf = 50)
+      .filter(col("text_clean") =!= "")
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val evalGrams = cleaned.filter(col("doc_id") % 97 === 0)
+      .select(split(concat_ws(" ", slice(split(col("text"), " "), 3, 20)), " ").as("tk"))
+      .select(explode(Dedup.wordNgrams(8)).as("g")).distinct()
+      .select(graft.functions.CrossEngine.md5Hash60(col("g")))
+      .as[Long].collect().sorted.toSeq // bounded: the eval benchmark
+    (hot, evalGrams)
+  }
+
   val all: Seq[Q] = Seq(p04, p05)
 }

@@ -2210,7 +2210,111 @@ object EventsStreaming {
         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       WHERE a.event_type = 'click'"""))
 
+  // ------------------------------------------------- streaming curation admission
+  /** STREAMING COMPOSED-CURATION ADMISSION (VERDICT r10 next-4): p04's
+    * chain in the production direction — models trained batch-side ONCE
+    * (the d19 hot-template hashes and the d16 eval-gram hashes, both
+    * frozen before the stream starts), then every ARRIVING doc flows
+    * through quality verdict → hot-block strip → decontamination →
+    * admission verdict entirely row-locally
+    * ([[graft.operators.Curation.admissionVerdict]] — the st16/st11
+    * stages composed, with the per-doc reassembly folded INTO the row so
+    * the whole lane stays stateless append mode: no state store, no
+    * watermark, unbounded input, per-micro-batch cost linear in arriving
+    * docs). The drained admissions must equal the batch chain's verdicts
+    * on the same corpus: the oracle recomputes the full frozen-model
+    * derivation AND every per-doc verdict CTE-for-CTE, so this gate pins
+    * batch/stream admission parity cross-engine, not just engine-
+    * internally (the engine-internal parity — row-local formulation vs
+    * the explode/groupBy batch stages — is spec-asserted). */
+  private val st29 = Q(
+    "st29_stream_curation_admission",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.{Curation, Dedup}
+      val sinkTable = "st29_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st29_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+      // train-then-serve: both models frozen from the batch corpus
+      val (hot, evalGrams) = Curation.frozenAdmissionModels(
+        Dedup.d19Corpus(Tables.documents(s, dir)))
+
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      val verdicts = Curation.admissionVerdict(
+        Dedup.d19Corpus(raw.select(col("doc_id"), col("text"))), hot, evalGrams)
+      val query = verdicts.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable), sinkTable, srcDir)
+    },
+    Some(s"""WITH corpus AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN '${graft.operators.Dedup.d19Template}' || ' ' || text
+            ELSE text END AS text
+        FROM documents),
+      cnts AS (SELECT doc_id, token, count(*) AS cnt FROM
+        (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus) t
+        GROUP BY 1, 2),
+      stats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        max(cnt) AS top_cnt FROM cnts GROUP BY 1),
+      blocks AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(tk[(i * 10 + 1) : (i * 10 + 10)], ' ') AS blk
+        FROM (SELECT doc_id, tk,
+            unnest(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT))) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus) t) u),
+      hashed AS MATERIALIZED (
+        SELECT doc_id, pos, blk,
+          CAST(concat('0x', substring(md5(blk), 1, 15)) AS BIGINT) AS h
+        FROM blocks),
+      hot AS (SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 50),
+      keptb AS (
+        SELECT doc_id, count(*) AS n_kept,
+          string_agg(blk, ' ' ORDER BY pos) AS text_clean
+        FROM hashed WHERE h NOT IN (SELECT h FROM hot)
+        GROUP BY doc_id),
+      totalsb AS (SELECT doc_id, count(*) AS n_blocks FROM hashed GROUP BY doc_id),
+      stripped AS MATERIALIZED (
+        SELECT t.doc_id, t.n_blocks - coalesce(k.n_kept, 0) AS n_removed,
+          coalesce(k.text_clean, '') AS text_clean
+        FROM totalsb t LEFT JOIN keptb k USING (doc_id)),
+      evalg AS MATERIALIZED (
+        SELECT DISTINCT array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT tk, unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT string_split(array_to_string(
+              string_split(text_clean, ' ')[3:22], ' '), ' ') AS tk
+            FROM stripped WHERE doc_id % 97 = 0 AND text_clean <> '') t) u),
+      docg AS (
+        SELECT doc_id, array_to_string(tk[i : i + 7], ' ') AS g FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 7, 0) AS BIGINT) + 1)) AS i
+          FROM (SELECT doc_id, string_split(text_clean, ' ') AS tk
+            FROM stripped WHERE text_clean <> '') t) u),
+      contam AS (SELECT DISTINCT doc_id FROM docg JOIN evalg USING (g)),
+      verdicts AS (
+        SELECT s.doc_id, st.n_tokens,
+          (st.n_tokens BETWEEN 30 AND 130
+            AND round(CAST(st.top_cnt AS DOUBLE) / st.n_tokens, 4) <= 0.2) AS quality_ok,
+          CAST(s.n_removed AS BIGINT) AS n_removed,
+          s.text_clean = '' AS stripped_empty,
+          (c.doc_id IS NOT NULL) AS contaminated
+        FROM stripped s
+        JOIN stats st USING (doc_id)
+        LEFT JOIN contam c USING (doc_id))
+      SELECT doc_id, n_tokens, quality_ok, n_removed, stripped_empty,
+        contaminated,
+        (quality_ok AND NOT stripped_empty AND NOT contaminated) AS admitted
+      FROM verdicts"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28)
+    st22, st23, st24, st25, st26, st27, st28, st29)
 }

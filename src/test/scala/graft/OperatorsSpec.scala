@@ -2402,6 +2402,56 @@ class OperatorsSpec extends SparkSpec {
     assert(m1 === m2, "training must be deterministic under repartitioning")
   }
 
+  test("st29 admission kernel: row-local formulation equals the batch stage chain") {
+    // the streaming lane recomputes quality/strip/decontam with in-row
+    // HOFs; the batch stages use explode+groupBy. Same corpus, same frozen
+    // models — every per-doc verdict must agree between the two
+    // formulations (cross-engine parity is the gate's oracle; THIS pins
+    // the engine-internal reformulation).
+    import graft.operators.{Curation, Dedup}
+    val corpus = Dedup.d19Corpus(graft.sources.Tables.documents(spark, sfDir))
+      .localCheckpoint(true)
+    val (hot, evalGrams) = Curation.frozenAdmissionModels(corpus)
+    assert(hot.nonEmpty, "the planted template must produce hot blocks")
+    assert(evalGrams.nonEmpty, "the %97 eval slice must produce grams")
+    val rowLocal = Curation.admissionVerdict(corpus, hot, evalGrams).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Boolean]("quality_ok"),
+          r.getAs[Long]("n_removed"), r.getAs[Boolean]("stripped_empty"),
+          r.getAs[Boolean]("contaminated"), r.getAs[Boolean]("admitted"))).toMap
+    // batch formulation: explode+groupBy quality stats, lineDedup strip,
+    // explode+broadcast-join decontam
+    val tk = split(col("text"), " ")
+    val stats = corpus.select(col("doc_id"), explode(tk).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
+    val stripped = Dedup.lineDedup(corpus, blockTokens = 10, maxDf = 50)
+    val sp2 = spark
+    import sp2.implicits._
+    val evalSet = evalGrams.toSet
+    val contaminated = stripped.filter(col("text_clean") =!= "")
+      .select(col("doc_id"), split(col("text_clean"), " ").as("tk"))
+      .select(col("doc_id"), explode(Dedup.wordNgrams(8)).as("g"))
+      .select(col("doc_id"), graft.functions.CrossEngine.md5Hash60(col("g")).as("h"))
+      .filter(col("h").isin(evalSet.toSeq: _*))
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    val batch = stats.join(stripped, Seq("doc_id")).collect().map { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      val q = nt >= 30 && nt <= 130 &&
+        BigDecimal(r.getAs[Long]("top_cnt").toDouble / nt)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble <= 0.2
+      val id = r.getAs[Long]("doc_id")
+      val empty = r.getAs[String]("text_clean") == ""
+      val cont = contaminated.contains(id)
+      id -> ((nt, q, r.getAs[Long]("n_removed"), empty, cont, q && !empty && !cont))
+    }.toMap
+    assert(rowLocal.keySet === batch.keySet)
+    rowLocal.foreach { case (id, v) =>
+      assert(v === batch(id), s"doc $id: row-local $v vs batch ${batch(id)}")
+    }
+  }
+
   test("w07 compaction preserves data identity and reduces files") {
     val r = run("w07_compact_small_files").head()
     val o = graft.sources.Tables.orders(spark, sfDir)
