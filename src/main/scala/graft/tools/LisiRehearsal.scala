@@ -35,11 +35,8 @@ object LisiRehearsal {
     }
 
     val kNn = 15
-    def meanLisi(df: DataFrame, nProbes: Int): Double = {
-      val probes = df
-        .select(col("cell_id").as("pid"), col("features").as("pf"),
-          graft.functions.CrossEngine.md5Hash60(col("cell_id")).as("h"))
-        .orderBy(col("h")).limit(nProbes).drop("h")
+    /** Per-probe LISI frame (pid, lisi) for one probe panel. */
+    def lisiPerProbe(df: DataFrame, probes: DataFrame): DataFrame = {
       val d2 = graft.functions.VectorExpressions.l2DistSq(col("features"), col("pf"))
       val nn = graft.operators.Similarity.knnJoin(
         df.select(col("cell_id"), col("features")), probes, d2, kNn,
@@ -50,7 +47,26 @@ object LisiRehearsal {
         .groupBy(col("pid"), col("batch")).agg(count(lit(1)).as("nb"))
         .groupBy(col("pid"))
         .agg((lit(1.0) / sum(pow(col("nb").cast("double") / kNn, 2.0))).as("lisi"))
-        .agg(avg(col("lisi"))).head().getDouble(0)
+    }
+    /** Mean LISI over `nProbes` hash-sampled probes, optionally SHARDING
+      * the probe panel into `nShards` sequential heap passes (VERDICT r10
+      * next-5: the remedy for the single-JVM 1M ceiling — each pass
+      * scores |probes|/S x N pairs, so the transient crossJoin volume and
+      * partial-heap state in flight at any moment shrink by S while the
+      * union of per-probe LISI values is EXACTLY the unsharded panel's). */
+    def meanLisi(df: DataFrame, nProbes: Int, nShards: Int = 1): Double = {
+      val probes = df
+        .select(col("cell_id").as("pid"), col("features").as("pf"),
+          graft.functions.CrossEngine.md5Hash60(col("cell_id")).as("h"))
+        .orderBy(col("h")).limit(nProbes).drop("h")
+        .withColumn("shard",
+          pmod(graft.functions.CrossEngine.md5Hash60(col("pid")), lit(nShards.toLong)))
+        .localCheckpoint(true)
+      val vals = (0 until nShards).flatMap { sh =>
+        lisiPerProbe(df, probes.filter(col("shard") === sh).drop("shard"))
+          .collect().map(_.getDouble(1))
+      }
+      vals.sum / vals.size
     }
 
     if (arg.startsWith("/")) {
@@ -72,6 +88,7 @@ object LisiRehearsal {
         f"gap=${after - before}%.4f (h11 margin must sit well under this gap)")
     } else {
       val nM = arg.toDouble
+      val nShards = if (args.length > 1) args(1).toInt else 1
       val n = (nM * 1e6).toLong
       val d = 20
       val nBatches = 3
@@ -102,9 +119,11 @@ object LisiRehearsal {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         out.count(); out
       }
-      val before = timed(s"LISI(raw, ${n} cells, 200 probes)")(meanLisi(cells, 200))
-      val after = timed(s"LISI(ideal, ${n} cells, 200 probes)")(meanLisi(ideal, 200))
-      println(f"[lisi-scale] n=$n before=$before%.4f after=$after%.4f " +
+      val before = timed(s"LISI(raw, ${n} cells, 200 probes, $nShards shards)")(
+        meanLisi(cells, 200, nShards))
+      val after = timed(s"LISI(ideal, ${n} cells, 200 probes, $nShards shards)")(
+        meanLisi(ideal, 200, nShards))
+      println(f"[lisi-scale] n=$n shards=$nShards before=$before%.4f after=$after%.4f " +
         f"(expect ~1 raw -> ~$nBatches ideal; eval cost above is the QC pass a " +
         "deployment runs after every fit)")
     }
