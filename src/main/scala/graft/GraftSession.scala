@@ -26,6 +26,18 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation once a
+      // partition sees >128 distinct groups (the default threshold) — for
+      // the engine's bounded-heap TopKPairs lanes that silently turns the
+      // map-side fold into a per-partition sort of EVERY scored row
+      // (measured r11: a 200-probe kNN eval over 2M cells ran 127-194 s
+      // fallen-back vs 9-13 s hash-based — the artifact r10 misread as a
+      // storage ceiling). Heap state is bounded (~k pairs/group), so 4096
+      // groups cost ~2 MB/partition; other object aggs here (collect_list
+      // in block reassembly) carry doc-sized state, still ≤ ~40 MB at the
+      // new threshold. Lanes needing more than 4096 groups per partition
+      // should shard the probe/group panel (LisiRehearsal's shards arg).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
 
   def local(cores: Int, uiEnabled: Boolean = false): SparkSession = {
     val s = configure(SparkSession.builder(), cores)

@@ -920,6 +920,88 @@ object Sinks {
         true AS protocol_ok
       FROM versions GROUP BY version"""))
 
+  // ---------------------------------------------------------------- w14
+  /** LENGTH-FRAMED WARC OVER GZIP MEMBERS — w12's Content-Length grammar
+    * composed with w11's container path: the EXACT shape production crawl
+    * dumps ship (`.warc.gz`: every record its own gzip member, members
+    * concatenated per ~1 GB file, payload lengths declared, payloads free
+    * to contain "WARC/1.0" lines). One task per file (gzip is not
+    * splittable): JDK concatenated-member decode → `warcFrame` on the
+    * DECODED BYTES (never through an intermediate string split) → the
+    * shared `wetParse` grammar. The fixture plants the same decoy record
+    * headers inside payloads as w12, so this gate proves the decoy
+    * immunity SURVIVES the container hop; oracle identical to w12's. */
+  private val w14 = Q(
+    "w14_warc_gzip_length_framed",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_w14_").toString
+      try {
+        val decoy = "\nWARC/1.0\nContent-Length: 999999\n\ndecoy payload that is not a record"
+        // fixture: one gzip MEMBER per record, 4 files (gate setup standing
+        // in for the crawler; the engine's own write path is warcWrite)
+        val recs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(decoy)))
+              .otherwise(col("text")).as("text"))
+          .select(pmod(col("doc_id"), lit(4L)).as("f"),
+            concat(lit("WARC/1.0\nWARC-Target-URI: http://site-"),
+              (col("doc_id") % 37).cast("string"), lit(".example/doc/"),
+              col("doc_id").cast("string"),
+              lit("\nContent-Length: "), octet_length(col("text")).cast("string"),
+              lit("\n\n"), col("text"), lit("\n")).as("rec"))
+          .collect().groupBy(_.getLong(0))
+        recs.foreach { case (f, rows) =>
+          val os = new java.io.FileOutputStream(s"$out/part-$f.warc.gz")
+          val shield = new java.io.FilterOutputStream(os) { override def close(): Unit = flush() }
+          rows.foreach { r =>
+            val gz = new java.util.zip.GZIPOutputStream(shield)
+            gz.write(r.getString(1).getBytes("UTF-8"))
+            gz.close() // one member per record; Deflater released, file open
+          }
+          os.close()
+        }
+        val sp = s
+        import sp.implicits._
+        val records = s.read.format("binaryFile").load(out)
+          .select(col("content")).as[Array[Byte]]
+          .mapPartitions { files =>
+            files.flatMap { bytes =>
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val decoded = in.readAllBytes() // consumes ALL members
+              in.close()
+              warcFrame(decoded) // length-driven framing on decoded bytes
+            }
+          }
+          .toDF("value")
+        val parsed = wetParse(records)
+          .select(
+            regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            length(col("body")).cast("long").as("n_chars"),
+            md5(col("body")).as("text_md5"),
+            Dedup.urlHost(Dedup.canonicalUrl(col("uri"))).as("host"),
+            (col("clen") === octet_length(col("body"))).as("len_ok"),
+            (instr(col("body"), "WARC/1.0") > 0).as("embeds_boundary"))
+        graft.functions.CrossEngine.materializeLocal(s, parsed)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""WITH aug AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0
+            THEN text || chr(10) || 'WARC/1.0' || chr(10)
+              || 'Content-Length: 999999' || chr(10) || chr(10)
+              || 'decoy payload that is not a record'
+            ELSE text END AS text
+        FROM documents)
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        md5(text) AS text_md5,
+        'site-' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS host,
+        true AS len_ok,
+        (doc_id % 13 = 0) AS embeds_boundary
+      FROM aug"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13)
+    w12, w13, w14)
 }

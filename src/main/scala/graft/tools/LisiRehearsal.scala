@@ -26,6 +26,13 @@ object LisiRehearsal {
     val arg = if (args.nonEmpty) args(0) else "1.0"
     val spark = graft.GraftSession.local(16)
     spark.sparkContext.setLogLevel("ERROR")
+    // experiment knob: SPARK_GRAFT_OHA_THRESHOLD overrides the
+    // ObjectHashAggregate sort-based fallback threshold (default 128
+    // groups/partition — the r11 suspect for the unsharded 200-probe
+    // pass degrading to a per-partition sort of all scored pairs)
+    sys.env.get("SPARK_GRAFT_OHA_THRESHOLD").foreach { t =>
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", t)
+    }
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
