@@ -331,7 +331,66 @@ case class L2DistSq(left: Expression, right: Expression) extends BinaryExpressio
   override def prettyName: String = "l2_dist_sq"
 }
 
+/** sorted_set_overlap(array<long>) -> boolean: true iff ANY element of the
+  * input hits the FROZEN sorted long set (binary search per element).
+  * Built for the st29 admission lane's decontamination check: the frozen
+  * eval-gram set grows with the eval benchmark (134k entries at the 1M-doc
+  * rehearsal), and the HOF `exists(.., array_contains(lit, ..))` form
+  * scans the whole literal per element INTERPRETED — O(|grams| x |set|)
+  * per doc, measured as a hang at rehearsal scale. This expression is one
+  * codegen'd loop with O(|grams| x log|set|) lookups against a single
+  * shared reference array (no per-row set build, unlike arrays_overlap's
+  * per-row hash set). */
+case class SortedSetOverlap(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_set_overlap requires ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("sorted", sorted, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+        ${ev.value} = false;
+        int $n = $a.numElements();
+        for (int $i = 0; $i < $n && !${ev.value}; $i++) {
+          ${ev.value} = java.util.Arrays.binarySearch($setRef, $a.getLong($i)) >= 0;
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): SortedSetOverlap =
+    copy(child = c)
+  override def prettyName: String = "sorted_set_overlap"
+}
+
 object VectorExpressions {
+  /** overlap of an array<long> column with a frozen sorted long set. */
+  def sortedSetOverlap(c: Column, sorted: Array[Long]): Column =
+    GraftShims.column(SortedSetOverlap(GraftShims.expression(c), sorted))
+
   def simhash64(c: Column): Column =
     GraftShims.column(SimHash64(GraftShims.expression(c)))
   def dotF(a: Column, b: Column): Column =

@@ -364,7 +364,6 @@ object Curation {
   private[graft] def admissionVerdict(docs: DataFrame, hotHashes: Seq[Long],
       evalGramHashes: Seq[Long]): DataFrame = {
     val hotLit = typedlit(hotHashes)
-    val evalLit = typedlit(evalGramHashes)
     def h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long") // = CrossEngine.md5Hash60
     docs
@@ -385,7 +384,13 @@ object Curation {
       .withColumn("grams", expr(
         """filter(transform(sequence(1, greatest(size(ctk) - 7, 1)),
            i -> concat_ws(' ', slice(ctk, i, 8))), g -> size(ctk) >= 8)"""))
-      .withColumn("contaminated", exists(col("grams"), g => array_contains(evalLit, h60(g))))
+      // contamination via the codegen'd binary-search overlap: the eval
+      // set GROWS with the benchmark suite (134k grams at the 1M-doc
+      // rehearsal) and the exists+array_contains HOF form scans the whole
+      // literal per gram interpreted — measured as a hang at that scale
+      .withColumn("gram_hashes", transform(col("grams"), g => h60(g)))
+      .withColumn("contaminated", graft.functions.VectorExpressions
+        .sortedSetOverlap(col("gram_hashes"), evalGramHashes.toArray.sorted))
       .select(col("doc_id"), col("n_tokens"), col("quality_ok"), col("n_removed"),
         col("stripped_empty"), col("contaminated"),
         (col("quality_ok") && !col("stripped_empty") && !col("contaminated"))

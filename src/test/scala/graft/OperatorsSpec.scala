@@ -2452,6 +2452,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("SortedSetOverlap: binary-search membership, codegen and interpreted agree") {
+    val sp = spark
+    import sp.implicits._
+    val set = Array(-50L, 0L, 7L, 1000L, Long.MaxValue).sorted
+    val rows = Seq(
+      (1L, Seq(1L, 2L, 7L)),     // hit mid
+      (2L, Seq(-50L)),           // hit first
+      (3L, Seq(Long.MaxValue)),  // hit last
+      (4L, Seq(1L, 2L, 3L)),     // miss
+      (5L, Seq.empty[Long]),     // empty array
+      (6L, Seq(999L, 1001L)))    // straddles without hitting
+      .toDF("id", "xs")
+    val got = rows.select(col("id"),
+        graft.functions.VectorExpressions.sortedSetOverlap(col("xs"), set).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false))
+    // interpreted path must agree (the HOF-lambda context runs eval())
+    val e = graft.functions.SortedSetOverlap(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 2L, 7L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), set)
+    assert(e.eval(null) === true)
+    // wrong element type fails at analysis, not mid-job
+    intercept[org.apache.spark.sql.AnalysisException] {
+      rows.select(graft.functions.VectorExpressions
+        .sortedSetOverlap(col("id"), set)).collect()
+    }
+  }
+
   test("w07 compaction preserves data identity and reduces files") {
     val r = run("w07_compact_small_files").head()
     val o = graft.sources.Tables.orders(spark, sfDir)
