@@ -1878,10 +1878,80 @@ object TextAnalysis {
     }
   }
 
-  /** Hard-EM unigram trainer over a (w, cnt) word table. Returns the
-    * final piece log-prob model and the per-round total negative
-    * log-likelihood trace (round 0 = under the seed model). */
-  private[graft] def unigramTrain(words: DataFrame)
+  /** Forward-backward over the segmentation lattice of `w` (the FULL-EM
+    * E-step, Kudo '18 §3.2): returns the per-piece EXPECTED counts under
+    * the model's posterior over ALL segmentations, plus the log evidence
+    * (marginal likelihood). Log-space alpha/beta with log-sum-exp (a
+    * 30-char word's path probabilities underflow linear doubles), fixed
+    * iteration order so the result is deterministic. None when some
+    * character has no vocab entry. */
+  private[graft] def ugForwardBackward(w: String,
+      lp: scala.collection.Map[String, Double]): Option[(List[(String, Double)], Double)] = {
+    val n = w.length
+    if (n == 0) return None
+    val NEG = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - ugMaxPieceLen)
+      while (j < i) {
+        if (alpha(j) != NEG) lp.get(w.substring(j, i)).foreach { p =>
+          alpha(i) = lse(alpha(i), alpha(j) + p) }
+        j += 1
+      }
+      i += 1
+    }
+    if (alpha(n) == NEG) return None
+    val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+    var j2 = n - 1
+    while (j2 >= 0) {
+      var i2 = j2 + 1
+      val iMax = math.min(n, j2 + ugMaxPieceLen)
+      while (i2 <= iMax) {
+        if (beta(i2) != NEG) lp.get(w.substring(j2, i2)).foreach { p =>
+          beta(j2) = lse(beta(j2), p + beta(i2)) }
+        i2 += 1
+      }
+      j2 -= 1
+    }
+    // expected count of lattice edge (j, i) = exp(α(j) + lp + β(i) − α(n));
+    // same-piece edges within the word accumulate in fixed (j, i) order
+    val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var j3 = 0
+    while (j3 < n) {
+      if (alpha(j3) != NEG) {
+        var i3 = j3 + 1
+        val iMax = math.min(n, j3 + ugMaxPieceLen)
+        while (i3 <= iMax) {
+          val piece = w.substring(j3, i3)
+          lp.get(piece).foreach { p =>
+            if (beta(i3) != NEG) {
+              val post = math.exp(alpha(j3) + p + beta(i3) - alpha(n))
+              acc.update(piece, acc.getOrElse(piece, 0.0) + post)
+            }
+          }
+          i3 += 1
+        }
+      }
+      j3 += 1
+    }
+    Some((acc.toList, alpha(n)))
+  }
+
+  /** Unigram trainer over a (w, cnt) word table — hard (Viterbi-) EM by
+    * default, FULL EM (forward-backward expected counts) with
+    * `soft = true`. Returns the final piece log-prob model and the
+    * per-round corpus negative log-likelihood trace (round 0 = seed
+    * model; Viterbi max-path likelihood in hard mode, marginal evidence
+    * in soft mode — comparable within a mode, not across). Counts ride
+    * in exact MICRO-units (round(expected x 1e6) per word, Long-summed),
+    * so both modes stay bit-identical under any partitioning — the soft
+    * posteriors are deterministic per word and the only cross-partition
+    * reduction is integer addition. */
+  private[graft] def unigramTrain(words: DataFrame, soft: Boolean = false)
       : (Map[String, Double], Seq[Double]) = {
     val sp = words.sparkSession
     import sp.implicits._
@@ -1909,26 +1979,35 @@ object TextAnalysis {
     val lls = scala.collection.mutable.ArrayBuffer[Double]()
     for (round <- 0 to ugRounds) {
       val bc = sp.sparkContext.broadcast(model)
-      // E-step: Viterbi counts (exact Longs) + corpus neg log-likelihood
+      // E-step: per-word micro-counts (exact Longs) + corpus neg loglik —
+      // Viterbi path counts (hard) or forward-backward expectations (soft)
       val seg = wcnt.mapPartitions { it =>
         it.map { case (w, c) =>
-          ugViterbi(w, bc.value) match {
-            case Some((pieces, score)) => (pieces, c, -score * c)
-            case None => (List.empty[String], c, 0.0)
+          if (soft) ugForwardBackward(w, bc.value) match {
+            case Some((edges, logEv)) =>
+              (edges.map { case (p, e) => (p, math.round(e * c * 1e6)) },
+                -logEv * c)
+            case None => (List.empty[(String, Long)], 0.0)
+          }
+          else ugViterbi(w, bc.value) match {
+            case Some((pieces, score)) =>
+              (pieces.map(p => (p, c * 1000000L)), -score * c)
+            case None => (List.empty[(String, Long)], 0.0)
           }
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lls += seg.map(_._3).reduce(_ + _)
+      lls += seg.map(_._2).reduce(_ + _)
       if (round < ugRounds) {
-        val counts = seg.flatMap { case (ps, c, _) => ps.map(p => (p, c)) }
+        val counts = seg.flatMap(_._1)
           .toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("c"))
           .as[(String, Long)].collect() // bounded by vocab size
         // M-step + prune: keep the top-cap multi-char pieces by (count
-        // desc, piece asc); single chars always survive (coverage floor 1)
+        // desc, piece asc); single chars always survive (coverage floor
+        // of one micro-unit)
         val multi = counts.filter(_._1.length > 1)
           .sortBy { case (p, c) => (-c, p) }.take(ugVocabCap)
         val singleKept = singles.map { case (p, _) =>
-          p -> math.max(1L, counts.toMap.getOrElse(p, 0L)) }
+          p -> math.max(1000000L, counts.toMap.getOrElse(p, 0L)) }
         model = toLogProbs((singleKept ++ multi).toSeq)
       }
       seg.unpersist(false)
@@ -2044,6 +2123,58 @@ object TextAnalysis {
         (doc_id % 5 = 0) AS has_planted_token
       FROM words GROUP BY doc_id"""))
 
+  /** t30: the FULL-EM (soft) trainer under the same planted-structure
+    * gate as t28 — forward-backward expected counts instead of Viterbi
+    * path counts, the estimator SentencePiece actually ships. The planted
+    * dominance argument is strictly stronger here: the whole-word piece
+    * takes essentially ALL of the posterior mass (every split path costs
+    * ≥ one extra factor ≪ 1), so its expected count ≈ the word count and
+    * it must survive pruning and win the Viterbi decode. */
+  private val tUgSoft = Q(
+    "t30_unigram_soft_em",
+    (s, dir) => {
+      val words = ugWords(ugCorpus(s, dir)).localCheckpoint(true)
+      val (model, lls) = unigramTrain(words, soft = true)
+      val perWord = ugWordTokens(words, model)
+        .agg(min(col("segmentable")).as("all_segmentable"),
+          min(col("lossless")).as("all_lossless"))
+      val sp = s
+      import sp.implicits._
+      val corpusChars = words.select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("ch"))
+        .distinct().as[String].collect() // bounded: alphabet
+      val flags = Seq(
+        corpusChars.forall(model.contains),
+        model.contains("zxzxzx"),
+        ugViterbi("zxzxzx", model).exists(_._1 == List("zxzxzx")),
+        lls.last <= lls.head + 1e-6, // marginal evidence improved
+        model.keys.count(_.length > 1) <= ugVocabCap)
+      words.select(count(lit(1)).as("n_distinct_words"),
+          sum(col("cnt")).as("n_word_occurrences"))
+        .crossJoin(perWord)
+        .select(col("n_distinct_words"), col("n_word_occurrences"),
+          col("all_segmentable"), col("all_lossless"),
+          lit(flags(0)).as("single_char_coverage"),
+          lit(flags(1)).as("planted_piece_learned"),
+          lit(flags(2)).as("planted_segments_whole"),
+          lit(flags(3)).as("loglik_improved"),
+          lit(flags(4)).as("vocab_cap_held"))
+    },
+    Some("""WITH aug AS (
+        SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' zxzxzx' ELSE text END AS text
+        FROM documents),
+      w AS (
+        SELECT w, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM aug) t
+        WHERE w <> '' GROUP BY w)
+      SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+        CAST(sum(c) AS BIGINT) AS n_word_occurrences,
+        true AS all_segmentable, true AS all_lossless,
+        true AS single_char_coverage, true AS planted_piece_learned,
+        true AS planted_segments_whole, true AS loglik_improved,
+        true AS vocab_cap_held
+      FROM w"""))
+
   // ---------------------------------------------------------------- t27
   /** TOKENIZER EFFICIENCY EVAL (compression rate + fertility — the
     * chars-per-token and tokens-per-word metrics every tokenizer paper
@@ -2119,5 +2250,5 @@ object TextAnalysis {
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
-      tUgTrain, tUgApply)
+      tUgTrain, tUgApply, tUgSoft)
 }

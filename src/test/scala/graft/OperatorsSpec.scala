@@ -2388,6 +2388,52 @@ class OperatorsSpec extends SparkSpec {
       "on equal scores the single longer piece must win")
   }
 
+  test("t30 ugForwardBackward: evidence and expected counts match brute-force enumeration") {
+    import graft.operators.TextAnalysis.ugForwardBackward
+    val lp = Map("a" -> math.log(0.3), "b" -> math.log(0.2),
+      "ab" -> math.log(0.25), "ba" -> math.log(0.15), "abab" -> math.log(0.1))
+    def segs(w: String): List[List[String]] =
+      if (w.isEmpty) List(Nil)
+      else (1 to math.min(6, w.length)).toList.flatMap { l =>
+        val h = w.take(l)
+        if (lp.contains(h)) segs(w.drop(l)).map(h :: _) else Nil
+      }
+    for (w <- Seq("abab", "ababab", "aab", "ba", "abba")) {
+      val all = segs(w)
+      assert(all.nonEmpty)
+      val probs = all.map(s => s.map(lp).sum) // log prob per segmentation
+      val evidence = math.log(probs.map(math.exp).sum)
+      val Some((edges, logEv)) = ugForwardBackward(w, lp)
+      assert(math.abs(logEv - evidence) < 1e-9, s"evidence mismatch for '$w'")
+      // expected count of each piece = sum over segmentations of
+      // P(seg|w) * (occurrences of piece in seg)
+      val want = all.zip(probs).foldLeft(Map.empty[String, Double]) {
+        case (m, (s, lpr)) =>
+          val post = math.exp(lpr - evidence)
+          s.foldLeft(m)((m2, p) => m2.updated(p, m2.getOrElse(p, 0.0) + post))
+      }
+      val got = edges.toMap
+      assert(got.keySet === want.keySet, s"piece set mismatch for '$w'")
+      want.foreach { case (p, e) =>
+        assert(math.abs(got(p) - e) < 1e-9, s"E[count($p)] for '$w': ${got(p)} vs $e")
+      }
+    }
+    assert(ugForwardBackward("abc", lp).isEmpty, "missing char -> None")
+  }
+
+  test("t30 soft-EM training: planted morpheme learned, deterministic retrain") {
+    import graft.operators.TextAnalysis._
+    val words = ugWords(ugCorpus(spark, sfDir)).localCheckpoint(true)
+    val (m1, lls) = unigramTrain(words, soft = true)
+    assert(m1.contains("zxzxzx"))
+    assert(ugViterbi("zxzxzx", m1).get._1 === List("zxzxzx"))
+    assert(lls.last <= lls.head + 1e-6,
+      s"soft EM must not worsen marginal evidence: ${lls.head} -> ${lls.last}")
+    // micro-quantized Long expectations => bit-identical retrain
+    val (m2, _) = unigramTrain(words.repartition(5), soft = true)
+    assert(m1 === m2, "soft training must be deterministic under repartitioning")
+  }
+
   test("t28 unigram training: planted morpheme learned, deterministic retrain") {
     import graft.operators.TextAnalysis._
     val words = ugWords(ugCorpus(spark, sfDir)).localCheckpoint(true)
