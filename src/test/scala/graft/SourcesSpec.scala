@@ -247,6 +247,40 @@ class SourcesSpec extends SparkSpec {
       graft.functions.CrossEngine.deleteRecursive(root)
     }
   }
+  test("w12 warcFrame property: random adversarial payloads roundtrip byte-exactly") {
+    // the framing spec under fire: 200 seeded-random payloads over a
+    // charset that includes newlines, boundary-token fragments, FULL fake
+    // record headers, and multibyte UTF-8 (Content-Length counts BYTES —
+    // the one edge the all-ASCII gate corpus never exercises)
+    val rng = new scala.util.Random(4242)
+    val atoms = Array("a", "b", " ", "\n", "\n\n", "WARC/1.0", "WARC/1.0\n",
+      "\nWARC/1.0\nContent-Length: 3\n\nxyz", "Content-Length: 99\n",
+      "é", "中文", "é\n", "end\n")
+    val payloads = (0 until 200).map { i =>
+      if (i == 0) "" // empty payload
+      else if (i == 1) "WARC/1.0\n" // payload IS the boundary token
+      else (0 until rng.nextInt(12)).map(_ => atoms(rng.nextInt(atoms.length))).mkString
+    }
+    val bytes = payloads.zipWithIndex.flatMap { case (p, i) =>
+      val body = p.getBytes("UTF-8")
+      (s"WARC/1.0\nWARC-Target-URI: http://h/doc/$i\n" +
+        s"Content-Length: ${body.length}\n\n").getBytes("UTF-8") ++ body ++ "\n".getBytes("UTF-8")
+    }.toArray
+    val recs = graft.operators.Sinks.warcFrame(bytes)
+    assert(recs.length === payloads.length, s"framed ${recs.length}/${payloads.length}")
+    val sp = spark
+    import sp.implicits._
+    val got = graft.operators.Sinks.wetParse(recs.toDF("value"))
+      .select(regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("int").as("i"),
+        col("body"), (col("clen") === octet_length(col("body"))).as("len_ok"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    got.zip(payloads.zipWithIndex).foreach { case ((i, body, lenOk), (want, j)) =>
+      assert(i === j)
+      assert(body === want, s"payload $j mismatch: ${body.take(40)} vs ${want.take(40)}")
+      assert(lenOk, s"payload $j byte count must match the declared Content-Length")
+    }
+  }
   test("w11 gzip members: concatenated-member decode, per-file parallelism") {
     // one task per .gz file (gzip is not splittable) and the JDK reader
     // must consume ALL concatenated members, not stop after the first

@@ -223,6 +223,40 @@ class StreamingSpec extends SparkSpec {
       "the streaming admission filter must produce the identical cleaned corpus")
   }
 
+  test("st29 admission plan is genuinely STATELESS: no state store, no watermark, no agg") {
+    // the lane's scale contract is that every verdict folds into the row,
+    // so unbounded input needs zero state — pin it on the ANALYZED
+    // streaming plan (a regression that sneaks in an aggregation or
+    // dedup would change this shape, not just slow down)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val verdicts = graft.operators.Curation.admissionVerdict(
+      input.toDF().toDF("doc_id", "text"),
+      hotHashes = Seq(42L), evalGramHashes = Seq(7L, 9L))
+    assert(verdicts.isStreaming, "the verdict frame must stay a streaming frame")
+    val q = verdicts.writeStream.format("memory").queryName("st29_spec_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "hello world"), (2L, "more text here"))
+      q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateful = plan.collect {
+        case s: org.apache.spark.sql.execution.streaming.operators.stateful.StateStoreWriter => s
+      }
+      assert(stateful.isEmpty, s"admission must plan ZERO stateful operators, saw $stateful")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "progress must report no state operators")
+      assert(sp.table("st29_spec_sink").count() === 2L)
+    } finally {
+      q.stop()
+      sp.catalog.dropTempView("st29_spec_sink")
+    }
+  }
+
   test("st17 NDV sketch state merges across micro-batches to the batch sketch") {
     val sp = spark
     import sp.implicits._
