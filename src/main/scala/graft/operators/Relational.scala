@@ -1542,6 +1542,30 @@ object Relational {
     * neighborless node keeps its label through the left join, so the
     * round is total on any corpus. The oracle mirrors round-for-round;
     * its row_number forms are the per-node argmax DuckDB-side only. */
+  /** The q70 LPA round loop, factored for the scale rehearsal
+    * ([[graft.tools.LpaRehearsal]]): `und` is the UNDIRECTED (u, v) edge
+    * frame, labels start as node ids, each of `rounds` synchronous rounds
+    * is one node-keyed equi-join + a grouped (node, label) count + a
+    * per-node top-1 through the bounded heap, lineage truncated. */
+  private[graft] def labelPropagation(und: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    var labels = nodes.select(col("i").as("node"), col("i").as("label"))
+    for (_ <- 1 to rounds) {
+      // neighbor-label histogram -> per-node mode (count desc, label asc)
+      // through the bounded heap: payload -label makes the heap's
+      // descending payload tiebreak equal the smallest-label rule
+      val mode = und.join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(graft.functions.TopK.topKPairs(col("c"), -col("label"), 1).as("top"))
+        .select(col("u").as("node"), (-col("top")(0)("payload")).as("new_label"))
+      labels = labels.join(mode, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   private val q70 = Q(
     "q70_label_propagation",
     (s, dir) => {
@@ -1558,21 +1582,7 @@ object Relational {
       val und = edges.select(col("a").as("u"), col("b").as("v"))
         .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint(true)
-      var labels = ids.select(col("i").as("node"), col("i").as("label"))
-      for (_ <- 1 to 4) {
-        // neighbor-label histogram -> per-node mode (count desc, label asc)
-        // through the bounded heap: payload -label makes the heap's
-        // descending payload tiebreak equal the smallest-label rule
-        val mode = und.join(labels, col("v") === col("node"))
-          .groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
-          .groupBy(col("u"))
-          .agg(graft.functions.TopK.topKPairs(col("c"), -col("label"), 1).as("top"))
-          .select(col("u").as("node"), (-col("top")(0)("payload")).as("new_label"))
-        labels = labels.join(mode, Seq("node"), "left")
-          .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
-          .localCheckpoint(true)
-      }
-      labels
+      labelPropagation(und, ids, rounds = 4)
     },
     Some {
       val rounds = (1 to 4).map { i =>
