@@ -1951,8 +1951,9 @@ object TextAnalysis {
     * so both modes stay bit-identical under any partitioning — the soft
     * posteriors are deterministic per word and the only cross-partition
     * reduction is integer addition. */
-  private[graft] def unigramTrain(words: DataFrame, soft: Boolean = false)
-      : (Map[String, Double], Seq[Double]) = {
+  private[graft] def unigramTrain(words: DataFrame, soft: Boolean = false,
+      seedCap: Int = ugSeedCap, vocabCap: Int = ugVocabCap,
+      rounds: Int = ugRounds): (Map[String, Double], Seq[Double]) = {
     val sp = words.sparkSession
     import sp.implicits._
     val wcnt = words.select(col("w"), col("cnt")).as[(String, Long)]
@@ -1968,7 +1969,7 @@ object TextAnalysis {
     val singles = subs.filter(length(col("piece")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)) // bounded: alphabet
     val top = subs.filter(length(col("piece")) > 1)
-      .orderBy(col("f").desc, col("piece")).limit(ugSeedCap)
+      .orderBy(col("f").desc, col("piece")).limit(seedCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)) // bounded: the cap
     subs.unpersist(false)
     def toLogProbs(counts: Seq[(String, Long)]): Map[String, Double] = {
@@ -1977,7 +1978,7 @@ object TextAnalysis {
     }
     var model = toLogProbs((singles ++ top).toSeq)
     val lls = scala.collection.mutable.ArrayBuffer[Double]()
-    for (round <- 0 to ugRounds) {
+    for (round <- 0 to rounds) {
       val bc = sp.sparkContext.broadcast(model)
       // E-step: per-word micro-counts (exact Longs) + corpus neg loglik —
       // Viterbi path counts (hard) or forward-backward expectations (soft)
@@ -1997,7 +1998,7 @@ object TextAnalysis {
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       lls += seg.map(_._2).reduce(_ + _)
-      if (round < ugRounds) {
+      if (round < rounds) {
         val counts = seg.flatMap(_._1)
           .toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("c"))
           .as[(String, Long)].collect() // bounded by vocab size
@@ -2005,7 +2006,7 @@ object TextAnalysis {
         // desc, piece asc); single chars always survive (coverage floor
         // of one micro-unit)
         val multi = counts.filter(_._1.length > 1)
-          .sortBy { case (p, c) => (-c, p) }.take(ugVocabCap)
+          .sortBy { case (p, c) => (-c, p) }.take(vocabCap)
         val singleKept = singles.map { case (p, _) =>
           p -> math.max(1000000L, counts.toMap.getOrElse(p, 0L)) }
         model = toLogProbs((singleKept ++ multi).toSeq)
