@@ -2176,6 +2176,154 @@ object TextAnalysis {
         true AS vocab_cap_held
       FROM w"""))
 
+  // ---------------------------------------------------------------- t31
+  /** TRAINABLE QUALITY CLASSIFIER — logistic regression over hashed
+    * bag-of-words features, the fastText-style linear filter production
+    * pipelines train on good/bad exemplars (CCNet, GPT-3's WebText
+    * classifier; public). Naive Bayes (t26) is the closed-form-counts
+    * classifier; this adds the ITERATIVE-OPTIMIZATION operator class:
+    * full-batch gradient descent where each step is one map over the
+    * feature table under the broadcast weight vector, folding per-bucket
+    * gradient contributions map-side.
+    *
+    * Scale shape: features are built ONCE (explode → grouped count →
+    * per-doc sorted sparse arrays, the shuffle carrying (doc, bucket)
+    * pairs); each GD step shuffles only (bucket, grad) pairs — the model
+    * dimension, not the corpus — and the weight vector (buckets + bias)
+    * broadcasts at a few KB. Gradient contributions are micro-quantized
+    * to exact Longs per doc (the t30 device), so the trained weights are
+    * bit-identical under any partitioning; only the reported loss trace
+    * sums doubles (tolerance-gated). At 100 TB: one corpus featurize
+    * pass, then iterations over a (docs x avg-sparsity) table with
+    * model-sized shuffles.
+    *
+    * Gate: planted linearly-separable structure (marker tokens per
+    * class) that training MUST separate perfectly — recomputed booleans
+    * under a constant-true oracle next to SQL-recomputable class counts
+    * (the t28 pattern). */
+  private[graft] val lrBuckets = 1024
+
+  /** (doc_id, label, bks sorted bucket ids, vls tf values) — the sparse
+    * hashed feature table, built once. */
+  private[graft] def lrFeatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("label"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val cnts = toks.groupBy(col("doc_id"), col("label"),
+        pmod(xxhash64(col("token")), lit(lrBuckets.toLong)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    cnts.groupBy(col("doc_id"), col("label"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("sp"))
+      .select(col("doc_id"), col("label"),
+        expr("transform(sp, x -> x.bucket)").as("bks"),
+        // binary presence features (the fastText-style hashed BOW): a
+        // marker token contributes a full 1.0 regardless of doc length —
+        // tf-scaled features put the signal at ~1/doc_len and the
+        // optimizer crawled (measured via tools/LrScratch)
+        expr("transform(sp, x -> 1.0d)").as("vls"))
+  }
+
+  /** Full-batch GD with per-coordinate AdaGrad scaling (Duchi et al. '11
+    * — the standard remedy for sparse hashed features, where a global
+    * rate either crawls on small-tf coordinates or oscillates once
+    * raised): G_k accumulates squared gradients, each step is
+    * rate x g_k / sqrt(G_k). Returns (weights incl. bias at index
+    * lrBuckets, loss trace). Deterministic: per-doc gradient
+    * contributions quantize to micro-Longs before the cross-partition
+    * sum; the AdaGrad state is driver-side arithmetic over those exact
+    * sums. */
+  private[graft] def lrTrain(feats: DataFrame, iters: Int, rate: Double)
+      : (Array[Double], Seq[Double]) = {
+    val sp = feats.sparkSession
+    import sp.implicits._
+    val ds = feats.select(col("label").cast("double"), col("bks"), col("vls"))
+      .as[(Double, Seq[Int], Seq[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = ds.count().toDouble
+    var w = new Array[Double](lrBuckets + 1)
+    val gsq = new Array[Double](lrBuckets + 1) // AdaGrad accumulators
+    val losses = scala.collection.mutable.ArrayBuffer[Double]()
+    for (_ <- 1 to iters) {
+      val bc = sp.sparkContext.broadcast(w)
+      val contrib = ds.mapPartitions { it =>
+        it.flatMap { case (y, bks, vls) =>
+          val wv = bc.value
+          var z = wv(lrBuckets)
+          var k = 0
+          while (k < bks.length) { z += vls(k) * wv(bks(k)); k += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val err = p - y
+          val eps = 1e-12
+          val loss = -(y * math.log(p + eps) + (1 - y) * math.log(1 - p + eps))
+          // per-bucket gradient micro-units + (bias, loss) under key -1/-2
+          bks.indices.map(k2 => (bks(k2), math.round(err * vls(k2) * 1e6))) ++
+            Seq((lrBuckets, math.round(err * 1e6)),
+              (-1, math.round(loss * 1e6)))
+        }
+      }.toDF("b", "g").groupBy(col("b")).agg(sum(col("g")).as("g"))
+        .as[(Int, Long)].collect() // bounded: model dimension
+      val gmap = contrib.toMap
+      losses += gmap.getOrElse(-1, 0L) / 1e6
+      var k = 0
+      while (k <= lrBuckets) {
+        val g = (gmap.getOrElse(k, 0L) / 1e6) / nDocs
+        gsq(k) += g * g
+        if (gsq(k) > 0) w(k) -= rate * g / math.sqrt(gsq(k))
+        k += 1
+      }
+      bc.destroy()
+    }
+    ds.unpersist(false)
+    (w, losses.toSeq)
+  }
+
+  /** Per-doc predictions under frozen weights. */
+  private[graft] def lrPredict(feats: DataFrame, w: Array[Double]): DataFrame = {
+    val sp = feats.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(w)
+    feats.select(col("doc_id"), col("label").cast("double"), col("bks"), col("vls"))
+      .as[(Long, Double, Seq[Int], Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, y, bks, vls) =>
+          val wv = bc.value
+          var z = wv(lrBuckets)
+          var k = 0
+          while (k < bks.length) { z += vls(k) * wv(bks(k)); k += 1 }
+          (id, y.toLong, if (z >= 0) 1L else 0L)
+        }
+      }.toDF("doc_id", "label", "pred")
+  }
+
+  private val tLrQuality = Q(
+    "t31_quality_classifier",
+    (s, dir) => {
+      // planted separable structure: spam markers on the positive class,
+      // an organic marker on the negative (both classes gain tokens, so
+      // length alone cannot separate)
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L)).as("label"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" clickspam buynow clickspam")))
+          .otherwise(concat(col("text"), lit(" organiccontent"))).as("text"))
+      val feats = lrFeatures(docs).localCheckpoint(true)
+      val (w, losses) = lrTrain(feats, iters = 30, rate = 0.3)
+      val acc = lrPredict(feats, w)
+        .agg((max(when(col("pred") =!= col("label"), 1).otherwise(0)) === 0)
+          .as("all_train_correct"))
+      feats.agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).as("n_pos"))
+        .crossJoin(acc)
+        .select(col("n_docs"), col("n_pos"), col("all_train_correct"),
+          lit(losses.last < losses.head).as("loss_decreased"),
+          lit(w.forall(v => !v.isNaN && !v.isInfinite)).as("weights_finite"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        true AS all_train_correct, true AS loss_decreased,
+        true AS weights_finite
+      FROM documents"""))
+
   // ---------------------------------------------------------------- t27
   /** TOKENIZER EFFICIENCY EVAL (compression rate + fertility — the
     * chars-per-token and tokens-per-word metrics every tokenizer paper
@@ -2251,5 +2399,5 @@ object TextAnalysis {
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
-      tUgTrain, tUgApply, tUgSoft)
+      tUgTrain, tUgApply, tUgSoft, tLrQuality)
 }

@@ -2434,6 +2434,69 @@ class OperatorsSpec extends SparkSpec {
     assert(m1 === m2, "soft training must be deterministic under repartitioning")
   }
 
+  test("t31 logistic trainer: gradient matches finite differences on a tiny fixture") {
+    // the distributed micro-quantized gradient fold against numeric
+    // differentiation of the loss it claims to descend
+    import graft.operators.TextAnalysis._
+    val sp = spark
+    import sp.implicits._
+    val feats = Seq(
+      (1L, 1L, Seq(3, 7), Seq(1.0, 1.0)),
+      (2L, 0L, Seq(3, 9), Seq(1.0, 1.0)),
+      (3L, 1L, Seq(7), Seq(1.0)),
+      (4L, 0L, Seq(9, 11), Seq(1.0, 1.0)))
+      .toDF("doc_id", "label", "bks", "vls")
+    // one GD step from w=0 recovers the mean gradient: w1 = -rate*g/sqrt(g^2)
+    // is sign-only under AdaGrad, so instead recompute the RAW gradient by
+    // hand from the same quantized fold the trainer uses: run 1 iteration
+    // and invert the AdaGrad update (|step| = rate for every touched coord)
+    val (w1, loss1) = lrTrain(feats, iters = 1, rate = 0.25)
+    def loss(w: Array[Double]): Double = {
+      val rows = Seq((1.0, Seq(3, 7)), (0.0, Seq(3, 9)), (1.0, Seq(7)), (0.0, Seq(9, 11)))
+      rows.map { case (y, bks) =>
+        val z = w(lrBuckets) + bks.map(w(_)).sum
+        val p = 1.0 / (1.0 + math.exp(-z))
+        -(y * math.log(p + 1e-12) + (1 - y) * math.log(1 - p + 1e-12))
+      }.sum
+    }
+    assert(math.abs(loss1.head - loss(new Array[Double](lrBuckets + 1))) < 1e-3,
+      "reported round-0 loss must equal the analytic loss at w=0")
+    // the sign of each first step must OPPOSE the finite-difference slope
+    val w0 = new Array[Double](lrBuckets + 1)
+    for (k <- Seq(3, 7, 9, 11, lrBuckets)) {
+      val eps = 1e-6
+      val wp = w0.clone(); wp(k) += eps
+      val slope = (loss(wp) - loss(w0)) / eps
+      // coords whose first-order gradient cancels exactly (bucket 3: one
+      // positive and one negative doc) show only the O(eps) second-order
+      // term in the finite difference — guard above it
+      if (math.abs(slope) > 1e-4)
+        assert(math.signum(w1(k) - w0(k)) === -math.signum(slope),
+          s"coord $k must step against the loss slope")
+      else
+        assert(w1(k) === 0.0, s"coord $k has zero gradient and must not step")
+    }
+  }
+
+  test("t31 quality classifier: separates plants, generalizes, deterministic retrain") {
+    import graft.operators.TextAnalysis._
+    val docs = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L)).as("label"),
+      when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" clickspam buynow clickspam")))
+        .otherwise(concat(col("text"), lit(" organiccontent"))).as("text"))
+    // train on even ids only; the held-out odd ids probe generalization
+    val feats = lrFeatures(docs).localCheckpoint(true)
+    val train = feats.filter(col("doc_id") % 2 === 0).localCheckpoint(true)
+    val (w, losses) = lrTrain(train, iters = 30, rate = 0.3)
+    assert(losses.last < losses.head * 0.5, "training must at least halve the loss")
+    val heldErrs = lrPredict(feats.filter(col("doc_id") % 2 === 1), w)
+      .filter(col("pred") =!= col("label")).count()
+    assert(heldErrs === 0, s"held-out docs misclassified: $heldErrs")
+    val (w2, _) = lrTrain(train.repartition(7), iters = 30, rate = 0.3)
+    assert(w.toSeq === w2.toSeq, "training must be deterministic under repartitioning")
+  }
+
   test("t28 unigram training: planted morpheme learned, deterministic retrain") {
     import graft.operators.TextAnalysis._
     val words = ugWords(ugCorpus(spark, sfDir)).localCheckpoint(true)
