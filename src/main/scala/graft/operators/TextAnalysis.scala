@@ -2205,12 +2205,12 @@ object TextAnalysis {
 
   /** (doc_id, label, bks sorted bucket ids, vls tf values) — the sparse
     * hashed feature table, built once. */
-  private[graft] def lrFeatures(docs: DataFrame): DataFrame = {
+  private[graft] def lrFeatures(docs: DataFrame, nBuckets: Int = lrBuckets): DataFrame = {
     val toks = docs.select(col("doc_id"), col("label"),
         explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val cnts = toks.groupBy(col("doc_id"), col("label"),
-        pmod(xxhash64(col("token")), lit(lrBuckets.toLong)).cast("int").as("bucket"))
+        pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     cnts.groupBy(col("doc_id"), col("label"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("sp"))
@@ -2232,23 +2232,23 @@ object TextAnalysis {
     * contributions quantize to micro-Longs before the cross-partition
     * sum; the AdaGrad state is driver-side arithmetic over those exact
     * sums. */
-  private[graft] def lrTrain(feats: DataFrame, iters: Int, rate: Double)
-      : (Array[Double], Seq[Double]) = {
+  private[graft] def lrTrain(feats: DataFrame, iters: Int, rate: Double,
+      nBuckets: Int = lrBuckets): (Array[Double], Seq[Double]) = {
     val sp = feats.sparkSession
     import sp.implicits._
     val ds = feats.select(col("label").cast("double"), col("bks"), col("vls"))
       .as[(Double, Seq[Int], Seq[Double])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = ds.count().toDouble
-    var w = new Array[Double](lrBuckets + 1)
-    val gsq = new Array[Double](lrBuckets + 1) // AdaGrad accumulators
+    var w = new Array[Double](nBuckets + 1)
+    val gsq = new Array[Double](nBuckets + 1) // AdaGrad accumulators
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iters) {
       val bc = sp.sparkContext.broadcast(w)
       val contrib = ds.mapPartitions { it =>
         it.flatMap { case (y, bks, vls) =>
           val wv = bc.value
-          var z = wv(lrBuckets)
+          var z = wv(wv.length - 1)
           var k = 0
           while (k < bks.length) { z += vls(k) * wv(bks(k)); k += 1 }
           val p = 1.0 / (1.0 + math.exp(-z))
@@ -2257,7 +2257,7 @@ object TextAnalysis {
           val loss = -(y * math.log(p + eps) + (1 - y) * math.log(1 - p + eps))
           // per-bucket gradient micro-units + (bias, loss) under key -1/-2
           bks.indices.map(k2 => (bks(k2), math.round(err * vls(k2) * 1e6))) ++
-            Seq((lrBuckets, math.round(err * 1e6)),
+            Seq((wv.length - 1, math.round(err * 1e6)),
               (-1, math.round(loss * 1e6)))
         }
       }.toDF("b", "g").groupBy(col("b")).agg(sum(col("g")).as("g"))
@@ -2265,7 +2265,7 @@ object TextAnalysis {
       val gmap = contrib.toMap
       losses += gmap.getOrElse(-1, 0L) / 1e6
       var k = 0
-      while (k <= lrBuckets) {
+      while (k <= nBuckets) {
         val g = (gmap.getOrElse(k, 0L) / 1e6) / nDocs
         gsq(k) += g * g
         if (gsq(k) > 0) w(k) -= rate * g / math.sqrt(gsq(k))
@@ -2279,6 +2279,7 @@ object TextAnalysis {
 
   /** Per-doc predictions under frozen weights. */
   private[graft] def lrPredict(feats: DataFrame, w: Array[Double]): DataFrame = {
+    // bias rides at w.length - 1, so the same predictor serves any bucket width
     val sp = feats.sparkSession
     import sp.implicits._
     val bc = sp.sparkContext.broadcast(w)
@@ -2287,7 +2288,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         it.map { case (id, y, bks, vls) =>
           val wv = bc.value
-          var z = wv(lrBuckets)
+          var z = wv(wv.length - 1)
           var k = 0
           while (k < bks.length) { z += vls(k) * wv(bks(k)); k += 1 }
           (id, y.toLong, if (z >= 0) 1L else 0L)
