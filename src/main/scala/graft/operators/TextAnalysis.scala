@@ -2296,6 +2296,26 @@ object TextAnalysis {
       }.toDF("doc_id", "label", "pred")
   }
 
+  /** ROW-LOCAL scoring under frozen weights — the serving form (st30):
+    * binary presence features mean the whole dot product is "sum the
+    * weights of the doc's distinct buckets", computable inside one row
+    * with no explode/groupBy — which is what lets the SAME frame score a
+    * STREAMING source statelessly. Bit-identical to [[lrPredict]]: both
+    * sum doubles over the SORTED distinct bucket list starting from the
+    * bias, so the addition order — and therefore every prediction —
+    * matches the batch path exactly. */
+  private[graft] def lrScoreRowLocal(docs: DataFrame, w: Array[Double]): DataFrame = {
+    val nBuckets = w.length - 1
+    val wLit = typedlit(w.toSeq)
+    val buckets = sort_array(array_distinct(transform(
+      filter(split(col("text"), " "), t => t =!= ""),
+      t => pmod(xxhash64(t), lit(nBuckets.toLong)).cast("int"))))
+    docs.withColumn("z",
+        aggregate(buckets, lit(w(nBuckets)),
+          (acc, b) => acc + element_at(wLit, b + 1)))
+      .withColumn("pred", when(col("z") >= 0, 1L).otherwise(0L))
+  }
+
   private val tLrQuality = Q(
     "t31_quality_classifier",
     (s, dir) => {

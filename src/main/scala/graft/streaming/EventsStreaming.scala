@@ -2314,7 +2314,58 @@ object EventsStreaming {
         (quality_ok AND NOT stripped_empty AND NOT contaminated) AS admitted
       FROM verdicts"""))
 
+  // ------------------------------------------------- streaming classifier serving
+  /** FROZEN-CLASSIFIER STREAM SCORING (st30): the t31 quality model in
+    * the production direction — trained ONCE batch-side, then every
+    * arriving doc scored ROW-LOCALLY under the broadcast weight literal
+    * ([[graft.operators.TextAnalysis.lrScoreRowLocal]] — binary presence
+    * features make the dot product "sum the weights of the doc's sorted
+    * distinct buckets", no explode/groupBy, so the lane is stateless
+    * append mode like st29). The scorer is bit-identical to the batch
+    * `lrPredict` (same sorted double-addition order), and training
+    * separated the planted classes (t31's gate), so every drained
+    * prediction must equal the SQL-recomputable planted label — per-doc
+    * rows under the hash gate, the strongest available oracle for an
+    * engine-hash (xxhash-bucketed) model. */
+  private val st30 = Q(
+    "st30_stream_classifier_scoring",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.TextAnalysis._
+      val sinkTable = "st30_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st30_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      def planted(docs: org.apache.spark.sql.DataFrame) = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L)).as("label"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" clickspam buynow clickspam")))
+          .otherwise(concat(col("text"), lit(" organiccontent"))).as("text"))
+      // train once, batch-side (the t31 derivation)
+      val (w, _) = lrTrain(
+        lrFeatures(planted(Tables.documents(s, dir))).localCheckpoint(true),
+        iters = 30, rate = 0.3)
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(srcDir.toString)
+      val scored = lrScoreRowLocal(planted(raw.select(col("doc_id"), col("text"))), w)
+        .select(col("doc_id"), col("label").as("is_spam"),
+          (col("pred") === col("label")).as("pred_matches_label"))
+      val query = scored.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable), sinkTable, srcDir)
+    },
+    Some("""SELECT doc_id,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_spam,
+        true AS pred_matches_label
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30)
 }

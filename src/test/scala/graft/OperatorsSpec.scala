@@ -2497,6 +2497,27 @@ class OperatorsSpec extends SparkSpec {
     assert(w.toSeq === w2.toSeq, "training must be deterministic under repartitioning")
   }
 
+  test("st30 scorer: row-local scoring is bit-identical to the batch predictor") {
+    import graft.operators.TextAnalysis._
+    val docs = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L)).as("label"),
+      when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" clickspam buynow clickspam")))
+        .otherwise(concat(col("text"), lit(" organiccontent"))).as("text"))
+    val feats = lrFeatures(docs).localCheckpoint(true)
+    val (w, _) = lrTrain(feats, iters = 5, rate = 0.3) // deliberately
+    // under-trained: parity must hold for ANY weights, not just converged
+    // ones where both sides saturate to the same sign
+    val batch = lrPredict(feats, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pred")).toMap
+    val rowLocal = lrScoreRowLocal(docs, w).select(col("doc_id"), col("pred"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rowLocal.keySet === batch.keySet)
+    rowLocal.foreach { case (id, p) =>
+      assert(p === batch(id), s"doc $id: row-local $p vs batch ${batch(id)}")
+    }
+  }
+
   test("t28 unigram training: planted morpheme learned, deterministic retrain") {
     import graft.operators.TextAnalysis._
     val words = ugWords(ugCorpus(spark, sfDir)).localCheckpoint(true)
