@@ -2345,6 +2345,70 @@ object TextAnalysis {
         true AS weights_finite
       FROM documents"""))
 
+  // ---------------------------------------------------------------- t32
+  /** CLASSIFIER ROC-AUC EVAL (completing the eval family: s21 ANN, d21
+    * dedup, t27 tokenizer — this is the metric every quality-filter
+    * deployment watches; public): binned AUC over B score-histogram bins,
+    * the scale-honest shape — exact AUC needs a global rank, O(N log N)
+    * with a full sort, while the binned estimator is ONE grouped count
+    * over (bin, label) plus a driver pass over B rows, exact whenever no
+    * bin mixes classes (true for any separated classifier, and the
+    * fixture's margins are wide). AUC from bin counts is the
+    * trapezoid-free step form of Mann-Whitney U: walking bins in
+    * ascending-score order, every positive in bin b beats all negatives
+    * in strictly lower bins and ties half of its own bin's negatives. */
+  private[graft] def binnedAuc(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 1024): Double = {
+    val r = scored.agg(min(col(scoreCol)), max(col(scoreCol))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = if (hi > lo) hi - lo else 1.0
+    val counts = scored.select(
+        least(lit(nBins - 1), floor((col(scoreCol) - lit(lo)) / lit(width) * nBins))
+          .cast("int").as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .collect().map(row => row.getInt(0) -> (row.getLong(1), row.getLong(2)))
+      .toMap // bounded: nBins rows
+    var negBelow = 0L
+    var u = 0.0
+    var (nPos, nNeg) = (0L, 0L)
+    for (b <- 0 until nBins) {
+      val (np, nn) = counts.getOrElse(b, (0L, 0L))
+      u += np.toDouble * negBelow + 0.5 * np.toDouble * nn
+      negBelow += nn
+      nPos += np; nNeg += nn
+    }
+    if (nPos == 0 || nNeg == 0) 0.5 else u / (nPos.toDouble * nNeg.toDouble)
+  }
+
+  private val tLrAuc = Q(
+    "t32_classifier_auc",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L)).as("label"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" clickspam buynow clickspam")))
+          .otherwise(concat(col("text"), lit(" organiccontent"))).as("text"))
+      val feats = lrFeatures(docs).localCheckpoint(true)
+      // train on even ids, EVALUATE on the held-out odd ids — the eval's
+      // whole point is generalization, not training-set fit
+      val (w, _) = lrTrain(feats.filter(col("doc_id") % 2 === 0),
+        iters = 30, rate = 0.3)
+      val held = lrScoreRowLocal(docs.filter(col("doc_id") % 2 === 1), w)
+        .localCheckpoint(true)
+      val auc = binnedAuc(held, "z", "label")
+      held.agg(count(lit(1)).as("n_eval_docs"),
+          sum(col("label")).as("n_pos"))
+        .select(col("n_eval_docs"), col("n_pos"),
+          lit(auc >= 0.999).as("auc_is_one"),
+          lit(auc <= 1.0 + 1e-9).as("auc_bounded"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_eval_docs,
+        CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        true AS auc_is_one, true AS auc_bounded
+      FROM documents WHERE doc_id % 2 = 1"""))
+
   // ---------------------------------------------------------------- t27
   /** TOKENIZER EFFICIENCY EVAL (compression rate + fertility — the
     * chars-per-token and tokens-per-word metrics every tokenizer paper
@@ -2420,5 +2484,5 @@ object TextAnalysis {
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
-      tUgTrain, tUgApply, tUgSoft, tLrQuality)
+      tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc)
 }

@@ -2497,6 +2497,38 @@ class OperatorsSpec extends SparkSpec {
     assert(w.toSeq === w2.toSeq, "training must be deterministic under repartitioning")
   }
 
+  test("t32 binnedAuc: matches exact Mann-Whitney AUC when bins separate") {
+    import graft.operators.TextAnalysis.binnedAuc
+    val sp = spark
+    import sp.implicits._
+    // hand case 1: perfect separation -> AUC exactly 1
+    val perfect = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L)).toDF("z", "label")
+    assert(binnedAuc(perfect, "z", "label") === 1.0)
+    // hand case 2: one inversion among 2x3 -> exact AUC = 5/6
+    val mixed = Seq((0.9, 1L), (0.3, 1L), (0.5, 0L), (0.2, 0L), (0.1, 0L))
+      .toDF("z", "label")
+    val got = binnedAuc(mixed, "z", "label")
+    assert(math.abs(got - 5.0 / 6.0) < 1e-6, s"got $got")
+    // hand case 3: random labels on identical scores -> ties give 0.5
+    val ties = Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L)).toDF("z", "label")
+    assert(math.abs(binnedAuc(ties, "z", "label") - 0.5) < 1e-9)
+    // degenerate: single-class input reports the uninformative 0.5
+    val onecls = Seq((0.9, 1L), (0.1, 1L)).toDF("z", "label")
+    assert(binnedAuc(onecls, "z", "label") === 0.5)
+    // property: binned == exact on 100 seeded-random well-spread scores
+    val rng = new scala.util.Random(77)
+    val rand = (0 until 100).map(i => (rng.nextDouble() * 10, (i % 3 == 0).compareTo(false).toLong))
+    def exactAuc(xs: Seq[(Double, Long)]): Double = {
+      val pos = xs.filter(_._2 == 1L).map(_._1)
+      val neg = xs.filter(_._2 == 0L).map(_._1)
+      pos.map(p => neg.count(_ < p) + 0.5 * neg.count(_ == p)).sum / (pos.size.toDouble * neg.size)
+    }
+    val gotR = binnedAuc(rand.toDF("z", "label"), "z", "label")
+    // 1024 bins over 100 distinct uniform scores: collisions are rare and
+    // tie-handling bounds the deviation well under 1e-2
+    assert(math.abs(gotR - exactAuc(rand)) < 1e-2, s"binned $gotR vs exact ${exactAuc(rand)}")
+  }
+
   test("st30 scorer: row-local scoring is bit-identical to the batch predictor") {
     import graft.operators.TextAnalysis._
     val docs = graft.sources.Tables.documents(spark, sfDir).select(col("doc_id"),
