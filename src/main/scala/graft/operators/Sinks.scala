@@ -595,8 +595,9 @@ object Sinks {
             files.flatMap { bytes =>
               val in = new java.util.zip.GZIPInputStream(
                 new java.io.ByteArrayInputStream(bytes))
-              val text = new String(in.readAllBytes(), "UTF-8")
-              in.close()
+              // close in finally: a corrupt member throws from readAllBytes
+              // and would otherwise strand the native Inflater
+              val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
               text.split("WARC/1\\.0\n").iterator.filter(_.nonEmpty)
             }
           }
@@ -968,8 +969,9 @@ object Sinks {
             files.flatMap { bytes =>
               val in = new java.util.zip.GZIPInputStream(
                 new java.io.ByteArrayInputStream(bytes))
-              val decoded = in.readAllBytes() // consumes ALL members
-              in.close()
+              // close in finally: a corrupt member throws from readAllBytes
+              // and would otherwise strand the native Inflater
+              val decoded = try in.readAllBytes() finally in.close()
               warcFrame(decoded) // length-driven framing on decoded bytes
             }
           }
