@@ -2345,6 +2345,75 @@ object TextAnalysis {
         true AS weights_finite
       FROM documents"""))
 
+  // ---------------------------------------------------------------- t33
+  /** TOKENIZER MODEL PERSISTENCE (the s13 persisted-index contract
+    * applied to the tokenizer family): a production tokenizer is an
+    * ARTIFACT — trained once, written, versioned, and served by workers
+    * that never see the training corpus. The gate trains BOTH model
+    * families, persists each as a plain parquet table (BPE: the ordered
+    * merge list; unigram: the piece log-prob table — doubles roundtrip
+    * parquet bit-exactly), reloads them, and proves the RELOADED models
+    * tokenize identically to the in-memory ones: the BPE merge fold
+    * refolds from bpeState0 under the reloaded table and must land on the
+    * learner's own final vocab state word-for-word (the t17
+    * apply-equals-learn contract, now THROUGH DISK), and the reloaded
+    * unigram model must Viterbi-segment every distinct word identically.
+    * At 100 TB the artifact stays KB-sized metadata while the corpus
+    * never moves. */
+  private val tTokPersist = Q(
+    "t33_tokenizer_persist",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_t33_").toString
+      try {
+        val sp = s
+        import sp.implicits._
+        val docs = Tables.documents(s, dir)
+        // ---- BPE: learn -> persist merge table -> reload -> refold
+        val (merges, learnedState) = bpeLearnMerges(docs, nBpeMerges)
+        merges.toDF("step", "l", "r", "wt")
+          .write.mode("overwrite").parquet(s"$out/bpe_merges")
+        val reloaded = s.read.parquet(s"$out/bpe_merges")
+          .orderBy(col("step"))
+          .collect().map(r => (r.getAs[String]("l"), r.getAs[String]("r")))
+        val refolded = reloaded.foldLeft(bpeState0(docs).withColumnRenamed("s", "s2")) {
+          case (st, (l, r)) => st.withColumn("s2", bpeApplyMerge(col("s2"), l, r))
+        }
+        val bpeMatch = learnedState.join(refolded.select(col("w"), col("s2")), Seq("w"))
+          .agg((coalesce(max(when(col("s") =!= col("s2"), 1).otherwise(0)), lit(0)) === 0)
+            .as("bpe_roundtrip_identical"),
+            count(lit(1)).as("n_distinct_words"))
+        // ---- unigram: train -> persist piece table -> reload -> re-segment
+        val words = ugWords(ugCorpus(s, dir)).localCheckpoint(true)
+        val (model, _) = unigramTrain(words)
+        model.toSeq.sortBy(_._1).toDF("piece", "logp")
+          .write.mode("overwrite").parquet(s"$out/unigram")
+        val reModel = s.read.parquet(s"$out/unigram")
+          .collect().map(r => r.getAs[String]("piece") -> r.getAs[Double]("logp")).toMap
+        val ugMatch = ugWordTokens(words, model).select(col("w"),
+            col("n_pieces").as("a"), col("lossless").as("la"))
+          .join(ugWordTokens(words, reModel).select(col("w"),
+            col("n_pieces").as("b"), col("lossless").as("lb")), Seq("w"))
+          .agg(
+            (coalesce(max(when(col("a") =!= col("b") || col("la") =!= col("lb"), 1)
+              .otherwise(0)), lit(0)) === 0).as("unigram_roundtrip_identical"))
+        val outDf = bpeMatch.crossJoin(ugMatch)
+          .select(col("n_distinct_words"),
+            lit(merges.length == nBpeMerges).as("n_merges_expected"),
+            col("bpe_roundtrip_identical"), col("unigram_roundtrip_identical"),
+            lit(reModel == model).as("unigram_table_bit_exact"))
+        val materialized = graft.functions.CrossEngine.materializeLocal(s, outDf)
+        learnedState.unpersist(false)
+        materialized
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words,
+        true AS n_merges_expected, true AS bpe_roundtrip_identical,
+        true AS unigram_roundtrip_identical, true AS unigram_table_bit_exact
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE w <> ''"""))
+
   // ---------------------------------------------------------------- t32
   /** CLASSIFIER ROC-AUC EVAL (completing the eval family: s21 ANN, d21
     * dedup, t27 tokenizer — this is the metric every quality-filter
@@ -2484,5 +2553,5 @@ object TextAnalysis {
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
-      tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc)
+      tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist)
 }
