@@ -2414,6 +2414,51 @@ object TextAnalysis {
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
       WHERE w <> ''"""))
 
+  // ---------------------------------------------------------------- t34
+  /** CLASSIFIER MODEL PERSISTENCE (t33's contract for the quality
+    * model): the trained weight vector persists as a (index, weight)
+    * parquet artifact — doubles roundtrip bit-exactly — and the RELOADED
+    * model must score every doc identically: the batch predictor under
+    * the in-memory weights against the row-local serving scorer under
+    * the reloaded weights, crossing BOTH the disk hop and the
+    * batch/serving formulation boundary in one equality. */
+  private val tLrPersist = Q(
+    "t34_classifier_persist",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_t34_").toString
+      try {
+        val sp = s
+        import sp.implicits._
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L)).as("label"),
+          when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" clickspam buynow clickspam")))
+            .otherwise(concat(col("text"), lit(" organiccontent"))).as("text"))
+        val feats = lrFeatures(docs).localCheckpoint(true)
+        val (w, _) = lrTrain(feats, iters = 30, rate = 0.3)
+        w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("idx", "weight").write.mode("overwrite").parquet(s"$out/lr")
+        val reW = new Array[Double](w.length)
+        s.read.parquet(s"$out/lr").collect()
+          .foreach(r => reW(r.getAs[Int]("idx")) = r.getAs[Double]("weight"))
+        val parity = lrPredict(feats, w)
+          .select(col("doc_id"), col("pred").as("mem_pred"))
+          .join(lrScoreRowLocal(docs, reW)
+            .select(col("doc_id"), col("pred").as("disk_pred")), Seq("doc_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            (coalesce(max(when(col("mem_pred") =!= col("disk_pred"), 1)
+              .otherwise(0)), lit(0)) === 0).as("reload_scores_identical"))
+        val outDf = parity.select(col("n_docs"), col("reload_scores_identical"),
+          lit(java.util.Arrays.equals(w, reW)).as("weights_bit_exact"))
+        graft.functions.CrossEngine.materializeLocal(s, outDf)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        true AS reload_scores_identical, true AS weights_bit_exact
+      FROM documents"""))
+
   // ---------------------------------------------------------------- t32
   /** CLASSIFIER ROC-AUC EVAL (completing the eval family: s21 ANN, d21
     * dedup, t27 tokenizer — this is the metric every quality-filter
@@ -2553,5 +2598,5 @@ object TextAnalysis {
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
-      tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist)
+      tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist)
 }
