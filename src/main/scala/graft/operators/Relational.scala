@@ -1613,11 +1613,52 @@ object Relational {
       SELECT node, label FROM r4"""
     })
 
+  // ---------------------------------------------------------------- q71
+  /** DETERMINISTIC PER-GROUP UNIFORM SAMPLE (the inspection-panel op
+    * every curation pipeline runs — "show me k example docs per source/
+    * cluster/shard" — and the per-stratum exemplar draw of an eval
+    * harness): the KMV insight applied to sampling ROWS instead of
+    * counting distinct — the k smallest values of a uniform hash over
+    * the row key ARE a uniform k-sample of the group, and hash-order
+    * statistics make the draw deterministic, repeatable across runs, and
+    * MERGEABLE (bottom-k sets merge associatively). Rides the audited
+    * TopKPairs heap ascending on md5-derived hashes, so the exchange
+    * carries k-pair buffers per (partition, group), never group members —
+    * the q54 scale shape with sampling semantics — and the md5 derivation
+    * keeps the whole draw DuckDB-reproducible (the d06 pattern), so the
+    * sampled ids themselves sit under the hash gate, not just counts. */
+  private val q71 = Q(
+    "q71_grouped_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      // >> 8: the rank key rides the heap as a double (OrderedBits), and a
+      // 60-bit hash cast to double rounds at 2^53 — 52 bits stay exact;
+      // the id tiebreak covers the (negligible) shifted-hash ties on both
+      // engines identically
+      val h = shiftright(graft.functions.CrossEngine.md5Hash60(col("doc_id")), 8)
+      graft.operators.Similarity.topKByScore(
+          docs.withColumn("h", h), "source", "doc_id",
+          col("h").cast("double"), k = 3, ascending = true)
+        .select(col("source"), col("doc_id"), col("rn").as("draw"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .select(col("source"), col("draw"), col("doc_id"), col("n_chars"))
+    },
+    Some("""SELECT source, CAST(rn AS BIGINT) AS draw, doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM (
+        SELECT source, doc_id, text,
+          row_number() OVER (PARTITION BY source
+            ORDER BY CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) // 256,
+              doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61, q62, q63, q65, q66, q67, q69, q70)
+    q61, q62, q63, q65, q66, q67, q69, q70, q71)
 }

@@ -2233,6 +2233,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ok && kw === keyword && vl === value && n >= 4L)
   }
 
+  test("q71 grouped sample: 3 per source, repeatable, members of their groups") {
+    val rows = run("q71_grouped_sample").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val nSources = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(bySource.size === nSources)
+    bySource.foreach { case (_, g) =>
+      assert(g.length === 3)
+      assert(g.map(_.getAs[Long]("draw")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    // the draw is deterministic: an independent run yields identical ids
+    val again = run("q71_grouped_sample").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("draw"))
+        -> r.getAs[Long]("doc_id")).toMap
+    rows.foreach { r =>
+      assert(again((r.getAs[String]("source"), r.getAs[Long]("draw")))
+        === r.getAs[Long]("doc_id"))
+    }
+    // sampled ids really belong to their claimed source
+    val srcOf = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    rows.foreach(r => assert(srcOf(r.getAs[Long]("doc_id")) === r.getAs[String]("source")))
+  }
+
   test("q70 label propagation: cliques converge to min id, bridges outvoted (not CC)") {
     val rows = run("q70_label_propagation").collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
