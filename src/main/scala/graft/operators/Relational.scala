@@ -1654,11 +1654,97 @@ object Relational {
         FROM documents) t
       WHERE rn <= 3"""))
 
+  // ---------------------------------------------------------------- q72
+  /** MULTI-SOURCE BFS HOP DISTANCE (bounded-radius breadth-first search —
+    * the frontier-relaxation member of the graph family, next to connected
+    * components (d09), PageRank (q63), triangles (q69) and label
+    * propagation (q70); the "distance to nearest seed" primitive behind
+    * influence radii, landmark labeling and graph-distance features).
+    *
+    * Semantics: r rounds of SYNCHRONOUS min-distance relaxation from a
+    * seed set. BFS layering makes bounded rounds exact: a finite value
+    * propagates exactly one hop per round starting from the seeds' 0, so
+    * after r rounds a node is finite iff its true hop distance is <= r,
+    * and then the value EQUALS the true distance — once finite, never
+    * improved (`coalesce(dist, candidate)` is the whole merge rule). The
+    * unreached frontier reports -1, so the gate exercises both classes.
+    *
+    * Graph: deterministic over the documents ids in both engines — chain
+    * edges i <-> i+1 plus express edges i <-> i+16; seeds are the nodes
+    * with id % 97 == 0. Offsets from the nearest seed decompose into
+    * 16-hops + 1-hops, so true distances range 0..~12 and the 6-round
+    * horizon genuinely splits reached from unreached.
+    *
+    * Scale shape: each round is ONE node-keyed equi-join of the adjacency
+    * against the CURRENT frontier's finite rows (the `dist IS NOT NULL`
+    * filter shrinks the join input to reached nodes), a grouped min, and
+    * a left-join merge — no windows, no driver collect; lineage truncated
+    * per round (the q63/q70 localCheckpoint lesson). On a 1000-executor
+    * cluster both sides hash-partition on the node key and the per-round
+    * shuffle carries one (node, dist) pair per reached node. */
+  private[graft] def bfsHops(und: DataFrame, nodes: DataFrame,
+      isSeed: Column, rounds: Int): DataFrame = {
+    var d = nodes.select(col("i").as("node"),
+      when(isSeed, lit(0L)).as("dist"))
+    for (_ <- 1 to rounds) {
+      val cand = und.join(d, col("v") === col("node"))
+        .filter(col("dist").isNotNull)
+        .groupBy(col("u")).agg(min(col("dist") + 1).as("cand"))
+      d = d.join(cand, col("node") === col("u"), "left")
+        .select(col("node"), coalesce(col("dist"), col("cand")).as("dist"))
+        .localCheckpoint(true)
+    }
+    d
+  }
+
+  private val q72 = Q(
+    "q72_bfs_hops",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+        .localCheckpoint(true)
+      val chain = ids.alias("x").join(ids.alias("y"),
+          col("y.i") === col("x.i") + 1)
+        .select(col("x.i").as("a"), col("y.i").as("b"))
+      val express = ids.alias("x").join(ids.alias("y"),
+          col("y.i") === col("x.i") + 16)
+        .select(col("x.i").as("a"), col("y.i").as("b"))
+      val edges = chain.unionByName(express)
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+        .localCheckpoint(true)
+      bfsHops(und, ids, col("i") % 97 === 0, rounds = 6)
+        .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    },
+    Some {
+      val rounds = (1 to 6).map { i =>
+        s"""c$i AS (
+          SELECT e.u AS cnode, min(r.dist + 1) AS cand
+          FROM und e JOIN r${i - 1} r ON e.v = r.node
+          WHERE r.dist IS NOT NULL GROUP BY e.u),
+        r$i AS MATERIALIZED (
+          SELECT p.node, coalesce(p.dist, c.cand) AS dist
+          FROM r${i - 1} p LEFT JOIN c$i c ON p.node = c.cnode)"""
+      }.mkString(",\n        ")
+      s"""WITH ids AS (SELECT doc_id AS i FROM documents),
+      chain AS (
+        SELECT x.i AS a, y.i AS b FROM ids x JOIN ids y ON y.i = x.i + 1),
+      express AS (
+        SELECT x.i AS a, y.i AS b FROM ids x JOIN ids y ON y.i = x.i + 16),
+      edges AS (SELECT a, b FROM chain UNION ALL SELECT a, b FROM express),
+      und AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b AS u, a AS v FROM edges),
+      r0 AS (SELECT i AS node,
+        CASE WHEN i % 97 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM ids),
+      $rounds
+      SELECT node, coalesce(dist, -1) AS dist FROM r6"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61, q62, q63, q65, q66, q67, q69, q70, q71)
+    q61, q62, q63, q65, q66, q67, q69, q70, q71, q72)
 }

@@ -2276,6 +2276,37 @@ class OperatorsSpec extends SparkSpec {
     assert(nCommunities > 1)
   }
 
+  test("q72 BFS hops: equals an independent local BFS; both reached and unreached exist") {
+    val rows = run("q72_bfs_hops").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    val n = graft.sources.Tables.documents(spark, sfDir).count().toInt
+    assert(rows.size === n)
+    // independent recount: textbook queue BFS on the same chain+express graph
+    val adj = Array.fill(n)(List.empty[Int])
+    for (i <- 0 until n) {
+      if (i + 1 < n) { adj(i) ::= i + 1; adj(i + 1) ::= i }
+      if (i + 16 < n) { adj(i) ::= i + 16; adj(i + 16) ::= i }
+    }
+    val dist = Array.fill(n)(Int.MaxValue)
+    val queue = scala.collection.mutable.Queue((0 until n).filter(_ % 97 == 0).map { s =>
+      dist(s) = 0; s
+    }: _*)
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      adj(u).foreach { v =>
+        if (dist(v) == Int.MaxValue) { dist(v) = dist(u) + 1; queue += v }
+      }
+    }
+    for (i <- 0 until n) {
+      val expected = if (dist(i) <= 6) dist(i).toLong else -1L
+      assert(rows(i.toLong) === expected, s"node $i")
+    }
+    // the 6-round horizon must genuinely split the graph
+    assert(rows.values.count(_ == 0L) === (n + 96) / 97)
+    assert(rows.values.exists(d => d > 0 && d <= 6))
+    assert(rows.values.exists(_ == -1L), "some nodes must sit beyond the horizon")
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
