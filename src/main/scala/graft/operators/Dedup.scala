@@ -2098,6 +2098,97 @@ object Dedup {
           row_number() OVER (PARTITION BY host ORDER BY h, doc_id DESC) AS rn
         FROM hosts) t WHERE rn <= 10"""))
 
+  // ---------------------------------------------------------------- d25
+  /** SEMANTIC DEDUP VIA EMBEDDING CLUSTERING (SemDeDup, Abbas et al. '23,
+    * public): the third candidate-restriction strategy next to banded LSH
+    * (d05/d08) and connected-component closure (d14) — k-means-style
+    * CLUSTERS bound the quadratic pair search to within-cluster, then
+    * exact cosine inside each cluster drops all but one member of every
+    * >= theta group (keep = the smallest id with no smaller-id
+    * same-cluster neighbor above theta, SemDeDup's keep-one-per-epsilon-
+    * ball rule made deterministic).
+    *
+    * Determinism for the gate: centroids are the 16 md5-hash-smallest
+    * BASE vectors (seeded-sample init — the same bottom-k-by-hash draw as
+    * q71, so DuckDB reproduces the centroid set exactly); assignment is
+    * the argmin of the codegen'd L2 distance over the broadcast centroid
+    * panel via a map-side min(struct) — no window, no iteration. A
+    * production deployment would Lloyd-refine the same panel (the s08
+    * trained-codebook path shows that shape); the candidate-restriction
+    * semantics and the within-cluster verdict are identical.
+    *
+    * Scale shape (100 TB): the centroid panel is k rows via
+    * TakeOrderedAndProject (driver-bounded by construction) and
+    * broadcasts; assignment is one scan; the pair join keys on cluster id
+    * so each task's quadratic is (corpus/k)^2 — the SemDeDup argument —
+    * and the verdict is a distinct + left join keyed by vec_id. Planted
+    * exact twins (+1e6 ids, the d08 plant) quantize into their original's
+    * cluster structurally and must drop. */
+  private val d25 = Q(
+    "d25_semdedup_clusters",
+    (s, dir) => {
+      import graft.functions.VectorExpressions.{cosineF, l2DistSq}
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val all0 = base.unionByName(planted)
+      val cents = base
+        .withColumn("h", graft.functions.CrossEngine.md5Hash60(col("vec_id")))
+        .orderBy(col("h"), col("vec_id")).limit(16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val assigned = all0.crossJoin(broadcast(cents))
+        .withColumn("dist", l2DistSq(col("embedding"), col("cemb")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"))
+        .join(all0, Seq("vec_id"))
+      val v = assigned.select(col("cluster"), col("vec_id"), col("embedding"))
+      val drops = v.alias("a").join(v.alias("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") > col("b.vec_id"))
+        .filter(cosineF(col("a.embedding"), col("b.embedding")) >= 0.99)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+        .withColumn("dropflag", lit(true))
+      assigned.join(drops, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("dropflag"), lit(false)).as("dropped"))
+    },
+    Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      all0 AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM base WHERE vec_id < 20),
+      cents AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS cemb FROM (
+          SELECT vec_id, embedding,
+            row_number() OVER (ORDER BY
+              CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+              vec_id) AS rn
+          FROM base) t WHERE rn <= 16),
+      asg AS MATERIALIZED (
+        SELECT vec_id, cid AS cluster, embedding FROM (
+          SELECT a.vec_id, c.cid, a.embedding,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY
+              list_sum(list_transform(range(1, len(a.embedding) + 1),
+                i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE))
+                   * (CAST(a.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE)))),
+              c.cid) AS rn
+          FROM all0 a CROSS JOIN cents c) t WHERE rn = 1),
+      norms AS MATERIALIZED (
+        SELECT vec_id, cluster, embedding,
+          sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM asg),
+      drops AS (
+        SELECT DISTINCT a.vec_id FROM norms a JOIN norms b
+          ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.99)
+      SELECT n.vec_id, n.cluster, (d.vec_id IS NOT NULL) AS dropped
+      FROM asg n LEFT JOIN drops d ON n.vec_id = d.vec_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
+    d25)
 }

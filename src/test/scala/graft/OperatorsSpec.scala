@@ -2307,6 +2307,29 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.values.exists(_ == -1L), "some nodes must sit beyond the horizon")
   }
 
+  test("d25 SemDeDup: twins share their original's cluster and drop; originals survive") {
+    val rows = run("d25_semdedup_clusters").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Boolean]("dropped"))).toMap
+    val nBase = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(rows.size === nBase + 20)
+    for (i <- 0L until 20L) {
+      val (origCluster, _) = rows(i)
+      val (twinCluster, twinDropped) = rows(i + 1000000L)
+      // an exact copy has identical distance to every centroid, so the
+      // cid tiebreak lands it in the same cluster structurally
+      assert(twinCluster === origCluster, s"twin of $i changed cluster")
+      assert(twinDropped, s"planted twin of $i must drop (original has the smaller id)")
+      // the original may only drop if an even-smaller organic neighbor exists;
+      // vec 0 can never drop (no smaller id)
+    }
+    assert(!rows(0L)._2, "vec 0 has no smaller-id neighbor, must keep")
+    // clustering must genuinely partition (more than one cluster used)
+    assert(rows.values.map(_._1).toSet.size > 1)
+    // most of the corpus is organic and must survive
+    assert(rows.values.count(!_._2) > nBase / 2)
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
