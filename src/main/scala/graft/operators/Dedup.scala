@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Q
 import graft.sources.Tables
@@ -2188,7 +2189,113 @@ object Dedup {
       SELECT n.vec_id, n.cluster, (d.vec_id IS NOT NULL) AS dropped
       FROM asg n LEFT JOIN drops d ON n.vec_id = d.vec_id"""))
 
+  // ---------------------------------------------------------------- d26
+  /** EXACT SIMILARITY JOIN VIA PREFIX FILTERING (AllPairs, Bayardo et al.
+    * '07; the PPJoin family, Xiao et al. '08 — public): the EXACT
+    * counterpart to the probabilistic LSH lanes — every word-set pair with
+    * Jaccard >= tau is found, none missed, without the all-pairs
+    * quadratic. Under a fixed global token order (document frequency
+    * ascending, then token — rarest first), two sets with J >= tau MUST
+    * share a token inside each one's first |x| - ceil(tau*|x|) + 1 tokens
+    * (the prefix-filter principle): if all shared tokens sat beyond x's
+    * prefix, the intersection could be at most ceil(tau*|x|) - 1, below
+    * what J >= tau requires. So candidates = an equi-join of PREFIXES on
+    * the token, then an exact verify.
+    *
+    * All threshold arithmetic is integer-exact in both engines: prefix
+    * length uses ceil(4s/5) = (4s+4) div 5, and the verify J >= 0.8 is
+    * 9*inter >= 4*(sa+sb) (from inter/(sa+sb-inter) >= 4/5).
+    *
+    * Scale shape (100 TB): the df table is a grouped count; the per-doc
+    * rarity ranking is a window whose partition is ONE document's
+    * distinct tokens (bounded by doc length, the q67 per-user precedent);
+    * the candidate join keys on the RAREST tokens by construction —
+    * anti-skewed exactly where a naive token join is hottest, the
+    * AllPairs insight — and the verify is one array_intersect per
+    * candidate. Plants: exact copies (ids +1e6, J = 1) and 90%-prefix
+    * truncations (ids +2e6); both engines derive both plants, and the
+    * spec recounts the result against brute-force all-pairs exactly.
+    *
+    * Gate bound: this synthetic corpus is template-generated — at sf0.1
+    * the FULL corpus carries ~3M organic J>=0.8 pairs, which is a
+    * property of the data, not the operator — so the gate runs the
+    * derivation on a deterministic 1-in-5 doc slice (the d21 sliced-
+    * ground-truth precedent); the algorithm itself is corpus-general. */
+  private val d26 = Q(
+    "d26_prefix_filter_join",
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(
+          graft.functions.CrossEngine.guardedId(col("doc_id"), 1000000L, "d26").as("doc_id"),
+          col("text"))
+      val copies = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val truncs = base.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "CAST((size(split(text, ' ')) * 9 + 9) div 10 AS INT)), ' ')").as("text"))
+      val docs = base.unionByName(copies).unionByName(truncs)
+        .localCheckpoint(true)
+      val sets = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("st"))
+      val toks = sets.select(col("doc_id"), explode(col("st")).as("w"))
+      val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val ranked = toks.join(dfreq, Seq("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val pref = ranked
+        .filter(col("rn") <= col("sz") - expr("(sz * 4 + 4) div 5") + 1)
+        .select(col("doc_id"), col("w"))
+      val cand = pref.alias("a").join(pref.alias("b"),
+          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      val withSets = cand
+        .join(sets.select(col("doc_id").as("da"), col("st").as("sta")), Seq("da"))
+        .join(sets.select(col("doc_id").as("db"), col("st").as("stb")), Seq("db"))
+        .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
+        .withColumn("sa", size(col("sta")).cast("long"))
+        .withColumn("sb", size(col("stb")).cast("long"))
+        .filter(col("inter") * 9 >= (col("sa") + col("sb")) * 4)
+      withSets.select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")), 6).as("jaccard"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      docs AS MATERIALIZED (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM base WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(string_split(text, ' ')[1:CAST((len(string_split(text, ' ')) * 9 + 9) // 10 AS INT)], ' ')
+        FROM base WHERE doc_id >= 50 AND doc_id < 100),
+      sets AS MATERIALIZED (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS st FROM docs),
+      toks AS (SELECT doc_id, unnest(st) AS w FROM sets),
+      dfreq AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+      ranked AS (
+        SELECT t.doc_id, t.w,
+          row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rn,
+          count(*) OVER (PARTITION BY t.doc_id) AS sz
+        FROM toks t JOIN dfreq d ON t.w = d.w),
+      pref AS (
+        SELECT doc_id, w FROM ranked
+        WHERE rn <= sz - (sz * 4 + 4) // 5 + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pref a JOIN pref b ON a.w = b.w AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT c.da, c.db,
+          CAST(len(list_intersect(x.st, y.st)) AS BIGINT) AS inter,
+          CAST(len(x.st) AS BIGINT) AS sa, CAST(len(y.st) AS BIGINT) AS sb
+        FROM cand c JOIN sets x ON c.da = x.doc_id JOIN sets y ON c.db = y.doc_id)
+      SELECT da AS doc_a, db AS doc_b,
+        round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+      FROM verified WHERE inter * 9 >= (sa + sb) * 4"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25)
+    d25, d26)
 }

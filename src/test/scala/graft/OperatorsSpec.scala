@@ -2330,6 +2330,41 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.values.count(!_._2) > nBase / 2)
   }
 
+  test("d26 prefix-filter join: equals brute-force exact Jaccard >= 0.8 (nothing missed)") {
+    val got = run("d26_prefix_filter_join").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // brute-force ground truth over the same planted 1-in-5 slice
+    val baseTexts = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val texts = baseTexts ++
+      baseTexts.filter(_._1 < 50).map { case (id, t) => (id + 1000000L) -> t } ++
+      baseTexts.filter(kv => kv._1 >= 50 && kv._1 < 100).map { case (id, t) =>
+        val words = t.split(" ", -1)
+        (id + 2000000L) -> words.take((words.length * 9 + 9) / 10).mkString(" ")
+      }
+    val sets = texts.map { case (id, t) => id -> t.split(" ", -1).toSet }
+    val ids = sets.keys.toArray.sorted
+    var expected = Map.empty[(Long, Long), Double]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (a, b) = (sets(ids(i)), sets(ids(j)))
+      val inter = (a & b).size.toLong
+      if (inter * 9 >= (a.size + b.size) * 4L) {
+        val jac = inter.toDouble / (a.size + b.size - inter)
+        expected += (ids(i), ids(j)) -> (math.rint(jac * 1e6) / 1e6)
+      }
+    }
+    assert(got.keySet === expected.keySet,
+      s"missed=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+    expected.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-9, s"pair $k") }
+    // the plants are genuinely found: every exact copy at J=1
+    for (i <- 0L until 50L by 5L) assert(got((i, i + 1000000L)) === 1.0)
+    // and at least one truncated plant pairs below J=1 but above threshold
+    assert(got.exists { case ((a, b), j) => b >= 2000000L && j < 1.0 && j >= 0.8 })
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
