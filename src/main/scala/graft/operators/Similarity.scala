@@ -1952,6 +1952,103 @@ object Similarity {
         mx * n_lists * 1000000 // total AS imbalance_micro
       FROM lists CROSS JOIN tot"""))
 
+  // ---------------------------------------------------------------- s25
+  /** SCALAR QUANTIZATION (SQ8) ANN — the third vector-compression family
+    * next to PQ (s06/s08) and IVFPQ (s10), FAISS's `ScalarQuantizer`
+    * shape (public): each dimension is affinely mapped to a uint8 code
+    * against per-dim [min, max] trained from the corpus (4 bytes/float ->
+    * 1 byte/dim, no codebook k-means at all — the cheapest compression
+    * tier), and queries score ASYMMETRICALLY: full-precision query vs the
+    * dequantized reconstruction mn + (code + 0.5) * w (the +0.5 centers
+    * each bucket, halving worst-case reconstruction error).
+    *
+    * Everything is deterministic and cross-engine exact: the trained
+    * stats are per-dim min/max (no sampling), codes are floor/clamp
+    * arithmetic both engines evaluate identically on doubles, and the
+    * top-10 ranking rides the audited bounded heap ([[topKByScore]],
+    * ascending L2 via the codegen'd [[graft.functions.VectorExpressions.l2DistSq]])
+    * against a DuckDB oracle that recomputes stats, codes, and distances
+    * from scratch.
+    *
+    * Scale shape (100 TB): training is ONE corpus pass (posexplode ->
+    * grouped min/max, map-side partial — 64 groups total); the stats
+    * panel is 64 rows -> two arrays, broadcast; encode is row-local;
+    * serving is the s01 broadcast-probe scan shape over 1-byte/dim codes
+    * — 4x less memory bandwidth than raw floats, which is the entire
+    * point of SQ at scale (and composes with IVF routing the way s10
+    * composes PQ). */
+  private[graft] def sq8Parts(base: DataFrame): (DataFrame, DataFrame) = {
+    val stats = base
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .groupBy(col("dim"))
+      .agg(min(col("xf").cast("double")).as("mn"), max(col("xf").cast("double")).as("mx"))
+    val arrs = stats
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("sa"))
+      .select(expr("transform(sa, e -> e.mn)").as("mns"),
+        expr("transform(sa, e -> e.mx)").as("mxs"))
+    val coded = base.crossJoin(broadcast(arrs)).select(col("vec_id"),
+      expr("""transform(embedding, (x, i) -> CAST(
+          CASE WHEN element_at(mxs, i+1) = element_at(mns, i+1) THEN 0.0D
+          ELSE greatest(0.0D, least(255.0D,
+            floor((CAST(x AS DOUBLE) - element_at(mns, i+1)) * 256.0D
+              / (element_at(mxs, i+1) - element_at(mns, i+1))))) END AS INT))""")
+        .as("code"),
+      col("mns"), col("mxs"))
+    (arrs, coded)
+  }
+
+  private val s25 = Q(
+    "s25_sq8_ann",
+    (s, dir) => {
+      import graft.functions.VectorExpressions.l2DistSq
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val (_, coded) = sq8Parts(base)
+      val dec = coded.select(col("vec_id"),
+        expr("""transform(code, (c, i) -> element_at(mns, i+1)
+            + (CAST(c AS DOUBLE) + 0.5D)
+              * (element_at(mxs, i+1) - element_at(mns, i+1)) / 256.0D)""")
+          .as("dec"))
+      val probes = base.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      knnJoin(dec, probes, l2DistSq(col("q_emb"), col("dec")), k = 10,
+          ascending = true)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("score"), 6).as("dist"), col("rn"))
+    },
+    Some("""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+      expl AS (
+        SELECT vec_id,
+          unnest(range(1, len(embedding) + 1)) AS dim,
+          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM base),
+      stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM expl GROUP BY dim),
+      arrs AS MATERIALIZED (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM stats),
+      coded AS MATERIALIZED (
+        SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+          i -> CAST(CASE WHEN a.mxs[i] = a.mns[i] THEN 0.0
+            ELSE greatest(0.0, least(255.0,
+              floor((CAST(embedding[i] AS DOUBLE) - a.mns[i]) * 256.0
+                / (a.mxs[i] - a.mns[i])))) END AS INT)) AS code
+        FROM base CROSS JOIN arrs a),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM base WHERE vec_id < 3),
+      scored AS (
+        SELECT q.query_id, c.vec_id,
+          list_sum(list_transform(range(1, len(q.q_emb) + 1),
+            i -> (CAST(q.q_emb[i] AS DOUBLE)
+                - (a.mns[i] + (CAST(c.code[i] AS DOUBLE) + 0.5) * (a.mxs[i] - a.mns[i]) / 256.0))
+               * (CAST(q.q_emb[i] AS DOUBLE)
+                - (a.mns[i] + (CAST(c.code[i] AS DOUBLE) + 0.5) * (a.mxs[i] - a.mns[i]) / 256.0))))
+            AS dist
+        FROM coded c CROSS JOIN q CROSS JOIN arrs a
+        WHERE c.vec_id <> q.query_id)
+      SELECT query_id, vec_id AS neighbor_id, round(dist, 6) AS dist, rn FROM (
+        SELECT query_id, vec_id, dist,
+          row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+        FROM scored) t WHERE rn <= 10"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
+    s25)
 }

@@ -2365,6 +2365,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists { case ((a, b), j) => b >= 2000000L && j < 1.0 && j >= 0.8 })
   }
 
+  test("s25 SQ8: codes bounded, reconstruction within half a bucket, ranks well-formed") {
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val (arrs, coded) = graft.operators.Similarity.sq8Parts(base)
+    val a = arrs.collect()(0)
+    val mns = a.getAs[scala.collection.Seq[Double]]("mns").toArray
+    val mxs = a.getAs[scala.collection.Seq[Double]]("mxs").toArray
+    assert(mns.length === mxs.length)
+    mns.indices.foreach(i => assert(mns(i) <= mxs(i)))
+    val byId = base.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    coded.collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val code = r.getAs[scala.collection.Seq[Int]]("code")
+      val x = byId(id)
+      code.indices.foreach { i =>
+        assert(code(i) >= 0 && code(i) <= 255)
+        val w = mxs(i) - mns(i)
+        val dec = mns(i) + (code(i) + 0.5) * w / 256.0
+        // SQ8 contract: the +0.5-centered dequantization sits within half a
+        // 1/256 bucket of the original (equality only at x == mx)
+        assert(math.abs(x(i).toDouble - dec) <= w / 512.0 + 1e-12,
+          s"vec $id dim $i: x=${x(i)} dec=$dec w=$w")
+      }
+    }
+    val rows = run("s25_sq8_ann").collect()
+    assert(rows.length === 30)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq === (1L to 10L))
+      val dists = sorted.map(_.getAs[Double]("dist"))
+      assert(dists.zip(dists.tail).forall { case (d1, d2) => d1 <= d2 })
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != qid))
+      assert(dists.forall(_ >= 0.0))
+    }
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
