@@ -1004,6 +1004,100 @@ object Sinks {
         (doc_id % 13 = 0) AS embeds_boundary
       FROM aug"""))
 
+  // ---------------------------------------------------------------- w15
+  /** FILE-STATISTICS DATA SKIPPING (the Iceberg/Delta min-max pruning
+    * mechanic over the w09-style manifest): the manifest carries per-file
+    * column MIN/MAX next to each path, and a predicate read consults ONLY
+    * the manifest to plan its file set — a file whose [min, max] span
+    * cannot overlap the predicate is never opened. This is the metadata
+    * half of partition pruning: it works on RANGE-laid files (w07's
+    * OPTIMIZE layout / q58's z-order exist to CREATE that alignment), and
+    * at 100 TB it is the difference between opening 8 files and 80,000.
+    *
+    * The gate makes every claim real: 8 range-laid files written from
+    * orders keys, per-file stats recomputed by READING EACH FILE BACK
+    * (not trusted from the writer), a BETWEEN predicate spanning ~2 of 8
+    * ranges, and three recomputed booleans — some files were skipped;
+    * the skipped files, scanned once by the gate (and only by the gate —
+    * that scan is the proof, not the plan), contain ZERO matching rows;
+    * and the pruned-read aggregate equals the full-scan aggregate
+    * bit-for-bit. The DuckDB oracle recomputes the aggregates from the
+    * source table under the same predicate, so a pruning bug that drops
+    * a needed file reds the gate on values, not just booleans. An empty
+    * range file records (MaxValue, MinValue) stats — never selected,
+    * never falsely "clean". */
+  private val w15 = Q(
+    "w15_stats_skipping",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w15_")
+      try {
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val mx = base.agg(max(col("k"))).head().getLong(0)
+        val span = mx / 8 + 1
+        def writeRange(i: Int): String = {
+          val d = root.resolve(s"r$i").toString
+          base.filter(col("k") >= i * span && col("k") < (i + 1) * span)
+            .coalesce(1).write.mode("overwrite").parquet(d)
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet")).get.getPath
+        }
+        val files = (0 until 8).map(writeRange)
+        // stats manifest: per-file min/max recomputed from a real read-back
+        val stats = files.map { f =>
+          val r = s.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+          if (r.isNullAt(0)) (f, Long.MaxValue, Long.MinValue)
+          else (f, r.getLong(0), r.getLong(1))
+        }
+        java.nio.file.Files.write(root.resolve("manifest_stats.txt"),
+          stats.map { case (f, mn, mxx) => s"$f\t$mn\t$mxx" }
+            .mkString("\n").getBytes("UTF-8"))
+        // read side: plan the file set from the MANIFEST alone
+        val manifest = new String(java.nio.file.Files.readAllBytes(
+            root.resolve("manifest_stats.txt")), "UTF-8")
+          .split("\n").toSeq.map { line =>
+            val Array(f, mn, mxx) = line.split("\t")
+            (f, mn.toLong, mxx.toLong)
+          }
+        val lo = mx / 4
+        val hi = mx / 2
+        val sel = manifest.filter { case (_, mn, mxx) => mn <= hi && mxx >= lo }
+        val skipped = manifest.filterNot(sel.contains)
+        val pruned = s.read.parquet(sel.map(_._1): _*)
+          .filter(col("k").between(lo, hi))
+        val full = s.read.parquet(files: _*).filter(col("k").between(lo, hi))
+        def aggOf(df: DataFrame): (Long, Long, Long) = {
+          val r = df.agg(count(lit(1)), sum(col("k")), sum(col("cents"))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val (nRows, keySum, centsSum) = aggOf(pruned)
+        val fullAgg = aggOf(full)
+        val skippedHits =
+          if (skipped.isEmpty) 0L
+          else s.read.parquet(skipped.map(_._1): _*)
+            .filter(col("k").between(lo, hi)).count()
+        val out = s.range(1).select(
+          lit(nRows).as("n_rows"), lit(keySum).as("key_sum"),
+          lit(centsSum).as("cents_sum"),
+          lit(sel.size < manifest.size).as("skipped_some"),
+          lit(skippedHits == 0L).as("skipped_clean"),
+          lit((nRows, keySum, centsSum) == fullAgg).as("pruned_equals_full"))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      mx AS (SELECT max(k) AS mx FROM base)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(k) AS BIGINT) AS key_sum,
+        CAST(sum(cents) AS BIGINT) AS cents_sum,
+        true AS skipped_some, true AS skipped_clean,
+        true AS pruned_equals_full
+      FROM base, mx WHERE k BETWEEN mx // 4 AND mx // 2"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14)
+    w12, w13, w14, w15)
 }

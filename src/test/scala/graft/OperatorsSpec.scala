@@ -2402,6 +2402,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("w15 stats skipping: files skipped, skipped files clean, pruned == full") {
+    val r = run("w15_stats_skipping").collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_rows") > 0)
+    assert(row.getAs[Boolean]("skipped_some"), "the BETWEEN predicate must prune files")
+    assert(row.getAs[Boolean]("skipped_clean"), "skipped files must hold no matching rows")
+    assert(row.getAs[Boolean]("pruned_equals_full"))
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
