@@ -1098,6 +1098,75 @@ object Sinks {
         true AS pruned_equals_full
       FROM base, mx WHERE k BETWEEN mx // 4 AND mx // 2"""))
 
+  // ---------------------------------------------------------------- w16
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE (classic delta-propagation
+    * IVM for distributive aggregates — the mechanic behind Delta Live
+    * Tables / Materialize-style refreshes): a persisted grouped aggregate
+    * is brought up to date by aggregating ONLY the change batch with
+    * signed multiplicities (+1 insert, -1 delete) and merging the
+    * k-group delta into the stored view — counts and sums add, and a
+    * group whose maintained count reaches zero leaves the view. The base
+    * table is NEVER rescanned: at 100 TB the refresh cost is
+    * O(change batch) + O(k groups), not O(table).
+    *
+    * The gate persists the v1 view as real parquet, derives a
+    * deterministic change batch from lineitem (deletes: l_orderkey %7==3;
+    * inserts: copies of %11==5 rows), aggregates the deltas signed,
+    * full-outer-merges against the RELOADED view files, and emits the
+    * maintained view. The DuckDB oracle recomputes the post-change
+    * aggregate from the change semantics directly — any drift between
+    * incremental maintenance and full recompute reds the gate. The spec
+    * additionally pins merged == full-recompute inside Spark. */
+  private val w16 = Q(
+    "w16_incremental_mv",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w16_")
+      try {
+        val base = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"),
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        def viewOf(df: DataFrame): DataFrame = df.groupBy(col("flag"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("qty_sum"),
+            sum(col("cents")).as("cents_sum"))
+        val mvPath = root.resolve("mv_v1").toString
+        viewOf(base).write.mode("overwrite").parquet(mvPath)
+        // change batch: signed delta rows, aggregated alone
+        val deletes = base.filter(col("k") % 7 === 3)
+          .select(col("flag"), lit(-1L).as("m"), (-col("qty")).as("qty"),
+            (-col("cents")).as("cents"))
+        val inserts = base.filter(col("k") % 11 === 5)
+          .select(col("flag"), lit(1L).as("m"), col("qty"), col("cents"))
+        val delta = deletes.unionByName(inserts).groupBy(col("flag"))
+          .agg(sum(col("m")).as("dn"), sum(col("qty")).as("dq"),
+            sum(col("cents")).as("dc"))
+        // merge into the RELOADED stored view: O(k groups), no base rescan
+        val stored = s.read.parquet(mvPath)
+        stored.join(delta, Seq("flag"), "full_outer")
+          .select(col("flag"),
+            (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+            (coalesce(col("qty_sum"), lit(0L)) + coalesce(col("dq"), lit(0L))).as("qty_sum"),
+            (coalesce(col("cents_sum"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents_sum"))
+          .filter(col("n_rows") > 0)
+          .localCheckpoint(true)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey AS k, l_returnflag AS flag,
+          CAST(l_quantity AS BIGINT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      changed AS (
+        SELECT flag, qty, cents FROM base WHERE k % 7 <> 3
+        UNION ALL
+        SELECT flag, qty, cents FROM base WHERE k % 11 = 5)
+      SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(qty) AS BIGINT) AS qty_sum,
+        CAST(sum(cents) AS BIGINT) AS cents_sum
+      FROM changed GROUP BY flag HAVING count(*) > 0"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14, w15)
+    w12, w13, w14, w15, w16)
 }

@@ -2412,6 +2412,26 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("pruned_equals_full"))
   }
 
+  test("w16 incremental MV: delta-merged view equals full recompute") {
+    val merged = run("w16_incremental_mv").collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("qty_sum"), r.getAs[Long]("cents_sum")))
+      .toMap
+    val base = graft.sources.Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("k"), col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val changed = base.filter(col("k") % 7 =!= 3)
+      .unionByName(base.filter(col("k") % 11 === 5))
+    val full = changed.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("q"), sum(col("cents")).as("c"))
+      .collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("q"), r.getAs[Long]("c"))).toMap
+    assert(merged === full)
+    assert(merged.nonEmpty)
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
