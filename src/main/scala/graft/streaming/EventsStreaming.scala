@@ -2365,7 +2365,92 @@ object EventsStreaming {
         true AS pred_matches_label
       FROM documents"""))
 
+  // ---------------------------------------------------------------- st31
+  /** STREAMING PER-HOST QUOTA ADMISSION — the STATEFUL production twin of
+    * d22's batch per-host caps (a crawl-frontier / ingestion rate cap:
+    * admit at most K docs per host over the LIFETIME of the stream, not
+    * per batch). `flatMapGroupsWithState` keyed by host carries ONE long
+    * of state (admitted-so-far); each batch's arrivals for the host fold
+    * in doc_id order, admit while the counter is below K, and every
+    * admitted doc is emitted exactly once with its admission rank. The
+    * state store is the quota ledger — a host whose quota partially fills
+    * in batch 1 must see batches 2..4 constrained, which is what
+    * distinguishes this from the stateless st16/st26/st29 admission lanes
+    * (and the spec proves every host's admissions span >= 2 range files).
+    *
+    * Determinism harness: the documents corpus splits into 4 doc_id-RANGE
+    * files delivered in pinned-mtime order at maxFilesPerTrigger=1 (the
+    * st22/st23 delivery-order lesson), so global arrival order == doc_id
+    * order and the DuckDB oracle is a per-host row_number over doc_id
+    * capped at K=5 — which binds hard (~13 docs/host at sf0.01).
+    *
+    * Scale shape: state is one long per host (bounded by #hosts, the
+    * smallest state row in the streaming lane); each micro-batch shuffles
+    * only its own arrivals by host; total emissions are capped at
+    * K x #hosts for all time. */
+  private val st31 = Q(
+    "st31_stream_quota_admission",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val sinkTable = "st31_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val work = java.nio.file.Files.createTempDirectory("graft_st31_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("site-"), (col("doc_id") % 37).cast("string")).as("host"))
+      val mxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val span = mxId / 4 + 1
+      var seq = 0
+      def writeAs(df: DataFrame, name: String): Unit = {
+        val stage = s"$work/${name}_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Option(new java.io.File(stage).listFiles())
+          .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+        val dest = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        seq += 1
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
+      }
+      (0 until 4).foreach { i =>
+        writeAs(docs.filter(col("doc_id") >= i * span &&
+          col("doc_id") < (i + 1) * span), s"r$i")
+      }
+      val sch = s.read.parquet(srcDir.toString).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .select(col("host"), col("doc_id")).as[(String, Long)]
+      val admitted = stream
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (String, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          case (host, rows, state: GroupState[Long]) =>
+            var cnt = state.getOption.getOrElse(0L)
+            // the group's batch slice is bounded (one range file's share of
+            // one host); sorting it pins intra-batch admission order
+            val out = rows.map(_._2).toArray.sorted.iterator.flatMap { id =>
+              if (cnt < 5L) { cnt += 1; Some((host, id, cnt)) } else None
+            }.toVector
+            state.update(cnt)
+            out.iterator
+        }
+      val query = admitted.toDF("host", "doc_id", "adm_rank")
+        .writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      drainSink(s, s.table(sinkTable), sinkTable, work)
+    },
+    Some("""SELECT host, doc_id, CAST(rn AS BIGINT) AS adm_rank FROM (
+        SELECT 'site-' || CAST(doc_id % 37 AS VARCHAR) AS host, doc_id,
+          row_number() OVER (PARTITION BY doc_id % 37 ORDER BY doc_id) AS rn
+        FROM documents) t WHERE rn <= 5"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31)
 }

@@ -2432,6 +2432,24 @@ class OperatorsSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("st31 quota admission: 5 smallest ids per host, ranks ordered, state spans batches") {
+    val rows = run("st31_stream_quota_admission").collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[Long]("doc_id"), r.getAs[Long]("adm_rank")))
+    val mxId = graft.sources.Tables.documents(spark, sfDir)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    val span = mxId / 4 + 1
+    val expected = (0L to mxId).groupBy(id => id % 37)
+      .flatMap { case (h, ids) => ids.sorted.take(5).zipWithIndex.map {
+        case (id, i) => (s"site-$h", id, (i + 1).toLong) } }.toSet
+    assert(rows.toSet === expected)
+    // every host's 5 admissions must span at least two range files — the
+    // quota ledger genuinely crossed micro-batch boundaries
+    rows.groupBy(_._1).foreach { case (h, rs) =>
+      assert(rs.map(_._2 / span).distinct.length >= 2,
+        s"host $h admissions all in one batch — statefulness untested")
+    }
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
