@@ -22,6 +22,9 @@ object GraftSession {
 
   def configure(builder: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     builder
+      // native-function SQL surface (l2_dist_sq, top_k_pairs, ... — see
+      // GraftExtensions); equivalent to spark.sql.extensions on a cluster
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -74,13 +74,36 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_f requires ARRAY<FLOAT|DOUBLE> children, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -88,11 +111,13 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val getL = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         ${ev.value} = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          ${ev.value} += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+          ${ev.value} += $getL * $getR;
         }
       """
     })
@@ -101,17 +126,34 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
-/** l2_norm_f(array<float>) -> double. */
+/** l2_norm_f(array<float|double>) -> double. */
 case class L2NormF(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"l2_norm_f requires an ARRAY<FLOAT|DOUBLE> child, got ${other.catalogString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
+    val lf = isFloat
     var s = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    while (i < n) {
+      val v = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      s += v * v
+      i += 1
+    }
     math.sqrt(s)
   }
 
@@ -120,10 +162,11 @@ case class L2NormF(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val get = if (isFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
         double $s = 0.0;
         for (int $i = 0; $i < $a.numElements(); $i++) {
-          double $v = (double)$a.getFloat($i);
+          double $v = $get;
           $s += $v * $v;
         }
         ${ev.value} = java.lang.Math.sqrt($s);

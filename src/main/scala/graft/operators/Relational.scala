@@ -1740,11 +1740,84 @@ object Relational {
       SELECT node, coalesce(dist, -1) AS dist FROM r6"""
     })
 
+  // ---------------------------------------------------------------- q73
+  /** SQL-TEXT API PARITY: ONE SQL string — the dialect-portable ANSI
+    * subset (joins, grouped aggregation, window ranking, CASTs) — runs
+    * VERBATIM through `spark.sql(...)` against registered temp views AND
+    * as the DuckDB oracle. The engine's SQL surface is not a translation
+    * layer: the same text plans on both engines and must hash-match. Temp
+    * views are registered, analyzed eagerly by `sql()` (the resolved plan
+    * holds the file relations), then dropped — nothing leaks into the
+    * shared session. Money rides as CAST(ROUND(x*100) AS BIGINT) cents
+    * and the HUGEINT sum is cast back (the q26 lesson); row_number is
+    * cast to BIGINT on both sides. */
+  private val q73Sql =
+    """SELECT r_name, c_name, revenue_cents, CAST(rn AS BIGINT) AS rnk FROM (
+      SELECT r_name, c_name, revenue_cents,
+        ROW_NUMBER() OVER (PARTITION BY r_name
+          ORDER BY revenue_cents DESC, c_name) AS rn
+      FROM (
+        SELECT r.r_name AS r_name, c.c_name AS c_name,
+          CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, c.c_name) g) t
+    WHERE rn <= 3"""
+
+  private val q73 = Q(
+    "q73_sql_parity",
+    (s, dir) => {
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      val out = s.sql(q73Sql)
+      Seq("lineitem", "orders", "customer", "nation", "region")
+        .foreach(s.catalog.dropTempView(_))
+      out
+    },
+    Some(q73Sql))
+
+  // ---------------------------------------------------------------- q74
+  /** NATIVE FUNCTIONS FROM SQL TEXT: the [[graft.GraftExtensions]]
+    * registration under the driver's gate — `top_k_pairs` called from a
+    * `spark.sql(...)` string plans the same Partial-mode bounded-heap
+    * TypedImperativeAggregate the audited DataFrame lanes use (k-pair
+    * buffers on the exchange, no WindowExec), while the DuckDB oracle
+    * keeps the window formulation the q54/q71 contract pins. The payload
+    * negation gives the smallest-id tiebreak; sort_key doubles as the
+    * emitted length so the VALUE rides the gate too, not just the rank. */
+  private val q74 = Q(
+    "q74_sql_native_topk",
+    (s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("graft_q74_docs")
+      val out = s.sql(
+        """SELECT source, -p.payload AS doc_id, p.sort_key AS n_chars,
+          CAST(pos + 1 AS BIGINT) AS rnk
+        FROM (
+          SELECT source,
+            top_k_pairs(CAST(length(text) AS BIGINT), -doc_id, 3) AS tp
+          FROM graft_q74_docs GROUP BY source) g
+        LATERAL VIEW posexplode(tp) v AS pos, p""")
+      s.catalog.dropTempView("graft_q74_docs")
+      out
+    },
+    Some("""SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(rn AS BIGINT) AS rnk
+      FROM (
+        SELECT source, doc_id, text,
+          row_number() OVER (PARTITION BY source
+            ORDER BY length(text) DESC, doc_id) AS rn
+        FROM documents) t WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
-    q61, q62, q63, q65, q66, q67, q69, q70, q71, q72)
+    q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
+    q73, q74)
 }

@@ -2450,6 +2450,77 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions: native functions callable from SQL text") {
+    val d = spark.sql(
+      "SELECT l2_dist_sq(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(d === 8.0)
+    val dot = spark.sql(
+      "SELECT dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS x").head().getDouble(0)
+    assert(dot === 9.0)
+    val nrm = spark.sql("SELECT l2_norm_f(array(3.0D, 4.0D)) AS x").head().getDouble(0)
+    assert(nrm === 5.0)
+    val bk = spark.sql(
+      "SELECT bottom_k_distinct(x, 3) AS s FROM VALUES (CAST(5 AS BIGINT)), " +
+        "(CAST(1 AS BIGINT)), (CAST(9 AS BIGINT)), (CAST(1 AS BIGINT)), " +
+        "(CAST(7 AS BIGINT)) AS t(x)").head()
+      .getAs[scala.collection.Seq[Long]]("s")
+    assert(bk.toSet === Set(1L, 5L, 7L))
+    val tp = spark.sql(
+      "SELECT top_k_pairs(k, p, 2) AS tp FROM VALUES " +
+        "(CAST(1 AS BIGINT), CAST(-1 AS BIGINT)), (CAST(4 AS BIGINT), CAST(-4 AS BIGINT)), " +
+        "(CAST(3 AS BIGINT), CAST(-3 AS BIGINT)) AS t(k, p)").head()
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("tp")
+    assert(tp.map(_.getAs[Long]("sort_key")).toSeq === Seq(4L, 3L))
+    // non-literal k must refuse loudly, not mis-size a buffer
+    val e = intercept[Exception](spark.sql(
+      "SELECT top_k_pairs(k, p, CAST(k AS INT)) FROM VALUES " +
+        "(CAST(1 AS BIGINT), CAST(1 AS BIGINT)) AS t(k, p)").head())
+    assert(e.getMessage.contains("INT literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("INT literal")))
+  }
+
+  test("q73 SQL parity: the shared text runs through spark.sql and views are dropped") {
+    val rows = run("q73_sql_parity").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getAs[Long]("rnk"))
+      val revs = byRank.map(_.getAs[Long]("revenue_cents"))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    }
+    assert(!spark.catalog.tableExists("lineitem"),
+      "q73 must drop its temp views after analysis")
+  }
+
+  test("q74 SQL native top-k: equals the window formulation; heap plan, no WindowExec") {
+    val got = run("q74_sql_native_topk").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rnk")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toMap
+    val want = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), length(col("text")).cast("long").as("n"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("doc_id"))))
+      .filter(col("rn") <= 3).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("rn").toLong) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n"))).toMap
+    assert(got === want)
+    // the SQL text must plan the Partial-mode bounded heap, not a window
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan0 = SparkEntry.queries("q74_sql_native_topk")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "q74 must not plan a window")
+    assert(plan.toString.contains("partial_top_k_pairs"),
+      s"q74 must plan the Partial-mode TopKPairs aggregate:\n$plan")
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
