@@ -2221,6 +2221,40 @@ object Dedup {
     * property of the data, not the operator — so the gate runs the
     * derivation on a deterministic 1-in-5 doc slice (the d21 sliced-
     * ground-truth precedent); the algorithm itself is corpus-general. */
+  /** The d26 AllPairs derivation, factored for the gate and the scale
+    * rehearsal ([[graft.tools.PrefixJoinRehearsal]]): exact word-set
+    * Jaccard >= num/den pairs over `docs(doc_id, text)` via prefix
+    * filtering. Integer threshold arithmetic throughout: prefix length is
+    * s - ceil(num*s/den) + 1 with ceil as (num*s + den - 1) div den, and
+    * the verify J >= num/den is inter*(den+num) >= num*(sa+sb). */
+  private[graft] def prefixFilterPairs(docs: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("st"))
+    val toks = sets.select(col("doc_id"), explode(col("st")).as("w"))
+    val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfreq, Seq("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val pref = ranked
+      .filter(col("rn") <= col("sz") - expr(s"(sz * $num + $den - 1) div $den") + 1)
+      .select(col("doc_id"), col("w"))
+    val cand = pref.alias("a").join(pref.alias("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("st").as("sta")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("st").as("stb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
+      .withColumn("sa", size(col("sta")).cast("long"))
+      .withColumn("sb", size(col("stb")).cast("long"))
+      .filter(col("inter") * (den + num) >= (col("sa") + col("sb")) * num)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")), 6).as("jaccard"))
+  }
+
   private val d26 = Q(
     "d26_prefix_filter_join",
     (s, dir) => {
@@ -2237,30 +2271,7 @@ object Dedup {
             "CAST((size(split(text, ' ')) * 9 + 9) div 10 AS INT)), ' ')").as("text"))
       val docs = base.unionByName(copies).unionByName(truncs)
         .localCheckpoint(true)
-      val sets = docs.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("st"))
-      val toks = sets.select(col("doc_id"), explode(col("st")).as("w"))
-      val dfreq = toks.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val ranked = toks.join(dfreq, Seq("w"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      val pref = ranked
-        .filter(col("rn") <= col("sz") - expr("(sz * 4 + 4) div 5") + 1)
-        .select(col("doc_id"), col("w"))
-      val cand = pref.alias("a").join(pref.alias("b"),
-          col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-      val withSets = cand
-        .join(sets.select(col("doc_id").as("da"), col("st").as("sta")), Seq("da"))
-        .join(sets.select(col("doc_id").as("db"), col("st").as("stb")), Seq("db"))
-        .withColumn("inter", size(array_intersect(col("sta"), col("stb"))).cast("long"))
-        .withColumn("sa", size(col("sta")).cast("long"))
-        .withColumn("sb", size(col("stb")).cast("long"))
-        .filter(col("inter") * 9 >= (col("sa") + col("sb")) * 4)
-      withSets.select(col("da").as("doc_a"), col("db").as("doc_b"),
-        round(col("inter").cast("double") /
-          (col("sa") + col("sb") - col("inter")), 6).as("jaccard"))
+      prefixFilterPairs(docs, 4, 5)
     },
     Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
       docs AS MATERIALIZED (
