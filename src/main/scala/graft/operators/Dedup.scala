@@ -2306,7 +2306,54 @@ object Dedup {
         round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
       FROM verified WHERE inter * 9 >= (sa + sb) * 4"""))
 
+  // ---------------------------------------------------------------- d27
+  /** MEMORIZATION-RATE EVAL (the continuous companion to d16's binary
+    * contamination flag — the Carlini-style "what fraction of this text
+    * is verbatim from the training set" measurement a release eval
+    * reports): per eval doc, the share of its DISTINCT word 8-grams that
+    * appear anywhere in the train corpus, as an exact integer-micro ratio.
+    * d16 answers "is it leaked at all?"; d27 answers "how much" — the
+    * number that distinguishes a quoted sentence from a wholesale copy
+    * and feeds extraction-risk thresholds.
+    *
+    * Reuses the d16 overlap core verbatim (eval side broadcasts, train
+    * grams explode map-side and never shuffle — the audited direction)
+    * plus one per-eval-doc gram count for the denominator. The planted
+    * eval frame makes the extremes provable: verbatim-passage docs score
+    * EXACTLY 1000000 micro (every 8-gram of a contiguous train passage is
+    * a train gram), vocabulary-disjoint twins exactly 0. */
+  private val d27 = Q(
+    "d27_memorization_rate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 50000000L, "d27").as("doc_id"),
+        col("text"))
+      val ev = evalFrame(docs)
+      val base = decontaminate(docs, ev, n = 8)
+      val ng = ev.select(col("test_id"), toks.as("tk"))
+        .select(col("test_id"), explode(wordNgrams(8)).as("g")).distinct()
+        .groupBy(col("test_id")).agg(count(lit(1)).as("n_grams"))
+      base.join(ng, Seq("test_id"))
+        .select(col("test_id"), col("n_grams"), col("n_overlap_grams"),
+          when(col("n_grams") > 0,
+            expr("n_overlap_grams * 1000000 div n_grams")).otherwise(lit(0L))
+            .as("mem_rate_micro"))
+    },
+    Some(s"""WITH $decontamSqlPrefix,
+      hits AS (
+        SELECT e.test_id, count(DISTINCT e.g) AS hit_grams
+        FROM evalg e JOIN traing t ON e.g = t.g GROUP BY e.test_id),
+      ng AS (
+        SELECT test_id, count(*) AS n_grams FROM evalg GROUP BY test_id)
+      SELECT ev.test_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+        CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS n_overlap_grams,
+        CAST(CASE WHEN ng.n_grams > 0
+          THEN coalesce(h.hit_grams, 0) * 1000000 // ng.n_grams
+          ELSE 0 END AS BIGINT) AS mem_rate_micro
+      FROM eval ev JOIN ng ON ev.test_id = ng.test_id
+      LEFT JOIN hits h ON ev.test_id = h.test_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26)
+    d25, d26, d27)
 }

@@ -2521,6 +2521,29 @@ class OperatorsSpec extends SparkSpec {
       s"q74 must plan the Partial-mode TopKPairs aggregate:\n$plan")
   }
 
+  test("d27 memorization rate: verbatim passages at exactly 1.0, clean twins at 0") {
+    val rows = run("d27_memorization_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("test_id")
+      val rate = r.getAs[Long]("mem_rate_micro")
+      val (ng, nov) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_overlap_grams"))
+      assert(nov <= ng)
+      if (id >= 50000000L && id < 60000000L) {
+        // contaminated plant: a contiguous train passage — every 8-gram hits
+        assert(rate === 1000000L, s"plant $id rate=$rate")
+        assert(nov === ng)
+      } else {
+        // vocabulary-disjoint clean twin: no gram can hit
+        assert(rate === 0L, s"clean twin $id rate=$rate")
+        assert(nov === 0L)
+      }
+    }
+    // both populations present
+    assert(rows.exists(_.getAs[Long]("test_id") < 60000000L))
+    assert(rows.exists(_.getAs[Long]("test_id") >= 60000000L))
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
