@@ -2544,6 +2544,37 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("test_id") >= 60000000L))
   }
 
+  test("s26 matryoshka: top-10 drawn from the 16-dim shortlist, measured recall reported") {
+    val rows = run("s26_matryoshka_rerank").collect()
+    assert(rows.length === 30)
+    // the re-ranked answers must be a subset of the stage-1 shortlist
+    import graft.functions.VectorExpressions.l2DistSq
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val probes = base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), expr("slice(embedding, 1, 16)").as("q16"))
+    val shortlist = graft.operators.Similarity.knnJoin(
+        base.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("emb16")),
+        probes, l2DistSq(col("q16"), col("emb16")), k = 50, ascending = true)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    rows.foreach { r =>
+      assert(shortlist.contains(
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))))
+      assert(r.getAs[Long]("neighbor_id") !== r.getAs[Long]("query_id"))
+    }
+    // measured (not asserted) full-recall: how many of the exact full-dim
+    // top-10 survive the truncated shortlist — prints for SCALE notes
+    val exact = graft.operators.Similarity.knnJoin(base,
+        base.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        l2DistSq(col("q_emb"), col("embedding")), k = 10, ascending = true)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    info(s"s26 recall@10 vs exact full-dim: ${(exact & got).size}/${exact.size}")
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
