@@ -1481,6 +1481,60 @@ object Multimodal {
     (nChunks, kw, vl, crcOk)
   }
 
+  /** Bounds-checked RIFF LIST/INFO walk — the m15 reader: verifies the
+    * RIFF/WAVE magic and the declared outer size, walks the chunk
+    * sequence (id(4) + size(4, little-endian) + data, padded to even),
+    * and extracts IART/ICMT strings from a LIST chunk of form INFO
+    * WITHOUT touching the audio data. Untrusted lengths degrade to
+    * ok=false (the m14 corruption contract), never a throw. Shared by
+    * the m15 query and its corruption spec. */
+  private[graft] def riffInfoWalk(bytes: Array[Byte]): (Long, String, String, Boolean) = {
+    def ascii(a: Array[Byte]): String = new String(a, "ISO-8859-1")
+    if (bytes.length < 12) return (0L, "", "", false)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); buf.get(magic)
+    val declared = buf.getInt & 0xffffffffL
+    val form = new Array[Byte](4); buf.get(form)
+    if (ascii(magic) != "RIFF" || ascii(form) != "WAVE") return (0L, "", "", false)
+    val sizeOk = declared == bytes.length - 8
+    var (nChunks, artist, comment) = (0L, "", "")
+    var ok = sizeOk
+    var done = false
+    while (!done && buf.remaining() >= 8) {
+      val cid = new Array[Byte](4); buf.get(cid)
+      val len = buf.getInt
+      val padded = len.toLong + (len & 1)
+      if (len < 0 || padded > buf.remaining()) { ok = false; done = true }
+      else {
+        val body = new Array[Byte](len); buf.get(body)
+        if ((len & 1) == 1) buf.get() // RIFF pads chunks to even
+        nChunks += 1
+        if (ascii(cid) == "LIST" && len >= 4 &&
+            ascii(body.take(4)) == "INFO") {
+          val sub = java.nio.ByteBuffer.wrap(body, 4, len - 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var subOk = true
+          while (subOk && sub.remaining() >= 8) {
+            val sid = new Array[Byte](4); sub.get(sid)
+            val slen = sub.getInt
+            val spad = slen.toLong + (slen & 1)
+            if (slen < 0 || spad > sub.remaining()) { ok = false; subOk = false }
+            else {
+              val sval = new Array[Byte](slen); sub.get(sval)
+              if ((slen & 1) == 1) sub.get()
+              // INFO values are NUL-terminated strings
+              val txt = ascii(sval.takeWhile(_ != 0))
+              if (ascii(sid) == "IART") artist = txt
+              if (ascii(sid) == "ICMT") comment = txt
+            }
+          }
+        }
+      }
+    }
+    (nChunks, artist, comment, ok)
+  }
+
   // ---------------------------------------------------------------- m14
   /** IN-CONTAINER METADATA EXTRACTION (the image-pipeline EXIF analogue,
     * exercised on PNG's chunked container because the JDK codec is real
@@ -1554,6 +1608,92 @@ object Multimodal {
         true AS has_chunk_framing, true AS crc_ok, true AS decodes_with_text
       FROM documents"""))
 
+  // ---------------------------------------------------------------- m15
+  /** IN-CONTAINER AUDIO METADATA (the m14 verb on the SECOND container
+    * family — RIFF's LIST/INFO metadata, the WAV analogue of EXIF/ID3):
+    * provenance strings (artist/source, comment/license) live inside the
+    * RIFF container as an INFO list, and a curation policy filter must
+    * read them WITHOUT decoding audio frames. The synthesizer builds a
+    * REAL WAV via `javax.sound.sampled` (the m06 clip), then performs
+    * byte-level container surgery: a spec-conformant LIST/INFO chunk
+    * (IART + ICMT sub-chunks, NUL-terminated, even-padded) appended and
+    * the RIFF outer size field PATCHED to cover it — an unpatched size is
+    * exactly the corruption the walker's size check must catch. The
+    * reader walks the chunk framing (little-endian sizes, even padding),
+    * extracts the INFO strings, verifies the declared outer size against
+    * the actual byte count, and proves the spliced container still
+    * DECODES with the original frame count. Row-local; oracle recomputes
+    * the metadata from the synthesis formula (m14's pattern). */
+  private val m15 = Q(
+    "m15_wav_info_metadata",
+    (s, dir) => {
+      import s.implicits._
+      val n = 240
+      val rate = 8000f
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate, 16, 1, 2, rate, false)
+          ids.map { id =>
+            val pcm = new Array[Byte](2 * n)
+            var t = 0
+            while (t < n) {
+              val v = ((id * 131 + t * 17) % 65536 - 32768).toInt
+              pcm(2 * t) = (v & 0xff).toByte
+              pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+              t += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            val wav = baos.toByteArray
+            // LIST/INFO chunk: IART + ICMT, NUL-terminated, even-padded
+            def sub(cid: String, value: String): Array[Byte] = {
+              val v = (value + "\u0000").getBytes("ISO-8859-1")
+              val padded = if ((v.length & 1) == 1) v :+ 0.toByte else v
+              val bb = java.nio.ByteBuffer.allocate(8)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              bb.put(cid.getBytes("ISO-8859-1")).putInt(v.length)
+              bb.array() ++ padded
+            }
+            val artist = s"artist-${id % 11}"
+            val cmt = s"take-${id % 5}"
+            val info = "INFO".getBytes("ISO-8859-1") ++
+              sub("IART", artist) ++ sub("ICMT", cmt)
+            val head = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            head.put("LIST".getBytes("ISO-8859-1")).putInt(info.length)
+            val spliced = wav ++ head.array() ++ info
+            // patch the RIFF outer size to cover the appended chunk
+            val newSize = spliced.length - 8
+            spliced(4) = (newSize & 0xff).toByte
+            spliced(5) = ((newSize >> 8) & 0xff).toByte
+            spliced(6) = ((newSize >> 16) & 0xff).toByte
+            spliced(7) = ((newSize >> 24) & 0xff).toByte
+
+            // ---- the reader under test: chunk walk, no audio decode
+            val (nChunks, art, com, ok) = riffInfoWalk(spliced)
+            // the spliced container must still decode with every frame
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(spliced))
+            val frames = in.getFrameLength
+            in.close()
+            (id, art, com, nChunks >= 3L, ok, frames == n.toLong)
+          }
+        }
+        .toDF("doc_id", "artist", "comment", "has_chunk_framing",
+          "riff_ok", "decodes_with_info")
+    },
+    Some("""SELECT doc_id,
+        'artist-' || CAST(doc_id % 11 AS VARCHAR) AS artist,
+        'take-' || CAST(doc_id % 5 AS VARCHAR) AS comment,
+        true AS has_chunk_framing, true AS riff_ok,
+        true AS decodes_with_info
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13, m14)
+    m12, m13, m14, m15)
 }

@@ -2575,6 +2575,52 @@ class OperatorsSpec extends SparkSpec {
     info(s"s26 recall@10 vs exact full-dim: ${(exact & got).size}/${exact.size}")
   }
 
+  test("m15 WAV INFO metadata: strings extracted, size verified, container decodes") {
+    val rows = run("m15_wav_info_metadata").collect()
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length === n)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("artist") === s"artist-${id % 11}")
+      assert(r.getAs[String]("comment") === s"take-${id % 5}")
+      assert(r.getAs[Boolean]("has_chunk_framing"))
+      assert(r.getAs[Boolean]("riff_ok"))
+      assert(r.getAs[Boolean]("decodes_with_info"))
+    }
+  }
+
+  test("m15 riffInfoWalk: corrupt containers degrade to ok=false, never throw") {
+    import graft.operators.Multimodal.riffInfoWalk
+    // build one valid spliced WAV through the query machinery is overkill;
+    // construct a minimal RIFF by hand
+    def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    val info = "INFO".getBytes("ISO-8859-1") ++
+      ("IART".getBytes("ISO-8859-1") ++ le(5) ++ "abcd\u0000".getBytes("ISO-8859-1") :+ 0.toByte)
+    val body = "WAVE".getBytes("ISO-8859-1") ++
+      ("LIST".getBytes("ISO-8859-1") ++ le(info.length) ++ info)
+    val good = "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+    val (nc, art, _, ok) = riffInfoWalk(good)
+    assert(ok && nc === 1L && art === "abcd")
+    // truncations at every prefix: graceful, no throw
+    for (cut <- 0 to good.length - 1) {
+      val (_, _, _, okT) = riffInfoWalk(good.take(cut))
+      assert(!okT, s"truncation at $cut must not verify")
+    }
+    // wrong magic
+    assert(!riffInfoWalk("JUNK".getBytes ++ good.drop(4))._4)
+    // unpatched (stale) outer size — the corruption the walker must catch
+    val stale = good.clone()
+    stale(4) = (stale(4) - 8).toByte
+    assert(!riffInfoWalk(stale)._4)
+    // huge declared sub-chunk length inside LIST
+    val hugeSub = good.clone()
+    // IART length field sits after RIFF(12) + LIST id+len(8) + INFO(4) + IART(4)
+    System.arraycopy(le(Int.MaxValue), 0, hugeSub, 12 + 8 + 4 + 4, 4)
+    val (_, _, _, okH) = riffInfoWalk(hugeSub)
+    assert(!okH)
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
