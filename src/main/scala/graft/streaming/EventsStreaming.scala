@@ -2450,7 +2450,111 @@ object EventsStreaming {
           row_number() OVER (PARTITION BY doc_id % 37 ORDER BY doc_id) AS rn
         FROM documents) t WHERE rn <= 5"""))
 
+  // ---------------------------------------------------------------- st32
+  /** STREAMING INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — w16's signed-
+    * delta IVM in the production direction (the Delta Live Tables /
+    * Materialize refresh loop): change batches ARRIVE as a stream, and
+    * each micro-batch aggregates ONLY its own deltas (+1 insert, -1
+    * delete, an update = a -old/+new signed pair) and merges the k-group
+    * result into the persisted view via the st22 stage-then-swap
+    * contract. The base table is read exactly once (to seed the view);
+    * every refresh after that is O(batch) + O(groups), which is the
+    * whole IVM argument at 100 TB. Merging signed deltas is commutative
+    * and associative, so the maintained view is independent of batch
+    * order/split — and must equal the one-shot recompute the oracle
+    * derives from the change semantics. maxFilesPerTrigger=1 forces the
+    * three change files through three real merge cycles (recomputed into
+    * the multi_batch column; the spec pins the exact count). */
+  private val st32 = Q(
+    "st32_stream_mv_maintenance",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st32_")
+      val viewDir = s"$work/view"
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("changes"))
+      val scratch = java.nio.file.Files.createDirectory(work.resolve("scratch"))
+      try {
+        val base = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"),
+          col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        base.groupBy(col("flag"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("qty_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .write.mode("overwrite").parquet(viewDir)
+        // three signed change files: deletes, inserts, updates (-old/+new)
+        val deletes = base.filter(col("k") % 7 === 3)
+          .select(col("flag"), lit(-1L).as("m"), (-col("qty")).as("qty"),
+            (-col("cents")).as("cents"))
+        val inserts = base.filter(col("k") % 11 === 5)
+          .select(col("flag"), lit(1L).as("m"), col("qty"), col("cents"))
+        val upd = base.filter(col("k") % 13 === 2 && col("k") % 7 =!= 3)
+        val updates = upd
+          .select(col("flag"), lit(-1L).as("m"), (-col("qty")).as("qty"),
+            (-col("cents")).as("cents"))
+          .unionByName(upd.select(col("flag"), lit(1L).as("m"),
+            (col("qty") + 1L).as("qty"), col("cents")))
+        Seq(deletes -> "c0", inserts -> "c1", updates -> "c2").foreach {
+          case (df, name) =>
+            df.coalesce(1).write.mode("overwrite").parquet(s"$scratch/$name")
+            val part = Option(new java.io.File(s"$scratch/$name").listFiles())
+              .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+            java.nio.file.Files.move(part.toPath,
+              srcDir.resolve(s"$name.parquet"))
+        }
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val raw = s.readStream
+          .schema(s.read.parquet(srcDir.resolve("c0.parquet").toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val query = raw.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            nBatches.incrementAndGet()
+            val delta = batch.groupBy(col("flag"))
+              .agg(sum(col("m")).as("dn"), sum(col("qty")).as("dq"),
+                sum(col("cents")).as("dc"))
+              .localCheckpoint(true)
+            val cur = s.read.parquet(viewDir).localCheckpoint(true)
+            val merged = cur.join(delta, Seq("flag"), "full_outer")
+              .select(col("flag"),
+                (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+                (coalesce(col("qty_sum"), lit(0L)) + coalesce(col("dq"), lit(0L))).as("qty_sum"),
+                (coalesce(col("cents_sum"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents_sum"))
+              .filter(col("n_rows") > 0)
+            val staged = s"$work/stage_$batchId"
+            merged.write.mode("overwrite").parquet(staged)
+            graft.functions.CrossEngine.deleteRecursive(
+              java.nio.file.Paths.get(viewDir))
+            java.nio.file.Files.move(java.nio.file.Paths.get(staged),
+              java.nio.file.Paths.get(viewDir))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        graft.functions.CrossEngine.materializeLocal(s,
+          s.read.parquet(viewDir)
+            .withColumn("multi_batch", lit(nBatches.get() >= 2L)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey AS k, l_returnflag AS flag,
+          CAST(l_quantity AS BIGINT) AS qty,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem)
+      SELECT flag,
+        CAST(sum(CASE WHEN k % 7 <> 3 THEN 1 ELSE 0 END)
+           + sum(CASE WHEN k % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN k % 7 <> 3 THEN qty ELSE 0 END)
+           + sum(CASE WHEN k % 11 = 5 THEN qty ELSE 0 END)
+           + sum(CASE WHEN k % 13 = 2 AND k % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS qty_sum,
+        CAST(sum(CASE WHEN k % 7 <> 3 THEN cents ELSE 0 END)
+           + sum(CASE WHEN k % 11 = 5 THEN cents ELSE 0 END) AS BIGINT) AS cents_sum,
+        true AS multi_batch
+      FROM base GROUP BY flag"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32)
 }

@@ -2621,6 +2621,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!okH)
   }
 
+  test("st32 streaming MV: maintained view equals full recompute, three merge cycles ran") {
+    val rows = run("st32_stream_mv_maintenance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("multi_batch"),
+      "the three change files must drive separate merge cycles"))
+    val maintained = rows.map(r => r.getAs[String]("flag") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("qty_sum"), r.getAs[Long]("cents_sum"))).toMap
+    val base = graft.sources.Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("k"), col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val after = base.filter(col("k") % 7 =!= 3)
+      .withColumn("qty", col("qty") +
+        when(col("k") % 13 === 2, 1L).otherwise(0L))
+      .unionByName(base.filter(col("k") % 11 === 5))
+    val full = after.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("q"), sum(col("cents")).as("c"))
+      .collect().map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("q"), r.getAs[Long]("c"))).toMap
+    assert(maintained === full)
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
