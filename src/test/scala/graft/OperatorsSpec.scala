@@ -3262,7 +3262,8 @@ class OperatorsSpec extends SparkSpec {
     val shapes = Seq("s01_knn_bruteforce", "s02_knn_lsh", "s03_ann_ivf",
         "s04_knn_lsh_oracle", "s05_ann_ivf_oracle", "s06_ann_pq_oracle",
         "s08_ann_pq_trained", "s10_ann_ivfpq", "s20_hard_negatives",
-        "s22_filtered_knn", "s23_ivf_filtered").map(n => n -> run(n)) :+
+        "s22_filtered_knn", "s23_ivf_filtered",
+        "s25_sq8_ann", "s26_matryoshka_rerank").map(n => n -> run(n)) :+
       ("h11 d2-ascending shape" ->
         graft.operators.Similarity.knnJoin(e, probes, d2, k = 15, ascending = true))
     for ((label, df) <- shapes) {
