@@ -2593,10 +2593,138 @@ object TextAnalysis {
         true AS unigram_fertility_le_bpe, true AS unigram_lossless
       FROM agg"""))
 
+  // ---------------------------------------------------------------- t36
+  /** Platt scaling fit (Platt '99, public): a 2-parameter logistic
+    * recalibration p = sigma(a*z + b) maximum-likelihood-fit by Newton
+    * iterations over BINNED (z, label) counts — the corpus collapses to
+    * <= nBins rows before anything reaches the driver (the binnedAuc
+    * contract), so the fit is deterministic and bounded at any scale. */
+  private[graft] def plattFit(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 256): (Double, Double) = {
+    val r = scored.agg(min(col(scoreCol)), max(col(scoreCol))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = if (hi > lo) hi - lo else 1.0
+    val bins = scored.select(
+        least(lit(nBins - 1), floor((col(scoreCol) - lit(lo)) / lit(width) * nBins))
+          .cast("int").as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+      .collect()
+      .map(row => (lo + (row.getInt(0) + 0.5) * width / nBins,
+        row.getLong(1), row.getLong(2)))
+    var (a, b) = (1.0, 0.0)
+    for (_ <- 1 to 50) {
+      var (ga, gb, haa, hab, hbb) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      bins.foreach { case (z, np, nn) =>
+        val p = 1.0 / (1.0 + math.exp(-(a * z + b)))
+        val w = (np + nn) * p * (1.0 - p)
+        val g = np - (np + nn) * p // d(loglik)/d(az+b) summed over the bin
+        ga += g * z; gb += g
+        haa += w * z * z; hab += w * z; hbb += w
+      }
+      // Newton step with a tiny ridge so a separable fit stays finite
+      val (raa, rbb) = (haa + 1e-9, hbb + 1e-9)
+      val det = raa * rbb - hab * hab
+      if (math.abs(det) > 1e-18) {
+        a += (rbb * ga - hab * gb) / det
+        b += (raa * gb - hab * ga) / det
+      }
+    }
+    (a, b)
+  }
+
+  /** Expected Calibration Error over 10 equal-width probability bins:
+    * sum_b (n_b/N) * |mean confidence_b - accuracy_b|. The corpus
+    * collapses to 10 grouped rows; exact given the binning. */
+  private[graft] def eceOf(scored: DataFrame, probCol: String,
+      labelCol: String): Double = {
+    val rows = scored.select(
+        least(lit(9), floor(col(probCol) * 10)).cast("int").as("bin"),
+        col(probCol).as("p"), col(labelCol).cast("long").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("sy"))
+      .collect()
+    val total = rows.map(_.getAs[Long]("n")).sum.toDouble
+    rows.map { r =>
+      val n = r.getAs[Long]("n").toDouble
+      (n / total) * math.abs(r.getAs[Double]("sp") / n - r.getAs[Long]("sy") / n)
+    }.sum
+  }
+
+  /** CLASSIFIER CALIBRATION EVAL + PLATT RECALIBRATION (t36 — the third
+    * member of the classifier eval suite after held-out accuracy (t31)
+    * and ROC-AUC (t32); Guo '17 made ECE the standard report, Platt '99
+    * the standard fix): the model trains on CLEAN separable annotations
+    * (the curator's pristine labels), but the deployment labels carry
+    * 20% disagreement (every 5th doc's observed label flipped) — so the
+    * confident raw sigmoid provably overstates observed accuracy
+    * (measured ECE ~ 0.12 at every sf), the train-clean/deploy-noisy
+    * miscalibration Guo '17 documents. NOTE a logistic model trained ON
+    * the noisy labels is self-calibrated (measured: Platt fits the
+    * identity, ECE unchanged) — the miscalibration must come from the
+    * train/deploy label shift, which is why the harness trains clean.
+    * Platt scaling fit on a held-out CALIBRATION split (Newton over
+    * binned counts, driver cost O(bins)) softens the scores toward the
+    * disagreement rate (fitted a ~ 0.55-0.60, measured), and ECE on the
+    * DISJOINT test split must drop by >= 25% (measured margins: 0.12 ->
+    * 0.056/0.007/0.041 at sf0.001/0.01/0.1). Splits: train = even ids,
+    * calib = %4==1, test = %4==3 — the fit never sees its report card.
+    *
+    * Scale shape: scoring is row-local (st30's sorted-bucket dot
+    * product); everything driver-side is bin-bounded (256 fit bins, 10
+    * reliability bins). Oracle recomputes the split sizes and observed-
+    * label counts; the calibration verdicts are recomputed booleans (the
+    * t32 pattern — weights are engine-trained). */
+  private val tCalibration = Q(
+    "t36_classifier_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        // clean annotation the trainer sees...
+        when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L))
+          .as("train_label"),
+        // ...and the noisy observed label deployment is judged against
+        (when(col("doc_id") % 3 === 0, lit(1L)).otherwise(lit(0L)) +
+          when(col("doc_id") % 5 === 0, lit(1L)).otherwise(lit(0L))).mod(2)
+          .as("label"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" clickspam buynow clickspam")))
+          .otherwise(concat(col("text"), lit(" organiccontent"))).as("text"))
+      val feats = lrFeatures(docs.withColumn("label", col("train_label")))
+        .localCheckpoint(true)
+      val (w, _) = lrTrain(feats.filter(col("doc_id") % 2 === 0),
+        iters = 30, rate = 0.3)
+      def scored(part: Column): DataFrame =
+        lrScoreRowLocal(docs.filter(part), w)
+          .withColumn("p_raw", expr("1.0 / (1.0 + exp(-z))"))
+          .localCheckpoint(true)
+      val calib = scored(col("doc_id") % 4 === 1)
+      val test = scored(col("doc_id") % 4 === 3)
+      val (a, b) = plattFit(calib, "z", "label")
+      val testCal = test.withColumn("p_cal",
+        expr(s"1.0 / (1.0 + exp(-($a * z + $b)))"))
+      val eceBefore = eceOf(testCal, "p_raw", "label")
+      val eceAfter = eceOf(testCal, "p_cal", "label")
+      testCal.agg(count(lit(1)).as("n_test_docs"),
+          sum(col("label")).as("n_pos_observed"))
+        .select(col("n_test_docs"), col("n_pos_observed"),
+          lit(eceBefore >= 0.05).as("raw_overconfident"),
+          lit(eceAfter <= 0.75 * eceBefore).as("platt_improves_ece"),
+          lit(a > 0.0 && a < 1.0).as("platt_shrinks_scores"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_test_docs,
+        CAST(sum(CASE WHEN (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) % 2 = 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_observed,
+        true AS raw_overconfident, true AS platt_improves_ece,
+        true AS platt_shrinks_scores
+      FROM documents WHERE doc_id % 4 = 3"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
-      tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist)
+      tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist,
+      tCalibration)
 }

@@ -2643,6 +2643,31 @@ class OperatorsSpec extends SparkSpec {
     assert(maintained === full)
   }
 
+  test("t36 calibration: label shift makes raw ECE large, Platt repairs it out of sample") {
+    val r = run("t36_classifier_calibration").collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_test_docs") > 0)
+    assert(row.getAs[Boolean]("raw_overconfident"),
+      "planted 20% label noise must make the confident classifier miscalibrated")
+    assert(row.getAs[Boolean]("platt_improves_ece"))
+    assert(row.getAs[Boolean]("platt_shrinks_scores"),
+      "the fitted slope must soften (0 < a < 1), not sharpen")
+    // Platt machinery sanity on a hand-built frame: perfectly calibrated
+    // scores should fit a ~ 1, b ~ 0 and leave ECE unchanged-small
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    val hand = (1 to 4000).map { _ =>
+      val z = rng.nextGaussian() * 2.0
+      val p = 1.0 / (1.0 + math.exp(-z))
+      (z, if (rng.nextDouble() < p) 1L else 0L)
+    }.toDF("z", "label")
+    val (a, b) = graft.operators.TextAnalysis.plattFit(hand, "z", "label")
+    assert(math.abs(a - 1.0) < 0.25 && math.abs(b) < 0.25,
+      s"calibrated data must fit near identity, got a=$a b=$b")
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
