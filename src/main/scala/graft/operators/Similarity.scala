@@ -2114,7 +2114,78 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
         FROM rescored) t WHERE rn <= 10"""))
 
+  // ---------------------------------------------------------------- s27
+  /** IVF + SQ8 COMPOSED INDEX (the FAISS `IVF..,SQ8` factory string —
+    * public; the deployment sibling of s10's IVFADC): the coarse
+    * quantizer routes probes to inverted lists exactly as s05, and list
+    * members are stored as s25's 1-byte/dim scalar-quantized codes
+    * instead of raw floats — the working set a probe touches is
+    * (corpus/nLists) * nProbe * 64 BYTES, compressing the serving tier
+    * 4x while keeping the IVF pruning. Scoring is asymmetric: the
+    * full-precision query against each probed member's +0.5-centered
+    * dequantization, ranked through the audited bounded heap. Every
+    * stage is deterministic (fixed coarse quantizer, trained-stats
+    * codes), so the WHOLE composition — routing, codes, ADC, ranks —
+    * hash-matches a DuckDB oracle that recomputes it from scratch. */
+  private val s27 = Q(
+    "s27_ivf_sq8",
+    (s, dir) => {
+      import graft.functions.VectorExpressions.l2DistSq
+      val (assigned, probes) = ivfParts(s, dir)
+      val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val (_, coded) = sq8Parts(base)
+      val dec = coded.select(col("vec_id"),
+        expr("""transform(code, (c, i) -> element_at(mns, i+1)
+            + (CAST(c AS DOUBLE) + 0.5D)
+              * (element_at(mxs, i+1) - element_at(mns, i+1)) / 256.0D)""")
+          .as("dec"))
+      val cands = assigned.select(col("vec_id"), col("list_id"))
+        .join(dec, Seq("vec_id"))
+        .join(broadcast(probes.select(col("query_id"), col("q_emb"), col("list_id"))),
+          Seq("list_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("adc", l2DistSq(col("q_emb"), col("dec")))
+      topKByScore(cands, "query_id", "vec_id", col("adc"), k = 10,
+          ascending = true)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("score"), 6).as("adc"), col("rn"))
+    },
+    Some(s"""$ivfOracleProbeCtes,
+      expl AS (
+        SELECT vec_id,
+          unnest(range(1, len(embedding) + 1)) AS dim,
+          unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings),
+      sstats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM expl GROUP BY dim),
+      arrs AS MATERIALIZED (
+        SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        FROM sstats),
+      coded AS MATERIALIZED (
+        SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+          i -> CAST(CASE WHEN ar.mxs[i] = ar.mns[i] THEN 0.0
+            ELSE greatest(0.0, least(255.0,
+              floor((CAST(embedding[i] AS DOUBLE) - ar.mns[i]) * 256.0
+                / (ar.mxs[i] - ar.mns[i])))) END AS INT)) AS code
+        FROM embeddings CROSS JOIN arrs ar),
+      cand AS (
+        SELECT p.query_id, a.vec_id,
+          list_sum(list_transform(range(1, len(q.embedding) + 1),
+            i -> (CAST(q.embedding[i] AS DOUBLE)
+                - (ar.mns[i] + (CAST(c.code[i] AS DOUBLE) + 0.5) * (ar.mxs[i] - ar.mns[i]) / 256.0))
+               * (CAST(q.embedding[i] AS DOUBLE)
+                - (ar.mns[i] + (CAST(c.code[i] AS DOUBLE) + 0.5) * (ar.mxs[i] - ar.mns[i]) / 256.0))))
+            AS adc
+        FROM probes p
+        JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        JOIN coded c ON c.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        CROSS JOIN arrs ar)
+      SELECT query_id, vec_id AS neighbor_id, round(adc, 6) AS adc, rn FROM (
+        SELECT query_id, vec_id, adc,
+          row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+        FROM cand) t WHERE rn <= 10"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26)
+    s25, s26, s27)
 }

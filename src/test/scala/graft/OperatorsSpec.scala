@@ -2668,6 +2668,44 @@ class OperatorsSpec extends SparkSpec {
       s"calibrated data must fit near identity, got a=$a b=$b")
   }
 
+  test("s27 IVF+SQ8: ranks well-formed, candidates confined to probed lists") {
+    val rows = run("s27_ivf_sq8").collect()
+    assert(rows.length === 30)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq === (1L to 10L))
+      val ds = sorted.map(_.getAs[Double]("adc"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != qid))
+    }
+    // every returned neighbor must live in one of the query's 2 probed
+    // lists — recompute the fixed-quantizer routing independently
+    import graft.functions.VectorExpressions.l2DistSq
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val centers = emb.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("center"))
+    val crossed = emb.crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("cid"),
+        round(l2DistSq(col("embedding"), col("center")), 6).as("d2"))
+    val listOf = crossed.groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("list_id")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
+    val probed = crossed.filter(col("vec_id") < 3)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2"), col("cid"))))
+      .filter(col("rn") <= 2).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cid")).toSet }
+    rows.foreach { r =>
+      val (q, nb) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(probed(q).contains(listOf(nb)),
+        s"query $q neighbor $nb outside probed lists")
+    }
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
