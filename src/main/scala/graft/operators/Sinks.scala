@@ -1167,6 +1167,104 @@ object Sinks {
         CAST(sum(cents) AS BIGINT) AS cents_sum
       FROM changed GROUP BY flag HAVING count(*) > 0"""))
 
+  // ---------------------------------------------------------------- w17
+  /** ZERO-COPY SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`
+    * mechanic on the w09 manifest shape — the test/dev-branch operation
+    * every lakehouse team uses): a clone is a NEW manifest listing the
+    * SAME immutable data files — zero bytes copied, O(metadata) cost —
+    * and subsequent writes to either table diverge copy-on-write: the
+    * writer rewrites only its own touched bucket and re-lists the rest,
+    * so the tables share everything except what changed after the fork.
+    *
+    * The gate builds the w09 table, clones it (manifest copy, zero data
+    * files written — proven from the real directory listing before/
+    * after), commits a bucket-5 change to the CLONE ONLY, and emits both
+    * tables' aggregates plus recomputed file-sharing booleans: the clone
+    * shares exactly 7 of 8 files with the source after its write, the
+    * source's files and aggregate are UNTOUCHED, and the clone's write
+    * added exactly one new file to storage. DuckDB recomputes the source
+    * aggregate from the table and the clone's from the change
+    * semantics. */
+  private val w17 = Q(
+    "w17_shallow_clone",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w17_")
+      try {
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        def writeBucket(df: DataFrame, name: String): String = {
+          val d = root.resolve(name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(d)
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet")).get.getPath
+        }
+        def dataFiles(): Set[String] = {
+          val out = scala.collection.mutable.Set[String]()
+          val stream = java.nio.file.Files.walk(root)
+          try stream.iterator().forEachRemaining { p =>
+            if (p.toString.endsWith(".parquet")) out += p.toString
+          } finally stream.close()
+          out.toSet
+        }
+        val srcFiles = (0 until 8).map { b =>
+          writeBucket(base.filter(pmod(col("k"), lit(8L)) === b), s"b$b")
+        }
+        java.nio.file.Files.write(root.resolve("manifest_src.txt"),
+          srcFiles.mkString("\n").getBytes("UTF-8"))
+        val filesBeforeClone = dataFiles()
+        // the clone: ONE metadata file, zero data files
+        java.nio.file.Files.copy(root.resolve("manifest_src.txt"),
+          root.resolve("manifest_clone.txt"))
+        val cloneIsZeroCopy = dataFiles() == filesBeforeClone
+        // commit a change to the CLONE only: bucket 5 gets cents + 7
+        val b5 = s.read.parquet(srcFiles(5))
+          .select(col("k"), (col("cents") + 7L).as("cents"))
+          .localCheckpoint(true)
+        val b5v2 = writeBucket(b5, "b5_clone_v2")
+        val cloneFiles = srcFiles.patch(5, Nil, 1) :+ b5v2
+        java.nio.file.Files.write(root.resolve("manifest_clone.txt"),
+          cloneFiles.mkString("\n").getBytes("UTF-8"))
+        // recomputed proof obligations
+        val srcAfter = new String(java.nio.file.Files.readAllBytes(
+          root.resolve("manifest_src.txt")), "UTF-8").split("\n").toSeq
+        val shared = srcAfter.toSet.intersect(cloneFiles.toSet).size
+        val newFiles = dataFiles() -- filesBeforeClone
+        def aggOf(files: Seq[String]) = {
+          val r = s.read.parquet(files: _*)
+            .agg(count(lit(1)), sum(col("k")), sum(col("cents"))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val (sn, sk, sc) = aggOf(srcAfter)
+        val (cn, ck, cc) = aggOf(cloneFiles)
+        val out = Seq(("source", sn, sk, sc), ("clone", cn, ck, cc))
+          .map { case (t, n, k2, c) =>
+            s.range(1).select(lit(t).as("table_name"), lit(n).as("n_rows"),
+              lit(k2).as("key_sum"), lit(c).as("cents_sum"),
+              lit(cloneIsZeroCopy).as("clone_zero_copy"),
+              lit(shared == 7).as("seven_files_shared"),
+              lit(newFiles.size == 1 && newFiles.head == b5v2)
+                .as("one_new_file_from_clone_write"),
+              lit(srcAfter == srcFiles).as("source_manifest_untouched"))
+          }.reduce(_ unionByName _)
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT 'source' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(k) AS BIGINT) AS key_sum, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        true AS clone_zero_copy, true AS seven_files_shared,
+        true AS one_new_file_from_clone_write, true AS source_manifest_untouched
+      FROM base
+      UNION ALL
+      SELECT 'clone', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+        CAST(sum(CASE WHEN k % 8 = 5 THEN cents + 7 ELSE cents END) AS BIGINT),
+        true, true, true, true
+      FROM base"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14, w15, w16)
+    w12, w13, w14, w15, w16, w17)
 }

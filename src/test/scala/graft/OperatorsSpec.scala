@@ -2706,6 +2706,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("w17 shallow clone: zero-copy fork, one-file divergence, source untouched") {
+    val rows = run("w17_shallow_clone").collect()
+    assert(rows.length === 2)
+    val byT = rows.map(r => r.getAs[String]("table_name") -> r).toMap
+    Seq("source", "clone").foreach { t =>
+      val r = byT(t)
+      assert(r.getAs[Boolean]("clone_zero_copy"))
+      assert(r.getAs[Boolean]("seven_files_shared"))
+      assert(r.getAs[Boolean]("one_new_file_from_clone_write"))
+      assert(r.getAs[Boolean]("source_manifest_untouched"))
+    }
+    // same rows/keys, clone cents diverged upward by exactly 7 per b5 row
+    assert(byT("source").getAs[Long]("n_rows") === byT("clone").getAs[Long]("n_rows"))
+    assert(byT("source").getAs[Long]("key_sum") === byT("clone").getAs[Long]("key_sum"))
+    assert(byT("clone").getAs[Long]("cents_sum") > byT("source").getAs[Long]("cents_sum"))
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
