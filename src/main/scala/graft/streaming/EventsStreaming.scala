@@ -2554,7 +2554,141 @@ object EventsStreaming {
         true AS multi_batch
       FROM base GROUP BY flag"""))
 
+  // ---------------------------------------------------------------- st33
+  /** EXACTLY-ONCE STREAMING PUBLICATION INTO THE VERSIONED TABLE — the
+    * Delta/Iceberg streaming-sink transaction mechanic (txnAppId +
+    * txnVersion commit dedup) built from parts this engine already pins:
+    * foreachBatch is only AT-LEAST-ONCE (a batch that fails between its
+    * data write and its publish step replays under the SAME batchId), and
+    * the w13 `OccTable` commit log is IDEMPOTENT per commit id — so
+    * committing each micro-batch under commit id `batch-<batchId>` turns
+    * the pair (Spark's offsets log pins WHAT is in a batch; the manifest
+    * log records WHETHER it published) into exactly-once table commits.
+    *
+    * The gate stages the real failure, not a simulation: batch 1's first
+    * attempt writes its data file and then dies BEFORE the manifest
+    * commit (the injected crash terminates run 1). Run 2 resumes from the
+    * durable checkpoint, replays batch 1 under the same id, writes a
+    * SECOND data file, and this time publishes; late-arriving files then
+    * flow as batches 2–3. Proof obligations, all recomputed at runtime:
+    * the crash really fired and run 1 had committed exactly batch 0; run
+    * 2's first batch id is 1 (a replay, not a restart); every batch maps
+    * to exactly one manifest version (4 commits → v2..v5 over the empty
+    * v1); the crashed attempt's file exists on disk but NO manifest
+    * references it (readers can never see the partial write — w10's
+    * VACUUM-style orphan sweep may collect it); and a duplicate delivery
+    * of batch 1's commit no-ops without minting a version. The published
+    * table's per-type aggregate must equal DuckDB over the whole corpus —
+    * short if the replay were skipped, doubled if it committed twice.
+    *
+    * At 100 TB this is the production streaming-ingest shape: per batch,
+    * cost is one data write + one KB-sized manifest CAS; recovery cost is
+    * one replayed batch, never a table rebuild; orphans are bounded by
+    * failed attempts and are invisible to readers. */
+  private val st33 = Q(
+    "st33_stream_exactly_once_publish",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st33_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      val tableRoot = java.nio.file.Files.createDirectory(work.resolve("table"))
+      val ckpt = work.resolve("ckpt").toString
+      val parts = splitEventFiles(s, dir, work)
+      def expose(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve(f.getName), f.toPath)
+      }
+      try {
+        val t = new graft.operators.Sinks.OccTable(tableRoot)
+        java.nio.file.Files.write(tableRoot.resolve("manifest_v1.txt"),
+          "init".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        val attempts = new java.util.concurrent.atomic.AtomicLong(0L)
+        val written = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        @volatile var crashFirePath: String = null
+        def runOnce(crashAtBatch1: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+          val stream = s.readStream
+            .schema(rawFileSchema(s, dir))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.toString)
+            .select(col("event_type"), col("event_id").cast("long").as("k"),
+              col("value").cast("double").as("value"))
+          stream.writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val d = work.resolve(s"data_b${batchId}_try${attempts.incrementAndGet()}").toString
+              batch.coalesce(1).write.mode("overwrite").parquet(d)
+              val file = Option(new java.io.File(d).listFiles())
+                .getOrElse(Array.empty[java.io.File])
+                .find(_.getName.endsWith(".parquet")).get.getPath
+              written.add(file)
+              if (crashAtBatch1 && batchId == 1L) {
+                crashFirePath = file
+                throw new RuntimeException("st33 injected crash between data write and commit")
+              }
+              t.commit(s"batch-$batchId", t.latest(), Map(batchId.toInt -> file),
+                _ => sys.error("append-only batch buckets must never conflict"))
+              ()
+            }
+            .start()
+        }
+        // ---- run 1: two files exposed; batch 0 publishes, batch 1 dies
+        // after its data write, before its manifest commit
+        expose(parts.take(2))
+        val crashWasReal =
+          try { runOnce(crashAtBatch1 = true).awaitTermination(); false }
+          catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+              Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+                .take(8).exists(c => Option(c.getMessage)
+                  .exists(_.contains("st33 injected crash")))
+          }
+        val run1Batches = committedBatches(ckpt)
+        // ---- new data lands while the stream is down; run 2 resumes,
+        // replays batch 1 under the same id, then takes batches 2-3
+        expose(parts.drop(2))
+        runOnce(crashAtBatch1 = false).awaitTermination()
+        val run2Batches = committedBatches(ckpt).filterNot(run1Batches.contains)
+        // ---- duplicate delivery of batch 1's commit must no-op
+        val latestBefore = t.latest()
+        val (dupV, dupRb, dupRx) = t.commit("batch-1", 1,
+          Map(1 -> crashFirePath),
+          _ => sys.error("duplicate delivery must not re-execute"))
+        val dupNoop = dupV == t.committedVersionOf("batch-1").get &&
+          dupRb == 0 && dupRx == 0 && t.latest() == latestBefore
+        // ---- recomputed proof obligations from the real logs/listings
+        val referenced = t.read(t.latest())._2.values.toSet
+        val allWritten = {
+          val it = written.iterator(); val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next(); b.result()
+        }
+        val orphans = allWritten -- referenced
+        val flags = Seq(
+          crashWasReal,
+          run1Batches == Seq(0L),                       // committed 0, died on 1
+          run2Batches.nonEmpty && run2Batches.min == 1L, // replay, not restart
+          run2Batches.sorted == Seq(1L, 2L, 3L),
+          t.latest() == 5,                               // v1 empty + 4 publishes
+          (0 to 3).forall(b => t.committedVersionOf(s"batch-$b").isDefined),
+          orphans == Set(crashFirePath),                 // partial write invisible
+          referenced.size == 4,
+          dupNoop)
+        val out = s.read.parquet(referenced.toSeq: _*)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("k")).as("key_sum"),
+            round(sum(col("value")), 4).as("sum_value"))
+          .withColumn("exactly_once_protocol_ok", lit(flags.forall(identity)))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+        CAST(sum(event_id) AS BIGINT) AS key_sum,
+        round(sum(value), 4) AS sum_value,
+        true AS exactly_once_protocol_ok
+      FROM events GROUP BY event_type"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33)
 }

@@ -2621,6 +2621,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!okH)
   }
 
+  test("st33 exactly-once publish: crash replays under same batch id, table matches batch") {
+    val rows = run("st33_stream_exactly_once_publish").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("exactly_once_protocol_ok"),
+      "crash/replay/idempotence/orphan obligations must all recompute true"))
+    // the published table must equal the batch aggregate over ALL events —
+    // short if the crashed batch were skipped, doubled if committed twice
+    val expect = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (n, k) = expect(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("key_sum") === k)
+    }
+  }
+
   test("st32 streaming MV: maintained view equals full recompute, three merge cycles ran") {
     val rows = run("st32_stream_mv_maintenance").collect()
     assert(rows.nonEmpty)
