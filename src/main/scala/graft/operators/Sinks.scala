@@ -1265,6 +1265,83 @@ object Sinks {
         true, true, true, true
       FROM base"""))
 
+  // ---------------------------------------------------------------- w18
+  /** CHANGE DATA FEED between two versions of the copy-on-write table
+    * (Delta's `table_changes` / Iceberg's changelog scan): derive the
+    * row-level changes v1 → v2 WITHOUT scanning either version. The
+    * manifest diff names the only files that can possibly contain a
+    * change — files listed by exactly one of the two versions (shared
+    * files are byte-identical by the CoW contract, so their rows cannot
+    * differ). A full-outer join keyed on `k` over just those files
+    * classifies every row: old-only → delete (pre-image), new-only →
+    * insert (post-image), both-with-different-payload → an
+    * update_preimage/update_postimage pair, both-identical → carried by
+    * the rewrite, not a change.
+    *
+    * On the w09 fixture the v2 commit rewrote only bucket 2, so the feed
+    * reads 2 of 16 listed files; the recomputed booleans pin that the
+    * manifest diff isolated exactly one rewritten file per side. At
+    * 100 TB this is the CDC-export shape: cost scales with the commit's
+    * touched files (the join is per-bucket, co-keyed by construction),
+    * never with table size, and downstream consumers (the st22 apply
+    * loop, w16's IVM deltas) replay the feed instead of diffing
+    * snapshots. */
+  private val w18 = Q(
+    "w18_change_data_feed",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w18_")
+      try {
+        val (v1Files, v2Files) = cowVersionedTable(s, dir, root)
+        val removed = v1Files.filterNot(v2Files.contains)   // files only in v1
+        val added = v2Files.filterNot(v1Files.contains)     // files only in v2
+        val manifestDiffIsolated = removed.size == 1 && added.size == 1 &&
+          v1Files.toSet.intersect(v2Files.toSet).size == 7
+        val pre = s.read.parquet(removed: _*)
+          .select(col("k"), col("cents").as("cents_pre"))
+        val post = s.read.parquet(added: _*)
+          .select(col("k"), col("cents").as("cents_post"))
+        val joined = pre.join(post, Seq("k"), "full_outer")
+        val changes =
+          joined.filter(col("cents_post").isNull)
+            .select(lit("delete").as("change_type"), col("k"),
+              col("cents_pre").as("cents"))
+          .unionByName(joined.filter(col("cents_pre").isNull)
+            .select(lit("insert").as("change_type"), col("k"),
+              col("cents_post").as("cents")))
+          .unionByName(joined
+            .filter(col("cents_pre").isNotNull && col("cents_post").isNotNull &&
+              col("cents_pre") =!= col("cents_post"))
+            .select(lit("update_preimage").as("change_type"), col("k"),
+              col("cents_pre").as("cents")))
+          .unionByName(joined
+            .filter(col("cents_pre").isNotNull && col("cents_post").isNotNull &&
+              col("cents_pre") =!= col("cents_post"))
+            .select(lit("update_postimage").as("change_type"), col("k"),
+              col("cents_post").as("cents")))
+        graft.functions.CrossEngine.materializeLocal(s,
+          changes.withColumn("changed_files_only",
+            lit(manifestDiffIsolated)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      mx AS (SELECT max(k) AS mx FROM base)
+      SELECT 'delete' AS change_type, k, cents, true AS changed_files_only
+      FROM base WHERE k % 8 = 2 AND k % 3 = 1
+      UNION ALL
+      SELECT 'update_preimage', k, cents, true
+      FROM base WHERE k % 8 = 2 AND k % 3 = 0
+      UNION ALL
+      SELECT 'update_postimage', k, cents + 100, true
+      FROM base WHERE k % 8 = 2 AND k % 3 = 0
+      UNION ALL
+      SELECT 'insert', (mx - mx % 8) + j * 8 + 2,
+        ((mx - mx % 8) + j * 8 + 2) * 7, true
+      FROM mx, (SELECT unnest(range(1, 26)) AS j) js"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14, w15, w16, w17)
+    w12, w13, w14, w15, w16, w17, w18)
 }

@@ -2741,6 +2741,25 @@ class OperatorsSpec extends SparkSpec {
     assert(byT("clone").getAs[Long]("cents_sum") > byT("source").getAs[Long]("cents_sum"))
   }
 
+  test("w18 change data feed: classes balance, updates pair, feed reads only changed files") {
+    val rows = run("w18_change_data_feed").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("changed_files_only"),
+      "the manifest diff must isolate exactly one rewritten file per side"))
+    val byType = rows.groupBy(_.getAs[String]("change_type"))
+    assert(byType("insert").length === 25)
+    assert(byType("update_preimage").length === byType("update_postimage").length)
+    // every update pre/post pair shares its key and moved by exactly +100
+    val pre = byType("update_preimage").map(r => r.getAs[Long]("k") -> r.getAs[Long]("cents")).toMap
+    byType("update_postimage").foreach { r =>
+      assert(pre(r.getAs[Long]("k")) + 100L === r.getAs[Long]("cents"))
+    }
+    // deletes are exactly the k%8==2, k%3==1 slice of orders
+    val expectDel = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 8 === 2 && col("o_orderkey") % 3 === 1).count()
+    assert(byType("delete").length.toLong === expectDel)
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
