@@ -1694,6 +1694,102 @@ object Multimodal {
         true AS decodes_with_info
       FROM documents"""))
 
+  /** Bounds-checked JPEG marker-segment walk — the m16 reader: verifies
+    * SOI, steps FF-marker segments by their declared big-endian lengths
+    * (never inspecting entropy-coded bytes), and stops at the first SOF
+    * frame header, returning (width, height, nComponents, progressive,
+    * nSegmentsBeforeSof, ok). Structural metadata a curation pipeline
+    * filters on (resolution floors, grayscale drops, progressive
+    * detection) therefore costs a ~dozen-byte header walk, not a DCT
+    * decode. Untrusted lengths degrade to ok=false (the m14 corruption
+    * contract), never a throw. Shared by the m16 query and its
+    * corruption spec. */
+  private[graft] def jpegSofWalk(b: Array[Byte]): (Int, Int, Int, Boolean, Int, Boolean) = {
+    def u8(i: Int) = b(i) & 0xff
+    val bad = (0, 0, 0, false, 0, false)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return bad
+    var i = 2
+    var segs = 0
+    while (i + 4 <= b.length) {
+      if (u8(i) != 0xff) return (0, 0, 0, false, segs, false)
+      val m = u8(i + 1)
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else {
+        val len = (u8(i + 2) << 8) | u8(i + 3)
+        // untrusted length: segment (marker 2 + declared len) must fit
+        if (len < 2 || i + 2 + len > b.length) return (0, 0, 0, false, segs, false)
+        segs += 1
+        if (m == 0xc0 || m == 0xc1 || m == 0xc2) { // SOF0/1 baseline, SOF2 progressive
+          if (len < 8) return (0, 0, 0, false, segs, false)
+          val h = (u8(i + 5) << 8) | u8(i + 6)
+          val w = (u8(i + 7) << 8) | u8(i + 8)
+          return (w, h, u8(i + 9), m == 0xc2, segs, true)
+        }
+        if (m == 0xda) return (0, 0, 0, false, segs, false) // SOS before any SOF
+        i += 2 + len
+      }
+    }
+    bad
+  }
+
+  // ---------------------------------------------------------------- m16
+  /** JPEG STRUCTURAL METADATA WITHOUT DECODE (the m14 verb on the THIRD
+    * container family, and the one production corpora are mostly made
+    * of): resolution / component-count / progressive-vs-baseline policy
+    * filters should cost a marker-header walk, not a full DCT decode —
+    * the SOF frame header sits within the first few hundred bytes, so at
+    * 100 TB a metadata-only pass reads ~1% of the asset bytes the codec
+    * path would. The fixture encodes REAL JPEGs via the JDK codec with
+    * per-id varying geometry and color model (RGB → 3-component YCbCr,
+    * gray → 1 component), so the extracted values cross-check against
+    * the synthesis formula in DuckDB; the walker also proves it stopped
+    * BEFORE the entropy-coded stream (segment count recomputed) and that
+    * the asset still decodes. Row-local, one encode per asset (gate
+    * fixture); the read path itself never allocates beyond the header. */
+  private val m16 = Q(
+    "m16_jpeg_frame_metadata",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val w = 24 + (id % 3).toInt * 8
+            val h = 16 + (id % 2).toInt * 8
+            val gray = id % 5 == 0
+            val img = new java.awt.image.BufferedImage(w, h,
+              if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+              else java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) % 256).toInt << 16))
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            val jpg = baos.toByteArray
+
+            // ---- the reader under test: marker walk, no pixel decode
+            val (pw, ph, nc, prog, segs, ok) = jpegSofWalk(jpg)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpg))
+            (id, pw.toLong, ph.toLong, nc.toLong, ok && !prog, segs >= 2,
+              dec != null && dec.getWidth == w && dec.getHeight == h)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_components",
+          "baseline_sof_ok", "walked_marker_segments", "still_decodes")
+    },
+    Some("""SELECT doc_id, CAST(24 + (doc_id % 3) * 8 AS BIGINT) AS width,
+        CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS height,
+        CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_components,
+        true AS baseline_sof_ok, true AS walked_marker_segments,
+        true AS still_decodes
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13, m14, m15)
+    m12, m13, m14, m15, m16)
 }

@@ -2575,6 +2575,52 @@ class OperatorsSpec extends SparkSpec {
     info(s"s26 recall@10 vs exact full-dim: ${(exact & got).size}/${exact.size}")
   }
 
+  test("m16 JPEG frame metadata: dims/components from the marker walk, no decode") {
+    val rows = run("m16_jpeg_frame_metadata").collect()
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length === n)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("width") === 24 + (id % 3) * 8)
+      assert(r.getAs[Long]("height") === 16 + (id % 2) * 8)
+      assert(r.getAs[Long]("n_components") === (if (id % 5 == 0) 1L else 3L))
+      assert(r.getAs[Boolean]("baseline_sof_ok"))
+      assert(r.getAs[Boolean]("walked_marker_segments"))
+      assert(r.getAs[Boolean]("still_decodes"))
+    }
+  }
+
+  test("m16 jpegSofWalk: corrupt/truncated streams degrade to ok=false, never throw") {
+    import graft.operators.Multimodal.jpegSofWalk
+    // real JDK-encoded JPEG: walk must find the SOF before any entropy bytes
+    val img = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val good = baos.toByteArray
+    val (w, h, nc, prog, segs, ok) = jpegSofWalk(good)
+    assert(ok && w === 40 && h === 24 && nc === 3 && !prog && segs >= 2)
+    // the SOF sits in the header: truncating PAST it still parses, and
+    // truncating anywhere BEFORE it degrades gracefully
+    val sofEnd = {
+      var i = 2; var e = -1
+      while (e < 0) {
+        val m = good(i + 1) & 0xff
+        val len = ((good(i + 2) & 0xff) << 8) | (good(i + 3) & 0xff)
+        if (m == 0xc0 || m == 0xc2) e = i + 2 + len else i += 2 + len
+      }
+      e
+    }
+    assert(jpegSofWalk(good.take(sofEnd))._6,
+      "metadata must parse from the header prefix alone")
+    for (cut <- 0 until sofEnd)
+      assert(!jpegSofWalk(good.take(cut))._6, s"truncation at $cut must not verify")
+    // wrong magic / garbage lengths
+    assert(!jpegSofWalk(Array[Byte](1, 2, 3))._6)
+    val badLen = good.clone(); badLen(4) = 0x7f.toByte; badLen(5) = 0xff.toByte
+    assert(!jpegSofWalk(badLen)._6, "a declared length past EOF must not verify")
+  }
+
   test("m15 WAV INFO metadata: strings extracted, size verified, container decodes") {
     val rows = run("m15_wav_info_metadata").collect()
     val n = graft.sources.Tables.documents(spark, sfDir).count()
