@@ -2185,7 +2185,48 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
         FROM cand) t WHERE rn <= 10"""))
 
+  // ---------------------------------------------------------------- s28
+  /** RADIUS (RANGE) SEARCH over the IVF index — the OTHER similarity
+    * query shape: not "the k best" but "EVERYTHING within ε", the
+    * primitive semantic-dedup thresholds (d25's keep rule), contrastive
+    * positive mining, and near-duplicate audits are built on. Result
+    * cardinality is data-dependent, so there is NO heap and no rank —
+    * the plan is the s05 probe pushdown (coarse argmin assignment, each
+    * probe visits only its nProbe=2 nearest lists) ending in a pure
+    * codegen'd FILTER on the rounded cosine: strictly cheaper than the
+    * top-k lane, and the caller bounds output size with the threshold.
+    * The oracle mirrors the probe selection CTE-for-CTE (shared
+    * `ivfOracleProbeCtes`), so the gate is exact-hash over the full pair
+    * frame, not recall-based. At 100 TB: scan cost = probed lists only
+    * (nProbe/nLists of the corpus per probe), exchange carries only the
+    * rows INSIDE the radius. */
+  private val s28 = Q(
+    "s28_ivf_radius_search",
+    (s, dir) => {
+      val (assigned, probes) = ivfParts(s, dir)
+      assigned.join(broadcast(probes), Seq("list_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          round(dot(col("embedding"), col("q_emb")) /
+            (l2(col("embedding")) * l2(col("q_emb"))), 6))
+        .filter(col("cosine") >= 0.25)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+    },
+    Some(s"""$ivfOracleProbeCtes,
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+          AS cosine
+        FROM probes p
+        JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id)
+      SELECT query_id, neighbor_id, cosine FROM cand WHERE cosine >= 0.25"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27)
+    s25, s26, s27, s28)
 }

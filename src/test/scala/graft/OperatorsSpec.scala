@@ -2770,6 +2770,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s28 radius search: every pair inside the radius, exact within probed lists") {
+    val rows = run("s28_ivf_radius_search").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.25)
+      assert(r.getAs[Long]("neighbor_id") !== r.getAs[Long]("query_id"))
+    }
+    // range semantics: no rank column, pairs unique
+    assert(!rows.headOption.exists(_.schema.fieldNames.contains("rn")))
+    val keys = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(keys.distinct.length === keys.length)
+    // soundness vs brute force: every returned cosine equals the exact
+    // pairwise cosine (the index prunes candidates, never alters scores)
+    import graft.functions.VectorExpressions.{dotF, l2NormF}
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotF(col("embedding"), col("q_emb")) /
+          (l2NormF(col("embedding")) * l2NormF(col("q_emb"))), 6).as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("c"))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exact(k) === r.getAs[Double]("cosine"))
+    }
+  }
+
   test("w17 shallow clone: zero-copy fork, one-file divergence, source untouched") {
     val rows = run("w17_shallow_clone").collect()
     assert(rows.length === 2)
