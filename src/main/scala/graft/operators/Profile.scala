@@ -199,5 +199,94 @@ object Profile {
           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
       SELECT "check", n_bad, n_bad = 0 AS pass FROM o"""))
 
-  val all: Seq[Q] = Seq(p01, p02, p03)
+  // ---------------------------------------------------------------- p06
+  /** CONSTRAINT-ENFORCED WRITE WITH QUARANTINE (the Delta Live Tables
+    * "expectations" / writer-side CHECK mechanic): a landing write
+    * declares row contracts — NOT NULL, a CHECK range, referential
+    * membership, a value domain — and instead of failing the job or
+    * silently landing garbage, rows violating ANY contract divert to a
+    * QUARANTINE table carrying the full list of violated constraints
+    * (triage needs every reason, not the first), while clean rows land.
+    * The fixture plants four disjoint-mod corruption classes on the
+    * orders feed (a null, a sign flip, a dangling FK, an off-domain
+    * status), so each constraint demonstrably fires, overlaps produce
+    * multi-reason rows, and DuckDB recomputes the same verdicts from the
+    * same plant formulas. The clean side REALLY lands (parquet write +
+    * read-back); its row count and cents sum ride on every quarantine
+    * row as cross-engine-recomputed columns, so short- or over-landing
+    * is a hash mismatch, not a constant-true.
+    *
+    * Scale shape: verdicts are row-local expressions except the FK probe
+    * — a broadcast left join against the (dimension-sized) key set, the
+    * q56 semijoin posture; one scan feeds both sinks via the reasons
+    * predicate; no row is read twice. */
+  private val p06 = Q(
+    "p06_constraint_quarantine",
+    (s, dir) => {
+      import org.apache.spark.sql.functions.broadcast
+      val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        col("o_custkey").as("ck"), col("o_orderstatus").as("st"))
+      val corrupted = base.select(col("k"),
+        when(col("k") % 97 === 5, lit(null))
+          .when(col("k") % 89 === 7, -col("cents"))
+          .otherwise(col("cents")).as("cents"),
+        when(col("k") % 83 === 11, col("ck") + 10000000L)
+          .otherwise(col("ck")).as("ck"),
+        when(col("k") % 79 === 13, lit("X")).otherwise(col("st")).as("st"))
+      val fkKeys = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey").as("ck")).distinct()
+        .withColumn("fk_ok", lit(true)))
+      val flagged = corrupted.join(fkKeys, Seq("ck"), "left")
+        .withColumn("reasons", concat_ws(",",
+          when(col("cents").isNull, "not_null_cents"),
+          when(col("cents") <= 0L, "check_cents_positive"),
+          when(col("fk_ok").isNull, "fk_customer"),
+          when(!col("st").isin("O", "F", "P"), "check_status_domain")))
+      val work = java.nio.file.Files.createTempDirectory("graft_p06_")
+      try {
+        val cleanDir = work.resolve("clean").toString
+        flagged.filter(col("reasons") === "")
+          .select(col("k"), col("cents"), col("ck"), col("st"))
+          .write.mode("overwrite").parquet(cleanDir)
+        val landed = s.read.parquet(cleanDir)
+          .agg(count(lit(1)), sum(col("cents")), max(when(col("cents") <= 0L
+            || col("cents").isNull, 1L).otherwise(0L))).head()
+        val (nClean, cleanSum, anyBad) =
+          (landed.getLong(0), landed.getLong(1), landed.getLong(2))
+        val out = flagged.filter(col("reasons") =!= "")
+          .select(col("k"), col("reasons"),
+            lit(nClean).as("clean_rows"), lit(cleanSum).as("clean_cents_sum"),
+            lit(anyBad == 0L).as("clean_landed_constraint_free"))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+          o_custkey AS ck, o_orderstatus AS st
+        FROM orders),
+      corr AS (
+        SELECT k,
+          CASE WHEN k % 97 = 5 THEN NULL
+               WHEN k % 89 = 7 THEN -cents ELSE cents END AS cents,
+          CASE WHEN k % 83 = 11 THEN ck + 10000000 ELSE ck END AS ck,
+          CASE WHEN k % 79 = 13 THEN 'X' ELSE st END AS st
+        FROM base),
+      flagged AS (
+        SELECT k, cents, concat_ws(',',
+          CASE WHEN cents IS NULL THEN 'not_null_cents' END,
+          CASE WHEN cents <= 0 THEN 'check_cents_positive' END,
+          CASE WHEN ck NOT IN (SELECT c_custkey FROM customer) THEN 'fk_customer' END,
+          CASE WHEN st NOT IN ('O', 'F', 'P') THEN 'check_status_domain' END) AS reasons
+        FROM corr),
+      cleanagg AS (
+        SELECT count(*) AS n, sum(cents) AS s FROM flagged WHERE reasons = '')
+      SELECT f.k, f.reasons, CAST(c.n AS BIGINT) AS clean_rows,
+        CAST(c.s AS BIGINT) AS clean_cents_sum,
+        true AS clean_landed_constraint_free
+      FROM flagged f, cleanagg c WHERE f.reasons <> ''"""))
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p06)
 }

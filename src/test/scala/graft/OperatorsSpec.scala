@@ -2837,6 +2837,28 @@ class OperatorsSpec extends SparkSpec {
     assert(byType("delete").length.toLong === expectDel)
   }
 
+  test("p06 quarantine: all four constraints fire, overlaps multi-reason, totals conserve") {
+    val rows = run("p06_constraint_quarantine").collect()
+    assert(rows.nonEmpty)
+    val reasons = rows.flatMap(_.getAs[String]("reasons").split(","))
+    Seq("not_null_cents", "check_cents_positive", "fk_customer",
+      "check_status_domain").foreach { c =>
+      assert(reasons.contains(c), s"constraint $c never fired")
+    }
+    rows.foreach(r => assert(r.getAs[Boolean]("clean_landed_constraint_free")))
+    // conservation: quarantined + landed == input
+    val nInput = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(rows.length + rows.head.getAs[Long]("clean_rows") === nInput)
+    // reasons are reported in declaration order, no duplicates per row
+    val order = Seq("not_null_cents", "check_cents_positive", "fk_customer",
+      "check_status_domain")
+    rows.foreach { r =>
+      val rs = r.getAs[String]("reasons").split(",").toSeq
+      assert(rs.distinct === rs)
+      assert(rs.sortBy(order.indexOf) === rs)
+    }
+  }
+
   test("p03 quality suite: all eight checks run and the clean fixtures pass") {
     val rows = run("p03_quality_checks").collect()
     assert(rows.length === 8)
