@@ -2720,11 +2720,72 @@ object TextAnalysis {
         true AS platt_shrinks_scores
       FROM documents WHERE doc_id % 4 = 3"""))
 
+  // ---------------------------------------------------------------- distinct-n
+  /** CORPUS-LEVEL DISTINCT-N DIVERSITY (Li et al. '16's distinct-1/-2,
+    * applied per source slice — the standard collapse detector for
+    * synthetic/generated training data): t08 measures repetition WITHIN a
+    * document; a generator that emits perfectly varied documents drawn
+    * from a tiny template pool sails through t08 and only this
+    * cross-document ratio catches it — distinct n-grams ACROSS the whole
+    * slice over total n-grams emitted. Low distinct-2 with healthy
+    * per-doc stats is the signature of mode collapse / template farms
+    * (the d19 plant, seen through an eval lens).
+    *
+    * Scale shape: two map-side-combined grouped aggregations — explode to
+    * (source, gram), partial-aggregate to distinct pairs, count — the
+    * exchange carries distinct grams per source, never raw token
+    * instances; no windows, no driver state. Vocabulary growth is
+    * sublinear in corpus size (Heaps' law), so the distinct side shrinks
+    * relative to the scan as the corpus grows. */
+  private val tDistinctN = Q(
+    "t37_distinct_n_eval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val uni = docs.select(col("source"), explode(toks).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("g")).as("n_distinct_unigrams"))
+      val bi = docs.select(col("source"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+             i -> concat_ws(' ', slice(tk, i, 2)))""")).as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("g")).as("n_distinct_bigrams"))
+      uni.join(bi, "source")
+        .select(col("source"), col("n_tokens"), col("n_distinct_unigrams"),
+          round(col("n_distinct_unigrams").cast("double") / col("n_tokens"), 6)
+            .as("distinct_1"),
+          col("n_bigrams"), col("n_distinct_bigrams"),
+          round(col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
+            .as("distinct_2"))
+    },
+    Some("""WITH uni AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_unigrams
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS g FROM documents) t
+        GROUP BY source),
+      bi AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_bigrams
+        FROM (
+          SELECT source, unnest(list_transform(
+            range(1, len(string_split(text, ' ')) - 1 + 1),
+            i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS g
+          FROM documents WHERE len(string_split(text, ' ')) >= 2) t
+        GROUP BY source)
+      SELECT u.source, u.n_tokens, u.n_distinct_unigrams,
+        round(CAST(u.n_distinct_unigrams AS DOUBLE) / u.n_tokens, 6) AS distinct_1,
+        b.n_bigrams, b.n_distinct_bigrams,
+        round(CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6) AS distinct_2
+      FROM uni u JOIN bi b ON u.source = b.source"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
       tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist,
-      tCalibration)
+      tCalibration, tDistinctN)
 }

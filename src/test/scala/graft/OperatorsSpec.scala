@@ -2837,6 +2837,25 @@ class OperatorsSpec extends SparkSpec {
     assert(byType("delete").length.toLong === expectDel)
   }
 
+  test("t37 distinct-n: ratios in (0,1], bigrams bound by tokens, all sources present") {
+    val rows = run("t37_distinct_n_eval").collect()
+    val nSources = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(rows.length.toLong === nSources)
+    rows.foreach { r =>
+      val d1 = r.getAs[Double]("distinct_1")
+      val d2 = r.getAs[Double]("distinct_2")
+      assert(d1 > 0 && d1 <= 1.0)
+      assert(d2 > 0 && d2 <= 1.0)
+      assert(r.getAs[Long]("n_distinct_unigrams") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_distinct_bigrams") <= r.getAs[Long]("n_bigrams"))
+      // cross-document diversity: bigram variety can't exceed the square
+      // of the unigram vocabulary
+      val v = r.getAs[Long]("n_distinct_unigrams")
+      assert(r.getAs[Long]("n_distinct_bigrams") <= v * v)
+    }
+  }
+
   test("p06 quarantine: all four constraints fire, overlaps multi-reason, totals conserve") {
     val rows = run("p06_constraint_quarantine").collect()
     assert(rows.nonEmpty)
