@@ -1812,6 +1812,56 @@ object Relational {
             ORDER BY length(text) DESC, doc_id) AS rn
         FROM documents) t WHERE rn <= 3"""))
 
+  // ---------------------------------------------------------------- q75
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis & Spirakis '06 — the
+    * one-pass A-ES scheme; the draw a mixture builder needs when "k docs
+    * per source" must land proportional to a weight — token budget,
+    * quality score — instead of uniformly, q71's uniform twin): each row
+    * gets key u^(1/w) for uniform u and weight w; the k LARGEST keys per
+    * group are exactly a weighted sample without replacement. The rank
+    * key used is ln(u)/w — monotone in u^(1/w) and immune to the
+    * pow-underflow u^(1/w) hits at large w.
+    *
+    * Determinism for the gate: u = ((md5(doc_id) >> 8) + 1) / 2^52 — a
+    * 52-bit integer over a power-of-two denominator, so u is EXACT in
+    * both engines (the q71 hash-order-statistics trick extended from
+    * uniform to weighted). The rank key is a raw double (ln's last ulp
+    * may differ across libms), but the key is never EMITTED — only ranks
+    * and ids — and a rank flip needs two keys within ~1 ulp over a 0.7
+    * range, measure-zero on real weights; exact key ties (duplicate
+    * docs) break by id identically in both engines.
+    *
+    * Scale shape: rides the audited TopKPairs heap — the exchange
+    * carries k-pair buffers per (partition, source), never group members,
+    * and bottom-k key sets merge associatively, so the same draw runs as
+    * a streaming/mergeable sketch. Weight = length(text): the
+    * "sample proportional to token budget" mixture draw. */
+  private val q75 = Q(
+    "q75_weighted_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("w_chars"))
+      val h52 = shiftright(graft.functions.CrossEngine.md5Hash60(col("doc_id")), 8)
+      val u = (h52 + 1).cast("double") / lit(4503599627370496.0) // /2^52: exact
+      val key = log(u) / col("w_chars").cast("double")
+      graft.operators.Similarity.topKByScore(
+          docs.withColumn("k", key), "source", "doc_id",
+          col("k"), k = 3, ascending = false)
+        .select(col("source"), col("rn").as("draw"), col("doc_id"))
+        .join(docs.select(col("doc_id"), col("w_chars")), Seq("doc_id"))
+        .select(col("source"), col("draw"), col("doc_id"), col("w_chars"))
+    },
+    Some("""SELECT source, CAST(rn AS BIGINT) AS draw, doc_id,
+        CAST(length(text) AS BIGINT) AS w_chars
+      FROM (
+        SELECT source, doc_id, text,
+          row_number() OVER (PARTITION BY source ORDER BY
+            ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                // 256 + 1) / 4503599627370496.0)
+            / CAST(length(text) AS DOUBLE) DESC, doc_id) AS rn
+        FROM documents) t
+      WHERE rn <= 3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1819,5 +1869,5 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74)
+    q73, q74, q75)
 }

@@ -2781,11 +2781,77 @@ object TextAnalysis {
         round(CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6) AS distinct_2
       FROM uni u JOIN bi b ON u.source = b.source"""))
 
+  // ---------------------------------------------------------------- entropy
+  /** CHARACTER-ENTROPY QUALITY SIGNAL (Shannon entropy of the per-doc
+    * character distribution — the standard gibberish / binary-junk /
+    * key-mash detector next to the structural t03/t18 rules: natural
+    * prose sits near the language's ~4-bit character entropy, while
+    * repeated-pattern spam, base64-free binary residue and single-char
+    * floods collapse toward 0-2 bits; the cheap proxy for the
+    * compression-ratio filter production stacks run, without needing a
+    * codec): H = log2(n) - (1/n)*sum(cnt*log2(cnt)) over the doc's char
+    * histogram. Cross-engine determinism: each histogram cell's
+    * cnt*log2(cnt) is rounded to integer micro-units before the grouped
+    * sum (the t15 micro-log trick), so per-doc sums are exact long
+    * arithmetic and order-independent; the verdict compares the
+    * 6-rounded entropy both engines computed identically. Planted
+    * `repeat('ab', 100)` docs land at exactly 1.0 bits and must flag;
+    * organic docs must not.
+    *
+    * Scale shape: one explode to (doc, char) with a map-side-combined
+    * grouped count (distinct (doc,char) pairs bound the exchange — at
+    * most alphabet-size rows per doc, NOT text length), then one grouped
+    * fold per doc. No windows, no joins. */
+  private val tCharEntropy = Q(
+    "t38_char_entropy",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          repeat(lit("ab"), 100).as("text"))
+      val chars = base.unionByName(planted)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+          .as("ch"))
+      val counts = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum(round(col("cnt").cast("double") * log2(col("cnt").cast("double"))
+            * 1e6).cast("long")).as("s_micro"))
+        .select(col("doc_id"), col("n").as("n_chars_counted"),
+          col("n_distinct_chars"),
+          round(log2(col("n").cast("double"))
+            - col("s_micro").cast("double") / 1e6 / col("n"), 6)
+            .as("entropy_bits"))
+        .withColumn("low_entropy", col("entropy_bits") < 3.0)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, repeat('ab', 100) FROM documents WHERE doc_id < 20),
+      chars AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+          i -> substring(text, i, 1))) AS ch
+        FROM docs),
+      counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+      ent AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+          CAST(count(*) AS BIGINT) AS n_distinct_chars,
+          round(log2(CAST(sum(cnt) AS DOUBLE))
+            - CAST(sum(CAST(round(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))
+                * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / sum(cnt), 6) AS entropy_bits
+        FROM counts GROUP BY doc_id)
+      SELECT doc_id, n_chars_counted, n_distinct_chars, entropy_bits,
+        (entropy_bits < 3.0) AS low_entropy
+      FROM ent"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
       tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist,
-      tCalibration, tDistinctN)
+      tCalibration, tDistinctN, tCharEntropy)
 }

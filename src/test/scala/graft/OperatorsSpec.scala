@@ -3633,4 +3633,53 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("corrected_finite"))
     assert(row.getAs[Boolean]("chi2_finite"))
   }
+
+  test("q75 weighted sample: 3 per source, deterministic, weight-proportional") {
+    val rows = run("q75_weighted_sample").collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, g) =>
+      assert(g.length === 3)
+      assert(g.map(_.getAs[Long]("draw")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    val again = run("q75_weighted_sample").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("draw")))
+      .sorted
+    assert(again.toSeq === rows.map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("draw"))).sorted.toSeq)
+    // Efraimidis-Spirakis proportionality: 400 independent trials (trial =
+    // group), 10 items each, item 0 carrying 91% of the trial's weight mass.
+    // Its k=1 win share must track P(win) = 0.91 (the hash draw is fixed, so
+    // this is a one-time audit of the scheme, not a flaky statistical test).
+    val sp = spark
+    import sp.implicits._
+    val items = (0 until 400).flatMap(t => (0 until 10).map(i =>
+      (t.toLong, t * 100L + i, if (i == 0) 91.0 else 1.0)))
+      .toDF("trial", "id", "w")
+    val h52 = shiftright(graft.functions.CrossEngine.md5Hash60(col("id")), 8)
+    val key = log((h52 + 1).cast("double") / lit(4503599627370496.0)) / col("w")
+    val wins = graft.operators.Similarity.topKByScore(
+        items.withColumn("k", key), "trial", "id", col("k"), k = 1,
+        ascending = false)
+      .filter(col("id") % 100 === 0).count()
+    val share = wins.toDouble / 400.0
+    assert(share > 0.85 && share < 0.97,
+      s"heavy item won $share of trials; expected ~0.91")
+  }
+
+  test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
+    val rows = run("t38_char_entropy").collect()
+    val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
+    assert(planted.length === 20)
+    planted.foreach { r =>
+      assert(r.getAs[Double]("entropy_bits") === 1.0)
+      assert(r.getAs[Long]("n_chars_counted") === 200L)
+      assert(r.getAs[Long]("n_distinct_chars") === 2L)
+      assert(r.getAs[Boolean]("low_entropy"))
+    }
+    organic.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      assert(h > 3.0 && h < 6.0, s"organic doc entropy $h out of prose range")
+      assert(!r.getAs[Boolean]("low_entropy"))
+    }
+  }
 }
