@@ -2226,7 +2226,290 @@ object Similarity {
         JOIN embeddings q ON q.vec_id = p.query_id)
       SELECT query_id, neighbor_id, cosine FROM cand WHERE cosine >= 0.25"""))
 
+  // ---------------------------------------------------------------- s29
+  /** NN-DESCENT kNN-GRAPH REFINEMENT (Dong, Charikar & Li, WWW '11 —
+    * public): the GRAPH-BASED family's build step, next to the
+    * space-partitioning lanes (LSH s02, IVF s03, PQ s06): start from an
+    * arbitrary k-neighbor graph and iterate "my neighbor's neighbor is
+    * probably my neighbor" — each round, every pair of vectors sharing a
+    * graph neighbor (in either direction) becomes a candidate, candidates
+    * are scored exactly, and each node keeps its k best. Converges in a
+    * handful of rounds on real data because the kNN relation is locally
+    * transitive; this is how the kNN graphs behind HNSW-style serving and
+    * graph-clustering dedup get BUILT at corpus scale, where per-probe
+    * search (s01's shape) would be N full scans.
+    *
+    * Determinism for the gate: the init graph is the stride ring
+    * neighbor_j(i) = (i + j*STRIDE) mod N — arbitrary (that is the
+    * algorithm's premise) but engine-independent, so the whole derivation
+    * sits under the hash gate, CTE-for-CTE. k*STRIDE stays below N at
+    * every gate SF, so init neighbors are distinct and never self.
+    *
+    * Scale shape (100 TB): each round is two self-equi-joins on node keys
+    * (reverse edges, then shared-neighbor pairing), one distinct, two
+    * hash joins against the embedding table to fetch vectors, the
+    * codegen'd L2DistSq, and the audited bounded-heap top-k — no windows,
+    * no N^2, no driver state; lineage truncated per round. Candidate
+    * volume per round is sum_w deg(w)^2 with deg <= 2k in-expectation
+    * (the paper's O(k^2 N) per-round bound); reverse-degree skew is the
+    * known hazard and production runs cap reverse lists (rho sampling) —
+    * the [[graft.tools.NndRehearsal]] measures the organic skew at 1M
+    * vectors instead of hiding it. */
+  /** The capped reverse-edge draw shared by both descent variants: reversed
+    * edges per node, keeping only the `revCap` md5-hash-smallest (the
+    * paper's rho-sampling made deterministic — without the cap, hub
+    * vectors' reverse lists grow each round and the Sum(deg^2) candidate
+    * volume turns superlinear; measured at 100k vectors: max reverse
+    * degree 29 -> 112 -> 443 over three rounds and round wall 12.6 ->
+    * 30.6 -> 87.5 s). Hash is 52-bit (exact as a double on the heap, the
+    * q71 shift); ties impossible (keys distinct per (u,v)). */
+  private def cappedReverse(nb: DataFrame, revCap: Int): DataFrame = {
+    val rev = nb.select(col("v").as("u"), col("u").as("v"))
+    val h = shiftright(graft.functions.CrossEngine.md5Hash60(
+      concat(col("u").cast("string"), lit("_"), col("v").cast("string"))), 8)
+    // localCheckpoint: (a) bounded by N*revCap two-long rows, (b) severs
+    // the heap-aggregate's constraint tree — Spark 4.1.2's Union
+    // rewriteConstraints throws "key not found" on a union whose child
+    // carries constraints referencing the aggregate's pass-through group
+    // attribute when the union later self-joins (both descent loops do)
+    topKByScore(rev.withColumn("h", h.cast("double")), "u", "v",
+        col("h"), revCap, ascending = true)
+      .select(col("u"), col("v"))
+      .localCheckpoint(true)
+  }
+
+  private[graft] def nnDescent(e: DataFrame, k: Int, rounds: Int,
+      init: DataFrame, revCap: Int): DataFrame = {
+    import graft.functions.VectorExpressions.l2DistSq
+    val emb = e.select(col("vec_id").as("id"), col("embedding"))
+    // constraint propagation scoped off — see nnDescentIncremental
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val spark0 = e.sparkSession
+    val cpPrev = spark0.conf.get(cpKey, "true")
+    spark0.conf.set(cpKey, "false")
+    try {
+    var nb = init
+    var ranked: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val und = nb.unionByName(cappedReverse(nb, revCap)).distinct()
+      val cands = und.alias("a").join(und.alias("b"), Seq("u"))
+        .filter(col("a.v") =!= col("b.v"))
+        .select(col("a.v").as("u"), col("b.v").as("v"))
+        .unionByName(nb)
+        .distinct()
+      val scored = cands
+        .join(emb.select(col("id").as("u"), col("embedding").as("eu")), Seq("u"))
+        .join(emb.select(col("id").as("v"), col("embedding").as("ev")), Seq("v"))
+        .withColumn("d", l2DistSq(col("eu"), col("ev")))
+      ranked = topKByScore(scored, "u", "v", col("d"), k, ascending = true)
+        .localCheckpoint(true)
+      nb = ranked.select(col("u"), col("v"))
+    }
+    ranked
+    } finally spark0.conf.set(cpKey, cpPrev)
+  }
+
+  /** INCREMENTAL NN-descent (Dong '11 §2.3's local-join optimization, the
+    * form production builds run): a candidate pair whose edges are BOTH
+    * old was already scored in an earlier round and rejected — per-node
+    * top-k only improves, so it can never enter later. Each round
+    * therefore scores only pairs with at least one edge that entered the
+    * graph LAST round, and carries (u, v, d) state forward instead of
+    * re-scoring standing neighbors. Equivalent to [[nnDescent]] whenever
+    * the reverse cap's hash draw doesn't drop-and-readmit an old edge at
+    * a shared node (it can in principle: an old reverse edge becomes
+    * visible only because a competing edge left the graph, and no "new"
+    * flag marks it) — on the gate corpora the outputs are IDENTICAL and
+    * spec-pinned; at scale the miss class is the standard heuristic's.
+    * Work per round shrinks as the graph converges (new-edge count -> 0)
+    * instead of staying at Sum(deg^2). */
+  private[graft] def nnDescentIncremental(e: DataFrame, k: Int, rounds: Int,
+      init: DataFrame, revCap: Int): DataFrame = {
+    import graft.functions.VectorExpressions.l2DistSq
+    val emb = e.select(col("vec_id").as("id"), col("embedding"))
+    def scorePairs(pairs: DataFrame): DataFrame = pairs
+      .join(emb.select(col("id").as("u"), col("embedding").as("eu")), Seq("u"))
+      .join(emb.select(col("id").as("v"), col("embedding").as("ev")), Seq("v"))
+      .select(col("u"), col("v"), l2DistSq(col("eu"), col("ev")).as("d"))
+    // Spark 4.1.2 trap, scoped off for the loop: localCheckpoint PRESERVES
+    // plan constraints on the LogicalRDD leaf, and a constraint whose
+    // attribute a later projection drops crashes UnionBase
+    // .rewriteConstraints ("key not found: u#…") as soon as a swapped
+    // projection of that leaf lands in a union child under a join — which
+    // this loop's fresh/reverse symmetrizations do every round. All loop
+    // frames materialize eagerly (localCheckpoint) inside the disabled
+    // scope; the returned frame is a projection over a checkpointed leaf,
+    // so post-return optimization never touches a constraint-bearing union.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val spark0 = e.sparkSession
+    val cpPrev = spark0.conf.get(cpKey, "true")
+    spark0.conf.set(cpKey, "false")
+    try {
+    val init0 = init.localCheckpoint(true)
+    // state: (u, v, d) current graph; fresh: the edges that entered last round
+    var state: DataFrame = null
+    var fresh: DataFrame = init0
+    var ranked: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val nb = if (state == null) init0 else state.select(col("u"), col("v"))
+      val undAll = nb.unionByName(cappedReverse(nb, revCap)).distinct()
+        .localCheckpoint(true)
+      // a reverse edge is fresh iff its forward source is (cap applies to
+      // the full reverse set; membership in it is a join)
+      // flag each und edge as fresh-or-not, then self-join once (the same
+      // shape as the full form) and drop old-old pairs BEFORE the vector
+      // fetch + distance — the expensive stages see only fresh-involving
+      // pairs. (A fresh-side-restricted join would also skip generating
+      // old-old two-long rows, but its plan needs a union of two
+      // join-derived frames, which trips Union constraint rewriting; the
+      // flagged filter keeps enumeration cheap and the win intact.)
+      // toDF: fresh exprIds — fresh and undAll share lineage (both derive
+      // from the same init/state), and joining them without re-aliasing is
+      // an ambiguous self-join for Union constraint rewriting
+      val freshSym = fresh
+        .unionByName(fresh.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+        .toDF("u", "v")
+      val undFlag = undAll
+        .join(freshSym.withColumn("f", lit(true)), Seq("u", "v"), "left")
+        .na.fill(false, Seq("f"))
+        .localCheckpoint(true)
+      val cands = undFlag.alias("a").join(undFlag.alias("b"), Seq("u"))
+        .filter(col("a.v") =!= col("b.v") && (col("a.f") || col("b.f")))
+        .select(col("a.v").as("u"), col("b.v").as("v"))
+        .distinct()
+      val scoredNew =
+        if (state == null) scorePairs(cands.unionByName(init0).distinct())
+        else scorePairs(cands.join(state, Seq("u", "v"), "left_anti"))
+          .unionByName(state)
+      ranked = topKByScore(scoredNew, "u", "v", col("d"), k, ascending = true)
+        .localCheckpoint(true)
+      val nextState = ranked.select(col("u"), col("v"), col("score").as("d"))
+      fresh = (if (state == null) nextState.select(col("u"), col("v"))
+               else nextState.join(state, Seq("u", "v"), "left_anti")
+                 .select(col("u"), col("v")))
+        .localCheckpoint(true)
+      state = nextState.localCheckpoint(true)
+    }
+    ranked
+    } finally spark0.conf.set(cpKey, cpPrev)
+  }
+
+  /** One NN-descent round body as DuckDB CTEs: edges in `$prev` ->
+    * `und$i`/`cand$i`/`sc$i`/`nb$i`. Shared by the s29 oracle so both
+    * rounds are literally the same text. */
+  private def nndOracleRound(i: Int, prev: String, k: Int, revCap: Int): String =
+    s"""und$i AS MATERIALIZED (
+        SELECT u, v FROM $prev
+        UNION
+        SELECT ru AS u, rv AS v FROM (
+          SELECT v AS ru, u AS rv,
+            row_number() OVER (PARTITION BY v ORDER BY
+              CAST(concat('0x', substring(md5(concat(CAST(v AS VARCHAR), '_',
+                CAST(u AS VARCHAR))), 1, 15)) AS BIGINT) // 256, u) AS rr
+          FROM $prev) s
+        WHERE rr <= $revCap),
+      cand$i AS MATERIALIZED (
+        SELECT a.v AS u, b.v AS v FROM und$i a JOIN und$i b
+          ON a.u = b.u AND a.v <> b.v
+        UNION SELECT u, v FROM $prev),
+      sc$i AS MATERIALIZED (
+        SELECT c.u, c.v,
+          list_sum(list_transform(range(1, len(x.embedding) + 1),
+            i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))
+               * (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))))
+            AS d
+        FROM cand$i c JOIN emb x ON x.id = c.u JOIN emb y ON y.id = c.v),
+      nb$i AS MATERIALIZED (
+        SELECT u, v, d, row_number() OVER (PARTITION BY u ORDER BY d, v) AS rn
+        FROM sc$i QUALIFY rn <= $k)"""
+
+  /** s29's clustered corpus, synthesized identically by both engines from
+    * the documents ids (the q70/q72 planted-structure precedent): vector =
+    * md5-derived cluster center (cluster = id % 50) plus a +-0.05
+    * md5-derived per-id jitter, 8 dims. Within-cluster dist^2 ~ 0.01 vs
+    * cross-cluster ~ 1.3, so the kNN relation is locally transitive — the
+    * premise NN-descent exploits. The engine's own embeddings fixture is
+    * measured ISOTROPIC (same-label and cross-label mean dist^2 both
+    * 2.00), i.e. the known worst case where no neighborhood structure
+    * exists to descend on; the gate plants the structure instead, and
+    * [[graft.tools.NndRehearsal]] measures behavior at 1M vectors.
+    * Uniforms are exact in both engines: a 60-bit md5 integer cast to
+    * double (same IEEE round-to-nearest) over 2^60. */
+  private[graft] def nndPlantedVecs(s: SparkSession, dir: String): DataFrame = {
+    val u = (tag: String, keyExpr: String) =>
+      s"CAST(conv(substring(md5(concat('$tag', $keyExpr, '_', CAST(i AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0"
+    Tables.documents(s, dir).select(col("doc_id").as("vec_id"), expr(
+      s"""transform(sequence(0, 7), i ->
+          ${u("c", "CAST(doc_id % 50 AS STRING)")}
+          + 0.1 * (${u("j", "CAST(doc_id AS STRING)")} - 0.5))""")
+      .as("embedding"))
+  }
+
+  /** DuckDB twin of [[nndPlantedVecs]] as a CTE named `emb(id, embedding)`. */
+  private val nndPlantedCte: String = {
+    def u(tag: String, keyExpr: String) =
+      s"CAST(CAST(concat('0x', substring(md5(concat('$tag', $keyExpr, '_', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
+    s"""emb AS MATERIALIZED (
+        SELECT doc_id AS id, list_transform(range(0, 8), i ->
+          ${u("c", "CAST(doc_id % 50 AS VARCHAR)")}
+          + 0.1 * (${u("j", "CAST(doc_id AS VARCHAR)")} - 0.5)) AS embedding
+        FROM documents)"""
+  }
+
+  /** s29's hash-scrambled init graph: neighbor draw j of node i is
+    * md5('i<i>_<j>') mod N — the "random initial graph" the algorithm
+    * specifies, made engine-identical. NOT a regular stride ring: a ring
+    * init is arithmetically CLOSED (every neighbor-of-neighbor difference
+    * stays a bounded multiple of the stride), so candidates can take many
+    * rounds to first HIT a planted cluster regardless of how strong the
+    * structure is — measured: recall exactly 0 for 3 rounds on the
+    * clustered corpus, then converging. Hash init breaks the closure;
+    * self-draws are filtered (both engines), hash-collision duplicate
+    * draws collapse under the distinct. */
+  private[graft] def nndHashInit(e: DataFrame, k: Int, n: Long): DataFrame =
+    // self-draws are excluded INSIDE the HOF (not a Filter node: a
+    // relational v <> u filter plants an inequality constraint that
+    // Spark 4.1.2's Union rewriteConstraints later crashes on when a
+    // swapped projection of this frame lands in a union child)
+    e.select(col("vec_id").as("u"), explode(expr(
+        s"""filter(transform(sequence(1, $k), j ->
+           CAST(conv(substring(md5(concat('i', CAST(vec_id AS STRING), '_',
+             CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % $n),
+           x -> x <> vec_id)"""))
+        .as("v"))
+      .distinct()
+
+  private def nndOracleInit(k: Int): String =
+    s"""nb0 AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT id AS u,
+            CAST(concat('0x', substring(md5(concat('i', CAST(id AS VARCHAR), '_',
+              CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+              % (SELECT count(*) FROM emb) AS v
+          FROM emb CROSS JOIN range(1, ${k + 1}) t(j)) s
+        WHERE v <> u)"""
+
+  private val s29 = Q(
+    "s29_nn_descent",
+    (s, dir) => {
+      val e = nndPlantedVecs(s, dir)
+      val n = e.count()
+      nnDescentIncremental(e, k = 6, rounds = 3,
+          init = nndHashInit(e, 6, n), revCap = 24)
+        .select(col("u").as("node"), col("rn").as("rnk"),
+          col("v").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleInit(6)},
+      ${nndOracleRound(1, "nb0", 6, 24)},
+      ${nndOracleRound(2, "nb1", 6, 24)},
+      ${nndOracleRound(3, "nb2", 6, 24)}
+      SELECT u AS node, CAST(rn AS BIGINT) AS rnk, v AS neighbor_id,
+        round(d, 6) AS dist_sq
+      FROM nb3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28)
+    s25, s26, s27, s28, s29)
 }

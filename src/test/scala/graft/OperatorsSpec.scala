@@ -3666,6 +3666,61 @@ class OperatorsSpec extends SparkSpec {
       s"heavy item won $share of trials; expected ~0.91")
   }
 
+  test("s29 nn-descent: near-exact recall in 3 rounds, improving monotonically") {
+    import graft.functions.VectorExpressions.l2DistSq
+    val e = graft.operators.Similarity.nndPlantedVecs(spark, sfDir)
+    val n = e.count()
+    val k = 6
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    // exact ground truth: full cross L2 top-k (the s01 shape, L2 metric)
+    val probes = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val truth = edgeSet(graft.operators.Similarity.knnJoin(
+        e, probes, l2DistSq(col("embedding"), col("q_emb")), k,
+        probeIdCol = "q_id", idCol = "vec_id", ascending = true)
+      .select(col("q_id").as("u"), col("vec_id").as("v")))
+    assert(truth.size === (n * k).toInt)
+    // recall trajectory: hash init -> 1 round -> the gate's 3-round graph
+    val init = graft.operators.Similarity.nndHashInit(e, k, n)
+    val r1 = edgeSet(graft.operators.Similarity
+      .nnDescent(e, k, rounds = 1, init = init, revCap = 24)
+      .select(col("u"), col("v")))
+    val rows3 = run("s29_nn_descent").collect()
+    // the gate routes through the INCREMENTAL path while the oracle mirrors
+    // the full re-scoring form — pin their exact equivalence here
+    def quads(rows: Array[org.apache.spark.sql.Row], nc: String, rc: String,
+        vc: String, dc: String) = rows.map(r => (r.getAs[Long](nc),
+      r.getAs[Long](rc), r.getAs[Long](vc),
+      math.round(r.getAs[Double](dc) * 1e6))).toSet
+    val full3 = graft.operators.Similarity
+      .nnDescent(e, k, rounds = 3, init = init, revCap = 24)
+      .select(col("u"), col("rn"), col("v"), round(col("score"), 6).as("d"))
+      .collect()
+    assert(quads(full3, "u", "rn", "v", "d")
+      === quads(rows3, "node", "rnk", "neighbor_id", "dist_sq"),
+      "incremental descent must equal full re-scoring on the gate corpus")
+    val r3 = rows3.map(r =>
+      (r.getAs[Long]("node"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(g: Set[(Long, Long)]): Double =
+      (g & truth).size.toDouble / truth.size
+    val (rec0, rec1, rec3) = (recall(edgeSet(init)), recall(r1), recall(r3))
+    assert(rec0 < 0.1, s"random init should be near-zero recall, got $rec0")
+    assert(rec1 > rec0 && rec3 > rec1,
+      s"recall must improve with rounds: $rec0 -> $rec1 -> $rec3")
+    assert(rec3 > 0.95, s"3-round recall $rec3 below floor (measured 0.998)")
+    // structural contract: k per node, ranks 1..k, no self, dist monotone
+    val byNode = rows3.groupBy(_.getAs[Long]("node"))
+    assert(byNode.size === n.toInt)
+    byNode.foreach { case (node, g) =>
+      assert(g.length === k)
+      val sorted = g.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to k).toSeq)
+      sorted.foreach(r => assert(r.getAs[Long]("neighbor_id") !== node))
+      val ds = sorted.map(_.getAs[Double]("dist_sq"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
