@@ -1790,6 +1790,152 @@ object Multimodal {
         true AS still_decodes
       FROM documents"""))
 
+  /** In-place iterative radix-2 Cooley-Tukey FFT (textbook, public —
+    * Cormen et al. ch. 30 / Numerical Recipes §12.2): bit-reversal
+    * permutation then log2(n) butterfly passes. `re`/`im` are mutated.
+    * Shared by m17 and its spec's naive-DFT property check. */
+  private[graft] def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"fft length must be a power of 2, got $n")
+    var i = 1; var j = 0
+    while (i < n) { // bit-reversal permutation
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val (wr, wi) = (math.cos(ang), math.sin(ang))
+      var blk = 0
+      while (blk < n) {
+        var (cr, ci) = (1.0, 0.0)
+        var k = 0
+        while (k < len / 2) {
+          val (ar, ai) = (re(blk + k), im(blk + k))
+          val br = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val bi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ar + br; im(blk + k) = ai + bi
+          re(blk + k + len / 2) = ar - br; im(blk + k + len / 2) = ai - bi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  // ---------------------------------------------------------------- m17
+  /** SPECTRAL FEATURE EXTRACTION (REAL DFT): the frequency-domain member
+    * of the audio family — m06 decodes, m12 gates on time-domain energy,
+    * m17 runs a genuine radix-2 FFT per frame and reads the spectrum, the
+    * primitive behind pitch/bandwidth/spectral-centroid features and the
+    * audio fingerprints production near-dup stacks hash. Fixture: each
+    * doc's WAV is a pure int16 tone whose frequency sits EXACTLY on DFT
+    * bin 3 + doc_id % 13 of a 256-sample frame (f = bin*rate/N), two
+    * frames per doc; the real codec decodes the container, the FFT runs
+    * per frame, and the claims are exact:
+    *   - dominant_bin (argmax of magnitude^2 over bins 1..N/2) must equal
+    *     the planted bin — the oracle recomputes it from the fixture
+    *     formula, so a wrong FFT reds on VALUES, not just booleans;
+    *   - sum_sq (time-domain energy) is integer arithmetic both engines
+    *     derive independently (round(A*sin) squared and summed);
+    *   - power_concentrated: the planted bin carries >= 99% of non-DC
+    *     spectral mass (a quantized pure tone leaks only rounding noise);
+    *   - parseval_ok: sum|X|^2 / N matches time-domain energy to 1e-6
+    *     relative — Parseval's identity as a per-row FFT self-check.
+    * Scale shape: m01's batch contract — row-local decode + transform in
+    * one mapPartitions, fixed-width numbers out, payloads never move. */
+  private val m17 = Q(
+    "m17_audio_spectrum",
+    (s, dir) => {
+      import s.implicits._
+      val nFrame = 256
+      val rate = 8000f
+      val amp = 12000.0
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate, 16, 1, 2, rate, false)
+          ids.flatMap { id =>
+            val bin = 3 + (id % 13).toInt
+            val n = 2 * nFrame
+            val pcm = new Array[Byte](2 * n)
+            var t = 0
+            while (t < n) {
+              val v = math.round(amp *
+                math.sin(2.0 * math.Pi * bin * t / nFrame)).toInt
+              pcm(2 * t) = (v & 0xff).toByte
+              pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+              t += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val dec = in.readAllBytes(); in.close()
+            (0 until 2).map { f =>
+              val re = new Array[Double](nFrame)
+              val im = new Array[Double](nFrame)
+              var sumSq = 0L
+              var k = 0
+              while (k < nFrame) {
+                val o = 2 * (f * nFrame + k)
+                val v = ((dec(o) & 0xff) | (dec(o + 1) << 8)).toShort.toLong
+                re(k) = v.toDouble
+                sumSq += v * v
+                k += 1
+              }
+              fftInPlace(re, im)
+              var (best, bestMag, total, specSum) = (0, 0.0, 0.0, 0.0)
+              k = 0
+              while (k < nFrame) {
+                val m2 = re(k) * re(k) + im(k) * im(k)
+                specSum += m2
+                if (k >= 1 && k <= nFrame / 2) {
+                  total += m2
+                  if (m2 > bestMag) { bestMag = m2; best = k }
+                }
+                k += 1
+              }
+              val parseval =
+                math.abs(specSum / nFrame - sumSq.toDouble) <=
+                  1e-6 * math.max(1.0, sumSq.toDouble)
+              (id, f.toLong, best.toLong, sumSq,
+                bestMag >= 0.99 * total, parseval)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_no", "dominant_bin", "sum_sq",
+          "power_concentrated", "parseval_ok")
+    },
+    Some("""WITH frames AS (
+        SELECT doc_id, f AS frame_no FROM documents
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS f) ff),
+      energy AS (
+        SELECT doc_id, frame_no,
+          sum(CAST(round(12000 * sin(2 * pi() * (3 + doc_id % 13)
+            * (frame_no * 256 + t) / 256)) AS BIGINT)
+            * CAST(round(12000 * sin(2 * pi() * (3 + doc_id % 13)
+            * (frame_no * 256 + t) / 256)) AS BIGINT)) AS sum_sq
+        FROM frames CROSS JOIN (SELECT unnest(range(0, 256)) AS t) tt
+        GROUP BY doc_id, frame_no)
+      SELECT doc_id, frame_no, CAST(3 + doc_id % 13 AS BIGINT) AS dominant_bin,
+        CAST(sum_sq AS BIGINT) AS sum_sq,
+        true AS power_concentrated, true AS parseval_ok
+      FROM energy"""))
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13, m14, m15, m16)
+    m12, m13, m14, m15, m16, m17)
 }

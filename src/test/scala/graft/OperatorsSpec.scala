@@ -3721,6 +3721,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("m17 fft: matches the naive DFT, and the gate's tones dominate their bin") {
+    // property check: radix-2 FFT equals the O(n^2) textbook DFT
+    val rnd = new scala.util.Random(7)
+    val n = 64
+    val xs = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val re = xs.clone(); val im = new Array[Double](n)
+    graft.operators.Multimodal.fftInPlace(re, im)
+    for (k <- 0 until n) {
+      var (dr, di) = (0.0, 0.0)
+      for (t <- 0 until n) {
+        val a = -2.0 * math.Pi * k * t / n
+        dr += xs(t) * math.cos(a); di += xs(t) * math.sin(a)
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"fft bin $k diverges from naive DFT: (${re(k)},${im(k)}) vs ($dr,$di)")
+    }
+    // the gate entry: every frame's dominant bin is the planted one and the
+    // FFT self-checks hold
+    val rows = run("m17_audio_spectrum").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dominant_bin")
+        === 3 + r.getAs[Long]("doc_id") % 13)
+      assert(r.getAs[Boolean]("power_concentrated"))
+      assert(r.getAs[Boolean]("parseval_ok"))
+    }
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
