@@ -1342,6 +1342,101 @@ object Sinks {
         ((mx - mx % 8) + j * 8 + 2) * 7, true
       FROM mx, (SELECT unnest(range(1, 26)) AS j) js"""))
 
+  // ---------------------------------------------------------------- w19
+  /** PARTITION EVOLUTION (the Iceberg spec-change mechanic, reduced to
+    * its manifest essence): a long-lived table's partition scheme is a
+    * property of its FILES, not of the table — when the scheme changes
+    * (finer buckets, a new dimension), already-written data stays in the
+    * old layout and only new commits use the new one, so readers must
+    * plan ONE logical table across several physical layouts, applying
+    * partition pruning per-layout: a predicate the old scheme covers
+    * prunes old files by manifest metadata alone while scanning every
+    * new-layout file, and vice versa. (The alternative — rewriting 100 TB
+    * on every spec change — is exactly what partition evolution exists to
+    * avoid.)
+    *
+    * Fixture: orders cents land as 8 files bucketed by k mod 8 (spec A);
+    * a later commit's 200 inserts land as 5 files bucketed by k mod 5
+    * (spec B). The manifest records scheme+value per file. Two pruned
+    * reads run manifest-first: pred A (k%8=3) must touch exactly
+    * 1 A-file + all 5 B-files = 6 of 13; pred B (k%5=4) exactly
+    * 8 + 1 = 9. The gate emits the REAL scanned-file counts (the oracle
+    * pins them as constants — a broken pruner reds on values) plus each
+    * pruned read's aggregates, which the oracle recomputes from the base
+    * table + insert semantics, and a pruned==full equality boolean
+    * recomputed by running the same predicate over the full file list. */
+  private val w19 = Q(
+    "w19_partition_evolution",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w19_")
+      try {
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val mx = base.agg(max(col("k"))).head().getLong(0)
+        val inserts = s.range(1, 201).toDF("j")
+          .select((lit(mx) + col("j")).as("k"), ((lit(mx) + col("j")) * 3L).as("cents"))
+        def writeFile(df: DataFrame, name: String): String = {
+          val d = root.resolve(name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(d)
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet")).get.getPath
+        }
+        // manifest entries: (scheme, partition value, path)
+        val entries =
+          (0 until 8).map(b => ("mod8", b.toLong,
+            writeFile(base.filter(pmod(col("k"), lit(8L)) === b), s"a$b"))) ++
+          (0 until 5).map(b => ("mod5", b.toLong,
+            writeFile(inserts.filter(pmod(col("k"), lit(5L)) === b), s"b$b")))
+        val logical = base.unionByName(inserts)
+        // manifest-first pruned read: keep files whose scheme can decide
+        // the predicate and whose value matches; scan every file of the
+        // OTHER scheme (its metadata cannot rule rows out)
+        def prunedRead(scheme: String, v: Long): (Seq[String], DataFrame) = {
+          val files = entries.collect {
+            case (sch, pv, p) if sch != scheme || pv == v => p
+          }
+          (files, s.read.parquet(files: _*))
+        }
+        def gateRow(name: String, scheme: String, m: Long, v: Long) = {
+          val (files, pruned) = prunedRead(scheme, v)
+          val filtered = pruned.filter(pmod(col("k"), lit(m)) === v)
+          val full = logical.filter(pmod(col("k"), lit(m)) === v)
+          val matches = filtered.unionByName(full).distinct().count() ==
+            filtered.distinct().count() && filtered.count() == full.count()
+          filtered.agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+              sum(col("cents")).as("cents_sum"))
+            .select(lit(name).as("pred"), col("n_rows"), col("key_sum"),
+              col("cents_sum"),
+              lit(files.size.toLong).as("files_scanned"),
+              lit(matches).as("pruned_equals_full"))
+        }
+        val out = gateRow("mod8_eq_3", "mod8", 8L, 3L)
+          .unionByName(gateRow("mod5_eq_4", "mod5", 5L, 4L))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      mx AS (SELECT max(k) AS mx FROM base),
+      logical_t AS (
+        SELECT k, cents FROM base
+        UNION ALL
+        SELECT mx + j, (mx + j) * 3 FROM mx,
+          (SELECT unnest(range(1, 201)) AS j) js)
+      SELECT 'mod8_eq_3' AS pred, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(k) AS BIGINT) AS key_sum,
+        CAST(sum(cents) AS BIGINT) AS cents_sum,
+        CAST(6 AS BIGINT) AS files_scanned, true AS pruned_equals_full
+      FROM logical_t WHERE k % 8 = 3
+      UNION ALL
+      SELECT 'mod5_eq_4', CAST(count(*) AS BIGINT),
+        CAST(sum(k) AS BIGINT), CAST(sum(cents) AS BIGINT),
+        CAST(9 AS BIGINT), true
+      FROM logical_t WHERE k % 5 = 4"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14, w15, w16, w17, w18)
+    w12, w13, w14, w15, w16, w17, w18, w19)
 }

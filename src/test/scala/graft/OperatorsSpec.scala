@@ -2412,6 +2412,20 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("pruned_equals_full"))
   }
 
+  test("w19 partition evolution: each predicate prunes only its own layout") {
+    val rows = run("w19_partition_evolution").collect()
+    assert(rows.length === 2)
+    val byPred = rows.map(r => r.getAs[String]("pred") -> r).toMap
+    // spec A covers pred A: 1 of 8 A-files + all 5 B-files; and vice versa
+    assert(byPred("mod8_eq_3").getAs[Long]("files_scanned") === 6L)
+    assert(byPred("mod5_eq_4").getAs[Long]("files_scanned") === 9L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") > 0)
+      assert(r.getAs[Boolean]("pruned_equals_full"),
+        s"${r.getAs[String]("pred")}: pruned read diverged from the full table")
+    }
+  }
+
   test("w16 incremental MV: delta-merged view equals full recompute") {
     val merged = run("w16_incremental_mv").collect()
       .map(r => r.getAs[String]("flag") ->
