@@ -2509,7 +2509,133 @@ object Similarity {
         round(d, 6) AS dist_sq
       FROM nb3"""))
 
+  // ---------------------------------------------------------------- s30
+  /** GRAPH-ANN BEAM SEARCH (the SERVING half of the graph family — s29
+    * builds the kNN graph, s30 navigates it; Malkov & Yashunin's NSW
+    * insight, public): the search graph is the kNN edges UNION the
+    * random init edges — short links give local precision, the random
+    * long links give the small-world hops that cross cluster boundaries
+    * (a pure kNN graph over well-separated clusters is DISCONNECTED
+    * between them, so greedy search from a fixed entry could never leave
+    * the entry's cluster). Each query starts a beam at entry node 0 and
+    * repeats: expand the beam's out-neighbors, score exactly, keep the
+    * `beam` closest — after H hops, the beam's top 3 are the answer.
+    *
+    * Queries are synthesized like the corpus (same md5 cluster centers,
+    * a DIFFERENT jitter tag), so they sit near real clusters without
+    * equaling any corpus point, and both engines derive them. The walk —
+    * graph, beam states, hop expansion, final ranks — is mirrored
+    * CTE-for-CTE on top of the s29 oracle chain, so the gate is
+    * hash-exact over the full derivation; search QUALITY (how often the
+    * walk reaches the query's planted cluster) is measured and pinned in
+    * the spec, not assumed.
+    *
+    * Scale shape: each hop is one equi-join of the (beam x fanout)
+    * candidate frame against the graph's adjacency, one vector fetch,
+    * and the audited bounded heap per query — batch-serving a probe
+    * panel is H node-keyed joins, no windows, no N^2. */
+  private val s30NumQueries = 20
+  private val s30Hops = 5
+  private val s30Beam = 8
+
+  /** The s30 query panel: query q targets cluster (q*7) % 50 with jitter
+    * tag 'qj' (never equal to a corpus vector). */
+  private def s30Queries(s: SparkSession): DataFrame = {
+    val u = (tag: String, keyExpr: String) =>
+      s"CAST(conv(substring(md5(concat('$tag', $keyExpr, '_', CAST(i AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0"
+    s.range(0, s30NumQueries).toDF("query_id").select(col("query_id"), expr(
+      s"""transform(sequence(0, 7), i ->
+          ${u("c", "CAST(query_id * 7 % 50 AS STRING)")}
+          + 0.1 * (${u("qj", "CAST(query_id AS STRING)")} - 0.5))""")
+      .as("q_emb"))
+  }
+
+  private val s30QueriesCte: String = {
+    def u(tag: String, keyExpr: String) =
+      s"CAST(CAST(concat('0x', substring(md5(concat('$tag', $keyExpr, '_', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
+    s"""queries AS MATERIALIZED (
+        SELECT q AS query_id, list_transform(range(0, 8), i ->
+          ${u("c", "CAST(q * 7 % 50 AS VARCHAR)")}
+          + 0.1 * (${u("qj", "CAST(q AS VARCHAR)")} - 0.5)) AS q_emb
+        FROM (SELECT unnest(range(0, $s30NumQueries)) AS q) qs)"""
+  }
+
+  private def s30OracleHop(i: Int, prev: String): String =
+    s"""cd$i AS (
+        SELECT b.query_id, g.v AS node FROM $prev b JOIN graph g ON g.u = b.node
+        UNION
+        SELECT query_id, node FROM $prev),
+      bm$i AS MATERIALIZED (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn
+        FROM (
+          SELECT c.query_id, c.node,
+            list_sum(list_transform(range(1, len(x.embedding) + 1),
+              i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+                 * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
+              AS d
+          FROM cd$i c JOIN emb x ON x.id = c.node
+          JOIN queries q ON q.query_id = c.query_id) t
+        QUALIFY rn <= $s30Beam)"""
+
+  private val s30 = Q(
+    "s30_graph_ann_search",
+    (s, dir) => {
+      import graft.functions.VectorExpressions.l2DistSq
+      // constraint propagation scoped off — see nnDescentIncremental
+      val cpKey = "spark.sql.constraintPropagation.enabled"
+      val cpPrev = s.conf.get(cpKey, "true")
+      s.conf.set(cpKey, "false")
+      try {
+        val e = nndPlantedVecs(s, dir)
+        val n = e.count()
+        val init = nndHashInit(e, 6, n)
+        val knn = nnDescentIncremental(e, k = 6, rounds = 3,
+          init = init, revCap = 24).select(col("u"), col("v"))
+        val graph = knn.unionByName(init).distinct().localCheckpoint(true)
+        val emb = e.select(col("vec_id").as("id"), col("embedding"))
+        val queries = s30Queries(s).localCheckpoint(true)
+        var beam = queries.select(col("query_id"), lit(0L).as("node"))
+        for (_ <- 1 to s30Hops) {
+          val cand = beam.join(graph, beam("node") === graph("u"))
+            .select(col("query_id"), col("v").as("node"))
+            .unionByName(beam.select(col("query_id"), col("node")))
+            .distinct()
+          val scored = cand
+            .join(emb.withColumnRenamed("id", "node"), Seq("node"))
+            .join(broadcast(queries), Seq("query_id"))
+            .select(col("query_id"), col("node"),
+              l2DistSq(col("embedding"), col("q_emb")).as("d"))
+          beam = topKByScore(scored, "query_id", "node", col("d"),
+              s30Beam, ascending = true)
+            .select(col("query_id"), col("node"), col("score").as("d"))
+            .localCheckpoint(true)
+        }
+        topKByScore(beam, "query_id", "node", col("d"), 3, ascending = true)
+          .select(col("query_id"), col("rn").as("rnk"),
+            col("node").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
+      } finally s.conf.set(cpKey, cpPrev)
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleInit(6)},
+      ${nndOracleRound(1, "nb0", 6, 24)},
+      ${nndOracleRound(2, "nb1", 6, 24)},
+      ${nndOracleRound(3, "nb2", 6, 24)},
+      graph AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i => s30OracleHop(i, if (i == 1) "bm0" else s"bm${i - 1}"))
+        .mkString(",\n      ")}
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM bm$s30Hops) t
+      WHERE rn2 <= 3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29)
+    s25, s26, s27, s28, s29, s30)
 }

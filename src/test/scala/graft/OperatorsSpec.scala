@@ -3763,6 +3763,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s30 graph-ann search: beam reaches the target cluster, ranks sound") {
+    val rows = run("s30_graph_ann_search").collect()
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length === 20)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+      val sorted = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("dist_sq"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    // search quality: query q targets planted cluster (q*7)%50; a top-1 hit
+    // means the beam NAVIGATED there from entry node 0 (clusters are only
+    // connected through the long-range init links). Not all walks make it —
+    // that is the honest beam/hops tradeoff — but most must.
+    val hits = byQ.count { case (q, g) =>
+      val top1 = g.minBy(_.getAs[Long]("rnk")).getAs[Long]("neighbor_id")
+      top1 % 50 === (q * 7) % 50
+    }
+    assert(hits >= 14, s"only $hits/20 walks reached their target cluster")
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
