@@ -3783,6 +3783,24 @@ class OperatorsSpec extends SparkSpec {
     assert(hits >= 14, s"only $hits/20 walks reached their target cluster")
   }
 
+  test("t39 zipf fit: recovers a planted exponent; flags the template corpus") {
+    val sp = spark
+    import sp.implicits._
+    // planted freq = 3000 / rank over 800 ranks: slope must come back ~ -1
+    val planted = (1 to 800).map(r => (f"w$r%04d", (3000L / r).max(1L)))
+      .toDF("w", "cnt")
+    val fit = graft.operators.TextAnalysis.zipfFit(planted).head()
+    assert(math.abs(fit.getAs[Double]("slope") + 1.0) < 0.12,
+      s"planted 1/rank corpus fit slope ${fit.getAs[Double]("slope")}")
+    assert(fit.getAs[Double]("r2") > 0.97)
+    assert(fit.getAs[Boolean]("zipf_like"))
+    // the driver fixture is template-generated and must be flagged as such
+    val gate = run("t39_zipf_fit").head()
+    assert(!gate.getAs[Boolean]("zipf_like"),
+      "the 31-word template corpus must fail the Zipf health check")
+    assert(gate.getAs[Double]("r2") < 0.5)
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
