@@ -1862,6 +1862,74 @@ object Relational {
         FROM documents) t
       WHERE rn <= 3"""))
 
+  // ---------------------------------------------------------------- q76
+  /** TIME-GRID RESAMPLE + FORWARD FILL (the "daily close" op every
+    * event-stream feature pipeline runs: observations land at irregular
+    * timestamps, models want one row per (entity, period) carrying the
+    * last observed value): a generated daily grid per user, the day's
+    * LAST event value by (ts, event_id) argmax — one partial
+    * max(struct()) aggregate, no window over events — then forward fill
+    * along the 30-slot grid via last-ignore-nulls. Days before a user's
+    * first observation keep the -1 sentinel with observed_ever=false
+    * (a NULL would also work, but a sentinel keeps the gate's hash
+    * canonicalization trivial).
+    *
+    * Scale shape: the argmax aggregation is the only pass over the event
+    * corpus (map-side combined, keyed by (user, day)); the grid join and
+    * the fill window touch only entities x periods rows — bounded by the
+    * feature table's own size, the q67 per-entity-window precedent (30
+    * rows per partition here, never data-sized). A deterministic 1-in-10
+    * user slice bounds the gate output. */
+  private val q76 = Q(
+    "q76_resample_ffill",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") % 10 === 3)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          struct(col("ts"), col("event_id"), col("value")).as("o"))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(max(col("o")).as("last_o"))
+        .select(col("user_id"), col("day"), col("last_o.value").as("close_v"))
+      val users = daily.select(col("user_id")).distinct()
+      val grid = users.crossJoin(
+        s.range(0, 30).toDF("d").select(
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("d").cast("int"))
+            .as("day")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("close_v"))
+        .withColumn("filled_v",
+          coalesce(last(col("close_v"), ignoreNulls = true).over(w), lit(-1.0)))
+        .select(col("user_id"), col("day"),
+          col("filled_v").as("close_value"),
+          col("close_v").isNull.as("gap_filled"),
+          (col("filled_v") =!= -1.0).as("observed_ever"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
+        FROM events WHERE user_id % 10 = 3),
+      daily AS (
+        SELECT user_id, day, value AS close_v FROM (
+          SELECT user_id, day, value,
+            row_number() OVER (PARTITION BY user_id, day
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev) t WHERE rn = 1),
+      grid AS (
+        SELECT u.user_id, CAST(DATE '2024-01-01' + d * INTERVAL 1 DAY AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM daily) u
+        CROSS JOIN (SELECT unnest(range(0, 30)) AS d) ds),
+      joined AS (
+        SELECT g.user_id, g.day, d.close_v,
+          coalesce(last_value(d.close_v IGNORE NULLS) OVER (
+            PARTITION BY g.user_id ORDER BY g.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS filled_v
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+      SELECT user_id, day, filled_v AS close_value,
+        (close_v IS NULL) AS gap_filled,
+        (filled_v <> -1.0) AS observed_ever
+      FROM joined"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1869,5 +1937,5 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74, q75)
+    q73, q74, q75, q76)
 }

@@ -3783,6 +3783,25 @@ class OperatorsSpec extends SparkSpec {
     assert(hits >= 14, s"only $hits/20 walks reached their target cluster")
   }
 
+  test("q76 resample+ffill: 30 rows per user, fills carry the last close") {
+    val rows = run("q76_resample_ffill").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, g) =>
+      assert(g.length === 30, s"user $u grid incomplete")
+      val sorted = g.sortBy(_.getAs[java.sql.Date]("day").toString)
+      var lastObserved = -1.0
+      sorted.foreach { r =>
+        val v = r.getAs[Double]("close_value")
+        if (r.getAs[Boolean]("gap_filled"))
+          assert(v === lastObserved, s"user $u fill broke the carry")
+        else lastObserved = v
+        assert(r.getAs[Boolean]("observed_ever") === (v != -1.0))
+      }
+      assert(g.exists(!_.getAs[Boolean]("gap_filled")),
+        s"user $u has no observation at all — slice fixture broke")
+    }
+  }
+
   test("t39 zipf fit: recovers a planted exponent; flags the template corpus") {
     val sp = spark
     import sp.implicits._
