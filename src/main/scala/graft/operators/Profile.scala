@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -288,5 +289,86 @@ object Profile {
         true AS clean_landed_constraint_free
       FROM flagged f, cleanagg c WHERE f.reasons <> ''"""))
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p06)
+  // ---------------------------------------------------------------- p07
+  /** CROSS-TABLE RECONCILIATION AUDIT (the referential-integrity +
+    * aggregate-consistency sweep a warehouse runs before trusting a batch:
+    * p03 checks rows against their own table's rules, p07 checks tables
+    * against EACH OTHER): three orphan checks (fact rows whose foreign key
+    * resolves nowhere — each one left-anti join keyed on the dimension's
+    * key, dimension side broadcast) and one aggregate reconciliation
+    * (order header total vs the order's lineitem gross to the cent).
+    *
+    * The verdict on this fixture is honestly SPLIT: the key graph is
+    * intact (zero orphans on all three edges) while the header totals
+    * reconcile NOWHERE (violation rate exactly 1.0) — the driver's
+    * generator draws o_totalprice independently of the lineitems, and the
+    * audit's job is to SAY so; the oracle recomputes the same counts, so
+    * a broken anti-join or a wrong tolerance reds on values. Scale shape:
+    * each check is one scan + broadcast anti-join or one map-side-combined
+    * grouped sum; violation counts, never violating rows, cross the
+    * exchange. */
+  private val p07 = Q(
+    "p07_reconciliation",
+    (s, dir) => {
+      def orphanCheck(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String, nFact: Long): DataFrame = {
+        val orphans = fact.join(broadcast(dim.select(col(pk))),
+          fact(fk) === dim(pk), "left_anti").count()
+        s.range(1).select(lit(name).as("check_name"),
+          lit(nFact).as("n_rows_checked"), lit(orphans).as("n_violations"),
+          lit(math.round(orphans.toDouble / nFact * 1e6)).as("violation_rate_micro"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables(s, dir, "nation")
+      val gross = li.groupBy(col("l_orderkey")).agg(
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) as bigint)"))
+          .as("gross_cents"))
+      val hdr = o.select(col("o_orderkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("hdr_cents"))
+      val rec = hdr.join(gross, col("o_orderkey") === col("l_orderkey"))
+      val nOrders = rec.count()
+      val bad = rec.filter(abs(col("hdr_cents") - col("gross_cents")) > 1L).count()
+      orphanCheck("lineitem_has_order", li, "l_orderkey", o, "o_orderkey", li.count())
+        .unionByName(orphanCheck("order_has_customer", o, "o_custkey", c,
+          "c_custkey", o.count()))
+        .unionByName(orphanCheck("customer_has_nation", c, "c_nationkey", n,
+          "n_nationkey", c.count()))
+        .unionByName(s.range(1).select(
+          lit("header_total_reconciles").as("check_name"),
+          lit(nOrders).as("n_rows_checked"), lit(bad).as("n_violations"),
+          lit(math.round(bad.toDouble / nOrders * 1e6)).as("violation_rate_micro")))
+    },
+    Some("""WITH l_orph AS (
+        SELECT count(*) AS n, count(*) FILTER (o.o_orderkey IS NULL) AS v
+        FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey),
+      o_orph AS (
+        SELECT count(*) AS n, count(*) FILTER (c.c_custkey IS NULL) AS v
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      c_orph AS (
+        SELECT count(*) AS n, count(*) FILTER (nn.n_nationkey IS NULL) AS v
+        FROM customer c LEFT JOIN nation nn ON c.c_nationkey = nn.n_nationkey),
+      rec AS (
+        SELECT count(*) AS n,
+          count(*) FILTER (abs(hdr_cents - gross_cents) > 1) AS v
+        FROM (
+          SELECT o.o_orderkey,
+            CAST(round(o.o_totalprice * 100) AS BIGINT) AS hdr_cents,
+            sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) * 100) AS BIGINT))
+              AS gross_cents
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderkey, o.o_totalprice) t)
+      SELECT 'lineitem_has_order' AS check_name, CAST(n AS BIGINT) AS n_rows_checked,
+        CAST(v AS BIGINT) AS n_violations,
+        CAST(round(CAST(v AS DOUBLE) / n * 1e6) AS BIGINT) AS violation_rate_micro
+      FROM l_orph
+      UNION ALL SELECT 'order_has_customer', CAST(n AS BIGINT), CAST(v AS BIGINT),
+        CAST(round(CAST(v AS DOUBLE) / n * 1e6) AS BIGINT) FROM o_orph
+      UNION ALL SELECT 'customer_has_nation', CAST(n AS BIGINT), CAST(v AS BIGINT),
+        CAST(round(CAST(v AS DOUBLE) / n * 1e6) AS BIGINT) FROM c_orph
+      UNION ALL SELECT 'header_total_reconciles', CAST(n AS BIGINT), CAST(v AS BIGINT),
+        CAST(round(CAST(v AS DOUBLE) / n * 1e6) AS BIGINT) FROM rec"""))
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p06, p07)
 }

@@ -3783,6 +3783,22 @@ class OperatorsSpec extends SparkSpec {
     assert(hits >= 14, s"only $hits/20 walks reached their target cluster")
   }
 
+  test("p07 reconciliation: key graph intact, header totals honestly broken") {
+    val rows = run("p07_reconciliation").collect()
+      .map(r => r.getAs[String]("check_name") -> r).toMap
+    assert(rows.size === 4)
+    Seq("lineitem_has_order", "order_has_customer", "customer_has_nation")
+      .foreach { c =>
+        assert(rows(c).getAs[Long]("n_violations") === 0L, s"$c found orphans")
+        assert(rows(c).getAs[Long]("violation_rate_micro") === 0L)
+      }
+    // the fixture's o_totalprice is generated independently of lineitems —
+    // the audit must SAY so, not paper over it
+    val rec = rows("header_total_reconciles")
+    assert(rec.getAs[Long]("n_violations") === rec.getAs[Long]("n_rows_checked"))
+    assert(rec.getAs[Long]("violation_rate_micro") === 1000000L)
+  }
+
   test("q76 resample+ffill: 30 rows per user, fills carry the last close") {
     val rows = run("q76_resample_ffill").collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
