@@ -1880,16 +1880,10 @@ object Relational {
     * feature table's own size, the q67 per-entity-window precedent (30
     * rows per partition here, never data-sized). A deterministic 1-in-10
     * user slice bounds the gate output. */
-  private val q76 = Q(
-    "q76_resample_ffill",
-    (s, dir) => {
-      val ev = Tables.events(s, dir)
-        .filter(col("user_id") % 10 === 3)
-        .select(col("user_id"), to_date(col("ts")).as("day"),
-          struct(col("ts"), col("event_id"), col("value")).as("o"))
-      val daily = ev.groupBy(col("user_id"), col("day"))
-        .agg(max(col("o")).as("last_o"))
-        .select(col("user_id"), col("day"), col("last_o.value").as("close_v"))
+  /** q76's grid + forward-fill stage over a `daily(user_id, day, close_v)`
+    * frame — factored so st34's streaming drain runs the IDENTICAL fill
+    * (and shares q76's oracle text verbatim). */
+  private[graft] def gridFfill(s: SparkSession, daily: DataFrame): DataFrame = {
       val users = daily.select(col("user_id")).distinct()
       val grid = users.crossJoin(
         s.range(0, 30).toDF("d").select(
@@ -1905,8 +1899,10 @@ object Relational {
           col("filled_v").as("close_value"),
           col("close_v").isNull.as("gap_filled"),
           (col("filled_v") =!= -1.0).as("observed_ever"))
-    },
-    Some("""WITH ev AS (
+  }
+
+  /** The q76/st34 shared oracle text. */
+  private[graft] val resampleOracleSql: String = """WITH ev AS (
         SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value
         FROM events WHERE user_id % 10 = 3),
       daily AS (
@@ -1928,7 +1924,21 @@ object Relational {
       SELECT user_id, day, filled_v AS close_value,
         (close_v IS NULL) AS gap_filled,
         (filled_v <> -1.0) AS observed_ever
-      FROM joined"""))
+      FROM joined"""
+
+  private val q76 = Q(
+    "q76_resample_ffill",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") % 10 === 3)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          struct(col("ts"), col("event_id"), col("value")).as("o"))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(max(col("o")).as("last_o"))
+        .select(col("user_id"), col("day"), col("last_o.value").as("close_v"))
+      gridFfill(s, daily)
+    },
+    Some(resampleOracleSql))
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,

@@ -2688,7 +2688,56 @@ object EventsStreaming {
         true AS exactly_once_protocol_ok
       FROM events GROUP BY event_type"""))
 
+  // ---------------------------------------------------------------- resample
+  /** STREAMING DAILY-CLOSE MAINTENANCE (the streaming half of q76's
+    * feature-table story: events arrive continuously, the (entity, day)
+    * last-observation table is maintained incrementally, and the serving
+    * read completes the time grid with forward fill): the stream keeps
+    * ONE argmax struct per (user, day) group — `max(struct(ts, event_id,
+    * value))` is an ordinary streaming aggregation whose state is one
+    * struct per group, updated in place as later observations for the day
+    * arrive — and the drain runs the IDENTICAL gridFfill stage q76 runs
+    * on its batch derivation, under q76's oracle text VERBATIM. A
+    * late-arriving event for an already-closed day is an in-place state
+    * update, never a rescan — refresh cost is O(arrivals), the w16
+    * incremental-maintenance argument applied to feature tables.
+    *
+    * Scale shape: state = one (16B key, ~24B struct) per entity-day;
+    * complete-mode drain here is gate-bounded (15 users x 30 days), a
+    * production sink would stream update-mode upserts into the versioned
+    * table instead. */
+  private val st34 = Q(
+    "st34_stream_resample",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val sinkTable = "st34_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_st34_")
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = Tables.normalizeNanos(
+          s.readStream
+            .schema(rawFileSchema(s, dir))
+            .option("maxFilesPerTrigger", Int.MaxValue)
+            .parquet(srcDir.toString))
+        .filter(col("user_id") % 10 === 3)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last_o"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val daily = drainSink(s,
+        s.table(sinkTable).select(col("user_id"), col("day"),
+          col("last_o.value").as("close_v")),
+        sinkTable, srcDir)
+      graft.operators.Relational.gridFfill(s, daily)
+    },
+    Some(graft.operators.Relational.resampleOracleSql))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
+    st34)
 }

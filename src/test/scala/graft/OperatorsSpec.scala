@@ -3799,6 +3799,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rec.getAs[Long]("violation_rate_micro") === 1000000L)
   }
 
+  test("s31 persisted graph index: reloaded adjacency serves identically to s30") {
+    def keyed(name: String) = run(name).collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"),
+        math.round(r.getAs[Double]("dist_sq") * 1e6))).toSet
+    assert(keyed("s31_graph_index_persist") === keyed("s30_graph_ann_search"),
+      "the parquet-roundtripped graph must serve bit-identical results")
+  }
+
+  test("st34 streaming resample: drained close table fills exactly like q76") {
+    def keyed(name: String) = run(name).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day").toString,
+        math.round(r.getAs[Double]("close_value") * 1e6),
+        r.getAs[Boolean]("gap_filled"), r.getAs[Boolean]("observed_ever")))
+      .toSet
+    assert(keyed("st34_stream_resample") === keyed("q76_resample_ffill"),
+      "the streaming-maintained daily closes must fill exactly like batch")
+  }
+
   test("q76 resample+ffill: 30 rows per user, fills carry the last close") {
     val rows = run("q76_resample_ffill").collect()
     val byUser = rows.groupBy(_.getAs[Long]("user_id"))
