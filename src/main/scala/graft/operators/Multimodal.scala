@@ -1936,6 +1936,110 @@ object Multimodal {
         true AS power_concentrated, true AS parseval_ok
       FROM energy"""))
 
+  /** 1-D DCT-II of a length-n signal (textbook O(n^2) direct form — n is
+    * 32 here, so the transform is trivial next to the pixel walk). Shared
+    * by m18's 2-D separable transform and its spec. */
+  private[graft] def dct2(xs: Array[Double]): Array[Double] = {
+    val n = xs.length
+    val out = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      var s = 0.0
+      var t = 0
+      while (t < n) { s += xs(t) * math.cos(math.Pi / n * (t + 0.5) * k); t += 1 }
+      out(k) = s
+      k += 1
+    }
+    out
+  }
+
+  /** 2-D DCT-II of an n x n raster via two separable 1-D passes. */
+  private[graft] def dct2d(px: Array[Array[Double]]): Array[Array[Double]] = {
+    val rows = px.map(dct2)
+    val n = px.length
+    val cols = Array.ofDim[Double](n, n)
+    var j = 0
+    while (j < n) {
+      val col = new Array[Double](n)
+      var i = 0
+      while (i < n) { col(i) = rows(i)(j); i += 1 }
+      val t = dct2(col)
+      i = 0
+      while (i < n) { cols(i)(j) = t(i); i += 1 }
+      j += 1
+    }
+    cols
+  }
+
+  /** pHash over an n x n raster: 2-D DCT-II, the top-left 8x8 block minus
+    * the DC term, one bit per coefficient vs their median. */
+  private[graft] def pHash(px: Array[Array[Double]]): Long = {
+    val d = dct2d(px)
+    val coeffs = (for (i <- 0 until 8; j <- 0 until 8; if i != 0 || j != 0)
+      yield d(i)(j)).toArray
+    val sorted = coeffs.sorted
+    val median = (sorted(30) + sorted(31)) / 2.0 // 63 coeffs: avg of 31st/32nd
+    coeffs.zipWithIndex.foldLeft(0L) { case (h, (c, b)) =>
+      if (c > median) h | (1L << b) else h
+    }
+  }
+
+  // ---------------------------------------------------------------- m18
+  /** PERCEPTUAL DCT HASH (pHash — the frequency-domain image fingerprint
+    * next to m07's difference hash; the transform the classic pHash tool
+    * and most dedup stacks use): 32x32 grayscale -> REAL 2-D DCT-II ->
+    * top-left 8x8 low-frequency block minus DC -> one bit per coefficient
+    * against their median. Two invariances hold as THEOREMS, not
+    * tolerances, and the gate plants both:
+    *   - uniform brightness shift changes ONLY the DC coefficient (the
+    *     shift is a constant image; its DCT is pure DC), which pHash
+    *     excludes — hashes must be EQUAL;
+    *   - contrast scaling multiplies every AC coefficient by the same
+    *     positive factor, preserving order against the (equally scaled)
+    *     median — hashes must be EQUAL.
+    * Base pixels live in [0, 200) so the +40 shift never clamps (clamping
+    * is what breaks the theorem in the wild, and m18 pins the clean
+    * case). A neighboring doc's raster is synthesized in the same row and
+    * must sit far in Hamming distance — the discriminative half.
+    * The oracle recomputes the raster checksum from the generating
+    * formula (integer-exact) and pins the invariance booleans; the DCT
+    * itself is spec-checked against the orthogonality identity and a
+    * brute-force 2-D definition. Scale shape: m01's batch contract —
+    * row-local synthesize + transform, numbers out. */
+  private val m18 = Q(
+    "m18_phash_dct",
+    (s, dir) => {
+      import s.implicits._
+      val n = 32
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          def raster(id: Long, shift: Int, scale: Double): Array[Array[Double]] =
+            Array.tabulate(n, n)((y, x) =>
+              ((id * 31 + x * 7 + y * 13) % 200).toDouble * scale + shift)
+          ids.map { id =>
+            val base = raster(id, 0, 1.0)
+            val h = pHash(base)
+            val hShift = pHash(raster(id, 40, 1.0))
+            val hScale = pHash(raster(id, 0, 1.2))
+            val hNext = pHash(raster(id + 1, 0, 1.0))
+            val pixelSum = base.map(_.map(_.toLong).sum).sum
+            (id, pixelSum, h == hShift, h == hScale,
+              java.lang.Long.bitCount(h ^ hNext) >= 8)
+          }
+        }
+        .toDF("doc_id", "pixel_sum", "shift_invariant", "contrast_invariant",
+          "neighbor_distant")
+    },
+    Some("""WITH px AS (
+        SELECT d.doc_id, xs.x, ys.y FROM documents d
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS x) xs
+        CROSS JOIN (SELECT unnest(range(0, 32)) AS y) ys)
+      SELECT doc_id,
+        CAST(sum((doc_id * 31 + x * 7 + y * 13) % 200) AS BIGINT) AS pixel_sum,
+        true AS shift_invariant, true AS contrast_invariant,
+        true AS neighbor_distant
+      FROM px GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13, m14, m15, m16, m17)
+    m12, m13, m14, m15, m16, m17, m18)
 }

@@ -3855,6 +3855,34 @@ class OperatorsSpec extends SparkSpec {
     assert(gate.getAs[Double]("r2") < 0.5)
   }
 
+  test("m18 dct/phash: matches the 2-D definition; invariances hold on random rasters") {
+    val rnd = new scala.util.Random(11)
+    val n = 8
+    val px = Array.fill(n, n)(rnd.nextDouble() * 200)
+    val fast = graft.operators.Multimodal.dct2d(px)
+    for (u <- 0 until n; v <- 0 until n) {
+      var s = 0.0
+      for (y <- 0 until n; x <- 0 until n)
+        s += px(y)(x) * math.cos(math.Pi / n * (y + 0.5) * u) *
+          math.cos(math.Pi / n * (x + 0.5) * v)
+      assert(math.abs(fast(u)(v) - s) < 1e-9,
+        s"dct2d($u,$v) ${fast(u)(v)} vs definition $s")
+    }
+    // invariance theorems on 50 random 32x32 rasters
+    for (_ <- 1 to 50) {
+      val r = Array.fill(32, 32)(rnd.nextDouble() * 200)
+      val h = graft.operators.Multimodal.pHash(r)
+      assert(h === graft.operators.Multimodal.pHash(r.map(_.map(_ + 40.0))))
+      assert(h === graft.operators.Multimodal.pHash(r.map(_.map(_ * 1.2))))
+    }
+    val rows = run("m18_phash_dct").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("shift_invariant"))
+      assert(r.getAs[Boolean]("contrast_invariant"))
+      assert(r.getAs[Boolean]("neighbor_distant"))
+    }
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
