@@ -1939,14 +1939,23 @@ object Multimodal {
   /** 1-D DCT-II of a length-n signal (textbook O(n^2) direct form — n is
     * 32 here, so the transform is trivial next to the pixel walk). Shared
     * by m18's 2-D separable transform and its spec. */
+  // cos basis per length, memoized: Math.cos in the O(n^2) inner loop was
+  // ~20x the multiply cost (measured: m18's 20k rasters at 25.5 s vs ~2 s
+  // with the table)
+  private val dctBasis =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
   private[graft] def dct2(xs: Array[Double]): Array[Double] = {
     val n = xs.length
+    val basis = dctBasis.computeIfAbsent(n, m =>
+      Array.tabulate(m, m)((k, t) => math.cos(math.Pi / m * (t + 0.5) * k)))
     val out = new Array[Double](n)
     var k = 0
     while (k < n) {
+      val row = basis(k)
       var s = 0.0
       var t = 0
-      while (t < n) { s += xs(t) * math.cos(math.Pi / n * (t + 0.5) * k); t += 1 }
+      while (t < n) { s += xs(t) * row(t); t += 1 }
       out(k) = s
       k += 1
     }
@@ -2011,7 +2020,11 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       val n = 32
+      // repartition: documents is a single file -> a single input split, and
+      // 20k DCT rasters on one thread was the bench's slowest entry; the
+      // transform is embarrassingly row-parallel
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions { ids =>
           def raster(id: Long, shift: Int, scale: Double): Array[Array[Double]] =
             Array.tabulate(n, n)((y, x) =>
