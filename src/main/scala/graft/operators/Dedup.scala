@@ -2353,7 +2353,112 @@ object Dedup {
       FROM eval ev JOIN ng ON ev.test_id = ng.test_id
       LEFT JOIN hits h ON ev.test_id = h.test_id"""))
 
+  // ---------------------------------------------------------------- d28
+  /** LEAKAGE-SAFE TRAIN/TEST SPLIT (the guard every eval pipeline needs
+    * and most miss: hashing DOC ids into splits puts near-duplicate pairs
+    * on opposite sides, so the test set silently contains paraphrases of
+    * training documents and every metric inflates — the split must hash
+    * the NEAR-DUP CLUSTER, not the document): d09's derivation (exact
+    * trigram-shingle Jaccard >= 0.5 within candidate groups -> connected
+    * components) labels each doc with its duplicate cluster; the split
+    * side is md5(cluster) mod 10 (80/20), so an entire cluster moves
+    * together BY CONSTRUCTION. The entry also computes the naive
+    * doc-hash side and a per-cluster `leaks_under_naive` verdict — on
+    * this corpus the naive split tears a measurable share of clusters
+    * apart (the hazard, demonstrated, not asserted).
+    *
+    * Scale shape: d09's edges + CC (node-keyed joins, lineage-truncated
+    * rounds) plus one grouped count-distinct per cluster; the split
+    * itself is a row-local hash. */
+  private val d28 = Q(
+    "d28_leakage_safe_split",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+          graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "d28").as("doc_id"),
+          col("text"))
+        .filter(col("doc_id") % 10 === 0)
+      val g1 = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))
+      val g2 = base.select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((greatest((size(toks) * 0.8).cast("int"), lit(1)) * 0.6).cast("int"),
+            lit(1))), " ").as("text"))
+      val docs = base.unionByName(g1).unionByName(g2)
+      val sets = shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sets.select(col("doc_id").as("src"), col("sh").as("sh_a"))
+      val b = sets.select(col("doc_id").as("dst"), col("sh").as("sh_b"))
+      val edges = a.join(b,
+          col("src") % 10000000L === col("dst") % 10000000L && col("src") < col("dst"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b"))
+              - size(array_intersect(col("sh_a"), col("sh_b")))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val labels = connectedComponents(edges)
+      edges.unpersist(false)
+      sets.unpersist(false)
+      def side(h: Column): Column =
+        when(pmod(h, lit(10L)) < 8, lit("train")).otherwise(lit("test"))
+      val splits = labels.select(col("node").as("doc_id"),
+        col("label").as("cluster_id"),
+        side(graft.functions.CrossEngine.md5Hash60(col("label"))).as("split"),
+        side(graft.functions.CrossEngine.md5Hash60(col("node"))).as("naive_split"))
+      val leak = splits.groupBy(col("cluster_id"))
+        .agg((countDistinct(col("naive_split")) > 1).as("leaks_under_naive"))
+      val out = splits.join(leak, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("split"),
+          col("leaks_under_naive"))
+        .localCheckpoint(true)
+      labels.unpersist(false)
+      out
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 0),
+      docs AS (
+        SELECT doc_id, array_to_string(tk, ' ') AS text FROM base
+        UNION ALL
+        SELECT doc_id + 10000000,
+          array_to_string(tk[1:greatest(CAST(floor(len(tk) * 0.8) AS INT), 1)], ' ') FROM base
+        UNION ALL
+        SELECT doc_id + 20000000,
+          array_to_string(tk[1:greatest(CAST(floor(greatest(CAST(floor(len(tk) * 0.8) AS INT), 1) * 0.6) AS INT), 1)], ' ')
+        FROM base),
+      sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        FROM docs),
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sets a JOIN sets b
+          ON a.doc_id % 10000000 = b.doc_id % 10000000 AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      splits AS (
+        SELECT node AS doc_id, cluster_id,
+          CASE WHEN CAST(concat('0x', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'test' END AS split,
+          CASE WHEN CAST(concat('0x', substring(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'test' END AS naive_split
+        FROM labels),
+      leak AS (
+        SELECT cluster_id, count(DISTINCT naive_split) > 1 AS leaks_under_naive
+        FROM splits GROUP BY cluster_id)
+      SELECT s.doc_id, s.cluster_id, s.split, l.leaks_under_naive
+      FROM splits s JOIN leak l ON s.cluster_id = l.cluster_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27)
+    d25, d26, d27, d28)
 }

@@ -3883,6 +3883,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("d28 leakage-safe split: clusters move whole; naive doc-hash split leaks") {
+    val rows = run("d28_leakage_safe_split").collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    // the whole point: every cluster lands on exactly one side
+    byCluster.foreach { case (c, g) =>
+      assert(g.map(_.getAs[String]("split")).distinct.length === 1,
+        s"cluster $c torn across splits")
+    }
+    // near-dup triples (base, +1e7, +2e7) share a cluster => share a side
+    val sideOf = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    sideOf.keys.filter(_ < 10000000L).foreach { id =>
+      Seq(id + 10000000L, id + 20000000L).filter(sideOf.contains).foreach { twin =>
+        assert(sideOf(twin) === sideOf(id), s"twin $twin split away from $id")
+      }
+    }
+    // the demonstrated hazard: a doc-hash split tears a large share apart
+    val leaky = byCluster.count(_._2.head.getAs[Boolean]("leaks_under_naive"))
+    assert(leaky.toDouble / byCluster.size > 0.2,
+      s"expected the naive split to leak on this corpus; got $leaky/${byCluster.size}")
+    // and the cluster-keyed split still lands near 80/20
+    val trainFrac = rows.count(_.getAs[String]("split") == "train").toDouble / rows.length
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
