@@ -2565,17 +2565,18 @@ object Similarity {
         SELECT b.query_id, g.v AS node FROM $prev b JOIN graph g ON g.u = b.node
         UNION
         SELECT query_id, node FROM $prev),
+      hs$i AS MATERIALIZED (
+        SELECT c.query_id, c.node,
+          list_sum(list_transform(range(1, len(x.embedding) + 1),
+            i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+               * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
+            AS d
+        FROM cd$i c JOIN emb x ON x.id = c.node
+        JOIN queries q ON q.query_id = c.query_id),
       bm$i AS MATERIALIZED (
         SELECT query_id, node, d,
           row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn
-        FROM (
-          SELECT c.query_id, c.node,
-            list_sum(list_transform(range(1, len(x.embedding) + 1),
-              i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
-                 * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
-              AS d
-          FROM cd$i c JOIN emb x ON x.id = c.node
-          JOIN queries q ON q.query_id = c.query_id) t
+        FROM hs$i
         QUALIFY rn <= $s30Beam)"""
 
   /** Builds the s29/s30 NSW search graph (kNN edges UNION init links) over
@@ -2593,13 +2594,20 @@ object Similarity {
     * and s31 so the persisted-index path serves with the IDENTICAL search
     * kernel. Runs inside the constraint-propagation-off scope (see
     * nnDescentIncremental). */
+  /** When `matchPred` is given (s32's filtered search), the walk ROUTES
+    * unrestricted — greedy navigation must be free to pass through
+    * non-matching hub nodes or it gets stuck (the ACORN-style traversal
+    * rule) — while every scored candidate that matches is ACCUMULATED,
+    * and the answer is the top-3 matching nodes seen anywhere in the
+    * walk. */
   private[graft] def nswBeamSearch(s: SparkSession, dir: String,
-      graph: DataFrame): DataFrame = {
+      graph: DataFrame, matchPred: Option[Column] = None): DataFrame = {
     import graft.functions.VectorExpressions.l2DistSq
     val emb = nndPlantedVecs(s, dir)
       .select(col("vec_id").as("id"), col("embedding"))
     val queries = s30Queries(s).localCheckpoint(true)
     var beam = queries.select(col("query_id"), lit(0L).as("node"))
+    var matched: DataFrame = null
     for (_ <- 1 to s30Hops) {
       val cand = beam.join(graph, beam("node") === graph("u"))
         .select(col("query_id"), col("v").as("node"))
@@ -2610,12 +2618,22 @@ object Similarity {
         .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col("node"),
           l2DistSq(col("embedding"), col("q_emb")).as("d"))
+        .localCheckpoint(true)
+      matchPred.foreach { pred =>
+        val hit = scored.filter(pred)
+        matched = if (matched == null) hit else matched.unionByName(hit)
+        matched = matched.localCheckpoint(true)
+      }
       beam = topKByScore(scored, "query_id", "node", col("d"),
           s30Beam, ascending = true)
         .select(col("query_id"), col("node"), col("score").as("d"))
         .localCheckpoint(true)
     }
-    topKByScore(beam, "query_id", "node", col("d"), 3, ascending = true)
+    val pool = matchPred match {
+      case Some(_) => matched.distinct()
+      case None    => beam
+    }
+    topKByScore(pool, "query_id", "node", col("d"), 3, ascending = true)
       .select(col("query_id"), col("rn").as("rnk"),
         col("node").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
   }
@@ -2682,7 +2700,50 @@ object Similarity {
     },
     Some(s30OracleSql))
 
+  // ---------------------------------------------------------------- s32
+  /** FILTERED GRAPH-ANN SEARCH (the metadata-predicate variant for the
+    * graph family, next to s22's broadcast pre-filter and s23's in-list
+    * IVF filter): the production question is "nearest neighbors WHERE
+    * lang='en' / license=permissive", and on a graph index the right
+    * traversal rule (the ACORN observation) is to ROUTE through
+    * everything — restricting the walk itself to matching nodes shatters
+    * the graph's connectivity exactly when the filter is selective — while
+    * ACCUMULATING matching candidates seen anywhere in the walk; the
+    * answer is the best k of the accumulated pool. The walk, per-hop
+    * scored frames, the matched-pool union and the final rank are all
+    * mirrored as oracle CTEs. The predicate (node mod 3 = 1) keeps 1/3 of
+    * the corpus, so most hops contribute and the pool outgrows the beam —
+    * the case a final-beam post-filter would under-serve. */
+  private val s32 = Q(
+    "s32_filtered_graph_search",
+    (s, dir) => withConstraintPropagationOff(s) {
+      nswBeamSearch(s, dir, nswBuildGraph(s, dir),
+        matchPred = Some(col("node") % 3 === 1))
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleInit(6)},
+      ${nndOracleRound(1, "nb0", 6, 24)},
+      ${nndOracleRound(2, "nb1", 6, 24)},
+      ${nndOracleRound(3, "nb2", 6, 24)},
+      graph AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i => s30OracleHop(i, if (i == 1) "bm0" else s"bm${i - 1}"))
+        .mkString(",\n      ")},
+      pool AS (
+        ${(1 to s30Hops).map(i =>
+          s"SELECT query_id, node, d FROM hs$i WHERE node % 3 = 1")
+          .mkString("\n        UNION\n        ")})
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM pool) t
+      WHERE rn2 <= 3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31)
+    s25, s26, s27, s28, s29, s30, s31, s32)
 }

@@ -3907,6 +3907,28 @@ class OperatorsSpec extends SparkSpec {
     assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
   }
 
+  test("s32 filtered graph search: all results match, pool beats final-beam post-filter") {
+    val rows = run("s32_filtered_graph_search").collect()
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 3 === 1L,
+        s"non-matching node ${r.getAs[Long]("neighbor_id")} in filtered results")
+    }
+    // the accumulated pool must serve at least as well as post-filtering the
+    // unfiltered walk's final top-3 (every filtered s30 answer is in s32's
+    // pool by construction, since both walks route identically)
+    val s30Matching = run("s30_graph_ann_search").collect()
+      .filter(_.getAs[Long]("neighbor_id") % 3 == 1L)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val s32Set = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(s30Matching.subsetOf(s32Set),
+      "filtered search lost matches the unfiltered walk already surfaced")
+    // depth: most queries fill all 3 ranks from the accumulated pool
+    val full = rows.groupBy(_.getAs[Long]("query_id")).count(_._2.length == 3)
+    assert(full >= 18, s"only $full/20 queries filled 3 filtered results")
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
