@@ -226,6 +226,7 @@ object Multimodal {
       import s.implicits._
       val (w, h, tw, th) = (32, 16, 8, 4)
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           ids.map { id =>
             val img = new java.awt.image.BufferedImage(
@@ -323,6 +324,7 @@ object Multimodal {
       val n = 240
       val rate = 8000f
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           val fmt = new javax.sound.sampled.AudioFormat(
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -440,7 +442,8 @@ object Multimodal {
   private[graft] def imageDHashes(s: SparkSession, dir: String): DataFrame =
     imageDHashesOf(s, Tables.documents(s, dir).select(
       graft.functions.CrossEngine.guardedId(col("doc_id"), 80000000L, "m07")
-        .as("doc_id")))
+        .as("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism))
 
   private[graft] def imageDHashesOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
@@ -656,7 +659,8 @@ object Multimodal {
   private[graft] def audioFingerprints(s: SparkSession, dir: String): DataFrame =
     audioFingerprintsOf(s, Tables.documents(s, dir).select(
       graft.functions.CrossEngine.guardedId(col("doc_id"), 90000000L, "m08")
-        .as("doc_id")))
+        .as("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism))
 
   private[graft] def audioFingerprintsOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
@@ -805,7 +809,8 @@ object Multimodal {
   private[graft] def videoFrameHashes(s: SparkSession, dir: String): DataFrame =
     videoFrameHashesOf(s, Tables.documents(s, dir).select(
       graft.functions.CrossEngine.guardedId(col("doc_id"), 70000000L, "m09")
-        .as("doc_id")))
+        .as("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism))
 
   private[graft] def videoFrameHashesOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
     import s.implicits._
@@ -1109,6 +1114,7 @@ object Multimodal {
       val rows = Tables.documents(s, dir).select(
           graft.functions.CrossEngine.guardedId(col("doc_id"), 60000000L, "m11")
             .as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .as[Long]
         .flatMap(id =>
           if (id % 29 == 0) Seq((id, id, false), (id + 60000000L, id, true))
@@ -1227,6 +1233,7 @@ object Multimodal {
       val winLen = 30
       val rate = 8000f
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           val fmt = new javax.sound.sampled.AudioFormat(
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -1333,6 +1340,7 @@ object Multimodal {
       import s.implicits._
       val nFrames = 8
       val fr = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           val md = java.security.MessageDigest.getInstance("MD5")
           ids.flatMap { id =>
@@ -1557,6 +1565,7 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           ids.map { id =>
             // real 8x8 PNG (the m05 pixel formula, small)
@@ -1631,6 +1640,7 @@ object Multimodal {
       val n = 240
       val rate = 8000f
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           val fmt = new javax.sound.sampled.AudioFormat(
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
@@ -1751,6 +1761,7 @@ object Multimodal {
     (s, dir) => {
       import s.implicits._
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           ids.map { id =>
             val w = 24 + (id % 3).toInt * 8
@@ -1861,6 +1872,7 @@ object Multimodal {
       val rate = 8000f
       val amp = 12000.0
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
           val fmt = new javax.sound.sampled.AudioFormat(
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
