@@ -3929,6 +3929,35 @@ class OperatorsSpec extends SparkSpec {
     assert(full >= 18, s"only $full/20 queries filled 3 filtered results")
   }
 
+  test("s33 graph append: twins land on their originals, standing lists only improve") {
+    val rows = run("s33_graph_index_append").collect()
+    val (appended, old) = rows.partition(_.getAs[Long]("node") >= 30000000L)
+    assert(appended.map(_.getAs[Long]("node")).distinct.length === 20)
+    // search-then-link: most exact twins must hold their original at rank 1
+    // with distance exactly 0 (measured 18/20 at sf0.001/sf0.01, 20/20 at
+    // sf0.1; random attach managed 4/20 — the motivating measurement)
+    val hits = appended.groupBy(_.getAs[Long]("node")).count { case (n, g) =>
+      val r1 = g.minBy(_.getAs[Long]("rnk"))
+      r1.getAs[Long]("neighbor_id") == n - 30000000L &&
+        r1.getAs[Double]("dist_sq") == 0.0
+    }
+    assert(hits >= 15, s"only $hits/20 twins found their original at rank 1")
+    // monotone absorption: an old node's neighborhood can only improve
+    val pre = run("s29_nn_descent").collect()
+      .groupBy(_.getAs[Long]("node"))
+      .map { case (n, g) => n -> g.map(_.getAs[Double]("dist_sq")).sum }
+    old.groupBy(_.getAs[Long]("node")).foreach { case (n, g) =>
+      val post = g.map(_.getAs[Double]("dist_sq")).sum
+      assert(post <= pre(n) + 1e-9,
+        s"node $n neighborhood worsened after append: ${pre(n)} -> $post")
+    }
+    // structural: k per node, no self
+    rows.groupBy(_.getAs[Long]("node")).foreach { case (n, g) =>
+      assert(g.length === 6)
+      g.foreach(r => assert(r.getAs[Long]("neighbor_id") !== n))
+    }
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
