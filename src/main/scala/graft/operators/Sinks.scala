@@ -1437,6 +1437,114 @@ object Sinks {
         CAST(9 AS BIGINT), true
       FROM logical_t WHERE k % 5 = 4"""))
 
+  // ---------------------------------------------------------------- w20
+  /** MULTI-TABLE ATOMIC COMMIT (the transaction boundary single-table
+    * lakehouse formats famously lack: a fact table and its derived
+    * summary must advance TOGETHER, or a reader between the two commits
+    * sees fact@v2 with summary@v1 and every cross-table invariant
+    * breaks): one version = ONE manifest file listing BOTH tables' file
+    * sets, claimed atomically (the w13 CREATE_NEW mechanic), so a reader
+    * resolving any version gets a consistent (fact, summary) pair by
+    * construction. The gate builds v1 (8 cents buckets + their per-bucket
+    * summary), commits v2 (bucket-2 rewrite + its summary row) as one
+    * manifest, then reads THREE views: v1, v2, and the torn interleaving
+    * (fact@v2, summary@v1) a non-atomic two-manifest scheme would expose
+    * — the invariant (summary row equals the fact aggregate, to the
+    * cent) holds for v1 and v2 and FAILS for the torn view, all three
+    * verdicts recomputed by the oracle from change semantics. At 100 TB
+    * the manifest stays metadata-sized and commit cost is O(changed
+    * files) across however many tables the transaction touches. */
+  private val w20 = Q(
+    "w20_multi_table_commit",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w20_")
+      try {
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        def writeFile(df: DataFrame, name: String): String = {
+          val d = root.resolve(name).toString
+          df.coalesce(1).write.mode("overwrite").parquet(d)
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet")).get.getPath
+        }
+        def summarize(df: DataFrame): DataFrame = df
+          .groupBy(pmod(col("k"), lit(8L)).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"))
+        // v1: 8 fact bucket files + 8 summary bucket files
+        val factV1 = (0 until 8).map(b =>
+          b -> writeFile(base.filter(pmod(col("k"), lit(8L)) === b), s"fact_b${b}_v1"))
+        val sumV1 = (0 until 8).map(b =>
+          b -> writeFile(summarize(base.filter(pmod(col("k"), lit(8L)) === b)),
+            s"sum_b${b}_v1"))
+        // v2 change: bucket 2's cents double; BOTH tables' bucket-2 files
+        // rewrite inside ONE commit
+        val b2v2 = base.filter(pmod(col("k"), lit(8L)) === 2)
+          .select(col("k"), (col("cents") * 2L).as("cents"))
+        val factB2v2 = writeFile(b2v2, "fact_b2_v2")
+        val sumB2v2 = writeFile(summarize(b2v2), "sum_b2_v2")
+        def manifest(name: String, fact: Seq[String], sum: Seq[String]): Unit = {
+          val body = (fact.map("fact|" + _) ++ sum.map("sum|" + _)).mkString("\n")
+          val p = root.resolve(name)
+          // atomic claim: CREATE_NEW fails if the version already exists
+          java.nio.file.Files.write(p, body.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
+        val fact1 = factV1.map(_._2); val sum1 = sumV1.map(_._2)
+        val fact2 = factV1.filter(_._1 != 2).map(_._2) :+ factB2v2
+        val sum2 = sumV1.filter(_._1 != 2).map(_._2) :+ sumB2v2
+        manifest("commit_v1.txt", fact1, sum1)
+        manifest("commit_v2.txt", fact2, sum2)
+        def readView(name: String): (DataFrame, DataFrame) = {
+          val lines = new String(java.nio.file.Files.readAllBytes(
+            root.resolve(name)), "UTF-8").split("\n").toSeq
+          def files(tag: String) = lines.filter(_.startsWith(tag + "|"))
+            .map(_.split("\\|", 2)(1))
+          (s.read.parquet(files("fact"): _*), s.read.parquet(files("sum"): _*))
+        }
+        val (f1, s1) = readView("commit_v1.txt")
+        val (f2, s2) = readView("commit_v2.txt")
+        // the torn read a two-manifest scheme permits: fact@v2, summary@v1
+        val (fTorn, sTorn) = (f2, s1)
+        def verdict(view: String, fact: DataFrame, smry: DataFrame): DataFrame = {
+          val fa = summarize(fact)
+            .select(col("bucket"), col("n_rows").as("fn"), col("cents_sum").as("fc"))
+          val joined = fa.join(smry, Seq("bucket"), "full")
+          val consistent = joined.filter(
+            col("fn") =!= col("n_rows") || col("fc") =!= col("cents_sum") ||
+              col("fn").isNull || col("n_rows").isNull).count() == 0
+          fact.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("fact_cents"))
+            .crossJoin(smry.agg(sum(col("cents_sum")).as("summary_cents")))
+            .select(lit(view).as("view"), col("n_rows"), col("fact_cents"),
+              col("summary_cents"), lit(consistent).as("consistent"))
+        }
+        val out = verdict("v1", f1, s1)
+          .unionByName(verdict("v2", f2, s2))
+          .unionByName(verdict("torn", fTorn, sTorn))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      v2 AS (
+        SELECT k, CASE WHEN k % 8 = 2 THEN cents * 2 ELSE cents END AS cents
+        FROM base)
+      SELECT 'v1' AS view, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(cents) AS BIGINT) AS fact_cents,
+        CAST(sum(cents) AS BIGINT) AS summary_cents, true AS consistent
+      FROM base
+      UNION ALL
+      SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+        CAST(sum(cents) AS BIGINT), true
+      FROM v2
+      UNION ALL
+      SELECT 'torn', CAST(count(*) AS BIGINT),
+        CAST((SELECT sum(cents) FROM v2) AS BIGINT),
+        CAST((SELECT sum(cents) FROM base) AS BIGINT), false
+      FROM v2"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14, w15, w16, w17, w18, w19)
+    w12, w13, w14, w15, w16, w17, w18, w19, w20)
 }

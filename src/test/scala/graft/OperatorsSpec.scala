@@ -2426,6 +2426,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("w20 multi-table commit: versions consistent, the torn interleaving is not") {
+    val rows = run("w20_multi_table_commit").collect()
+      .map(r => r.getAs[String]("view") -> r).toMap
+    assert(rows.size === 3)
+    Seq("v1", "v2").foreach { v =>
+      assert(rows(v).getAs[Boolean]("consistent"), s"$v must reconcile")
+      assert(rows(v).getAs[Long]("fact_cents") === rows(v).getAs[Long]("summary_cents"))
+    }
+    val torn = rows("torn")
+    assert(!torn.getAs[Boolean]("consistent"),
+      "fact@v2 with summary@v1 must break the invariant")
+    assert(torn.getAs[Long]("fact_cents") !== torn.getAs[Long]("summary_cents"))
+  }
+
   test("w16 incremental MV: delta-merged view equals full recompute") {
     val merged = run("w16_incremental_mv").collect()
       .map(r => r.getAs[String]("flag") ->
