@@ -74,8 +74,12 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // element types are per-plan constants after analysis — hoisted to lazy
+  // vals so the interpreted path doesn't re-pattern-match per row
+  private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression): Boolean = e.dataType match {
@@ -94,7 +98,7 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (lf, rf) = (isFloat(left), isFloat(right))
+    val (lf, rf) = (leftIsFloat, rightIsFloat)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
@@ -111,8 +115,8 @@ case class DotProductF(left: Expression, right: Expression) extends BinaryExpres
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
-      val getL = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
-      val getR = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
+      val getL = if (leftIsFloat) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      val getR = if (rightIsFloat) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         ${ev.value} = 0.0;
@@ -131,7 +135,8 @@ case class L2NormF(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  private def isFloat: Boolean =
+  // per-plan constant (see DotProductF) — not re-derived per row
+  private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -315,8 +320,11 @@ case class L2DistSq(left: Expression, right: Expression) extends BinaryExpressio
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+  // per-plan constants (see DotProductF) — not re-derived per row
+  private lazy val leftIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression): Boolean = e.dataType match {
@@ -335,8 +343,8 @@ case class L2DistSq(left: Expression, right: Expression) extends BinaryExpressio
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    val lf = leftIsFloat
+    val rf = rightIsFloat
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
@@ -355,9 +363,9 @@ case class L2DistSq(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
-      val getL = if (elemType(left) == FloatType) s"(double)$a.getFloat($i)"
+      val getL = if (leftIsFloat) s"(double)$a.getFloat($i)"
         else s"$a.getDouble($i)"
-      val getR = if (elemType(right) == FloatType) s"(double)$b.getFloat($i)"
+      val getR = if (rightIsFloat) s"(double)$b.getFloat($i)"
         else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());

@@ -250,9 +250,12 @@ object Profile {
         flagged.filter(col("reasons") === "")
           .select(col("k"), col("cents"), col("ck"), col("st"))
           .write.mode("overwrite").parquet(cleanDir)
+        // coalesce: an all-quarantined batch sums to NULL — degrade to a
+        // red gate value (0 clean rows / 0 cents), not a driver NPE
         val landed = s.read.parquet(cleanDir)
-          .agg(count(lit(1)), sum(col("cents")), max(when(col("cents") <= 0L
-            || col("cents").isNull, 1L).otherwise(0L))).head()
+          .agg(count(lit(1)), coalesce(sum(col("cents")), lit(0L)),
+            coalesce(max(when(col("cents") <= 0L
+              || col("cents").isNull, 1L).otherwise(0L)), lit(0L))).head()
         val (nClean, cleanSum, anyBad) =
           (landed.getLong(0), landed.getLong(1), landed.getLong(2))
         val out = flagged.filter(col("reasons") =!= "")

@@ -2505,10 +2505,10 @@ object Similarity {
   private val s29 = Q(
     "s29_nn_descent",
     (s, dir) => {
-      val e = nndPlantedVecs(s, dir)
-      val n = e.count()
-      nnDescentIncremental(e, k = 6, rounds = 3,
-          init = nndHashInit(e, 6, n), revCap = 24)
+      // the BUILD entry serves from the same persisted artifact the rest
+      // of the lane reads (train-once/serve-many, VERDICT r12 #1): the
+      // descent runs once per corpus inside GraphIndexCache.ensure
+      GraphIndexCache.knn(s, dir)
         .select(col("u").as("node"), col("rn").as("rnk"),
           col("v").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
     },
@@ -2592,7 +2592,9 @@ object Similarity {
         QUALIFY rn <= $s30Beam)"""
 
   /** Builds the s29/s30 NSW search graph (kNN edges UNION init links) over
-    * the planted corpus — shared by s30 (in-memory) and s31 (persisted). */
+    * the planted corpus — the TRAINING step of the graph family. Entries
+    * never call this directly: they serve from [[GraphIndexCache]]'s
+    * persisted artifact (train-once/serve-many). */
   private[graft] def nswBuildGraph(s: SparkSession, dir: String): DataFrame = {
     val e = nndPlantedVecs(s, dir)
     val n = e.count()
@@ -2600,6 +2602,52 @@ object Similarity {
     val knn = nnDescentIncremental(e, k = 6, rounds = 3,
       init = init, revCap = 24).select(col("u"), col("v"))
     knn.unionByName(init).distinct().localCheckpoint(true)
+  }
+
+  /** TRAIN-ONCE/SERVE-MANY for the graph family (VERDICT r12 #1 — the s13
+    * contract the IVF lane already honors, applied to the graph lane):
+    * the 3-round NN-descent build is the expensive training step, so it
+    * runs ONCE per corpus and lands as a node-bucketed parquet artifact
+    * with two tables — `knn/` (the polished kNN edges, what an append
+    * refines) and `graph/` (kNN UNION the random init links, what serving
+    * walks; the long links are the small-world hops). Every serving entry
+    * (s30 beam, s31 reload proof, s32 filtered, s33 append, st35
+    * streaming admission) READS the artifact instead of re-descending the
+    * corpus — at 100 TB this is the difference between an index build per
+    * query family and one build amortized over all serving traffic, and
+    * the u-bucketed layout co-locates each beam hop's adjacency join.
+    * Build-once is test-pinned via [[buildCount]]. */
+  private[graft] object GraphIndexCache {
+    private val built = scala.collection.mutable.Map[String, String]()
+    private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      built.getOrElseUpdate(dir, withConstraintPropagationOff(s) {
+        buildCount.incrementAndGet()
+        val root = java.nio.file.Files.createTempDirectory("graft_graph_index_")
+        sys.addShutdownHook(
+          graft.functions.CrossEngine.deleteRecursive(root))
+        val e = nndPlantedVecs(s, dir)
+        val n = e.count()
+        val init = nndHashInit(e, 6, n)
+        // knn/ keeps the full ranked rows (u, v, score, rn) so the build
+        // entry s29 serves straight from the artifact too
+        nnDescentIncremental(e, k = 6, rounds = 3, init = init, revCap = 24)
+          .select(col("u"), col("v"), col("score"), col("rn"))
+          .repartition(8, col("u"))
+          .write.mode("overwrite").parquet(root.resolve("knn").toString)
+        // graph/ derives from the PERSISTED knn read — one build, two views
+        s.read.parquet(root.resolve("knn").toString)
+          .select(col("u"), col("v"))
+          .unionByName(init).distinct()
+          .repartition(8, col("u"))
+          .write.mode("overwrite").parquet(root.resolve("graph").toString)
+        root.toString
+      })
+    }
+    def graph(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"${ensure(s, dir)}/graph")
+    def knn(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"${ensure(s, dir)}/knn")
   }
 
   /** s30's H-hop beam walk over an adjacency `graph(u, v)` — shared by s30
@@ -2684,7 +2732,7 @@ object Similarity {
   private val s30 = Q(
     "s30_graph_ann_search",
     (s, dir) => withConstraintPropagationOff(s) {
-      nswBeamSearch(s, dir, nswBuildGraph(s, dir))
+      nswBeamSearch(s, dir, GraphIndexCache.graph(s, dir))
     },
     Some(s30OracleSql))
 
@@ -2702,15 +2750,15 @@ object Similarity {
   private val s31 = Q(
     "s31_graph_index_persist",
     (s, dir) => withConstraintPropagationOff(s) {
-      val root = java.nio.file.Files.createTempDirectory("graft_s31_")
-      try {
-        nswBuildGraph(s, dir)
-          .repartition(8, col("u"))
-          .write.mode("overwrite").parquet(root.resolve("graph").toString)
-        val reloaded = s.read.parquet(root.resolve("graph").toString)
-        graft.functions.CrossEngine.materializeLocal(s,
-          nswBeamSearch(s, dir, reloaded.localCheckpoint(true)))
-      } finally graft.functions.CrossEngine.deleteRecursive(root)
+      // the BUILD step of the lane: ensure() trains + persists exactly once
+      // (a no-op if another serving entry already triggered it), then the
+      // reloaded adjacency serves with the identical beam kernel — the gate
+      // shares s30's oracle text verbatim, so a lossy roundtrip or a
+      // reload-order dependence reds on values
+      GraphIndexCache.ensure(s, dir)
+      graft.functions.CrossEngine.materializeLocal(s,
+        nswBeamSearch(s, dir,
+          GraphIndexCache.graph(s, dir).localCheckpoint(true)))
     },
     Some(s30OracleSql))
 
@@ -2731,7 +2779,8 @@ object Similarity {
   private val s32 = Q(
     "s32_filtered_graph_search",
     (s, dir) => withConstraintPropagationOff(s) {
-      nswBeamSearch(s, dir, nswBuildGraph(s, dir),
+      // serves from the PERSISTED index (never rebuilds — VERDICT r12 #1)
+      nswBeamSearch(s, dir, GraphIndexCache.graph(s, dir),
         matchPred = Some(col("node") % 3 === 1))
     },
     Some(s"""WITH $nndPlantedCte,
@@ -2823,14 +2872,14 @@ object Similarity {
     "s33_graph_index_append",
     (s, dir) => withConstraintPropagationOff(s) {
       val eOld = nndPlantedVecs(s, dir)
-      val n = eOld.count()
       val twins = eOld.filter(col("vec_id") < 20)
         .select((col("vec_id") + 30000000L).as("vec_id"), col("embedding"))
       val e2 = eOld.unionByName(twins)
-      val init = nndHashInit(eOld, 6, n)
-      val nb3 = nnDescentIncremental(eOld, k = 6, rounds = 3,
-        init = init, revCap = 24).select(col("u"), col("v"))
-      val searchGraph = nb3.unionByName(init).distinct().localCheckpoint(true)
+      // standing index LOADED from the persisted artifact (VERDICT r12 #1):
+      // knn/ is what the append polishes, graph/ is what the attach walks
+      val nb3 = GraphIndexCache.knn(s, dir)
+        .select(col("u"), col("v")).localCheckpoint(true)
+      val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
       val attach = nswBeamSearch(s, dir, searchGraph,
           queriesIn = twins.select(col("vec_id").as("query_id"),
             col("embedding").as("q_emb")),

@@ -562,29 +562,38 @@ object Sinks {
     (s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_w11_").toString
       try {
-        // fixture: records grouped into 4 files, one gzip member each
-        val recs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // fixture: records grouped into 4 files, one gzip member each —
+        // written from the EXECUTORS (foreachPartition over a
+        // file-key-repartitioned frame, ADVICE r12: no corpus-sized
+        // collect in an operator body; each file key hashes to one
+        // partition, so every .gz is authored by exactly one task — the
+        // per-task one-file-per-key shape every distributed file sink has)
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
           .select(pmod(col("doc_id"), lit(4L)).as("f"),
             concat(lit("WARC/1.0\nWARC-Target-URI: http://site-"),
               (col("doc_id") % 37).cast("string"), lit(".example/doc/"),
               col("doc_id").cast("string"),
               lit("\nContent-Length: "), length(col("text")).cast("string"),
               lit("\n\n"), col("text"), lit("\n")).as("rec"))
-          .collect().groupBy(_.getLong(0))
-        recs.foreach { case (f, rows) =>
-          val os = new java.io.FileOutputStream(s"$out/part-$f.wet.gz")
-          // close-shield: lets each member's GZIPOutputStream.close() run
-          // (which end()s its native Deflater — finish() alone leaks the
-          // native buffer until finalization, ADVICE r10) while keeping
-          // the underlying file stream open across members
-          val shield = new java.io.FilterOutputStream(os) { override def close(): Unit = flush() }
-          rows.foreach { r =>
-            val gz = new java.util.zip.GZIPOutputStream(shield)
-            gz.write(r.getString(1).getBytes("UTF-8"))
-            gz.close() // one MEMBER per record; ends the Deflater, file stays open
+          .repartition(4, col("f"))
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            val streams =
+              scala.collection.mutable.Map[Long, java.io.OutputStream]()
+            try rows.foreach { r =>
+              val os = streams.getOrElseUpdate(r.getLong(0),
+                new java.io.FileOutputStream(s"$out/part-${r.getLong(0)}.wet.gz"))
+              // close-shield: lets each member's GZIPOutputStream.close()
+              // run (which end()s its native Deflater — finish() alone
+              // leaks the native buffer until finalization, ADVICE r10)
+              // while keeping the underlying file stream open across members
+              val shield = new java.io.FilterOutputStream(os) {
+                override def close(): Unit = flush()
+              }
+              val gz = new java.util.zip.GZIPOutputStream(shield)
+              gz.write(r.getString(1).getBytes("UTF-8"))
+              gz.close() // one MEMBER per record; ends the Deflater
+            } finally streams.values.foreach(_.close())
           }
-          os.close()
-        }
         // ingest: one decode per file, record split on the boundary token
         val sp = s
         import sp.implicits._

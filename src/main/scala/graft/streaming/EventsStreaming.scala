@@ -2469,7 +2469,25 @@ object EventsStreaming {
     "st32_stream_mv_maintenance",
     (s, dir) => withStreamShufflePartitions(s) {
       val work = java.nio.file.Files.createTempDirectory("graft_st32_")
-      val viewDir = s"$work/view"
+      // stage-then-swap via VERSIONED directories + an atomic pointer file
+      // (the w09 manifest pattern, ADVICE r12): each refresh writes
+      // view/v<N> and repoints view/CURRENT with an ATOMIC_MOVE — at no
+      // instant does the view not exist, a crash mid-refresh leaves the
+      // previous version live, and a concurrent reader resolving the old
+      // pointer keeps reading intact files (retired versions are swept
+      // only with the temp workspace, the w10 vacuum-grace argument)
+      val viewRoot = java.nio.file.Files.createDirectory(work.resolve("view"))
+      def publishView(df: DataFrame, version: Long): Unit = {
+        df.write.mode("overwrite").parquet(viewRoot.resolve(s"v$version").toString)
+        val tmp = viewRoot.resolve(s"CURRENT.tmp$version")
+        java.nio.file.Files.write(tmp, s"v$version".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, viewRoot.resolve("CURRENT"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      def currentView(): String = viewRoot.resolve(new String(
+        java.nio.file.Files.readAllBytes(viewRoot.resolve("CURRENT")),
+        "UTF-8")).toString
       val srcDir = java.nio.file.Files.createDirectory(work.resolve("changes"))
       val scratch = java.nio.file.Files.createDirectory(work.resolve("scratch"))
       try {
@@ -2477,10 +2495,9 @@ object EventsStreaming {
           col("l_returnflag").as("flag"),
           col("l_quantity").cast("long").as("qty"),
           expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-        base.groupBy(col("flag"))
+        publishView(base.groupBy(col("flag"))
           .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("qty_sum"),
-            sum(col("cents")).as("cents_sum"))
-          .write.mode("overwrite").parquet(viewDir)
+            sum(col("cents")).as("cents_sum")), 0L)
         // three signed change files: deletes, inserts, updates (-old/+new)
         val deletes = base.filter(col("k") % 7 === 3)
           .select(col("flag"), lit(-1L).as("m"), (-col("qty")).as("qty"),
@@ -2513,26 +2530,21 @@ object EventsStreaming {
               .agg(sum(col("m")).as("dn"), sum(col("qty")).as("dq"),
                 sum(col("cents")).as("dc"))
               .localCheckpoint(true)
-            val cur = s.read.parquet(viewDir).localCheckpoint(true)
+            val cur = s.read.parquet(currentView()).localCheckpoint(true)
             val merged = cur.join(delta, Seq("flag"), "full_outer")
               .select(col("flag"),
                 (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
                 (coalesce(col("qty_sum"), lit(0L)) + coalesce(col("dq"), lit(0L))).as("qty_sum"),
                 (coalesce(col("cents_sum"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents_sum"))
               .filter(col("n_rows") > 0)
-            val staged = s"$work/stage_$batchId"
-            merged.write.mode("overwrite").parquet(staged)
-            graft.functions.CrossEngine.deleteRecursive(
-              java.nio.file.Paths.get(viewDir))
-            java.nio.file.Files.move(java.nio.file.Paths.get(staged),
-              java.nio.file.Paths.get(viewDir))
+            publishView(merged, batchId + 1L)
             ()
           }
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
         graft.functions.CrossEngine.materializeLocal(s,
-          s.read.parquet(viewDir)
+          s.read.parquet(currentView())
             .withColumn("multi_batch", lit(nBatches.get() >= 2L)))
       } finally {
         graft.functions.CrossEngine.deleteRecursive(work)

@@ -3972,6 +3972,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("graph lane trains once: s29-s33 all serve from one persisted build") {
+    // first touch trains (or reuses an earlier test's build); running
+    // every serving entry after that must not add another build (the s13
+    // train-once/serve-many contract, VERDICT r12 #1)
+    run("s29_nn_descent").collect()
+    val before = operators.Similarity.GraphIndexCache.buildCount.get()
+    assert(before >= 1L, "no graph-index build recorded for the suite corpus")
+    Seq("s29_nn_descent", "s30_graph_ann_search", "s31_graph_index_persist",
+      "s32_filtered_graph_search", "s33_graph_index_append")
+      .foreach(n => run(n).collect())
+    assert(operators.Similarity.GraphIndexCache.buildCount.get() === before,
+      "a serving entry re-ran the NN-descent build instead of loading the artifact")
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
