@@ -2321,6 +2321,9 @@ object Similarity {
     * visible only because a competing edge left the graph, and no "new"
     * flag marks it) — on the gate corpora the outputs are IDENTICAL and
     * spec-pinned; at scale the miss class is the standard heuristic's.
+    * Since ADVICE r12 the lane's oracles mirror THESE flagged rounds
+    * ([[nndOracleBuildChain]]), so the gate pins the algorithm actually
+    * run rather than a corpus-dependent equivalence with the full form.
     * Work per round shrinks as the graph converges (new-edge count -> 0)
     * instead of staying at Sum(deg^2). */
   /** `fresh0`: the edges treated as NEW in round 1. Defaults to all of
@@ -2407,9 +2410,11 @@ object Similarity {
     } finally spark0.conf.set(cpKey, cpPrev)
   }
 
-  /** One NN-descent round body as DuckDB CTEs: edges in `$prev` ->
-    * `und$i`/`cand$i`/`sc$i`/`nb$i`. Shared by the s29 oracle so both
-    * rounds are literally the same text. */
+  /** One FULL NN-descent round body as DuckDB CTEs: edges in `$prev` ->
+    * `und$i`/`cand$i`/`sc$i`/`nb$i`. Since ADVICE r12 only ROUND 1 of the
+    * standing chain uses this form — from scratch every edge is fresh, so
+    * full == incremental exactly there; later rounds use the flagged
+    * [[nndOracleIncRound]] that models the engine's actual algorithm. */
   private def nndOracleRound(i: Int, prev: String, k: Int, revCap: Int): String =
     s"""und$i AS MATERIALIZED (
         SELECT u, v FROM $prev
@@ -2513,10 +2518,7 @@ object Similarity {
           col("v").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
     },
     Some(s"""WITH $nndPlantedCte,
-      ${nndOracleInit(6)},
-      ${nndOracleRound(1, "nb0", 6, 24)},
-      ${nndOracleRound(2, "nb1", 6, 24)},
-      ${nndOracleRound(3, "nb2", 6, 24)}
+      ${nndOracleBuildChain(6, 24)}
       SELECT u AS node, CAST(rn AS BIGINT) AS rnk, v AS neighbor_id,
         round(d, 6) AS dist_sq
       FROM nb3"""))
@@ -2711,10 +2713,7 @@ object Similarity {
     * graph, so the expected values are identical). */
   private val s30OracleSql: String =
     s"""WITH $nndPlantedCte,
-      ${nndOracleInit(6)},
-      ${nndOracleRound(1, "nb0", 6, 24)},
-      ${nndOracleRound(2, "nb1", 6, 24)},
-      ${nndOracleRound(3, "nb2", 6, 24)},
+      ${nndOracleBuildChain(6, 24)},
       graph AS MATERIALIZED (
         SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
       $s30QueriesCte,
@@ -2784,10 +2783,7 @@ object Similarity {
         matchPred = Some(col("node") % 3 === 1))
     },
     Some(s"""WITH $nndPlantedCte,
-      ${nndOracleInit(6)},
-      ${nndOracleRound(1, "nb0", 6, 24)},
-      ${nndOracleRound(2, "nb1", 6, 24)},
-      ${nndOracleRound(3, "nb2", 6, 24)},
+      ${nndOracleBuildChain(6, 24)},
       graph AS MATERIALIZED (
         SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
       $s30QueriesCte,
@@ -2810,10 +2806,16 @@ object Similarity {
     * form (unlike [[nndOracleRound]], which mirrors full re-scoring):
     * candidates are pairs sharing an und node where at least one edge is
     * fresh, plus the standing edges; next round's fresh = the edges that
-    * just entered. Used by s33's append, where incremental != full. */
-  private def nndOracleAppendRound(i: Int, prev: String, fresh: String,
-      k: Int, revCap: Int): String =
-    s"""undA$i AS MATERIALIZED (
+    * just entered. Used by every round AFTER the first of the standing
+    * build ([[nndOracleBuildChain]], ADVICE r12: the oracle must model
+    * the incremental algorithm the engine runs, not the full-rescore
+    * equivalence that only holds while the reverse-cap hash draw never
+    * drops-and-readmits an edge) and by s33's append rounds, where the
+    * two forms are inequivalent by design. `tag` names the CTE family,
+    * `embT` the vector table (emb / emb2). */
+  private def nndOracleIncRound(tag: String, prev: String, fresh: String,
+      k: Int, revCap: Int, embT: String): String =
+    s"""undA$tag AS MATERIALIZED (
         SELECT u, v FROM $prev
         UNION
         SELECT ru AS u, rv AS v FROM (
@@ -2823,30 +2825,43 @@ object Similarity {
                 CAST(u AS VARCHAR))), 1, 15)) AS BIGINT) // 256, u) AS rr
           FROM $prev) s
         WHERE rr <= $revCap),
-      undF$i AS MATERIALIZED (
-        SELECT ua.u, ua.v FROM undA$i ua
+      undF$tag AS MATERIALIZED (
+        SELECT ua.u, ua.v FROM undA$tag ua
         JOIN (SELECT u, v FROM $fresh UNION SELECT v AS u, u AS v FROM $fresh) fs
           ON ua.u = fs.u AND ua.v = fs.v),
-      acd$i AS MATERIALIZED (
-        SELECT a.v AS u, b.v AS v FROM undA$i a JOIN undF$i b
+      acd$tag AS MATERIALIZED (
+        SELECT a.v AS u, b.v AS v FROM undA$tag a JOIN undF$tag b
           ON a.u = b.u AND a.v <> b.v
         UNION
-        SELECT b.v AS u, a.v AS v FROM undA$i a JOIN undF$i b
+        SELECT b.v AS u, a.v AS v FROM undA$tag a JOIN undF$tag b
           ON a.u = b.u AND a.v <> b.v
         UNION
         SELECT u, v FROM $prev),
-      asc$i AS MATERIALIZED (
+      asc$tag AS MATERIALIZED (
         SELECT c.u, c.v,
           list_sum(list_transform(range(1, len(x.embedding) + 1),
             i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))
                * (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))))
             AS d
-        FROM acd$i c JOIN emb2 x ON x.id = c.u JOIN emb2 y ON y.id = c.v),
-      anb$i AS MATERIALIZED (
+        FROM acd$tag c JOIN $embT x ON x.id = c.u JOIN $embT y ON y.id = c.v),
+      anb$tag AS MATERIALIZED (
         SELECT u, v, d, row_number() OVER (PARTITION BY u ORDER BY d, v) AS rn
-        FROM asc$i QUALIFY rn <= $k),
-      afr$i AS MATERIALIZED (
-        SELECT u, v FROM anb$i EXCEPT SELECT u, v FROM $prev)"""
+        FROM asc$tag QUALIFY rn <= $k),
+      afr$tag AS MATERIALIZED (
+        SELECT u, v FROM anb$tag EXCEPT SELECT u, v FROM $prev)"""
+
+  /** The standing 3-round build as oracle CTEs ending in `nb3` — round 1
+    * in the full form (from scratch, EVERY edge is fresh, so full ==
+    * incremental exactly), rounds 2-3 fresh-flagged. This is the chain
+    * every graph-lane oracle (s29-s33, s34, st35) shares, and it mirrors
+    * [[nnDescentIncremental]] stage for stage. */
+  private def nndOracleBuildChain(k: Int, revCap: Int): String =
+    s"""${nndOracleInit(k)},
+      ${nndOracleRound(1, "nb0", k, revCap)},
+      frr1 AS MATERIALIZED (SELECT u, v FROM nb1 EXCEPT SELECT u, v FROM nb0),
+      ${nndOracleIncRound("r2", "nb1", "frr1", k, revCap, "emb")},
+      ${nndOracleIncRound("r3", "anbr2", "afrr2", k, revCap, "emb")},
+      nb3 AS MATERIALIZED (SELECT u, v, d, rn FROM anbr3)"""
 
   // ---------------------------------------------------------------- s33
   /** INCREMENTAL GRAPH-INDEX APPEND (the s14 append contract for the
@@ -2896,10 +2911,7 @@ object Similarity {
         SELECT id, embedding FROM emb
         UNION ALL
         SELECT id + 30000000, embedding FROM emb WHERE id < 20),
-      ${nndOracleInit(6)},
-      ${nndOracleRound(1, "nb0", 6, 24)},
-      ${nndOracleRound(2, "nb1", 6, 24)},
-      ${nndOracleRound(3, "nb2", 6, 24)},
+      ${nndOracleBuildChain(6, 24)},
       graph AS MATERIALIZED (
         SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
       queries AS MATERIALIZED (
@@ -2916,8 +2928,8 @@ object Similarity {
         WHERE rn2 <= 6),
       cg AS MATERIALIZED (
         SELECT u, v FROM nb3 UNION SELECT u, v FROM attach),
-      ${nndOracleAppendRound(1, "cg", "attach", 6, 24)},
-      ${nndOracleAppendRound(2, "anb1", "afr1", 6, 24)}
+      ${nndOracleIncRound("1", "cg", "attach", 6, 24, "emb2")},
+      ${nndOracleIncRound("2", "anb1", "afr1", 6, 24, "emb2")}
       SELECT u AS node, CAST(rn AS BIGINT) AS rnk, v AS neighbor_id,
         round(d, 6) AS dist_sq
       FROM anb2"""))
