@@ -2662,9 +2662,14 @@ object Similarity {
     * rule) — while every scored candidate that matches is ACCUMULATED,
     * and the answer is the top-3 matching nodes seen anywhere in the
     * walk. */
+  /** `scoredOut`: when non-null, every hop's scored candidate frame is
+    * appended (already checkpointed) — the spec uses it to compare
+    * distance-computation work between s30's flat walk and s34's layered
+    * descent. */
   private[graft] def nswBeamSearch(s: SparkSession, dir: String,
       graph: DataFrame, matchPred: Option[Column] = None,
-      queriesIn: DataFrame = null, kOut: Int = 3): DataFrame = {
+      queriesIn: DataFrame = null, kOut: Int = 3,
+      scoredOut: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
     import graft.functions.VectorExpressions.l2DistSq
     val emb = nndPlantedVecs(s, dir)
       .select(col("vec_id").as("id"), col("embedding"))
@@ -2683,6 +2688,7 @@ object Similarity {
         .select(col("query_id"), col("node"),
           l2DistSq(col("embedding"), col("q_emb")).as("d"))
         .localCheckpoint(true)
+      if (scoredOut != null) scoredOut += scored
       matchPred.foreach { pred =>
         val hit = scored.filter(pred)
         matched = if (matched == null) hit else matched.unionByName(hit)
@@ -2702,7 +2708,7 @@ object Similarity {
         col("node").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
   }
 
-  private def withConstraintPropagationOff[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withConstraintPropagationOff[T](s: SparkSession)(body: => T): T = {
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = s.conf.get(cpKey, "true")
     s.conf.set(cpKey, "false")
@@ -2934,7 +2940,228 @@ object Similarity {
         round(d, 6) AS dist_sq
       FROM anb2"""))
 
+  // ---------------------------------------------------------------- s34
+  /** HNSW LAYERED SEARCH (Malkov & Yashunin '16, the production graph-ANN
+    * serving shape; VERDICT r12 #2): s30's flat NSW walk always starts at
+    * node 0 and needs 5 hops because the entry can be arbitrarily far
+    * from the query; HNSW fixes the ENTRY, not the graph — a geometric
+    * hierarchy of sparse upper layers (each node independently promoted
+    * with p = 1/4 per level, the paper's exponentially-decaying level
+    * draw made deterministic via the md5 uniform) is descended greedily
+    * top-down, so the layer-0 walk starts next to the query and needs
+    * fewer hops / fewer scored candidates for the same recall. The spec
+    * pins exactly that: planted-cluster hit rate >= s30's with FEWER
+    * distance computations.
+    *
+    * Layer construction (deterministic, all-relational): layer-l edges =
+    * the layer-(l-1) graph's 1- and 2-hop pairs whose BOTH endpoints are
+    * promoted to level >= l, ranked by exact distance, top-M per node —
+    * the 2-hop contraction keeps the promoted subgraph connected exactly
+    * where the lower layer was (a promoted node's lower-layer neighbors
+    * mostly stay un-promoted; its neighbors-of-neighbors supply the
+    * promoted peers), mirroring the paper's insight that upper layers
+    * re-use proximity structure rather than re-learning it. Cost shape:
+    * one self-equi-join per layer bounded by Sum(deg^2) with deg <= M1 +
+    * init fanout, on geometrically shrinking node sets — no quadratic
+    * stage, all joins node-keyed.
+    *
+    * Search: entry = the lowest-id top-layer node (the paper's "first
+    * inserted at top level" made deterministic); greedy beam-2 descent
+    * through layer 2 then layer 1 (2 hops each — the beam is tiny
+    * because upper layers only ROUTE), then the s30 beam-8 kernel over
+    * the base graph for THREE hops instead of five. Every stage — level
+    * draw, layer contractions, per-layer walks, the greedy argmin
+    * handoffs — is oracle-mirrored CTE for CTE. Serves from the
+    * PERSISTED base graph (train-once/serve-many). */
+  private val s34M1 = 6
+  private val s34M2 = 4
+  private val s34L0Hops = 3
+
+  private def hnswLevels(emb: DataFrame): DataFrame =
+    emb.select(col("id"), expr(
+      """CASE WHEN CAST(conv(substring(md5(concat('lv', CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0 < 0.0625 THEN 2
+              WHEN CAST(conv(substring(md5(concat('lv', CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0 < 0.25 THEN 1
+              ELSE 0 END""").as("lvl"))
+
+  /** Top-M distance-ranked edges of one upper layer: 1- and 2-hop pairs
+    * of `base` with both endpoints at level >= minLvl. */
+  private def hnswLayerEdges(base: DataFrame, lv: DataFrame, minLvl: Int,
+      emb: DataFrame, m: Int): DataFrame = {
+    import graft.functions.VectorExpressions.l2DistSq
+    val uOk = lv.filter(col("lvl") >= minLvl).select(col("id").as("u"))
+    val vOk = lv.filter(col("lvl") >= minLvl).select(col("id").as("v"))
+    val direct = base.join(uOk, Seq("u")).join(vOk, Seq("v"))
+      .select(col("u"), col("v"))
+    // pre-filter each side to the layer BEFORE the self-join: the join
+    // only ever sees layer-source x layer-dest edge pairs
+    val aSide = base.join(uOk, Seq("u")).toDF("u", "v")
+    val bSide = base.join(vOk.withColumnRenamed("v", "vv"),
+        base("v") === col("vv")).select(col("u"), col("v")).toDF("u", "v")
+    val twoHop = aSide.alias("a").join(bSide.alias("b"),
+        col("a.v") === col("b.u"))
+      .select(col("a.u").as("u"), col("b.v").as("v"))
+      .filter(col("u") =!= col("v"))
+    val cand = direct.unionByName(twoHop).distinct().localCheckpoint(true)
+    val scored = cand
+      .join(emb.select(col("id").as("u"), col("embedding").as("eu")), Seq("u"))
+      .join(emb.select(col("id").as("v"), col("embedding").as("ev")), Seq("v"))
+      .withColumn("d", l2DistSq(col("eu"), col("ev")))
+    topKByScore(scored, "u", "v", col("d"), m, ascending = true)
+      .select(col("u"), col("v")).localCheckpoint(true)
+  }
+
+  /** `hops` beam-`beamW` steps over `graph` from the per-query `start`
+    * beam — the s30 hop kernel, parameterized per layer. Returns the
+    * final scored beam (query_id, node, d). */
+  private def hnswBeamHops(graph: DataFrame, emb: DataFrame,
+      queries: DataFrame, start: DataFrame, hops: Int, beamW: Int,
+      scoredOut: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
+    import graft.functions.VectorExpressions.l2DistSq
+    var beam = start.localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val cand = beam.join(graph, beam("node") === graph("u"))
+        .select(col("query_id"), col("v").as("node"))
+        .unionByName(beam.select(col("query_id"), col("node")))
+        .distinct()
+      val scored = cand
+        .join(emb.withColumnRenamed("id", "node"), Seq("node"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          l2DistSq(col("embedding"), col("q_emb")).as("d"))
+        .localCheckpoint(true)
+      if (scoredOut != null) scoredOut += scored
+      beam = topKByScore(scored, "query_id", "node", col("d"),
+          beamW, ascending = true)
+        .select(col("query_id"), col("node"), col("score").as("d"))
+        .localCheckpoint(true)
+    }
+    beam
+  }
+
+  /** Greedy handoff: the argmin node of a layer's final beam (ties ->
+    * smaller id, the walk's standard order). */
+  private def hnswPick1(beam: DataFrame): DataFrame =
+    topKByScore(beam, "query_id", "node", col("d"), 1, ascending = true)
+      .select(col("query_id"), col("node"))
+
+  private[graft] def hnswSearch(s: SparkSession, dir: String,
+      scoredOut: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
+    val emb = nndPlantedVecs(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val graph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
+    val lv = hnswLevels(emb).localCheckpoint(true)
+    val e1 = hnswLayerEdges(graph, lv, 1, emb, s34M1)
+    val e2 = hnswLayerEdges(e1, lv, 2, emb, s34M2)
+    val queries = s30Queries(s).localCheckpoint(true)
+    // entry: lowest-id top-layer node (falls through to layer 1 / node 0
+    // on corpora too small to promote anyone that high)
+    val entRow = lv.agg(
+      min(when(col("lvl") >= 2, col("id"))).as("e2"),
+      min(when(col("lvl") >= 1, col("id"))).as("e1")).head()
+    val entry =
+      if (!entRow.isNullAt(0)) entRow.getLong(0)
+      else if (!entRow.isNullAt(1)) entRow.getLong(1)
+      else 0L
+    val start2 = queries.select(col("query_id"), lit(entry).as("node"))
+    val l2 = hnswBeamHops(e2, emb, queries, start2, 2, 2, scoredOut)
+    val l1 = hnswBeamHops(e1, emb, queries, hnswPick1(l2), 2, 2, scoredOut)
+    val l0 = hnswBeamHops(graph, emb, queries, hnswPick1(l1),
+      s34L0Hops, s30Beam, scoredOut)
+    topKByScore(l0, "query_id", "node", col("d"), 3, ascending = true)
+      .select(col("query_id"), col("rn").as("rnk"),
+        col("node").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
+  }
+
+  /** One layer-edge block as oracle CTEs: `lc$tag` (1+2-hop candidates),
+    * `ls$tag` (exact distances), `le$tag` (top-M per node). */
+  private def hnswOracleLayer(tag: Int, baseG: String, minLvl: Int, m: Int): String =
+    s"""lc$tag AS (
+        SELECT g.u, g.v FROM $baseG g
+          JOIN lv x ON x.id = g.u JOIN lv y ON y.id = g.v
+          WHERE x.lvl >= $minLvl AND y.lvl >= $minLvl
+        UNION
+        SELECT a.u, b.v FROM $baseG a JOIN $baseG b ON a.v = b.u
+          JOIN lv x ON x.id = a.u JOIN lv y ON y.id = b.v
+          WHERE a.u <> b.v AND x.lvl >= $minLvl AND y.lvl >= $minLvl),
+      ls$tag AS MATERIALIZED (
+        SELECT c.u, c.v,
+          list_sum(list_transform(range(1, len(x.embedding) + 1),
+            i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))
+               * (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))))
+            AS d
+        FROM lc$tag c JOIN emb x ON x.id = c.u JOIN emb y ON y.id = c.v),
+      le$tag AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY d, v) AS rn
+          FROM ls$tag) t
+        WHERE rn <= $m)"""
+
+  /** One beam hop over graph `$g` as oracle CTEs prefixed `$p`. */
+  private def hnswOracleHop(p: String, i: Int, prev: String, g: String,
+      beam: Int): String =
+    s"""${p}cd$i AS (
+        SELECT b.query_id, g.v AS node FROM $prev b JOIN $g g ON g.u = b.node
+        UNION
+        SELECT query_id, node FROM $prev),
+      ${p}hs$i AS MATERIALIZED (
+        SELECT c.query_id, c.node,
+          list_sum(list_transform(range(1, len(x.embedding) + 1),
+            i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+               * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
+            AS d
+        FROM ${p}cd$i c JOIN emb x ON x.id = c.node
+        JOIN queries q ON q.query_id = c.query_id),
+      ${p}bm$i AS MATERIALIZED (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn
+        FROM ${p}hs$i
+        QUALIFY rn <= $beam)"""
+
+  private val s34 = Q(
+    "s34_hnsw_search",
+    (s, dir) => withConstraintPropagationOff(s) {
+      hnswSearch(s, dir)
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      graph AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      lvu AS (
+        SELECT id, CAST(CAST(concat('0x', substring(md5(concat('lv',
+          CAST(id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0 AS u
+        FROM emb),
+      lv AS MATERIALIZED (
+        SELECT id, CASE WHEN u < 0.0625 THEN 2 WHEN u < 0.25 THEN 1
+          ELSE 0 END AS lvl
+        FROM lvu),
+      ${hnswOracleLayer(1, "graph", 1, s34M1)},
+      ${hnswOracleLayer(2, "le1", 2, s34M2)},
+      ent AS MATERIALIZED (
+        SELECT coalesce((SELECT min(id) FROM lv WHERE lvl >= 2),
+                        (SELECT min(id) FROM lv WHERE lvl >= 1),
+                        0) AS node),
+      w2b0 AS (SELECT q.query_id, CAST(e.node AS BIGINT) AS node
+               FROM queries q, ent e),
+      ${hnswOracleHop("w2", 1, "w2b0", "le2", 2)},
+      ${hnswOracleHop("w2", 2, "w2bm1", "le2", 2)},
+      p1 AS (SELECT query_id, node FROM w2bm2 WHERE rn = 1),
+      ${hnswOracleHop("w1", 1, "p1", "le1", 2)},
+      ${hnswOracleHop("w1", 2, "w1bm1", "le1", 2)},
+      p0 AS (SELECT query_id, node FROM w1bm2 WHERE rn = 1),
+      ${(1 to s34L0Hops).map(i =>
+        hnswOracleHop("w0", i, if (i == 1) "p0" else s"w0bm${i - 1}",
+          "graph", s30Beam)).mkString(",\n      ")}
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM w0bm$s34L0Hops) t
+      WHERE rn2 <= 3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34)
 }

@@ -3986,6 +3986,42 @@ class OperatorsSpec extends SparkSpec {
       "a serving entry re-ran the NN-descent build instead of loading the artifact")
   }
 
+  test("s34 hnsw: recall >= s30 at strictly fewer scored candidates") {
+    def hits(rs: Array[org.apache.spark.sql.Row]): Int =
+      rs.filter(_.getAs[Long]("rnk") == 1L).count { r =>
+        r.getAs[Long]("neighbor_id") % 50 ==
+          (r.getAs[Long]("query_id") * 7) % 50
+      }
+    val hnswRows = run("s34_hnsw_search").collect()
+    val flatRows = run("s30_graph_ann_search").collect()
+    // structural: 20 queries x 3 ranks, ascending distances
+    assert(hnswRows.map(_.getAs[Long]("query_id")).distinct.length === 20)
+    hnswRows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("dist_sq"))
+      assert(byRank.length === 3 && (byRank, byRank.tail).zipped.forall(_ <= _))
+    }
+    // the point of the hierarchy: a good entry buys >= the flat walk's
+    // planted-cluster recall...
+    val (hH, hF) = (hits(hnswRows), hits(flatRows))
+    assert(hH >= hF, s"hnsw top-1 cluster hits $hH < s30's $hF")
+    assert(hH >= 17, s"hnsw top-1 cluster hits $hH below the s30 floor")
+    // ...at strictly less distance-computation work (3 layer-0 hops from
+    // a near-query entry + tiny routing walks vs 5 hops from node 0)
+    import scala.collection.mutable
+    val sparkS = spark
+    operators.Similarity.withConstraintPropagationOff(sparkS) {
+      val bufH = mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+      operators.Similarity.hnswSearch(sparkS, sfDir, bufH).collect()
+      val bufF = mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+      operators.Similarity.nswBeamSearch(sparkS, sfDir,
+        operators.Similarity.GraphIndexCache.graph(sparkS, sfDir)
+          .localCheckpoint(true), scoredOut = bufF).collect()
+      val (wH, wF) = (bufH.map(_.count()).sum, bufF.map(_.count()).sum)
+      assert(wH < wF,
+        s"hnsw scored $wH candidate distances, not fewer than s30's $wF")
+    }
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
