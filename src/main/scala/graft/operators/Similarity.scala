@@ -2889,30 +2889,31 @@ object Similarity {
     * the 5-hop attach walks, two flagged append rounds — is mirrored as
     * oracle CTEs (the flagged round body, NOT the full-rescore mirror:
     * with a partial fresh set the two are inequivalent by design). */
-  private val s33 = Q(
-    "s33_graph_index_append",
-    (s, dir) => withConstraintPropagationOff(s) {
-      val eOld = nndPlantedVecs(s, dir)
-      val twins = eOld.filter(col("vec_id") < 20)
-        .select((col("vec_id") + 30000000L).as("vec_id"), col("embedding"))
-      val e2 = eOld.unionByName(twins)
-      // standing index LOADED from the persisted artifact (VERDICT r12 #1):
-      // knn/ is what the append polishes, graph/ is what the attach walks
-      val nb3 = GraphIndexCache.knn(s, dir)
-        .select(col("u"), col("v")).localCheckpoint(true)
-      val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
-      val attach = nswBeamSearch(s, dir, searchGraph,
-          queriesIn = twins.select(col("vec_id").as("query_id"),
-            col("embedding").as("q_emb")),
-          kOut = 6)
-        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
-        .localCheckpoint(true)
-      nnDescentIncremental(e2, k = 6, rounds = 2,
-          init = nb3.unionByName(attach), revCap = 24, fresh0 = attach)
-        .select(col("u").as("node"), col("rn").as("rnk"),
-          col("v").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
-    },
-    Some(s"""WITH $nndPlantedCte,
+  /** The s33 twin batch (+3e7 exact twins of ids < 20) — shared with
+    * st35's streaming admission, whose drained result must equal s33's. */
+  private[graft] def s33Twins(s: SparkSession, dir: String): DataFrame =
+    nndPlantedVecs(s, dir).filter(col("vec_id") < 20)
+      .select((col("vec_id") + 30000000L).as("vec_id"), col("embedding"))
+
+  /** s33's polish step after the attach edges exist: two fresh-flagged
+    * descent rounds over corpus+twins seeded with the standing kNN union
+    * the attach links — shared verbatim by st35 post-drain. */
+  private[graft] def s33Polish(s: SparkSession, dir: String,
+      attach: DataFrame): DataFrame = {
+    val eOld = nndPlantedVecs(s, dir)
+    val e2 = eOld.unionByName(s33Twins(s, dir))
+    val nb3 = GraphIndexCache.knn(s, dir)
+      .select(col("u"), col("v")).localCheckpoint(true)
+    nnDescentIncremental(e2, k = 6, rounds = 2,
+        init = nb3.unionByName(attach), revCap = 24, fresh0 = attach)
+      .select(col("u").as("node"), col("rn").as("rnk"),
+        col("v").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
+  }
+
+  /** s33's oracle text; `extraCols` appends literal witness columns for
+    * st35 (e.g. ", true AS multi_batch"). */
+  private[graft] def s33OracleText(extraCols: String = ""): String =
+    s"""WITH $nndPlantedCte,
       emb2 AS MATERIALIZED (
         SELECT id, embedding FROM emb
         UNION ALL
@@ -2937,8 +2938,24 @@ object Similarity {
       ${nndOracleIncRound("1", "cg", "attach", 6, 24, "emb2")},
       ${nndOracleIncRound("2", "anb1", "afr1", 6, 24, "emb2")}
       SELECT u AS node, CAST(rn AS BIGINT) AS rnk, v AS neighbor_id,
-        round(d, 6) AS dist_sq
-      FROM anb2"""))
+        round(d, 6) AS dist_sq$extraCols
+      FROM anb2"""
+
+  private val s33 = Q(
+    "s33_graph_index_append",
+    (s, dir) => withConstraintPropagationOff(s) {
+      // standing index LOADED from the persisted artifact (VERDICT r12 #1):
+      // knn/ is what the append polishes, graph/ is what the attach walks
+      val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
+      val attach = nswBeamSearch(s, dir, searchGraph,
+          queriesIn = s33Twins(s, dir).select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb")),
+          kOut = 6)
+        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+        .localCheckpoint(true)
+      s33Polish(s, dir, attach)
+    },
+    Some(s33OracleText()))
 
   // ---------------------------------------------------------------- s34
   /** HNSW LAYERED SEARCH (Malkov & Yashunin '16, the production graph-ANN

@@ -2748,8 +2748,82 @@ object EventsStreaming {
     },
     Some(graft.operators.Relational.resampleOracleSql))
 
+  // ---------------------------------------------------------------- st35
+  /** STREAMING GRAPH-INDEX ADMISSION (VERDICT r12 #5 — s33's
+    * search-then-link insert in the production direction, the st12
+    * ANN-ingest pattern applied to the graph family): vectors ARRIVE as
+    * a stream; each micro-batch beam-searches the FROZEN persisted graph
+    * artifact (never rebuilt, never touched — the md5 digest over the
+    * index's data files before the stream must equal the one after the
+    * drain, st12's frozen-model witness) and emits its attach edges to a
+    * durable side table. Per-query walks are independent, so the union
+    * of per-batch attach edges is EXACTLY the batch s33 attach no matter
+    * how arrivals split across triggers — the drained insertions then
+    * take s33's two fresh-flagged polish rounds and the gate runs under
+    * s33's oracle text verbatim (plus the two recomputed witnesses).
+    * The arrival fixture is written as 4 files and maxFilesPerTrigger=1
+    * forces >= 4 real micro-batches (multi_batch pinned). Zero streaming
+    * state: no watermark, no store — the attach side table IS the state,
+    * and per-batch cost is O(batch walks), never O(corpus). */
+  private val st35 = Q(
+    "st35_stream_graph_admission",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Similarity
+      Similarity.withConstraintPropagationOff(s) {
+        val work = java.nio.file.Files.createTempDirectory("graft_st35_")
+        try {
+          val idxRoot = Similarity.GraphIndexCache.ensure(s, dir)
+          val digestBefore = filesDigest(s"$idxRoot/graph", s"$idxRoot/knn")
+          // arrival fixture: the s33 twin batch split across 4 files so
+          // the file source delivers >= 4 real triggers
+          Similarity.s33Twins(s, dir).repartition(4)
+            .write.mode("overwrite").parquet(work.resolve("arrivals").toString)
+          val attachDir = work.resolve("attach").toString
+          val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+          val raw = s.readStream
+            .schema(s.read.parquet(work.resolve("arrivals").toString).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(work.resolve("arrivals").toString)
+          val query = raw.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", work.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              if (!batch.isEmpty) {
+                nBatches.incrementAndGet()
+                val ss = batch.sparkSession
+                // the frozen artifact is RELOADED per batch (read-only);
+                // the walk is the identical s30/s33 beam kernel
+                Similarity.nswBeamSearch(ss, dir,
+                    Similarity.GraphIndexCache.graph(ss, dir)
+                      .localCheckpoint(true),
+                    queriesIn = batch.select(col("vec_id").as("query_id"),
+                      col("embedding").as("q_emb")),
+                    kOut = 6)
+                  .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+                  .write.mode("append").parquet(attachDir)
+              }
+              ()
+            }
+            .start()
+          query.awaitTermination()
+          val frozen =
+            filesDigest(s"$idxRoot/graph", s"$idxRoot/knn") == digestBefore
+          val attach = s.read.parquet(attachDir).localCheckpoint(true)
+          graft.functions.CrossEngine.materializeLocal(s,
+              Similarity.s33Polish(s, dir, attach))
+            .withColumn("multi_batch", lit(nBatches.get() >= 4L))
+            .withColumn("graph_frozen_through_stream", lit(frozen))
+        } finally {
+          graft.functions.CrossEngine.deleteRecursive(work)
+        }
+      }
+    },
+    Some(graft.operators.Similarity.s33OracleText(
+      ", true AS multi_batch, true AS graph_frozen_through_stream")))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34)
+    st34, st35)
 }

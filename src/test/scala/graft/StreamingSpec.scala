@@ -485,4 +485,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batchRows.toSeq,
       "outer result must equal the batch left join, nulls exactly once")
   }
+
+  test("st35 graph admission: drained insertions equal batch s33, index frozen") {
+    val rows = SparkEntry.queries("st35_stream_graph_admission")(spark, sfDir)
+      .collect()
+    val r = rows.head
+    assert(r.getAs[Boolean]("multi_batch"),
+      "arrivals must flow through >= 4 real micro-batches")
+    assert(r.getAs[Boolean]("graph_frozen_through_stream"),
+      "the persisted graph artifact must be bit-identical after the drain")
+    // the whole point: drained search-then-link == the batch s33 append
+    def key(x: org.apache.spark.sql.Row) = (x.getAs[Long]("node"),
+      x.getAs[Long]("rnk"), x.getAs[Long]("neighbor_id"),
+      x.getAs[Double]("dist_sq"))
+    val batch = SparkEntry.queries("s33_graph_index_append")(spark, sfDir)
+      .collect().map(key).sorted.toSeq
+    assert(rows.map(key).sorted.toSeq === batch,
+      "streamed admission diverged from the batch append on the same arrivals")
+  }
 }
