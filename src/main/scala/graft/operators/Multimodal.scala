@@ -806,10 +806,19 @@ object Multimodal {
     * Every 43rd doc gets a twin (+7e7) whose FRAME 0 has the one-pixel
     * m07 perturbation: frames 1-3 stay bit-identical, so the twin shares
     * >= 3 of 4 frame hashes structurally. */
+  /** m09's decode corpus rides the d21 sampling knob (VERDICT r12 #6):
+    * the per-row codec work is the whole cost, so the gate decodes a
+    * deterministic 1-in-3 id slice — the planted %43 twins survive as
+    * the %129 ids (twin derivation happens AFTER the slice, on the
+    * source id, so every sliced source keeps its twin), recall stays
+    * structural, and the oracle slices identically. Production corpora
+    * decode once and persist hashes; the knob is the eval-cost dial. */
   private[graft] def videoFrameHashes(s: SparkSession, dir: String): DataFrame =
-    videoFrameHashesOf(s, Tables.documents(s, dir).select(
-      graft.functions.CrossEngine.guardedId(col("doc_id"), 70000000L, "m09")
-        .as("doc_id"))
+    videoFrameHashesOf(s, Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 70000000L, "m09")
+          .as("doc_id"))
       .repartition(s.sparkContext.defaultParallelism))
 
   private[graft] def videoFrameHashesOf(s: SparkSession, idsDf: DataFrame): DataFrame = {
@@ -920,7 +929,7 @@ object Multimodal {
   private val m09 = Q(
     "m09_video_neardup",
     (s, dir) => videoNeardupPairs(videoFrameHashes(s, dir)),
-    Some("""WITH ids AS (SELECT doc_id FROM documents),
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
       twins AS (
         SELECT doc_id, doc_id AS src, false AS pert FROM ids
         UNION ALL
@@ -989,7 +998,16 @@ object Multimodal {
   private val m10 = Q(
     "m10_image_dedup_canonical",
     (s, dir) => {
-      val pairs = bitHashNeardupPairs(imageDHashes(s, dir))
+      // 1-in-3 decode slice (the m09/d21 sampling knob, VERDICT r12 #6):
+      // m10 re-decodes the image corpus on top of m07's full-corpus gate,
+      // so ITS lane samples; the %37 twins survive as the %111 ids and
+      // the oracle slices identically
+      val pairs = bitHashNeardupPairs(imageDHashesOf(s,
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 0)
+          .select(graft.functions.CrossEngine.guardedId(
+            col("doc_id"), 80000000L, "m10").as("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism)))
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val labels = Dedup.connectedComponents(edges)
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
@@ -1000,7 +1018,7 @@ object Multimodal {
       labels.unpersist(false)
       out
     },
-    Some("""WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+    Some("""WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
       twins AS (
         SELECT doc_id, doc_id AS src, false AS pert FROM ids
         UNION ALL
@@ -1111,7 +1129,11 @@ object Multimodal {
     "m11_jpeg_crosscodec",
     (s, dir) => {
       import s.implicits._
-      val rows = Tables.documents(s, dir).select(
+      // 1-in-3 decode slice (the m09/d21 sampling knob, VERDICT r12 #6);
+      // the %29 twins survive as the %87 ids, booleans stay recomputed
+      val rows = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(
           graft.functions.CrossEngine.guardedId(col("doc_id"), 60000000L, "m11")
             .as("doc_id"))
         .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
@@ -1201,7 +1223,7 @@ object Multimodal {
       true AS all_jpeg_hamming_le2,
       CAST(sum(CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_twins,
       true AS all_twins_pair_cross_codec
-      FROM documents"""))
+      FROM documents WHERE doc_id % 3 = 0"""))
 
   final case class VadRow(
       doc_id: Long, n_segments: Long, n_active_windows: Long,

@@ -548,8 +548,10 @@ class OperatorsSpec extends SparkSpec {
   test("m09 video near-dup: every planted frame-0-edited twin pairs with its source") {
     val rows = run("m09_video_neardup").collect()
     val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // twins planted on the 1-in-3 decode slice (the d21 sampling knob)
     val sources = graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 43 === 0).select(col("doc_id"))
+      .filter(col("doc_id") % 43 === 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
     assert(sources.nonEmpty)
     // the twin's edit touches only frame 0, so frames 1-3 hash
@@ -574,8 +576,10 @@ class OperatorsSpec extends SparkSpec {
 
   test("m10 image dedup canonicalization: twin clusters keep the min-id original") {
     val rows = run("m10_image_dedup_canonical").collect()
+    // twins planted on the 1-in-3 decode slice (the d21 sampling knob)
     val sources = graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+      .filter(col("doc_id") % 37 === 0 && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
     assert(sources.nonEmpty)
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
