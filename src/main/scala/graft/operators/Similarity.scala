@@ -2332,7 +2332,8 @@ object Similarity {
     * the new region and its reverse fringe instead of re-descending the
     * whole corpus — refresh cost scales with the append, not the table. */
   private[graft] def nnDescentIncremental(e: DataFrame, k: Int, rounds: Int,
-      init: DataFrame, revCap: Int, fresh0: DataFrame = null): DataFrame = {
+      init: DataFrame, revCap: Int, fresh0: DataFrame = null,
+      onRound: (Int, DataFrame) => Unit = null): DataFrame = {
     import graft.functions.VectorExpressions.l2DistSq
     val emb = e.select(col("vec_id").as("id"), col("embedding"))
     def scorePairs(pairs: DataFrame): DataFrame = pairs
@@ -2359,7 +2360,7 @@ object Similarity {
     var fresh: DataFrame =
       if (fresh0 == null) init0 else fresh0.localCheckpoint(true)
     var ranked: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val nb = if (state == null) init0 else state.select(col("u"), col("v"))
       val undAll = nb.unionByName(cappedReverse(nb, revCap)).distinct()
         .localCheckpoint(true)
@@ -2405,6 +2406,9 @@ object Similarity {
         .join(prevEdges, Seq("u", "v"), "left_anti")
         .localCheckpoint(true)
       state = nextState.localCheckpoint(true)
+      // rehearsal hook: per-round observation on the (checkpointed) ranked
+      // graph without re-running the chain once per round length
+      if (onRound != null) onRound(round, ranked)
     }
     ranked
     } finally spark0.conf.set(cpKey, cpPrev)
@@ -3178,7 +3182,134 @@ object Similarity {
         FROM w0bm$s34L0Hops) t
       WHERE rn2 <= 3"""))
 
+  // ---------------------------------------------------------------- s35
+  /** HYBRID RETRIEVAL VIA RECIPROCAL-RANK FUSION (Cormack, Clarke &
+    * Büttcher, SIGIR'09): a lexical BM25 lane and an embedding cosine lane
+    * each rank the corpus for the query panel; the fused score is
+    * Σ 1/(60 + rank_lane) over the lanes that retrieved the document —
+    * the standard hybrid-search composition every production RAG retrieval
+    * stack runs (rank-only fusion needs no score calibration between
+    * lanes, which is exactly why it is the default).
+    *
+    * Scale shape: the BM25 lane is an INVERTED-INDEX equi-join — corpus
+    * (doc, token, tf) joined to the broadcast query-token panel on token,
+    * so candidate generation touches only postings of query terms, never
+    * |Q| x N pairs; df/dl are one map-side-combined aggregation each. The
+    * ANN lane is the s01 broadcast-probe heap pass. Both lanes and the
+    * fusion rank through the audited bounded heap (no WindowExec). The
+    * per-(query, doc) BM25 sum folds token weights IN TOKEN ORDER
+    * (sort_array + sequential `aggregate` HOF = the oracle's
+    * list(w ORDER BY token) + list_sum), so planted duplicate documents
+    * get bit-identical scores in both engines and the rank tie-break on
+    * doc_id is deterministic — unordered SUM() would let low-bit
+    * accumulation order decide ranks between exact-duplicate texts. */
+  private val s35 = Q(
+    "s35_rrf_hybrid",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // one scalar pass, the t07 precedent
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val avgdl = dl.agg(sum(col("dl")).cast("double") / count(lit(1)))
+        .head().getDouble(0)
+      val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val qtok = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+      // Robertson/Sparck-Jones idf (the +1 form, always positive) times
+      // the k1=1.2 / b=0.75 saturated tf — written as the literal
+      // expression tree the oracle uses so doubles match bit-for-bit
+      val perTok = tf
+        .join(broadcast(qtok), Seq("token"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(dfT), Seq("token"))
+        .withColumn("w",
+          log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      val lex = perTok.groupBy(col("query_id"), col("doc_id"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("token"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("bm25"))
+      val lexR = topKByScore(lex, "query_id", "doc_id", col("bm25"), 20,
+          ascending = false)
+        .select(col("query_id"), col("doc_id"), col("rn").as("r_lex"))
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val annR = knnJoin(e, q,
+          dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+          k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rn").as("r_ann"))
+      val fused = lexR.join(annR, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60L) + col("r_ann")), lit(0.0)))
+      topKByScore(fused, "query_id", "doc_id", col("rrf"), 10, ascending = false)
+        .select(col("query_id"), col("rn").as("rnk"), col("doc_id"),
+          round(col("score"), 6).as("rrf_score"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      n AS (SELECT count(*) AS n FROM documents),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      qtok AS (SELECT DISTINCT query_id, token FROM (
+        SELECT doc_id AS query_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 3)),
+      pertok AS (
+        -- every fractional literal CAST to DOUBLE: DuckDB parses 2.2 as
+        -- DECIMAL and would run decimal arithmetic where Spark runs double
+        SELECT q.query_id, t.doc_id, t.token,
+          ln(CAST(1.0 AS DOUBLE) + (n.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+            * (t.tf * CAST(2.2 AS DOUBLE))
+            / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / ad.avgdl)) AS w
+        FROM tf t JOIN qtok q USING (token)
+        JOIN dl USING (doc_id) JOIN df USING (token)
+        CROSS JOIN n CROSS JOIN ad
+        WHERE t.doc_id <> q.query_id),
+      lex AS (
+        SELECT query_id, doc_id,
+          list_sum(list(w ORDER BY token)) AS bm25
+        FROM pertok GROUP BY 1, 2),
+      lexr AS (
+        SELECT query_id, doc_id, rn AS r_lex FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+          FROM lex) t WHERE rn <= 20),
+      qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+             WHERE vec_id < 3),
+      cos AS (
+        SELECT q.query_id, e.vec_id AS doc_id,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          AS c
+        FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> q.query_id),
+      annr AS (
+        SELECT query_id, doc_id, rn AS r_ann FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id) AS rn
+          FROM cos) t WHERE rn <= 20),
+      fused AS (
+        SELECT coalesce(l.query_id, a.query_id) AS query_id,
+          coalesce(l.doc_id, a.doc_id) AS doc_id,
+          coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r_lex), 0.0)
+            + coalesce(CAST(1.0 AS DOUBLE) / (60 + a.r_ann), 0.0) AS rrf
+        FROM lexr l FULL OUTER JOIN annr a
+          ON l.query_id = a.query_id AND l.doc_id = a.doc_id)
+      SELECT query_id, rn AS rnk, doc_id, round(rrf, 6) AS rrf_score FROM (
+        SELECT query_id, doc_id, rrf,
+          row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused) t WHERE rn <= 10"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35)
 }

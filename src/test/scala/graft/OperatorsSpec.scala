@@ -4026,6 +4026,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s35 rrf: rank arithmetic exact, both lanes contribute, bounds hold") {
+    val rows = run("s35_rrf_hybrid").collect()
+    // 3 queries x fused top-10, ranks 1..10, scores non-increasing
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.sorted === Array(0L, 1L, 2L))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted === (1L to 10L).toArray)
+      val byRank = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("rrf_score"))
+      assert((byRank, byRank.tail).zipped.forall(_ >= _))
+    }
+    // RRF bounds: one lane gives at most 1/61, two lanes at most 2/61;
+    // every fused doc was retrieved by at least one lane (score >= 1/80,
+    // the worst single-lane rank at k=20)
+    rows.foreach { r =>
+      val sc = r.getAs[Double]("rrf_score")
+      assert(sc <= math.rint(2.0 / 61 * 1e6) / 1e6 + 1e-9)
+      assert(sc >= math.rint(1.0 / 80 * 1e6) / 1e6 - 1e-9)
+    }
+    // both lanes matter: some fused doc must score above the single-lane
+    // ceiling (i.e. appears in BOTH rank lists) for at least one query —
+    // the panel queries are corpus members, so their near-dups match both
+    // lexically and in embedding space
+    assert(rows.exists(_.getAs[Double]("rrf_score") > 1.0 / 61 + 1e-9),
+      "no document was retrieved by both lanes — fusion is degenerate")
+    // determinism: a second run is row-identical (the ordered BM25 fold)
+    val again = run("s35_rrf_hybrid").collect()
+    assert(rows.map(_.toString).sorted === again.map(_.toString).sorted)
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
