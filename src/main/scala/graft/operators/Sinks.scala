@@ -947,9 +947,13 @@ object Sinks {
       val out = java.nio.file.Files.createTempDirectory("graft_w14_").toString
       try {
         val decoy = "\nWARC/1.0\nContent-Length: 999999\n\ndecoy payload that is not a record"
-        // fixture: one gzip MEMBER per record, 4 files (gate setup standing
-        // in for the crawler; the engine's own write path is warcWrite)
-        val recs = Tables.documents(s, dir)
+        // fixture: one gzip MEMBER per record, 4 files — written from the
+        // EXECUTORS (foreachPartition over a file-key-repartitioned frame,
+        // the w11 shape; ADVICE r12: no corpus-sized collect in an operator
+        // body). Each file key hashes to exactly one partition, so every
+        // .warc.gz is authored by one task — the per-task one-file-per-key
+        // shape every distributed file sink has.
+        Tables.documents(s, dir)
           .select(col("doc_id"),
             when(col("doc_id") % 13 === 0, concat(col("text"), lit(decoy)))
               .otherwise(col("text")).as("text"))
@@ -959,17 +963,23 @@ object Sinks {
               col("doc_id").cast("string"),
               lit("\nContent-Length: "), octet_length(col("text")).cast("string"),
               lit("\n\n"), col("text"), lit("\n")).as("rec"))
-          .collect().groupBy(_.getLong(0))
-        recs.foreach { case (f, rows) =>
-          val os = new java.io.FileOutputStream(s"$out/part-$f.warc.gz")
-          val shield = new java.io.FilterOutputStream(os) { override def close(): Unit = flush() }
-          rows.foreach { r =>
-            val gz = new java.util.zip.GZIPOutputStream(shield)
-            gz.write(r.getString(1).getBytes("UTF-8"))
-            gz.close() // one member per record; Deflater released, file open
+          .repartition(4, col("f"))
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            val streams =
+              scala.collection.mutable.Map[Long, java.io.OutputStream]()
+            try rows.foreach { r =>
+              val os = streams.getOrElseUpdate(r.getLong(0),
+                new java.io.FileOutputStream(s"$out/part-${r.getLong(0)}.warc.gz"))
+              // close-shield: lets each member's GZIPOutputStream.close()
+              // end its native Deflater while the file stays open
+              val shield = new java.io.FilterOutputStream(os) {
+                override def close(): Unit = flush()
+              }
+              val gz = new java.util.zip.GZIPOutputStream(shield)
+              gz.write(r.getString(1).getBytes("UTF-8"))
+              gz.close() // one member per record; Deflater released, file open
+            } finally streams.values.foreach(_.close())
           }
-          os.close()
-        }
         val sp = s
         import sp.implicits._
         val records = s.read.format("binaryFile").load(out)
