@@ -2950,11 +2950,126 @@ object TextAnalysis {
         (round(b, 6) < -0.3 AND round(b, 6) > -2.0) AS zipf_like
       FROM fit"""))
 
+  // ---------------------------------------------------------------- t40
+  /** INTERPOLATED KNESER-NEY BIGRAM LM (Kneser & Ney '95; Chen & Goodman
+    * '99 §2.7, the empirically-best classical smoother and the one KenLM
+    * ships as its default) — the discount-and-continuation counterpart to
+    * t24's stupid backoff:
+    *
+    *   P_KN(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    *               + D·N1+(w1 ·)/c(w1·) · Pcont(w2),
+    *   Pcont(w2)   = (N1+(· w2) + ½) / (N1+(· ·) + ½·V)
+    *
+    * with D = 0.75 and the ½-smoothed continuation floor keeping unseen
+    * test words finite (the same open-base-case treatment as t24);
+    * positions whose CONTEXT is unseen fall back to Pcont alone. The key
+    * Kneser-Ney idea is visible in the counts: the unigram-level
+    * probability is how many distinct contexts a word FOLLOWS (N1+(·w2)),
+    * not how often it occurs — "Francisco" is frequent but follows only
+    * "San", so its continuation mass is tiny.
+    *
+    * Trains on the even-doc_id half, scores the held-out odd half.
+    * Cross-engine determinism: every tier is left-associated double
+    * arithmetic on exact integer counts through one log10, micro-rounded
+    * per position and summed as exact longs (the t15/t21/t24 pattern —
+    * aggregation order cannot move a bit).
+    *
+    * Scale shape: one grouped bigram count over the training half (c1,
+    * N1+fwd, N1+rev all derive from c2 by further map-side-combined
+    * GROUPed aggregations — no second corpus pass); the held-out bigram
+    * table left-joins the count tables on gram keys; the (N1+tot, V)
+    * scalars ride a broadcast. No window, no self-join. */
+  private val tKneserNey = Q(
+    "t40_kneser_ney",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"),
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))).as("s0"),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))).as("s1"))
+        .select(col("doc_id"), explode(arrays_zip(col("s0"), col("s1"))).as("g"))
+        .select(col("doc_id"), col("g.s0").as("w1"), col("g.s1").as("w2"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val c2 = bigrams(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val ctx = c2.groupBy("w1")
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fwd"))
+      val rev = c2.groupBy("w2").agg(count(lit(1)).as("n1rev"))
+      val tot = c2.agg(count(lit(1)).as("n1tot")).crossJoin(
+        train.select(explode(toks).as("w")).distinct()
+          .agg(count(lit(1)).as("v")))
+      val pcont = (coalesce(col("n1rev"), lit(0L)) + lit(0.5)) /
+        (col("n1tot") + lit(0.5) * col("v"))
+      val scored = bigrams(test)
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(rev, Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log10(
+            when(col("c1").isNotNull,
+              greatest(coalesce(col("c2"), lit(0L)) - lit(0.75), lit(0.0)) / col("c1")
+                + lit(0.75) * col("n1fwd") / col("c1") * pcont)
+              .otherwise(pcont)) * 1e6)
+            .cast("long").as("lp_micro"),
+          when(col("c1").isNull, lit(1L)).otherwise(lit(0L)).as("bo"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"), sum(col("lp_micro")).as("sm"),
+          sum(col("bo")).as("n_backoff"))
+        .select(col("doc_id"), col("n_scored"), col("n_backoff"),
+          round(col("sm").cast("double") / col("n_scored") / 1e6, 6)
+            .as("avg_kn_logprob10"))
+      test.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+          col("avg_kn_logprob10"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      bi2 AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM (
+          SELECT doc_id, tk,
+            unnest(range(1, CAST(greatest(len(tk) - 1, 0) AS BIGINT) + 1)) AS i
+          FROM toks) t),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi2
+        WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1fwd FROM c2 GROUP BY w1),
+      rev AS (SELECT w2, count(*) AS n1rev FROM c2 GROUP BY w2),
+      tot AS (SELECT (SELECT count(*) FROM c2) AS n1tot,
+        (SELECT count(DISTINCT w) FROM (
+          SELECT unnest(tk) AS w FROM toks WHERE doc_id % 2 = 0)) AS v),
+      pos AS (
+        SELECT b.doc_id, CAST(round(log10(
+            CASE WHEN k.c1 IS NOT NULL THEN
+              greatest(coalesce(g.c2, 0) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / k.c1
+                + CAST(0.75 AS DOUBLE) * k.n1fwd / k.c1
+                  * ((coalesce(r.n1rev, 0) + CAST(0.5 AS DOUBLE)) / (t.n1tot + CAST(0.5 AS DOUBLE) * t.v))
+            ELSE (coalesce(r.n1rev, 0) + CAST(0.5 AS DOUBLE)) / (t.n1tot + CAST(0.5 AS DOUBLE) * t.v)
+            END) * 1e6) AS BIGINT) AS lp_micro,
+          CASE WHEN k.c1 IS NULL THEN 1 ELSE 0 END AS bo
+        FROM bi2 b
+        LEFT JOIN c2 g ON b.w1 = g.w1 AND b.w2 = g.w2
+        LEFT JOIN ctx k ON b.w1 = k.w1
+        LEFT JOIN rev r ON b.w2 = r.w2
+        CROSS JOIN tot t
+        WHERE b.doc_id % 2 = 1),
+      scored AS (
+        SELECT doc_id, count(*) AS n_scored, CAST(sum(bo) AS BIGINT) AS n_backoff,
+          round(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_kn_logprob10
+        FROM pos GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+        CAST(coalesce(s.n_backoff, 0) AS BIGINT) AS n_backoff,
+        s.avg_kn_logprob10
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+      WHERE d.doc_id % 2 = 1"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
       tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist,
-      tCalibration, tDistinctN, tCharEntropy, tZipf)
+      tCalibration, tDistinctN, tCharEntropy, tZipf, tKneserNey)
 }

@@ -4054,6 +4054,34 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted === again.map(_.toString).sorted)
   }
 
+  test("t40 kneser-ney: position accounting exact, probs in (0,1), held-out only") {
+    val rows = run("t40_kneser_ney").collect()
+    // scores exactly the odd-doc_id half, one row per held-out doc
+    assert(rows.forall(_.getAs[Long]("doc_id") % 2 == 1))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 2 === 1)
+    assert(rows.length === docs.count().toInt)
+    // n_scored is EXACTLY the doc's bigram count (tokens - 1, floored at 0)
+    val expected = docs
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long").as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_scored") === expected(id),
+        s"doc $id scored ${r.getAs[Long]("n_scored")} of ${expected(id)} bigrams")
+      assert(r.getAs[Long]("n_backoff") <= r.getAs[Long]("n_scored"))
+      // every per-position P_KN is in (0,1): discounted seen mass < 1 and
+      // the smoothed continuation floor > 0, so the per-doc mean log10 < 0
+      if (r.getAs[Long]("n_scored") > 0)
+        assert(r.getAs[Double]("avg_kn_logprob10") < 0.0)
+      else assert(r.isNullAt(r.fieldIndex("avg_kn_logprob10")))
+    }
+    // the model discriminates: held-out docs do not all share one score
+    assert(rows.filter(!_.isNullAt(3)).map(_.getAs[Double]("avg_kn_logprob10"))
+      .distinct.length > 10)
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
