@@ -2087,6 +2087,162 @@ object Multimodal {
         true AS neighbor_distant
       FROM px GROUP BY doc_id"""))
 
+  // ---------------------------------------------------------------- m19
+  /** MFCC FEATURES ON THE DECODED WAV LANE (Davis & Mermelstein '80 — the
+    * audio-fingerprint/speech feature every media-curation pipeline
+    * extracts): m17's real radix-2 FFT extended with a 10-filter
+    * triangular MEL filterbank (Stevens-Volkmann mel scale, filters
+    * mel-uniform over 0..Nyquist) and a DCT-II cepstrum over floored log
+    * band energies. Same planted-tone fixture as m17 (bin 3 + id%13 at
+    * 8 kHz), so the oracle is CLOSED-FORM: the tone excites exactly the
+    * one or two filters whose triangles cover its frequency, with weights
+    * both engines derive from the mel formula —
+    *   - dominant_mel_band: argmax band energy == argmax triangle weight
+    *     at the tone frequency (min argmax margin across the 13 planted
+    *     bins is 0.087 at nMel=10, chosen over 12 whose margin is 0.003 —
+    *     quantization noise sits ~11 orders below);
+    *   - dom_pair_ratio: E_dom/(E_dom+E_runner) == w1/(w1+w2) exactly
+    *     (the tone magnitude cancels), a VALUE check on the filterbank;
+    *   - pair_concentrated: the two covering filters carry >= 99.9% of
+    *     one-sided band energy (harmonic distortion of the quantized
+    *     sine is ~88 dB down);
+    *   - dct_roundtrip_ok: DCT-III inverse reconstructs the log energies
+    *     to 1e-9 relative — the cepstrum transform's self-check, m17's
+    *     parseval pattern.
+    * Scale shape: m01's batch contract — row-local synth + decode +
+    * FFT + filterbank in one mapPartitions over a row-parallel
+    * repartition, fixed-width numbers out, payloads never move. */
+  private val m19 = Q(
+    "m19_audio_mfcc",
+    (s, dir) => {
+      import s.implicits._
+      val nFrame = 256
+      val rate = 8000.0
+      val amp = 12000.0
+      val nMel = 10
+      val topMel = 2595.0 * math.log10(1.0 + (rate / 2.0) / 700.0)
+      val pts = Array.tabulate(nMel + 2)(i =>
+        700.0 * (math.pow(10.0, topMel * i / (nMel + 1) / 2595.0) - 1.0))
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            rate.toFloat, 16, 1, 2, rate.toFloat, false)
+          ids.flatMap { id =>
+            val bin = 3 + (id % 13).toInt
+            val n = 2 * nFrame
+            val pcm = new Array[Byte](2 * n)
+            var t = 0
+            while (t < n) {
+              val v = math.round(amp *
+                math.sin(2.0 * math.Pi * bin * t / nFrame)).toInt
+              pcm(2 * t) = (v & 0xff).toByte
+              pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+              t += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(baos.toByteArray))
+            val dec = in.readAllBytes(); in.close()
+            (0 until 2).map { f =>
+              val re = new Array[Double](nFrame)
+              val im = new Array[Double](nFrame)
+              var k = 0
+              while (k < nFrame) {
+                val o = 2 * (f * nFrame + k)
+                re(k) = ((dec(o) & 0xff) | (dec(o + 1) << 8)).toShort.toDouble
+                k += 1
+              }
+              fftInPlace(re, im)
+              // one-sided triangular mel filterbank energies
+              val e = new Array[Double](nMel)
+              k = 0
+              while (k <= nFrame / 2) {
+                val m2 = re(k) * re(k) + im(k) * im(k)
+                val hz = k * rate / nFrame
+                var i = 0
+                while (i < nMel) {
+                  val (lo, c, hi) = (pts(i), pts(i + 1), pts(i + 2))
+                  val w =
+                    if (hz >= lo && hz <= c) (hz - lo) / (c - lo)
+                    else if (hz > c && hz <= hi) (hi - hz) / (hi - c)
+                    else 0.0
+                  e(i) += w * m2
+                  i += 1
+                }
+                k += 1
+              }
+              var dom = 0; var i = 1
+              while (i < nMel) { if (e(i) > e(dom)) dom = i; i += 1 }
+              var run = if (dom == 0) 1 else 0
+              i = 0
+              while (i < nMel) {
+                if (i != dom && e(i) > e(run)) run = i
+                i += 1
+              }
+              val ratio = BigDecimal(e(dom) / (e(dom) + e(run)))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val pairConc = e(dom) + e(run) >= 0.999 * e.sum
+              // cepstrum: DCT-II of floored log energies, then the exact
+              // DCT-III inverse as the transform's self-check
+              val logE = e.map(v => math.log(math.max(v, 1e-10)))
+              val cep = dct2(logE)
+              val rtOk = (0 until nMel).forall { tt =>
+                var srec = cep(0)
+                var kk = 1
+                while (kk < nMel) {
+                  srec += 2.0 * cep(kk) *
+                    math.cos(math.Pi / nMel * (tt + 0.5) * kk)
+                  kk += 1
+                }
+                math.abs(srec / nMel - logE(tt)) <=
+                  1e-9 * math.max(1.0, math.abs(logE(tt)))
+              }
+              (id, f.toLong, (dom + 1).toLong, ratio, pairConc, rtOk)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_no", "dominant_mel_band", "dom_pair_ratio",
+          "pair_concentrated", "dct_roundtrip_ok")
+    },
+    Some("""WITH fr AS (
+        SELECT doc_id, f AS frame_no FROM documents
+        CROSS JOIN (SELECT unnest(range(0, 2)) AS f) ff),
+      tone AS (
+        SELECT doc_id, CAST(31.25 AS DOUBLE) * (3 + doc_id % 13) AS hz
+        FROM documents),
+      pts AS (
+        SELECT i, 700.0 * (pow(10.0,
+          (2595.0 * log10(1.0 + 4000.0 / 700.0)) * i / 11 / 2595.0) - 1.0) AS hz
+        FROM (SELECT unnest(range(0, 12)) AS i)),
+      wt AS (
+        SELECT t.doc_id, b.i AS band,
+          CASE WHEN t.hz >= lo.hz AND t.hz <= c.hz
+                 THEN (t.hz - lo.hz) / (c.hz - lo.hz)
+               WHEN t.hz > c.hz AND t.hz <= hi.hz
+                 THEN (hi.hz - t.hz) / (hi.hz - c.hz)
+               ELSE CAST(0.0 AS DOUBLE) END AS w
+        FROM tone t CROSS JOIN (SELECT unnest(range(1, 11)) AS i) b
+        JOIN pts lo ON lo.i = b.i - 1
+        JOIN pts c ON c.i = b.i
+        JOIN pts hi ON hi.i = b.i + 1),
+      rk AS (
+        SELECT doc_id, band, w,
+          row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, band) AS rn
+        FROM wt),
+      dm AS (
+        SELECT a.doc_id, a.band AS dom, a.w AS w1, b.w AS w2
+        FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2)
+      SELECT f.doc_id, f.frame_no, CAST(d.dom AS BIGINT) AS dominant_mel_band,
+        round(d.w1 / (d.w1 + d.w2), 4) AS dom_pair_ratio,
+        true AS pair_concentrated, true AS dct_roundtrip_ok
+      FROM fr f JOIN dm d ON d.doc_id = f.doc_id"""))
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18)
+    m12, m13, m14, m15, m16, m17, m18, m19)
 }

@@ -3781,6 +3781,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("m19 mfcc: mel argmax matches the closed form, self-checks all hold") {
+    val rows = run("m19_audio_mfcc").collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0) // 2 frames per doc
+    // closed-form triangle-weight argmax for the 13 planted tones (the
+    // oracle's formula, derived independently here)
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    val pts = Array.tabulate(12)(i =>
+      700.0 * (math.pow(10.0, mel(4000.0) * i / 11 / 2595.0) - 1.0))
+    def expectedBand(bin: Long): Long = {
+      val f = 31.25 * bin
+      val ws = (1 to 10).map { i =>
+        val (lo, c, hi) = (pts(i - 1), pts(i), pts(i + 1))
+        if (f >= lo && f <= c) (f - lo) / (c - lo)
+        else if (f > c && f <= hi) (hi - f) / (hi - c) else 0.0
+      }
+      (ws.indexOf(ws.max) + 1).toLong
+    }
+    rows.foreach { r =>
+      val bin = 3 + r.getAs[Long]("doc_id") % 13
+      assert(r.getAs[Long]("dominant_mel_band") === expectedBand(bin))
+      val ratio = r.getAs[Double]("dom_pair_ratio")
+      assert(ratio >= 0.5 && ratio <= 1.0) // dominant >= runner-up, by def
+      assert(r.getAs[Boolean]("pair_concentrated"))
+      assert(r.getAs[Boolean]("dct_roundtrip_ok"))
+    }
+    // both frames of a doc carry the same tone, so per-doc features agree
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("dominant_mel_band")).distinct.length === 1)
+      assert(g.map(_.getAs[Double]("dom_pair_ratio")).distinct.length === 1)
+    }
+  }
+
   test("s30 graph-ann search: beam reaches the target cluster, ranks sound") {
     val rows = run("s30_graph_ann_search").collect()
     assert(rows.map(_.getAs[Long]("query_id")).distinct.length === 20)
