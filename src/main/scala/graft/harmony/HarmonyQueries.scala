@@ -385,5 +385,94 @@ object HarmonyQueries {
       true AS lisi_finite, true AS cells_preserved,
       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_cells"""))
 
-  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11)
+  // ---------------------------------------------------------------- h12
+  /** kBET-STYLE BATCH-MIXING ACCEPTANCE TEST (Büttner, Miao, Wolf, Teichmann
+    * & Theis 2019, "A test metric for assessing single-cell RNA-seq batch
+    * effects", Nature Methods; public) — the OTHER integration QC the
+    * Harmony paper itself reports alongside LISI: for each probe cell,
+    * Pearson-χ² test the k-NN neighborhood's batch composition against the
+    * global batch proportions; the metric is the REJECTION RATE at the 95%
+    * χ² critical value (df = B−1). Well-integrated data accepts (local
+    * composition ≈ global); batch effects reject. h12 asserts the
+    * corrected embedding's rejection rate drops vs the raw one on the same
+    * fixture h11 uses — LISI and kBET agree on the ordering, which is the
+    * cross-metric consistency a real QC report relies on.
+    *
+    * χ² per probe uses the zero-count-safe identity
+    * Σ_b (n_b − k·p_b)²/(k·p_b) = Σ_{observed b} n_b²/(k·p_b) − k, so the
+    * per-probe aggregation never needs rows for absent batches.
+    *
+    * Scale shape: identical to h11 — hash-bottom probe panel, neighbors
+    * via the audited bounded-heap kNN over all cells, global proportions
+    * as a broadcast B-row table, one grouped agg per probe. */
+  private val h12 = Q(
+    "h12_kbet_eval",
+    (s, dir) => {
+      import s.implicits._
+      // plant a per-batch offset on the fixture embedding (the
+      // LisiRehearsal scale-corpus pattern): the fixture's organic batch
+      // signal is mild (raw kBET rejection ~0.05, so a drop assertion
+      // would hinge on 1-2 probes of 200); the planted offset drives raw
+      // rejection near 1.0 and makes "correction drops rejection" a wide,
+      // stable gate instead of a knife edge
+      val base = embCells(s, dir)
+      val dim = base.select(size(col("features"))).head().getInt(0)
+      val cells = base.select(col("cell_id"), col("batch"),
+        expr(s"""transform(sequence(0, ${dim - 1}), j ->
+          CAST(element_at(features, j + 1)
+            + CAST(batch AS DOUBLE) * (0.5 + 0.2 * cos(j * 1.7)) AS DOUBLE))""")
+          .as("features"))
+      val corrected = Harmony.run(cells, Seq("batch"), harnessOpts(20, 2.0))
+        .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id"))
+      val kNn = 15
+      // 95% χ² critical values, df 1..12 (standard table)
+      val chi2Crit95 = Array(3.841, 5.991, 7.815, 9.488, 11.070, 12.592,
+        14.067, 15.507, 16.919, 18.307, 19.675, 21.026)
+      val props = cells.groupBy(col("batch"))
+        .agg(count(lit(1)).as("nb_tot"))
+      val nB = props.count().toInt
+      val crit = chi2Crit95(nB - 2 max 0)
+      def rejectionRate(df: DataFrame): Double = {
+        val probes = df
+          .select(col("cell_id").as("pid"), col("features").as("pf"),
+            graft.functions.CrossEngine.md5Hash60(col("cell_id")).as("h"))
+          .orderBy(col("h")).limit(200).drop("h")
+        val d2 = graft.functions.VectorExpressions.l2DistSq(col("features"), col("pf"))
+        val nn = graft.operators.Similarity.knnJoin(
+          df.select(col("cell_id"), col("features")), probes, d2, kNn,
+          probeIdCol = "pid", idCol = "cell_id", ascending = true)
+          .select(col("pid"), col("cell_id"))
+        val nTot = df.count().toDouble
+        df.select(col("cell_id"), col("batch"))
+          .join(broadcast(nn), Seq("cell_id"))
+          .groupBy(col("pid"), col("batch")).agg(count(lit(1)).as("nb"))
+          .join(broadcast(props), Seq("batch"))
+          .groupBy(col("pid"))
+          .agg((sum(col("nb") * col("nb") /
+            (lit(kNn) * (col("nb_tot") / lit(nTot)))) - lit(kNn.toDouble))
+            .as("chi2"))
+          .agg(avg(when(col("chi2") > crit, 1.0).otherwise(0.0)))
+          .head().getDouble(0)
+      }
+      val rawRate = rejectionRate(cells)
+      val corrRate = rejectionRate(corrected)
+      // margins (measured on the planted gate fixtures, r13): raw
+      // rejection is 1.00 at every sf; corrected is 0.295 (sf0.001),
+      // 0.765 (sf0.01), 0.10 (sf0.1) — the smallest drop is 0.235, so
+      // the 0.05 margin sits ~4.7x under it (the LisiMargin pattern)
+      Seq((rawRate >= 0.9,
+          corrRate < rawRate - 0.05,
+          rawRate >= 0.0 && rawRate <= 1.0 && corrRate >= 0.0 && corrRate <= 1.0,
+          nB.toLong))
+        .toDF("planted_effect_detected", "rejection_drops", "rates_in_range",
+          "n_batches")
+        .crossJoin(cells.agg(least(count(lit(1)), lit(200L)).as("n_probes")))
+    },
+    Some("""SELECT true AS planted_effect_detected, true AS rejection_drops,
+      true AS rates_in_range,
+      (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM embeddings) AS n_batches,
+      (SELECT CAST(least(count(*), 200) AS BIGINT) FROM embeddings) AS n_probes"""))
+
+  val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11,
+    h12)
 }

@@ -3420,6 +3420,28 @@ class OperatorsSpec extends SparkSpec {
       graft.sources.Tables.embeddings(spark, sfDir).count())
   }
 
+  test("h12 kBET eval: planted effect rejects, correction drops the rate") {
+    val r = run("h12_kbet_eval").head()
+    assert(r.getAs[Boolean]("planted_effect_detected"),
+      "raw rejection rate below 0.9 — the planted offset should be obvious")
+    assert(r.getAs[Boolean]("rejection_drops"),
+      "harmony correction did not drop the kBET rejection rate")
+    assert(r.getAs[Boolean]("rates_in_range"))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(r.getAs[Long]("n_batches") ===
+      emb.select("label").distinct().count())
+    assert(r.getAs[Long]("n_probes") === math.min(200L, emb.count()))
+    // the zero-count-safe χ² identity used by the entry equals the
+    // textbook all-categories sum on a worked example: k=15, B=3,
+    // p=(0.5,0.3,0.2), observed n=(10,5,0)
+    val p = Seq(0.5, 0.3, 0.2); val n = Seq(10.0, 5.0, 0.0); val k = 15.0
+    val textbook = (p, n).zipped.map((pb, nb) =>
+      math.pow(nb - k * pb, 2) / (k * pb)).sum
+    val identity = (p, n).zipped.collect {
+      case (pb, nb) if nb > 0 => nb * nb / (k * pb) }.sum - k
+    assert(math.abs(textbook - identity) < 1e-12)
+  }
+
   test("q68 source overlap: matrix covers all pairs, below-k estimates exact") {
     val rows = run("q68_source_overlap").collect()
     val nSources = graft.sources.Tables.documents(spark, sfDir)
