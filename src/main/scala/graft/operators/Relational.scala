@@ -1940,6 +1940,67 @@ object Relational {
     },
     Some(resampleOracleSql))
 
+  // ---------------------------------------------------------------- q77
+  /** RETENTION COHORT MATRIX — the classic product-analytics rollup every
+    * events warehouse serves: users cohorted by the ISO week of their
+    * first signup, activity bucketed by truncated week, and the matrix
+    * cell (cohort, week_offset) counts the distinct cohort members active
+    * that week, as a fraction of cohort size. Week offsets are exact
+    * Monday-to-Monday day differences divided by 7 (both engines truncate
+    * weeks to Monday), so the bucketing is integer-exact cross-engine.
+    *
+    * Scale shape: one grouped min per user for the signup date, one
+    * DISTINCT (user, week) pass over the stream (map-side combined), one
+    * user-keyed equi-join (AQE can broadcast the signup side when small),
+    * then a grouped distinct-count per matrix cell and a broadcast join
+    * of cohort sizes. No window over the event stream, no per-user sort. */
+  private val q77 = Q(
+    "q77_retention_cohorts",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val signup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("s_date"))
+        .select(col("user_id"),
+          date_trunc("week", col("s_date")).cast("date").as("cohort"))
+      val act = ev
+        .select(col("user_id"),
+          date_trunc("week", to_date(col("ts"))).cast("date").as("w"))
+        .distinct()
+      val cells = act.join(signup, Seq("user_id"))
+        .filter(col("w") >= col("cohort"))
+        .groupBy(col("cohort"),
+          (datediff(col("w"), col("cohort")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      val sizes = signup.groupBy(col("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_cohort"))
+      cells.join(broadcast(sizes), Seq("cohort"))
+        .select(col("cohort"), col("week_offset"), col("n_cohort"),
+          col("n_active"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6)
+            .as("retention"))
+    },
+    Some("""WITH signup AS (
+        SELECT user_id, date_trunc('week', min(CAST(ts AS DATE))) AS cohort
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      act AS (
+        SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS w
+        FROM events),
+      cells AS (
+        SELECT s.cohort,
+          CAST(date_diff('day', s.cohort, a.w) / 7 AS BIGINT) AS week_offset,
+          count(DISTINCT a.user_id) AS n_active
+        FROM act a JOIN signup s ON a.user_id = s.user_id
+        WHERE a.w >= s.cohort
+        GROUP BY 1, 2),
+      sizes AS (
+        SELECT cohort, count(DISTINCT user_id) AS n_cohort FROM signup
+        GROUP BY cohort)
+      SELECT c.cohort, c.week_offset, s.n_cohort, c.n_active,
+        round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+      FROM cells c JOIN sizes s ON c.cohort = s.cohort"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -1947,5 +2008,5 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74, q75, q76)
+    q73, q74, q75, q76, q77)
 }

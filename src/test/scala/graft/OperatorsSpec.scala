@@ -3420,6 +3420,31 @@ class OperatorsSpec extends SparkSpec {
       graft.sources.Tables.embeddings(spark, sfDir).count())
   }
 
+  test("q77 retention cohorts: week-0 is total, counts bounded, cohorts complete") {
+    val rows = run("q77_retention_cohorts").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0L)
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Double]("retention") > 0.0 &&
+        r.getAs[Double]("retention") <= 1.0)
+    }
+    // a user's signup event is itself week-0 activity, so every cohort's
+    // offset-0 cell retains everyone
+    val week0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    val cohorts = rows.map(_.getAs[java.sql.Date]("cohort")).distinct
+    assert(week0.length === cohorts.length, "every cohort must have a week-0 row")
+    week0.foreach { r =>
+      assert(r.getAs[Long]("n_active") === r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Double]("retention") === 1.0)
+    }
+    // cohort sizes partition the signup-user population
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nSignupUsers = ev.filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(week0.map(_.getAs[Long]("n_cohort")).sum === nSignupUsers)
+  }
+
   test("h12 kBET eval: planted effect rejects, correction drops the rate") {
     val r = run("h12_kbet_eval").head()
     assert(r.getAs[Boolean]("planted_effect_detected"),
