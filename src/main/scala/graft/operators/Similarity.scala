@@ -2568,6 +2568,9 @@ object Similarity {
       .as("q_emb"))
   }
 
+  /** Test-visible accessor for the s30 query panel. */
+  private[graft] def s30QueriesFor(s: SparkSession): DataFrame = s30Queries(s)
+
   private val s30QueriesCte: String = {
     def u(tag: String, keyExpr: String) =
       s"CAST(CAST(concat('0x', substring(md5(concat('$tag', $keyExpr, '_', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
@@ -3309,7 +3312,152 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
         FROM fused) t WHERE rn <= 10"""))
 
+  // ---------------------------------------------------------------- s36
+  /** PQ-CODED GRAPH SERVE — the DiskANN/Vamana memory layout (Subramanya
+    * et al., NeurIPS'19: graph adjacency + PQ codes in RAM, full vectors
+    * on disk touched only for the final rerank) applied to the s30/s31
+    * persisted graph: every beam hop scores candidates by ASYMMETRIC
+    * DISTANCE (per-query LUT over a deterministic 2x16 codebook, the s06
+    * pattern — codes are 2 small ints per vector, a 16x reduction of the
+    * 8-double corpus), and EXACT distances are computed only for the
+    * final beam (|Q| x beam vector fetches total, vs every scored
+    * candidate in s30's walk). This is the composition a 100 TB graph
+    * index actually deploys: the walk never touches raw vectors.
+    *
+    * Determinism: per-subspace encode distances round to 6dp before the
+    * (d, code) argmin; the ADC total is the explicit fixed-order sum
+    * d0 + d1; beam and final ranks tie-break on node id — every stage
+    * oracle-mirrored hop for hop. */
+  private[graft] def pqGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.l2DistSq
+    val subDim = 4
+    val emb = nndPlantedVecs(s, dir).select(col("vec_id").as("id"), col("embedding"))
+    val graph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
+    val queries = s30Queries(s).localCheckpoint(true)
+    def sub(c: Column, m: Int): Column = slice(c, lit(m * subDim + 1), lit(subDim))
+    // deterministic codebook: the per-subspace subvectors of the 16
+    // lowest ids (s06's fixed-quantizer pattern; production Lloyd-refines
+    // the same shape)
+    val cb = emb.filter(col("id") < 16)
+      .select(col("id").as("code"), col("embedding"))
+      .localCheckpoint(true)
+    // encode: per-subspace argmin over the broadcast codebook — N x M x 16
+    // distance rows through a grouped (d, code) struct-min
+    val codes = (0 until 2).map { m =>
+      emb.crossJoin(broadcast(
+          cb.select(col("code"), sub(col("embedding"), m).as("cvec"))))
+        .select(col("id"),
+          round(l2DistSq(sub(col("embedding"), m), col("cvec")), 6).as("d"),
+          col("code"))
+        .groupBy(col("id"))
+        .agg(min(struct(col("d"), col("code"))).as("best"))
+        .select(col("id"), col("best.code").as(s"c$m"))
+    }.reduce((a, b) => a.join(b, Seq("id"))).localCheckpoint(true)
+    // per-query LUTs: subspace distance to each codeword, built once per
+    // query (M x 16 rows each) and broadcast to the walk
+    val luts = (0 until 2).map { m =>
+      queries.crossJoin(broadcast(
+          cb.select(col("code").as(s"c$m"), sub(col("embedding"), m).as("cvec"))))
+        .select(col("query_id"), col(s"c$m"),
+          l2DistSq(sub(col("q_emb"), m), col("cvec")).as(s"d$m"))
+        .localCheckpoint(true)
+    }
+    var beam = queries.select(col("query_id"), lit(0L).as("node"))
+    for (_ <- 1 to s30Hops) {
+      val cand = beam.join(graph, beam("node") === graph("u"))
+        .select(col("query_id"), col("v").as("node"))
+        .unionByName(beam.select(col("query_id"), col("node")))
+        .distinct()
+      val scored = cand
+        .join(codes.withColumnRenamed("id", "node"), Seq("node"))
+        .join(broadcast(luts(0)), Seq("query_id", "c0"))
+        .join(broadcast(luts(1)), Seq("query_id", "c1"))
+        .select(col("query_id"), col("node"), (col("d0") + col("d1")).as("d"))
+      beam = topKByScore(scored, "query_id", "node", col("d"),
+          s30Beam, ascending = true)
+        .select(col("query_id"), col("node"))
+        .localCheckpoint(true)
+    }
+    // the ONLY raw-vector stage: exact rerank of the final beam
+    val exact = beam
+      .join(emb.withColumnRenamed("id", "node"), Seq("node"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("node"),
+        l2DistSq(col("embedding"), col("q_emb")).as("d"))
+    topKByScore(exact, "query_id", "node", col("d"), 3, ascending = true)
+      .select(col("query_id"), col("rn").as("rnk"),
+        col("node").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
+  }
+
+  /** One ADC-scored hop as oracle CTEs prefixed `a`: candidates from the
+    * graph, distance = LUT(c0) + LUT(c1), beam top-8 by (d, node). */
+  private def s36OracleHop(i: Int, prev: String): String =
+    s"""acd$i AS (
+        SELECT b.query_id, g.v AS node FROM $prev b JOIN graph g ON g.u = b.node
+        UNION
+        SELECT query_id, node FROM $prev),
+      ahs$i AS MATERIALIZED (
+        SELECT c.query_id, c.node, l0.d0 + l1.d1 AS d
+        FROM acd$i c
+        JOIN codes0 k0 ON k0.id = c.node
+        JOIN codes1 k1 ON k1.id = c.node
+        JOIN lut0 l0 ON l0.query_id = c.query_id AND l0.c0 = k0.c0
+        JOIN lut1 l1 ON l1.query_id = c.query_id AND l1.c1 = k1.c1),
+      abm$i AS MATERIALIZED (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn
+        FROM ahs$i
+        QUALIFY rn <= $s30Beam)"""
+
+  private def s36SubDist(a: String, b: String, off: Int): String =
+    s"""list_sum(list_transform(range(1, 5),
+        i -> (CAST($a[i + $off] AS DOUBLE) - CAST($b[i + $off] AS DOUBLE))
+           * (CAST($a[i + $off] AS DOUBLE) - CAST($b[i + $off] AS DOUBLE))))"""
+
+  private val s36 = Q(
+    "s36_pq_graph_search",
+    (s, dir) => withConstraintPropagationOff(s) {
+      pqGraphSearch(s, dir)
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      graph AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      cb AS (SELECT id AS code, embedding FROM emb WHERE id < 16),
+      ${(0 until 2).map(m => s"""cd$m AS (
+        SELECT e.id, c.code,
+          round(${s36SubDist("e.embedding", "c.embedding", m * 4)}, 6) AS d
+        FROM emb e CROSS JOIN cb c),
+      codes$m AS MATERIALIZED (
+        SELECT id, code AS c$m FROM (
+          SELECT id, code,
+            row_number() OVER (PARTITION BY id ORDER BY d, code) AS rn
+          FROM cd$m) t WHERE rn = 1)""").mkString(",\n      ")},
+      ${(0 until 2).map(m => s"""lut$m AS MATERIALIZED (
+        SELECT q.query_id, c.code AS c$m,
+          ${s36SubDist("q.q_emb", "c.embedding", m * 4)} AS d$m
+        FROM queries q CROSS JOIN cb c)""").mkString(",\n      ")},
+      abm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i => s36OracleHop(i, s"abm${i - 1}"))
+        .mkString(",\n      ")},
+      fex AS (
+        SELECT b.query_id, b.node,
+          list_sum(list_transform(range(1, len(x.embedding) + 1),
+            i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+               * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
+            AS d
+        FROM abm$s30Hops b JOIN emb x ON x.id = b.node
+        JOIN queries q ON q.query_id = b.query_id)
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM fex) t
+      WHERE rn2 <= 3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
 }

@@ -4161,6 +4161,41 @@ class OperatorsSpec extends SparkSpec {
       .distinct.length > 10)
   }
 
+  test("s36 pq graph serve: quantized walk still lands the cluster, ranks exact") {
+    val rows = run("s36_pq_graph_search").collect()
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.length === 20)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("dist_sq"))
+      assert(byRank.length === 3 && (byRank, byRank.tail).zipped.forall(_ <= _))
+    }
+    // the quantization tradeoff, bounded: the ADC-scored walk may lose a
+    // couple of top-1 cluster hits vs s30's exact-distance walk (measured
+    // 15/20 here vs s30's 17/20) but must stay well above chance (20 x
+    // 1/50 = 0.4 expected hits for a random walk)
+    val hits = rows.filter(_.getAs[Long]("rnk") == 1L).count { r =>
+      r.getAs[Long]("neighbor_id") % 50 == (r.getAs[Long]("query_id") * 7) % 50
+    }
+    assert(hits >= 13, s"pq-walk top-1 cluster hits $hits below floor 13")
+    // rerank is EXACT: each reported dist_sq is the true distance of that
+    // (query, node) pair, not the ADC approximation
+    val sparkS = spark
+    import graft.functions.VectorExpressions.l2DistSq
+    val emb = operators.Similarity.nndPlantedVecs(sparkS, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val panel = operators.Similarity.s30QueriesFor(sparkS)
+    val recomputed = operators.Similarity.withConstraintPropagationOff(sparkS) {
+      run("s36_pq_graph_search")
+        .join(emb, Seq("neighbor_id"))
+        .join(panel, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("dist_sq"),
+          round(l2DistSq(col("embedding"), col("q_emb")), 6).as("truth"))
+        .collect()
+    }
+    recomputed.foreach { r =>
+      assert(r.getAs[Double]("dist_sq") === r.getAs[Double]("truth"))
+    }
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
