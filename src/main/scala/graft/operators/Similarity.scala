@@ -3206,56 +3206,82 @@ object Similarity {
     * get bit-identical scores in both engines and the rank tie-break on
     * doc_id is deterministic — unordered SUM() would let low-bit
     * accumulation order decide ranks between exact-duplicate texts. */
-  private val s35 = Q(
-    "s35_rrf_hybrid",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val n = docs.count() // one scalar pass, the t07 precedent
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val avgdl = dl.agg(sum(col("dl")).cast("double") / count(lit(1)))
-        .head().getDouble(0)
-      val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val qtok = docs.filter(col("doc_id") < 3)
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(split(col("text"), " "))).as("token"))
-      // Robertson/Sparck-Jones idf (the +1 form, always positive) times
-      // the k1=1.2 / b=0.75 saturated tf — written as the literal
-      // expression tree the oracle uses so doubles match bit-for-bit
-      val perTok = tf
-        .join(broadcast(qtok), Seq("token"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .join(dl, Seq("doc_id"))
-        .join(broadcast(dfT), Seq("token"))
-        .withColumn("w",
-          log(lit(1.0) + (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-      val lex = perTok.groupBy(col("query_id"), col("doc_id"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("token"), col("w")))),
-          lit(0.0), (acc, x) => acc + x.getField("w")).as("bm25"))
-      val lexR = topKByScore(lex, "query_id", "doc_id", col("bm25"), 20,
-          ascending = false)
-        .select(col("query_id"), col("doc_id"), col("rn").as("r_lex"))
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val annR = knnJoin(e, q,
-          dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
-          k = 20)
-        .select(col("query_id"), col("vec_id").as("doc_id"), col("rn").as("r_ann"))
-      val fused = lexR.join(annR, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0))
-            + coalesce(lit(1.0) / (lit(60L) + col("r_ann")), lit(0.0)))
-      topKByScore(fused, "query_id", "doc_id", col("rrf"), 10, ascending = false)
-        .select(col("query_id"), col("rn").as("rnk"), col("doc_id"),
-          round(col("score"), 6).as("rrf_score"))
-    },
-    Some("""WITH tok AS (
+  /** The frozen lexical index the hybrid lane serves from: corpus term
+    * frequencies, doc lengths, document frequencies, corpus size and mean
+    * doc length — all derived once from the immutable corpus (st36 builds
+    * this BEFORE its stream starts; what a deployment persists alongside
+    * the ANN index). */
+  private[graft] final case class BmModel(tf: DataFrame, dl: DataFrame,
+      dfT: DataFrame, n: Long, avgdl: Double)
+
+  private[graft] def bmModel(s: SparkSession, dir: String): BmModel = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val n = docs.count() // one scalar pass, the t07 precedent
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
+    val avgdl = dl.agg(sum(col("dl")).cast("double") / count(lit(1)))
+      .head().getDouble(0)
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    BmModel(tf, dl, dfT, n, avgdl)
+  }
+
+  /** RRF fusion of the BM25 and cosine lanes for a query-id panel —
+    * shared by s35 (batch) and st36 (per-micro-batch serving under the
+    * frozen model). `queryIds` must be one `query_id` column of doc/vec
+    * ids; per-query results are independent, so a union over any
+    * partition of the panel equals one call over the whole panel (what
+    * makes the streaming drain equal the batch answer). */
+  private[graft] def rrfHybrid(s: SparkSession, dir: String, m: BmModel,
+      queryIds: DataFrame): DataFrame = {
+    val qids = queryIds.select(col("query_id").cast("long").as("query_id"))
+    val qtok = Tables.documents(s, dir)
+      .join(broadcast(qids), col("doc_id") === col("query_id"))
+      .select(col("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    // Robertson/Sparck-Jones idf (the +1 form, always positive) times
+    // the k1=1.2 / b=0.75 saturated tf — written as the literal
+    // expression tree the oracle uses so doubles match bit-for-bit
+    val perTok = m.tf
+      .join(broadcast(qtok), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(m.dl, Seq("doc_id"))
+      .join(broadcast(m.dfT), Seq("token"))
+      .withColumn("w",
+        log(lit(1.0) + (lit(m.n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(m.avgdl))))
+    val lex = perTok.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("token"), col("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("bm25"))
+    val lexR = topKByScore(lex, "query_id", "doc_id", col("bm25"), 20,
+        ascending = false)
+      .select(col("query_id"), col("doc_id"), col("rn").as("r_lex"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.join(broadcast(qids), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("embedding").as("q_emb"))
+    val annR = knnJoin(e, q,
+        dot(col("embedding"), col("q_emb")) / (l2(col("embedding")) * l2(col("q_emb"))),
+        k = 20)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rn").as("r_ann"))
+    val fused = lexR.join(annR, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60L) + col("r_ann")), lit(0.0)))
+    topKByScore(fused, "query_id", "doc_id", col("rrf"), 10, ascending = false)
+      .select(col("query_id"), col("rn").as("rnk"), col("doc_id"),
+        round(col("score"), 6).as("rrf_score"))
+  }
+
+  /** The s35/st36 shared oracle text (the streaming drain serves the same
+    * panel against the same frozen corpus, so expected values are
+    * identical). */
+  private[graft] val rrfOracleSql: String = """WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
       dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
@@ -3310,7 +3336,16 @@ object Similarity {
       SELECT query_id, rn AS rnk, doc_id, round(rrf, 6) AS rrf_score FROM (
         SELECT query_id, doc_id, rrf,
           row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
-        FROM fused) t WHERE rn <= 10"""))
+        FROM fused) t WHERE rn <= 10"""
+
+  private val s35 = Q(
+    "s35_rrf_hybrid",
+    (s, dir) => {
+      import s.implicits._
+      rrfHybrid(s, dir, bmModel(s, dir),
+        Seq(0L, 1L, 2L).toDF("query_id"))
+    },
+    Some(rrfOracleSql))
 
   // ---------------------------------------------------------------- s36
   /** PQ-CODED GRAPH SERVE — the DiskANN/Vamana memory layout (Subramanya

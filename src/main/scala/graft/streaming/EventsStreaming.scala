@@ -2822,8 +2822,87 @@ object EventsStreaming {
     Some(graft.operators.Similarity.s33OracleText(
       ", true AS multi_batch, true AS graph_frozen_through_stream")))
 
+  // ---------------------------------------------------------------- st36
+  /** STREAMING HYBRID-RETRIEVAL SERVING — s35's BM25+ANN reciprocal-rank
+    * fusion in the production direction (a search endpoint): the lexical
+    * index (tf/df/dl/avgdl) is built ONCE batch-side before the stream
+    * starts (the frozen-model contract of st12/st30), then query ids
+    * ARRIVE as a stream — one per micro-batch, pinned-mtime delivery —
+    * and each micro-batch serves its arrivals with the identical
+    * [[graft.operators.Similarity.rrfHybrid]] kernel via foreachBatch.
+    * Per-query results are independent, so the drained union over three
+    * single-query micro-batches must equal the batch s35 answer on the
+    * same panel — the entry runs under s35's oracle text VERBATIM (the
+    * st34/q76 shared-oracle pattern).
+    *
+    * Scale shape: per micro-batch the lexical lane touches only postings
+    * of the arriving queries' terms (broadcast query-token panel onto the
+    * frozen tf table) and the ANN lane broadcasts the arriving query
+    * vectors over one corpus pass — queries/second scales with the
+    * cluster, the frozen index is never recomputed in-stream. */
+  private val st36 = Q(
+    "st36_stream_hybrid_serving",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Similarity
+      val work = java.nio.file.Files.createTempDirectory("graft_st36_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      try {
+        // frozen lexical index, built before any query arrives
+        val model = Similarity.bmModel(s, dir)
+        // arrivals: the s35 panel, one query id per file -> one per batch
+        var seq = 0
+        def writeAs(df: DataFrame, name: String): Unit = {
+          val stage = s"$work/${name}_stage"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = Option(new java.io.File(stage).listFiles())
+            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+          val dest = srcDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          seq += 1
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
+        }
+        (0 until 3).foreach { i =>
+          val sp = s
+          import sp.implicits._
+          writeAs(Seq(i.toLong).toDF("query_id"), s"q$i")
+        }
+        val sch = s.read.parquet(srcDir.toString).schema
+        val arrivals = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val served = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+        val query = arrivals.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // serve THIS batch's arrivals against the frozen model with
+            // the batch kernel; materialize so the result outlives the
+            // micro-batch's source view
+            val b = batch.localCheckpoint(true)
+            if (b.count() > 0) {
+              served.add(Similarity.rrfHybrid(b.sparkSession, dir, model, b)
+                .localCheckpoint(true))
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        val parts = {
+          val it = served.iterator(); val b = Seq.newBuilder[DataFrame]
+          while (it.hasNext) b += it.next(); b.result()
+        }
+        graft.functions.CrossEngine.materializeLocal(s,
+          parts.reduce(_ unionByName _))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some(graft.operators.Similarity.rrfOracleSql))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35)
+    st34, st35, st36)
 }

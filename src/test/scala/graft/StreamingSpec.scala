@@ -503,4 +503,16 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(key).sorted.toSeq === batch,
       "streamed admission diverged from the batch append on the same arrivals")
   }
+  test("st36 hybrid serving: drained per-batch answers equal batch s35") {
+    val rows = SparkEntry.queries("st36_stream_hybrid_serving")(spark, sfDir)
+      .collect()
+    def key(x: org.apache.spark.sql.Row) = (x.getAs[Long]("query_id"),
+      x.getAs[Long]("rnk"), x.getAs[Long]("doc_id"),
+      x.getAs[Double]("rrf_score"))
+    val batch = SparkEntry.queries("s35_rrf_hybrid")(spark, sfDir)
+      .collect().map(key).sorted.toSeq
+    assert(rows.length === batch.length)
+    assert(rows.map(key).sorted.toSeq === batch,
+      "streamed hybrid serving diverged from the batch fusion on the same panel")
+  }
 }
