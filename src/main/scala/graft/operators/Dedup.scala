@@ -2458,7 +2458,131 @@ object Dedup {
       SELECT s.doc_id, s.cluster_id, s.split, l.leaks_under_naive
       FROM splits s JOIN leak l ON s.cluster_id = l.cluster_id"""))
 
+  // ---------------------------------------------------------------- d29
+  /** CONTENT-DEFINED CHUNKING DEDUP (Muthitacharoen et al. SOSP'01 LBFS;
+    * the FastCDC/Gear family every storage dedup system runs) — chunk
+    * boundaries are placed where a rolling fingerprint of the LAST 4
+    * tokens satisfies h % 16 == 0, so boundaries are CONTENT-LOCAL: a
+    * prefix insertion shifts every byte offset but re-synchronizes at the
+    * first content boundary, and all later chunks hash identically. The
+    * gate plants exactly that adversary — a 3-token prefix prepended to
+    * every doc_id % 97 == 0 document with >= 40 tokens — and emits, per
+    * planted pair, the shared-chunk counts of CDC vs FIXED 16-token
+    * chunking as oracle-checked VALUES: fixed chunking is destroyed by
+    * the shift (every chunk's content moves by 3) while CDC retains all
+    * full chunks after the first boundary. This is the failure mode d15's
+    * fixed chunk near-dup inherits and the reason production dedup
+    * chunks by content.
+    *
+    * Scale shape: chunking is ROW-LOCAL (HOF over the token array — the
+    * boundary fingerprints, chunk splits and chunk hashes never leave the
+    * row), and the pair counts are one distinct-chunk equi-join on the
+    * chunk hash — the d01 grouped-join shape. No window, no explode
+    * before the per-doc chunk list exists. */
+  private val d29 = Q(
+    "d29_cdc_chunking",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        graft.functions.CrossEngine.guardedId(col("doc_id"), 80000000L, "d29").as("doc_id"),
+        col("text"))
+      val planted = base.filter(col("doc_id") % 97 === 0 && size(toks) >= 40)
+        .select((col("doc_id") + 80000000L).as("doc_id"),
+          concat(lit("pfx1 pfx2 pfx3 "), col("text")).as("text"))
+      val chunked = base.unionByName(planted)
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(split(text, ' ')) >= 4 THEN
+               filter(sequence(4, size(split(text, ' '))), i ->
+                 CAST(conv(substring(md5(concat_ws(' ',
+                   slice(split(text, ' '), i - 3, 4))), 1, 15), 16, 10) AS BIGINT)
+                 % 16 = 0)
+             ELSE array() END""").as("bounds"),
+          split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          concat(array(lit(1)), expr("transform(bounds, b -> b + 1)")).as("starts"),
+          concat(col("bounds"), array(size(col("tk")))).as("ends"))
+        .select(col("doc_id"), col("tk"), expr(
+          """filter(transform(sequence(1, size(starts)), j ->
+               concat_ws(' ', slice(tk, element_at(starts, j),
+                 element_at(ends, j) - element_at(starts, j) + 1))),
+             c -> c <> '')""").as("cdc_chunks"), expr(
+          """filter(transform(sequence(1, CAST(ceil(size(tk) / 16.0) AS INT)), j ->
+               concat_ws(' ', slice(tk, (j - 1) * 16 + 1, 16))),
+             c -> c <> '')""").as("fixed_chunks"))
+        .localCheckpoint(true)
+      def shared(chunksCol: String): DataFrame = {
+        val cs = chunked
+          .select(col("doc_id"), explode(col(chunksCol)).as("chunk"))
+          .select(col("doc_id"), md5(col("chunk")).as("h"))
+          .distinct()
+        cs.filter(col("doc_id") < 80000000L).alias("a")
+          .join(cs.filter(col("doc_id") >= 80000000L).alias("b"),
+            col("a.h") === col("b.h") &&
+              col("b.doc_id") === col("a.doc_id") + 80000000L)
+          .groupBy(col("a.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_shared"))
+      }
+      val nChunks = chunked.filter(col("doc_id") < 80000000L)
+        .select(col("doc_id"), size(col("cdc_chunks")).cast("long").as("n_cdc_chunks"))
+      planted.select((col("doc_id") - 80000000L).as("doc_id"))
+        .join(nChunks, Seq("doc_id"))
+        .join(shared("cdc_chunks").withColumnRenamed("n_shared", "n_cdc_shared"),
+          Seq("doc_id"), "left")
+        .join(shared("fixed_chunks").withColumnRenamed("n_shared", "n_fixed_shared"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_cdc_chunks"),
+          coalesce(col("n_cdc_shared"), lit(0L)).as("n_cdc_shared"),
+          coalesce(col("n_fixed_shared"), lit(0L)).as("n_fixed_shared"))
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 80000000, 'pfx1 pfx2 pfx3 ' || text FROM documents
+        WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 40),
+      tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM base),
+      bset AS (
+        SELECT doc_id, tk,
+          CASE WHEN len(tk) >= 4 THEN
+            list_filter(range(4, len(tk) + 1), i ->
+              CAST(concat('0x', substring(md5(array_to_string(tk[i - 3 : i], ' ')),
+                1, 15)) AS BIGINT) % 16 = 0)
+          ELSE [] END AS bounds
+        FROM tk),
+      se AS (
+        SELECT doc_id, tk,
+          list_concat([1], list_transform(bounds, b -> b + 1)) AS starts,
+          list_concat(bounds, [len(tk)]) AS ends
+        FROM bset),
+      chunks AS (
+        SELECT doc_id,
+          list_filter(list_transform(range(1, len(starts) + 1), j ->
+            array_to_string(tk[starts[j] : ends[j]], ' ')), c -> c <> '') AS cdc_chunks,
+          list_filter(list_transform(range(1, CAST(ceil(len(tk) / 16.0) AS BIGINT) + 1),
+            j -> array_to_string(tk[(j - 1) * 16 + 1 : j * 16], ' ')), c -> c <> '')
+            AS fixed_chunks
+        FROM se),
+      cdc AS (SELECT DISTINCT doc_id, md5(unnest(cdc_chunks)) AS h FROM chunks),
+      fxd AS (SELECT DISTINCT doc_id, md5(unnest(fixed_chunks)) AS h FROM chunks),
+      cdcs AS (
+        SELECT a.doc_id, count(*) AS n_cdc_shared
+        FROM cdc a JOIN cdc b ON a.h = b.h AND b.doc_id = a.doc_id + 80000000
+        WHERE a.doc_id < 80000000 GROUP BY a.doc_id),
+      fxds AS (
+        SELECT a.doc_id, count(*) AS n_fixed_shared
+        FROM fxd a JOIN fxd b ON a.h = b.h AND b.doc_id = a.doc_id + 80000000
+        WHERE a.doc_id < 80000000 GROUP BY a.doc_id),
+      nck AS (
+        SELECT doc_id, CAST(len(cdc_chunks) AS BIGINT) AS n_cdc_chunks FROM chunks
+        WHERE doc_id < 80000000)
+      SELECT p.doc_id, n.n_cdc_chunks,
+        CAST(coalesce(c.n_cdc_shared, 0) AS BIGINT) AS n_cdc_shared,
+        CAST(coalesce(f.n_fixed_shared, 0) AS BIGINT) AS n_fixed_shared
+      FROM (SELECT doc_id FROM documents
+            WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 40) p
+      JOIN nck n ON n.doc_id = p.doc_id
+      LEFT JOIN cdcs c ON c.doc_id = p.doc_id
+      LEFT JOIN fxds f ON f.doc_id = p.doc_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28)
+    d25, d26, d27, d28, d29)
 }

@@ -3445,6 +3445,30 @@ class OperatorsSpec extends SparkSpec {
     assert(week0.map(_.getAs[Long]("n_cohort")).sum === nSignupUsers)
   }
 
+  test("d29 cdc chunking: boundaries resync after the planted prefix shift") {
+    val rows = run("d29_cdc_chunking").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cdc_shared") <= r.getAs[Long]("n_cdc_chunks"))
+      // a shared chunk set larger than the fixed scheme's is the whole
+      // point of content-defined boundaries under a prefix shift
+      assert(r.getAs[Long]("n_cdc_shared") >= r.getAs[Long]("n_fixed_shared"))
+    }
+    // aggregate teeth: CDC recovers real overlap (measured 18/13/135
+    // shared chunks at the three SFs) while 16-token fixed chunking is
+    // destroyed by the 3-token shift (0 shared everywhere); allow a rare
+    // boundary-less or periodic doc without flaking
+    val cdc = rows.map(_.getAs[Long]("n_cdc_shared")).sum
+    val fixed = rows.map(_.getAs[Long]("n_fixed_shared")).sum
+    assert(cdc > 0L, "CDC recovered no shared chunks across all planted pairs")
+    assert(fixed * 4 <= cdc,
+      s"fixed chunking ($fixed) should be far below CDC ($cdc) under the shift")
+    val wins = rows.count(r =>
+      r.getAs[Long]("n_cdc_shared") > r.getAs[Long]("n_fixed_shared"))
+    assert(wins * 10 >= rows.length * 9,
+      s"CDC strictly beat fixed on only $wins/${rows.length} planted pairs")
+  }
+
   test("h12 kBET eval: planted effect rejects, correction drops the rate") {
     val r = run("h12_kbet_eval").head()
     assert(r.getAs[Boolean]("planted_effect_detected"),
