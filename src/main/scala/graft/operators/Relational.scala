@@ -2001,6 +2001,65 @@ object Relational {
         round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
       FROM cells c JOIN sizes s ON c.cohort = s.cohort"""))
 
+  // ---------------------------------------------------------------- q78
+  /** LAST-TOUCH ATTRIBUTION — the marketing-analytics as-of composition:
+    * every purchase attributes to the LATEST preceding view/click by the
+    * same user within a 7-day lookback, falling back to 'direct' when no
+    * touch qualifies. Same 100 TB shape as q45: the (purchase, earlier
+    * touch) equi-join pipelines into a map-side partial `max_by` — no
+    * window sort over the expansion, a heavy user costs streaming time —
+    * then per-channel counts and shares are one grouped agg over the
+    * purchase-bounded result. Tie-break (ts, event_id) is unique, so the
+    * attributed touch is deterministic and matches the oracle's
+    * row_number ordering exactly. */
+  private val q78 = Q(
+    "q78_last_touch_attribution",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("t_id"), col("user_id"),
+          col("event_type").as("channel"), col("ts").as("t_ts"))
+      val attributed = purchases
+        .join(touches, Seq("user_id"))
+        .filter(col("t_ts") <= col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("p_id"))
+        .agg(max_by(struct(col("t_id"), col("channel")),
+          struct(col("t_ts"), col("t_id"))).as("best"))
+        .select(col("p_id"), col("best.channel").as("channel"))
+      val byChannel = purchases.join(attributed, Seq("p_id"), "left")
+        .select(col("p_id"), coalesce(col("channel"), lit("direct")).as("channel"))
+        .groupBy(col("channel")).agg(count(lit(1)).as("n_purchases"))
+      val total = purchases.count()
+      byChannel.select(col("channel"), col("n_purchases"),
+        round(col("n_purchases").cast("double") / lit(total), 6).as("share"))
+    },
+    Some("""WITH p AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'),
+      t AS (
+        SELECT event_id AS t_id, user_id, event_type AS channel, ts AS t_ts
+        FROM events WHERE event_type IN ('view', 'click')),
+      attributed AS (
+        SELECT p_id, channel FROM (
+          SELECT p.p_id, t.channel,
+            row_number() OVER (PARTITION BY p.p_id
+              ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+          FROM p JOIN t ON t.user_id = p.user_id
+            AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY) x
+        WHERE rn = 1),
+      tagged AS (
+        SELECT p.p_id, coalesce(a.channel, 'direct') AS channel
+        FROM p LEFT JOIN attributed a ON a.p_id = p.p_id),
+      tot AS (SELECT count(*) AS n FROM p)
+      SELECT channel, count(*) AS n_purchases,
+        round(CAST(count(*) AS DOUBLE) / tot.n, 6) AS share
+      FROM tagged CROSS JOIN tot
+      GROUP BY channel, tot.n"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2008,5 +2067,5 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77)
+    q73, q74, q75, q76, q77, q78)
 }

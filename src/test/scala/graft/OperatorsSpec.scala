@@ -3445,6 +3445,21 @@ class OperatorsSpec extends SparkSpec {
     assert(week0.map(_.getAs[Long]("n_cohort")).sum === nSignupUsers)
   }
 
+  test("q78 attribution: channels partition purchases, shares sum to one") {
+    val rows = run("q78_last_touch_attribution").collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch,
+      "every purchase must be attributed to exactly one channel (or direct)")
+    val channels = rows.map(_.getAs[String]("channel")).toSet
+    assert(channels.subsetOf(Set("view", "click", "direct")))
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+    // the fixture has touch activity, so not everything can be direct
+    assert(rows.exists(r => r.getAs[String]("channel") != "direct" &&
+      r.getAs[Long]("n_purchases") > 0L))
+  }
+
   test("d29 cdc chunking: boundaries resync after the planted prefix shift") {
     val rows = run("d29_cdc_chunking").collect()
     assert(rows.nonEmpty)
