@@ -1564,6 +1564,116 @@ object Sinks {
         CAST((SELECT sum(cents) FROM base) AS BIGINT), false
       FROM v2"""))
 
+  // ---------------------------------------------------------------- w21
+  /** MERGE-ON-READ DELETION VECTORS — the Delta/Iceberg row-level-delete
+    * mechanic: deletes never rewrite data files; they land as tiny
+    * (bucket, pos) sidecars, the read path applies the union of sidecars
+    * as an anti-join mask, and a later COMPACTION materializes the mask
+    * and retires the vectors. Two delete commits run against the same
+    * untouched base (digest-pinned), the second sidecar is written
+    * DISJOINT from the first (production semantics: a DV row is deleted
+    * once), and compaction must reproduce exactly the masked read.
+    *
+    * Row ordinals: production writers assign the file-local row ordinal
+    * while streaming rows out; here it is an explicit per-bucket
+    * row_number at WRITE time (bounded: one bucket's rows, sorted by the
+    * table key) persisted into the base file — reads never sort.
+    *
+    * Scale shape: deletes cost O(|matching rows|) sidecar writes, reads
+    * add one anti-join against a sidecar that is orders of magnitude
+    * smaller than the base (broadcast at any realistic delete rate), and
+    * compaction is the only base rewrite — exactly why engines ship DVs
+    * for GDPR-class point deletes at 100 TB. */
+  private val w21 = Q(
+    "w21_deletion_vectors",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w21_")
+      try {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            pmod(col("o_orderkey"), lit(4L)).as("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket")).orderBy(col("o_orderkey"))
+        o.select(col("*"), row_number().over(w).cast("long").as("pos"))
+          .repartition(4, col("bucket"))
+          .write.mode("overwrite").parquet(s"$root/base")
+        def digest(p: String): String = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+          new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+            .foreach(f => d.update(java.nio.file.Files.readAllBytes(f.toPath)))
+          d.digest().map("%02x".format(_)).mkString
+        }
+        val digest0 = digest(s"$root/base")
+        val base = s.read.parquet(s"$root/base")
+        val pred1 = col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3
+        val pred2 = col("o_totalprice") > 150000.0 && col("o_orderkey") % 7 === 0
+        // delete commit 1: predicate -> (bucket, pos) sidecar, base untouched
+        base.filter(pred1).select(col("bucket"), col("pos"))
+          .write.mode("overwrite").parquet(s"$root/dv_v1")
+        // delete commit 2: disjoint from v1 by construction (anti-join)
+        base.filter(pred2)
+          .join(s.read.parquet(s"$root/dv_v1"), Seq("bucket", "pos"), "left_anti")
+          .select(col("bucket"), col("pos"))
+          .write.mode("overwrite").parquet(s"$root/dv_v2")
+        val digest1 = digest(s"$root/base") // both deletes landed; base bytes?
+        val dv = s.read.parquet(s"$root/dv_v1")
+          .unionByName(s.read.parquet(s"$root/dv_v2"))
+        val live = base.join(dv, Seq("bucket", "pos"), "left_anti")
+        // compaction: materialize the mask, retire the vectors
+        live.repartition(4, col("bucket"))
+          .write.mode("overwrite").parquet(s"$root/compact")
+        val compacted = s.read.parquet(s"$root/compact")
+        val key = Seq("bucket", "pos", "o_orderkey")
+        val compactOk =
+          compacted.select(key.map(col): _*)
+            .except(live.select(key.map(col): _*)).count() == 0 &&
+          live.select(key.map(col): _*)
+            .except(compacted.select(key.map(col): _*)).count() == 0
+        val dvDisjoint = s.read.parquet(s"$root/dv_v1")
+          .join(s.read.parquet(s"$root/dv_v2"), Seq("bucket", "pos")).count() == 0
+        val nB = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_base"))
+        val n1 = base.filter(pred1).groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_del_v1"))
+        val n2 = base.filter(pred2 && !pred1).groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_del_v2"))
+        val nL = live.groupBy(col("bucket")).agg(count(lit(1)).as("n_live"))
+        graft.functions.CrossEngine.materializeLocal(s,
+          nB.join(n1, Seq("bucket"), "left").join(n2, Seq("bucket"), "left")
+            .join(nL, Seq("bucket"), "left")
+            .select(col("bucket"), col("n_base"),
+              coalesce(col("n_del_v1"), lit(0L)).as("n_del_v1"),
+              coalesce(col("n_del_v2"), lit(0L)).as("n_del_v2"),
+              coalesce(col("n_live"), lit(0L)).as("n_live"),
+              lit(digest0 == digest1).as("base_untouched_through_deletes"),
+              lit(compactOk).as("compaction_equals_masked_read"),
+              lit(dvDisjoint).as("dv_sidecars_disjoint")))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH o AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          o_orderkey % 4 AS bucket
+        FROM orders),
+      v1 AS (SELECT bucket FROM o
+        WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 3),
+      v2 AS (SELECT bucket FROM o
+        WHERE o_totalprice > 150000 AND o_orderkey % 7 = 0
+          AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3))
+      SELECT b.bucket, b.n_base,
+        CAST(coalesce(d1.n, 0) AS BIGINT) AS n_del_v1,
+        CAST(coalesce(d2.n, 0) AS BIGINT) AS n_del_v2,
+        b.n_base - coalesce(d1.n, 0) - coalesce(d2.n, 0) AS n_live,
+        true AS base_untouched_through_deletes,
+        true AS compaction_equals_masked_read,
+        true AS dv_sidecars_disjoint
+      FROM (SELECT bucket, count(*) AS n_base FROM o GROUP BY bucket) b
+      LEFT JOIN (SELECT bucket, count(*) AS n FROM v1 GROUP BY bucket) d1
+        ON d1.bucket = b.bucket
+      LEFT JOIN (SELECT bucket, count(*) AS n FROM v2 GROUP BY bucket) d2
+        ON d2.bucket = b.bucket"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14, w15, w16, w17, w18, w19, w20)
+    w12, w13, w14, w15, w16, w17, w18, w19, w20, w21)
 }

@@ -3445,6 +3445,21 @@ class OperatorsSpec extends SparkSpec {
     assert(week0.map(_.getAs[Long]("n_cohort")).sum === nSignupUsers)
   }
 
+  test("w21 deletion vectors: mask arithmetic exact, base untouched, compaction faithful") {
+    val rows = run("w21_deletion_vectors").collect()
+    assert(rows.length === 4) // one row per bucket
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_live") ===
+        r.getAs[Long]("n_base") - r.getAs[Long]("n_del_v1") - r.getAs[Long]("n_del_v2"))
+      assert(r.getAs[Boolean]("base_untouched_through_deletes"))
+      assert(r.getAs[Boolean]("compaction_equals_masked_read"))
+      assert(r.getAs[Boolean]("dv_sidecars_disjoint"))
+    }
+    // both delete commits must actually bind on the fixture
+    assert(rows.map(_.getAs[Long]("n_del_v1")).sum > 0L)
+    assert(rows.map(_.getAs[Long]("n_del_v2")).sum > 0L)
+  }
+
   test("q78 attribution: channels partition purchases, shares sum to one") {
     val rows = run("q78_last_touch_attribution").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)
