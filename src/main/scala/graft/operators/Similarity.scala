@@ -3492,7 +3492,115 @@ object Similarity {
         FROM fex) t
       WHERE rn2 <= 3"""))
 
+  // ---------------------------------------------------------------- s37
+  /** GRAPH-LANE RECALL@3 EVAL — the eval-harness family's missing member
+    * (s21 measures the IVF lane, d21 the dedup lane, t27 the tokenizer,
+    * h11/h12 the integration core): exact top-3 ground truth for the s30
+    * query panel over the planted corpus, then recall of (a) the flat NSW
+    * beam walk and (b) the PQ-coded DiskANN-style walk, as one row per
+    * method with exact hit counts — the number a deployment tracks when
+    * tuning beam width / hop budget / code size. Both walks and the
+    * exact truth are re-derived CTE-for-CTE in the oracle (the walk
+    * bodies are the s30/s36 oracle builders verbatim), so recall itself
+    * is under the hash gate, not just the walks.
+    *
+    * Scale shape: truth is |Q| x N through the audited bounded heap
+    * (probe-panel pattern); each walk is the served lane it measures. */
+  private val s37 = Q(
+    "s37_graph_recall_eval",
+    (s, dir) => withConstraintPropagationOff(s) {
+      import graft.functions.VectorExpressions.l2DistSq
+      val emb = nndPlantedVecs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val queries = s30Queries(s).localCheckpoint(true)
+      val exact = knnJoin(emb.select(col("id").as("vec_id"), col("embedding")),
+          queries.select(col("query_id"), col("q_emb")),
+          l2DistSq(col("embedding"), col("q_emb")), k = 3,
+          probeIdCol = "query_id", idCol = "vec_id",
+          ascending = true, excludeSelf = false)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .localCheckpoint(true)
+      def recallRow(method: String, top3: DataFrame): DataFrame = {
+        val hits = top3.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits")).head().getLong(0)
+        val sp = s
+        import sp.implicits._
+        Seq((method, hits, s30NumQueries.toLong * 3L,
+            math.rint(hits.toDouble / (s30NumQueries * 3) * 1e6) / 1e6))
+          .toDF("method", "hits", "n_truth", "recall_at_3")
+      }
+      val flat = nswBeamSearch(s, dir, GraphIndexCache.graph(s, dir))
+      val pq = pqGraphSearch(s, dir)
+      recallRow("flat_nsw", flat).unionByName(recallRow("pq_adc", pq))
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      graph AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      ex AS MATERIALIZED (
+        SELECT q.query_id, e.id AS neighbor_id,
+          list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+               * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
+            AS d
+        FROM emb e CROSS JOIN queries q),
+      ext AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+          FROM ex) t WHERE rn <= 3),
+      bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i => s30OracleHop(i, if (i == 1) "bm0" else s"bm${i - 1}"))
+        .mkString(",\n      ")},
+      w30 AS (
+        SELECT query_id, node AS neighbor_id FROM (
+          SELECT query_id, node, d,
+            row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+          FROM bm$s30Hops) t WHERE rn2 <= 3),
+      cb AS (SELECT id AS code, embedding FROM emb WHERE id < 16),
+      ${(0 until 2).map(m => s"""qcd$m AS (
+        SELECT e.id, c.code,
+          round(${s36SubDist("e.embedding", "c.embedding", m * 4)}, 6) AS d
+        FROM emb e CROSS JOIN cb c),
+      codes$m AS MATERIALIZED (
+        SELECT id, code AS c$m FROM (
+          SELECT id, code,
+            row_number() OVER (PARTITION BY id ORDER BY d, code) AS rn
+          FROM qcd$m) t WHERE rn = 1)""").mkString(",\n      ")},
+      ${(0 until 2).map(m => s"""lut$m AS MATERIALIZED (
+        SELECT q.query_id, c.code AS c$m,
+          ${s36SubDist("q.q_emb", "c.embedding", m * 4)} AS d$m
+        FROM queries q CROSS JOIN cb c)""").mkString(",\n      ")},
+      abm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i => s36OracleHop(i, s"abm${i - 1}"))
+        .mkString(",\n      ")},
+      fex AS (
+        SELECT b.query_id, b.node,
+          list_sum(list_transform(range(1, len(x.embedding) + 1),
+            i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+               * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
+            AS d
+        FROM abm$s30Hops b JOIN emb x ON x.id = b.node
+        JOIN queries q ON q.query_id = b.query_id),
+      w36 AS (
+        SELECT query_id, node AS neighbor_id FROM (
+          SELECT query_id, node, d,
+            row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+          FROM fex) t WHERE rn2 <= 3),
+      sc AS (
+        SELECT 'flat_nsw' AS method,
+          (SELECT count(*) FROM w30 JOIN ext USING (query_id, neighbor_id)) AS hits
+        UNION ALL
+        SELECT 'pq_adc' AS method,
+          (SELECT count(*) FROM w36 JOIN ext USING (query_id, neighbor_id)) AS hits)
+      SELECT method, CAST(hits AS BIGINT) AS hits,
+        CAST(60 AS BIGINT) AS n_truth,
+        round(CAST(hits AS DOUBLE) / 60, 6) AS recall_at_3
+      FROM sc"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37)
 }

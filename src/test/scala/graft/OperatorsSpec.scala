@@ -4250,6 +4250,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s37 graph recall eval: exact walk dominates quantized, floors hold") {
+    val rows = run("s37_graph_recall_eval").collect()
+    assert(rows.map(_.getAs[String]("method")).sorted === Array("flat_nsw", "pq_adc"))
+    val byM = rows.map(r => r.getAs[String]("method") ->
+      (r.getAs[Long]("hits"), r.getAs[Double]("recall_at_3"))).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_truth") === 60L)
+      assert(r.getAs[Long]("hits") <= 60L)
+      assert(math.abs(r.getAs[Double]("recall_at_3") -
+        r.getAs[Long]("hits").toDouble / 60) < 1e-5)
+    }
+    // the exact-distance walk can only beat the 2x16-codeword ADC walk
+    // (measured: flat 0.80/0.80/0.53 vs pq 0.47/0.47/0.05 at the three
+    // SFs — the eval exists to make that quantization cost visible)
+    assert(byM("flat_nsw")._1 >= byM("pq_adc")._1)
+    assert(byM("flat_nsw")._2 >= 0.4,
+      s"flat walk recall ${byM("flat_nsw")._2} below floor")
+  }
+
   test("t38 char entropy: planted ab-floods at exactly 1 bit, organics clean") {
     val rows = run("t38_char_entropy").collect()
     val (planted, organic) = rows.partition(_.getAs[Long]("doc_id") >= 1000000L)
