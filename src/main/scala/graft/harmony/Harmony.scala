@@ -788,7 +788,12 @@ object Harmony {
     val sc = cells.sparkContext
     val K = st.K; val B = st.B; val d = st.d
     val nBlocks = math.max(1, math.ceil(1.0 / blockSize).toInt)
-    val m = math.max(1, sc.defaultParallelism)
+    // atoms per block: parallelism-wide by default, but capped so the
+    // driver's per-atom partials cache (atomMass/atomO, K + K·B doubles
+    // per atom) stays O(atomCap · K · B) no matter how wide the cluster
+    // is (VERDICT r13 #3) — never below one atom per block
+    val m = math.max(1,
+      math.min(math.max(1, sc.defaultParallelism), opts.atomCap / nBlocks))
     val P = nBlocks * m
 
     // resaltEvery > 0: redraw the cell->atom hash every k rounds (fresh

@@ -71,6 +71,17 @@ package graft.harmony
   *                        extra shuffle per k rounds), tightening toward the
   *                        reference's fresh-permutation randomization. 0
   *                        (default) = atoms fixed per fit.
+  * @param atomCap         upper bound on the Sequential-mode atom count
+  *                        (P = nBlocks × atomsPerBlock partitions). The
+  *                        driver caches one (K + K·B)-double partial PER
+  *                        ATOM, so uncapped P = nBlocks × defaultParallelism
+  *                        makes driver memory grow with cluster width
+  *                        (≈13 GB at 8,000 cores, K=100, B=50). The cap
+  *                        keeps the cache O(atomCap · K · B) regardless of
+  *                        parallelism; atoms are exchangeable uniform
+  *                        samples, so block statistics are unchanged —
+  *                        each atom just holds more cells. Never caps below
+  *                        one atom per block.
   */
 final case class HarmonyOptions(
     nclust: Option[Int] = None,
@@ -97,9 +108,11 @@ final case class HarmonyOptions(
     kmeansSampleCap: Long = 250000L,
     checkAbort: Option[() => Boolean] = None,
     checkpointDir: Option[String] = None,
-    resaltEvery: Int = 0) {
+    resaltEvery: Int = 0,
+    atomCap: Int = 4096) {
   require(blockSize > 0 && blockSize <= 1, "blockSize must be in (0, 1]")
   require(resaltEvery >= 0, "resaltEvery must be >= 0")
+  require(atomCap >= 1, "atomCap must be >= 1")
   require(sigma > 0, "sigma must be positive")
   require(lambda.forall(_.forall(_ > 0)), "lambda values must be positive")
   require(alpha > 0, "alpha must be positive")

@@ -431,7 +431,9 @@ object HarmonyQueries {
       val props = cells.groupBy(col("batch"))
         .agg(count(lit(1)).as("nb_tot"))
       val nB = props.count().toInt
-      val crit = chi2Crit95(nB - 2 max 0)
+      require(nB >= 2 && nB <= chi2Crit95.length + 1,
+        s"kBET critical-value table covers 2..${chi2Crit95.length + 1} batches; got $nB")
+      val crit = chi2Crit95(math.max(nB - 2, 0))
       def rejectionRate(df: DataFrame): Double = {
         val probes = df
           .select(col("cell_id").as("pid"), col("features").as("pf"),

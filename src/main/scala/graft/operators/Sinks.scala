@@ -952,7 +952,12 @@ object Sinks {
         // the w11 shape; ADVICE r12: no corpus-sized collect in an operator
         // body). Each file key hashes to exactly one partition, so every
         // .warc.gz is authored by one task — the per-task one-file-per-key
-        // shape every distributed file sink has.
+        // shape every distributed file sink has. NOTE (ADVICE r13): the
+        // tasks write into a driver-created LOCAL temp dir, which is only
+        // visible to them because local mode shares the driver's
+        // filesystem; on a real cluster this fixture writer would target a
+        // shared FS path (Hadoop FileSystem API / an object-store URI) —
+        // the per-task streaming-gzip-member shape is what carries over.
         Tables.documents(s, dir)
           .select(col("doc_id"),
             when(col("doc_id") % 13 === 0, concat(col("text"), lit(decoy)))

@@ -33,10 +33,12 @@ object NndRehearsal {
     // size shuffle partitions for the candidate volume (N*(k+cap)^2 rows
     // flow through the per-round joins): at 16 partitions a 100k run puts
     // ~2.5M 300-byte rows in every task's sort — the OOM class the prompt's
-    // own sizing rule exists for. 8 partitions per 100k keeps per-task
-    // state ~100 MB at any N; a real cluster sets this near total-cores.
+    // own sizing rule exists for. 128 partitions per 100k vectors keeps
+    // per-task state well under executor heap at any N (rounded, so the
+    // count scales smoothly instead of stepping at 12.5k granularity);
+    // a real cluster sets this near total-cores.
     spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(64, (nK / 100.0 * 8).toInt * 16).toString)
+      math.max(64, math.round(nK / 100.0 * 128).toInt).toString)
     import graft.functions.VectorExpressions.l2DistSq
     import graft.operators.Similarity
 

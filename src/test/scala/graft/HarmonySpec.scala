@@ -422,6 +422,22 @@ class HarmonySpec extends SparkSpec {
     assert(res.state.atomSaltGroup >= 1L, "atom salt group never advanced")
   }
 
+  test("atomCap bounds Sequential atoms; invariants hold at a tiny cap") {
+    // blockSize 0.2 -> 5 blocks; atomCap 8 -> 8/5 = 1 atom per block, so
+    // P = 5 regardless of defaultParallelism — the driver partials cache
+    // is 5 atoms where the uncapped run holds 5 × parallelism
+    val res = Harmony.fit(fixture, Seq("batch"),
+      opts(1.0).copy(atomCap = 8, maxIterHarmony = 3))
+    assert(res.corrected.count() === 300)
+    val cells = res.cells.collect()
+    cells.foreach(c => assert(math.abs(c.r.map(_.toDouble).sum - 1.0) < 1e-4))
+    assert(cells.forall(c => !c.zCorr.exists(v => v.isNaN || v.isInfinite)))
+    assert(res.state.objectiveHarmony.last < res.state.objectiveHarmony.head)
+    // the capped co-partition really is 5 partitions (one atom per block)
+    assert(res.cells.rdd.getNumPartitions === 5,
+      s"expected 5 capped atoms, got ${res.cells.rdd.getNumPartitions}")
+  }
+
   test("blockOf partitions ids uniformly-ish and deterministically") {
     val counts = new Array[Int](5)
     (0L until 1000L).foreach(id => counts(Harmony.blockOf(id, salt = 3, nBlocks = 5)) += 1)
