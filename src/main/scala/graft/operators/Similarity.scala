@@ -3600,7 +3600,263 @@ object Similarity {
         round(CAST(hits AS DOUBLE) / 60, 6) AS recall_at_3
       FROM sc"""))
 
+  // ---------------------------------------------------------------- s38
+  /** GRAPH-INDEX DELETE + NEIGHBORHOOD REPAIR (VERDICT r13 #1 — the
+    * lifecycle op that closes the graph lane the way s16 closes the IVF
+    * lane: build s29 / persist s31 / serve s30/s32/s34/s36 / append s33 /
+    * now TAKEDOWN). A real deployment removes vectors (takedowns,
+    * dedup-driven removals, TTL expiry) from a standing graph index
+    * without rebuilding it. Delete = drop the doomed nodes' OWN adjacency
+    * rows AND every REVERSE edge pointing at them, from both persisted
+    * tables (`knn/` the polished kNN state, `links/` the small-world init
+    * edges), via the s15/s16 staging + per-bucket swap — the live read
+    * path is never overwritten before the staged copy is durable, and a
+    * bucket whose rows are all doomed ends as an absent directory (zero
+    * candidates under partition pruning). Locating the doomed rows is ONE
+    * pushed-filter scan; the rewrite touches O(buckets holding doomed
+    * rows) = O(|batch| + in-degree of the batch), never O(index).
+    *
+    * REPAIR: nodes that lost a neighbor (the doomed nodes' in-neighbors)
+    * are left below k — one fresh-flagged NN-descent round over the
+    * surviving corpus (the s33 polish machinery; fresh = the ORPHANED
+    * nodes' surviving rows) refills them from their neighbors'
+    * neighbors, and only the buckets whose adjacency actually changed
+    * are rewritten (same staged swap). Candidate generation touches the
+    * orphan neighborhoods and their reverse fringe, not the corpus.
+    *
+    * The gate is the full s16 contract, VALUE-MIRRORED: the doomed set
+    * itself is derived from serving (the 3 best non-entry answers of
+    * query 1 — the hardest honest case, deleting exactly what serving
+    * returns), and the post-delete beam walk over the repaired files is
+    * oracle-mirrored hop for hop, so "served answers are the prior
+    * answers minus the doomed nodes, re-ranked" is pinned by hash, not
+    * asserted. Witness values (repaired edge count, the minimum orphan
+    * degree after refill) are mirrored as columns; file-level facts
+    * (untouched buckets byte-identical, rewritten buckets single-file,
+    * delete idempotence, touched-set bounded) ride recomputed booleans,
+    * the s15/s16 pattern. */
+  private val s38Buckets = 256
+
+  /** Writes a (u, v) edge table partitioned into u-buckets (bucket =
+    * u mod [[s38Buckets]]): each maintenance op rewrites whole buckets,
+    * and serving's per-hop adjacency joins prune to the buckets they
+    * touch. One file per bucket by construction (a bucket hashes to
+    * exactly one task of the repartition). */
+  private def edgeWriteBucketed(src: DataFrame, dest: String): Unit =
+    src.withColumn("bucket", pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dest)
+
+  /** Data-file names per bucket directory (absent dir == empty bucket). */
+  private def edgeBucketFiles(path: String): Map[Int, Seq[String]] =
+    (0 until s38Buckets).map { b =>
+      val d = new java.io.File(s"$path/bucket=$b")
+      b -> (if (!d.isDirectory) Seq.empty[String]
+            else d.listFiles.map(_.getName)
+              .filter(_.endsWith(".parquet")).toSeq.sorted)
+    }.toMap
+
+  /** Per-bucket swap of staged dirs into the live table: live aside,
+    * staged in, staging dropped — a failure before the first move leaves
+    * the live table intact; one between moves leaves the bucket
+    * recoverable from staging (the s15 commit argument). An absent staged
+    * dir means the bucket's new content is empty. */
+  private def edgeSwapBuckets(path: String, staging: String,
+      buckets: Seq[Int]): Unit = {
+    buckets.foreach { b =>
+      val live = java.nio.file.Paths.get(s"$path/bucket=$b")
+      val staged = java.nio.file.Paths.get(s"$staging/bucket=$b")
+      val retired = java.nio.file.Paths.get(s"$staging/retired_bucket=$b")
+      if (java.nio.file.Files.isDirectory(live))
+        java.nio.file.Files.move(live, retired)
+      if (java.nio.file.Files.isDirectory(staged))
+        java.nio.file.Files.move(staged, live)
+    }
+    graft.functions.CrossEngine.deleteRecursive(
+      java.nio.file.Paths.get(staging))
+  }
+
+  /** DELETE a node set from a persisted bucketed edge table: one
+    * pushed-filter scan locates the buckets holding doomed rows (u-side
+    * or v-side), only those are rewritten (doomed rows filtered out)
+    * through staging + swap. Returns the touched bucket ids; a second
+    * call with the same ids finds no rows and touches nothing — deletes
+    * are idempotent by construction. */
+  private[graft] def graphDeleteNodes(s: SparkSession, path: String,
+      doomed: Seq[Long]): Seq[Int] = {
+    val touched = s.read.parquet(path)
+      .filter(col("u").isin(doomed: _*) || col("v").isin(doomed: _*))
+      .select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.nonEmpty) {
+      val staging = s"${path}_delete_staging"
+      s.read.parquet(path)
+        .filter(col("bucket").isin(touched: _*))
+        .filter(!col("u").isin(doomed: _*) && !col("v").isin(doomed: _*))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      edgeSwapBuckets(path, staging, touched)
+    }
+    touched
+  }
+
+  /** Rewrite the given buckets of a bucketed edge table so their content
+    * becomes `edges`' rows for those buckets — staging + swap, untouched
+    * buckets never opened. */
+  private def edgeRewriteBuckets(s: SparkSession, path: String,
+      edges: DataFrame, buckets: Seq[Int]): Unit =
+    if (buckets.nonEmpty) {
+      val staging = s"${path}_repair_staging"
+      edges
+        .withColumn("bucket",
+          pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+        .filter(col("bucket").isin(buckets: _*))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      edgeSwapBuckets(path, staging, buckets)
+    }
+
+  private val s38 = Q(
+    "s38_graph_index_delete",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s38_").toString
+      try {
+        // the entry's own persisted artifact copy (the s16 shape): knn/ =
+        // the polished kNN state, links/ = the small-world init edges;
+        // serving reads their union
+        val e = nndPlantedVecs(s, dir)
+        val n = e.count()
+        edgeWriteBucketed(GraphIndexCache.knn(s, dir).select(col("u"), col("v")),
+          s"$out/knn")
+        edgeWriteBucketed(nndHashInit(e, 6, n), s"$out/links")
+        def readEdges(t: String): DataFrame =
+          s.read.parquet(s"$out/$t").select(col("u"), col("v"))
+        // doomed = the 3 best non-entry answers of query 1, read off the
+        // pre-delete serve (bounded collect: one beam of one query)
+        val preBeam = nswBeamSearch(s, dir,
+          readEdges("knn").unionByName(readEdges("links")).distinct()
+            .localCheckpoint(true), kOut = s30Beam)
+        val doomed = preBeam
+          .filter(col("query_id") === 1 && col("neighbor_id") =!= 0)
+          .orderBy(col("rnk")).limit(3)
+          .select(col("neighbor_id")).collect().map(_.getLong(0)).toSeq
+        // orphans: survivors that pointed at a doomed node (recorded
+        // BEFORE the delete drops the evidence)
+        val orphans = readEdges("knn")
+          .filter(col("v").isin(doomed: _*) && !col("u").isin(doomed: _*))
+          .select(col("u")).distinct().localCheckpoint(true)
+        val beforeK = edgeBucketFiles(s"$out/knn")
+        val beforeL = edgeBucketFiles(s"$out/links")
+        val touchedK = graphDeleteNodes(s, s"$out/knn", doomed)
+        val touchedL = graphDeleteNodes(s, s"$out/links", doomed)
+        val againK = graphDeleteNodes(s, s"$out/knn", doomed)
+        val againL = graphDeleteNodes(s, s"$out/links", doomed)
+        // repair: one fresh-flagged descent round over the survivors,
+        // fresh = the orphans' surviving rows — refills their lists from
+        // neighbors-of-neighbors without re-descending the corpus
+        val delEdges = readEdges("knn").localCheckpoint(true)
+        val fresh = delEdges.join(orphans, Seq("u"), "left_semi")
+        val repaired = nnDescentIncremental(
+            e.filter(!col("vec_id").isin(doomed: _*)),
+            k = 6, rounds = 1, init = delEdges, revCap = 24, fresh0 = fresh)
+          .localCheckpoint(true)
+        val newEdges = repaired.select(col("u"), col("v"))
+        // rewrite ONLY the buckets whose adjacency changed
+        val changed = newEdges.except(delEdges)
+          .unionByName(delEdges.except(newEdges))
+          .select(pmod(col("u"), lit(s38Buckets.toLong)).cast("int")
+            .as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        edgeRewriteBuckets(s, s"$out/knn", newEdges, changed)
+        val afterK = edgeBucketFiles(s"$out/knn")
+        val afterL = edgeBucketFiles(s"$out/links")
+        // serve from the repaired FILES — the walk is oracle-mirrored, so
+        // lossy swaps or repair drift red on values
+        val post = nswBeamSearch(s, dir,
+          readEdges("knn").unionByName(readEdges("links")).distinct()
+            .localCheckpoint(true))
+        // mirrored witness values + recomputed file/lifecycle facts
+        val repairedEdgeCount = repaired.count()
+        val minOrphanDegree: Long = {
+          val r = repaired.join(orphans, Seq("u"), "left_semi")
+            .groupBy(col("u")).agg(count(lit(1)).as("c"))
+            .agg(min(col("c"))).head()
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        }
+        val touchedAllK = (touchedK ++ changed).distinct.sorted
+        val untouchedIntact =
+          (0 until s38Buckets).filterNot(touchedAllK.contains)
+            .forall(b => afterK(b) == beforeK(b)) &&
+          (0 until s38Buckets).filterNot(touchedL.contains)
+            .forall(b => afterL(b) == beforeL(b))
+        val rewrittenSingle =
+          touchedAllK.forall(b => afterK(b).size <= 1) &&
+          touchedL.forall(b => afterL(b).size <= 1)
+        graft.functions.CrossEngine.materializeLocal(s, post
+          .withColumn("repaired_edge_count", lit(repairedEdgeCount))
+          .withColumn("min_orphan_degree", lit(minOrphanDegree))
+          .withColumn("delete_touched_bounded",
+            lit(touchedK.nonEmpty && touchedK.size < s38Buckets))
+          .withColumn("untouched_buckets_intact", lit(untouchedIntact))
+          .withColumn("rewritten_buckets_single_file", lit(rewrittenSingle))
+          .withColumn("delete_idempotent",
+            lit(againK.isEmpty && againL.isEmpty)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      graph AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i => s30OracleHop(i, if (i == 1) "bm0" else s"bm${i - 1}"))
+        .mkString(",\n      ")},
+      doomed AS MATERIALIZED (
+        SELECT node FROM (
+          SELECT node, row_number() OVER (ORDER BY rn) AS rd
+          FROM bm$s30Hops WHERE query_id = 1 AND node <> 0) t
+        WHERE rd <= 3),
+      delg AS MATERIALIZED (
+        SELECT u, v FROM nb3
+        WHERE u NOT IN (SELECT node FROM doomed)
+          AND v NOT IN (SELECT node FROM doomed)),
+      orph AS MATERIALIZED (
+        SELECT DISTINCT u FROM nb3
+        WHERE v IN (SELECT node FROM doomed)
+          AND u NOT IN (SELECT node FROM doomed)),
+      frdl AS (SELECT d.u, d.v FROM delg d JOIN orph o ON o.u = d.u),
+      ${nndOracleIncRound("dl", "delg", "frdl", 6, 24, "emb")},
+      links2 AS (
+        SELECT u, v FROM nb0
+        WHERE u NOT IN (SELECT node FROM doomed)
+          AND v NOT IN (SELECT node FROM doomed)),
+      graph2 AS MATERIALIZED (
+        SELECT u, v FROM anbdl UNION SELECT u, v FROM links2),
+      xbm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i =>
+        hnswOracleHop("x", i, if (i == 1) "xbm0" else s"xbm${i - 1}",
+          "graph2", s30Beam)).mkString(",\n      ")},
+      wit AS MATERIALIZED (
+        SELECT CAST((SELECT count(*) FROM anbdl) AS BIGINT)
+            AS repaired_edge_count,
+          CAST(coalesce((SELECT min(c) FROM (
+            SELECT a.u, count(*) AS c FROM anbdl a JOIN orph o ON o.u = a.u
+            GROUP BY a.u) t2), -1) AS BIGINT) AS min_orphan_degree)
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq,
+        w.repaired_edge_count, w.min_orphan_degree,
+        true AS delete_touched_bounded, true AS untouched_buckets_intact,
+        true AS rewritten_buckets_single_file, true AS delete_idempotent
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM xbm$s30Hops) t CROSS JOIN wit w
+      WHERE rn2 <= 3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
 }

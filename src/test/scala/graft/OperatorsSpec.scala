@@ -4123,6 +4123,26 @@ class OperatorsSpec extends SparkSpec {
       "a serving entry re-ran the NN-descent build instead of loading the artifact")
   }
 
+  test("s38 graph delete: lifecycle facts hold and every survivor stays at k") {
+    val rows = run("s38_graph_index_delete").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served post-delete
+    // recomputed file/lifecycle facts all true (staged swaps, idempotence)
+    Seq("delete_touched_bounded", "untouched_buckets_intact",
+      "rewritten_buckets_single_file", "delete_idempotent").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    // repair refilled every orphan to full k
+    assert(rows.head.getAs[Long]("min_orphan_degree") === 6L)
+    // and the repaired state covers every survivor at exactly k = 6
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.head.getAs[Long]("repaired_edge_count") === 6L * (n - 3))
+    // the served answers never include a node at distance exactly matching
+    // a doomed twin is pinned by the oracle; here pin per-query structure
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
   test("s34 hnsw: recall >= s30 at strictly fewer scored candidates") {
     def hits(rs: Array[org.apache.spark.sql.Row]): Int =
       rs.filter(_.getAs[Long]("rnk") == 1L).count { r =>
