@@ -2673,12 +2673,16 @@ object Similarity {
     * appended (already checkpointed) — the spec uses it to compare
     * distance-computation work between s30's flat walk and s34's layered
     * descent. */
+  /** `embIn`: the corpus the walk scores against — defaults to the planted
+    * corpus; post-append serving (s39) passes corpus+twins so appended
+    * nodes are fetchable candidates. */
   private[graft] def nswBeamSearch(s: SparkSession, dir: String,
       graph: DataFrame, matchPred: Option[Column] = None,
       queriesIn: DataFrame = null, kOut: Int = 3,
-      scoredOut: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
+      scoredOut: scala.collection.mutable.Buffer[DataFrame] = null,
+      embIn: DataFrame = null): DataFrame = {
     import graft.functions.VectorExpressions.l2DistSq
-    val emb = nndPlantedVecs(s, dir)
+    val emb = (if (embIn == null) nndPlantedVecs(s, dir) else embIn)
       .select(col("vec_id").as("id"), col("embedding"))
     val queries =
       (if (queriesIn == null) s30Queries(s) else queriesIn).localCheckpoint(true)
@@ -2917,10 +2921,11 @@ object Similarity {
         col("v").as("neighbor_id"), round(col("score"), 6).as("dist_sq"))
   }
 
-  /** s33's oracle text; `extraCols` appends literal witness columns for
-    * st35 (e.g. ", true AS multi_batch"). */
-  private[graft] def s33OracleText(extraCols: String = ""): String =
-    s"""WITH $nndPlantedCte,
+  /** The full s33 append derivation as a CTE chain ending in `anb2` (the
+    * post-append polished base kNN over corpus+twins) — shared by s33's
+    * own oracle, st35's, and s39's layered-insert oracle. */
+  private[graft] def s33OracleChain: String =
+    s"""$nndPlantedCte,
       emb2 AS MATERIALIZED (
         SELECT id, embedding FROM emb
         UNION ALL
@@ -2943,7 +2948,12 @@ object Similarity {
       cg AS MATERIALIZED (
         SELECT u, v FROM nb3 UNION SELECT u, v FROM attach),
       ${nndOracleIncRound("1", "cg", "attach", 6, 24, "emb2")},
-      ${nndOracleIncRound("2", "anb1", "afr1", 6, 24, "emb2")}
+      ${nndOracleIncRound("2", "anb1", "afr1", 6, 24, "emb2")}"""
+
+  /** s33's oracle text; `extraCols` appends literal witness columns for
+    * st35 (e.g. ", true AS multi_batch"). */
+  private[graft] def s33OracleText(extraCols: String = ""): String =
+    s"""WITH $s33OracleChain
       SELECT u AS node, CAST(rn AS BIGINT) AS rnk, v AS neighbor_id,
         round(d, 6) AS dist_sq$extraCols
       FROM anb2"""
@@ -3000,6 +3010,7 @@ object Similarity {
   private val s34M1 = 6
   private val s34M2 = 4
   private val s34L0Hops = 3
+  private val s39L0Hops = 5
 
   private def hnswLevels(emb: DataFrame): DataFrame =
     emb.select(col("id"), expr(
@@ -3120,9 +3131,10 @@ object Similarity {
           FROM ls$tag) t
         WHERE rn <= $m)"""
 
-  /** One beam hop over graph `$g` as oracle CTEs prefixed `$p`. */
-  private def hnswOracleHop(p: String, i: Int, prev: String, g: String,
-      beam: Int): String =
+  /** One beam hop over graph `$g` as oracle CTEs prefixed `$p`, scored
+    * against vector table `$embT` for query panel `$queriesT`. */
+  private def beamOracleHop(p: String, i: Int, prev: String, g: String,
+      beam: Int, embT: String, queriesT: String): String =
     s"""${p}cd$i AS (
         SELECT b.query_id, g.v AS node FROM $prev b JOIN $g g ON g.u = b.node
         UNION
@@ -3133,13 +3145,18 @@ object Similarity {
             i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
                * (CAST(x.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))))
             AS d
-        FROM ${p}cd$i c JOIN emb x ON x.id = c.node
-        JOIN queries q ON q.query_id = c.query_id),
+        FROM ${p}cd$i c JOIN $embT x ON x.id = c.node
+        JOIN $queriesT q ON q.query_id = c.query_id),
       ${p}bm$i AS MATERIALIZED (
         SELECT query_id, node, d,
           row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn
         FROM ${p}hs$i
         QUALIFY rn <= $beam)"""
+
+  /** One beam hop over graph `$g` as oracle CTEs prefixed `$p`. */
+  private def hnswOracleHop(p: String, i: Int, prev: String, g: String,
+      beam: Int): String =
+    beamOracleHop(p, i, prev, g, beam, "emb", "queries")
 
   private val s34 = Q(
     "s34_hnsw_search",
@@ -3856,7 +3873,258 @@ object Similarity {
         FROM xbm$s30Hops) t CROSS JOIN wit w
       WHERE rn2 <= 3"""))
 
+  // ---------------------------------------------------------------- s39
+  /** Full L2 dist² between two embedding columns as DuckDB text. */
+  private def oracleDistSq(x: String, y: String): String =
+    s"""list_sum(list_transform(range(1, len($x.embedding) + 1),
+        i -> (CAST($x.embedding[i] AS DOUBLE) - CAST($y.embedding[i] AS DOUBLE))
+           * (CAST($x.embedding[i] AS DOUBLE) - CAST($y.embedding[i] AS DOUBLE))))"""
+
+  /** LAYER-AWARE HNSW INSERT (Malkov & Yashunin '16 §4, the production
+    * insert rule; VERDICT r13 #2): s33's append links new vectors into the
+    * BASE layer only, so a layered search (s34) can reach them only
+    * through their originals' base neighborhoods. Production HNSW draws a
+    * level for every inserted node and links it into EVERY layer ≤ its
+    * level, so the sparse routing layers stay representative as the index
+    * grows. This entry appends the s33 twin batch, then promotes each
+    * twin via the s34 level draw (same md5 uniform — twin ids get fresh
+    * draws) and inserts the promoted ones into layers 1 and 2:
+    *
+    *   - forward links: the twin's layer-l peers are the level-≥l nodes
+    *     within 2 base-graph hops of the twin post-polish (its new
+    *     neighborhood — the searched region, matching insert-by-search),
+    *     ranked by exact distance, top-M_l;
+    *   - reverse adoption WITH EVICTION: each linked peer re-ranks its
+    *     standing layer-l list with the twin included and keeps top-M_l —
+    *     the paper's neighbor-shrink rule, so layer degree stays bounded.
+    *
+    * Two serving-side lessons are baked in (both measured): the upper
+    * layers keep the init LONG LINKS between promoted pairs as a separate
+    * routing-edge class (distance-ranked contraction alone leaves the
+    * layers as cluster islands — the s30 graph = knn UNION init precedent
+    * applied per layer), and the layer-0 leg gets the SAME 5-hop budget
+    * as the flat baseline, so the comparison isolates what the insert
+    * buys: the warm handoff plus the twins' own promoted links
+    * (sf0.1: 17/20 layered vs 12/20 flat at equal layer-0 hops).
+    *
+    * The gate runs the s34 walk shape over the updated layers (entry
+    * recomputed over the extended level table) with the 20 originals as
+    * the query panel: each original's exact twin sits at distance 0, so
+    * "appended twins are reachable through a top-layer descent" is
+    * measured as twin-hit recall against the flat walk over the same
+    * post-append base graph. Every stage — the append chain, the level
+    * draws, layer contractions, insert deltas, both walks, both hit
+    * counts and the recall comparison — is oracle-mirrored, CTE for
+    * CTE. */
+  private val s39 = Q(
+    "s39_hnsw_layered_insert",
+    (s, dir) => withConstraintPropagationOff(s) {
+      import graft.functions.VectorExpressions.l2DistSq
+      // 1. the s33 append: search-then-link attach + two polish rounds
+      val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
+      val twins = s33Twins(s, dir)
+      val attach = nswBeamSearch(s, dir, searchGraph,
+          queriesIn = twins.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb")),
+          kOut = 6)
+        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+        .localCheckpoint(true)
+      val base2knn = s33Polish(s, dir, attach)
+        .select(col("node").as("u"), col("neighbor_id").as("v"))
+        .localCheckpoint(true)
+      val e = nndPlantedVecs(s, dir)
+      val init = nndHashInit(e, 6, e.count())
+      val base2 = base2knn.unionByName(init).distinct().localCheckpoint(true)
+      val emb2 = e.unionByName(twins)
+        .select(col("vec_id").as("id"), col("embedding")).localCheckpoint(true)
+      // 2. levels over corpus+twins (same draw; twin ids draw fresh) and
+      // the STANDING upper layers (pre-append, s34's contractions)
+      val lv = hnswLevels(emb2).localCheckpoint(true)
+      val embOrig = e.select(col("vec_id").as("id"), col("embedding"))
+      val le1 = hnswLayerEdges(searchGraph, lv, 1, embOrig, s34M1)
+      val le2 = hnswLayerEdges(le1, lv, 2, embOrig, s34M2)
+      // 3. per-layer insert: forward top-M links from the twin's 2-hop
+      // post-polish neighborhood, reverse adoption with eviction
+      def insertLayer(le: DataFrame, minLvl: Int, m: Int): DataFrame = {
+        val tw = lv.filter(col("id") >= 30000000L && col("lvl") >= minLvl)
+          .select(col("id").as("t"))
+        val oneHop = base2knn.join(tw, base2knn("u") === tw("t"))
+          .select(col("t"), col("v").as("p"))
+        val twoHop = base2knn.alias("a")
+          .join(tw, col("a.u") === tw("t"))
+          .join(base2knn.alias("b"), col("a.v") === col("b.u"))
+          .select(col("t"), col("b.v").as("p"))
+        val cand = oneHop.unionByName(twoHop).distinct()
+          .join(lv.withColumnRenamed("id", "p"), Seq("p"))
+          .filter(col("lvl") >= minLvl && col("p") =!= col("t"))
+          .select(col("t"), col("p"))
+        val scored = cand
+          .join(emb2.select(col("id").as("t"), col("embedding").as("et")), Seq("t"))
+          .join(emb2.select(col("id").as("p"), col("embedding").as("ep")), Seq("p"))
+          .withColumn("d", l2DistSq(col("et"), col("ep")))
+        val tlink = topKByScore(scored, "t", "p", col("d"), m, ascending = true)
+          .select(col("t").as("u"), col("p").as("v")).localCheckpoint(true)
+        val peers = tlink.select(col("v").as("u")).distinct()
+        val peerAll = le.join(peers, Seq("u"), "left_semi")
+          .unionByName(tlink.select(col("v").as("u"), col("u").as("v")))
+          .distinct()
+          .join(emb2.select(col("id").as("u"), col("embedding").as("eu")), Seq("u"))
+          .join(emb2.select(col("id").as("v"), col("embedding").as("ev")), Seq("v"))
+          .withColumn("d", l2DistSq(col("eu"), col("ev")))
+        val radj = topKByScore(peerAll, "u", "v", col("d"), m, ascending = true)
+          .select(col("u"), col("v"))
+        le.join(peers, Seq("u"), "left_anti")
+          .unionByName(radj).unionByName(tlink).distinct()
+          .localCheckpoint(true)
+      }
+      // routing long links: init edges whose endpoints are BOTH promoted
+      // stay on the layer as a separate edge class (never distance-ranked,
+      // so eviction cannot drop them) — the s30 graph = knn UNION init
+      // precedent applied per layer; without them the distance-ranked
+      // contractions leave the upper layers as cluster islands and the
+      // descent routes to the wrong cluster (measured: 15/20 vs 17/20
+      // twin hits at sf0.001, 11/20 vs 17/20 at sf0.1)
+      def promotedLinks(minLvl: Int): DataFrame = {
+        val ok = lv.filter(col("lvl") >= minLvl)
+        init.join(ok.select(col("id").as("u")), Seq("u"))
+          .join(ok.select(col("id").as("v")), Seq("v"))
+          .select(col("u"), col("v"))
+      }
+      val le1p = insertLayer(le1, 1, s34M1)
+        .unionByName(promotedLinks(1)).distinct().localCheckpoint(true)
+      val le2p = insertLayer(le2, 2, s34M2)
+        .unionByName(promotedLinks(2)).distinct().localCheckpoint(true)
+      // 4. s34's layered walk verbatim over the updated layers, panel =
+      // the 20 originals (their exact twins sit at distance 0)
+      val queries2 = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .localCheckpoint(true)
+      val entRow = lv.agg(
+        min(when(col("lvl") >= 2, col("id"))).as("e2"),
+        min(when(col("lvl") >= 1, col("id"))).as("e1")).head()
+      val entry =
+        if (!entRow.isNullAt(0)) entRow.getLong(0)
+        else if (!entRow.isNullAt(1)) entRow.getLong(1)
+        else 0L
+      val start2 = queries2.select(col("query_id"), lit(entry).as("node"))
+      val w2 = hnswBeamHops(le2p, emb2, queries2, start2, 2, 2, null)
+      val w1 = hnswBeamHops(le1p, emb2, queries2, hnswPick1(w2), 2, 2, null)
+      val w0 = hnswBeamHops(base2, emb2, queries2, hnswPick1(w1),
+        s39L0Hops, s30Beam, null)
+      val layered = topKByScore(w0, "query_id", "node", col("d"), 3,
+        ascending = true)
+      // flat baseline: the s30 5-hop walk from node 0 over the SAME
+      // post-append base graph
+      val flat = nswBeamSearch(s, dir, base2, queriesIn = queries2,
+        embIn = e.unionByName(twins))
+      val hitsL = layered
+        .filter(col("node") === col("query_id") + 30000000L).count()
+      val hitsF = flat
+        .filter(col("neighbor_id") === col("query_id") + 30000000L).count()
+      val promoted = lv
+        .filter(col("id") >= 30000000L && col("lvl") >= 1).count()
+      val sp = s
+      import sp.implicits._
+      Seq(("layered", hitsL, 20L, promoted, hitsL >= hitsF),
+          ("flat", hitsF, 20L, promoted, hitsL >= hitsF))
+        .toDF("method", "twin_hits", "n_queries", "promoted_twins",
+          "layered_recall_ge_flat")
+    },
+    Some(s"""WITH $s33OracleChain,
+      base2 AS MATERIALIZED (
+        SELECT u, v FROM anb2 UNION SELECT u, v FROM nb0),
+      lvu AS (
+        SELECT id, CAST(CAST(concat('0x', substring(md5(concat('lv',
+          CAST(id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0 AS u
+        FROM emb2),
+      lv AS MATERIALIZED (
+        SELECT id, CASE WHEN u < 0.0625 THEN 2 WHEN u < 0.25 THEN 1
+          ELSE 0 END AS lvl
+        FROM lvu),
+      ${hnswOracleLayer(1, "graph", 1, s34M1)},
+      ${hnswOracleLayer(2, "le1", 2, s34M2)},
+      ${Seq((1, "le1", s34M1), (2, "le2", s34M2)).map { case (l, le, m) =>
+        s"""tw$l AS (SELECT id FROM lv WHERE id >= 30000000 AND lvl >= $l),
+      nbh$l AS (
+        SELECT a.u AS t, a.v AS p FROM anb2 a JOIN tw$l w ON w.id = a.u
+        UNION
+        SELECT a.u AS t, b.v AS p FROM anb2 a JOIN tw$l w ON w.id = a.u
+          JOIN anb2 b ON b.u = a.v),
+      cnd$l AS (
+        SELECT n.t, n.p FROM nbh$l n JOIN lv x ON x.id = n.p
+        WHERE x.lvl >= $l AND n.p <> n.t),
+      scd$l AS MATERIALIZED (
+        SELECT c.t, c.p, ${oracleDistSq("x", "y")} AS d
+        FROM cnd$l c JOIN emb2 x ON x.id = c.t JOIN emb2 y ON y.id = c.p),
+      tlk$l AS MATERIALIZED (
+        SELECT t AS u, p AS v FROM (
+          SELECT t, p, row_number() OVER (PARTITION BY t ORDER BY d, p) AS rn
+          FROM scd$l) s WHERE rn <= $m),
+      prs$l AS (SELECT DISTINCT v AS u FROM tlk$l),
+      psc$l AS MATERIALIZED (
+        SELECT c.u, c.v, ${oracleDistSq("x", "y")} AS d FROM (
+          SELECT l.u, l.v FROM $le l JOIN prs$l r ON r.u = l.u
+          UNION
+          SELECT k.v AS u, k.u AS v FROM tlk$l k) c
+        JOIN emb2 x ON x.id = c.u JOIN emb2 y ON y.id = c.v),
+      radj$l AS (
+        SELECT u, v FROM (
+          SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY d, v) AS rn
+          FROM psc$l) s WHERE rn <= $m),
+      lep$l AS MATERIALIZED (
+        SELECT u, v FROM $le WHERE u NOT IN (SELECT u FROM prs$l)
+        UNION SELECT u, v FROM radj$l
+        UNION SELECT u, v FROM tlk$l
+        UNION
+        SELECT g.u, g.v FROM nb0 g JOIN lv x ON x.id = g.u
+          JOIN lv y ON y.id = g.v WHERE x.lvl >= $l AND y.lvl >= $l)"""}.mkString(",\n      ")},
+      queries2 AS MATERIALIZED (
+        SELECT id AS query_id, embedding AS q_emb FROM emb WHERE id < 20),
+      ent AS MATERIALIZED (
+        SELECT coalesce((SELECT min(id) FROM lv WHERE lvl >= 2),
+                        (SELECT min(id) FROM lv WHERE lvl >= 1),
+                        0) AS node),
+      y2b0 AS (SELECT q.query_id, CAST(e.node AS BIGINT) AS node
+               FROM queries2 q, ent e),
+      ${beamOracleHop("y2", 1, "y2b0", "lep2", 2, "emb2", "queries2")},
+      ${beamOracleHop("y2", 2, "y2bm1", "lep2", 2, "emb2", "queries2")},
+      q1 AS (SELECT query_id, node FROM y2bm2 WHERE rn = 1),
+      ${beamOracleHop("y1", 1, "q1", "lep1", 2, "emb2", "queries2")},
+      ${beamOracleHop("y1", 2, "y1bm1", "lep1", 2, "emb2", "queries2")},
+      q0 AS (SELECT query_id, node FROM y1bm2 WHERE rn = 1),
+      ${(1 to s39L0Hops).map(i =>
+        beamOracleHop("y0", i, if (i == 1) "q0" else s"y0bm${i - 1}",
+          "base2", s30Beam, "emb2", "queries2")).mkString(",\n      ")},
+      lay AS (
+        SELECT query_id, node FROM (
+          SELECT query_id, node,
+            row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+          FROM y0bm$s39L0Hops) t WHERE rn2 <= 3),
+      fb0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries2),
+      ${(1 to s30Hops).map(i =>
+        beamOracleHop("f", i, if (i == 1) "fb0" else s"fbm${i - 1}",
+          "base2", s30Beam, "emb2", "queries2")).mkString(",\n      ")},
+      flt AS (
+        SELECT query_id, node FROM (
+          SELECT query_id, node,
+            row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+          FROM fbm$s30Hops) t WHERE rn2 <= 3),
+      hl AS (SELECT count(*) AS h FROM lay WHERE node = query_id + 30000000),
+      hf AS (SELECT count(*) AS h FROM flt WHERE node = query_id + 30000000),
+      pr AS (SELECT count(*) AS c FROM lv
+             WHERE id >= 30000000 AND lvl >= 1)
+      SELECT 'layered' AS method, CAST(hl.h AS BIGINT) AS twin_hits,
+        CAST(20 AS BIGINT) AS n_queries, CAST(pr.c AS BIGINT) AS promoted_twins,
+        hl.h >= hf.h AS layered_recall_ge_flat
+      FROM hl, hf, pr
+      UNION ALL
+      SELECT 'flat', CAST(hf.h AS BIGINT), CAST(20 AS BIGINT),
+        CAST(pr.c AS BIGINT), hl.h >= hf.h
+      FROM hl, hf, pr"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
-    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
+    s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
+    s39)
 }
