@@ -53,7 +53,35 @@ object Bench {
     // its head cut (r1 AND r2 lesson: the bottleneck is LINE LENGTH, not
     // float precision — VERDICT r2 #2)
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    try {
+    // load guard (VERDICT r13 #7): never replace a quiet error-free anchor
+    // for the SAME query surface and sf with a clearly noisier run — the
+    // working-tree artifact should always be the quietest measurement of
+    // the current code (r13's quiet 343 s anchor was overwritten by a
+    // load-7.4 run; the committed anchor survived only because it was
+    // committed). A changed query set or sf always overwrites.
+    val keepQuietAnchor: Boolean = (try {
+      val p = java.nio.file.Paths.get("bench_local.json")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        for {
+          la <- """"load_avg_start":([-0-9.]+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+          sf <- """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        } yield {
+          val keys = """"([A-Za-z0-9_]+)":[-0-9.]""".r.findAllMatchIn(txt)
+            .map(_.group(1)).toSet
+            .diff(Set("metric", "value", "load_avg_start", "load_avg_end",
+              "cpus"))
+          txt.contains(""""errors":[]""") && sf == sfDir &&
+            keys == results.keySet && loadAvgAtStart > la + 1.0
+        }
+      }
+    } catch { case _: Throwable => None }).getOrElse(false)
+    if (keepQuietAnchor)
+      System.err.println(s"[bench] load guard: start load ${f3(loadAvgAtStart)} " +
+        "is >1.0 above the recorded quiet anchor's; bench_local.json kept")
+    else try {
       val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       java.nio.file.Files.write(

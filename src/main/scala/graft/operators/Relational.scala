@@ -2060,6 +2060,82 @@ object Relational {
       FROM tagged CROSS JOIN tot
       GROUP BY channel, tot.n"""))
 
+  // ---------------------------------------------------------------- q79
+  /** ORDERED FUNNEL ANALYSIS — the third leg of the product-analytics
+    * triad (q77 retention, q78 attribution): users progress view → click
+    * → purchase, where each step must occur STRICTLY AFTER the user's
+    * first completion of the previous step; report per-step user counts
+    * and step/top conversion rates. Determinism: "first completion" is
+    * the min of the (ts, event_id) tuple — a unique total order, so
+    * same-timestamp events can't flip a user's funnel between engines.
+    *
+    * Scale shape: each step is one filter + one user-keyed equi-join to
+    * the previous step's (user, first-completion) frame + a map-side
+    * partial min(struct) — no window over the event stream, a heavy
+    * user costs streaming time, and the step frames are |users|-sized,
+    * shrinking monotonically down the funnel. */
+  private val q79 = Q(
+    "q79_funnel_analysis",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      def firstOf(typ: String, after: DataFrame): DataFrame = {
+        val base = ev.filter(col("event_type") === typ)
+        val gated =
+          if (after == null) base
+          else base.join(after, Seq("user_id"))
+            .filter(struct(col("ts"), col("event_id")) > col("k"))
+        gated.groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("k"))
+      }
+      val s1 = firstOf("view", null).localCheckpoint(true)
+      val s2 = firstOf("click", s1).localCheckpoint(true)
+      val s3 = firstOf("purchase", s2).localCheckpoint(true)
+      val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
+      def rate(a: Long, b: Long): Double =
+        if (b == 0) 0.0 else math.rint(a.toDouble / b * 1e6) / 1e6
+      Seq(
+        ("view", 1L, n1, 1.0, 1.0),
+        ("click", 2L, n2, rate(n2, n1), rate(n2, n1)),
+        ("purchase", 3L, n3, rate(n3, n2), rate(n3, n1)))
+        .toDF("step", "step_order", "n_users", "conv_from_prev",
+          "conv_from_top")
+    },
+    Some("""WITH s1 AS (
+        SELECT user_id, ts AS t, event_id AS i FROM (
+          SELECT user_id, ts, event_id,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type = 'view') x WHERE rn = 1),
+      s2 AS (
+        SELECT user_id, t, i FROM (
+          SELECT e.user_id, e.ts AS t, e.event_id AS i,
+            row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          FROM events e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.t, s1.i)) x
+        WHERE rn = 1),
+      s3 AS (
+        SELECT user_id, t, i FROM (
+          SELECT e.user_id, e.ts AS t, e.event_id AS i,
+            row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+          FROM events e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.t, s2.i)) x
+        WHERE rn = 1),
+      n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3)
+      SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_order,
+        CAST(n1 AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev,
+        CAST(1.0 AS DOUBLE) AS conv_from_top FROM n
+      UNION ALL
+      SELECT 'click', 2, n2,
+        round(CAST(n2 AS DOUBLE) / n1, 6), round(CAST(n2 AS DOUBLE) / n1, 6)
+      FROM n
+      UNION ALL
+      SELECT 'purchase', 3, n3,
+        round(CAST(n3 AS DOUBLE) / n2, 6), round(CAST(n3 AS DOUBLE) / n1, 6)
+      FROM n"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2067,5 +2143,5 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78)
+    q73, q74, q75, q76, q77, q78, q79)
 }

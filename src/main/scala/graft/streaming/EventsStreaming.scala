@@ -2901,8 +2901,162 @@ object EventsStreaming {
     },
     Some(graft.operators.Similarity.rrfOracleSql))
 
+  // ---------------------------------------------------------------- st37
+  /** STREAMING LEXICAL-INDEX MAINTENANCE (VERDICT r13 #6 — st36 serves
+    * under a FROZEN BM25 index; production corpora grow, so the index's
+    * statistics must absorb arriving documents without a rebuild): the
+    * corpus arrives as three disjoint micro-batches, and each batch
+    * MERGES its deltas into a persisted lexical index —
+    *
+    *   - tf/dl: per-doc rows of the new documents only (disjoint doc
+    *     sets, so the merge is an append of immutable files);
+    *   - df: per-token document-frequency DELTAS full-outer-merged into
+    *     the standing table through staging + swap (the w09 commit shape
+    *     — the live read path is never half-written);
+    *   - n/Σdl: two exact Long counters carried in a tiny meta table,
+    *     so the derived avgdl is bit-identical to a recompute (Long sums
+    *     are associative; no float accumulation-order drift).
+    *
+    * The d20 incremental-model contract gates it: after the drain, every
+    * maintained table must equal a from-scratch [[Similarity.bmModelOn]]
+    * over the full corpus (anti-joins both ways empty, counters equal),
+    * and the maintained index must SERVE — the s35 RRF panel runs through
+    * [[Similarity.rrfHybridOn]] against the maintained tables and gates
+    * under s35's oracle text (wrapped with the recomputed merge-equality
+    * booleans). At 100 TB the per-batch df rewrite is O(vocab); an
+    * LSM-style delta-table + periodic-merge layout is the same contract
+    * with the merge amortized — what this entry pins is merge ==
+    * recompute, which that layout needs anyway. */
+  private val st37 = Q(
+    "st37_stream_lexical_maintenance",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Similarity
+      val work = java.nio.file.Files.createTempDirectory("graft_st37_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      try {
+        val docs = graft.sources.Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        // arrivals: three disjoint corpus slices, pinned-mtime delivery
+        var seq = 0
+        def writeAs(df: DataFrame, name: String): Unit = {
+          val stage = s"$work/${name}_stage"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = Option(new java.io.File(stage).listFiles())
+            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+          val dest = srcDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          seq += 1
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
+        }
+        (0 until 3).foreach(i => writeAs(docs.filter(pmod(col("doc_id"), lit(3L)) === i), s"b$i"))
+        val tfDir = work.resolve("tf").toString
+        val dlDir = work.resolve("dl").toString
+        val dfDir = work.resolve("df").toString
+        val metaDir = work.resolve("meta").toString
+        def swapIn(live: String, staged: String): Unit = {
+          val lp = java.nio.file.Paths.get(live)
+          val spth = java.nio.file.Paths.get(staged)
+          val retired = java.nio.file.Paths.get(staged + "_retired")
+          if (java.nio.file.Files.isDirectory(lp))
+            java.nio.file.Files.move(lp, retired)
+          java.nio.file.Files.move(spth, lp)
+          graft.functions.CrossEngine.deleteRecursive(retired)
+        }
+        val sch = s.read.parquet(srcDir.toString).schema
+        val arrivals = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val query = arrivals.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.localCheckpoint(true)
+            if (b.count() > 0) {
+              val ss = b.sparkSession
+              val btf = b.select(col("doc_id"),
+                  explode(split(col("text"), " ")).as("token"))
+                .groupBy(col("doc_id"), col("token"))
+                .agg(count(lit(1)).as("tf"))
+                .localCheckpoint(true)
+              // disjoint doc sets: tf/dl merges are immutable-file appends
+              btf.write.mode("append").parquet(tfDir)
+              val bdl = btf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+                .localCheckpoint(true)
+              bdl.write.mode("append").parquet(dlDir)
+              // df: per-token deltas full-outer-merged into the standing
+              // table, written to staging then swapped in
+              val bdf = btf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+              val merged =
+                if (!new java.io.File(dfDir).isDirectory) bdf
+                else ss.read.parquet(dfDir)
+                  .withColumnRenamed("df", "df_old")
+                  .join(bdf.withColumnRenamed("df", "df_new"),
+                    Seq("token"), "full_outer")
+                  .select(col("token"),
+                    (coalesce(col("df_old"), lit(0L))
+                      + coalesce(col("df_new"), lit(0L))).as("df"))
+              merged.write.mode("overwrite").parquet(dfDir + "_staging")
+              swapIn(dfDir, dfDir + "_staging")
+              // n / Σdl: exact Long counters
+              val bN = b.count()
+              val bSum = bdl.agg(sum(col("dl"))).head().getLong(0)
+              val (n0, s0) =
+                if (!new java.io.File(metaDir).isDirectory) (0L, 0L)
+                else {
+                  val r = ss.read.parquet(metaDir).head()
+                  (r.getLong(0), r.getLong(1))
+                }
+              val sp2 = ss
+              import sp2.implicits._
+              Seq((n0 + bN, s0 + bSum)).toDF("n", "sum_dl")
+                .write.mode("overwrite").parquet(metaDir + "_staging")
+              swapIn(metaDir, metaDir + "_staging")
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        // maintained tables vs a from-scratch recompute: the d20 contract
+        val tfM = s.read.parquet(tfDir)
+        val dlM = s.read.parquet(dlDir)
+        val dfM = s.read.parquet(dfDir)
+        val meta = s.read.parquet(metaDir).head()
+        val (nM, sumDlM) = (meta.getAs[Long]("n"), meta.getAs[Long]("sum_dl"))
+        val m2 = Similarity.bmModelOn(docs)
+        def tablesEqual(a: DataFrame, b: DataFrame): Boolean =
+          a.join(b, a.columns.toSeq, "left_anti").isEmpty &&
+            b.join(a, b.columns.toSeq, "left_anti").isEmpty
+        val tfEq = tablesEqual(tfM, m2.tf)
+        val dlEq = tablesEqual(dlM, m2.dl)
+        val dfEq = tablesEqual(dfM, m2.dfT)
+        val avgdlM = sumDlM.toDouble / nM.toDouble
+        val metaEq = nM == m2.n && avgdlM == m2.avgdl
+        // serve the s35 panel from the MAINTAINED index
+        val sp = s
+        import sp.implicits._
+        val served = Similarity.rrfHybridOn(docs,
+          graft.sources.Tables.embeddings(s, dir)
+            .select(col("vec_id"), col("embedding")),
+          Similarity.BmModel(tfM, dlM, dfM, nM, avgdlM),
+          Seq(0L, 1L, 2L).toDF("query_id"))
+        graft.functions.CrossEngine.materializeLocal(s, served
+          .withColumn("tf_merge_equals_recompute", lit(tfEq))
+          .withColumn("dl_merge_equals_recompute", lit(dlEq))
+          .withColumn("df_merge_equals_recompute", lit(dfEq))
+          .withColumn("meta_merge_equals_recompute", lit(metaEq)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some(s"""SELECT t.*, true AS tf_merge_equals_recompute,
+      true AS dl_merge_equals_recompute, true AS df_merge_equals_recompute,
+      true AS meta_merge_equals_recompute
+      FROM (${graft.operators.Similarity.rrfOracleSql}) t"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36)
+    st34, st35, st36, st37)
 }

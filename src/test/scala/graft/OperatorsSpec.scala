@@ -4160,6 +4160,54 @@ class OperatorsSpec extends SparkSpec {
     assert(hl >= 15L, s"layered twin recall collapsed: $hl/20")
   }
 
+  test("s41 graph compaction: fragmented buckets healed, facts hold") {
+    val rows = run("s41_graph_index_compact").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served post-compaction
+    Seq("fragmentation_planted", "compacted_buckets_single_file",
+      "untouched_buckets_intact", "compact_idempotent").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+  }
+
+  test("q79 funnel: step counts monotone, rates bounded and consistent") {
+    val rows = run("q79_funnel_analysis").collect()
+      .sortBy(_.getAs[Long]("step_order"))
+    assert(rows.map(_.getAs[String]("step")).toSeq ===
+      Seq("view", "click", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel widened: ${ns.toSeq}")
+    rows.foreach { r =>
+      val p = r.getAs[Double]("conv_from_prev")
+      val t = r.getAs[Double]("conv_from_top")
+      assert(p >= 0.0 && p <= 1.0 && t >= 0.0 && t <= 1.0 && t <= p + 1e-9)
+    }
+    // strict-after gating: a user cannot reach purchase without a click
+    // first (counts alone prove it: n3 <= n2 <= n1, asserted above) and
+    // the top-rate of step k is the product of the step rates
+    val prodRates = rows.map(_.getAs[Double]("conv_from_prev"))
+    val topRate = rows.last.getAs[Double]("conv_from_top")
+    assert(math.abs(prodRates.product - topRate) < 1e-4,
+      s"rate composition broke: ${prodRates.toSeq} vs $topRate")
+  }
+
+  test("s40 vamana prune: recall >= full NSW at strictly lower degree") {
+    val rows = run("s40_vamana_prune").collect()
+    assert(rows.length === 2)
+    val byM = rows.map(r => r.getAs[String]("method") -> r).toMap
+    val p = byM("vamana_pruned"); val f = byM("nsw_full")
+    // the RobustPrune payoffs, all recomputed facts (measured 20 vs 17
+    // hits at degree 7.12 vs 11.86 at sf0.001; 20 vs 19 at 7.76 vs 11.98
+    // at sf0.1)
+    assert(p.getAs[Long]("top1_cluster_hits") >= f.getAs[Long]("top1_cluster_hits"))
+    assert(p.getAs[Double]("mean_degree") < f.getAs[Double]("mean_degree"))
+    assert(p.getAs[Long]("max_degree") <= 8L, "RobustPrune degree bound violated")
+    assert(rows.forall(_.getAs[Boolean]("pruned_recall_ge_full")))
+    assert(rows.forall(_.getAs[Boolean]("pruned_degree_lower")))
+    assert(rows.forall(_.getAs[Boolean]("degree_bound_holds")))
+    assert(p.getAs[Long]("top1_cluster_hits") >= 15L,
+      s"pruned-graph recall collapsed: ${p.getAs[Long]("top1_cluster_hits")}/20")
+  }
+
   test("s34 hnsw: recall >= s30 at strictly fewer scored candidates") {
     def hits(rs: Array[org.apache.spark.sql.Row]): Int =
       rs.filter(_.getAs[Long]("rnk") == 1L).count { r =>

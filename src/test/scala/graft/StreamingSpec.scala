@@ -515,4 +515,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(key).sorted.toSeq === batch,
       "streamed hybrid serving diverged from the batch fusion on the same panel")
   }
+
+  test("st37 lexical maintenance: merged index == recompute, serves == s35") {
+    val rows = SparkEntry.queries("st37_stream_lexical_maintenance")(spark, sfDir)
+      .collect()
+    // the d20 contract, recomputed per table
+    Seq("tf_merge_equals_recompute", "dl_merge_equals_recompute",
+      "df_merge_equals_recompute", "meta_merge_equals_recompute").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    // serving from the MAINTAINED tables equals the batch fusion exactly
+    def key(x: org.apache.spark.sql.Row) = (x.getAs[Long]("query_id"),
+      x.getAs[Long]("rnk"), x.getAs[Long]("doc_id"),
+      x.getAs[Double]("rrf_score"))
+    val batch = SparkEntry.queries("s35_rrf_hybrid")(spark, sfDir)
+      .collect().map(key).sorted.toSeq
+    assert(rows.length === batch.length)
+    assert(rows.map(key).sorted.toSeq === batch,
+      "serving from the maintained index diverged from the frozen-index fusion")
+  }
 }
