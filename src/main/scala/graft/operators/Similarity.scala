@@ -2958,19 +2958,46 @@ object Similarity {
         round(d, 6) AS dist_sq$extraCols
       FROM anb2"""
 
+  /** APPEND-ONCE/SERVE-MANY for the s33 twin batch (the GraphIndexCache
+    * contract applied to the append: the search-then-link attach + two
+    * polish rounds run ONCE per corpus and land as a node-keyed parquet
+    * artifact; s33 returns it and s39's layered insert builds on it
+    * instead of re-running the append). st35 deliberately does NOT read
+    * this — its point is the same insertion run in the streaming
+    * direction. Build-once is test-pinned via [[buildCount]]. */
+  private[graft] object AppendedGraphCache {
+    private val built = scala.collection.mutable.Map[String, String]()
+    private[graft] val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    def ensure(s: SparkSession, dir: String): String = synchronized {
+      built.getOrElseUpdate(dir, withConstraintPropagationOff(s) {
+        buildCount.incrementAndGet()
+        val root = java.nio.file.Files.createTempDirectory("graft_graph_append_")
+        sys.addShutdownHook(
+          graft.functions.CrossEngine.deleteRecursive(root))
+        // standing index LOADED from the persisted artifact (VERDICT r12
+        // #1): knn/ is what the append polishes, graph/ is what the
+        // attach walks
+        val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
+        val attach = nswBeamSearch(s, dir, searchGraph,
+            queriesIn = s33Twins(s, dir).select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")),
+            kOut = 6)
+          .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+          .localCheckpoint(true)
+        s33Polish(s, dir, attach)
+          .repartition(8, col("node"))
+          .write.mode("overwrite").parquet(root.resolve("polished").toString)
+        root.toString
+      })
+    }
+    def polished(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"${ensure(s, dir)}/polished")
+  }
+
   private val s33 = Q(
     "s33_graph_index_append",
     (s, dir) => withConstraintPropagationOff(s) {
-      // standing index LOADED from the persisted artifact (VERDICT r12 #1):
-      // knn/ is what the append polishes, graph/ is what the attach walks
-      val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
-      val attach = nswBeamSearch(s, dir, searchGraph,
-          queriesIn = s33Twins(s, dir).select(col("vec_id").as("query_id"),
-            col("embedding").as("q_emb")),
-          kOut = 6)
-        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
-        .localCheckpoint(true)
-      s33Polish(s, dir, attach)
+      AppendedGraphCache.polished(s, dir)
     },
     Some(s33OracleText()))
 
@@ -3938,16 +3965,10 @@ object Similarity {
     "s39_hnsw_layered_insert",
     (s, dir) => withConstraintPropagationOff(s) {
       import graft.functions.VectorExpressions.l2DistSq
-      // 1. the s33 append: search-then-link attach + two polish rounds
+      // 1. the s33 append, served from the append-once artifact
       val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
       val twins = s33Twins(s, dir)
-      val attach = nswBeamSearch(s, dir, searchGraph,
-          queriesIn = twins.select(col("vec_id").as("query_id"),
-            col("embedding").as("q_emb")),
-          kOut = 6)
-        .select(col("query_id").as("u"), col("neighbor_id").as("v"))
-        .localCheckpoint(true)
-      val base2knn = s33Polish(s, dir, attach)
+      val base2knn = AppendedGraphCache.polished(s, dir)
         .select(col("node").as("u"), col("neighbor_id").as("v"))
         .localCheckpoint(true)
       val e = nndPlantedVecs(s, dir)

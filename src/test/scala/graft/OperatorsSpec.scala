@@ -4121,6 +4121,14 @@ class OperatorsSpec extends SparkSpec {
       .foreach(n => run(n).collect())
     assert(operators.Similarity.GraphIndexCache.buildCount.get() === before,
       "a serving entry re-ran the NN-descent build instead of loading the artifact")
+    // the APPEND is also once-per-corpus: s33 + s39 share one attach+polish
+    run("s33_graph_index_append").collect()
+    val appendBefore = operators.Similarity.AppendedGraphCache.buildCount.get()
+    assert(appendBefore >= 1L)
+    run("s39_hnsw_layered_insert").collect()
+    run("s33_graph_index_append").collect()
+    assert(operators.Similarity.AppendedGraphCache.buildCount.get() === appendBefore,
+      "an append consumer re-ran the attach+polish instead of loading the artifact")
   }
 
   test("s38 graph delete: lifecycle facts hold and every survivor stays at k") {
