@@ -15,9 +15,14 @@ object Bench {
     // documents, embeddings, shingle-HOF pipeline, and the md5/conv
     // banded-LSH family respectively — d06 steady-state is ~0.6 s; its
     // cold number was ~2 s of janino compile, which amortizes to zero on
-    // any long-lived cluster)
+    // any long-lived cluster). m05/m06 warm the ImageIO/javax.sound codec
+    // stacks: the FIRST media-decode query otherwise pays ~17-24 s of
+    // plugin scanning + codec codegen, and map-order reshuffles move that
+    // spike to a different query every time the surface grows (r12 m09
+    // 14.1 s -> r13 m13 1.7 s -> r14 m13 25.9 s, same untouched code).
     Seq("q01_pricing_summary", "t01_token_counts", "s01_knn_bruteforce",
-      "d04_ngram_jaccard", "d06_minhash_oracle")
+      "d04_ngram_jaccard", "d06_minhash_oracle", "m05_image_decode",
+      "m06_audio_decode")
       .foreach { q =>
         try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => }

@@ -173,6 +173,7 @@ object Multimodal {
         .withColumn("n_bytes", length(col("payload")).cast("long"))
         .as[MediaRow]
       media.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
         rows.map { r =>
           val n = r.payload.length.toLong
           val out = new Array[Byte](target)
@@ -228,6 +229,7 @@ object Multimodal {
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
           ids.map { id =>
             val img = new java.awt.image.BufferedImage(
               w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -461,6 +463,7 @@ object Multimodal {
     val s = ds.sparkSession
     import s.implicits._
     ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { case (outId, src, pert) =>
           val (w, h) = (32, 16)
@@ -839,6 +842,7 @@ object Multimodal {
     val nFrames = 4
     rows0
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (outId, src, pert) =>
           val (w, h) = (32, 16)
@@ -1142,6 +1146,7 @@ object Multimodal {
           if (id % 29 == 0) Seq((id, id, false), (id + 60000000L, id, true))
           else Seq((id, id, false)))
         .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
           val md = java.security.MessageDigest.getInstance("MD5")
           it.map { case (outId, src, pert) =>
             val img = new java.awt.image.BufferedImage(
@@ -1364,6 +1369,11 @@ object Multimodal {
       val fr = Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
+          // in-memory streams only: without this ImageIO backs every
+          // encode/decode with a temp-FILE cache (40k roundtrips at sf0.1
+          // -> 80k file creations; measured 16 s -> ~1 s on this entry)
+          javax.imageio.ImageIO.setUseCache(false)
           val md = java.security.MessageDigest.getInstance("MD5")
           ids.flatMap { id =>
             val digA = md.digest(id.toString.getBytes("UTF-8"))
@@ -1589,6 +1599,7 @@ object Multimodal {
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
           ids.map { id =>
             // real 8x8 PNG (the m05 pixel formula, small)
             val img = new java.awt.image.BufferedImage(
@@ -1785,6 +1796,7 @@ object Multimodal {
       Tables.documents(s, dir).select(col("doc_id")).as[Long]
         .repartition(s.sparkContext.defaultParallelism) // single-file scan -> row-parallel (m18 lesson)
         .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp-file cache (the m13 lesson)
           ids.map { id =>
             val w = 24 + (id % 3).toInt * 8
             val h = 16 + (id % 2).toInt * 8

@@ -3697,20 +3697,20 @@ object Similarity {
     * (untouched buckets byte-identical, rewritten buckets single-file,
     * delete idempotence, touched-set bounded) ride recomputed booleans,
     * the s15/s16 pattern. */
-  private val s38Buckets = 256
+  private[graft] val s38Buckets = 64
 
   /** Writes a (u, v) edge table partitioned into u-buckets (bucket =
     * u mod [[s38Buckets]]): each maintenance op rewrites whole buckets,
     * and serving's per-hop adjacency joins prune to the buckets they
     * touch. One file per bucket by construction (a bucket hashes to
     * exactly one task of the repartition). */
-  private def edgeWriteBucketed(src: DataFrame, dest: String): Unit =
+  private[graft] def edgeWriteBucketed(src: DataFrame, dest: String): Unit =
     src.withColumn("bucket", pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(dest)
 
   /** Data-file names per bucket directory (absent dir == empty bucket). */
-  private def edgeBucketFiles(path: String): Map[Int, Seq[String]] =
+  private[graft] def edgeBucketFiles(path: String): Map[Int, Seq[String]] =
     (0 until s38Buckets).map { b =>
       val d = new java.io.File(s"$path/bucket=$b")
       b -> (if (!d.isDirectory) Seq.empty[String]
@@ -3723,7 +3723,7 @@ object Similarity {
     * the live table intact; one between moves leaves the bucket
     * recoverable from staging (the s15 commit argument). An absent staged
     * dir means the bucket's new content is empty. */
-  private def edgeSwapBuckets(path: String, staging: String,
+  private[graft] def edgeSwapBuckets(path: String, staging: String,
       buckets: Seq[Int]): Unit = {
     buckets.foreach { b =>
       val live = java.nio.file.Paths.get(s"$path/bucket=$b")
@@ -3765,7 +3765,7 @@ object Similarity {
   /** Rewrite the given buckets of a bucketed edge table so their content
     * becomes `edges`' rows for those buckets — staging + swap, untouched
     * buckets never opened. */
-  private def edgeRewriteBuckets(s: SparkSession, path: String,
+  private[graft] def edgeRewriteBuckets(s: SparkSession, path: String,
       edges: DataFrame, buckets: Seq[Int]): Unit =
     if (buckets.nonEmpty) {
       val staging = s"${path}_repair_staging"
@@ -3794,10 +3794,12 @@ object Similarity {
         def readEdges(t: String): DataFrame =
           s.read.parquet(s"$out/$t").select(col("u"), col("v"))
         // doomed = the 3 best non-entry answers of query 1, read off the
-        // pre-delete serve (bounded collect: one beam of one query)
+        // pre-delete serve (bounded collect: one beam of one query — the
+        // walk only runs the panel row it needs)
         val preBeam = nswBeamSearch(s, dir,
           readEdges("knn").unionByName(readEdges("links")).distinct()
-            .localCheckpoint(true), kOut = s30Beam)
+            .localCheckpoint(true), kOut = s30Beam,
+          queriesIn = s30QueriesFor(s).filter(col("query_id") === 1))
         val doomed = preBeam
           .filter(col("query_id") === 1 && col("neighbor_id") =!= 0)
           .orderBy(col("rnk")).limit(3)
@@ -4367,8 +4369,10 @@ object Similarity {
           .localCheckpoint(true)
         val e = nndPlantedVecs(s, dir)
         // fragment: the standing rows land first, a node slice's rows
-        // arrive as a second append-files write (the s33 file pattern)
-        val slice = col("u") % 7 === 0
+        // arrive as a second append-files write (the s33 file pattern);
+        // slice = nodes 0..31, so exactly the first 32 u-buckets gain a
+        // second file and the other 32 stay untouched at every sf
+        val slice = col("u") < 32
         edgeWriteBucketed(knn0.filter(!slice), s"$out/knn")
         knn0.filter(slice)
           .withColumn("bucket", pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
