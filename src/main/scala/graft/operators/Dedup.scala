@@ -2582,7 +2582,122 @@ object Dedup {
       LEFT JOIN cdcs c ON c.doc_id = p.doc_id
       LEFT JOIN fxds f ON f.doc_id = p.doc_id"""))
 
+  // ---------------------------------------------------------------- d30
+  /** BLOOM-FILTER EXACT-DEDUP PRE-FILTER (Bloom 1970; Kirsch &
+    * Mitzenmacher 2006 double hashing — the membership primitive every
+    * streaming exact-dedup admission path runs before touching the full
+    * key store: an arriving document probes a fixed-size bit array built
+    * over the corpus; a MISS is a guaranteed-new document (no false
+    * negatives, a theorem of the structure) that skips the expensive
+    * lookup entirely, a HIT pays the exact check and is a false positive
+    * with probability (1-e^{-kn/m})^k. At 100 TB this is the difference
+    * between every arrival paying a key-store lookup and only the ~dup
+    * fraction + FPR paying it.
+    *
+    * The filter is the engine's native [[graft.functions.BloomSketch]]
+    * aggregate — one 65,536-bit buffer (1,024 longs) per group,
+    * elementwise-OR merge, Kirsch-Mitzenmacher double hashing over two
+    * md5 uniforms — so the filter CONTENT is bit-reproducible in DuckDB
+    * and the gate mirrors the words, every probe's membership verdict,
+    * the false-positive count and the set-bit population as VALUES.
+    * Relation to q56 (bloom semi-join pruning): q56 BUILDS its bitmap
+    * relationally — the build shuffles k position rows per key — which
+    * is fine for a one-shot runtime filter; d30's aggregate carries ONE
+    * fixed-size buffer through the map-side fold (the q46-q57 sketch
+    * contract), which is the form a GROUPED build (per-host, per-domain
+    * filters) or a streaming admission path needs, and its merge is
+    * idempotent OR, so re-merging overlapping partials cannot corrupt
+    * it. The probe panel is 20 planted exact duplicates (corpus texts
+    * under fresh ids) and 20 fresh texts; the duplicates must ALL hit
+    * (structural), the fresh side's verdicts are whatever the fixed
+    * hashes give (mirrored, not assumed). */
+  private val d30 = Q(
+    "d30_bloom_dedup_prefilter",
+    (s, dir) => {
+      val mBits = 65536
+      val kH = 4
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val words: Seq[Long] = docs
+        .agg(graft.functions.Bloom.bloomSketch(col("text"), mBits, kH).as("w"))
+        .head().getAs[scala.collection.Seq[Long]](0).toSeq
+      val sp = s
+      import sp.implicits._
+      val fresh = (0 until 20).map(i =>
+        (2000000000L + i, s"zzfresh#$i", false))
+        .toDF("probe_id", "text", "expected_dup")
+      val probes = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000000L).as("probe_id"), col("text"),
+          lit(true).as("expected_dup"))
+        .unionByName(fresh)
+      def h(salt: Int) =
+        graft.functions.CrossEngine.md5Hash60(col("text"), Some(salt))
+      // membership relationally (the oracle's shape): k position rows per
+      // probe, bit test against the broadcast filter words, bool_and
+      val memb = probes
+        .withColumn("i", explode(lit((0 until kH).toArray)))
+        .withColumn("p", (h(101) + col("i") * h(102)) % lit(mBits.toLong))
+        .withColumn("word",
+          element_at(typedLit(words), (col("p") / 64).cast("int") + 1))
+        .withColumn("bit", (col("p") % 64).cast("int"))
+        .withColumn("set", expr("(shiftright(word, bit) & 1) = 1"))
+        .groupBy(col("probe_id"), col("expected_dup"))
+        .agg(bool_and(col("set")).as("in_filter"))
+        .localCheckpoint(true)
+      val fpCount = memb
+        .filter(!col("expected_dup") && col("in_filter")).count()
+      val noFalseNeg = memb
+        .filter(col("expected_dup") && !col("in_filter")).isEmpty
+      val bitsSet = words.map(java.lang.Long.bitCount(_).toLong).sum
+      memb
+        .withColumn("no_false_negatives", lit(noFalseNeg))
+        .withColumn("false_positive_count", lit(fpCount))
+        .withColumn("filter_bits_set", lit(bitsSet))
+    },
+    Some(s"""WITH pos AS (
+        SELECT ((CAST(concat('0x', substring(md5(text || '#101'), 1, 15)) AS BIGINT)
+               + i * CAST(concat('0x', substring(md5(text || '#102'), 1, 15)) AS BIGINT))
+              % 65536) AS p
+        FROM documents CROSS JOIN range(0, 4) t(i)),
+      words AS (
+        -- DuckDB overflow-checks 1<<63; bit 63 is the sign bit, i.e. the
+        -- Long.MIN_VALUE literal (same two's-complement word the engine's
+        -- 1L << 63 produces)
+        SELECT p // 64 AS word_idx,
+          bit_or(CASE WHEN p % 64 = 63
+            THEN CAST(-9223372036854775808 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INTEGER) END) AS word
+        FROM pos GROUP BY 1),
+      probes AS (
+        SELECT doc_id + 1000000000 AS probe_id, text, true AS expected_dup
+        FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT 2000000000 + i, concat('zzfresh#', CAST(i AS VARCHAR)), false
+        FROM range(0, 20) t(i)),
+      ppos AS (
+        SELECT probe_id, expected_dup,
+          ((CAST(concat('0x', substring(md5(text || '#101'), 1, 15)) AS BIGINT)
+          + i * CAST(concat('0x', substring(md5(text || '#102'), 1, 15)) AS BIGINT))
+         % 65536) AS p
+        FROM probes CROSS JOIN range(0, 4) t(i)),
+      memb AS (
+        SELECT probe_id, expected_dup,
+          bool_and(coalesce((w.word >> CAST(pp.p % 64 AS INTEGER)) & 1, 0) = 1)
+            AS in_filter
+        FROM ppos pp LEFT JOIN words w ON w.word_idx = pp.p // 64
+        GROUP BY 1, 2),
+      summ AS (
+        SELECT
+          (SELECT count(*) = 0 FROM memb WHERE expected_dup AND NOT in_filter)
+            AS no_false_negatives,
+          (SELECT CAST(count(*) AS BIGINT) FROM memb
+           WHERE NOT expected_dup AND in_filter) AS false_positive_count,
+          (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM words)
+            AS filter_bits_set)
+      SELECT m.probe_id, m.expected_dup, m.in_filter,
+        s.no_false_negatives, s.false_positive_count, s.filter_bits_set
+      FROM memb m CROSS JOIN summ s"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28, d29)
+    d25, d26, d27, d28, d29, d30)
 }

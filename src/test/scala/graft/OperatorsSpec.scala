@@ -1012,6 +1012,46 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Long]("n_false_pos") === nPass - nTrue)
   }
 
+  test("d30 bloom sketch: merge == single-pass bit-identically, FPR near theory") {
+    import graft.functions.Bloom.bloomSketch
+    val keys = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("text").as("k"))
+    def bloom(df: org.apache.spark.sql.DataFrame) = df
+      .agg(bloomSketch(col("k"), 65536, 4)).head().getSeq[Long](0)
+    val one = bloom(keys.coalesce(1))
+    val many = bloom(keys.repartition(13))
+    assert(one === many, "partition-wise merged bloom differs from single-pass")
+    // idempotent OR: merging the filter with itself is the filter
+    assert(one.zip(many).forall { case (a, b) => (a | b) == a })
+    // FPR over a 10k fresh-probe panel lands near (1-e^{-kn/m})^k — the
+    // hashes are fixed, so this is a measured constant with margin, not
+    // a probabilistic assertion
+    val n = keys.distinct().count()
+    val theory = math.pow(1 - math.exp(-4.0 * n / 65536.0), 4)
+    val bits = new java.util.BitSet(65536)
+    one.zipWithIndex.foreach { case (w, wi) =>
+      (0 until 64).foreach(b => if (((w >> b) & 1L) == 1L) bits.set(wi * 64 + b))
+    }
+    def h(s: String, salt: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$s#$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val fp = (0 until 10000).count { i =>
+      val key = s"fpr-probe-$i"
+      val (h1, h2) = (h(key, 101), h(key, 102))
+      (0 until 4).forall(j => bits.get(((h1 + j * h2) % 65536L).toInt))
+    }
+    val fpr = fp / 10000.0
+    assert(fpr <= theory * 3 + 0.002, s"FPR $fpr far above theory $theory")
+    // the gate entry's own structural guarantee
+    val rows = run("d30_bloom_dedup_prefilter").collect()
+    assert(rows.forall(_.getAs[Boolean]("no_false_negatives")))
+    rows.filter(_.getAs[Boolean]("expected_dup")).foreach(r =>
+      assert(r.getAs[Boolean]("in_filter"), "a planted duplicate missed"))
+  }
+
   test("q53 error contract: upper-edge estimate within one bucket width above exact") {
     val w = 1626.5625
     val est = run("q53_quantile_sketch").collect()
