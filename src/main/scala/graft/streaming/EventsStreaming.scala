@@ -3055,8 +3055,142 @@ object EventsStreaming {
       true AS meta_merge_equals_recompute
       FROM (${graft.operators.Similarity.rrfOracleSql}) t"""))
 
+  // ---------------------------------------------------------------- st38
+  /** STREAMING BLOOM-GATED DEDUP ADMISSION (d30's pre-filter in the
+    * production direction — the st12/st35 frozen-model pattern): the
+    * corpus Bloom filter is built ONCE batch-side (the native
+    * [[graft.functions.BloomSketch]] aggregate, 65,536 bits), then
+    * documents ARRIVE as a stream and each micro-batch:
+    *
+    *   1. probes the broadcast filter — a MISS is guaranteed-new (no
+    *      false negatives) and is ADMITTED without touching the corpus;
+    *   2. only the HITS pay the exact check (anti-join against the
+    *      corpus text set) — a true duplicate is rejected, a false
+    *      positive survives the exact check and is still admitted.
+    *
+    * The invariant the gate pins: the drained admission verdicts equal
+    * EXACT dedup regardless of the filter's FPR — the filter only
+    * decides who pays the exact check (`paid_exact_check` = the hit
+    * set, mirrored), never the outcome. At 100 TB the exact check is a
+    * key-store lookup; the filter cuts its traffic to the duplicate
+    * fraction plus the FPR, which is why every streaming ingest path
+    * fronts its dedup with exactly this structure. Zero streaming
+    * state: the verdicts side table is the state (the st35 shape). */
+  private val st38 = Q(
+    "st38_stream_bloom_admission",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st38_")
+      try {
+        val mBits = 65536
+        val kH = 4
+        val docs = graft.sources.Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        // frozen filter, built before any arrival (one native-aggregate row)
+        val words: Seq[Long] = docs
+          .agg(graft.functions.Bloom.bloomSketch(col("text"), mBits, kH).as("w"))
+          .head().getAs[scala.collection.Seq[Long]](0).toSeq
+        // arrivals: d30's probe panel (20 planted duplicates + 20 fresh),
+        // split across 4 files -> >= 4 real micro-batches
+        val sp = s
+        import sp.implicits._
+        val fresh = (0 until 20).map(i =>
+          (2000000000L + i, s"zzfresh#$i", false))
+          .toDF("probe_id", "text", "expected_dup")
+        val probes = docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000000L).as("probe_id"), col("text"),
+            lit(true).as("expected_dup"))
+          .unionByName(fresh)
+        probes.repartition(4)
+          .write.mode("overwrite").parquet(work.resolve("arrivals").toString)
+        val verdictsDir = work.resolve("verdicts").toString
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val raw = s.readStream
+          .schema(s.read.parquet(work.resolve("arrivals").toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(work.resolve("arrivals").toString)
+        val query = raw.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              nBatches.incrementAndGet()
+              val ss = batch.sparkSession
+              def h(salt: Int) =
+                graft.functions.CrossEngine.md5Hash60(col("text"), Some(salt))
+              val memb = batch
+                .withColumn("i", explode(lit((0 until kH).toArray)))
+                .withColumn("p", (h(101) + col("i") * h(102)) % lit(mBits.toLong))
+                .withColumn("word",
+                  element_at(typedLit(words), (col("p") / 64).cast("int") + 1))
+                .withColumn("bit", (col("p") % 64).cast("int"))
+                .withColumn("set", expr("(shiftright(word, bit) & 1) = 1"))
+                .groupBy(col("probe_id"), col("text"), col("expected_dup"))
+                .agg(bool_and(col("set")).as("in_filter"))
+                .localCheckpoint(true)
+              // only the HITS pay the exact anti-join; misses admit free
+              val hits = memb.filter(col("in_filter"))
+              val hitNew = hits
+                .join(graft.sources.Tables.documents(ss, dir).select(col("text")),
+                  Seq("text"), "left_anti")
+                .select(col("probe_id")).withColumn("exact_new", lit(true))
+              memb
+                .join(hitNew, Seq("probe_id"), "left")
+                .select(col("probe_id"), col("expected_dup"), col("in_filter"),
+                  (!col("in_filter") || coalesce(col("exact_new"), lit(false)))
+                    .as("admitted"),
+                  col("in_filter").as("paid_exact_check"))
+                .write.mode("append").parquet(verdictsDir)
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        graft.functions.CrossEngine.materializeLocal(s,
+            s.read.parquet(verdictsDir))
+          .withColumn("multi_batch", lit(nBatches.get() >= 4L))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some(s"""WITH pos AS (
+        SELECT ((CAST(concat('0x', substring(md5(text || '#101'), 1, 15)) AS BIGINT)
+               + i * CAST(concat('0x', substring(md5(text || '#102'), 1, 15)) AS BIGINT))
+              % 65536) AS p
+        FROM documents CROSS JOIN range(0, 4) t(i)),
+      words AS (
+        SELECT p // 64 AS word_idx,
+          bit_or(CASE WHEN p % 64 = 63
+            THEN CAST(-9223372036854775808 AS BIGINT)
+            ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INTEGER) END) AS word
+        FROM pos GROUP BY 1),
+      probes AS (
+        SELECT doc_id + 1000000000 AS probe_id, text, true AS expected_dup
+        FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT 2000000000 + i, concat('zzfresh#', CAST(i AS VARCHAR)), false
+        FROM range(0, 20) t(i)),
+      ppos AS (
+        SELECT probe_id, text, expected_dup,
+          ((CAST(concat('0x', substring(md5(text || '#101'), 1, 15)) AS BIGINT)
+          + i * CAST(concat('0x', substring(md5(text || '#102'), 1, 15)) AS BIGINT))
+         % 65536) AS p
+        FROM probes CROSS JOIN range(0, 4) t(i)),
+      memb AS (
+        SELECT probe_id, any_value(text) AS text, expected_dup,
+          bool_and(coalesce((w.word >> CAST(pp.p % 64 AS INTEGER)) & 1, 0) = 1)
+            AS in_filter
+        FROM ppos pp LEFT JOIN words w ON w.word_idx = pp.p // 64
+        GROUP BY probe_id, expected_dup)
+      SELECT probe_id, expected_dup, in_filter,
+        (NOT in_filter) OR NOT EXISTS (
+          SELECT 1 FROM documents d WHERE d.text = memb.text) AS admitted,
+        in_filter AS paid_exact_check,
+        true AS multi_batch
+      FROM memb"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37)
+    st34, st35, st36, st37, st38)
 }

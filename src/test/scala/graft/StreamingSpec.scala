@@ -534,4 +534,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(key).sorted.toSeq === batch,
       "serving from the maintained index diverged from the frozen-index fusion")
   }
+
+  test("st38 bloom admission: verdicts equal exact dedup, dups all pay the check") {
+    val rows = SparkEntry.queries("st38_stream_bloom_admission")(spark, sfDir)
+      .collect()
+    assert(rows.length === 40)
+    assert(rows.forall(_.getAs[Boolean]("multi_batch")))
+    rows.foreach { r =>
+      // the filter never changes the OUTCOME — admission == exact dedup
+      assert(r.getAs[Boolean]("admitted") === !r.getAs[Boolean]("expected_dup"),
+        s"probe ${r.getAs[Long]("probe_id")}: admission diverged from exact dedup")
+      // no false negatives: every true duplicate hits the filter, so every
+      // true duplicate pays the exact check (and only hits ever pay it)
+      if (r.getAs[Boolean]("expected_dup"))
+        assert(r.getAs[Boolean]("paid_exact_check"))
+      assert(r.getAs[Boolean]("paid_exact_check") === r.getAs[Boolean]("in_filter"))
+    }
+  }
 }
