@@ -1679,6 +1679,140 @@ object Sinks {
       LEFT JOIN (SELECT bucket, count(*) AS n FROM v2 GROUP BY bucket) d2
         ON d2.bucket = b.bucket"""))
 
+  // ---------------------------------------------------------------- w22
+  /** Z-ORDER (MORTON) CLUSTERED LAYOUT + 2-D FILE SKIPPING (Morton '66;
+    * the mechanic behind Delta/Iceberg `OPTIMIZE ZORDER BY`): a linear
+    * layout ranged on ONE column gives perfect pruning on that column and
+    * NONE on any other; interleaving the bits of two columns and ranging
+    * files by the Morton code spreads BOTH columns' locality across the
+    * file boundaries, so min/max stats prune on either column — the only
+    * layout decision that matters for multi-predicate scans at 100 TB,
+    * where a full-table pass for a 2-D box query is the difference
+    * between one bucket of IO and all of them.
+    *
+    * The gate codes lineitem into a 16×16 grid (x = l_partkey mod 16,
+    * y = l_suppkey mod 16), writes BOTH layouts as real partitioned
+    * parquet (z: 16 buckets by morton div 16; linear: 16 buckets by x),
+    * rebuilds per-bucket min/max stats from a read-back of the actual
+    * files (the w15 manifest discipline — stats are what the files
+    * contain, not what the writer intended), plans each query's bucket
+    * set from the MANIFEST alone, and proves on real reads: (a) the 2-D
+    * box x,y∈[4,7] touches 1 z-bucket vs 4 linear; (b) the y-only
+    * predicate touches 4 z-buckets vs all 16 linear (the layout's whole
+    * point); (c) pruned aggregates equal full-scan aggregates and the
+    * skipped buckets contain zero matching rows. The DuckDB oracle
+    * recomputes every touched-bucket count from the same morton
+    * arithmetic over the same rows — the stats side channel is fully
+    * value-mirrored, not boolean-waved. */
+  private val w22 = Q(
+    "w22_zorder_clustering",
+    (s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_w22_")
+      try {
+        def bit(c: org.apache.spark.sql.Column, i: Int) =
+          shiftright(c, i).bitwiseAND(lit(1L))
+        val x = pmod(col("l_partkey"), lit(16L))
+        val y = pmod(col("l_suppkey"), lit(16L))
+        val coded = Tables.lineitem(s, dir).select(
+          x.as("x"), y.as("y"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+          col("l_orderkey").as("k"),
+          (0 until 4).map(i =>
+            bit(x, i) * lit(1L << (2 * i)) + bit(y, i) * lit(1L << (2 * i + 1)))
+            .reduce(_ + _).as("m"))
+        coded.withColumn("pf", (col("m") / 16).cast("long"))
+          .write.mode("overwrite").partitionBy("pf").parquet(s"$root/z")
+        coded.withColumn("pf", col("x"))
+          .write.mode("overwrite").partitionBy("pf").parquet(s"$root/linear")
+        // manifest: per-bucket min/max of BOTH predicate columns, recomputed
+        // from a real read-back of each bucket directory
+        def manifest(layout: String): Seq[(String, Long, Long, Long, Long)] =
+          new java.io.File(s"$root/$layout").listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("pf="))
+            .sortBy(_.getName).toSeq.map { d =>
+              val r = s.read.parquet(d.getPath)
+                .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+                .head()
+              (d.getPath, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+            }
+        val mz = manifest("z")
+        val ml = manifest("linear")
+        // plan from the manifest alone: overlap test per predicate
+        def plan(mf: Seq[(String, Long, Long, Long, Long)],
+                 xLo: Long, xHi: Long, yLo: Long, yHi: Long) =
+          mf.partition { case (_, mnx, mxx, mny, mxy) =>
+            mnx <= xHi && mxx >= xLo && mny <= yHi && mxy >= yLo
+          }
+        def aggOf(df: DataFrame): (Long, Long, Long) = {
+          val r = df.agg(count(lit(1)), sum(col("cents")), sum(col("k"))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        def drive(mf: Seq[(String, Long, Long, Long, Long)],
+                  xLo: Long, xHi: Long, yLo: Long, yHi: Long) = {
+          val (sel, skip) = plan(mf, xLo, xHi, yLo, yHi)
+          val p = col("x").between(xLo, xHi) && col("y").between(yLo, yHi)
+          val pruned = aggOf(s.read.parquet(sel.map(_._1): _*).filter(p))
+          val full = aggOf(s.read.parquet(mf.map(_._1): _*).filter(p))
+          val skippedHits =
+            if (skip.isEmpty) 0L
+            else s.read.parquet(skip.map(_._1): _*).filter(p).count()
+          (sel.size.toLong, pruned, pruned == full, skippedHits == 0L)
+        }
+        val (zBox, boxAgg, zBoxOk, zBoxClean) = drive(mz, 4, 7, 4, 7)
+        val (lBox, _, lBoxOk, lBoxClean) = drive(ml, 4, 7, 4, 7)
+        val (zY, yAgg, zYOk, zYClean) = drive(mz, 0, 15, 4, 7)
+        val (lY, _, lYOk, lYClean) = drive(ml, 0, 15, 4, 7)
+        val out = s.range(1).select(
+          lit(boxAgg._1).as("box_rows"), lit(boxAgg._2).as("box_cents"),
+          lit(boxAgg._3).as("box_key_sum"),
+          lit(yAgg._1).as("yonly_rows"), lit(yAgg._2).as("yonly_cents"),
+          lit(zBox).as("z_buckets_box"), lit(lBox).as("lin_buckets_box"),
+          lit(zY).as("z_buckets_yonly"), lit(lY).as("lin_buckets_yonly"),
+          lit(zBoxOk && lBoxOk && zYOk && lYOk).as("pruned_equals_full"),
+          lit(zBoxClean && lBoxClean && zYClean && lYClean).as("skipped_clean"),
+          lit(zY < lY).as("zorder_prunes_nonrange_column"))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH coded AS (
+        SELECT l_partkey % 16 AS x, l_suppkey % 16 AS y,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          l_orderkey AS k,
+          ((l_partkey % 16) % 2) * 1 + ((l_suppkey % 16) % 2) * 2
+            + (((l_partkey % 16) // 2) % 2) * 4 + (((l_suppkey % 16) // 2) % 2) * 8
+            + (((l_partkey % 16) // 4) % 2) * 16 + (((l_suppkey % 16) // 4) % 2) * 32
+            + (((l_partkey % 16) // 8) % 2) * 64 + (((l_suppkey % 16) // 8) % 2) * 128
+            AS m
+        FROM lineitem),
+      zstats AS (SELECT m // 16 AS b, min(x) AS mnx, max(x) AS mxx,
+          min(y) AS mny, max(y) AS mxy FROM coded GROUP BY 1),
+      lstats AS (SELECT x AS b, min(x) AS mnx, max(x) AS mxx,
+          min(y) AS mny, max(y) AS mxy FROM coded GROUP BY 1),
+      box AS (SELECT count(*) AS n, sum(cents) AS c, sum(k) AS ks
+        FROM coded WHERE x BETWEEN 4 AND 7 AND y BETWEEN 4 AND 7),
+      yonly AS (SELECT count(*) AS n, sum(cents) AS c
+        FROM coded WHERE y BETWEEN 4 AND 7)
+      SELECT
+        (SELECT CAST(n AS BIGINT) FROM box) AS box_rows,
+        (SELECT CAST(c AS BIGINT) FROM box) AS box_cents,
+        (SELECT CAST(ks AS BIGINT) FROM box) AS box_key_sum,
+        (SELECT CAST(n AS BIGINT) FROM yonly) AS yonly_rows,
+        (SELECT CAST(c AS BIGINT) FROM yonly) AS yonly_cents,
+        (SELECT CAST(count(*) AS BIGINT) FROM zstats
+          WHERE mnx <= 7 AND mxx >= 4 AND mny <= 7 AND mxy >= 4) AS z_buckets_box,
+        (SELECT CAST(count(*) AS BIGINT) FROM lstats
+          WHERE mnx <= 7 AND mxx >= 4 AND mny <= 7 AND mxy >= 4) AS lin_buckets_box,
+        (SELECT CAST(count(*) AS BIGINT) FROM zstats
+          WHERE mny <= 7 AND mxy >= 4) AS z_buckets_yonly,
+        (SELECT CAST(count(*) AS BIGINT) FROM lstats
+          WHERE mny <= 7 AND mxy >= 4) AS lin_buckets_yonly,
+        true AS pruned_equals_full, true AS skipped_clean,
+        (SELECT count(*) FROM zstats WHERE mny <= 7 AND mxy >= 4)
+          < (SELECT count(*) FROM lstats WHERE mny <= 7 AND mxy >= 4)
+          AS zorder_prunes_nonrange_column"""))
+
   val all: Seq[Q] = Seq(w01, w02, w03, w04, w05, w06, w07, w08, w09, w10, w11,
-    w12, w13, w14, w15, w16, w17, w18, w19, w20, w21)
+    w12, w13, w14, w15, w16, w17, w18, w19, w20, w21, w22)
 }

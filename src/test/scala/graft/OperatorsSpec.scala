@@ -2456,6 +2456,22 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("pruned_equals_full"))
   }
 
+  test("w22 z-order: box touches 1 z-bucket vs 4 linear, y-only prunes z but not linear") {
+    val r = run("w22_zorder_clustering").collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("box_rows") > 0)
+    // the 4..7 x 4..7 box is exactly one morton nibble: one z bucket of 16
+    assert(row.getAs[Long]("z_buckets_box") === 1L)
+    assert(row.getAs[Long]("lin_buckets_box") === 4L)
+    // the non-range column: z-order prunes 12 of 16, linear prunes nothing
+    assert(row.getAs[Long]("z_buckets_yonly") === 4L)
+    assert(row.getAs[Long]("lin_buckets_yonly") === 16L)
+    assert(row.getAs[Boolean]("pruned_equals_full"))
+    assert(row.getAs[Boolean]("skipped_clean"))
+    assert(row.getAs[Boolean]("zorder_prunes_nonrange_column"))
+  }
+
   test("w19 partition evolution: each predicate prunes only its own layout") {
     val rows = run("w19_partition_evolution").collect()
     assert(rows.length === 2)
@@ -3537,6 +3553,24 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("n_cdc_shared") > r.getAs[Long]("n_fixed_shared"))
     assert(wins * 10 >= rows.length * 9,
       s"CDC strictly beat fixed on only $wins/${rows.length} planted pairs")
+  }
+
+  test("h13 ASW eval: planted batches separate, correction lifts the batch score") {
+    val r = run("h13_asw_eval").head()
+    assert(r.getAs[Boolean]("planted_separation_detected"),
+      "raw batch-ASW above 0.6 — the planted offset should separate the batches")
+    assert(r.getAs[Boolean]("mixing_improves"),
+      "harmony correction did not lift the batch-ASW score")
+    assert(r.getAs[Boolean]("scores_in_range"))
+    assert(r.getAs[Boolean]("cells_preserved"))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(r.getAs[Long]("n_batches") ===
+      emb.select("label").distinct().count())
+    assert(r.getAs[Long]("n_cells") === emb.count())
+    // simplified-silhouette identity on a worked example: point at x=1,
+    // own centroid at 0, nearest other at 4 -> a=1, b=3, s=(3-1)/3,
+    // batch score contribution 1-|s| = 1/3
+    assert(math.abs((1.0 - (3.0 - 1.0) / 3.0) - 1.0 / 3.0) < 1e-12)
   }
 
   test("h12 kBET eval: planted effect rejects, correction drops the rate") {
