@@ -3065,11 +3065,140 @@ object TextAnalysis {
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       WHERE d.doc_id % 2 = 1"""))
 
+  // ---------------------------------------------------------------- t41
+  /** ROUGE-N + BLEU REFERENCE-OVERLAP EVAL (Lin 2004 "ROUGE"; Papineni et
+    * al. 2002 "BLEU"; Lin & Och 2004 for the +1 smoothing — all public):
+    * the n-gram-overlap metric family every generation eval harness and
+    * many decontamination scorers run. Each document is scored as the
+    * CANDIDATE against the next document of the same source as the
+    * REFERENCE (a deterministic pairing with real shared vocabulary —
+    * same-source docs share templates). Per pair: clipped n-gram overlap
+    * o_n = Σ_g min(cnt_cand(g), cnt_ref(g)) for n = 1, 2; ROUGE-N F1
+    * = 2·o_n / (len_c + len_r); BLEU-2 = BP · √(p1·p2) with +1-smoothed
+    * precisions p_n = (o_n+1)/(len_cn+1) and brevity penalty
+    * BP = min(1, e^(1−len_r/len_c)).
+    *
+    * Scale shape: per-doc n-gram count tables (one explode + grouped
+    * count each), then the clipped overlap is TWO equi-joins — pair keys
+    * fan candidate counts onto reference counts and a grouped sum takes
+    * the min — never a per-pair cross of token lists; at 100 TB the
+    * count tables partition by doc and the joins co-partition on the
+    * pair key. Per-pair metrics land as exact fixed-point Longs (the t40
+    * discipline: ×1e6 for the rational ROUGE values, ×1e4 for BLEU whose
+    * exp/sqrt carry last-ulp cross-engine risk) so the per-source means
+    * are order-independent bit-exact across engines. */
+  private val tRougeBleu = Q(
+    "t41_rouge_bleu",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), toks.as("tk"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val pairs = docs
+        .withColumn("rid", lead(col("doc_id"), 1).over(w))
+        .filter(col("rid").isNotNull)
+        .select(col("source"), col("doc_id").as("cid"), col("rid"))
+      def uniCounts(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), explode(col("tk")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      def bigCounts(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))).as("s0"),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))).as("s1"))
+        .select(col("doc_id"), explode(arrays_zip(col("s0"), col("s1"))).as("g"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("g.s0"), col("g.s1")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      def clipped(cnt: DataFrame): DataFrame = pairs
+        .join(cnt.toDF("cid", "t", "cc"), Seq("cid"))
+        .join(cnt.toDF("rid", "t", "rc"), Seq("rid", "t"))
+        .groupBy(col("cid")).agg(sum(least(col("cc"), col("rc"))).as("o"))
+      val lens = docs.select(col("doc_id"),
+        size(col("tk")).cast("long").as("l1"),
+        greatest(size(col("tk")) - 1, lit(0)).cast("long").as("l2"))
+      val pj = pairs
+        .join(lens.toDF("cid", "lc1", "lc2"), Seq("cid"))
+        .join(lens.toDF("rid", "lr1", "lr2"), Seq("rid"))
+        .join(clipped(uniCounts(docs)).toDF("cid", "o1"), Seq("cid"), "left")
+        .join(clipped(bigCounts(docs)).toDF("cid", "o2"), Seq("cid"), "left")
+        .select(col("source"),
+          coalesce(col("o1"), lit(0L)).as("o1"),
+          coalesce(col("o2"), lit(0L)).as("o2"),
+          col("lc1"), col("lc2"), col("lr1"), col("lr2"))
+      def micro(c: org.apache.spark.sql.Column) =
+        round(c * 1e6).cast("long")
+      val scored = pj.select(col("source"),
+        micro(lit(2.0) * col("o1") / (col("lc1") + col("lr1"))).as("r1m"),
+        micro(when(col("lc2") + col("lr2") > 0,
+          lit(2.0) * col("o2") / (col("lc2") + col("lr2")))
+          .otherwise(lit(0.0))).as("r2m"),
+        // BLEU carries exp+sqrt — the one cross-engine ulp hazard here —
+        // so its per-row grid is 1e4, coarse enough that a last-ulp
+        // difference cannot straddle a rounding boundary (measured: the
+        // 1e6 grid DID hit one at sf0.001); the rational ROUGE values
+        // are bit-identical across engines and keep the 1e6 grid
+        round(least(lit(1.0),
+            exp(lit(1.0) - col("lr1").cast("double") / col("lc1")))
+          * sqrt(((col("o1") + lit(1.0)) / (col("lc1") + lit(1.0)))
+            * ((col("o2") + lit(1.0)) / (col("lc2") + lit(1.0)))) * 1e4)
+          .cast("long").as("b2m"))
+      scored.groupBy(col("source")).agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("r1m")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_rouge1_f1"),
+        round(sum(col("r2m")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_rouge2_f1"),
+        round(sum(col("b2m")).cast("double") / count(lit(1)) / 1e4, 6)
+          .as("avg_bleu2"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+      p AS (SELECT * FROM (
+          SELECT source, doc_id AS cid,
+            lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS rid
+          FROM d) x WHERE rid IS NOT NULL),
+      u AS (SELECT doc_id, t, count(*) AS c FROM (
+          SELECT doc_id, unnest(tk) AS t FROM d) x GROUP BY doc_id, t),
+      b AS (SELECT doc_id, t, count(*) AS c FROM (
+          SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS t FROM (
+            SELECT doc_id, tk,
+              unnest(range(1, CAST(greatest(len(tk) - 1, 0) AS BIGINT) + 1)) AS i
+            FROM d) y) x GROUP BY doc_id, t),
+      l AS (SELECT doc_id, len(tk) AS l1,
+          greatest(len(tk) - 1, 0) AS l2 FROM d),
+      o1 AS (SELECT p.cid, sum(least(cu.c, ru.c)) AS o FROM p
+        JOIN u cu ON cu.doc_id = p.cid
+        JOIN u ru ON ru.doc_id = p.rid AND ru.t = cu.t
+        GROUP BY p.cid),
+      o2 AS (SELECT p.cid, sum(least(cb.c, rb.c)) AS o FROM p
+        JOIN b cb ON cb.doc_id = p.cid
+        JOIN b rb ON rb.doc_id = p.rid AND rb.t = cb.t
+        GROUP BY p.cid),
+      sc AS (SELECT p.source,
+          CAST(round(2.0 * coalesce(o1.o, 0) / (lc.l1 + lr.l1) * 1e6) AS BIGINT)
+            AS r1m,
+          CAST(round(CASE WHEN lc.l2 + lr.l2 > 0
+            THEN 2.0 * coalesce(o2.o, 0) / (lc.l2 + lr.l2) ELSE 0.0 END * 1e6)
+            AS BIGINT) AS r2m,
+          CAST(round(least(1.0, exp(1.0 - CAST(lr.l1 AS DOUBLE) / lc.l1))
+            * sqrt(((coalesce(o1.o, 0) + 1.0) / (lc.l1 + 1.0))
+              * ((coalesce(o2.o, 0) + 1.0) / (lc.l2 + 1.0))) * 1e4) AS BIGINT)
+            AS b2m
+        FROM p
+        JOIN l lc ON lc.doc_id = p.cid
+        JOIN l lr ON lr.doc_id = p.rid
+        LEFT JOIN o1 ON o1.cid = p.cid
+        LEFT JOIN o2 ON o2.cid = p.cid)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        round(CAST(sum(r1m) AS DOUBLE) / count(*) / 1e6, 6) AS avg_rouge1_f1,
+        round(CAST(sum(r2m) AS DOUBLE) / count(*) / 1e6, 6) AS avg_rouge2_f1,
+        round(CAST(sum(b2m) AS DOUBLE) / count(*) / 1e4, 6) AS avg_bleu2
+      FROM sc GROUP BY source"""))
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
       tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist,
-      tCalibration, tDistinctN, tCharEntropy, tZipf, tKneserNey)
+      tCalibration, tDistinctN, tCharEntropy, tZipf, tKneserNey, tRougeBleu)
 }

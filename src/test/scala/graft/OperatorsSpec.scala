@@ -4354,6 +4354,32 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted === again.map(_.toString).sorted)
   }
 
+  test("t41 rouge/bleu: pairing exact, metrics in [0,1], clipping binds") {
+    val rows = run("t41_rouge_bleu").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length === perSource.size)
+    rows.foreach { r =>
+      // lead() pairing: every doc but the last of each source is a candidate
+      assert(r.getAs[Long]("n_pairs") === perSource(r.getAs[String]("source")) - 1)
+      val r1 = r.getAs[Double]("avg_rouge1_f1")
+      val r2 = r.getAs[Double]("avg_rouge2_f1")
+      val b2 = r.getAs[Double]("avg_bleu2")
+      assert(r1 >= 0.0 && r1 <= 1.0)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+      assert(b2 >= 0.0 && b2 <= 1.0)
+      // same-source docs share template vocabulary: unigram overlap binds
+      assert(r1 > 0.0, s"source ${r.getString(0)} has zero unigram overlap")
+      // clipped F1 is monotone in n-gram order on template-ish text
+      assert(r1 >= r2 - 1e-9)
+    }
+    // worked BLEU+1 example (Lin & Och '04 smoothing): cand = ref, 4 tokens
+    // -> o1 = 4, o2 = 3, p1 = 5/5, p2 = 4/4, BP = 1 -> BLEU-2 = 1
+    assert(math.abs(math.min(1.0, math.exp(1.0 - 4.0 / 4.0))
+      * math.sqrt(((4 + 1.0) / (4 + 1.0)) * ((3 + 1.0) / (3 + 1.0))) - 1.0) < 1e-12)
+  }
+
   test("t40 kneser-ney: position accounting exact, probs in (0,1), held-out only") {
     val rows = run("t40_kneser_ney").collect()
     // scores exactly the odd-doc_id half, one row per held-out doc
