@@ -2142,6 +2142,116 @@ object Relational {
         round(CAST(n3 AS DOUBLE) / n2, 6), round(CAST(n3 AS DOUBLE) / n1, 6)
       FROM n"""))
 
+  // ---------------------------------------------------------------- q80
+  /** SCD TYPE-2 DIMENSION MAINTENANCE + POINT-IN-TIME FACT JOIN (Kimball's
+    * slowly-changing-dimension type 2 — the warehouse-standard history
+    * table): each user's 'view' events carry a derived plan tier
+    * (floor(value·10) mod 3); the dimension keeps ONE VERSION ROW PER
+    * CHANGE under the strict (ts, event_id) order — [valid_from,
+    * valid_to) half-open validity, open-ended current row — and purchase
+    * facts join the version valid at their timestamp (the classic as-of
+    * dimension lookup). Purchases before a user's first version (or for
+    * users with no versions) land in tier −1, so the fact side partitions
+    * exactly.
+    *
+    * Invariants pinned Spark-side and mirrored as oracle constants:
+    * exactly one open (current) version per versioned user, and the
+    * point-in-time join matches each purchase AT MOST once (the
+    * half-open intervals tile time by construction — lead() makes each
+    * valid_to the next valid_from).
+    *
+    * Scale shape: change detection + interval assembly are per-user
+    * windows (one co-partitioned shuffle on user_id, state bounded by a
+    * user's own change count); the point-in-time join is a user_id
+    * equi-join + interval residual — never a time-range cross join. At
+    * 100 TB both sides hash-partition on user_id and the dimension side
+    * is the small one (versions ≪ facts). */
+  private val q80 = Q(
+    "q80_scd2_dimension",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (floor(col("value") * 10).cast("long") % 3).as("tier"))
+        .withColumn("prev", lag(col("tier"), 1).over(wOrd))
+        .filter(col("prev").isNull || col("tier") =!= col("prev"))
+      val dim = changes.select(col("user_id"), col("tier"), col("event_id"),
+          col("ts").as("valid_from"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from"), col("event_id"))))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("fid"),
+          col("ts").as("fts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val matched = facts
+        .join(dim.select(col("user_id"), col("tier"), col("valid_from"),
+          col("valid_to")), Seq("user_id"))
+        .filter(col("fts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("fts") < col("valid_to")))
+        .select(col("fid"), col("cents"), col("tier"))
+      val attributed = matched.unionByName(
+        facts.join(matched.select(col("fid")), Seq("fid"), "left_anti")
+          .select(col("fid"), col("cents"), lit(-1L).as("tier")))
+      val oneCurrent = dim
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("nc"))
+        .agg(min(col("nc")), max(col("nc"))).head()
+      val onePerUser = oneCurrent.getLong(0) == 1L && oneCurrent.getLong(1) == 1L
+      val pitUnique = matched.groupBy(col("fid"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0) <= 1L
+      val dimStats = dim.groupBy(col("tier")).agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"))
+      val factStats = attributed.groupBy(col("tier")).agg(
+        count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents_sum"))
+      dimStats.join(factStats, Seq("tier"), "full_outer")
+        .select(col("tier"),
+          coalesce(col("n_versions"), lit(0L)).as("n_versions"),
+          coalesce(col("n_current"), lit(0L)).as("n_current"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("cents_sum"), lit(0L)).as("cents_sum"),
+          lit(onePerUser).as("one_current_per_user"),
+          lit(pitUnique).as("point_in_time_unique"))
+    },
+    Some("""WITH v AS (
+        SELECT user_id, ts, event_id,
+          CAST(floor(value * 10) AS BIGINT) % 3 AS tier
+        FROM events WHERE event_type = 'view'),
+      ch AS (SELECT user_id, ts, event_id, tier FROM (
+          SELECT user_id, ts, event_id, tier,
+            lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM v) x
+        WHERE prev IS NULL OR tier <> prev),
+      dim AS (SELECT user_id, tier, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM ch),
+      f AS (SELECT user_id, event_id AS fid, ts AS fts,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT f.fid, f.cents, d.tier FROM f
+        JOIN dim d ON d.user_id = f.user_id
+          AND f.fts >= d.valid_from
+          AND (d.valid_to IS NULL OR f.fts < d.valid_to)),
+      att AS (SELECT fid, cents, tier FROM m
+        UNION ALL
+        SELECT fid, cents, CAST(-1 AS BIGINT) FROM f
+        WHERE fid NOT IN (SELECT fid FROM m)),
+      ds AS (SELECT tier, count(*) AS n_versions,
+          sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current
+        FROM dim GROUP BY tier),
+      fs AS (SELECT tier, count(*) AS n_purchases, sum(cents) AS cents_sum
+        FROM att GROUP BY tier)
+      SELECT coalesce(ds.tier, fs.tier) AS tier,
+        CAST(coalesce(ds.n_versions, 0) AS BIGINT) AS n_versions,
+        CAST(coalesce(ds.n_current, 0) AS BIGINT) AS n_current,
+        CAST(coalesce(fs.n_purchases, 0) AS BIGINT) AS n_purchases,
+        CAST(coalesce(fs.cents_sum, 0) AS BIGINT) AS cents_sum,
+        true AS one_current_per_user, true AS point_in_time_unique
+      FROM ds FULL OUTER JOIN fs ON ds.tier = fs.tier"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2149,5 +2259,5 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79)
+    q73, q74, q75, q76, q77, q78, q79, q80)
 }

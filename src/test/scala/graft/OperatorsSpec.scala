@@ -3516,6 +3516,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_del_v2")).sum > 0L)
   }
 
+  test("q80 SCD2: purchases partition across tiers, exactly one current version per user") {
+    val rows = run("q80_scd2_dimension").collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch,
+      "every purchase must land in exactly one tier (or -1 untracked)")
+    val nUsers = ev.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_current")).sum === nUsers,
+      "current versions must equal versioned users")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("one_current_per_user"))
+      assert(r.getAs[Boolean]("point_in_time_unique"))
+      assert(r.getAs[Long]("n_versions") >= r.getAs[Long]("n_current"))
+    }
+    val tiers = rows.map(_.getAs[Long]("tier")).toSet
+    assert(tiers.subsetOf(Set(-1L, 0L, 1L, 2L)))
+  }
+
   test("q78 attribution: channels partition purchases, shares sum to one") {
     val rows = run("q78_last_touch_attribution").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)
