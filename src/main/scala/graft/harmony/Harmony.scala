@@ -97,6 +97,16 @@ final class HarmonyState(
     * Kernels.solveW on every correction pass; empty before the first. */
   var lastLambda: Array[Double] = Array.empty
 
+  /** MoE coefficients W from the LATEST correction pass, K×(B+1)×d
+    * row-major (row 0 of each cluster = the unpenalized intercept, NOT
+    * subtracted by the correction map; pruned level rows are zero). This
+    * is the frozen-model serve surface ([[Harmony.serve]]): together with
+    * (Y, σ, θ, E, O) it maps NEW cells into the integrated space without
+    * refitting — the Symphony-style reference mapping (Kang et al. 2021).
+    * Same driver footprint as the per-pass broadcast the fit already
+    * pays; empty before the first correction. */
+  var lastW: Array[Double] = Array.empty
+
   def chiSquared: Double = {
     var s = 0.0
     var i = 0
@@ -302,6 +312,106 @@ object Harmony {
     (0 until d).map(j => (j, row.getDouble(j)))
       .toDF("component", "stdev")
       .write.mode("overwrite").parquet(s"$outPath/stdev")
+  }
+
+  /** The correction map's inner apply — z − Σ_k r_k · W_k[1+level] rows
+    * (intercept row 0 untouched, op 51) — shared by the fit's own
+    * correction map, [[serve]], and the h14 exact-apply contract so the
+    * three can never drift: identical loop order means bit-identical
+    * floats. */
+  private[graft] def applyCorrection(
+      z: Array[Float],
+      batch: Array[Int],
+      r: Array[Float],
+      w: Array[Double],
+      K: Int,
+      B: Int,
+      d: Int): Array[Float] = {
+    val p = B + 1
+    val out = new Array[Double](d)
+    var j = 0
+    while (j < d) { out(j) = z(j).toDouble; j += 1 }
+    var kk = 0
+    while (kk < K) {
+      val rk = r(kk).toDouble
+      if (rk != 0.0) {
+        var ci = 0
+        while (ci < batch.length) {
+          val off = kk * p * d + (1 + batch(ci)) * d
+          j = 0
+          while (j < d) { out(j) -= rk * w(off + j); j += 1 }
+          ci += 1
+        }
+      }
+      kk += 1
+    }
+    val zf = new Array[Float](d)
+    j = 0
+    while (j < d) { zf(j) = out(j).toFloat; j += 1 }
+    zf
+  }
+
+  /** FROZEN-MODEL CORRECTION SERVE — map cells through an ALREADY-FITTED
+    * model without refitting (the Symphony-style reference-atlas mapping,
+    * Kang et al. 2021, Nature Communications — public; the engine's
+    * train-once/serve-many contract applied to the flagship algorithm,
+    * the same lifecycle shape the IVFPQ and graph-index lanes prove):
+    * each cell is soft-assigned against the FROZEN centroids with the
+    * fit's penalized E-step (σ, θ, E, O all frozen — the batch-diversity
+    * penalty steers serve-time assignment exactly as it steered the last
+    * fit sweep), then corrected by the FROZEN MoE coefficients via
+    * [[applyCorrection]] — bit-for-bit the fit's own correction map.
+    *
+    * Covariate values resolve against the fit's level dictionary
+    * (state.levelLabels); an unseen level fails loudly (the reference
+    * defines no unseen-level semantics to borrow).
+    *
+    * Scale shape: ONE stateless map over the input — the model broadcast
+    * is K·(B+1)·d doubles (a few MB), no shuffle, no driver state — so
+    * the serve path runs identically inside a streaming micro-batch
+    * (st39). Returns (idCol, featuresCol = corrected, r). */
+  def serve(
+      result: HarmonyResult,
+      df: DataFrame,
+      covariates: Seq[String],
+      idCol: String = "cell_id",
+      featuresCol: String = "features"): DataFrame = {
+    val st = result.state
+    require(st.lastW.nonEmpty,
+      "model has no correction pass to serve (maxIterHarmony = 0)")
+    require(covariates.nonEmpty, "at least one covariate is required")
+    val spark = df.sparkSession
+    val missing = covariates.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"covariates not in dataframe: ${missing.mkString(",")}")
+    val typed = df.select(
+      (Seq(col(idCol).cast("long").as("cell_id"),
+        col(featuresCol).cast("array<float>").as("features")) ++
+        covariates.map(c => col(c).cast("string").as(c))): _*)
+    val levelOf: Map[String, Int] = st.levelLabels.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(
+      (st.yRowMajor, st.sigma, st.theta, st.E, st.O, st.lastW,
+        st.K, st.B, st.d, levelOf))
+    val covs = covariates.toIndexedSeq
+    import spark.implicits._
+    val out = typed.rdd.map { row =>
+      val (y, sigma, theta, e, o, w, k0, b0, d0, lvl) = bc.value
+      val zs = row.getSeq[Float](1)
+      val z = new Array[Float](zs.length)
+      var i = 0
+      while (i < z.length) { z(i) = zs(i); i += 1 }
+      val batch = new Array[Int](covs.length)
+      var ci = 0
+      while (ci < covs.length) {
+        val key = s"${covs(ci)}=${row.getString(2 + ci)}"
+        batch(ci) = lvl.getOrElse(key,
+          throw new IllegalArgumentException(s"unseen covariate level: $key"))
+        ci += 1
+      }
+      val dist = LinAlg.cosDistances(y, k0, d0, LinAlg.l2Normalize(z))
+      val rf = Kernels.penalizedR(dist, batch, sigma, theta, e, o, k0, b0)
+      (row.getLong(0), applyCorrection(z, batch, rf, w, k0, b0, d0), rf)
+    }
+    spark.createDataset(out).toDF(idCol, featuresCol, "r")
   }
 
   def fit(
@@ -1136,6 +1246,7 @@ object Harmony {
     st.lastLambda = new Array[Double](K * (B + 1))
     val w = Kernels.solveW(gram, mom, keeps, st.E, st.yRowMajor,
       K, B, d, lambdaPerLevel, opts.alpha, Some(st.lastLambda))
+    st.lastW = w // frozen-model serve surface (Harmony.serve)
 
     // ---- correction map (op 51): Z_corr = Z_orig - Σ_k r_k Σ_c W_k[b_c] --
     // lazy map: materialized by the next round's softmax pass (or the final
@@ -1144,28 +1255,7 @@ object Harmony {
     val bcW = sc.broadcast((w, K, B, d))
     cells.map { c =>
       val (wt, k0, b0, d0) = bcW.value
-      val p = b0 + 1
-      val out = new Array[Double](d0)
-      var j = 0
-      while (j < d0) { out(j) = c.zOrig(j).toDouble; j += 1 }
-      var kk = 0
-      while (kk < k0) {
-        val rk = c.r(kk).toDouble
-        if (rk != 0.0) {
-          var ci = 0
-          while (ci < c.batch.length) {
-            val off = kk * p * d0 + (1 + c.batch(ci)) * d0
-            j = 0
-            while (j < d0) { out(j) -= rk * wt(off + j); j += 1 }
-            ci += 1
-          }
-        }
-        kk += 1
-      }
-      val zf = new Array[Float](d0)
-      j = 0
-      while (j < d0) { zf(j) = out(j).toFloat; j += 1 }
-      c.copy(zCorr = zf)
+      c.copy(zCorr = applyCorrection(c.zOrig, c.batch, c.r, wt, k0, b0, d0))
     }
   }
 }

@@ -409,19 +409,12 @@ object HarmonyQueries {
     "h12_kbet_eval",
     (s, dir) => {
       import s.implicits._
-      // plant a per-batch offset on the fixture embedding (the
-      // LisiRehearsal scale-corpus pattern): the fixture's organic batch
-      // signal is mild (raw kBET rejection ~0.05, so a drop assertion
-      // would hinge on 1-2 probes of 200); the planted offset drives raw
-      // rejection near 1.0 and makes "correction drops rejection" a wide,
-      // stable gate instead of a knife edge
-      val base = embCells(s, dir)
-      val dim = base.select(size(col("features"))).head().getInt(0)
-      val cells = base.select(col("cell_id"), col("batch"),
-        expr(s"""transform(sequence(0, ${dim - 1}), j ->
-          CAST(element_at(features, j + 1)
-            + CAST(batch AS DOUBLE) * (0.5 + 0.2 * cos(j * 1.7)) AS DOUBLE))""")
-          .as("features"))
+      // planted per-batch offset (the LisiRehearsal scale-corpus pattern):
+      // the fixture's organic batch signal is mild (raw kBET rejection
+      // ~0.05, so a drop assertion would hinge on 1-2 probes of 200); the
+      // offset drives raw rejection near 1.0 and makes "correction drops
+      // rejection" a wide, stable gate instead of a knife edge
+      val cells = plantedCells(s, dir)
       val corrected = Harmony.run(cells, Seq("batch"), harnessOpts(20, 2.0))
         .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id"))
       val kNn = 15
@@ -475,6 +468,52 @@ object HarmonyQueries {
       (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM embeddings) AS n_batches,
       (SELECT CAST(least(count(*), 200) AS BIGINT) FROM embeddings) AS n_probes"""))
 
+  /** Simplified-silhouette batch score over (batch, features) — shared by
+    * h13 (fit QC) and h14 (frozen-serve QC). See h13's Scaladoc for the
+    * metric and its scale shape. */
+  private def batchAsw(df: DataFrame): Double = {
+    val f = df.select(col("batch"),
+      col("features").cast("array<double>").as("f"))
+    // B×d centroid table via one grouped agg; tiny, collected
+    val cent = f
+      .select(col("batch"), posexplode(col("f")).as(Seq("j", "v")))
+      .groupBy(col("batch"), col("j")).agg(avg(col("v")).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (bl, rs) =>
+        bl -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    val levels = cent.keys.toSeq.sorted
+    val withD = levels.zipWithIndex.foldLeft(f) { case (d, (bl, i)) =>
+      d.withColumn(s"d_$i",
+        sqrt(graft.functions.VectorExpressions.l2DistSq(col("f"),
+          typedLit(cent(bl)))))
+    }
+    val a = coalesce(levels.zipWithIndex.map { case (bl, i) =>
+      when(col("batch") === bl, col(s"d_$i"))
+    }: _*)
+    val others = levels.zipWithIndex.map { case (bl, i) =>
+      when(col("batch") =!= bl, col(s"d_$i")).otherwise(lit(Double.MaxValue))
+    }
+    val b = if (others.size == 1) others.head else least(others: _*)
+    withD
+      .select((lit(1.0) - abs((b - a) / greatest(a, b, lit(1e-300))))
+        .as("sil"))
+      .agg(avg(col("sil"))).head().getDouble(0)
+  }
+
+  /** The h12/h13/h14/st39 planted-offset fixture: a per-batch offset on
+    * the embedding so the batch signal is wide enough for stable gates. */
+  private[graft] def plantedCells(s: SparkSession, dir: String): DataFrame = {
+    val base = embCells(s, dir)
+    val dim = base.select(size(col("features"))).head().getInt(0)
+    base.select(col("cell_id"), col("batch"),
+      expr(s"""transform(sequence(0, ${dim - 1}), j ->
+        CAST(element_at(features, j + 1)
+          + CAST(batch AS DOUBLE) * (0.5 + 0.2 * cos(j * 1.7)) AS DOUBLE))""")
+        .as("features"))
+  }
+
   // ---------------------------------------------------------------- h13
   /** AVERAGE-SILHOUETTE-WIDTH BATCH SCORE (the third standard integration
     * QC next to h11's LISI and h12's kBET — the scIB benchmark's
@@ -499,45 +538,9 @@ object HarmonyQueries {
     "h13_asw_eval",
     (s, dir) => {
       import s.implicits._
-      val base = embCells(s, dir)
-      val dim = base.select(size(col("features"))).head().getInt(0)
-      val cells = base.select(col("cell_id"), col("batch"),
-        expr(s"""transform(sequence(0, ${dim - 1}), j ->
-          CAST(element_at(features, j + 1)
-            + CAST(batch AS DOUBLE) * (0.5 + 0.2 * cos(j * 1.7)) AS DOUBLE))""")
-          .as("features"))
+      val cells = plantedCells(s, dir)
       val corrected = Harmony.run(cells, Seq("batch"), harnessOpts(20, 2.0))
         .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id"))
-      def batchAsw(df: DataFrame): Double = {
-        val f = df.select(col("batch"),
-          col("features").cast("array<double>").as("f"))
-        // B×d centroid table via one grouped agg; tiny, collected
-        val cent = f
-          .select(col("batch"), posexplode(col("f")).as(Seq("j", "v")))
-          .groupBy(col("batch"), col("j")).agg(avg(col("v")).as("c"))
-          .collect()
-          .groupBy(_.getString(0))
-          .map { case (bl, rs) =>
-            bl -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          }
-        val levels = cent.keys.toSeq.sorted
-        val withD = levels.zipWithIndex.foldLeft(f) { case (d, (bl, i)) =>
-          d.withColumn(s"d_$i",
-            sqrt(graft.functions.VectorExpressions.l2DistSq(col("f"),
-              typedLit(cent(bl)))))
-        }
-        val a = coalesce(levels.zipWithIndex.map { case (bl, i) =>
-          when(col("batch") === bl, col(s"d_$i"))
-        }: _*)
-        val others = levels.zipWithIndex.map { case (bl, i) =>
-          when(col("batch") =!= bl, col(s"d_$i")).otherwise(lit(Double.MaxValue))
-        }
-        val b = if (others.size == 1) others.head else least(others: _*)
-        withD
-          .select((lit(1.0) - abs((b - a) / greatest(a, b, lit(1e-300))))
-            .as("sil"))
-          .agg(avg(col("sil"))).head().getDouble(0)
-      }
       val rawScore = batchAsw(cells)
       val corrScore = batchAsw(corrected)
       Seq((rawScore < 0.6,
@@ -558,6 +561,72 @@ object HarmonyQueries {
       CAST((SELECT count(DISTINCT label) FROM embeddings) AS BIGINT)
         AS n_batches"""))
 
+  // ---------------------------------------------------------------- h14
+  /** FROZEN-MODEL CORRECTION SERVE (the Symphony-style reference-atlas
+    * mapping, Kang et al. 2021 — public): the engine's
+    * train-once/serve-many lifecycle applied to the FLAGSHIP algorithm
+    * itself, completing the symmetry the IVFPQ (s13/s14) and graph
+    * (s31/GraphIndexCache) lanes set — fit on the even half of the
+    * planted fixture, then map the HELD-OUT odd half through the frozen
+    * model (centroids, σ, θ, E, O, W; no refit, ONE stateless map, model
+    * broadcast a few MB). Three contracts under the gate:
+    *
+    *   1. EXACT APPLY — re-applying the frozen W to the fit's own
+    *      (zOrig, batch, r) reproduces the fit's corrected output
+    *      BIT-FOR-BIT, counted elementwise over every float (serve and
+    *      fit share [[Harmony.applyCorrection]], so this pins that the
+    *      frozen surface IS the fit's map, not a near-copy);
+    *   2. HELD-OUT MIXING — the served half's batch-ASW rises vs its own
+    *      raw embedding (measured r14: raw 0.231-0.236, served
+    *      0.795-0.904 across the SFs — serving through a model fitted on
+    *      the OTHER half integrates cells the fit never saw);
+    *   3. serve-time R is column-stochastic and the output finite. */
+  private val h14 = Q(
+    "h14_correction_serve",
+    (s, dir) => {
+      import s.implicits._
+      val cells = plantedCells(s, dir)
+      val train = cells.filter(col("cell_id") % 2 === 0)
+      val held = cells.filter(col("cell_id") % 2 === 1)
+      // localThreshold = 0 (the h09 precedent): the exact-apply contract
+      // is against the DISTRIBUTED correction map — the path a real
+      // cluster runs — whose stored float r is what serve re-applies
+      val model = Harmony.fit(train, Seq("batch"),
+        harnessOpts(20, 2.0).copy(localThreshold = 0L))
+      val st = model.state
+      val (wF, kK, bB, dD) = (st.lastW, st.K, st.B, st.d)
+      val mismatches = model.cells.map { c =>
+        val re = Harmony.applyCorrection(c.zOrig, c.batch, c.r, wF, kK, bB, dD)
+        var bad = 0L
+        var j = 0
+        while (j < re.length) { if (re(j) != c.zCorr(j)) bad += 1; j += 1 }
+        bad
+      }.reduce(_ + _)
+      val served = Harmony.serve(model, held, Seq("batch"))
+        .join(held.select(col("cell_id"), col("batch")), Seq("cell_id"))
+      val rawScore = batchAsw(held)
+      val servedScore = batchAsw(served)
+      val stats = served.select(
+          abs(expr("aggregate(r, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+            - lit(1.0)).as("rdev"),
+          expr("exists(features, v -> isnan(v) OR abs(v) > 1e30)").as("badf"))
+        .agg(max(col("rdev")), sum(when(col("badf"), 1L).otherwise(0L)),
+          count(lit(1))).head()
+      Seq((mismatches == 0L,
+          servedScore > rawScore + 0.08,
+          stats.getDouble(0) < 1e-3,
+          stats.getLong(1) == 0L,
+          stats.getLong(2) == held.count()))
+        .toDF("exact_apply_matches", "heldout_mixing_improves",
+          "r_column_stochastic", "served_finite", "cells_preserved")
+        .crossJoin(held.agg(count(lit(1)).as("n_held")))
+    },
+    Some("""SELECT true AS exact_apply_matches,
+      true AS heldout_mixing_improves, true AS r_column_stochastic,
+      true AS served_finite, true AS cells_preserved,
+      CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
+        AS n_held"""))
+
   val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11,
-    h12, h13)
+    h12, h13, h14)
 }

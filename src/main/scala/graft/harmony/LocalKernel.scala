@@ -236,6 +236,7 @@ private[harmony] object LocalKernel {
       st.lastLambda = new Array[Double](K * P)
       val w = Kernels.solveW(gram, mom, keeps, st.E, st.yRowMajor,
         K, B, d, lambdaPerLevel, opts.alpha, Some(st.lastLambda))
+      st.lastW = w // frozen-model serve surface (Harmony.serve)
       // correction: z_corr = z_orig - sum_k r_k sum_c W_k[level_c]
       i = 0
       while (i < n) {

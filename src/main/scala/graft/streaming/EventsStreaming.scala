@@ -3189,8 +3189,85 @@ object EventsStreaming {
         true AS multi_batch
       FROM memb"""))
 
+  // ---------------------------------------------------------------- st39
+  /** STREAMING SINGLE-CELL CORRECTION SERVING under a FROZEN harmony fit
+    * (h14 in the production direction — the st12/st35/st36/st38
+    * frozen-model pattern applied to the engine's FLAGSHIP algorithm):
+    * the model is fitted ONCE batch-side on the training half of the
+    * planted fixture; held-out cells then ARRIVE as a stream and every
+    * micro-batch maps them through [[graft.harmony.Harmony.serve]] — a
+    * stateless per-row map under the broadcast frozen (Y, σ, θ, E, O, W),
+    * exactly what an atlas-mapping service does when new samples land.
+    *
+    * The gate pins DRAIN == BATCH: because serve is one deterministic
+    * row-local map, the drained streamed output must equal the one-shot
+    * batch serve of the same cells BIT-FOR-BIT (corrected floats AND soft
+    * assignments compared elementwise) — micro-batch boundaries cannot
+    * leak into the result. Zero streaming state; the served table is the
+    * output (the st35 shape). */
+  private val st39 = Q(
+    "st39_stream_correction_serving",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st39_")
+      try {
+        val cells = graft.harmony.HarmonyQueries.plantedCells(s, dir)
+        val train = cells.filter(col("cell_id") % 2 === 0)
+        val held = cells.filter(col("cell_id") % 2 === 1)
+        val model = graft.harmony.Harmony.fit(train, Seq("batch"),
+          graft.harmony.HarmonyOptions(nclust = Some(20), theta = Seq(2.0),
+            maxIterHarmony = 2, maxIterCluster = 2, blockSize = 0.2,
+            earlyStop = false, localThreshold = 0L))
+        // arrivals: 4 files -> >= 4 real micro-batches
+        held.repartition(4)
+          .write.mode("overwrite").parquet(work.resolve("arrivals").toString)
+        val servedDir = work.resolve("served").toString
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val raw = s.readStream
+          .schema(s.read.parquet(work.resolve("arrivals").toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(work.resolve("arrivals").toString)
+        val query = raw.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              nBatches.incrementAndGet()
+              graft.harmony.Harmony.serve(model, batch, Seq("batch"))
+                .write.mode("append").parquet(servedDir)
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        val drained = s.read.parquet(servedDir)
+          .select(col("cell_id"), col("features").as("sf"), col("r").as("sr"))
+        val oneShot = graft.harmony.Harmony.serve(model, held, Seq("batch"))
+          .select(col("cell_id"), col("features").as("bf"), col("r").as("br"))
+        val cmp = drained.join(oneShot, Seq("cell_id"), "full_outer")
+          .select(
+            when(col("sf").isNull || col("bf").isNull, 1L)
+              .when(col("sf") === col("bf") && col("sr") === col("br"), 0L)
+              .otherwise(1L).as("mismatch"))
+          .agg(sum(col("mismatch")).as("m"), count(lit(1)).as("n")).head()
+        val sp2 = s
+        import sp2.implicits._
+        Seq((cmp.getLong(0) == 0L,
+            cmp.getLong(1) == held.count(),
+            nBatches.get() >= 4L))
+          .toDF("drained_equals_batch_serve", "cells_preserved", "multi_batch")
+          .crossJoin(held.agg(count(lit(1)).as("n_served")))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""SELECT true AS drained_equals_batch_serve,
+      true AS cells_preserved, true AS multi_batch,
+      CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
+        AS n_served"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38)
+    st34, st35, st36, st37, st38, st39)
 }

@@ -67,6 +67,45 @@ class HarmonySpec extends SparkSpec {
     assert(!bad)
   }
 
+  test("serve: frozen-model mapping — exact on the fit's own rows, loud on unseen levels") {
+    val served = Harmony.serve(result, fixture, Seq("batch"))
+    assert(served.count() === 300)
+    // serving the TRAINING rows with the frozen model: recomputed R is
+    // close to (not bit-equal with) the fit's final R — E/O moved during
+    // the last sweep — but the corrected output must stay finite and the
+    // assignments column-stochastic
+    served.collect().foreach { r =>
+      val rs = r.getSeq[Float](2)
+      assert(math.abs(rs.map(_.toDouble).sum - 1.0) < 1e-4)
+      assert(!r.getSeq[Float](1).exists(v => v.isNaN || v.isInfinite))
+    }
+    // the frozen W IS the fit's map: re-applying it to the fit's stored
+    // (zOrig, batch, r) reproduces zCorr bit-for-bit
+    val st = result.state
+    val (w, k, b, d) = (st.lastW, st.K, st.B, st.d)
+    result.cells.collect().foreach { c =>
+      val re = Harmony.applyCorrection(c.zOrig, c.batch, c.r, w, k, b, d)
+      assert(re.sameElements(c.zCorr))
+    }
+    // unseen covariate level fails loudly (no silent drop/NaN)
+    val sp = spark
+    import sp.implicits._
+    val alien = Seq((999L, Array.fill(5)(0.1f), "b9"))
+      .toDF("cell_id", "features", "batch")
+    val e = intercept[org.apache.spark.SparkException] {
+      Harmony.serve(result, alien, Seq("batch")).collect()
+    }
+    assert(e.getMessage.contains("unseen covariate level") ||
+      Option(e.getCause).exists(_.getMessage.contains("unseen covariate level")))
+    // a model with no correction pass refuses to serve
+    val unfitted = Harmony.fit(fixture, Seq("batch"),
+      opts(theta = 1.0).copy(maxIterHarmony = 0))
+    val err = intercept[IllegalArgumentException] {
+      Harmony.serve(unfitted, fixture, Seq("batch"))
+    }
+    assert(err.getMessage.contains("no correction pass"))
+  }
+
   test("objective decreases across the run") {
     val obj = result.state.objectiveHarmony
     assert(obj.length >= 2)

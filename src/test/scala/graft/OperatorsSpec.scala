@@ -3592,6 +3592,20 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs((1.0 - (3.0 - 1.0) / 3.0) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("h14 correction serve: frozen apply exact, held-out mixing improves") {
+    val r = run("h14_correction_serve").head()
+    assert(r.getAs[Boolean]("exact_apply_matches"),
+      "frozen-W re-apply must reproduce the fit's corrected output bit-for-bit")
+    assert(r.getAs[Boolean]("heldout_mixing_improves"),
+      "serving held-out cells through the frozen model must lift batch-ASW")
+    assert(r.getAs[Boolean]("r_column_stochastic"))
+    assert(r.getAs[Boolean]("served_finite"))
+    assert(r.getAs[Boolean]("cells_preserved"))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(r.getAs[Long]("n_held") ===
+      emb.filter(col("vec_id") % 2 === 1).count())
+  }
+
   test("h12 kBET eval: planted effect rejects, correction drops the rate") {
     val r = run("h12_kbet_eval").head()
     assert(r.getAs[Boolean]("planted_effect_detected"),

@@ -551,4 +551,16 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Boolean]("paid_exact_check") === r.getAs[Boolean]("in_filter"))
     }
   }
+
+  test("st39 correction serving: drained stream equals one-shot batch serve") {
+    val r = SparkEntry.queries("st39_stream_correction_serving")(spark, sfDir)
+      .head()
+    assert(r.getAs[Boolean]("drained_equals_batch_serve"),
+      "micro-batch boundaries leaked into the served output")
+    assert(r.getAs[Boolean]("cells_preserved"))
+    assert(r.getAs[Boolean]("multi_batch"), "stream must run >= 4 micro-batches")
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(r.getAs[Long]("n_served") ===
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1).count())
+  }
 }
