@@ -375,8 +375,17 @@ object Harmony {
       df: DataFrame,
       covariates: Seq[String],
       idCol: String = "cell_id",
+      featuresCol: String = "features"): DataFrame =
+    serveModel(result.state, df, covariates, idCol, featuresCol)
+
+  /** [[serve]] from a bare model state — the form [[loadModel]] feeds, so
+    * a serving process needs only the persisted model, never the fit. */
+  def serveModel(
+      st: HarmonyState,
+      df: DataFrame,
+      covariates: Seq[String],
+      idCol: String = "cell_id",
       featuresCol: String = "features"): DataFrame = {
-    val st = result.state
     require(st.lastW.nonEmpty,
       "model has no correction pass to serve (maxIterHarmony = 0)")
     require(covariates.nonEmpty, "at least one covariate is required")
@@ -412,6 +421,53 @@ object Harmony {
       (row.getLong(0), applyCorrection(z, batch, rf, w, k0, b0, d0), rf)
     }
     spark.createDataset(out).toDF(idCol, featuresCol, "r")
+  }
+
+  /** PERSIST the frozen model — everything [[serveModel]] needs, as ONE
+    * single-row parquet (the t33/t34/s31 persist discipline applied to
+    * the flagship: train once, write the model, serve from files). The
+    * arrays are K·(B+1)·d doubles at most — kilobytes to a few MB — so a
+    * single row is the honest layout; a serving fleet broadcasts it. */
+  def saveModel(result: HarmonyResult, path: String): Unit = {
+    val st = result.state
+    require(st.lastW.nonEmpty,
+      "model has no correction pass to persist (maxIterHarmony = 0)")
+    val spark = result.corrected.sparkSession
+    import spark.implicits._
+    Seq((st.d, st.K, st.B, st.N, st.covariateOf.toSeq, st.levelLabels.toSeq,
+        st.yRowMajor.toSeq, st.E.toSeq, st.O.toSeq, st.prB.toSeq,
+        st.nB.toSeq, st.sigma.toSeq, st.theta.toSeq, st.lastLambda.toSeq,
+        st.lastW.toSeq))
+      .toDF("d", "k", "b", "n", "covariate_of", "level_labels", "y", "e",
+        "o", "pr_b", "n_b", "sigma", "theta", "last_lambda", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveModel]] artifact into a serve-ready state. The
+    * round-trip is exact: every field is doubles/longs/strings in
+    * parquet, so [[serveModel]] from the loaded state is bit-identical
+    * to serving from the in-memory fit (pinned by h15). */
+  def loadModel(spark: SparkSession, path: String): HarmonyState = {
+    val r = spark.read.parquet(path).head()
+    def da(name: String): Array[Double] =
+      r.getSeq[Double](r.fieldIndex(name)).toArray
+    val st = new HarmonyState(
+      d = r.getAs[Int]("d"),
+      K = r.getAs[Int]("k"),
+      B = r.getAs[Int]("b"),
+      N = r.getAs[Long]("n"),
+      covariateOf = r.getSeq[Int](r.fieldIndex("covariate_of")).toArray,
+      levelLabels = r.getSeq[String](r.fieldIndex("level_labels")).toArray,
+      yRowMajor = da("y"),
+      E = da("e"),
+      O = da("o"),
+      prB = da("pr_b"),
+      nB = da("n_b"),
+      sigma = da("sigma"),
+      theta = da("theta"))
+    st.lastLambda = da("last_lambda")
+    st.lastW = da("w")
+    st
   }
 
   def fit(

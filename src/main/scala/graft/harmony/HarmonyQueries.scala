@@ -627,6 +627,70 @@ object HarmonyQueries {
       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
         AS n_held"""))
 
+  // ---------------------------------------------------------------- h15
+  /** MODEL PERSIST + SERVE-FROM-FILES — the missing third leg of the
+    * flagship lifecycle (fit: h01-h10; serve: h14/st39; persist: here),
+    * the t33/t34/s31 persist discipline applied to the harmony model:
+    * fit → [[Harmony.saveModel]] (one single-row parquet holding Y, σ, θ,
+    * E, O, W, λ and the level dictionary — kilobytes) → fresh
+    * [[Harmony.loadModel]] → [[Harmony.serveModel]]. Contracts: every
+    * persisted field round-trips EXACTLY (doubles in parquet are exact),
+    * serving the held-out half from the RELOADED model is bit-identical
+    * to serving from the in-memory fit, and the artifact is a single
+    * data file (the broadcast-sized layout a serving fleet wants). */
+  private val h15 = Q(
+    "h15_model_persist",
+    (s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_h15_")
+      try {
+        val cells = plantedCells(s, dir)
+        val train = cells.filter(col("cell_id") % 2 === 0)
+        val held = cells.filter(col("cell_id") % 2 === 1)
+        val model = Harmony.fit(train, Seq("batch"),
+          harnessOpts(20, 2.0).copy(localThreshold = 0L))
+        Harmony.saveModel(model, s"$root/model")
+        val loaded = Harmony.loadModel(s, s"$root/model")
+        val st0 = model.state
+        val fieldsRoundtrip =
+          loaded.d == st0.d && loaded.K == st0.K && loaded.B == st0.B &&
+          loaded.N == st0.N &&
+          loaded.yRowMajor.sameElements(st0.yRowMajor) &&
+          loaded.E.sameElements(st0.E) && loaded.O.sameElements(st0.O) &&
+          loaded.prB.sameElements(st0.prB) && loaded.nB.sameElements(st0.nB) &&
+          loaded.sigma.sameElements(st0.sigma) &&
+          loaded.theta.sameElements(st0.theta) &&
+          loaded.lastLambda.sameElements(st0.lastLambda) &&
+          loaded.lastW.sameElements(st0.lastW) &&
+          loaded.covariateOf.sameElements(st0.covariateOf) &&
+          loaded.levelLabels.sameElements(st0.levelLabels)
+        val fromMem = Harmony.serve(model, held, Seq("batch"))
+          .select(col("cell_id"), col("features").as("mf"), col("r").as("mr"))
+        val fromDisk = Harmony.serveModel(loaded, held, Seq("batch"))
+          .select(col("cell_id"), col("features").as("kf"), col("r").as("kr"))
+        val cmp = fromMem.join(fromDisk, Seq("cell_id"), "full_outer")
+          .select(when(col("mf").isNull || col("kf").isNull, 1L)
+            .when(col("mf") === col("kf") && col("mr") === col("kr"), 0L)
+            .otherwise(1L).as("mismatch"))
+          .agg(sum(col("mismatch")), count(lit(1))).head()
+        val nFiles = Option(new java.io.File(s"$root/model").listFiles())
+          .getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet")).toLong
+        Seq((fieldsRoundtrip, cmp.getLong(0) == 0L,
+            cmp.getLong(1) == held.count(), nFiles == 1L))
+          .toDF("fields_roundtrip_exact", "disk_serve_equals_memory_serve",
+            "cells_preserved", "single_model_file")
+          .crossJoin(held.agg(count(lit(1)).as("n_served")))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""SELECT true AS fields_roundtrip_exact,
+      true AS disk_serve_equals_memory_serve, true AS cells_preserved,
+      true AS single_model_file,
+      CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
+        AS n_served"""))
+
   val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11,
-    h12, h13, h14)
+    h12, h13, h14, h15)
 }

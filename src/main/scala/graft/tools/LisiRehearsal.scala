@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *    N-million cells with a planted per-batch offset, then time the LISI
   *    pass on the raw embedding vs an ideal correction (offset removed —
   *    the fit itself is rehearsed separately in ScaleRehearsal; this
-  *    isolates the EVAL's cost and discrimination at scale).
+  *    isolates the EVAL's cost and discrimination at scale). Optional 3rd
+  *    arg: `fit` runs the REAL correction at scale and reports both QC
+  *    metrics on it; `serve` fits a 1-in-4 reference slice and maps the
+  *    FULL corpus through the frozen model (h14/st39's scale posture),
+  *    reporting serve wall vs fit wall and the served iLISI.
   */
 object LisiRehearsal {
   def main(args: Array[String]): Unit = {
@@ -172,17 +176,53 @@ object LisiRehearsal {
       println(f"[lisi-scale] n=$n shards=$nShards before=$before%.4f after=$after%.4f " +
         f"(expect ~1 raw -> ~$nBatches ideal; eval cost above is the QC pass a " +
         "deployment runs after every fit)")
-      val kbRaw = timed(s"kBET(raw, $n cells, 200 probes)")(
+      val mode = if (args.length > 2) args(2) else ""
+      lazy val kbRaw = timed(s"kBET(raw, $n cells, 200 probes)")(
         kbetRate(cells, 200, nShards))
-      val kbIdeal = timed(s"kBET(ideal, $n cells, 200 probes)")(
+      lazy val kbIdeal = timed(s"kBET(ideal, $n cells, 200 probes)")(
         kbetRate(ideal, 200, nShards))
-      println(f"[lisi-scale] n=$n kBET rejection raw=$kbRaw%.3f ideal=$kbIdeal%.3f " +
-        "(expect ~1.0 raw -> ~0 ideal)")
+      if (mode != "serve")
+        println(f"[lisi-scale] n=$n kBET rejection raw=$kbRaw%.3f ideal=$kbIdeal%.3f " +
+          "(expect ~1.0 raw -> ~0 ideal)")
       // optional 3rd arg "fit": the REAL correction at scale (judge r12
       // item 8 strengthened) — run the actual Harmony fit on the planted
       // corpus and assert the correction-improves trend with the engine's
       // own output, not the ideal-offset upper bound
-      if (args.length > 2 && args(2) == "fit") {
+      // "serve" mode: the h14/st39 FROZEN-MODEL posture at scale — the
+      // production atlas pattern: fit the reference on a 1-in-4 subsample,
+      // then SERVE the whole corpus through the frozen model. The claim
+      // under measurement: serve is ONE stateless map (model broadcast a
+      // few MB), so its wall is a small multiple of a corpus scan and far
+      // under the fit's — new samples integrate without paying the fit.
+      if (mode == "serve") {
+        val opts = graft.harmony.HarmonyOptions(
+          nclust = Some(16), theta = Seq(2.0), maxIterHarmony = 2,
+          maxIterCluster = 3, blockSize = 0.2)
+        val trainSlice = {
+          val t = cells.filter(pmod(xxhash64(col("cell_id"), lit(9)), lit(4)) === 0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          t.count(); t
+        }
+        val model = timed(s"Harmony fit (reference slice, ${n / 4} cells)") {
+          graft.harmony.Harmony.fit(trainSlice, Seq("batch"), opts)
+        }
+        val served = timed(s"SERVE full corpus ($n cells, frozen model)") {
+          val out = graft.harmony.Harmony.serve(model, cells, Seq("batch"))
+            .select(col("cell_id"), col("features"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          out.count(); out
+        }
+        val servedB = served
+          .join(cells.select(col("cell_id"), col("batch")), Seq("cell_id"))
+        val servedLisi = timed(s"LISI(served, $n cells)")(
+          meanLisi(servedB, 200, nShards))
+        println(f"[lisi-scale] n=$n FROZEN-SERVE trend: raw=$before%.4f " +
+          f"served=$servedLisi%.4f ideal=$after%.4f — held-out integration " +
+          "holds iff served sits well above raw; serve wall vs fit wall " +
+          "above is the train-once/serve-many dividend")
+      }
+
+      if (mode == "fit") {
         val opts = graft.harmony.HarmonyOptions(
           nclust = Some(16), theta = Seq(2.0), maxIterHarmony = 2,
           maxIterCluster = 3, blockSize = 0.2)

@@ -3606,6 +3606,19 @@ class OperatorsSpec extends SparkSpec {
       emb.filter(col("vec_id") % 2 === 1).count())
   }
 
+  test("h15 model persist: fields roundtrip exact, disk serve == memory serve") {
+    val r = run("h15_model_persist").head()
+    assert(r.getAs[Boolean]("fields_roundtrip_exact"),
+      "a persisted model field drifted through the parquet roundtrip")
+    assert(r.getAs[Boolean]("disk_serve_equals_memory_serve"),
+      "serving from the reloaded model diverged from the in-memory fit")
+    assert(r.getAs[Boolean]("cells_preserved"))
+    assert(r.getAs[Boolean]("single_model_file"))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(r.getAs[Long]("n_served") ===
+      emb.filter(col("vec_id") % 2 === 1).count())
+  }
+
   test("h12 kBET eval: planted effect rejects, correction drops the rate") {
     val r = run("h12_kbet_eval").head()
     assert(r.getAs[Boolean]("planted_effect_detected"),
