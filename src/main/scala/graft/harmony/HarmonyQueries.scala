@@ -502,6 +502,29 @@ object HarmonyQueries {
       .agg(avg(col("sil"))).head().getDouble(0)
   }
 
+  /** Fit-once/serve-many across the frozen-model entries (h14, h15, st39
+    * — the GraphIndexCache discipline): ONE planted-fixture reference fit
+    * per sf dir, shared by every entry that serves under it. This is the
+    * production shape (a standing atlas model serves many requests), and
+    * buildCount is spec-pinned so a regression back to fit-per-entry
+    * turns a test red, not just the bench. */
+  private[graft] object FrozenFitCache {
+    val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, HarmonyResult]
+    def model(s: SparkSession, dir: String): HarmonyResult =
+      cache.getOrElseUpdate(dir, {
+        buildCount.incrementAndGet()
+        val train = plantedCells(s, dir).filter(col("cell_id") % 2 === 0)
+        // localThreshold = 0 (the h09 precedent): the frozen surface under
+        // test is the DISTRIBUTED correction map's
+        Harmony.fit(train, Seq("batch"),
+          HarmonyOptions(nclust = Some(20), theta = Seq(2.0),
+            maxIterHarmony = 2, maxIterCluster = 2, blockSize = 0.2,
+            earlyStop = false, localThreshold = 0L))
+      })
+  }
+
   /** The h12/h13/h14/st39 planted-offset fixture: a per-batch offset on
     * the embedding so the batch signal is wide enough for stable gates. */
   private[graft] def plantedCells(s: SparkSession, dir: String): DataFrame = {
@@ -586,13 +609,10 @@ object HarmonyQueries {
     (s, dir) => {
       import s.implicits._
       val cells = plantedCells(s, dir)
-      val train = cells.filter(col("cell_id") % 2 === 0)
       val held = cells.filter(col("cell_id") % 2 === 1)
-      // localThreshold = 0 (the h09 precedent): the exact-apply contract
-      // is against the DISTRIBUTED correction map — the path a real
-      // cluster runs — whose stored float r is what serve re-applies
-      val model = Harmony.fit(train, Seq("batch"),
-        harnessOpts(20, 2.0).copy(localThreshold = 0L))
+      // the shared frozen reference fit (train half, distributed path —
+      // the exact-apply contract is against the map a real cluster runs)
+      val model = FrozenFitCache.model(s, dir)
       val st = model.state
       val (wF, kK, bB, dD) = (st.lastW, st.K, st.B, st.d)
       val mismatches = model.cells.map { c =>
@@ -645,10 +665,8 @@ object HarmonyQueries {
       val root = java.nio.file.Files.createTempDirectory("graft_h15_")
       try {
         val cells = plantedCells(s, dir)
-        val train = cells.filter(col("cell_id") % 2 === 0)
         val held = cells.filter(col("cell_id") % 2 === 1)
-        val model = Harmony.fit(train, Seq("batch"),
-          harnessOpts(20, 2.0).copy(localThreshold = 0L))
+        val model = FrozenFitCache.model(s, dir)
         Harmony.saveModel(model, s"$root/model")
         val loaded = Harmony.loadModel(s, s"$root/model")
         val st0 = model.state

@@ -3211,12 +3211,10 @@ object EventsStreaming {
       val work = java.nio.file.Files.createTempDirectory("graft_st39_")
       try {
         val cells = graft.harmony.HarmonyQueries.plantedCells(s, dir)
-        val train = cells.filter(col("cell_id") % 2 === 0)
         val held = cells.filter(col("cell_id") % 2 === 1)
-        val model = graft.harmony.Harmony.fit(train, Seq("batch"),
-          graft.harmony.HarmonyOptions(nclust = Some(20), theta = Seq(2.0),
-            maxIterHarmony = 2, maxIterCluster = 2, blockSize = 0.2,
-            earlyStop = false, localThreshold = 0L))
+        // the shared frozen reference fit (fit-once/serve-many with
+        // h14/h15 — the standing-atlas shape st39 serves under)
+        val model = graft.harmony.HarmonyQueries.FrozenFitCache.model(s, dir)
         // arrivals: 4 files -> >= 4 real micro-batches
         held.repartition(4)
           .write.mode("overwrite").parquet(work.resolve("arrivals").toString)

@@ -3617,6 +3617,11 @@ class OperatorsSpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     assert(r.getAs[Long]("n_served") ===
       emb.filter(col("vec_id") % 2 === 1).count())
+    // fit-once/serve-many: h14 and h15 serve under ONE shared reference
+    // fit (the GraphIndexCache discipline) — a second entry must not refit
+    run("h14_correction_serve").head()
+    assert(graft.harmony.HarmonyQueries.FrozenFitCache.buildCount.get() === 1L,
+      "frozen-model entries regressed to fit-per-entry")
   }
 
   test("h12 kBET eval: planted effect rejects, correction drops the rate") {
