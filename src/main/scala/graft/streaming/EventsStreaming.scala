@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -3264,8 +3265,198 @@ object EventsStreaming {
       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
         AS n_served"""))
 
+  // ---------------------------------------------------------------- st40
+  /** STREAMING SCD TYPE-2 MAINTENANCE (q80 in the production direction —
+    * the warehouse "streaming MERGE INTO the dimension" pattern, under
+    * the d20/st37 merge==recompute contract): the 'view' change events
+    * arrive as three TIME-ORDERED micro-batches (SCD2 merge assumes an
+    * in-order feed; out-of-order arrivals are the watermark lanes'
+    * domain) and each trigger updates the dimension using ONLY the open
+    * tips of the users it touches plus the batch itself — closed history
+    * rows are never rescanned or recomputed, so per-trigger merge work
+    * is O(batch + touched tips): within-batch change detection runs a
+    * per-user window over (tip ∪ batch), superseded tips close at their
+    * first change's timestamp, and the new versions chain
+    * [valid_from, valid_to) exactly as the one-shot build would. The
+    * standing table is republished per trigger through the st37 staged
+    * swap (a 100 TB deployment applies the same delta set through
+    * user-bucketed swaps — the s38 machinery — instead of one table
+    * file).
+    *
+    * The gate pins MAINTAINED == ONE-SHOT: after draining, the
+    * maintained dimension equals q80's batch-built dimension exactly
+    * (anti-joins both ways on every column), and the per-tier version
+    * counts land under q80's oracle arithmetic. */
+  private val st40 = Q(
+    "st40_stream_scd2_maintenance",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st40_")
+      val srcDir = java.nio.file.Files.createDirectory(work.resolve("src"))
+      try {
+        val views = Tables.events(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (floor(col("value") * 10).cast("long") % 3).as("tier"))
+        // three time-ordered arrival files, pinned-mtime delivery
+        var seq = 0
+        def writeAs(df: DataFrame, name: String): Unit = {
+          val stage = s"$work/${name}_stage"
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = Option(new java.io.File(stage).listFiles())
+            .getOrElse(Array.empty).find(_.getName.endsWith(".parquet")).get
+          val dest = srcDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          seq += 1
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
+        }
+        val sliced = views.withColumn("bkt",
+          ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+        (1 to 3).foreach(i =>
+          writeAs(sliced.filter(col("bkt") === i).drop("bkt"), s"${i - 1}_slice"))
+        val dimDir = work.resolve("dim").toString
+        def swapIn(live: String, staged: String): Unit = {
+          val lp = java.nio.file.Paths.get(live)
+          val spth = java.nio.file.Paths.get(staged)
+          val retired = java.nio.file.Paths.get(staged + "_retired")
+          if (java.nio.file.Files.isDirectory(lp))
+            java.nio.file.Files.move(lp, retired)
+          java.nio.file.Files.move(spth, lp)
+          graft.functions.CrossEngine.deleteRecursive(retired)
+        }
+        val sch = s.read.parquet(srcDir.toString).schema
+        val arrivals = s.readStream.schema(sch)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val query = arrivals.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val b = batch.localCheckpoint(true)
+            if (b.count() > 0) {
+              nBatches.incrementAndGet()
+              val ss = b.sparkSession
+              val hasDim = new java.io.File(dimDir).isDirectory
+              val cur =
+                if (hasDim) ss.read.parquet(dimDir).localCheckpoint(true)
+                else ss.emptyDataFrame
+              val touched = b.select(col("user_id")).distinct()
+              // O(touched): only the open tips of users in this batch
+              val tips =
+                if (hasDim) cur.filter(col("valid_to").isNull)
+                  .join(touched, Seq("user_id"))
+                else b.limit(0).select(col("user_id"), col("tier"),
+                  col("event_id"), col("ts").as("valid_from"),
+                  lit(null).cast(b.schema("ts").dataType).as("valid_to"))
+              val wu = Window.partitionBy(col("user_id"))
+                .orderBy(col("ts"), col("event_id"))
+              val aug = tips.select(col("user_id"),
+                  col("valid_from").as("ts"), col("event_id"), col("tier"),
+                  lit(0).as("is_new"))
+                .unionByName(b.select(col("user_id"), col("ts"),
+                  col("event_id"), col("tier"), lit(1).as("is_new")))
+              val changes = aug
+                .withColumn("prev", lag(col("tier"), 1).over(wu))
+                .filter(col("is_new") === 1 &&
+                  (col("prev").isNull || col("tier") =!= col("prev")))
+                .localCheckpoint(true)
+              val newV = changes
+                .select(col("user_id"), col("tier"), col("event_id"),
+                  col("ts").as("valid_from"))
+                .withColumn("valid_to",
+                  lead(col("valid_from"), 1).over(Window
+                    .partitionBy(col("user_id"))
+                    .orderBy(col("valid_from"), col("event_id"))))
+              val firstChange = changes.groupBy(col("user_id"))
+                .agg(min(col("ts")).as("close_at"))
+              val closedTips = tips.join(firstChange, Seq("user_id"))
+                .select(col("user_id"), col("tier"), col("event_id"),
+                  col("valid_from"), col("close_at").as("valid_to"))
+              // keep: every closed-history row, plus open tips of users
+              // with NO change this batch; replace: changed users' tips
+              // (closed) + the batch's new version chain
+              val out =
+                if (hasDim)
+                  cur.join(
+                      firstChange.select(col("user_id"),
+                        lit(true).as("ch")), Seq("user_id"), "left")
+                    .filter(col("valid_to").isNotNull || col("ch").isNull)
+                    .drop("ch")
+                    .unionByName(closedTips)
+                    .unionByName(newV)
+                else newV // no standing dim: tips (and closedTips) are empty
+              out.write.mode("overwrite").parquet(dimDir + "_staging")
+              swapIn(dimDir, dimDir + "_staging")
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        // maintained vs one-shot (q80's dimension build, recomputed here)
+        val maintained = s.read.parquet(dimDir)
+          .select(col("user_id"), col("tier"), col("event_id"),
+            col("valid_from"), col("valid_to"))
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val oneShot = views
+          .withColumn("prev", lag(col("tier"), 1).over(wOrd))
+          .filter(col("prev").isNull || col("tier") =!= col("prev"))
+          .select(col("user_id"), col("tier"), col("event_id"),
+            col("ts").as("valid_from"))
+          .withColumn("valid_to",
+            lead(col("valid_from"), 1).over(Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("valid_from"), col("event_id"))))
+          .select(maintained.columns.map(col): _*)
+        // NULL valid_to marks the open tip — plain equi-join equality would
+        // treat NULL <> NULL, so canonicalize it for the anti-join compare
+        def canon(df: DataFrame): DataFrame = df.withColumn("vt",
+          coalesce(col("valid_to").cast("string"), lit("OPEN")))
+          .drop("valid_to")
+        val (mc, oc) = (canon(maintained), canon(oneShot))
+        val cols = mc.columns.toSeq
+        val mergeEq =
+          mc.join(oc, cols, "left_anti").isEmpty &&
+          oc.join(mc, cols, "left_anti").isEmpty
+        val oneOpen = maintained.groupBy(col("user_id"))
+          .agg(sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("nc"))
+          .agg(min(col("nc")), max(col("nc"))).head()
+        graft.functions.CrossEngine.materializeLocal(s,
+          maintained.groupBy(col("tier")).agg(
+              count(lit(1)).as("n_versions"),
+              sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"))
+            .select(col("tier"), col("n_versions"), col("n_current"),
+              lit(mergeEq).as("maintained_equals_oneshot"),
+              lit(oneOpen.getLong(0) == 1L && oneOpen.getLong(1) == 1L)
+                .as("one_current_per_user"),
+              lit(nBatches.get() >= 3L).as("multi_batch")))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH v AS (
+        SELECT user_id, ts, event_id,
+          CAST(floor(value * 10) AS BIGINT) % 3 AS tier
+        FROM events WHERE event_type = 'view'),
+      ch AS (SELECT user_id, ts, event_id, tier FROM (
+          SELECT user_id, ts, event_id, tier,
+            lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM v) x
+        WHERE prev IS NULL OR tier <> prev),
+      dim AS (SELECT user_id, tier, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM ch)
+      SELECT tier, CAST(count(*) AS BIGINT) AS n_versions,
+        CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_current,
+        true AS maintained_equals_oneshot, true AS one_current_per_user,
+        true AS multi_batch
+      FROM dim GROUP BY tier"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39)
+    st34, st35, st36, st37, st38, st39, st40)
 }

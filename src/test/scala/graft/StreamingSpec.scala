@@ -552,6 +552,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st40 SCD2 maintenance: maintained dimension equals one-shot build") {
+    val rows = SparkEntry.queries("st40_stream_scd2_maintenance")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("maintained_equals_oneshot"),
+        "incremental SCD2 merge drifted from the one-shot batch build")
+      assert(r.getAs[Boolean]("one_current_per_user"))
+      assert(r.getAs[Boolean]("multi_batch"))
+      assert(r.getAs[Long]("n_versions") >= r.getAs[Long]("n_current"))
+    }
+    // the dimension must actually version: changes outnumber users
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nUsers = ev.filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum > nUsers,
+      "fixture produced no tier changes — the SCD2 path is untested")
+  }
+
   test("st39 correction serving: drained stream equals one-shot batch serve") {
     val r = SparkEntry.queries("st39_stream_correction_serving")(spark, sfDir)
       .head()
