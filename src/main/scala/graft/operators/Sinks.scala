@@ -1725,16 +1725,18 @@ object Sinks {
         coded.withColumn("pf", col("x"))
           .write.mode("overwrite").partitionBy("pf").parquet(s"$root/linear")
         // manifest: per-bucket min/max of BOTH predicate columns, recomputed
-        // from a real read-back of each bucket directory
+        // from a real read-back of the layout — ONE partition-discovered
+        // scan + grouped agg per layout (not a job per bucket: 16× fewer
+        // driver round-trips, and the stats job itself is the shape a
+        // table-format maintenance pass uses)
         def manifest(layout: String): Seq[(String, Long, Long, Long, Long)] =
-          new java.io.File(s"$root/$layout").listFiles()
-            .filter(f => f.isDirectory && f.getName.startsWith("pf="))
-            .sortBy(_.getName).toSeq.map { d =>
-              val r = s.read.parquet(d.getPath)
-                .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
-                .head()
-              (d.getPath, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-            }
+          s.read.parquet(s"$root/$layout")
+            .groupBy(col("pf").cast("long").as("pf"))
+            .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+            .collect().toSeq
+            .map(r => (s"$root/$layout/pf=${r.getLong(0)}",
+              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .sortBy(_._1)
         val mz = manifest("z")
         val ml = manifest("linear")
         // plan from the manifest alone: overlap test per predicate
