@@ -3455,8 +3455,123 @@ object EventsStreaming {
         true AS multi_batch
       FROM dim GROUP BY tier"""))
 
+  // ---------------------------------------------------------------- st41
+  /** STREAMING POINT-IN-TIME ENRICHMENT against the standing SCD2
+    * dimension (the fact side of the q80/st40 pair, production-shaped:
+    * one pipeline maintains the dimension, another enriches arriving
+    * facts by reading the standing table — the classic streaming fact →
+    * dimension lookup): purchase facts arrive in micro-batches and each
+    * trigger joins them to the version valid at their timestamp (user_id
+    * equi-join + interval residual; pre-history purchases land in tier
+    * −1, exactly q80's partition). Enrichment is stateless per fact, so
+    * the gate pins DRAINED == the one-shot batch attribution EXACTLY —
+    * arrival order and batch boundaries cannot leak into verdicts. At
+    * 100 TB the dimension side is the small one (versions ≪ facts) and
+    * broadcasts; the fact stream pays one map-side lookup per trigger. */
+  private val st41 = Q(
+    "st41_stream_pit_enrichment",
+    (s, dir) => withStreamShufflePartitions(s) {
+      val work = java.nio.file.Files.createTempDirectory("graft_st41_")
+      try {
+        val ev = Tables.events(s, dir)
+        // standing dimension, built once batch-side (q80's build)
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (floor(col("value") * 10).cast("long") % 3).as("tier"))
+          .withColumn("prev", lag(col("tier"), 1).over(wOrd))
+          .filter(col("prev").isNull || col("tier") =!= col("prev"))
+          .select(col("user_id"), col("tier"), col("event_id"),
+            col("ts").as("valid_from"))
+          .withColumn("valid_to",
+            lead(col("valid_from"), 1).over(Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("valid_from"), col("event_id"))))
+          .drop("event_id")
+          .write.mode("overwrite").parquet(s"$work/dim")
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("fid"),
+            col("ts").as("fts"),
+            round(col("value") * 100).cast("long").as("cents"))
+        facts.repartition(3)
+          .write.mode("overwrite").parquet(s"$work/arrivals")
+        val outDir = s"$work/enriched"
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        def enrich(b: DataFrame): DataFrame = {
+          val ss = b.sparkSession
+          val dim = broadcast(ss.read.parquet(s"$work/dim"))
+          val matched = b.join(dim, Seq("user_id"))
+            .filter(col("fts") >= col("valid_from") &&
+              (col("valid_to").isNull || col("fts") < col("valid_to")))
+            .select(col("fid"), col("cents"), col("tier"))
+          matched.unionByName(
+            b.join(matched.select(col("fid")), Seq("fid"), "left_anti")
+              .select(col("fid"), col("cents"), lit(-1L).as("tier")))
+        }
+        val query = s.readStream
+          .schema(s.read.parquet(s"$work/arrivals").schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$work/arrivals")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$work/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              nBatches.incrementAndGet()
+              enrich(batch).write.mode("append").parquet(outDir)
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        val drained = s.read.parquet(outDir)
+        val oneShot = enrich(facts)
+        val cols = Seq("fid", "cents", "tier")
+        val eq =
+          drained.join(oneShot, cols, "left_anti").isEmpty &&
+          oneShot.join(drained, cols, "left_anti").isEmpty
+        graft.functions.CrossEngine.materializeLocal(s,
+          drained.groupBy(col("tier")).agg(
+              count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents_sum"))
+            .select(col("tier"), col("n_purchases"), col("cents_sum"),
+              lit(eq).as("drained_equals_batch"),
+              lit(nBatches.get() >= 3L).as("multi_batch")))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH v AS (
+        SELECT user_id, ts, event_id,
+          CAST(floor(value * 10) AS BIGINT) % 3 AS tier
+        FROM events WHERE event_type = 'view'),
+      ch AS (SELECT user_id, ts, event_id, tier FROM (
+          SELECT user_id, ts, event_id, tier,
+            lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM v) x
+        WHERE prev IS NULL OR tier <> prev),
+      dim AS (SELECT user_id, tier, ts AS valid_from,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM ch),
+      f AS (SELECT user_id, event_id AS fid, ts AS fts,
+          CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT f.fid, f.cents, d.tier FROM f
+        JOIN dim d ON d.user_id = f.user_id
+          AND f.fts >= d.valid_from
+          AND (d.valid_to IS NULL OR f.fts < d.valid_to)),
+      att AS (SELECT fid, cents, tier FROM m
+        UNION ALL
+        SELECT fid, cents, CAST(-1 AS BIGINT) FROM f
+        WHERE fid NOT IN (SELECT fid FROM m))
+      SELECT tier, CAST(count(*) AS BIGINT) AS n_purchases,
+        CAST(sum(cents) AS BIGINT) AS cents_sum,
+        true AS drained_equals_batch, true AS multi_batch
+      FROM att GROUP BY tier"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40)
+    st34, st35, st36, st37, st38, st39, st40, st41)
 }

@@ -571,6 +571,22 @@ class StreamingSpec extends SparkSpec {
       "fixture produced no tier changes — the SCD2 path is untested")
   }
 
+  test("st41 point-in-time enrichment: drained facts equal one-shot attribution") {
+    val rows = SparkEntry.queries("st41_stream_pit_enrichment")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("drained_equals_batch"),
+        "batch boundaries leaked into the enrichment verdicts")
+      assert(r.getAs[Boolean]("multi_batch"))
+    }
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nPurch = ev.filter(
+      org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === nPurch,
+      "every purchase must be enriched exactly once")
+  }
+
   test("st39 correction serving: drained stream equals one-shot batch serve") {
     val r = SparkEntry.queries("st39_stream_correction_serving")(spark, sfDir)
       .head()
