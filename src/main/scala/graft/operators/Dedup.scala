@@ -2697,7 +2697,148 @@ object Dedup {
         s.no_false_negatives, s.false_positive_count, s.filter_bits_set
       FROM memb m CROSS JOIN summ s"""))
 
+  // ---------------------------------------------------------------- d31
+  /** TAKEDOWN PROPAGATION THROUGH DUP CLUSTERS (the GDPR/DMCA path every
+    * production dedup pipeline needs and the s16/s38/w21 takedown theme
+    * applied to the dedup lane): deleting documents from a near-dup
+    * corpus is NOT just dropping rows — a deleted node can be the
+    * cluster's canonical representative (a replacement must be
+    * re-elected) or a BRIDGE (the cluster splits into independent
+    * components). d31 deletes every 7th synthesized doc from d09's
+    * cluster fixture and repairs INCREMENTALLY: only clusters CONTAINING
+    * a doomed member are relabeled (one connected-components pass over
+    * their surviving edges — deletion can only split, never merge, and
+    * edges never cross clusters, so untouched clusters keep their labels
+    * verbatim: O(touched clusters) work, the s38 neighborhood-repair
+    * contract). Touched-cluster survivors with no remaining edge become
+    * singletons; canonicals re-elect as each component's min surviving
+    * id (the CC label convention, so re-election is the relabel itself).
+    *
+    * Gate: the full post-takedown assignment (doc_id, cluster_id, size,
+    * is_canonical over every surviving doc) is value-mirrored against
+    * DuckDB's recursive-CTE recompute on the survivor graph, and the
+    * incremental result is pinned EQUAL to a from-scratch Spark
+    * recompute (anti-joins both ways) with zero doomed survivors. */
+  private val d31 = Q(
+    "d31_takedown_dedup",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+          graft.functions.CrossEngine.guardedId(col("doc_id"), 10000000L, "d31").as("doc_id"),
+          col("text"))
+        .filter(col("doc_id") % 10 === 0)
+      val g1 = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((size(toks) * 0.8).cast("int"), lit(1))), " ").as("text"))
+      val g2 = base.select((col("doc_id") + 20000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest((greatest((size(toks) * 0.8).cast("int"), lit(1)) * 0.6).cast("int"),
+            lit(1))), " ").as("text"))
+      val docs = base.unionByName(g1).unionByName(g2)
+      val sets = shingleSets(docs).localCheckpoint(true)
+      val a = sets.select(col("doc_id").as("src"), col("sh").as("sh_a"))
+      val b2 = sets.select(col("doc_id").as("dst"), col("sh").as("sh_b"))
+      val edges = a.join(b2,
+          col("src") % 10000000L === col("dst") % 10000000L && col("src") < col("dst"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val labels0 = connectedComponents(edges).localCheckpoint(true)
+      val doomedPred = col("doc_id") % 7 === 0
+      val doomed = docs.filter(doomedPred).select(col("doc_id"))
+        .localCheckpoint(true)
+      val survivors = docs.filter(!doomedPred).select(col("doc_id"))
+      // ---- incremental repair: O(touched clusters) ----------------------
+      val touched = labels0
+        .join(doomed.select(col("doc_id").as("node")), Seq("node"))
+        .select(col("label")).distinct().localCheckpoint(true)
+      val untouched = labels0.join(touched, Seq("label"), "left_anti")
+        .select(col("node"), col("label"))
+      val survEdges = edges
+        .join(doomed.select(col("doc_id").as("src")), Seq("src"), "left_anti")
+        .join(doomed.select(col("doc_id").as("dst")), Seq("dst"), "left_anti")
+        .localCheckpoint(true)
+      val touchedSurvEdges = survEdges
+        .join(labels0.select(col("node").as("src"), col("label")), Seq("src"))
+        .join(touched, Seq("label"))
+        .select(col("src"), col("dst"))
+      val relabeled = connectedComponents(touchedSurvEdges)
+      val touchedSurvivors = labels0.join(touched, Seq("label"))
+        .join(doomed.select(col("doc_id").as("node")), Seq("node"), "left_anti")
+        .select(col("node"))
+      val isolated = touchedSurvivors
+        .join(relabeled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("label"))
+      // survivors that never had an edge keep their singleton identity
+      val neverConnected = survivors
+        .join(labels0.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      val newLabels = untouched.unionByName(relabeled).unionByName(isolated)
+        .unionByName(neverConnected).localCheckpoint(true)
+      // ---- from-scratch recompute (the contract's other side) ------------
+      val reLabels = connectedComponents(survEdges)
+      val recompute = reLabels.unionByName(
+        survivors.join(reLabels.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id").as("node"), col("doc_id").as("label")))
+      val keys = Seq("node", "label")
+      val increq =
+        newLabels.join(recompute, keys, "left_anti").isEmpty &&
+        recompute.join(newLabels, keys, "left_anti").isEmpty
+      val noDoomed = newLabels
+        .join(doomed.select(col("doc_id").as("node")), Seq("node")).isEmpty
+      val sizes = newLabels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      newLabels.join(sizes, Seq("label"))
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"), (col("node") === col("label")).as("is_canonical"),
+          lit(increq).as("incremental_equals_recompute"),
+          lit(noDoomed).as("takedown_complete"))
+        .localCheckpoint(true)
+    },
+    Some("""WITH RECURSIVE base AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id % 10 = 0),
+      docs AS (
+        SELECT doc_id, array_to_string(tk, ' ') AS text FROM base
+        UNION ALL
+        SELECT doc_id + 10000000,
+          array_to_string(tk[1:greatest(CAST(floor(len(tk) * 0.8) AS INT), 1)], ' ') FROM base
+        UNION ALL
+        SELECT doc_id + 20000000,
+          array_to_string(tk[1:greatest(CAST(floor(greatest(CAST(floor(len(tk) * 0.8) AS INT), 1) * 0.6) AS INT), 1)], ' ')
+        FROM base),
+      surv AS (SELECT * FROM docs WHERE doc_id % 7 <> 0),
+      sets AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+        FROM surv),
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sets a JOIN sets b
+          ON a.doc_id % 10000000 = b.doc_id % 10000000 AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      reach(a, b) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.a, u.dst FROM reach r JOIN und u ON r.b = u.src),
+      labels AS (
+        SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+      all_labels AS (
+        SELECT node, cluster_id FROM labels
+        UNION ALL
+        SELECT doc_id, doc_id FROM surv
+        WHERE doc_id NOT IN (SELECT a FROM reach)),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM all_labels GROUP BY cluster_id)
+      SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+        l.node = l.cluster_id AS is_canonical,
+        true AS incremental_equals_recompute, true AS takedown_complete
+      FROM all_labels l JOIN sizes s ON l.cluster_id = s.cluster_id"""))
+
   val all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24,
-    d25, d26, d27, d28, d29, d30)
+    d25, d26, d27, d28, d29, d30, d31)
 }

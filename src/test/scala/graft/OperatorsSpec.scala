@@ -3550,6 +3550,37 @@ class OperatorsSpec extends SparkSpec {
       r.getAs[Long]("n_purchases") > 0L))
   }
 
+  test("d31 takedown dedup: incremental == recompute, re-election and splits both exercised") {
+    val after = run("d31_takedown_dedup").collect()
+    assert(after.nonEmpty)
+    after.foreach { r =>
+      assert(r.getAs[Boolean]("incremental_equals_recompute"))
+      assert(r.getAs[Boolean]("takedown_complete"))
+      assert(r.getAs[Long]("doc_id") % 7 !== 0L, "a doomed doc survived")
+    }
+    // exactly one canonical per cluster
+    after.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.count(_.getAs[Boolean]("is_canonical")) === 1, s"cluster $cid")
+      assert(rows.length === rows.head.getAs[Long]("cluster_size"))
+    }
+    // the fixture must exercise BOTH interesting paths vs the pre-takedown
+    // clustering (d09 on the same synthesis):
+    val before = run("d09_dup_clusters").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    val afterById = after.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    // (a) re-election: a doc canonical NOW that was not canonical before
+    assert(afterById.exists { case (id, (_, can)) =>
+      can && before.get(id).exists(!_._2)
+    }, "no canonical was re-elected — the doomed set missed every representative")
+    // (b) split: some pre-takedown cluster's survivors land in >= 2 clusters
+    val splits = before.toSeq
+      .flatMap { case (id, (cid0, _)) => afterById.get(id).map(a => cid0 -> a._1) }
+      .groupBy(_._1).count(_._2.map(_._2).distinct.size >= 2)
+    assert(splits >= 1, "no cluster split — the doomed set bridged nothing")
+  }
+
   test("d29 cdc chunking: boundaries resync after the planted prefix shift") {
     val rows = run("d29_cdc_chunking").collect()
     assert(rows.nonEmpty)
