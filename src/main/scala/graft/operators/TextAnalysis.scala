@@ -3065,6 +3065,77 @@ object TextAnalysis {
       FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
       WHERE d.doc_id % 2 = 1"""))
 
+  // ---------------------------------------------------------------- t35
+  /** READABILITY SCORING (Flesch 1948 reading ease; Kincaid 1975 grade
+    * level — the classic text-quality features corpus filters and
+    * difficulty-bucketing pipelines compute; backfills the t35 slot the
+    * r12 numbering skipped): per doc, sentences = terminal-punctuation
+    * count ([.!?], floored at 1), words = whitespace tokens, syllables =
+    * vowel-group count over the lowercased text (the standard heuristic —
+    * consecutive [aeiouy] runs collapse to one nucleus); then
+    * FRE = 206.835 − 1.015·(W/S) − 84.6·(Syl/W) and
+    * FKGL = 0.39·(W/S) + 11.8·(Syl/W) − 15.59, aggregated per source.
+    *
+    * All row-local regex/arith (codegen-friendly, no shuffle before the
+    * per-source agg); the per-doc scores are pure rational arithmetic on
+    * integer counts — bit-identical cross-engine — and land as exact
+    * ×1e6 Longs so the per-source means are order-independent. */
+  private val tReadability = Q(
+    "t35_readability",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nSent = greatest(
+        length(regexp_replace(col("text"), "[^.!?]", "")), lit(1))
+      val nWords = size(toks)
+      val nSyl = length(regexp_replace(
+        regexp_replace(lower(col("text")), "[aeiouy]+", "V"), "[^V]", ""))
+      def micro(c: Column) = round(c * 1e6).cast("long")
+      val scored = docs.select(col("source"),
+        micro(lit(206.835)
+          - lit(1.015) * nWords.cast("double") / nSent.cast("double")
+          - lit(84.6) * nSyl.cast("double") / nWords.cast("double"))
+          .as("fre_m"),
+        micro(lit(0.39) * nWords.cast("double") / nSent.cast("double")
+          + lit(11.8) * nSyl.cast("double") / nWords.cast("double")
+          - lit(15.59)).as("fkgl_m"),
+        when(lit(206.835)
+          - lit(1.015) * nWords.cast("double") / nSent.cast("double")
+          - lit(84.6) * nSyl.cast("double") / nWords.cast("double") > 60.0,
+          1L).otherwise(0L).as("easy"))
+      scored.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("fre_m")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_flesch_ease"),
+        round(sum(col("fkgl_m")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_fk_grade"),
+        sum(col("easy")).as("n_easy_docs"))
+    },
+    Some("""WITH d AS (
+        SELECT source,
+          greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1) AS ns,
+          len(string_split(text, ' ')) AS nw,
+          length(regexp_replace(
+            regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'),
+            '[^V]', '', 'g')) AS nsyl
+        FROM documents),
+      sc AS (SELECT source,
+          CAST(round((206.835 - 1.015 * CAST(nw AS DOUBLE) / ns
+            - 84.6 * CAST(nsyl AS DOUBLE) / nw) * 1e6) AS BIGINT) AS fre_m,
+          CAST(round((0.39 * CAST(nw AS DOUBLE) / ns
+            + 11.8 * CAST(nsyl AS DOUBLE) / nw - 15.59) * 1e6) AS BIGINT)
+            AS fkgl_m,
+          CASE WHEN 206.835 - 1.015 * CAST(nw AS DOUBLE) / ns
+            - 84.6 * CAST(nsyl AS DOUBLE) / nw > 60.0 THEN 1 ELSE 0 END
+            AS easy
+        FROM d)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        round(CAST(sum(fre_m) AS DOUBLE) / count(*) / 1e6, 6)
+          AS avg_flesch_ease,
+        round(CAST(sum(fkgl_m) AS DOUBLE) / count(*) / 1e6, 6)
+          AS avg_fk_grade,
+        CAST(sum(easy) AS BIGINT) AS n_easy_docs
+      FROM sc GROUP BY source"""))
+
   // ---------------------------------------------------------------- t41
   /** ROUGE-N + BLEU REFERENCE-OVERLAP EVAL (Lin 2004 "ROUGE"; Papineni et
     * al. 2002 "BLEU"; Lin & Och 2004 for the +1 smoothing — all public):
@@ -3200,5 +3271,6 @@ object TextAnalysis {
       tUnigramLp, tBpe, tBpeApply, tGopher, tTemperature, tGopherRep, tBigramLp,
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
       tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist,
-      tCalibration, tDistinctN, tCharEntropy, tZipf, tKneserNey, tRougeBleu)
+      tCalibration, tDistinctN, tCharEntropy, tZipf, tKneserNey, tRougeBleu,
+      tReadability)
 }

@@ -4436,6 +4436,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted === again.map(_.toString).sorted)
   }
 
+  test("t35 readability: formulas exact on a worked example, grades sane") {
+    val rows = run("t35_readability").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rows.length === docs.select("source").distinct().count().toInt)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_easy_docs") <= r.getAs[Long]("n_docs"))
+      // template prose lands in a plausible band, not at the formula rails
+      assert(r.getAs[Double]("avg_fk_grade") > -15.0 &&
+        r.getAs[Double]("avg_fk_grade") < 50.0)
+    }
+    // worked example: "the cat sat." -> 1 sentence, 3 words, 3 syllables
+    // FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19; FKGL = 0.39*3 + 11.8 - 15.59
+    assert(math.abs((206.835 - 1.015 * 3 - 84.6 * 1.0) - 119.19) < 1e-9)
+    assert(math.abs((0.39 * 3 + 11.8 * 1.0 - 15.59) - (-2.62)) < 1e-9)
+    // vowel-group syllable heuristic: "reading" -> ea + i = 2 groups
+    assert("reading".replaceAll("[aeiouy]+", "V").replaceAll("[^V]", "").length === 2)
+  }
+
   test("t41 rouge/bleu: pairing exact, metrics in [0,1], clipping binds") {
     val rows = run("t41_rouge_bleu").collect()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
