@@ -17,6 +17,7 @@ import graft.functions._
   *  - `simhash64(a)`       — 64-bit SimHash over hashed term arrays
   *  - `bottom_k_distinct(x, k)` — KMV bottom-k distinct sketch aggregate
   *  - `top_k_pairs(key, payload, k)` — bounded-heap top-k pair aggregate
+  *  - `bloom_sketch(x, mBits, kHashes)` — mergeable Bloom-filter aggregate
   *
   * Registered on every [[GraftSession]] (the `configure` contract), so
   * `spark.sql("... top_k_pairs(...) ...")` plans the same Partial-mode
@@ -57,5 +58,9 @@ object GraftExtensions {
         BottomKDistinct(args(0), intLit(args(1), "bottom_k_distinct"))),
     (FunctionIdentifier("top_k_pairs"), info("top_k_pairs", classOf[TopKPairs]),
       (args: Seq[Expression]) =>
-        TopKPairs(args(0), args(1), intLit(args(2), "top_k_pairs"))))
+        TopKPairs(args(0), args(1), intLit(args(2), "top_k_pairs"))),
+    (FunctionIdentifier("bloom_sketch"), info("bloom_sketch", classOf[BloomSketch]),
+      (args: Seq[Expression]) =>
+        BloomSketch(args(0), intLit(args(1), "bloom_sketch"),
+          intLit(args(2), "bloom_sketch"))))
 }

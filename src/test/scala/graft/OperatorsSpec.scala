@@ -2566,6 +2566,15 @@ class OperatorsSpec extends SparkSpec {
         "(CAST(1 AS BIGINT), CAST(1 AS BIGINT)) AS t(k, p)").head())
     assert(e.getMessage.contains("INT literal") ||
       Option(e.getCause).exists(_.getMessage.contains("INT literal")))
+    // bloom_sketch SQL path == the DataFrame aggregate bit-identically
+    val sqlWords = spark.sql(
+      "SELECT bloom_sketch(x, 128, 4) AS w FROM VALUES ('a'), ('b'), ('c') AS t(x)")
+      .head().getAs[scala.collection.Seq[Long]]("w")
+    val dfWords = spark.sql("SELECT x FROM VALUES ('a'), ('b'), ('c') AS t(x)")
+      .agg(graft.functions.Bloom.bloomSketch(col("x"), 128, 4).as("w"))
+      .head().getAs[scala.collection.Seq[Long]]("w")
+    assert(sqlWords === dfWords)
+    assert(sqlWords.exists(_ != 0L))
   }
 
   test("q73 SQL parity: the shared text runs through spark.sql and views are dropped") {
