@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
+// forked run output inherits stdout directly instead of riding the sbt
+// logger: the driver tail-parses Bench's one printed JSON line and the
+// default LoggedOutput strategy prefixes it with "[info] " (the r14
+// BENCH artifact's "parsed": null)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

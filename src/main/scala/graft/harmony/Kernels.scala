@@ -179,18 +179,28 @@ private[harmony] object Kernels {
     // first L1 normalization (harmony.cpp:310)
     k = 0
     while (k < K) { r(k) /= sum; k += 1 }
-    // diversity penalty then re-normalize (harmony.cpp:311)
+    // diversity penalty then re-normalize (harmony.cpp:311). A NEGATIVE
+    // batch index is serveModel's unseen-level sentinel (serveUnseen =
+    // interceptOnly): an unseen covariate has no (E, O, theta) entry so
+    // it contributes no penalty, and a cell whose every covariate is
+    // unseen keeps the plain softmax (pen = 1). The fit path never emits
+    // negative indices, so this branch is dead there.
     sum = 0.0
+    var anySeen = false
+    var ci0 = 0
+    while (ci0 < batch.length) { if (batch(ci0) >= 0) anySeen = true; ci0 += 1 }
     k = 0
     while (k < K) {
       var pen = 0.0
       var ci = 0
       while (ci < batch.length) {
-        val idx = k * B + batch(ci)
-        pen += math.pow((2.0 * e(idx) + 1.0) / (o(idx) + e(idx) + 1.0), theta(batch(ci)))
+        if (batch(ci) >= 0) {
+          val idx = k * B + batch(ci)
+          pen += math.pow((2.0 * e(idx) + 1.0) / (o(idx) + e(idx) + 1.0), theta(batch(ci)))
+        }
         ci += 1
       }
-      r(k) *= pen
+      r(k) *= (if (anySeen) pen else 1.0)
       sum += r(k)
       k += 1
     }

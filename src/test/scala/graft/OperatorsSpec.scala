@@ -4169,6 +4169,20 @@ class OperatorsSpec extends SparkSpec {
     assert(!gate.getAs[Boolean]("zipf_like"),
       "the 31-word template corpus must fail the Zipf health check")
     assert(gate.getAs[Double]("r2") < 0.5)
+    // the top-1000 rank must ride the bounded heap, never a vocab-wide
+    // window sort (the q74 precedent)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan0 = SparkEntry.queries("t39_zipf_fit")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "t39 must not plan a window over the vocabulary")
+    assert(plan.toString.contains("top_k_pairs"),
+      s"t39 must plan the TopKPairs bounded heap:\n$plan")
   }
 
   test("m18 dct/phash: matches the 2-D definition; invariances hold on random rasters") {
@@ -4339,6 +4353,66 @@ class OperatorsSpec extends SparkSpec {
     Seq("fragmentation_planted", "compacted_buckets_single_file",
       "untouched_buckets_intact", "compact_idempotent").foreach { c =>
       assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+  }
+
+  test("s42 layered delete: entry re-elected, per-layer unlink, facts hold") {
+    val rows = run("s42_hnsw_layered_delete").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served post-delete
+    Seq("entry_reelected", "delete_touched_bounded",
+      "untouched_buckets_intact", "rewritten_buckets_single_file",
+      "delete_idempotent").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    // the doomed set includes the standing entry + one more upper-layer
+    // node, so at least their per-layer adjacency (forward + reverse)
+    // must have been dropped from the routing layers
+    assert(rows.head.getAs[Long]("dropped_routing_edges") > 0L,
+      "deleting the entry point must drop routing-layer edges")
+    // the re-elected entry is a surviving upper-layer node: serving from
+    // it still returns a full panel, and never a doomed node. Recompute
+    // the doomed ids exactly as the entry does (level draw over the
+    // corpus) and check the answers avoid them.
+    val emb = graft.operators.Similarity.nndPlantedVecs(spark, sfDir)
+      .select(col("vec_id").as("id"))
+    val lv = emb.select(col("id"), expr(
+      """CASE WHEN CAST(conv(substring(md5(concat('lv', CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0 < 0.0625 THEN 2
+              WHEN CAST(conv(substring(md5(concat('lv', CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0 < 0.25 THEN 1
+              ELSE 0 END""").as("lvl"))
+    val entry0 = lv.filter(col("lvl") >= 2).agg(min(col("id"))).head().getLong(0)
+    val upper = lv.filter(col("lvl") >= 1 && col("id") =!= entry0)
+      .agg(min(col("id"))).head().getLong(0)
+    val baseOnly = lv.filter(col("lvl") === 0 && col("id") >= 100)
+      .agg(min(col("id"))).head().getLong(0)
+    val doomed = Set(entry0, upper, baseOnly)
+    assert(rows.forall(r => !doomed.contains(r.getAs[Long]("neighbor_id"))),
+      "served a deleted node")
+    val newEntry = rows.head.getAs[Long]("new_entry")
+    assert(!doomed.contains(newEntry) && newEntry != entry0,
+      s"entry $newEntry not re-elected away from doomed $doomed")
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("h16 serve unseen policy: fail fast, skip+quarantine, interceptOnly") {
+    val r = run("h16_serve_unseen_policy").head()
+    Seq("fail_fails_fast", "skip_serves_seen_exactly",
+      "quarantine_reported_exactly", "intercept_only_seen_exact",
+      "intercept_only_novel_passthrough", "r_column_stochastic").foreach { c =>
+      assert(r.getAs[Boolean](c), s"$c is false")
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(r.getAs[Long]("n_quarantined") ===
+      emb.filter(col("vec_id") % 10 === 1).count())
+    assert(r.getAs[Long]("n_seen") ===
+      emb.filter(col("vec_id") % 2 === 1 && col("vec_id") % 10 =!= 1).count())
+    // an invalid policy is rejected up front
+    val st = graft.harmony.HarmonyQueries.FrozenFitCache.model(spark, sfDir).state
+    val cells = graft.harmony.HarmonyQueries.plantedCells(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      graft.harmony.Harmony.serveModel(st, cells, Seq("batch"),
+        serveUnseen = "bogus")
     }
   }
 
