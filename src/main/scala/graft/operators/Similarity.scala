@@ -4630,8 +4630,350 @@ object Similarity {
         FROM w0bm$s34L0Hops) t CROSS JOIN wit w
       WHERE rn2 <= 3"""))
 
+  /** st42's fixture constants + oracle text, defined HERE because the
+    * build-chain CTEs are object-private: the streamed maintenance
+    * sequence's final content = (kNN UNION the twins' distinct hash-draw
+    * adjacency) minus every row touching the doomed set. */
+  private[graft] val maintenanceDoomed = Seq(5L, 11L, 23L)
+  private[graft] def maintenanceOracleText: String =
+    s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      twinDraws AS (
+        SELECT t.u, CAST(CAST(concat('0x', substring(md5(concat('i',
+            CAST(t.u AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 15))
+            AS BIGINT) AS BIGINT)
+          % (SELECT count(*) FROM emb) AS v
+        FROM (SELECT id + 30000000 AS u FROM emb WHERE id < 20) t,
+          (SELECT unnest(range(1, 7)) AS j) js),
+      twinEdges AS (SELECT DISTINCT u, v FROM twinDraws WHERE v <> u),
+      finalEdges AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT u, v FROM nb3 UNION ALL SELECT u, v FROM twinEdges) t
+        WHERE u NOT IN (${maintenanceDoomed.mkString(", ")})
+          AND v NOT IN (${maintenanceDoomed.mkString(", ")}))
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        CAST(count(DISTINCT u) AS BIGINT) AS n_sources,
+        CAST(sum(CAST(CAST(concat('0x', substring(md5(concat(
+          CAST(u AS VARCHAR), '_', CAST(v AS VARCHAR))), 1, 10))
+          AS BIGINT) AS BIGINT)) AS BIGINT) AS content_checksum,
+        true AS stream_equals_batch,
+        true AS untouched_buckets_byte_identical, true AS multi_batch
+      FROM finalEdges"""
+
+  // ---------------------------------------------------------------- s43
+  /** GRAPH-INDEX HEALTH STATS (VERDICT r14 #5 — the s24 IVF-list-stats
+    * contract applied to the graph lane): a 100 TB deployment runs
+    * append (s33/s39) / delete (s38/s42) / compact (s41) on a SCHEDULE,
+    * and the schedule needs observable health — you compact when
+    * fragmentation says so, repair when orphans appear, rebuild when
+    * degree or reachability degrades. One pass over the persisted
+    * bucketed artifact reports:
+    *
+    *   - degree distribution (min / max / avg in exact micro-units) of
+    *     the polished kNN state — a descent regression shows as degree
+    *     spread;
+    *   - orphan count (corpus nodes with no adjacency row — serving can
+    *     never RETURN them except via a reverse edge, so non-zero means
+    *     repair);
+    *   - reverse-edge symmetry (share of kNN edges whose reverse also
+    *     exists, micro-units — kNN graphs are asymmetric by nature, but
+    *     the share is stable per build and drift flags a broken merge);
+    *   - entry-point reachability sample (distinct nodes within 3 beam
+    *     hops of the serving entry over kNN ∪ links — a shrinking
+    *     neighborhood means the entry's component got cut, the s42
+    *     failure mode);
+    *   - fragmentation (buckets holding >1 data file, max files/bucket —
+    *     the s41 trigger), planted deterministically here via the s41
+    *     append-files fixture so the non-trivial reading is pinned.
+    *
+    * Every graph stat is DuckDB-mirrored from the build chain; the two
+    * file-layout stats are mirrored BY CONSTRUCTION (the fixture appends
+    * the u<32 slice as second files, so exactly 32 buckets are
+    * fragmented at every sf — the corpus always covers u 0..31).
+    *
+    * Scale shape: degree/orphans/symmetry are one grouped count + one
+    * self-equi-join on the u-bucketed table (bucket-local); reachability
+    * is 3 frontier joins bounded by the entry's 3-hop neighborhood;
+    * fragmentation is one shared-FS listing per bucket. No corpus-sized
+    * driver state. */
+  private val s43 = Q(
+    "s43_graph_index_health",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s43_").toString
+      try {
+        val sp = s
+        import sp.implicits._
+        val knn0 = GraphIndexCache.knn(s, dir).select(col("u"), col("v"))
+          .localCheckpoint(true)
+        val e = nndPlantedVecs(s, dir)
+        val nNodes = e.count()
+        // the s41 fragmentation fixture: standing rows first, the u<32
+        // slice as a second append-files write
+        val slice = col("u") < 32
+        edgeWriteBucketed(knn0.filter(!slice), s"$out/knn")
+        knn0.filter(slice)
+          .withColumn("bucket",
+            pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(s"$out/knn")
+        edgeWriteBucketed(nndHashInit(e, 6, nNodes), s"$out/links")
+        def readEdges(t: String): DataFrame =
+          s.read.parquet(s"$out/$t").select(col("u"), col("v"))
+        val knn = readEdges("knn").localCheckpoint(true)
+        val deg = knn.groupBy(col("u")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val degRow = deg.agg(min(col("c")), max(col("c")), count(lit(1)),
+          sum(col("c"))).head()
+        val totalEdges = degRow.getLong(3)
+        val symEdges = knn.alias("a").join(knn.alias("b"),
+            col("b.u") === col("a.v") && col("b.v") === col("a.u"))
+          .count()
+        // reachability sample: 3 hops from the serving entry (node 0)
+        // over the serving graph (kNN UNION links)
+        val g = knn.unionByName(readEdges("links")).distinct()
+          .localCheckpoint(true)
+        var reached = Seq(0L).toDF("node").localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          reached = reached.unionByName(
+              reached.join(g, reached("node") === g("u"))
+                .select(col("v").as("node")))
+            .distinct().localCheckpoint(true)
+        }
+        val reach3 = reached.count()
+        val files = edgeBucketFiles(s"$out/knn")
+        val fragged = files.count(_._2.size > 1).toLong
+        val maxFiles = files.values.map(_.size).max.toLong
+        Seq((nNodes, totalEdges, degRow.getLong(0), degRow.getLong(1),
+            totalEdges * 1000000L / nNodes, nNodes - degRow.getLong(2),
+            symEdges, symEdges * 1000000L / totalEdges, reach3,
+            fragged, maxFiles, fragged > 0))
+          .toDF("n_nodes", "total_edges", "min_degree", "max_degree",
+            "avg_degree_micro", "orphan_count", "reverse_symmetric_edges",
+            "symmetry_micro", "reach_3hop", "fragmented_buckets",
+            "max_files_per_bucket", "compaction_recommended")
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      graph AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      deg AS MATERIALIZED (SELECT u, count(*) AS c FROM nb3 GROUP BY u),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS te FROM nb3),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM emb),
+      sym AS (
+        SELECT CAST(count(*) AS BIGINT) AS ns
+        FROM nb3 a JOIN nb3 b ON b.u = a.v AND b.v = a.u),
+      r0 AS (SELECT CAST(0 AS BIGINT) AS node),
+      r1 AS MATERIALIZED (
+        SELECT node FROM r0
+        UNION SELECT g.v FROM graph g JOIN r0 b ON g.u = b.node),
+      r2 AS MATERIALIZED (
+        SELECT node FROM r1
+        UNION SELECT g.v FROM graph g JOIN r1 b ON g.u = b.node),
+      r3 AS MATERIALIZED (
+        SELECT node FROM r2
+        UNION SELECT g.v FROM graph g JOIN r2 b ON g.u = b.node)
+      SELECT nn.n AS n_nodes, tot.te AS total_edges,
+        CAST((SELECT min(c) FROM deg) AS BIGINT) AS min_degree,
+        CAST((SELECT max(c) FROM deg) AS BIGINT) AS max_degree,
+        CAST(tot.te * 1000000 // nn.n AS BIGINT) AS avg_degree_micro,
+        CAST(nn.n - (SELECT count(*) FROM deg) AS BIGINT) AS orphan_count,
+        sym.ns AS reverse_symmetric_edges,
+        CAST(sym.ns * 1000000 // tot.te AS BIGINT) AS symmetry_micro,
+        CAST((SELECT count(*) FROM r3) AS BIGINT) AS reach_3hop,
+        CAST(32 AS BIGINT) AS fragmented_buckets,
+        CAST(2 AS BIGINT) AS max_files_per_bucket,
+        true AS compaction_recommended
+      FROM nn, tot, sym"""))
+
+  // ---------------------------------------------------------------- s44
+  /** REVERSE-EDGE SIDECAR DELETE DISCOVERY (the 100 TB refinement of
+    * s38/s42's one open cost: their delete DISCOVERY is a pushed-filter
+    * scan of the WHOLE index — parallel and shuffle-free, but still
+    * O(index) bytes read per takedown batch. The FreshDiskANN insight
+    * (Singh et al. '21, public) is that deletes need the REVERSE
+    * adjacency, so a production index keeps it materialized: a sidecar
+    * copy of the edge table bucketed by v instead of u. Discovery then
+    * never scans:
+    *
+    *   - the doomed nodes' OWN rows live in knn u-buckets `d mod B` —
+    *     computable from the ids alone, zero reads;
+    *   - every REVERSE edge (survivor -> doomed) lives in sidecar
+    *     v-buckets `d mod B` — |doomed-bucket| pruned partition reads
+    *     (the spec asserts the scan's PartitionFilters prune to <= the
+    *     doomed bucket count);
+    *   - the sidecar's own maintenance set = the doomed rows' v-buckets,
+    *     derived from the knn u-buckets just read.
+    *
+    * Total: O(buckets holding the batch + its in-degree) READ and
+    * written, index size out of the equation entirely. The gate builds
+    * both tables, proves sidecar discovery finds EXACTLY the full-scan
+    * touched set, deletes through the staged swaps on both tables,
+    * proves the sidecar still mirrors the kNN table row-for-row
+    * (anti-joins both ways — the merge==recompute contract on the
+    * sidecar), second lookup finds nothing, and serves the post-delete
+    * files under the 5-hop walk oracle with the discovery witnesses
+    * (reverse-edge count, touched bucket counts both tables) mirrored as
+    * VALUES — DuckDB recomputes them from the build chain and the same
+    * mod-B arithmetic. */
+  private val s44 = Q(
+    "s44_graph_delete_sidecar",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s44_").toString
+      try {
+        val e = nndPlantedVecs(s, dir)
+        val doomed = maintenanceDoomed
+        val doomedBuckets = doomed.map(d => (d % s38Buckets).toInt).distinct
+        edgeWriteBucketed(
+          GraphIndexCache.knn(s, dir).select(col("u"), col("v")),
+          s"$out/knn")
+        edgeWriteBucketed(nndHashInit(e, 6, e.count()), s"$out/links")
+        // sidecar: same rows, bucketed by v — one extra write at build
+        // time, kept in sync by every maintenance op from then on
+        s.read.parquet(s"$out/knn").select(col("u"), col("v"))
+          .withColumn("bucket",
+            pmod(col("v"), lit(s38Buckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$out/knn_rev")
+        // discovery, the bounded way: zero-read u-buckets + pruned
+        // sidecar read for reverse edges
+        val revEdges = sidecarReverseLookup(s, s"$out/knn_rev", doomed)
+          .localCheckpoint(true)
+        val revCount = revEdges.filter(!col("u").isin(doomed: _*)).count()
+        val knnTouched = (doomedBuckets ++
+          revEdges.select(col("u")).distinct().collect()
+            .map(r => (r.getLong(0) % s38Buckets).toInt)).distinct.sorted
+        // discovery, the full-scan way (the s38 shape) — must agree
+        val scanTouched = s.read.parquet(s"$out/knn")
+          .filter(col("u").isin(doomed: _*) || col("v").isin(doomed: _*))
+          .select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val discoveryAgrees = knnTouched == scanTouched
+        // the sidecar's own touched buckets: the v-buckets of every row
+        // that mentions a doomed node — reverse rows sit at v mod B for
+        // the doomed ids that actually HAVE in-edges (revEdges, already
+        // read), the doomed nodes' own rows sit at their out-edges'
+        // v mod B (read from the known doomed u-buckets only)
+        val doomedOwnRows = s.read.parquet(s"$out/knn")
+          .filter(col("bucket").isin(doomedBuckets: _*))
+          .filter(col("u").isin(doomed: _*))
+          .select(col("v")).localCheckpoint(true)
+        val sideTouched =
+          (revEdges.select(col("v")).distinct().collect()
+              .map(r => (r.getLong(0) % s38Buckets).toInt) ++
+            doomedOwnRows.distinct().collect()
+              .map(r => (r.getLong(0) % s38Buckets).toInt))
+            .distinct.sorted.toSeq
+        // delete through the staged swaps, both tables, touched-only
+        def rewriteMinusDoomed(path: String, buckets: Seq[Int],
+            bucketOf: Column): Unit = {
+          val staging = s"${path}_delete_staging"
+          s.read.parquet(path)
+            .filter(col("bucket").isin(buckets: _*))
+            .filter(!col("u").isin(doomed: _*) &&
+              !col("v").isin(doomed: _*))
+            .drop("bucket").withColumn("bucket", bucketOf)
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+          edgeSwapBuckets(path, staging, buckets)
+        }
+        rewriteMinusDoomed(s"$out/knn", knnTouched,
+          pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+        rewriteMinusDoomed(s"$out/knn_rev", sideTouched,
+          pmod(col("v"), lit(s38Buckets.toLong)).cast("int"))
+        // sidecar still mirrors the kNN table row-for-row
+        val knnAfter = s.read.parquet(s"$out/knn")
+          .select(col("u"), col("v")).localCheckpoint(true)
+        val sideAfter = s.read.parquet(s"$out/knn_rev")
+          .select(col("u"), col("v")).localCheckpoint(true)
+        val sidecarConsistent =
+          knnAfter.except(sideAfter).count() == 0 &&
+          sideAfter.except(knnAfter).count() == 0
+        // idempotence: a second bounded lookup finds nothing
+        val secondLookup =
+          sidecarReverseLookup(s, s"$out/knn_rev", doomed).count() == 0 &&
+          knnAfter.filter(col("u").isin(doomed: _*)).count() == 0
+        // serve the post-delete files under the walk oracle
+        val post = nswBeamSearch(s, dir,
+          knnAfter.unionByName(
+              s.read.parquet(s"$out/links").select(col("u"), col("v"))
+                .filter(!col("u").isin(doomed: _*) &&
+                  !col("v").isin(doomed: _*)))
+            .distinct().localCheckpoint(true))
+        graft.functions.CrossEngine.materializeLocal(s, post
+          .withColumn("reverse_edges_found", lit(revCount))
+          .withColumn("knn_touched_buckets", lit(knnTouched.size.toLong))
+          .withColumn("sidecar_touched_buckets", lit(sideTouched.size.toLong))
+          .withColumn("sidecar_discovery_equals_scan", lit(discoveryAgrees))
+          .withColumn("sidecar_consistent_after", lit(sidecarConsistent))
+          .withColumn("second_lookup_empty", lit(secondLookup)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      $s30QueriesCte,
+      dmd AS (SELECT unnest([${maintenanceDoomed.mkString(", ")}]) AS id),
+      delg AS MATERIALIZED (
+        SELECT u, v FROM nb3
+        WHERE u NOT IN (SELECT id FROM dmd)
+          AND v NOT IN (SELECT id FROM dmd)),
+      lnk2 AS (
+        SELECT u, v FROM nb0
+        WHERE u NOT IN (SELECT id FROM dmd)
+          AND v NOT IN (SELECT id FROM dmd)),
+      graph AS MATERIALIZED (
+        SELECT u, v FROM delg UNION SELECT u, v FROM lnk2),
+      wit AS MATERIALIZED (
+        SELECT
+          CAST((SELECT count(*) FROM nb3
+            WHERE v IN (SELECT id FROM dmd)
+              AND u NOT IN (SELECT id FROM dmd)) AS BIGINT)
+            AS reverse_edges_found,
+          CAST((SELECT count(DISTINCT u % $s38Buckets) FROM nb3
+            WHERE u IN (SELECT id FROM dmd)
+              OR v IN (SELECT id FROM dmd)) AS BIGINT)
+            AS knn_touched_buckets,
+          CAST((SELECT count(DISTINCT v % $s38Buckets) FROM nb3
+            WHERE v IN (SELECT id FROM dmd)
+              OR u IN (SELECT id FROM dmd)) AS BIGINT)
+            AS sidecar_touched_buckets),
+      bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i =>
+        s30OracleHop(i, if (i == 1) "bm0" else s"bm${i - 1}"))
+        .mkString(",\n      ")}
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq,
+        w.reverse_edges_found, w.knn_touched_buckets,
+        w.sidecar_touched_buckets,
+        true AS sidecar_discovery_equals_scan,
+        true AS sidecar_consistent_after, true AS second_lookup_empty
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM bm$s30Hops) t CROSS JOIN wit w
+      WHERE rn2 <= 3"""))
+
+  /** The sidecar's bounded reverse lookup: every (u, v) with v in the
+    * doomed set, read from ONLY the doomed v-buckets — Catalyst prunes
+    * the partition listing to `|distinct(d mod B)|` directories (the
+    * spec asserts the scan's PartitionFilters do exactly that). */
+  private[graft] def sidecarReverseLookup(s: SparkSession, sidecar: String,
+      doomed: Seq[Long]): DataFrame =
+    s.read.parquet(sidecar)
+      .filter(col("bucket").isin(
+        doomed.map(d => (d % s38Buckets).toInt).distinct: _*))
+      .filter(col("v").isin(doomed: _*))
+      .select(col("u"), col("v"))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42)
+    s39, s40, s41, s42, s43, s44)
 }

@@ -3570,8 +3570,166 @@ object EventsStreaming {
         true AS drained_equals_batch, true AS multi_batch
       FROM att GROUP BY tier"""))
 
+  // ---------------------------------------------------------------- st42
+  /** STREAMING GRAPH-INDEX MAINTENANCE (VERDICT r14 #8 — the last
+    * asymmetry between the IVF and graph lanes closed: st35 streams
+    * ADMISSION against a frozen artifact, but a production graph index
+    * also takes its MAINTENANCE — append / delete / compact — from an
+    * operations stream, and the d20/st37 merge==recompute contract says
+    * the drained op-by-op artifact must equal the batch sequence). The
+    * fixture writes ONE bucketed artifact, file-copies it to a batch copy
+    * and a stream copy (byte-identical starting points), then:
+    *
+    *   - BATCH: append the twins' hash-draw adjacency rows (append-files
+    *     into their u-buckets), delete doomed nodes {5, 11, 23}
+    *     (pushed-filter locate + staged per-bucket swap), compact the
+    *     fragmented buckets — the s33/s38/s41 primitives in sequence;
+    *   - STREAM: the SAME three ops arrive as one command file each
+    *     (pinned mtimes, maxFilesPerTrigger=1 — the st36 ordered-delivery
+    *     shape, >= 3 real triggers pinned) and foreachBatch applies each
+    *     with the identical primitives against the stream copy.
+    *
+    * Post-drain facts (all recomputed): the streamed artifact's ROWS
+    * equal the batch artifact's exactly; buckets untouched by the whole
+    * sequence are BYTE-IDENTICAL between the two copies (they share
+    * byte-identical origins and maintenance never opened them — a swap
+    * that silently rewrote a clean bucket reds here); the drain ran >= 3
+    * micro-batches. The mirrored VALUES pin final content cross-engine:
+    * edge count, distinct sources, and an md5-weighted content checksum
+    * over every surviving (u, v) — DuckDB recomputes final content as
+    * (knn UNION twin-draws) minus doomed-touching rows, so a lost or
+    * duplicated row during any swap reds on values, not booleans.
+    *
+    * Scale shape: per trigger the work is O(touched buckets) of the op
+    * applied (the s38/s41 contract), never O(index); the stream holds
+    * zero state — the artifact IS the state, exactly how a 100 TB index
+    * fleet takes its maintenance feed. */
+  private val st42 = Q(
+    "st42_stream_graph_maintenance",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Similarity
+      Similarity.withConstraintPropagationOff(s) {
+        val work = java.nio.file.Files.createTempDirectory("graft_st42_")
+        try {
+          val sp = s
+          import sp.implicits._
+          val e = Similarity.nndPlantedVecs(s, dir)
+          val n = e.count()
+          val doomed = Similarity.maintenanceDoomed
+          // the appended rows: the twins' deterministic hash-draw
+          // adjacency (the nndHashInit formula over twin ids — the
+          // MAINTENANCE contract under test is file surgery, st35 already
+          // pins walk-derived admission)
+          def appendEdges = Similarity.nndHashInit(
+            Similarity.s33Twins(s, dir), 6, n)
+          // one artifact, two byte-identical copies
+          Similarity.edgeWriteBucketed(
+            Similarity.GraphIndexCache.knn(s, dir).select(col("u"), col("v")),
+            s"$work/init")
+          def copyDir(from: String, to: String): Unit = {
+            val src = java.nio.file.Paths.get(from)
+            java.nio.file.Files.walk(src).forEach { p =>
+              val dest = java.nio.file.Paths.get(to)
+                .resolve(src.relativize(p).toString)
+              if (java.nio.file.Files.isDirectory(p))
+                java.nio.file.Files.createDirectories(dest)
+              else java.nio.file.Files.copy(p, dest)
+            }
+          }
+          copyDir(s"$work/init", s"$work/batch")
+          copyDir(s"$work/init", s"$work/stream")
+          val touchedAll =
+            scala.collection.mutable.Set.empty[Int]
+          def applyOp(op: String, root: String): Unit = op match {
+            case "append" =>
+              val withBucket = appendEdges.withColumn("bucket",
+                pmod(col("u"), lit(Similarity.s38Buckets.toLong)).cast("int"))
+              touchedAll.synchronized {
+                touchedAll ++= withBucket.select(col("bucket")).distinct()
+                  .collect().map(_.getInt(0))
+              }
+              withBucket.repartition(col("bucket"))
+                .write.mode("append").partitionBy("bucket").parquet(root)
+            case "delete" =>
+              val t = Similarity.graphDeleteNodes(s, root, doomed)
+              touchedAll.synchronized { touchedAll ++= t }
+            case "compact" =>
+              val t = Similarity.graphCompactBuckets(s, root)
+              touchedAll.synchronized { touchedAll ++= t }
+          }
+          // batch reference: the sequence applied directly
+          Seq("append", "delete", "compact").foreach(applyOp(_, s"$work/batch"))
+          // stream: one command per file, pinned mtimes => ordered triggers
+          val srcDir = java.nio.file.Files.createDirectory(work.resolve("ops"))
+          Seq("append", "delete", "compact").zipWithIndex.foreach {
+            case (op, i) =>
+              val stage = s"$work/op${i}_stage"
+              Seq(op).toDF("op").coalesce(1)
+                .write.mode("overwrite").parquet(stage)
+              val part = Option(new java.io.File(stage).listFiles())
+                .getOrElse(Array.empty)
+                .find(_.getName.endsWith(".parquet")).get
+              val dest = srcDir.resolve(s"op$i.parquet")
+              java.nio.file.Files.move(part.toPath, dest)
+              java.nio.file.Files.setLastModifiedTime(dest,
+                java.nio.file.attribute.FileTime
+                  .fromMillis(1000000000000L + i * 60000L))
+          }
+          val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+          val query = s.readStream
+            .schema(s.read.parquet(srcDir.toString).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.toString)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", work.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              // one command per trigger (tiny bounded collect)
+              batch.select(col("op")).collect().map(_.getString(0))
+                .foreach { op =>
+                  nBatches.incrementAndGet()
+                  applyOp(op, s"$work/stream")
+                }
+              ()
+            }
+            .start()
+          query.awaitTermination()
+          // facts: row-equal artifacts, untouched buckets byte-identical
+          def edges(root: String): DataFrame =
+            s.read.parquet(root).select(col("u"), col("v"))
+          val bDf = edges(s"$work/batch").localCheckpoint(true)
+          val sDf = edges(s"$work/stream").localCheckpoint(true)
+          val rowsEqual =
+            bDf.unionByName(sDf).distinct().count() == bDf.count() &&
+            bDf.count() == sDf.count() &&
+            bDf.distinct().count() == bDf.count()
+          val untouched = (0 until Similarity.s38Buckets)
+            .filterNot(touchedAll.contains)
+          val bytesIdentical = untouched.nonEmpty && untouched.forall(b =>
+            filesDigest(s"$work/batch/bucket=$b") ==
+              filesDigest(s"$work/stream/bucket=$b"))
+          // mirrored content values over the drained artifact
+          val out = sDf
+            .agg(count(lit(1)).as("n_edges"),
+              countDistinct(col("u")).as("n_sources"),
+              sum(expr("""CAST(conv(substring(md5(concat(
+                CAST(u AS STRING), '_', CAST(v AS STRING))), 1, 10),
+                16, 10) AS BIGINT)""")).as("content_checksum"))
+            .withColumn("stream_equals_batch", lit(rowsEqual))
+            .withColumn("untouched_buckets_byte_identical",
+              lit(bytesIdentical))
+            .withColumn("multi_batch", lit(nBatches.get() >= 3L))
+          graft.functions.CrossEngine.materializeLocal(s, out)
+        } finally {
+          graft.functions.CrossEngine.deleteRecursive(work)
+        }
+      }
+    },
+    Some(graft.operators.Similarity.maintenanceOracleText))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40, st41)
+    st34, st35, st36, st37, st38, st39, st40, st41, st42)
 }

@@ -84,6 +84,29 @@ object GraphLifecycleRehearsal {
       }.sum
       val touchedBytesBefore = bucketBytes(t)
       val totalBytes = bucketBytes(0 until nBuckets)
+
+      // the s44 refinement: a v-bucketed reverse sidecar bounds DISCOVERY
+      // itself — the pushed-filter scan above still reads O(index) bytes
+      // per takedown batch; the sidecar reads |doomed-bucket| pruned
+      // partitions (built BEFORE the rewrite so both see the same rows)
+      timed("sidecar build (one extra v-bucketed write)") {
+        spark.read.parquet(s"$out/knn").select(col("u"), col("v"))
+          .withColumn("bucket",
+            pmod(col("v"), lit(nBuckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$out/knn_rev")
+      }
+      val tSide = timed("DELETE discovery via sidecar (pruned partitions)") {
+        val doomedBuckets = doomed.map(d => (d % nBuckets).toInt).distinct
+        val revU = spark.read.parquet(s"$out/knn_rev")
+          .filter(col("bucket").isin(doomedBuckets: _*))
+          .filter(col("v").isin(doomed: _*))
+          .select(col("u")).distinct()
+          .collect().map(r => (r.getLong(0) % nBuckets).toInt)
+        (doomedBuckets ++ revU).distinct.sorted.toSeq
+      }
+      println(s"[graph-maint] sidecar discovery touched set == scan's: ${tSide == t}")
       val touched = timed("DELETE staged rewrite of touched buckets") {
         if (t.nonEmpty) {
           val staging = s"$out/knn_delete_staging"
@@ -155,6 +178,31 @@ object GraphLifecycleRehearsal {
       }
       println(f"[graph-maint] compacted ${fragged.size} of $nBuckets buckets; " +
         f"files now ${dirFiles(s"$out/knn")}")
+
+      // HEALTH (the s43 stats at rehearsal scale): the observability that
+      // lets a deployment SCHEDULE the ops above — degree spread, orphans,
+      // reverse symmetry, entry reachability, fragmentation
+      timed("HEALTH stats (s43 shape) over the maintained index") {
+        val knn = spark.read.parquet(s"$out/knn").select(col("u"), col("v"))
+        val deg = knn.groupBy(col("u")).agg(count(lit(1)).as("c"))
+        val d = deg.agg(min(col("c")), max(col("c")), count(lit(1)),
+          sum(col("c"))).head()
+        val sym = knn.alias("a").join(knn.alias("b"),
+            col("b.u") === col("a.v") && col("b.v") === col("a.u"))
+          .count()
+        var reached = spark.range(0, 1).select(lit(0L).as("node"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          reached = reached.unionByName(
+              reached.join(knn, reached("node") === knn("u"))
+                .select(col("v").as("node")))
+            .distinct().localCheckpoint(true)
+        }
+        println(f"[graph-maint] health: degree ${d.getLong(0)}..${d.getLong(1)} " +
+          f"avg ${d.getLong(3) * 1.0 / n}%.2f, orphans ${n - d.getLong(2)}, " +
+          f"symmetry ${sym * 100.0 / d.getLong(3)}%.1f%%, " +
+          f"reach3(entry 0) ${reached.count()}")
+      }
     } finally {
       graft.functions.CrossEngine.deleteRecursive(
         java.nio.file.Paths.get(out))

@@ -4395,6 +4395,70 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s43 graph health: degrees exact, no orphans, entry reaches, frag seen") {
+    val r = run("s43_graph_index_health").head()
+    val n = graft.operators.Similarity.nndPlantedVecs(spark, sfDir).count()
+    // the 3-round descent keeps exactly k = 6 ranked rows per node
+    assert(r.getAs[Long]("n_nodes") === n)
+    assert(r.getAs[Long]("min_degree") === 6L)
+    assert(r.getAs[Long]("max_degree") === 6L)
+    assert(r.getAs[Long]("total_edges") === 6L * n)
+    assert(r.getAs[Long]("avg_degree_micro") === 6000000L)
+    assert(r.getAs[Long]("orphan_count") === 0L)
+    // kNN graphs are asymmetric by nature but never fully one-way on a
+    // clustered corpus; the share lives strictly inside (0, 1)
+    val sym = r.getAs[Long]("symmetry_micro")
+    assert(sym > 0L && sym < 1000000L, s"symmetry_micro $sym")
+    // the entry's 3-hop neighborhood is non-trivial and bounded
+    val reach = r.getAs[Long]("reach_3hop")
+    assert(reach > 12L && reach <= n, s"reach_3hop $reach")
+    // the planted fragmentation is observed exactly
+    assert(r.getAs[Long]("fragmented_buckets") === 32L)
+    assert(r.getAs[Long]("max_files_per_bucket") === 2L)
+    assert(r.getAs[Boolean]("compaction_recommended"))
+  }
+
+  test("s44 sidecar delete: bounded discovery agrees with scan, pruned plan") {
+    val rows = run("s44_graph_delete_sidecar").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served post-delete
+    Seq("sidecar_discovery_equals_scan", "sidecar_consistent_after",
+      "second_lookup_empty").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    assert(rows.head.getAs[Long]("reverse_edges_found") > 0L,
+      "the doomed set must have in-edges for the fixture to mean anything")
+    assert(rows.head.getAs[Long]("knn_touched_buckets") <
+      graft.operators.Similarity.s38Buckets.toLong)
+    // no served answer is a doomed node
+    val doomed = graft.operators.Similarity.maintenanceDoomed.toSet
+    assert(rows.forall(r => !doomed.contains(r.getAs[Long]("neighbor_id"))))
+    // the bounded lookup PRUNES: its scan lists only the doomed v-buckets
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s44spec_")
+    try {
+      val sp = spark
+      import sp.implicits._
+      (0L until 1000L).map(i => (i, i * 7 % 1000)).toDF("u", "v")
+        .withColumn("bucket", pmod(col("v"),
+          lit(graft.operators.Similarity.s38Buckets.toLong)).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(tmp.toString)
+      val lookup = graft.operators.Similarity
+        .sidecarReverseLookup(spark, tmp.toString, Seq(5L, 11L, 23L))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = lookup.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a file scan in the lookup plan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "the bucket filter must reach the scan as a PARTITION filter")
+      assert(scans.map(_.selectedPartitions.partitionCount).sum <= 3,
+        "discovery must list at most |doomed| bucket directories")
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(tmp)
+    }
+  }
+
   test("h16 serve unseen policy: fail fast, skip+quarantine, interceptOnly") {
     val r = run("h16_serve_unseen_policy").head()
     Seq("fail_fails_fast", "skip_serves_seen_exactly",

@@ -587,6 +587,25 @@ class StreamingSpec extends SparkSpec {
       "every purchase must be enriched exactly once")
   }
 
+  test("st42 graph maintenance: streamed op sequence equals batch, bytes pinned") {
+    val r = SparkEntry.queries("st42_stream_graph_maintenance")(spark, sfDir)
+      .head()
+    assert(r.getAs[Boolean]("stream_equals_batch"),
+      "the drained op-by-op artifact diverged from the batch sequence")
+    assert(r.getAs[Boolean]("untouched_buckets_byte_identical"),
+      "a maintenance op rewrote a bucket it never touched")
+    assert(r.getAs[Boolean]("multi_batch"), "stream must run >= 3 triggers")
+    // final content: every original node keeps its k = 6 rows unless a
+    // doomed endpoint dropped some; the three doomed sources are gone
+    val n = graft.operators.Similarity.nndPlantedVecs(spark, sfDir).count()
+    // surviving sources = n - 3 originals (a 6-distinct-neighbor list can
+    // never be fully doomed by a 3-node set) + the 20 appended twins
+    val nSources = r.getAs[Long]("n_sources")
+    assert(nSources >= n - 3 && nSources <= n - 3 + 20,
+      s"n_sources $nSources vs corpus $n")
+    assert(r.getAs[Long]("n_edges") > 0L)
+  }
+
   test("st39 correction serving: drained stream equals one-shot batch serve") {
     val r = SparkEntry.queries("st39_stream_correction_serving")(spark, sfDir)
       .head()
