@@ -3106,14 +3106,42 @@ object Similarity {
     topKByScore(beam, "query_id", "node", col("d"), 1, ascending = true)
       .select(col("query_id"), col("node"))
 
+  /** BUILD-ONCE for the routing layers (the GraphIndexCache discipline
+    * applied to the HIERARCHY: the level draw and the layer-1/-2
+    * contractions are part of the trained index, not of any one query —
+    * s34 serves from them, s39 extends them, s42 deletes from them, and
+    * before this cache each entry re-ran the two self-join contractions
+    * per invocation). Keyed by corpus dir; `buildCount` is spec-pinned
+    * so a regression back to layers-per-entry turns a test red. s39's
+    * level table differs (it spans corpus + twins for the promotion
+    * draw) but its LAYER EDGES are identical — they derive from the
+    * original-corpus graph, which contains no twin ids — so it shares
+    * the cached contractions. */
+  private[graft] object LayeredGraphCache {
+    private val cache = scala.collection.concurrent.TrieMap
+      .empty[String, (DataFrame, DataFrame, DataFrame)]
+    private[graft] val buildCount =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    /** (levels, layer1 edges, layer2 edges) over the original corpus. */
+    def layers(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+      cache.getOrElseUpdate(dir, {
+        buildCount.incrementAndGet()
+        val emb = nndPlantedVecs(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        val graph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
+        val lv = hnswLevels(emb).localCheckpoint(true)
+        val e1 = hnswLayerEdges(graph, lv, 1, emb, s34M1)
+        val e2 = hnswLayerEdges(e1, lv, 2, emb, s34M2)
+        (lv, e1, e2)
+      })
+  }
+
   private[graft] def hnswSearch(s: SparkSession, dir: String,
       scoredOut: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
     val emb = nndPlantedVecs(s, dir)
       .select(col("vec_id").as("id"), col("embedding"))
     val graph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
-    val lv = hnswLevels(emb).localCheckpoint(true)
-    val e1 = hnswLayerEdges(graph, lv, 1, emb, s34M1)
-    val e2 = hnswLayerEdges(e1, lv, 2, emb, s34M2)
+    val (lv, e1, e2) = LayeredGraphCache.layers(s, dir)
     val queries = s30Queries(s).localCheckpoint(true)
     // entry: lowest-id top-layer node (falls through to layer 1 / node 0
     // on corpora too small to promote anyone that high)
@@ -3985,7 +4013,6 @@ object Similarity {
     (s, dir) => withConstraintPropagationOff(s) {
       import graft.functions.VectorExpressions.l2DistSq
       // 1. the s33 append, served from the append-once artifact
-      val searchGraph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
       val twins = s33Twins(s, dir)
       val base2knn = AppendedGraphCache.polished(s, dir)
         .select(col("node").as("u"), col("neighbor_id").as("v"))
@@ -3998,9 +4025,10 @@ object Similarity {
       // 2. levels over corpus+twins (same draw; twin ids draw fresh) and
       // the STANDING upper layers (pre-append, s34's contractions)
       val lv = hnswLevels(emb2).localCheckpoint(true)
-      val embOrig = e.select(col("vec_id").as("id"), col("embedding"))
-      val le1 = hnswLayerEdges(searchGraph, lv, 1, embOrig, s34M1)
-      val le2 = hnswLayerEdges(le1, lv, 2, embOrig, s34M2)
+      // the STANDING layer edges come from the shared build-once cache:
+      // they derive from the original-corpus graph (no twin ids), so
+      // they are identical to what the emb2 level table would contract
+      val (_, le1, le2) = LayeredGraphCache.layers(s, dir)
       // 3. per-layer insert: forward top-M links from the twin's 2-hop
       // post-polish neighborhood, reverse adoption with eviction
       def insertLayer(le: DataFrame, minLvl: Int, m: Int): DataFrame = {
@@ -4463,10 +4491,7 @@ object Similarity {
         val e = nndPlantedVecs(s, dir)
         val emb = e.select(col("vec_id").as("id"), col("embedding"))
         val init = nndHashInit(e, 6, e.count())
-        val graph = GraphIndexCache.graph(s, dir).localCheckpoint(true)
-        val lv = hnswLevels(emb).localCheckpoint(true)
-        val le1 = hnswLayerEdges(graph, lv, 1, emb, s34M1)
-        val le2 = hnswLayerEdges(le1, lv, 2, emb, s34M2)
+        val (lv, le1, le2) = LayeredGraphCache.layers(s, dir)
         edgeWriteBucketed(
           GraphIndexCache.knn(s, dir).select(col("u"), col("v")), s"$out/knn")
         edgeWriteBucketed(init, s"$out/links")

@@ -4393,6 +4393,11 @@ class OperatorsSpec extends SparkSpec {
     rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
       assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
     }
+    // build-once: s34/s39/s42 share ONE layer contraction (the
+    // GraphIndexCache discipline applied to the hierarchy)
+    run("s34_hnsw_search").count()
+    assert(graft.operators.Similarity.LayeredGraphCache.buildCount.get() === 1L,
+      "layered entries regressed to contraction-per-entry")
   }
 
   test("s43 graph health: degrees exact, no orphans, entry reaches, frag seen") {
