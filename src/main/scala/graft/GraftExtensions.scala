@@ -18,6 +18,7 @@ import graft.functions._
   *  - `bottom_k_distinct(x, k)` — KMV bottom-k distinct sketch aggregate
   *  - `top_k_pairs(key, payload, k)` — bounded-heap top-k pair aggregate
   *  - `bloom_sketch(x, mBits, kHashes)` — mergeable Bloom-filter aggregate
+  *  - `hll_sketch(x, p)`   — mergeable HyperLogLog NDV-state aggregate
   *
   * Registered on every [[GraftSession]] (the `configure` contract), so
   * `spark.sql("... top_k_pairs(...) ...")` plans the same Partial-mode
@@ -62,5 +63,8 @@ object GraftExtensions {
     (FunctionIdentifier("bloom_sketch"), info("bloom_sketch", classOf[BloomSketch]),
       (args: Seq[Expression]) =>
         BloomSketch(args(0), intLit(args(1), "bloom_sketch"),
-          intLit(args(2), "bloom_sketch"))))
+          intLit(args(2), "bloom_sketch"))),
+    (FunctionIdentifier("hll_sketch"), info("hll_sketch", classOf[HllSketch]),
+      (args: Seq[Expression]) =>
+        HllSketch(args(0), intLit(args(1), "hll_sketch"))))
 }

@@ -753,6 +753,122 @@ object Sketches {
       JOIN sizes za ON za.source = k.sa
       JOIN sizes zb ON zb.source = k.sb"""))
 
+  // ---------------------------------------------------------------- q81
+  /** HYPERLOGLOG NDV per return flag (Flajolet et al. '07 on the native
+    * [[graft.functions.HllSketch]] aggregate — the seventh mergeable
+    * sketch, the fixed-state counterpart to q46/q48's KMV): one grouped
+    * pass builds the 2^12-register state, then EVERYTHING derived —
+    * register sum, zero-register count, the indicator sum and the
+    * estimate — is computed relationally FROM the returned register
+    * array, so the gate hashes the sketch state itself, not just its
+    * answer.
+    *
+    * Cross-engine exactness discipline: the registers are pure integer
+    * arithmetic (md5 60-bit uniform split p=12 / 48; rank via JVM
+    * leading-zeros, mirrored as length(bin(w)) in DuckDB — no floating
+    * log near the state), and the indicator sum Σ 2^-r rides EXACT
+    * integer space as Σ 2^(49-r) ≤ 4096·2^49 < 2^63 (order-free — a
+    * float fold over 4096 registers would round differently under
+    * reordering; the 10^5-term double sums this engine does allow are
+    * always fixed-order folds). One double division chain + ln produces
+    * the estimate, micro-rounded to 4 (the t41 exp/sqrt lesson). The
+    * small-range branch (m·ln(m/V)) fires at sf0.001 (200 parts ≪ m)
+    * and the raw branch at sf0.1 (20k parts > 2.5m) — both branches
+    * gate-covered across the driver's SFs, branch choice integer-exact.
+    *
+    * Scale shape: the shuffle carries one 4 KB register buffer per
+    * group (map-side partial merge = elementwise max, idempotent — the
+    * property re-tried shuffle stages need); the exact countDistinct
+    * rides alongside for the error gate only. */
+  private val q81 = Q(
+    "q81_hll_distinct",
+    (s, dir) => {
+      import graft.functions.Hll.hllSketch
+      val p = 12
+      val m = 1 << p
+      val sketched = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          col("l_partkey").cast("string").as("key"))
+        .groupBy(col("flag"))
+        .agg(hllSketch(col("key"), p).as("regs"),
+          countDistinct(col("key")).as("exact_distinct"))
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+      sketched
+        .select(col("flag"), col("exact_distinct"),
+          expr("aggregate(regs, CAST(0 AS BIGINT), (a, r) -> a + r)")
+            .as("register_sum"),
+          expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)")
+            .as("zero_registers"),
+          expr("""aggregate(regs, CAST(0 AS BIGINT),
+            (a, r) -> a + shiftleft(CAST(1 AS BIGINT), 49 - CAST(r AS INT)))""")
+            .as("z_int"))
+        .withColumn("raw",
+          alpha * lit(m.toDouble) * lit(m.toDouble) /
+            (col("z_int").cast("double") / lit(562949953421312.0)))
+        .withColumn("hll_estimate",
+          round(when(col("raw") <= lit(2.5 * m) && col("zero_registers") > 0,
+              lit(m.toDouble) *
+                log(lit(m.toDouble) / col("zero_registers").cast("double")))
+            .otherwise(col("raw")), 4))
+        .withColumn("within_3sigma",
+          abs(col("hll_estimate") - col("exact_distinct").cast("double")) <=
+            lit(3.0) * lit(1.04) / lit(64.0) *
+              col("exact_distinct").cast("double"))
+        .select(col("flag"), col("exact_distinct"), col("register_sum"),
+          col("zero_registers"), col("hll_estimate"), col("within_3sigma"))
+    },
+    Some("""WITH pairs AS (
+        SELECT DISTINCT l_returnflag AS flag,
+          CAST(l_partkey AS VARCHAR) AS key
+        FROM lineitem),
+      h AS (
+        SELECT flag, CAST(concat('0x',
+          substring(md5(concat(key, '#103')), 1, 15)) AS BIGINT) AS h60
+        FROM pairs),
+      rr AS (
+        SELECT flag, h60 // 281474976710656 AS idx,
+          h60 % 281474976710656 AS w
+        FROM h),
+      rk AS (
+        SELECT flag, idx,
+          CASE WHEN w = 0 THEN 49 ELSE 48 - length(bin(w)) + 1 END AS rank
+        FROM rr),
+      regmax AS (SELECT flag, idx, max(rank) AS r FROM rk GROUP BY flag, idx),
+      grid AS (
+        SELECT g.flag, j.j AS idx
+        FROM (SELECT DISTINCT flag FROM pairs) g,
+          (SELECT unnest(range(0, 4096)) AS j) j),
+      regs AS (
+        SELECT grid.flag, grid.idx, coalesce(regmax.r, 0) AS r
+        FROM grid LEFT JOIN regmax
+          ON regmax.flag = grid.flag AND regmax.idx = grid.idx),
+      agg AS (
+        SELECT flag, CAST(sum(r) AS BIGINT) AS register_sum,
+          CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_registers,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(49 - r AS INT)) AS BIGINT)
+            AS z_int
+        FROM regs GROUP BY flag),
+      ex AS (
+        SELECT l_returnflag AS flag,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM lineitem GROUP BY 1),
+      est AS (
+        SELECT a.flag, e.exact_distinct, a.register_sum, a.zero_registers,
+          (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+            (CAST(a.z_int AS DOUBLE) / 562949953421312.0) AS raw
+        FROM agg a JOIN ex e ON e.flag = a.flag)
+      SELECT flag, exact_distinct, register_sum, zero_registers,
+        round(CASE WHEN raw <= 10240.0 AND zero_registers > 0
+          THEN 4096.0 * ln(4096.0 / CAST(zero_registers AS DOUBLE))
+          ELSE raw END, 4) AS hll_estimate,
+        abs(CASE WHEN raw <= 10240.0 AND zero_registers > 0
+          THEN round(4096.0 * ln(4096.0 / CAST(zero_registers AS DOUBLE)), 4)
+          ELSE round(raw, 4) END - CAST(exact_distinct AS DOUBLE))
+          <= 3.0 * 1.04 / 64.0 * CAST(exact_distinct AS DOUBLE)
+          AS within_3sigma
+      FROM est"""))
+
   val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57, q64,
-    q68)
+    q68, q81)
 }

@@ -1052,6 +1052,48 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("in_filter"), "a planted duplicate missed"))
   }
 
+  test("q81 hll: merge == single-pass, registers JVM-exact, estimate in bound") {
+    import graft.functions.Hll.hllSketch
+    val keys = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("string").as("k"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.agg(hllSketch(col("k"), 12)).head().getSeq[Long](0)
+    val one = regs(keys.coalesce(1))
+    val many = regs(keys.repartition(13))
+    assert(one === many, "partition-wise merged HLL differs from single-pass")
+    // idempotent max-merge: merging the state with itself is the state
+    assert(one.zip(many).forall { case (a, b) => math.max(a, b) == a })
+    // register-level recompute from scratch in plain JVM code
+    val jvm = new Array[Long](4096)
+    keys.distinct().collect().map(_.getString(0)).foreach { key =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key#103".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val idx = (h >>> 48).toInt
+      val w = h & ((1L << 48) - 1)
+      val rank = if (w == 0L) 49 else 48 - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rank.toLong > jvm(idx)) jvm(idx) = rank.toLong
+    }
+    assert(one.toIndexedSeq === jvm.toIndexedSeq,
+      "aggregate registers differ from the from-scratch recompute")
+    // the SQL surface plans the same aggregate
+    keys.createOrReplaceTempView("graft_q81_keys")
+    val viaSql = spark.sql("SELECT hll_sketch(k, 12) FROM graft_q81_keys")
+      .head().getSeq[Long](0)
+    spark.catalog.dropTempView("graft_q81_keys")
+    assert(viaSql === one)
+    // gate entry: one row per return flag, every estimate inside 3 sigma
+    val rows = run("q81_hll_distinct").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_3sigma"),
+        s"flag ${r.getAs[String]("flag")}: est ${r.getAs[Double]("hll_estimate")} " +
+          s"vs exact ${r.getAs[Long]("exact_distinct")}")
+      assert(r.getAs[Long]("register_sum") > 0L)
+    }
+  }
+
   test("q53 error contract: upper-edge estimate within one bucket width above exact") {
     val w = 1626.5625
     val est = run("q53_quantile_sketch").collect()
