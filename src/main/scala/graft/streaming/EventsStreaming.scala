@@ -3728,8 +3728,163 @@ object EventsStreaming {
     },
     Some(graft.operators.Similarity.maintenanceOracleText))
 
+  // ---------------------------------------------------------------- st43
+  /** STREAMING NDV MONITORING VIA HLL PARTIALS (q81's sketch in the
+    * production direction — the st38 "sketch family goes streaming"
+    * pattern applied to HyperLogLog: a pipeline watches how many DISTINCT
+    * users each event class has seen so far without ever storing the
+    * user sets). Events arrive in >= 4 real micro-batches; each trigger
+    * aggregates ONLY its batch into per-group 2^12-register HLL states
+    * (one fixed 4 KB buffer per group — per-trigger cost O(batch), state
+    * O(groups)) and appends them to a durable partials table. Because
+    * HLL merge is elementwise max — commutative, associative, IDEMPOTENT
+    * — the drained merge of per-batch partials equals the one-shot batch
+    * sketch BIT-FOR-BIT regardless of how arrivals split across
+    * triggers, retries included: the d20/st37 merge==recompute contract
+    * holds EXACTLY here, not just observationally, and the gate pins it
+    * (register-row anti-joins both ways against the one-shot aggregate).
+    * The merged registers, the derived estimate (the q81 integer-exact
+    * indicator sum) and the exact NDV are all value-mirrored — DuckDB
+    * rebuilds the registers from scratch. */
+  private val st43 = Q(
+    "st43_stream_hll_ndv",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.functions.Hll.hllSketch
+      val work = java.nio.file.Files.createTempDirectory("graft_st43_")
+      try {
+        val p = 12
+        val m = 1 << p
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id").cast("string").as("key"))
+        ev.repartition(4)
+          .write.mode("overwrite").parquet(work.resolve("arrivals").toString)
+        val partialsDir = work.resolve("partials").toString
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val query = s.readStream
+          .schema(s.read.parquet(work.resolve("arrivals").toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(work.resolve("arrivals").toString)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              nBatches.incrementAndGet()
+              batch.groupBy(col("event_type"))
+                .agg(hllSketch(col("key"), p).as("regs"))
+                .write.mode("append").parquet(partialsDir)
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        // drained merge: explode partials to (group, idx, r), max per
+        // register — elementwise max as a grouped aggregate
+        val merged = s.read.parquet(partialsDir)
+          .select(col("event_type"), posexplode(col("regs")).as(Seq("idx", "r")))
+          .groupBy(col("event_type"), col("idx"))
+          .agg(max(col("r")).as("r"))
+          .localCheckpoint(true)
+        // one-shot batch sketch over the same rows
+        val oneShot = ev.groupBy(col("event_type"))
+          .agg(hllSketch(col("key"), p).as("regs"),
+            countDistinct(col("key")).as("exact_distinct"))
+          .localCheckpoint(true)
+        val oneShotRows = oneShot
+          .select(col("event_type"), posexplode(col("regs")).as(Seq("idx", "r")))
+        val drainedEqualsBatch =
+          merged.except(oneShotRows).count() == 0 &&
+          oneShotRows.except(merged).count() == 0
+        // estimate from the MERGED register rows (order-free integer
+        // sums — the q81 discipline, no array rebuild needed)
+        val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+        val out = merged.groupBy(col("event_type"))
+          .agg(sum(col("r")).as("register_sum"),
+            sum(when(col("r") === 0, 1L).otherwise(0L)).as("zero_registers"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - CAST(r AS INT))"))
+              .as("z_int"))
+          .join(oneShot.select(col("event_type"), col("exact_distinct")),
+            Seq("event_type"))
+          .withColumn("raw",
+            alpha * lit(m.toDouble) * lit(m.toDouble) /
+              (col("z_int").cast("double") / lit(562949953421312.0)))
+          .withColumn("hll_estimate",
+            round(when(col("raw") <= lit(2.5 * m) && col("zero_registers") > 0,
+                lit(m.toDouble) *
+                  log(lit(m.toDouble) / col("zero_registers").cast("double")))
+              .otherwise(col("raw")), 4))
+          .withColumn("within_3sigma",
+            abs(col("hll_estimate") - col("exact_distinct").cast("double")) <=
+              lit(3.0) * lit(1.04) / lit(64.0) *
+                col("exact_distinct").cast("double"))
+          .select(col("event_type"), col("exact_distinct"),
+            col("register_sum"), col("zero_registers"), col("hll_estimate"),
+            col("within_3sigma"))
+          .withColumn("drained_equals_batch", lit(drainedEqualsBatch))
+          .withColumn("multi_batch", lit(nBatches.get() >= 4L))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH pairs AS (
+        SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS key
+        FROM events),
+      h AS (
+        SELECT event_type, CAST(concat('0x',
+          substring(md5(concat(key, '#103')), 1, 15)) AS BIGINT) AS h60
+        FROM pairs),
+      rr AS (
+        SELECT event_type, h60 // 281474976710656 AS idx,
+          h60 % 281474976710656 AS w
+        FROM h),
+      rk AS (
+        SELECT event_type, idx,
+          CASE WHEN w = 0 THEN 49 ELSE 48 - length(bin(w)) + 1 END AS rank
+        FROM rr),
+      regmax AS (
+        SELECT event_type, idx, max(rank) AS r
+        FROM rk GROUP BY event_type, idx),
+      grid AS (
+        SELECT g.event_type, j.j AS idx
+        FROM (SELECT DISTINCT event_type FROM pairs) g,
+          (SELECT unnest(range(0, 4096)) AS j) j),
+      regs AS (
+        SELECT grid.event_type, grid.idx, coalesce(regmax.r, 0) AS r
+        FROM grid LEFT JOIN regmax
+          ON regmax.event_type = grid.event_type AND regmax.idx = grid.idx),
+      agg AS (
+        SELECT event_type, CAST(sum(r) AS BIGINT) AS register_sum,
+          CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS zero_registers,
+          CAST(sum(CAST(1 AS BIGINT) << CAST(49 - r AS INT)) AS BIGINT)
+            AS z_int
+        FROM regs GROUP BY event_type),
+      ex AS (
+        SELECT event_type,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1),
+      est AS (
+        SELECT a.event_type, e.exact_distinct, a.register_sum,
+          a.zero_registers,
+          (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+            (CAST(a.z_int AS DOUBLE) / 562949953421312.0) AS raw
+        FROM agg a JOIN ex e ON e.event_type = a.event_type)
+      SELECT event_type, exact_distinct, register_sum, zero_registers,
+        round(CASE WHEN raw <= 10240.0 AND zero_registers > 0
+          THEN 4096.0 * ln(4096.0 / CAST(zero_registers AS DOUBLE))
+          ELSE raw END, 4) AS hll_estimate,
+        abs(CASE WHEN raw <= 10240.0 AND zero_registers > 0
+          THEN round(4096.0 * ln(4096.0 / CAST(zero_registers AS DOUBLE)), 4)
+          ELSE round(raw, 4) END - CAST(exact_distinct AS DOUBLE))
+          <= 3.0 * 1.04 / 64.0 * CAST(exact_distinct AS DOUBLE)
+          AS within_3sigma,
+        true AS drained_equals_batch, true AS multi_batch
+      FROM est"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40, st41, st42)
+    st34, st35, st36, st37, st38, st39, st40, st41, st42, st43)
 }

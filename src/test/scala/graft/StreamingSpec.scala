@@ -606,6 +606,23 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") > 0L)
   }
 
+  test("st43 hll monitoring: drained partials merge == one-shot sketch exactly") {
+    val rows = SparkEntry.queries("st43_stream_hll_ndv")(spark, sfDir)
+      .collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nTypes = ev.select(org.apache.spark.sql.functions.col("event_type"))
+      .distinct().count()
+    assert(rows.length === nTypes, "one NDV row per event class")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("drained_equals_batch"),
+        "merged per-batch HLL partials diverged from the one-shot sketch")
+      assert(r.getAs[Boolean]("multi_batch"))
+      assert(r.getAs[Boolean]("within_3sigma"),
+        s"${r.getAs[String]("event_type")}: est ${r.getAs[Double]("hll_estimate")} " +
+          s"vs exact ${r.getAs[Long]("exact_distinct")}")
+    }
+  }
+
   test("st39 correction serving: drained stream equals one-shot batch serve") {
     val r = SparkEntry.queries("st39_stream_correction_serving")(spark, sfDir)
       .head()
