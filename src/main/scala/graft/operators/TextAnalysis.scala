@@ -3275,6 +3275,127 @@ object TextAnalysis {
         round(CAST(sum(b2m) AS DOUBLE) / count(*) / 1e4, 6) AS avg_bleu2
       FROM sc GROUP BY source"""))
 
+  // ---------------------------------------------------------------- t42
+  /** WORDPIECE MERGE-TABLE LEARNING (Schuster & Nakajima 2012; the BERT
+    * tokenizer's trainer — completing the tokenizer-family triad next to
+    * BPE (t16, frequency-greedy) and unigram-LM (t28/t29, prune-by-
+    * likelihood)): same corpus-once-then-vocab-only loop as t16, but each
+    * round merges the pair maximizing the LIKELIHOOD ratio
+    * score(a,b) = count(ab) / (count(a)·count(b)) instead of the raw
+    * pair count — WordPiece prefers merging symbols that almost always
+    * co-occur even when rare, where BPE chases frequency (the spec plants
+    * a vocabulary where the two demonstrably pick different first
+    * merges). Per round: the t16 adjacent-pair count PLUS one symbol
+    * occurrence count, two broadcast-sized joins, a 1-row argmax with
+    * (score desc, l, r) tie-break, and the SAME greedy fold
+    * ([[bpeApplyMerge]]) applying the merge.
+    *
+    * Cross-engine exactness: pair and symbol counts are exact longs; the
+    * score is ONE division of exact-integer-derived doubles —
+    * `wt / CAST(wl*wr AS DOUBLE)` with the product taken in exact long
+    * space first (<= (corpus tokens)^2 << 2^63) — and IEEE division is
+    * correctly rounded in both engines, so the argmax keys are
+    * bit-identical and ties fall to the identical (l, r) order. Rounds
+    * mirrored CTE-for-CTE (the t16 template with a scored best-CTE).
+    *
+    * Scale shape: identical to t16 — the corpus is read once into the
+    * word-frequency table; each of the production run's 30k rounds costs
+    * two map-side-combined aggs over the vocab plus two joins against a
+    * symbol table bounded by |alphabet| + round count. */
+  private[graft] val nWordpieceMerges = 16
+
+  private[graft] def wordpieceLearn(docs: DataFrame, n: Int)
+      : Seq[(Long, String, String, Long, Long, Long)] = {
+    var state = bpeState0(docs).localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= n && !exhausted) {
+      val syms = split(col("s"), " ")
+      val symCounts = state
+        .select(col("cnt"), explode(syms).as("x"))
+        .groupBy(col("x")).agg(sum(col("cnt")).as("swt"))
+      val pairs = state
+        .filter(size(syms) > 1)
+        .select(col("cnt"), explode(transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("l"),
+            element_at(syms, i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("wt"))
+      val scored = pairs
+        .join(symCounts.select(col("x").as("l"), col("swt").as("wl")), Seq("l"))
+        .join(symCounts.select(col("x").as("r"), col("swt").as("wr")), Seq("r"))
+        .withColumn("score",
+          col("wt").cast("double") / (col("wl") * col("wr")).cast("double"))
+      scored.orderBy(col("score").desc, col("l"), col("r")).limit(1)
+        .collect().headOption match {
+        case None => exhausted = true
+        case Some(best) =>
+          val (l, r) = (best.getAs[String]("l"), best.getAs[String]("r"))
+          merges += ((step.toLong, l, r, best.getAs[Long]("wt"),
+            best.getAs[Long]("wl"), best.getAs[Long]("wr")))
+          val prev = state
+          state = state.withColumn("s", bpeApplyMerge(col("s"), l, r))
+            .localCheckpoint(true)
+          prev.unpersist(false)
+          step += 1
+      }
+    }
+    state.unpersist(false)
+    merges.toSeq
+  }
+
+  private def wordpieceOracleRound(i: Int): String = {
+    val prev = s"wstate${i - 1}"
+    s"""wsym$i AS (
+        SELECT x, CAST(sum(cnt) AS BIGINT) AS swt FROM (
+          SELECT cnt, unnest(string_split(s, ' ')) AS x FROM $prev)
+        GROUP BY x),
+      wpairs$i AS (
+        SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS wt FROM (
+          SELECT cnt, unnest(list_transform(range(1, len(syms)),
+            k -> struct_pack(l := syms[k], r := syms[k + 1]))) AS p
+          FROM (SELECT cnt, string_split(s, ' ') AS syms FROM $prev))
+        GROUP BY p.l, p.r),
+      wbest$i AS MATERIALIZED (
+        SELECT p.l, p.r, p.wt, a.swt AS wl, b.swt AS wr
+        FROM wpairs$i p JOIN wsym$i a ON a.x = p.l JOIN wsym$i b ON b.x = p.r
+        ORDER BY CAST(p.wt AS DOUBLE) / CAST(a.swt * b.swt AS DOUBLE) DESC,
+          p.l, p.r
+        LIMIT 1),
+      wstate$i AS MATERIALIZED (
+        SELECT w, cnt, list_reduce(string_split(s, ' '), (acc, x) ->
+          CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l)) AND x = b.r
+               THEN acc || x ELSE acc || ' ' || x END) AS s
+        FROM $prev, wbest$i b)"""
+  }
+
+  private val tWordpiece = Q(
+    "t42_wordpiece_merges",
+    (s, dir) => {
+      import s.implicits._
+      wordpieceLearn(Tables.documents(s, dir), nWordpieceMerges)
+        .toDF("step", "lhs", "rhs", "pair_count", "lhs_count", "rhs_count")
+    },
+    Some {
+      val rounds =
+        (1 to nWordpieceMerges).map(wordpieceOracleRound).mkString(",\n      ")
+      val out = (1 to nWordpieceMerges).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS step, l AS lhs, r AS rhs,
+          wt AS pair_count, wl AS lhs_count, wr AS rhs_count FROM wbest$i""")
+        .mkString("\n      UNION ALL ")
+      s"""WITH vocab AS (
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        WHERE w <> '' GROUP BY w),
+      wstate0 AS MATERIALIZED (
+        SELECT w, cnt, array_to_string(list_transform(range(1, len(w) + 1),
+          i -> w[i:i]), ' ') AS s FROM vocab),
+      $rounds
+      $out"""
+    })
+
   val all: Seq[Q] =
     Seq(tTokens, tWordFreq, tQuality, tFingerprint, tLangId, tScaleCoo, tTfIdf,
       tRepetition, tPii, tPack, tChunk, tFilter, tRegexTokens, tSourceMix,
@@ -3282,5 +3403,5 @@ object TextAnalysis {
       tCcnetBuckets, tDsir, tStupidBackoff, tSplit, tNaiveBayes, tFertility,
       tUgTrain, tUgApply, tUgSoft, tLrQuality, tLrAuc, tTokPersist, tLrPersist,
       tCalibration, tDistinctN, tCharEntropy, tZipf, tKneserNey, tRougeBleu,
-      tReadability)
+      tReadability, tWordpiece)
 }

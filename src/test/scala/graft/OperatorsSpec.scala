@@ -1094,6 +1094,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t42 wordpiece: likelihood argmax diverges from BPE where planted") {
+    val sp = spark
+    import sp.implicits._
+    // (a,b) occurs 10x but its parts are common (10 each) -> score 0.1;
+    // (c,d) occurs 3x with rare parts (3 each) -> score 1/3: WordPiece
+    // must pick (c,d) where frequency-greedy BPE picks (a,b)
+    val docs = Seq((("ab " * 10) + ("cd " * 3)).trim).toDF("text")
+    val wp = graft.operators.TextAnalysis.wordpieceLearn(docs, 1)
+    assert(wp.head === ((1L, "c", "d", 3L, 3L, 3L)), s"got ${wp.head}")
+    val (bpe, st) = graft.operators.TextAnalysis.bpeLearnMerges(docs, 1)
+    st.unpersist(false)
+    assert(bpe.head._2 === "a" && bpe.head._3 === "b",
+      s"BPE fixture broke: ${bpe.head}")
+    // gate entry: full depth on the corpus, counts all positive
+    val rows = run("t42_wordpiece_merges").collect()
+    assert(rows.length === graft.operators.TextAnalysis.nWordpieceMerges)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_count") > 0L)
+      assert(r.getAs[Long]("lhs_count") >= r.getAs[Long]("pair_count"))
+      assert(r.getAs[Long]("rhs_count") >= r.getAs[Long]("pair_count"))
+    }
+    // merge steps are distinct pairs
+    val ps = rows.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    assert(ps.distinct.length === ps.length, "a pair was merged twice")
+  }
+
   test("q53 error contract: upper-edge estimate within one bucket width above exact") {
     val w = 1626.5625
     val est = run("q53_quantile_sketch").collect()
