@@ -3622,22 +3622,11 @@ object EventsStreaming {
           // pins walk-derived admission)
           def appendEdges = Similarity.nndHashInit(
             Similarity.s33Twins(s, dir), 6, n)
-          // one artifact, two byte-identical copies
-          Similarity.edgeWriteBucketed(
-            Similarity.GraphIndexCache.knn(s, dir).select(col("u"), col("v")),
-            s"$work/init")
-          def copyDir(from: String, to: String): Unit = {
-            val src = java.nio.file.Paths.get(from)
-            java.nio.file.Files.walk(src).forEach { p =>
-              val dest = java.nio.file.Paths.get(to)
-                .resolve(src.relativize(p).toString)
-              if (java.nio.file.Files.isDirectory(p))
-                java.nio.file.Files.createDirectories(dest)
-              else java.nio.file.Files.copy(p, dest)
-            }
-          }
-          copyDir(s"$work/init", s"$work/batch")
-          copyDir(s"$work/init", s"$work/stream")
+          // one cached artifact, two byte-identical working copies
+          Similarity.BucketedFixtureCache
+            .copyTable(s, dir, "knn", s"$work/batch")
+          Similarity.BucketedFixtureCache
+            .copyTable(s, dir, "knn", s"$work/stream")
           val touchedAll =
             scala.collection.mutable.Set.empty[Int]
           def applyOp(op: String, root: String): Unit = op match {
