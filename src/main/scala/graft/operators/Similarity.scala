@@ -1239,6 +1239,15 @@ object Similarity {
     val touched = s.read.parquet(s"$path/codes")
       .filter(col("vec_id").isin(ids: _*))
       .select(col("list_id")).distinct().collect().map(_.getInt(0)).toSeq
+    ivfpqRewriteListsMinus(s, path, ids, touched)
+    touched
+  }
+
+  /** The rewrite half of [[ivfpqDeleteCodes]], factored so s45's
+    * sidecar-bounded discovery can feed it the touched lists without the
+    * full-scan locate. */
+  private[graft] def ivfpqRewriteListsMinus(s: SparkSession, path: String,
+      ids: Seq[Long], touched: Seq[Int]): Unit =
     if (touched.nonEmpty) {
       val staging = s"$path/codes_delete_staging"
       s.read.parquet(s"$path/codes")
@@ -1257,8 +1266,6 @@ object Similarity {
       }
       graft.functions.CrossEngine.deleteRecursive(java.nio.file.Paths.get(staging))
     }
-    touched
-  }
 
   /** s16: build the s13 index, DELETE two of the three planted twins (the
     * takedown batch), and serve — gate booleans are recomputed facts, the
@@ -5035,8 +5042,111 @@ object Similarity {
       .filter(col("v").isin(doomed: _*))
       .select(col("u"), col("v"))
 
+  // ---------------------------------------------------------------- s45
+  /** IVF DELETE WITH ID-MAP SIDECAR DISCOVERY (s44's bound applied to
+    * the OTHER index family: [[ivfpqDeleteCodes]] locates the doomed
+    * rows' lists with a pushed-filter scan of the whole codes table —
+    * `vec_id IN (...)` cannot partition-prune a list_id-partitioned
+    * layout, so discovery reads O(index) bytes per takedown batch. The
+    * production fix is the same one FAISS/Milvus deployments keep for
+    * their delete path: a (vec_id -> list_id) ID MAP, here bucketed by
+    * `vec_id mod B` so a doomed id's list assignment is found by reading
+    * exactly its bucket (partition-pruned — the spec asserts the scan
+    * lists <= |doomed| directories). The sidecar is maintained through
+    * the same staged per-bucket swap, so it stays row-for-row the codes
+    * table's (vec_id, list_id) projection.
+    *
+    * Gate: build the s13/s16 index + the id map, prove sidecar discovery
+    * finds EXACTLY the full-scan touched lists, delete through the
+    * factored [[ivfpqRewriteListsMinus]] + the sidecar's own bucket
+    * swap, then serve — the s16 serving facts (deleted twins absent,
+    * surviving twin still attains min ADC) plus the sidecar facts
+    * (consistency anti-joins, second lookup empty, bounded touched
+    * sets), all recomputed booleans under the s13-s16 constant-true
+    * oracle pattern. */
+  private val s45 = Q(
+    "s45_ivfpq_delete_sidecar",
+    (s, dir) => {
+      val (_, corpus) = plantedCorpus(s, dir)
+      val doomed = Seq(1000001L, 1000002L)
+      val out = java.nio.file.Files.createTempDirectory("graft_s45_").toString
+      try {
+        ivfpqWriteIndex(corpus, ivfpqFixedModel(corpus, nLists = 8), out)
+        // id map: (vec_id, list_id) bucketed by vec_id mod B — one extra
+        // write at build time, kept in sync by every delete from then on
+        s.read.parquet(s"$out/codes").select(col("vec_id"), col("list_id"))
+          .withColumn("bucket",
+            pmod(col("vec_id"), lit(s38Buckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$out/idmap")
+        val doomedBuckets = doomed.map(d => (d % s38Buckets).toInt).distinct
+        def idmapLookup(ids: Seq[Long]): DataFrame =
+          s.read.parquet(s"$out/idmap")
+            .filter(col("bucket").isin(
+              ids.map(d => (d % s38Buckets).toInt).distinct: _*))
+            .filter(col("vec_id").isin(ids: _*))
+            .select(col("vec_id"), col("list_id"))
+        val sideTouched = idmapLookup(doomed)
+          .select(col("list_id")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val scanTouched = s.read.parquet(s"$out/codes")
+          .filter(col("vec_id").isin(doomed: _*))
+          .select(col("list_id")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val discoveryAgrees = sideTouched == scanTouched
+        // delete: codes lists from the SIDECAR-derived touched set, then
+        // the sidecar's own doomed buckets — both staged swaps
+        ivfpqRewriteListsMinus(s, out, doomed, sideTouched)
+        val staging = s"$out/idmap_delete_staging"
+        s.read.parquet(s"$out/idmap")
+          .filter(col("bucket").isin(doomedBuckets: _*))
+          .filter(!col("vec_id").isin(doomed: _*))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        edgeSwapBuckets(s"$out/idmap", staging, doomedBuckets)
+        // sidecar still mirrors the codes table's id->list projection
+        val codesAfter = s.read.parquet(s"$out/codes")
+          .select(col("vec_id"), col("list_id")).localCheckpoint(true)
+        val idmapAfter = s.read.parquet(s"$out/idmap")
+          .select(col("vec_id"), col("list_id")).localCheckpoint(true)
+        val sidecarConsistent =
+          codesAfter.except(idmapAfter).count() == 0 &&
+          idmapAfter.except(codesAfter).count() == 0
+        val secondLookup = idmapLookup(doomed).count() == 0 &&
+          codesAfter.filter(col("vec_id").isin(doomed: _*)).count() == 0
+        val served = ivfpqServe(s, out, corpus.filter(col("vec_id") < 3),
+            nProbe = 2)
+          .filter(col("own_list"))
+        graft.functions.CrossEngine.materializeLocal(s,
+          served.agg(
+            (countDistinct(col("query_id")) === 3).as("all_queries_scored"),
+            (count(when(col("vec_id").isin(doomed: _*), 1)) === 0)
+              .as("deleted_twins_absent"),
+            ((min(when(col("query_id") === 0 && col("vec_id") === 1000000L,
+                col("adc")))
+              - min(when(col("query_id") === 0, col("adc")))) <= adcTieEps)
+              .as("surviving_twin_attains_min"))
+          .withColumn("sidecar_discovery_equals_scan", lit(discoveryAgrees))
+          .withColumn("touched_lists_bounded",
+            lit(sideTouched.nonEmpty && sideTouched.size <= doomed.size))
+          .withColumn("sidecar_buckets_bounded",
+            lit(doomedBuckets.size <= doomed.size))
+          .withColumn("sidecar_consistent_after", lit(sidecarConsistent))
+          .withColumn("second_lookup_empty", lit(secondLookup)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""SELECT true AS all_queries_scored, true AS deleted_twins_absent,
+      true AS surviving_twin_attains_min,
+      true AS sidecar_discovery_equals_scan, true AS touched_lists_bounded,
+      true AS sidecar_buckets_bounded, true AS sidecar_consistent_after,
+      true AS second_lookup_empty"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44)
+    s39, s40, s41, s42, s43, s44, s45)
 }

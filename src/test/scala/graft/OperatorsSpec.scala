@@ -4532,6 +4532,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s45 ivf sidecar delete: bounded id-map discovery, consistent, pruned") {
+    val r = run("s45_ivfpq_delete_sidecar").head()
+    Seq("all_queries_scored", "deleted_twins_absent",
+      "surviving_twin_attains_min", "sidecar_discovery_equals_scan",
+      "touched_lists_bounded", "sidecar_buckets_bounded",
+      "sidecar_consistent_after", "second_lookup_empty").foreach { c =>
+      assert(r.getAs[Boolean](c), s"$c is false")
+    }
+    // the id-map lookup PRUNES partitions, same contract as s44's
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s45spec_")
+    try {
+      val sp = spark
+      import sp.implicits._
+      (0L until 1000L).map(i => (i, (i % 8).toInt)).toDF("vec_id", "list_id")
+        .withColumn("bucket", pmod(col("vec_id"),
+          lit(graft.operators.Similarity.s38Buckets.toLong)).cast("int"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(tmp.toString)
+      val doomed = Seq(1000001L, 1000002L)
+      val lookup = spark.read.parquet(tmp.toString)
+        .filter(col("bucket").isin(
+          doomed.map(d => (d % graft.operators.Similarity.s38Buckets).toInt)
+            .distinct: _*))
+        .filter(col("vec_id").isin(doomed: _*))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = lookup.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
+      assert(scans.map(_.selectedPartitions.partitionCount).sum <= 2,
+        "id-map discovery must list at most |doomed| bucket directories")
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(tmp)
+    }
+  }
+
   test("h16 serve unseen policy: fail fast, skip+quarantine, interceptOnly") {
     val r = run("h16_serve_unseen_policy").head()
     Seq("fail_fails_fast", "skip_serves_seen_exactly",
