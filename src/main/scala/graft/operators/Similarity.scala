@@ -5145,8 +5145,140 @@ object Similarity {
       true AS sidecar_buckets_bounded, true AS sidecar_consistent_after,
       true AS second_lookup_empty"""))
 
+  // ---------------------------------------------------------------- s46
+  /** GENERATIONAL INDEX DEPLOYMENT (blue/green for the ANN index — the
+    * operational capstone of the maintenance lane: s38-s45 mutate a
+    * LIVE artifact in place through staged bucket swaps, which is right
+    * for incremental ops, but a REBUILD (re-descent, a prune pass, a
+    * bulk takedown wave) ships the way production index fleets ship any
+    * model: build the next generation ALONGSIDE the serving one, flip an
+    * atomic pointer, keep the old generation for rollback, GC it only
+    * after the flip is durable). The manifest is ONE pointer file moved
+    * with ATOMIC_MOVE — readers resolve it per request and can never
+    * observe a half-written generation, the same single-rename commit
+    * argument as w09's versioned manifests, applied to the index.
+    *
+    * The gate drives the full lifecycle: serve gen1 → build gen2 (a
+    * takedown-wave rebuild: gen1 minus the doomed set) while PROVING
+    * gen1's files stay byte-identical through the build → atomic flip →
+    * serve gen2 → ROLLBACK (pointer back) and prove serving returns
+    * gen1's answers row-for-row → re-flip and GC gen1, serving
+    * unaffected. The final gen2 walk is oracle-mirrored hop for hop (the
+    * s44 deleted-graph chain); the lifecycle facts ride recomputed
+    * booleans. */
+  private val s46 = Q(
+    "s46_graph_index_generations",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s46_").toString
+      try {
+        val doomed = maintenanceDoomed
+        BucketedFixtureCache.copyTable(s, dir, "knn", s"$out/gen1/knn")
+        BucketedFixtureCache.copyTable(s, dir, "links", s"$out/gen1/links")
+        def writePointer(g: String): Unit = {
+          val tmp = java.nio.file.Paths.get(s"$out/_POINTER.tmp")
+          java.nio.file.Files.writeString(tmp, g)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(s"$out/_POINTER"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        def liveGen(): String = new String(java.nio.file.Files
+          .readAllBytes(java.nio.file.Paths.get(s"$out/_POINTER")),
+          "UTF-8").trim
+        def serveLive(): Array[org.apache.spark.sql.Row] = {
+          val g = liveGen()
+          val edges = s.read.parquet(s"$out/$g/knn")
+            .select(col("u"), col("v"))
+            .unionByName(s.read.parquet(s"$out/$g/links")
+              .select(col("u"), col("v")))
+            .distinct().localCheckpoint(true)
+          nswBeamSearch(s, dir, edges).collect()
+            .sortBy(r => (r.getLong(0), r.getLong(1)))
+        }
+        writePointer("gen1")
+        val servedGen1 = serveLive()
+        // build gen2 alongside: the takedown-wave rebuild
+        val digestBefore = bucketDirDigest(s"$out/gen1")
+        BucketedFixtureCache.copyTable(s, dir, "knn", s"$out/gen2/knn")
+        BucketedFixtureCache.copyTable(s, dir, "links", s"$out/gen2/links")
+        graphDeleteNodes(s, s"$out/gen2/knn", doomed)
+        graphDeleteNodes(s, s"$out/gen2/links", doomed)
+        val gen1Intact = bucketDirDigest(s"$out/gen1") == digestBefore
+        writePointer("gen2") // the atomic flip
+        val servedGen2 = serveLive()
+        writePointer("gen1") // rollback
+        val servedRollback = serveLive()
+        val rollbackExact = servedRollback.sameElements(servedGen1)
+        writePointer("gen2") // re-flip, then GC the old generation
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(s"$out/gen1"))
+        val servedFinal = serveLive()
+        val gcSafe = servedFinal.sameElements(servedGen2)
+        val pointerIsOneFile = java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(s"$out/_POINTER")) && liveGen() == "gen2"
+        val sp = s
+        import sp.implicits._
+        val served = servedFinal.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq.toDF("query_id", "rnk", "neighbor_id", "dist_sq")
+        graft.functions.CrossEngine.materializeLocal(s, served
+          .withColumn("flip_atomic_single_pointer", lit(pointerIsOneFile))
+          .withColumn("gen1_intact_through_build", lit(gen1Intact))
+          .withColumn("rollback_serves_gen1_exact", lit(rollbackExact))
+          .withColumn("gc_after_flip_safe", lit(gcSafe)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      $s30QueriesCte,
+      dmd AS (SELECT unnest([${maintenanceDoomed.mkString(", ")}]) AS id),
+      delg AS MATERIALIZED (
+        SELECT u, v FROM nb3
+        WHERE u NOT IN (SELECT id FROM dmd)
+          AND v NOT IN (SELECT id FROM dmd)),
+      lnk2 AS (
+        SELECT u, v FROM nb0
+        WHERE u NOT IN (SELECT id FROM dmd)
+          AND v NOT IN (SELECT id FROM dmd)),
+      graph AS MATERIALIZED (
+        SELECT u, v FROM delg UNION SELECT u, v FROM lnk2),
+      bm0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM queries),
+      ${(1 to s30Hops).map(i =>
+        s30OracleHop(i, if (i == 1) "bm0" else s"bm${i - 1}"))
+        .mkString(",\n      ")}
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq,
+        true AS flip_atomic_single_pointer,
+        true AS gen1_intact_through_build,
+        true AS rollback_serves_gen1_exact, true AS gc_after_flip_safe
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM bm$s30Hops) t
+      WHERE rn2 <= 3"""))
+
+  /** MD5 over every parquet data file under a generation dir (bucket
+    * dirs sorted) — the st12 frozen-artifact witness for s46. */
+  private def bucketDirDigest(root: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val base = java.nio.file.Paths.get(root)
+    val files = java.nio.file.Files.walk(base).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) {
+      val p = files.next()
+      if (java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")) all += p
+    }
+    all.sortBy(_.toString).foreach(p =>
+      md.update(java.nio.file.Files.readAllBytes(p)))
+    md.digest.map("%02x".format(_)).mkString
+  }
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45)
+    s39, s40, s41, s42, s43, s44, s45, s46)
 }

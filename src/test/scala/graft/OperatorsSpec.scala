@@ -4569,6 +4569,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s46 index generations: atomic flip, rollback exact, GC safe") {
+    val rows = run("s46_graph_index_generations").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served from gen2
+    Seq("flip_atomic_single_pointer", "gen1_intact_through_build",
+      "rollback_serves_gen1_exact", "gc_after_flip_safe").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    // gen2 is the takedown-wave rebuild: no doomed node is ever served
+    val doomed = graft.operators.Similarity.maintenanceDoomed.toSet
+    assert(rows.forall(r => !doomed.contains(r.getAs[Long]("neighbor_id"))))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
   test("h16 serve unseen policy: fail fast, skip+quarantine, interceptOnly") {
     val r = run("h16_serve_unseen_policy").head()
     Seq("fail_fails_fast", "skip_serves_seen_exactly",
