@@ -869,6 +869,97 @@ object Sketches {
           AS within_3sigma
       FROM est"""))
 
+  // ---------------------------------------------------------------- q82
+  /** DP-STYLE NOISY AGGREGATE RELEASE (Dwork et al. '06, the Laplace
+    * mechanism — the shape every aggregate-stats release over training
+    * data takes: per-group COUNT with sensitivity 1 and CLIPPED SUM with
+    * sensitivity C, each perturbed by Laplace(sensitivity/ε) noise
+    * before leaving the pipeline). The mechanism is exact textbook; the
+    * one engine-specific choice is that the noise draw is the inverse
+    * CDF x = −b·sgn(u−½)·ln(1−2|u−½|) over the engine's SEEDED md5
+    * uniform (salts 104/105 keyed by the group value) — deterministic so
+    * the release runs under the cross-engine hash gate. A production
+    * release keeps the mechanism and draws the seed fresh per release
+    * (secrecy of the noise, not of the transform, is what DP needs);
+    * the gate's determinism is a test-harness property, stated, not
+    * hidden.
+    *
+    * Cross-engine exactness discipline: the clipped sum is per-row
+    * clip→cents→exact-Long (money is 2-dec; a double sum would be
+    * order-dependent), u = (cast(h60 AS DOUBLE)+1)/(2^60+2) is strictly
+    * inside (0,1) so the log never sees 0, every noise op (cast, abs,
+    * sign, ln, ·, /) is IEEE-identical in both engines, and the released
+    * values are micro-rounded to 6 (the ln last-ulp discipline).
+    *
+    * Scale shape: one map-side-combined grouped agg (exact integer
+    * counters), noise is a per-GROUP scalar expression — the release
+    * costs the same as the un-noised aggregate at any corpus size. */
+  private def lapNoise(u: Column, b: Double): Column =
+    lit(-b) * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+
+  /** Strict-(0,1) uniform for the noise draw: the LOW 50 bits of the md5
+    * 60-bit hash, so every value (and 2^50 + 2) is EXACTLY representable
+    * in double — a 60-bit value cast to double rounds (spacing 128 near
+    * 2^60) and can absorb the +1 guard, letting u reach exactly 1.0 and
+    * the log see 0. */
+  private[graft] def dpUniform(group: Column, salt: Int): Column =
+    ((graft.functions.CrossEngine.md5Hash60(group, Some(salt))
+      % lit(1125899906842624L)).cast("double")
+      + lit(1.0)) / lit(1125899906842624.0 + 2.0)
+
+  private val q82 = Q(
+    "q82_dp_release",
+    (s, dir) => {
+      val eps = 1.0
+      val clipC = 200.0
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr(s"""CAST(round(least(greatest(value, CAST(0.0 AS DOUBLE)),
+            CAST($clipC AS DOUBLE)) * 100) AS BIGINT)""").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_count"),
+          sum(col("cents")).as("clip_cents"))
+        .select(col("event_type"),
+          round(col("true_count").cast("double") +
+            lapNoise(dpUniform(col("event_type"), 104), 1.0 / eps), 6)
+            .as("released_count"),
+          round(col("clip_cents").cast("double") / lit(100.0) +
+            lapNoise(dpUniform(col("event_type"), 105), clipC / eps), 6)
+            .as("released_sum"),
+          round(abs(lapNoise(dpUniform(col("event_type"), 104), 1.0 / eps)),
+            6).as("count_noise_abs"),
+          round(abs(lapNoise(dpUniform(col("event_type"), 105), clipC / eps)),
+            6).as("sum_noise_abs"),
+          lit(eps).as("epsilon"), lit(clipC).as("clip"))
+    },
+    Some("""WITH g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS true_count,
+          CAST(sum(CAST(round(least(greatest(value, CAST(0.0 AS DOUBLE)),
+            CAST(200.0 AS DOUBLE)) * 100) AS BIGINT)) AS BIGINT) AS clip_cents
+        FROM events GROUP BY event_type),
+      u AS (
+        SELECT event_type, true_count, clip_cents,
+          (CAST(CAST(concat('0x', substring(md5(concat(event_type, '#104')),
+            1, 15)) AS BIGINT) % 1125899906842624 AS DOUBLE) + 1.0)
+            / (1125899906842624.0 + 2.0) AS u1,
+          (CAST(CAST(concat('0x', substring(md5(concat(event_type, '#105')),
+            1, 15)) AS BIGINT) % 1125899906842624 AS DOUBLE) + 1.0)
+            / (1125899906842624.0 + 2.0) AS u2
+        FROM g),
+      n AS (
+        SELECT event_type, true_count, clip_cents,
+          -1.0 * sign(u1 - 0.5) * ln(1.0 - 2.0 * abs(u1 - 0.5)) AS n1,
+          -200.0 * sign(u2 - 0.5) * ln(1.0 - 2.0 * abs(u2 - 0.5)) AS n2
+        FROM u)
+      SELECT event_type,
+        round(CAST(true_count AS DOUBLE) + n1, 6) AS released_count,
+        round(CAST(clip_cents AS DOUBLE) / 100.0 + n2, 6) AS released_sum,
+        round(abs(n1), 6) AS count_noise_abs,
+        round(abs(n2), 6) AS sum_noise_abs,
+        1.0 AS epsilon, 200.0 AS clip
+      FROM n"""))
+
   val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57, q64,
-    q68, q81)
+    q68, q81, q82)
 }

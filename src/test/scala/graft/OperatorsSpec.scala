@@ -1120,6 +1120,55 @@ class OperatorsSpec extends SparkSpec {
     assert(ps.distinct.length === ps.length, "a pair was merged twice")
   }
 
+  test("q82 dp release: Laplace inverse-CDF exact, clipping and eps scale") {
+    val rows = run("q82_dp_release").collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    assert(rows.length ===
+      ev.select(col("event_type")).distinct().count())
+    // recompute the mechanism per group in plain JVM code
+    val truth = ev
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (t, vs) =>
+        val cents = vs.map { case (_, v) =>
+          math.round(math.min(math.max(v, 0.0), 200.0) * 100)
+        }.sum
+        t -> (vs.length.toLong, cents)
+      }
+    def u(t: String, salt: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$t#$salt".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      ((h % 1125899906842624L).toDouble + 1.0) / (1125899906842624.0 + 2.0)
+    }
+    def lap(uu: Double, b: Double): Double =
+      -b * math.signum(uu - 0.5) * math.log(1.0 - 2.0 * math.abs(uu - 0.5))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, cents) = truth(t)
+      val expCount =
+        BigDecimal(n.toDouble + lap(u(t, 104), 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expSum =
+        BigDecimal(cents.toDouble / 100.0 + lap(u(t, 105), 200.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("released_count") - expCount) < 1e-9,
+        s"$t count: ${r.getAs[Double]("released_count")} vs $expCount")
+      assert(math.abs(r.getAs[Double]("released_sum") - expSum) < 1e-9,
+        s"$t sum: ${r.getAs[Double]("released_sum")} vs $expSum")
+      // the sum's noise is exactly clip/eps = 200x the count's scale for
+      // the same |u - 1/2| shape; here just pin positivity + magnitudes
+      assert(r.getAs[Double]("count_noise_abs") >= 0.0)
+      assert(r.getAs[Double]("sum_noise_abs") >= 0.0)
+    }
+    // halving epsilon doubles the noise scale exactly (b = sens/eps)
+    val u0 = 0.811
+    assert(math.abs(lap(u0, 2.0) - 2.0 * lap(u0, 1.0)) < 1e-12)
+    // clipping: a value above C contributes exactly C
+    assert(math.round(math.min(math.max(1234.5, 0.0), 200.0) * 100) === 20000L)
+  }
+
   test("q53 error contract: upper-edge estimate within one bucket width above exact") {
     val w = 1626.5625
     val est = run("q53_quantile_sketch").collect()
