@@ -373,5 +373,80 @@ object Profile {
       UNION ALL SELECT 'header_total_reconciles', CAST(n AS BIGINT), CAST(v AS BIGINT),
         CAST(round(CAST(v AS DOUBLE) / n * 1e6) AS BIGINT) FROM rec"""))
 
-  val all: Seq[Q] = Seq(p01, p02, p03, p06, p07)
+  // ---------------------------------------------------------------- p08
+  /** K-ANONYMITY + L-DIVERSITY RELEASE GATE (Sweeney '02; Machanavajjhala
+    * '07 — the publish-side counterpart of t09's PII detection: before a
+    * grouped extract of training data leaves the pipeline, every
+    * quasi-identifier group must contain at least k members, and the
+    * sensitive attribute within each group must take at least l distinct
+    * values — k alone leaves a group re-identifiable by HOMOGENEITY when
+    * everyone in it shares the sensitive value, which is exactly what
+    * l-diversity closes). Groups failing either bar are SUPPRESSED (the
+    * standard suppression-based anonymization); the release carries the
+    * surviving groups plus the suppression accounting so the caller can
+    * see what the gate withheld.
+    *
+    * Fixture: customers grouped by the (nation, market-segment)
+    * quasi-identifier pair, sensitive attribute = the account-balance
+    * sign (negative balances are the minority class, so the l = 2 bar
+    * really fires on homogeneous groups at small SF). Everything is
+    * exact integer arithmetic — group sizes, distinct-sensitive counts,
+    * suppression totals, the released fraction in micro-units — fully
+    * DuckDB-mirrored.
+    *
+    * Scale shape: one map-side-combined grouped agg over the QI pair
+    * (count + a bounded distinct over a 2-value sensitive class), one
+    * broadcast-sized totals join; nothing row-sized leaves the
+    * executors. */
+  private val p08 = Q(
+    "p08_k_anonymity",
+    (s, dir) => {
+      val k = 5L
+      val l = 2L
+      val groups = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("nonneg"))
+            .as("sens"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("group_size"),
+          countDistinct(col("sens")).as("distinct_sensitive"))
+        .withColumn("released",
+          col("group_size") >= k && col("distinct_sensitive") >= l)
+      val totals = groups.agg(
+        sum(when(!col("released"), col("group_size")).otherwise(0L))
+          .as("suppressed_rows"),
+        sum(when(!col("released"), 1L).otherwise(0L)).as("suppressed_groups"),
+        sum(col("group_size")).as("total_rows"))
+      groups.filter(col("released"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("group_size"), col("distinct_sensitive"))
+        .crossJoin(broadcast(totals))
+        .withColumn("released_fraction_micro",
+          expr("(total_rows - suppressed_rows) * 1000000 div total_rows"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+          col("distinct_sensitive"), col("suppressed_groups"),
+          col("suppressed_rows"), col("released_fraction_micro"))
+    },
+    Some("""WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS group_size,
+          CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+            ELSE 'nonneg' END) AS BIGINT) AS distinct_sensitive
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+      t AS (
+        SELECT
+          CAST(sum(CASE WHEN group_size >= 5 AND distinct_sensitive >= 2
+            THEN 0 ELSE group_size END) AS BIGINT) AS suppressed_rows,
+          CAST(sum(CASE WHEN group_size >= 5 AND distinct_sensitive >= 2
+            THEN 0 ELSE 1 END) AS BIGINT) AS suppressed_groups,
+          CAST(sum(group_size) AS BIGINT) AS total_rows
+        FROM g)
+      SELECT c_nationkey, c_mktsegment, group_size, distinct_sensitive,
+        t.suppressed_groups, t.suppressed_rows,
+        (t.total_rows - t.suppressed_rows) * 1000000 // t.total_rows
+          AS released_fraction_micro
+      FROM g CROSS JOIN t
+      WHERE group_size >= 5 AND distinct_sensitive >= 2"""))
+
+  val all: Seq[Q] = Seq(p01, p02, p03, p06, p07, p08)
 }

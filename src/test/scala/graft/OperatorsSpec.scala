@@ -1120,6 +1120,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ps.distinct.length === ps.length, "a pair was merged twice")
   }
 
+  test("p08 k-anonymity: every released group passes both bars, accounting ties") {
+    val rows = run("p08_k_anonymity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("group_size") >= 5L, "a sub-k group was released")
+      assert(r.getAs[Long]("distinct_sensitive") >= 2L,
+        "a sensitive-homogeneous group was released")
+    }
+    // suppression accounting recomputed exactly
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+    val total = cust.count()
+    val releasedRows = rows.map(_.getAs[Long]("group_size")).sum
+    val suppressedRows = rows.head.getAs[Long]("suppressed_rows")
+    assert(releasedRows + suppressedRows === total,
+      s"released $releasedRows + suppressed $suppressedRows != $total")
+    assert(rows.head.getAs[Long]("released_fraction_micro") ===
+      (total - suppressedRows) * 1000000L / total)
+    // the gate has teeth on this fixture: something is actually withheld
+    assert(suppressedRows > 0L || rows.head.getAs[Long]("suppressed_groups") > 0L,
+      "fixture has no suppression — the bars never fire")
+  }
+
   test("q82 dp release: Laplace inverse-CDF exact, clipping and eps scale") {
     val rows = run("q82_dp_release").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)
