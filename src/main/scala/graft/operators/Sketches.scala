@@ -894,7 +894,7 @@ object Sketches {
     * Scale shape: one map-side-combined grouped agg (exact integer
     * counters), noise is a per-GROUP scalar expression — the release
     * costs the same as the un-noised aggregate at any corpus size. */
-  private def lapNoise(u: Column, b: Double): Column =
+  private[graft] def lapNoise(u: Column, b: Double): Column =
     lit(-b) * signum(u - lit(0.5)) *
       log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
 

@@ -3872,8 +3872,132 @@ object EventsStreaming {
         true AS drained_equals_batch, true AS multi_batch
       FROM est"""))
 
+  // ---------------------------------------------------------------- st44
+  /** STREAMING DP RELEASE (q82's Laplace mechanism in the production
+    * direction, with the composition subtlety that makes the streaming
+    * form worth gating: per-trigger the pipeline aggregates EXACTLY
+    * (integer partial counts and clipped cents appended to a durable
+    * partials table — additive, so drained merge == batch aggregate
+    * trivially), and the noise is applied ONCE at RELEASE, keyed by the
+    * (event class, day window) being published. Perturbing every
+    * micro-batch instead would spend ε per trigger — k triggers of
+    * Laplace(1/ε) noise cost kε of privacy budget for the same
+    * statistic — so "aggregate exact, perturb once per release" is the
+    * correct sequential-composition shape, stated here as the operator's
+    * contract, not an implementation accident.
+    *
+    * The drained release therefore equals the one-shot batch release
+    * BIT-FOR-BIT (same exact integers into the same seeded inverse-CDF
+    * noise — the q82 formulas via the shared Sketches helpers, so the
+    * two entries cannot drift); DuckDB recomputes the whole thing from
+    * the raw events. */
+  private val st44 = Q(
+    "st44_stream_dp_release",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Sketches.{dpUniform, lapNoise}
+      val work = java.nio.file.Files.createTempDirectory("graft_st44_")
+      try {
+        val eps = 1.0
+        val clipC = 200.0
+        def grouped(df: DataFrame): DataFrame = df
+          .select(col("ts"), col("event_type"),
+            expr(s"""CAST(round(least(greatest(value, CAST(0.0 AS DOUBLE)),
+              CAST($clipC AS DOUBLE)) * 100) AS BIGINT)""").as("cents"))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("clip_cents"))
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("n"), col("clip_cents"))
+        val ev = Tables.events(s, dir)
+          .select(col("ts"), col("event_type"), col("value"))
+        ev.repartition(4)
+          .write.mode("overwrite").parquet(work.resolve("arrivals").toString)
+        val partialsDir = work.resolve("partials").toString
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val query = s.readStream
+          .schema(s.read.parquet(work.resolve("arrivals").toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(work.resolve("arrivals").toString)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              nBatches.incrementAndGet()
+              grouped(batch).write.mode("append").parquet(partialsDir)
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        // drained merge: partial counts/cents are additive exact ints
+        val merged = s.read.parquet(partialsDir)
+          .groupBy(col("window_start"), col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("clip_cents")).as("clip_cents"))
+          .localCheckpoint(true)
+        // batch reference: one-shot aggregate over all events
+        val oneShot = grouped(ev)
+        val aggEqual =
+          merged.except(oneShot).count() == 0 &&
+          oneShot.except(merged).count() == 0
+        // the release: noise ONCE, keyed by what is being published
+        def release(df: DataFrame): DataFrame = {
+          val key = concat(col("event_type"), lit("|"),
+            col("window_start").cast("string"))
+          df.select(col("window_start"), col("event_type"),
+            round(col("n").cast("double") +
+              lapNoise(dpUniform(key, 104), 1.0 / eps), 6)
+              .as("released_count"),
+            round(col("clip_cents").cast("double") / lit(100.0) +
+              lapNoise(dpUniform(key, 105), clipC / eps), 6)
+              .as("released_sum"))
+        }
+        val drained = release(merged).localCheckpoint(true)
+        val batchRel = release(oneShot)
+        val releaseEqual =
+          drained.except(batchRel).count() == 0 &&
+          batchRel.except(drained).count() == 0
+        graft.functions.CrossEngine.materializeLocal(s, drained
+          .withColumn("epsilon", lit(eps))
+          .withColumn("drained_agg_equals_batch", lit(aggEqual))
+          .withColumn("drained_release_equals_batch", lit(releaseEqual))
+          .withColumn("multi_batch", lit(nBatches.get() >= 4L)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH g AS (
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 day', ts))) AS BIGINT)
+            AS window_start,
+          event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(round(least(greatest(value, CAST(0.0 AS DOUBLE)),
+            CAST(200.0 AS DOUBLE)) * 100) AS BIGINT)) AS BIGINT) AS clip_cents
+        FROM events GROUP BY 1, 2),
+      u AS (
+        SELECT window_start, event_type, n, clip_cents,
+          (CAST(CAST(concat('0x', substring(md5(concat(
+            concat(event_type, '|', CAST(window_start AS VARCHAR)), '#104')),
+            1, 15)) AS BIGINT) % 1125899906842624 AS DOUBLE) + 1.0)
+            / (1125899906842624.0 + 2.0) AS u1,
+          (CAST(CAST(concat('0x', substring(md5(concat(
+            concat(event_type, '|', CAST(window_start AS VARCHAR)), '#105')),
+            1, 15)) AS BIGINT) % 1125899906842624 AS DOUBLE) + 1.0)
+            / (1125899906842624.0 + 2.0) AS u2
+        FROM g)
+      SELECT window_start, event_type,
+        round(CAST(n AS DOUBLE)
+          + -1.0 * sign(u1 - 0.5) * ln(1.0 - 2.0 * abs(u1 - 0.5)), 6)
+          AS released_count,
+        round(CAST(clip_cents AS DOUBLE) / 100.0
+          + -200.0 * sign(u2 - 0.5) * ln(1.0 - 2.0 * abs(u2 - 0.5)), 6)
+          AS released_sum,
+        1.0 AS epsilon,
+        true AS drained_agg_equals_batch,
+        true AS drained_release_equals_batch, true AS multi_batch
+      FROM u"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40, st41, st42, st43)
+    st34, st35, st36, st37, st38, st39, st40, st41, st42, st43, st44)
 }

@@ -623,6 +623,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st44 dp release: exact partials, noise once at release, drained == batch") {
+    val rows = SparkEntry.queries("st44_stream_dp_release")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("drained_agg_equals_batch"),
+        "per-trigger exact partials diverged from the one-shot aggregate")
+      assert(r.getAs[Boolean]("drained_release_equals_batch"),
+        "the noised release diverged from the batch release")
+      assert(r.getAs[Boolean]("multi_batch"))
+    }
+    // one release row per (event class, day window) present in the data
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val nKeys = ev.select(
+        org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "1 day"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .distinct().count()
+    assert(rows.length === nKeys)
+  }
+
   test("st39 correction serving: drained stream equals one-shot batch serve") {
     val r = SparkEntry.queries("st39_stream_correction_serving")(spark, sfDir)
       .head()
