@@ -2252,6 +2252,70 @@ object Relational {
         true AS one_current_per_user, true AS point_in_time_unique
       FROM ds FULL OUTER JOIN fs ON ds.tier = fs.tier"""))
 
+  // ---------------------------------------------------------------- q83
+  /** DETERMINISTIC EPOCH SHUFFLE + MICRO-BATCH ASSIGNMENT (the training
+    * loop's data-order op: each epoch wants a fresh seeded GLOBAL
+    * permutation of the corpus, reproducible across restarts, and the
+    * permuted order packed into fixed-size micro-batches). A naive
+    * global `row_number() OVER (ORDER BY hash)` sorts the corpus in one
+    * task; the scale shape here exploits that a hash key's TOP bits ARE
+    * its sort prefix: bucket = the key's high 8 bits gives 256
+    * ORDER-CONTIGUOUS, hash-balanced buckets, so the global position is
+    * (driver prefix-sum of 256 bucket counts) + (rank WITHIN the
+    * bucket) — the within-bucket windows run partition-parallel over
+    * ~N/256 rows each and the only driver state is 256 longs. Same
+    * decomposition at 100 TB with 2^k buckets sized to executor memory.
+    *
+    * batch_id = position div 64; the gate emits per-batch accounting
+    * (size, position range, doc-id checksum) — bounded output, while the
+    * spec additionally pins the position set is EXACTLY 0..N-1 (a true
+    * permutation) and that a different epoch seed produces a different
+    * order. Everything derives from the md5 uniform, oracle-mirrored
+    * against DuckDB's global window rank. */
+  private val q83 = Q(
+    "q83_epoch_shuffle",
+    (s, dir) => epochShuffleBatches(s, dir, "epoch1"),
+    Some(epochShuffleOracle("epoch1")))
+
+  private[graft] def epochShuffleBatches(s: SparkSession, dir: String,
+      seed: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.CrossEngine.md5Hash60(
+          concat(lit(seed + ":"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("bucket", shiftright(col("k"), 52)) // top 8 of 60 bits
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toList
+      .scanLeft((0L, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case List((_, off), (b, _)) => (b, off) }.toSeq
+    val offDf = broadcast(offsets.toDF("bucket", "off"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(offDf, Seq("bucket"))
+      .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+      .withColumn("batch_id", expr("pos div 64"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"), sum(col("doc_id")).as("docid_sum"))
+  }
+
+  private[graft] def epochShuffleOracle(seed: String): String =
+    s"""WITH ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY
+          CAST(concat('0x', substring(md5(concat('$seed:',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id) - 1
+          AS pos
+        FROM documents)
+      SELECT pos // 64 AS batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(min(pos) AS BIGINT) AS first_pos,
+        CAST(max(pos) AS BIGINT) AS last_pos,
+        CAST(sum(doc_id) AS BIGINT) AS docid_sum
+      FROM ranked GROUP BY 1"""
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2259,5 +2323,5 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80)
+    q73, q74, q75, q76, q77, q78, q79, q80, q83)
 }

@@ -1142,6 +1142,49 @@ class OperatorsSpec extends SparkSpec {
       "fixture has no suppression — the bars never fire")
   }
 
+  test("q83 epoch shuffle: true permutation, seeds differ, batches tight") {
+    val rows = run("q83_epoch_shuffle").collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    // batches partition 0..N-1 with no gaps: sizes sum to N, ranges tile
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    assert(rows.head.getAs[Long]("first_pos") === 0L)
+    assert(rows.last.getAs[Long]("last_pos") === n - 1)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_pos") + 1 === b.getAs[Long]("first_pos"))
+        assert(a.getAs[Long]("n_docs") === 64L, "only the tail may be short")
+      case _ =>
+    }
+    // every batch is position-tight: range width == size - 1
+    rows.foreach { r =>
+      assert(r.getAs[Long]("last_pos") - r.getAs[Long]("first_pos") + 1 ===
+        r.getAs[Long]("n_docs"))
+    }
+    // a different epoch seed reorders: per-batch doc sets move
+    val epoch2 = graft.operators.Relational
+      .epochShuffleBatches(spark, sfDir, "epoch2").collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("docid_sum")).toMap
+    val epoch1 = rows
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("docid_sum")).toMap
+    assert(epoch1.keySet === epoch2.keySet)
+    assert(epoch1.exists { case (b, s0) => epoch2(b) != s0 },
+      "two epoch seeds produced the identical batch assignment")
+    // the scale claim: positions come from PARTITIONED bucket windows +
+    // driver offsets, never a global (empty-partitionBy) window sort
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan0 = SparkEntry.queries("q83_epoch_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the rank window must be partitioned by bucket")
+  }
+
   test("q82 dp release: Laplace inverse-CDF exact, clipping and eps scale") {
     val rows = run("q82_dp_release").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)
