@@ -2255,6 +2255,298 @@ object Multimodal {
         true AS pair_concentrated, true AS dct_roundtrip_ok
       FROM fr f JOIN dm d ON d.doc_id = f.doc_id"""))
 
+  // ---------------------------------------------------------------- m20
+  /** EXIF GPS EXTRACTION + METADATA STRIP (privacy × multimodal — the
+    * curation step every image pipeline runs before release: camera
+    * metadata rides in the JPEG APP1 "Exif" segment as a real TIFF
+    * structure, and GPSLatitude/GPSLongitude inside it are location PII
+    * (the image-side counterpart of t09's text PII and p08's release
+    * gate). This entry builds REAL EXIF — a little-endian TIFF with IFD0
+    * (Make + a GPSInfo pointer) and a GPS IFD (refs inline, coordinates
+    * as three RATIONALs at offsets) injected after SOI — then parses it
+    * back with a bounds-checked reader (endian-aware IFD walk, inline
+    * vs offset values by size — the m14/m16 corruption contract: bad
+    * structure degrades to absent, never a throw) and STRIPS it the way
+    * `exiftool -all=` does: drop the whole APP1 segment, pixels
+    * untouched by construction (APP1 is metadata-only) and PROVEN
+    * untouched by full-raster comparison of the decoded images.
+    *
+    * Coordinates are converted to EXACT integer micro-degrees: the
+    * fixture's rationals are synthesized so deg/min/sec terms divide
+    * exactly (minutes are multiples of 3, centi-seconds multiples of 9),
+    * and the parser's generic long division therefore reproduces the
+    * synthesis formula bit-for-bit — both it and the presence classes
+    * (1-in-3 has GPS, 1-in-3 EXIF-without-GPS, 1-in-3 no APP1) are
+    * value-mirrored from doc_id in DuckDB. Row-local; one encode + one
+    * strip per asset; the read path walks headers only. */
+  private val m20 = Q(
+    "m20_exif_gps_strip",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          ids.map { id =>
+            val w = 24 + (id % 3).toInt * 8
+            val h = 16
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) % 256).toInt << 16))
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            val plain = baos.toByteArray
+            val cls = (id % 3).toInt // 0: GPS, 1: EXIF no GPS, 2: no APP1
+            val jpg =
+              if (cls == 2) plain
+              else exifInject(plain, id, withGps = cls == 0)
+            // ---- reader under test
+            val meta = exifParse(jpg)
+            // ---- strip: drop the APP1 segment wholesale
+            val stripped = exifStrip(jpg)
+            val metaAfter = exifParse(stripped)
+            val d0 = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpg))
+            val d1 = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(stripped))
+            var same = d0 != null && d1 != null &&
+              d0.getWidth == d1.getWidth && d0.getHeight == d1.getHeight
+            if (same) {
+              var yy = 0
+              while (yy < d0.getHeight && same) {
+                var xx = 0
+                while (xx < d0.getWidth && same) {
+                  same = d0.getRGB(xx, yy) == d1.getRGB(xx, yy)
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            (id, meta.isDefined,
+              meta.exists(_.gps.isDefined),
+              meta.map(_.make).getOrElse(""),
+              meta.flatMap(_.gps).map(_._1).getOrElse(""),
+              meta.flatMap(_.gps).map(_._2).getOrElse(-1L),
+              meta.flatMap(_.gps).map(_._3).getOrElse(""),
+              meta.flatMap(_.gps).map(_._4).getOrElse(-1L),
+              metaAfter.isEmpty, same)
+          }
+        }
+        .toDF("doc_id", "has_exif", "has_gps", "make", "lat_ref", "lat_micro",
+          "lon_ref", "lon_micro", "stripped_has_no_exif", "pixels_unchanged")
+    },
+    Some("""SELECT doc_id,
+        (doc_id % 3 < 2) AS has_exif,
+        (doc_id % 3 = 0) AS has_gps,
+        CASE WHEN doc_id % 3 < 2 THEN concat('cam', CAST(doc_id % 4 AS VARCHAR))
+          ELSE '' END AS make,
+        CASE WHEN doc_id % 3 = 0 THEN
+          (CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END) ELSE '' END AS lat_ref,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN
+          (doc_id % 89) * 1000000 + (doc_id % 20) * 50000 + (doc_id % 400) * 25
+          ELSE -1 END AS BIGINT) AS lat_micro,
+        CASE WHEN doc_id % 3 = 0 THEN
+          (CASE WHEN doc_id % 5 < 3 THEN 'E' ELSE 'W' END) ELSE '' END AS lon_ref,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN
+          (doc_id % 179) * 1000000 + (doc_id % 20) * 50000 + (doc_id % 300) * 25
+          ELSE -1 END AS BIGINT) AS lon_micro,
+        true AS stripped_has_no_exif, true AS pixels_unchanged
+      FROM documents"""))
+
+  /** Parsed EXIF surface: camera Make + optional GPS as
+    * (latRef, latMicroDeg, lonRef, lonMicroDeg). */
+  private[graft] case class ExifMeta(make: String,
+      gps: Option[(String, Long, String, Long)])
+
+  /** Build the APP1 Exif segment for [[m20]]'s fixture: little-endian
+    * TIFF, IFD0 = Make (ASCII, at offset) [+ GPSInfo pointer], GPS IFD =
+    * refs inline + two RATIONAL×3 coordinate arrays at offsets. Offsets
+    * are TIFF-relative, as the spec requires. */
+  private[graft] def exifInject(plain: Array[Byte], id: Long,
+      withGps: Boolean): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { var i = 0
+      while (i < 4) { bb.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def entry(tag: Int, tpe: Int, count: Long, value: Long): Unit = {
+      u16(tag); u16(tpe); u32(count); u32(value)
+    }
+    val make = s"cam${id % 4}"
+    val makeCount = make.length + 1 // ASCII count includes the NUL
+    // layout (TIFF-relative): header 8, IFD0 at 8 (2 + n*12 + 4),
+    // make string after IFD0, GPS IFD after make, rationals after GPS IFD
+    val n0 = if (withGps) 2 else 1
+    val ifd0End = 8 + 2 + n0 * 12 + 4
+    val makeOff = ifd0End
+    val gpsOff = makeOff + makeCount
+    val gpsEnd = gpsOff + 2 + 4 * 12 + 4
+    val latOff = gpsEnd
+    val lonOff = latOff + 24
+    // TIFF header
+    bb.write('I'); bb.write('I'); u16(42); u32(8)
+    // IFD0
+    u16(n0)
+    entry(0x010f, 2, makeCount.toLong, makeOff.toLong)
+    if (withGps) entry(0x8825, 4, 1L, gpsOff.toLong)
+    u32(0)
+    make.foreach(c => bb.write(c.toInt)); bb.write(0)
+    if (withGps) {
+      val latRef = if (id % 2 == 0) 'N' else 'S'
+      val lonRef = if (id % 5 < 3) 'E' else 'W'
+      u16(4)
+      entry(0x0001, 2, 2L, latRef.toLong) // inline ASCII "X\0"
+      entry(0x0002, 5, 3L, latOff.toLong)
+      entry(0x0003, 2, 2L, lonRef.toLong)
+      entry(0x0004, 5, 3L, lonOff.toLong)
+      u32(0)
+      // rationals: (deg/1, min/1, centisec/100) — exact by construction
+      Seq((id % 89, 1L), ((id % 20) * 3, 1L), ((id % 400) * 9, 100L),
+          (id % 179, 1L), ((id % 20) * 3, 1L), ((id % 300) * 9, 100L))
+        .foreach { case (num, den) => u32(num); u32(den) }
+    }
+    val tiff = bb.toByteArray
+    val payload =
+      "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    // inject right after SOI
+    plain.take(2) ++ seg ++ plain.drop(2)
+  }
+
+  /** Bounds-checked EXIF reader: APP1 "Exif" locate via the marker walk,
+    * endian-aware TIFF IFD traversal, inline-vs-offset values by size.
+    * Any structural violation returns None (the m14 contract). */
+  private[graft] def exifParse(b: Array[Byte]): Option[ExifMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 4 <= b.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else {
+        val len = (u8(i + 2) << 8) | u8(i + 3)
+        if (len < 2 || i + 2 + len > b.length) return None
+        if (m == 0xe1 && len >= 10 &&
+            new String(b, i + 4, 6, "US-ASCII") == "Exif\u0000\u0000") {
+          return tiffParse(b, i + 10, len - 8)
+        }
+        if (m == 0xda) return None // entropy stream: no EXIF ahead
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def tiffParse(b: Array[Byte], base: Int, size: Int): Option[ExifMeta] = {
+    def u8(i: Int) = b(i) & 0xff
+    def in(off: Long, n: Int): Boolean = off >= 0 && off + n <= size
+    if (size < 8) return None
+    val le = u8(base) == 'I' && u8(base + 1) == 'I'
+    val be = u8(base) == 'M' && u8(base + 1) == 'M'
+    if (!le && !be) return None
+    def r16(off: Int): Int =
+      if (le) u8(base + off) | (u8(base + off + 1) << 8)
+      else (u8(base + off) << 8) | u8(base + off + 1)
+    def r32(off: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        val byte = u8(base + off + (if (le) k else 3 - k)).toLong
+        v |= byte << (8 * k)
+        k += 1
+      }
+      v
+    }
+    if (r16(2) != 42) return None
+    val ifd0 = r32(4)
+    if (!in(ifd0, 2)) return None
+    var make = ""
+    var gpsIfd = -1L
+    val n0 = r16(ifd0.toInt)
+    if (!in(ifd0, 2 + n0 * 12 + 4)) return None
+    var e = 0
+    while (e < n0) {
+      val eo = ifd0.toInt + 2 + e * 12
+      val tag = r16(eo)
+      val count = r32(eo + 4)
+      val value = r32(eo + 8)
+      if (tag == 0x010f) { // Make, ASCII
+        if (count > 4) {
+          if (!in(value, count.toInt)) return None
+          make = new String(b, base + value.toInt, count.toInt - 1, "US-ASCII")
+        } else make = new String(b, base + eo + 8,
+          math.max(count.toInt - 1, 0), "US-ASCII")
+      }
+      if (tag == 0x8825) gpsIfd = value
+      e += 1
+    }
+    if (gpsIfd < 0) return Some(ExifMeta(make, None))
+    if (!in(gpsIfd, 2)) return None
+    val ng = r16(gpsIfd.toInt)
+    if (!in(gpsIfd, 2 + ng * 12 + 4)) return None
+    var latRef = ""; var lonRef = ""
+    var latMicro = -1L; var lonMicro = -1L
+    def microAt(off: Long): Long = {
+      if (!in(off, 24)) return -1L
+      val o = off.toInt
+      val t1 = r32(o) * 1000000L / r32(o + 4)
+      val t2 = r32(o + 8) * 1000000L / (r32(o + 12) * 60L)
+      val t3 = r32(o + 16) * 1000000L / (r32(o + 20) * 3600L)
+      t1 + t2 + t3
+    }
+    e = 0
+    while (e < ng) {
+      val eo = gpsIfd.toInt + 2 + e * 12
+      r16(eo) match {
+        case 0x0001 => latRef = (r32(eo + 8) & 0xff).toChar.toString
+        case 0x0002 => latMicro = microAt(r32(eo + 8))
+        case 0x0003 => lonRef = (r32(eo + 8) & 0xff).toChar.toString
+        case 0x0004 => lonMicro = microAt(r32(eo + 8))
+        case _ =>
+      }
+      e += 1
+    }
+    Some(ExifMeta(make, Some((latRef, latMicro, lonRef, lonMicro))))
+  }
+
+  /** Drop every APP1 segment (the `exiftool -all=` strip): metadata
+    * gone, entropy-coded pixels byte-identical. */
+  private[graft] def exifStrip(b: Array[Byte]): Array[Byte] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return b
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b, 0, 2)
+    var i = 2
+    var copyRest = false
+    while (i + 4 <= b.length && !copyRest) {
+      if (u8(i) != 0xff) copyRest = true
+      else {
+        val m = u8(i + 1)
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          out.write(b, i, 2); i += 2
+        } else {
+          val len = (u8(i + 2) << 8) | u8(i + 3)
+          if (len < 2 || i + 2 + len > b.length) copyRest = true
+          else if (m == 0xe1) i += 2 + len // dropped
+          else if (m == 0xda) copyRest = true // stream starts: copy verbatim
+          else { out.write(b, i, 2 + len); i += 2 + len }
+        }
+      }
+    }
+    if (i < b.length) out.write(b, i, b.length - i)
+    out.toByteArray
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18, m19)
+    m12, m13, m14, m15, m16, m17, m18, m19, m20)
 }

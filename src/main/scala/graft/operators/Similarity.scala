@@ -5158,14 +5158,15 @@ object Similarity {
     * observe a half-written generation, the same single-rename commit
     * argument as w09's versioned manifests, applied to the index.
     *
-    * The gate drives the full lifecycle: serve gen1 → build gen2 (a
-    * takedown-wave rebuild: gen1 minus the doomed set) while PROVING
-    * gen1's files stay byte-identical through the build → atomic flip →
-    * serve gen2 → ROLLBACK (pointer back) and prove serving returns
-    * gen1's answers row-for-row → re-flip and GC gen1, serving
-    * unaffected. The final gen2 walk is oracle-mirrored hop for hop (the
-    * s44 deleted-graph chain); the lifecycle facts ride recomputed
-    * booleans. */
+    * The gate drives the full lifecycle: build gen2 (a takedown-wave
+    * rebuild: gen1 minus the doomed set) while PROVING gen1's files stay
+    * byte-identical through the build → atomic flip → serve gen2 through
+    * the pointer (ONE real walk, oracle-mirrored hop for hop — the s44
+    * deleted-graph chain) → ROLLBACK (pointer back, gen1 bytes proven
+    * unchanged since its serveable state — serving is a pure function of
+    * (pointer, files), so the digest IS the serve equivalence) → re-flip
+    * and GC gen1 with gen2's bytes proven untouched. Lifecycle facts
+    * ride recomputed booleans. */
   private val s46 = Q(
     "s46_graph_index_generations",
     (s, dir) => withConstraintPropagationOff(s) {
@@ -5185,42 +5186,44 @@ object Similarity {
         def liveGen(): String = new String(java.nio.file.Files
           .readAllBytes(java.nio.file.Paths.get(s"$out/_POINTER")),
           "UTF-8").trim
-        def serveLive(): Array[org.apache.spark.sql.Row] = {
-          val g = liveGen()
-          val edges = s.read.parquet(s"$out/$g/knn")
-            .select(col("u"), col("v"))
-            .unionByName(s.read.parquet(s"$out/$g/links")
-              .select(col("u"), col("v")))
-            .distinct().localCheckpoint(true)
-          nswBeamSearch(s, dir, edges).collect()
-            .sortBy(r => (r.getLong(0), r.getLong(1)))
-        }
         writePointer("gen1")
-        val servedGen1 = serveLive()
+        val gen1Digest = bucketDirDigest(s"$out/gen1")
         // build gen2 alongside: the takedown-wave rebuild
-        val digestBefore = bucketDirDigest(s"$out/gen1")
         BucketedFixtureCache.copyTable(s, dir, "knn", s"$out/gen2/knn")
         BucketedFixtureCache.copyTable(s, dir, "links", s"$out/gen2/links")
         graphDeleteNodes(s, s"$out/gen2/knn", doomed)
         graphDeleteNodes(s, s"$out/gen2/links", doomed)
-        val gen1Intact = bucketDirDigest(s"$out/gen1") == digestBefore
+        val gen1Intact = bucketDirDigest(s"$out/gen1") == gen1Digest
+        val gen2Digest = bucketDirDigest(s"$out/gen2")
         writePointer("gen2") // the atomic flip
-        val servedGen2 = serveLive()
+        // the ONE real served walk: resolves the pointer, reads gen2's
+        // FILES, and is oracle-mirrored hop for hop — this exercises the
+        // whole serve-through-pointer path. Serving is a pure function of
+        // (pointer, files), so the remaining lifecycle facts ride the
+        // cheaper witnesses: rollback points at gen1 whose bytes are
+        // PROVEN unchanged since its own serve-able state (digest), and
+        // GC leaves gen2's bytes identical — re-walking either would
+        // re-prove what the digests already pin, at a full walk's cost
+        // each (measured: the 4-walk form cost 37 s at sf0.1; this one
+        // walks once).
+        val liveAtServe = liveGen()
+        val edges = s.read.parquet(s"$out/$liveAtServe/knn")
+          .select(col("u"), col("v"))
+          .unionByName(s.read.parquet(s"$out/$liveAtServe/links")
+            .select(col("u"), col("v")))
+          .distinct().localCheckpoint(true)
+        val served = nswBeamSearch(s, dir, edges)
+        val servedPointerOk = liveAtServe == "gen2"
         writePointer("gen1") // rollback
-        val servedRollback = serveLive()
-        val rollbackExact = servedRollback.sameElements(servedGen1)
+        val rollbackExact = liveGen() == "gen1" &&
+          bucketDirDigest(s"$out/gen1") == gen1Digest
         writePointer("gen2") // re-flip, then GC the old generation
         graft.functions.CrossEngine.deleteRecursive(
           java.nio.file.Paths.get(s"$out/gen1"))
-        val servedFinal = serveLive()
-        val gcSafe = servedFinal.sameElements(servedGen2)
+        val gcSafe = liveGen() == "gen2" &&
+          bucketDirDigest(s"$out/gen2") == gen2Digest
         val pointerIsOneFile = java.nio.file.Files.isRegularFile(
-          java.nio.file.Paths.get(s"$out/_POINTER")) && liveGen() == "gen2"
-        val sp = s
-        import sp.implicits._
-        val served = servedFinal.map(r =>
-          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-          .toSeq.toDF("query_id", "rnk", "neighbor_id", "dist_sq")
+          java.nio.file.Paths.get(s"$out/_POINTER")) && servedPointerOk
         graft.functions.CrossEngine.materializeLocal(s, served
           .withColumn("flip_atomic_single_pointer", lit(pointerIsOneFile))
           .withColumn("gen1_intact_through_build", lit(gen1Intact))

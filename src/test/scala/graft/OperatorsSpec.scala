@@ -1185,6 +1185,61 @@ class OperatorsSpec extends SparkSpec {
       "the rank window must be partitioned by bucket")
   }
 
+  test("m20 exif: real TIFF roundtrip, corruption degrades, strip is total") {
+    import graft.operators.Multimodal.{exifInject, exifParse, exifStrip}
+    // a real JPEG carrier
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      img.setRGB(x, y, (x * 16 + y) << 8)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val plain = baos.toByteArray
+    // inject + parse roundtrip at a known id
+    val id = 42L
+    val jpg = exifInject(plain, id, withGps = true)
+    val meta = exifParse(jpg)
+    assert(meta.isDefined && meta.get.make === "cam2")
+    val Some((latRef, latMicro, lonRef, lonMicro)) = meta.get.gps
+    assert(latRef === "N" && lonRef === "E")
+    assert(latMicro === (42 % 89) * 1000000L + (42 % 20) * 50000L + 42 * 25L)
+    assert(lonMicro === (42 % 179) * 1000000L + (42 % 20) * 50000L + 42 * 25L)
+    // EXIF without GPS
+    val noGps = exifParse(exifInject(plain, id, withGps = false))
+    assert(noGps.isDefined && noGps.get.gps.isEmpty)
+    // plain carrier has no EXIF
+    assert(exifParse(plain).isEmpty)
+    // corruption degrades to absent, never a throw: flip bytes through
+    // the injected segment region
+    (2 until 80).foreach { k =>
+      val bad = jpg.clone(); bad(k) = (bad(k) ^ 0x5a).toByte
+      exifParse(bad) // must not throw
+    }
+    // strip removes the metadata and only the metadata
+    val stripped = exifStrip(jpg)
+    assert(exifParse(stripped).isEmpty)
+    assert(stripped.length < jpg.length)
+    val d0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val d1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(stripped))
+    assert(d0 != null && d1 != null)
+    assert((0 until 16).forall(y => (0 until 16).forall(x =>
+      d0.getRGB(x, y) == d1.getRGB(x, y))), "strip touched pixels")
+    // the gate entry: presence classes and coordinates all as planted
+    val rows = run("m20_exif_gps_strip").collect()
+    assert(rows.forall(_.getAs[Boolean]("stripped_has_no_exif")))
+    assert(rows.forall(_.getAs[Boolean]("pixels_unchanged")))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("has_exif") === (d % 3 < 2))
+      assert(r.getAs[Boolean]("has_gps") === (d % 3 == 0))
+      if (d % 3 == 0)
+        assert(r.getAs[Long]("lat_micro") ===
+          (d % 89) * 1000000L + (d % 20) * 50000L + (d % 400) * 25L)
+    }
+  }
+
   test("q82 dp release: Laplace inverse-CDF exact, clipping and eps scale") {
     val rows = run("q82_dp_release").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)
