@@ -5188,11 +5188,17 @@ object Similarity {
           "UTF-8").trim
         writePointer("gen1")
         val gen1Digest = bucketDirDigest(s"$out/gen1")
-        // build gen2 alongside: the takedown-wave rebuild
-        BucketedFixtureCache.copyTable(s, dir, "knn", s"$out/gen2/knn")
-        BucketedFixtureCache.copyTable(s, dir, "links", s"$out/gen2/links")
-        graphDeleteNodes(s, s"$out/gen2/knn", doomed)
-        graphDeleteNodes(s, s"$out/gen2/links", doomed)
+        // build gen2 alongside: a REBUILD writes fresh (one filtered
+        // bucketed write per table — not copy-then-patch; the
+        // incremental staged-swap path is s38/s42/s44's contract, a
+        // generation build's is bulk rewrite)
+        def minusDoomed(t: String): Unit = edgeWriteBucketed(
+          s.read.parquet(s"$out/gen1/$t").select(col("u"), col("v"))
+            .filter(!col("u").isin(doomed: _*) &&
+              !col("v").isin(doomed: _*)),
+          s"$out/gen2/$t")
+        minusDoomed("knn")
+        minusDoomed("links")
         val gen1Intact = bucketDirDigest(s"$out/gen1") == gen1Digest
         val gen2Digest = bucketDirDigest(s"$out/gen2")
         writePointer("gen2") // the atomic flip
