@@ -2288,26 +2288,7 @@ object Multimodal {
         .mapPartitions { ids =>
           javax.imageio.ImageIO.setUseCache(false)
           ids.map { id =>
-            val w = 24 + (id % 3).toInt * 8
-            val h = 16
-            val img = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) % 256).toInt << 16))
-                x += 1
-              }
-              y += 1
-            }
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", baos)
-            val plain = baos.toByteArray
-            val cls = (id % 3).toInt // 0: GPS, 1: EXIF no GPS, 2: no APP1
-            val jpg =
-              if (cls == 2) plain
-              else exifInject(plain, id, withGps = cls == 0)
+            val jpg = exifFixtureJpeg(id)
             // ---- reader under test
             val meta = exifParse(jpg)
             // ---- strip: drop the APP1 segment wholesale
@@ -2365,6 +2346,31 @@ object Multimodal {
     * (latRef, latMicroDeg, lonRef, lonMicroDeg). */
   private[graft] case class ExifMeta(make: String,
       gps: Option[(String, Long, String, Long)])
+
+  /** The m20/st45 per-id asset: a real JDK-encoded JPEG whose EXIF
+    * presence class is doc_id mod 3 (0: EXIF with GPS, 1: EXIF without,
+    * 2: no APP1 at all). Callers must have disabled the ImageIO
+    * temp-file cache (the m13 lesson). */
+  private[graft] def exifFixtureJpeg(id: Long): Array[Byte] = {
+    val w = 24 + (id % 3).toInt * 8
+    val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((id * 31 + x * 7 + y * 13) % 256).toInt << 16))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val plain = baos.toByteArray
+    val cls = (id % 3).toInt
+    if (cls == 2) plain else exifInject(plain, id, withGps = cls == 0)
+  }
 
   /** Build the APP1 Exif segment for [[m20]]'s fixture: little-endian
     * TIFF, IFD0 = Make (ASCII, at offset) [+ GPSInfo pointer], GPS IFD =

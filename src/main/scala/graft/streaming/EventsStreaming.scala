@@ -3996,8 +3996,85 @@ object EventsStreaming {
         true AS drained_release_equals_batch, true AS multi_batch
       FROM u"""))
 
+  // ---------------------------------------------------------------- st45
+  /** STREAMING EXIF-GPS ADMISSION (m20 in the production direction — the
+    * st13-st15 media-admission pattern applied to the privacy gate:
+    * images ARRIVE as a stream, and location PII must be stripped
+    * BEFORE admission, not in a later batch pass that leaves a GPS
+    * window in the landing zone). Per micro-batch, entirely row-local
+    * and stateless (plan-parallel, zero streaming state): each arriving
+    * asset is parsed with the m20 bounds-checked EXIF walker; clean
+    * assets admit as-is, GPS carriers are exiftool-stripped and the
+    * stripped bytes are RE-PARSED in the same row so every admitted
+    * asset is provably GPS-free at write time. Drained verdicts are
+    * value-mirrored from the presence classes (doc_id mod 3) and the
+    * gate recomputes "every admitted asset is GPS-free" over the drained
+    * table. */
+  private val st45 = Q(
+    "st45_stream_exif_admission",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Multimodal
+      val work = java.nio.file.Files.createTempDirectory("graft_st45_")
+      try {
+        Tables.documents(s, dir).select(col("doc_id")).repartition(4)
+          .write.mode("overwrite").parquet(work.resolve("arrivals").toString)
+        val admittedDir = work.resolve("admitted").toString
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+        val query = s.readStream
+          .schema(s.read.parquet(work.resolve("arrivals").toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(work.resolve("arrivals").toString)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              nBatches.incrementAndGet()
+              val bs = batch.sparkSession
+              import bs.implicits._
+              batch.select(col("doc_id")).as[Long]
+                .mapPartitions { ids =>
+                  javax.imageio.ImageIO.setUseCache(false)
+                  ids.map { id =>
+                    val jpg = Multimodal.exifFixtureJpeg(id)
+                    val meta = Multimodal.exifParse(jpg)
+                    val hadGps = meta.exists(_.gps.isDefined)
+                    val admitted =
+                      if (hadGps) Multimodal.exifStrip(jpg) else jpg
+                    val gpsFree = !Multimodal.exifParse(admitted)
+                      .exists(_.gps.isDefined)
+                    (id, meta.isDefined, hadGps, hadGps, gpsFree)
+                  }
+                }
+                .toDF("doc_id", "had_exif", "had_gps", "was_stripped",
+                  "admitted_gps_free")
+                .write.mode("append").parquet(admittedDir)
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        val drained = s.read.parquet(admittedDir).localCheckpoint(true)
+        val allClean = drained
+          .filter(!col("admitted_gps_free")).count() == 0
+        graft.functions.CrossEngine.materializeLocal(s, drained
+          .withColumn("all_admitted_gps_free", lit(allClean))
+          .withColumn("multi_batch", lit(nBatches.get() >= 4L)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""SELECT doc_id,
+        (doc_id % 3 < 2) AS had_exif,
+        (doc_id % 3 = 0) AS had_gps,
+        (doc_id % 3 = 0) AS was_stripped,
+        true AS admitted_gps_free, true AS all_admitted_gps_free,
+        true AS multi_batch
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40, st41, st42, st43, st44)
+    st34, st35, st36, st37, st38, st39, st40, st41, st42, st43, st44, st45)
 }

@@ -644,6 +644,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length === nKeys)
   }
 
+  test("st45 exif admission: GPS stripped before write, classes as planted") {
+    val rows = SparkEntry.queries("st45_stream_exif_admission")(spark, sfDir)
+      .collect()
+    val n = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length === n, "every arriving asset must be admitted")
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("had_exif") === (d % 3 < 2))
+      assert(r.getAs[Boolean]("had_gps") === (d % 3 == 0))
+      assert(r.getAs[Boolean]("was_stripped") === (d % 3 == 0))
+      assert(r.getAs[Boolean]("admitted_gps_free"),
+        s"asset $d admitted with GPS intact")
+      assert(r.getAs[Boolean]("all_admitted_gps_free"))
+      assert(r.getAs[Boolean]("multi_batch"))
+    }
+  }
+
   test("st39 correction serving: drained stream equals one-shot batch serve") {
     val r = SparkEntry.queries("st39_stream_correction_serving")(spark, sfDir)
       .head()
