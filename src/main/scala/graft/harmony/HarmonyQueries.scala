@@ -809,6 +809,72 @@ object HarmonyQueries {
       CAST((SELECT count(*) FROM embeddings
         WHERE vec_id % 10 = 1) AS BIGINT) AS n_quarantined"""))
 
+  // ---------------------------------------------------------------- h17
+  /** SERVE-TIME DRIFT MONITOR (the MLOps leg of the serving lifecycle:
+    * h14/h15/st39 prove the frozen map is exact, h16 handles unseen
+    * LABELS — this watches the unseen DATA: a reference atlas keeps
+    * serving long after the fit, and embedding drift (new chemistry, a
+    * pipeline change upstream) silently degrades correction quality
+    * before anyone looks. The standard production monitor compares the
+    * serve-time ASSIGNMENT distribution against the fit's own: the
+    * frozen model carries its training cluster masses (row sums of O),
+    * each served batch's soft-assignment masses come free from the R
+    * the serve already computes (one K-row aggregation over the served
+    * output — no extra pass), and the drift score is the total-variation
+    * distance between the two K-simplices.
+    *
+    * Gate: the held-out half (same distribution as training) scores
+    * BELOW the alarm threshold, while the same cells with NEGATED
+    * embeddings (the classic silent upstream failure: PCA component
+    * signs are arbitrary and flip across library versions) score far
+    * ABOVE it — and the monitor is monotone (drifted
+    * TV > clean TV). Thresholds carry measured margins across the
+    * driver's SFs. Booleans recomputed, counts mirrored (the h14
+    * pattern). */
+  /** (clean TV, drifted TV) of the h17 monitor — factored so the spec
+    * can report the measured values (which depend on the fit and are
+    * therefore not oracle-mirrorable; the GATE carries the threshold
+    * booleans). */
+  private[graft] def serveDriftTvs(s: SparkSession, dir: String): (Double, Double) = {
+    val cells = plantedCells(s, dir)
+    val held = cells.filter(col("cell_id") % 2 === 1)
+    val model = FrozenFitCache.model(s, dir)
+    val st = model.state
+    val piFit: Array[Double] = {
+      val mass = Array.tabulate(st.K)(k =>
+        (0 until st.B).map(b => st.O(k * st.B + b)).sum)
+      val tot = mass.sum
+      mass.map(_ / tot)
+    }
+    def servedTv(df: DataFrame): Double = {
+      val n = df.count().toDouble
+      val sums = Harmony.serveModel(st, df, Seq("batch"))
+        .select(posexplode(col("r")).as(Seq("k", "rk")))
+        .groupBy(col("k")).agg(sum(col("rk").cast("double")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      (0 until st.K).map(k =>
+        math.abs(sums.getOrElse(k, 0.0) / n - piFit(k))).sum / 2
+    }
+    (servedTv(held),
+      servedTv(held.withColumn("features",
+        expr("transform(features, v -> -v)"))))
+  }
+
+  private val h17 = Q(
+    "h17_serve_drift_monitor",
+    (s, dir) => {
+      import s.implicits._
+      val (tvClean, tvDrift) = serveDriftTvs(s, dir)
+      val held = plantedCells(s, dir).filter(col("cell_id") % 2 === 1)
+      Seq((tvClean < 0.15, tvDrift > 0.30, tvDrift > tvClean))
+        .toDF("clean_below_alarm", "drifted_above_alarm", "monitor_monotone")
+        .crossJoin(held.agg(count(lit(1)).as("n_monitored")))
+    },
+    Some("""SELECT true AS clean_below_alarm, true AS drifted_above_alarm,
+      true AS monitor_monotone,
+      CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
+        AS n_monitored"""))
+
   val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11,
-    h12, h13, h14, h15, h16)
+    h12, h13, h14, h15, h16, h17)
 }

@@ -4753,6 +4753,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("h17 drift monitor: clean half quiet, shifted half alarms, monotone") {
+    // measured margins first (also what you read when this test fails)
+    val (clean, drift) =
+      graft.harmony.HarmonyQueries.serveDriftTvs(spark, sfDir)
+    info(f"clean TV $clean%.4f (alarm 0.15), drifted TV $drift%.4f (floor 0.30)")
+    val r = run("h17_serve_drift_monitor").head()
+    assert(r.getAs[Boolean]("clean_below_alarm"),
+      f"the held-out half tripped the drift alarm (TV $clean%.4f)")
+    assert(r.getAs[Boolean]("drifted_above_alarm"),
+      f"a constant embedding shift went unnoticed (TV $drift%.4f)")
+    assert(r.getAs[Boolean]("monitor_monotone"))
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(r.getAs[Long]("n_monitored") ===
+      emb.filter(col("vec_id") % 2 === 1).count())
+    assert(clean < 0.15 / 1.5, f"clean TV $clean%.4f margin too thin")
+    assert(drift > 0.30 * 1.5, f"drifted TV $drift%.4f margin too thin")
+  }
+
   test("h16 serve unseen policy: fail fast, skip+quarantine, interceptOnly") {
     val r = run("h16_serve_unseen_policy").head()
     Seq("fail_fails_fast", "skip_serves_seen_exactly",
