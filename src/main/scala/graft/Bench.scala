@@ -106,15 +106,26 @@ object Bench {
           // anchor (494 s -> 538 s on byte-identical code); a QUIET
           // anchor (la < 0.5) now only yields to a run at most 0.5
           // noisier, while noisy anchors keep the original 1.0 band
-          txt.contains(""""errors":[]""") && sf == sfDir &&
-            keys == results.keySet &&
+          val loadNoisier =
             loadAvgAtStart > la + (if (la < 0.5) 0.5 else 1.0)
+          // r15: the load guard is blind to the box itself slowing at
+          // constant load (the NOTES box-band class: the same afternoon
+          // drifted anchor_secs 0.248 -> 0.304 at loads 0.3-0.4 and a
+          // 670 s run overwrote a 565 s anchor). A run whose measured
+          // box-speed anchor is >20% slower than the recorded one
+          // yields too.
+          val boxSlower = """"anchor_secs":([-0-9.]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+            .exists(old => old > 0 && anchorSecs > old * 1.2)
+          txt.contains(""""errors":[]""") && sf == sfDir &&
+            keys == results.keySet && (loadNoisier || boxSlower)
         }
       }
     } catch { case _: Throwable => None }).getOrElse(false)
     if (keepQuietAnchor)
-      System.err.println(s"[bench] load guard: start load ${f3(loadAvgAtStart)} " +
-        "is >1.0 above the recorded quiet anchor's; bench_local.json kept")
+      System.err.println(s"[bench] guard: this run is noisier (load " +
+        s"${f3(loadAvgAtStart)}) or box-slower (anchor ${f3(anchorSecs)}) " +
+        "than the recorded quiet anchor; bench_local.json kept")
     else try {
       val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
