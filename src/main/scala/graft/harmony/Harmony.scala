@@ -6,7 +6,7 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{array, col, concat, expr, lit, size, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, expr, lit, size, when}
 import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable.ArrayBuffer
@@ -476,8 +476,12 @@ object Harmony {
       val seen = st.levelLabels.collect {
         case l if l.startsWith(c + "=") => l.substring(c.length + 1)
       }.toSeq
-      when(!col(c).cast("string").isin(seen: _*),
-        concat(lit(c + "="), col(c).cast("string")))
+      // NULL must be looked up exactly as serveModel keys it — a null
+      // value becomes the string key "cov=null" — while a bare isin over
+      // a NULL column yields NULL, silently mis-reporting the row as
+      // seen (undercounting what a skip-policy serve actually dropped)
+      val v = coalesce(col(c).cast("string"), lit("null"))
+      when(!v.isin(seen: _*), concat(lit(c + "="), v))
     }
     df.select(col(idCol).cast("long").as("cell_id"),
         array(unseenCols: _*).as("__u"))

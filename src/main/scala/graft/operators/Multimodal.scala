@@ -2487,6 +2487,10 @@ object Multimodal {
       val count = r32(eo + 4)
       val value = r32(eo + 8)
       if (tag == 0x010f) { // Make, ASCII
+        // count is u32: anything that can't be an in-segment ASCII run is
+        // structural corruption (a count >= 2^31 would pass a naive bounds
+        // check as a NEGATIVE Int and then throw on the String ctor)
+        if (count < 0 || count > size) return None
         if (count > 4) {
           if (!in(value, count.toInt)) return None
           make = new String(b, base + value.toInt, count.toInt - 1, "US-ASCII")
@@ -2505,9 +2509,13 @@ object Multimodal {
     def microAt(off: Long): Long = {
       if (!in(off, 24)) return -1L
       val o = off.toInt
-      val t1 = r32(o) * 1000000L / r32(o + 4)
-      val t2 = r32(o + 8) * 1000000L / (r32(o + 12) * 60L)
-      val t3 = r32(o + 16) * 1000000L / (r32(o + 20) * 3600L)
+      // a zero denominator is the classic corrupt-EXIF rational; the
+      // contract is degrade-to-absent, never an ArithmeticException
+      val d1 = r32(o + 4); val d2 = r32(o + 12); val d3 = r32(o + 20)
+      if (d1 == 0L || d2 == 0L || d3 == 0L) return -1L
+      val t1 = r32(o) * 1000000L / d1
+      val t2 = r32(o + 8) * 1000000L / (d2 * 60L)
+      val t3 = r32(o + 16) * 1000000L / (d3 * 3600L)
       t1 + t2 + t3
     }
     e = 0

@@ -786,6 +786,13 @@ object Sketches {
       import graft.functions.Hll.hllSketch
       val p = 12
       val m = 1 << p
+      // every derived constant computed FROM p (a future p change keeps
+      // the error band and shift honest): suffix width 60-p, the Σ2^-r
+      // integer embedding shifts by (60-p)+1 so max-rank terms stay >=1,
+      // and the 3σ band uses 1.04/sqrt(m)
+      val shift = (60 - p) + 1
+      val zScale = (1L << shift).toDouble
+      val sigma = 1.04 / math.sqrt(m.toDouble)
       val sketched = Tables.lineitem(s, dir)
         .select(col("l_returnflag").as("flag"),
           col("l_partkey").cast("string").as("key"))
@@ -799,12 +806,12 @@ object Sketches {
             .as("register_sum"),
           expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)")
             .as("zero_registers"),
-          expr("""aggregate(regs, CAST(0 AS BIGINT),
-            (a, r) -> a + shiftleft(CAST(1 AS BIGINT), 49 - CAST(r AS INT)))""")
+          expr(s"""aggregate(regs, CAST(0 AS BIGINT),
+            (a, r) -> a + shiftleft(CAST(1 AS BIGINT), $shift - CAST(r AS INT)))""")
             .as("z_int"))
         .withColumn("raw",
           alpha * lit(m.toDouble) * lit(m.toDouble) /
-            (col("z_int").cast("double") / lit(562949953421312.0)))
+            (col("z_int").cast("double") / lit(zScale)))
         .withColumn("hll_estimate",
           round(when(col("raw") <= lit(2.5 * m) && col("zero_registers") > 0,
               lit(m.toDouble) *
@@ -812,7 +819,7 @@ object Sketches {
             .otherwise(col("raw")), 4))
         .withColumn("within_3sigma",
           abs(col("hll_estimate") - col("exact_distinct").cast("double")) <=
-            lit(3.0) * lit(1.04) / lit(64.0) *
+            lit(3.0) * lit(sigma) *
               col("exact_distinct").cast("double"))
         .select(col("flag"), col("exact_distinct"), col("register_sum"),
           col("zero_registers"), col("hll_estimate"), col("within_3sigma"))
@@ -882,7 +889,12 @@ object Sketches {
     * release keeps the mechanism and draws the seed fresh per release
     * (secrecy of the noise, not of the transform, is what DP needs);
     * the gate's determinism is a test-harness property, stated, not
-    * hidden.
+    * hidden. Likewise the `debug_*_noise_abs` witness columns: they
+    * publish |noise| (which recovers the true aggregate up to sign —
+    * exactly, under the seeded draw), so they exist ONLY for the gate's
+    * mechanism check and MUST NOT ship in a real release — a production
+    * release is the (released_count, released_sum, epsilon, clip)
+    * projection alone.
     *
     * Cross-engine exactness discipline: the clipped sum is per-row
     * clip→cents→exact-Long (money is 2-dec; a double sum would be
@@ -928,9 +940,9 @@ object Sketches {
             lapNoise(dpUniform(col("event_type"), 105), clipC / eps), 6)
             .as("released_sum"),
           round(abs(lapNoise(dpUniform(col("event_type"), 104), 1.0 / eps)),
-            6).as("count_noise_abs"),
+            6).as("debug_count_noise_abs"),
           round(abs(lapNoise(dpUniform(col("event_type"), 105), clipC / eps)),
-            6).as("sum_noise_abs"),
+            6).as("debug_sum_noise_abs"),
           lit(eps).as("epsilon"), lit(clipC).as("clip"))
     },
     Some("""WITH g AS (
@@ -955,8 +967,8 @@ object Sketches {
       SELECT event_type,
         round(CAST(true_count AS DOUBLE) + n1, 6) AS released_count,
         round(CAST(clip_cents AS DOUBLE) / 100.0 + n2, 6) AS released_sum,
-        round(abs(n1), 6) AS count_noise_abs,
-        round(abs(n2), 6) AS sum_noise_abs,
+        round(abs(n1), 6) AS debug_count_noise_abs,
+        round(abs(n2), 6) AS debug_sum_noise_abs,
         1.0 AS epsilon, 200.0 AS clip
       FROM n"""))
 

@@ -1210,11 +1210,18 @@ class OperatorsSpec extends SparkSpec {
     assert(noGps.isDefined && noGps.get.gps.isEmpty)
     // plain carrier has no EXIF
     assert(exifParse(plain).isEmpty)
-    // corruption degrades to absent, never a throw: flip bytes through
-    // the injected segment region
-    (2 until 80).foreach { k =>
+    // corruption degrades to absent, never a throw: flip AND zero every
+    // byte through the ENTIRE injected segment — the tail holds the GPS
+    // rationals, so zeroing reaches the den=0 ArithmeticException class,
+    // and flipping the Make entry's count u32 reaches the >=2^31 class
+    val segLen = jpg.length - plain.length
+    (2 until (2 + segLen)).foreach { k =>
       val bad = jpg.clone(); bad(k) = (bad(k) ^ 0x5a).toByte
       exifParse(bad) // must not throw
+      val zeroed = jpg.clone(); zeroed(k) = 0
+      exifParse(zeroed) // must not throw
+      val maxed = jpg.clone(); maxed(k) = 0xff.toByte
+      exifParse(maxed) // must not throw (count overflow class)
     }
     // strip removes the metadata and only the metadata
     val stripped = exifStrip(jpg)
@@ -1279,8 +1286,8 @@ class OperatorsSpec extends SparkSpec {
         s"$t sum: ${r.getAs[Double]("released_sum")} vs $expSum")
       // the sum's noise is exactly clip/eps = 200x the count's scale for
       // the same |u - 1/2| shape; here just pin positivity + magnitudes
-      assert(r.getAs[Double]("count_noise_abs") >= 0.0)
-      assert(r.getAs[Double]("sum_noise_abs") >= 0.0)
+      assert(r.getAs[Double]("debug_count_noise_abs") >= 0.0)
+      assert(r.getAs[Double]("debug_sum_noise_abs") >= 0.0)
     }
     // halving epsilon doubles the noise scale exactly (b = sens/eps)
     val u0 = 0.811
@@ -4790,6 +4797,22 @@ class OperatorsSpec extends SparkSpec {
       graft.harmony.Harmony.serveModel(st, cells, Seq("batch"),
         serveUnseen = "bogus")
     }
+    // NULL covariate values: serveModel keys them "batch=null" (unseen
+    // here) and skip drops them; serveQuarantined must REPORT them too —
+    // a bare isin() over NULL yields NULL and used to undercount
+    val withNull = cells.withColumn("batch",
+      when(col("cell_id") % 7 === 0, lit(null: String))
+        .otherwise(col("batch")))
+    val nNull = withNull.filter(col("batch").isNull).count()
+    assert(nNull > 0, "fixture produced no NULL covariates")
+    val served = graft.harmony.Harmony.serveModel(
+      st, withNull, Seq("batch"), serveUnseen = "skip")
+    val quarantined = graft.harmony.Harmony.serveQuarantined(
+      st, withNull, Seq("batch"))
+    assert(served.count() === withNull.count() - nNull)
+    assert(quarantined.count() === nNull)
+    assert(quarantined.select(explode(col("unseen_levels"))).collect()
+      .forall(_.getString(0) == "batch=null"))
   }
 
   test("q79 funnel: step counts monotone, rates bounded and consistent") {
