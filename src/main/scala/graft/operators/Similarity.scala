@@ -3220,12 +3220,12 @@ object Similarity {
       beam: Int): String =
     beamOracleHop(p, i, prev, g, beam, "emb", "queries")
 
-  private val s34 = Q(
-    "s34_hnsw_search",
-    (s, dir) => withConstraintPropagationOff(s) {
-      hnswSearch(s, dir)
-    },
-    Some(s"""WITH $nndPlantedCte,
+  /** s34's full oracle chain (planted corpus → NN-descent → level draw →
+    * layer contractions → three-leg descent), parameterized by extra
+    * SELECT columns so content-preserving lifecycle entries (s47's
+    * compaction) can serve under it verbatim. */
+  private[graft] def s34OracleSql(extraCols: String = ""): String =
+    s"""WITH $nndPlantedCte,
       ${nndOracleBuildChain(6, 24)},
       graph AS MATERIALIZED (
         SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
@@ -3257,12 +3257,19 @@ object Similarity {
         hnswOracleHop("w0", i, if (i == 1) "p0" else s"w0bm${i - 1}",
           "graph", s30Beam)).mkString(",\n      ")}
       SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
-        round(d, 6) AS dist_sq
+        round(d, 6) AS dist_sq$extraCols
       FROM (
         SELECT query_id, node, d,
           row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
         FROM w0bm$s34L0Hops) t
-      WHERE rn2 <= 3"""))
+      WHERE rn2 <= 3"""
+
+  private val s34 = Q(
+    "s34_hnsw_search",
+    (s, dir) => withConstraintPropagationOff(s) {
+      hnswSearch(s, dir)
+    },
+    Some(s34OracleSql()))
 
   // ---------------------------------------------------------------- s35
   /** HYBRID RETRIEVAL VIA RECIPROCAL-RANK FUSION (Cormack, Clarke &
@@ -4545,10 +4552,8 @@ object Similarity {
     (s, dir) => withConstraintPropagationOff(s) {
       val out = java.nio.file.Files.createTempDirectory("graft_s42_").toString
       try {
-        val e = nndPlantedVecs(s, dir)
-        val emb = e.select(col("vec_id").as("id"), col("embedding"))
         val (lv, _, _) = LayeredGraphCache.layers(s, dir)
-        Seq("knn", "links", "layer1", "layer2").foreach(t =>
+        layeredTables.foreach(t =>
           BucketedFixtureCache.copyTable(s, dir, t, s"$out/$t"))
         def readEdges(t: String): DataFrame =
           s.read.parquet(s"$out/$t").select(col("u"), col("v"))
@@ -4589,22 +4594,8 @@ object Similarity {
           else if (!entRow2.isNullAt(1)) entRow2.getLong(1)
           else entRow2.getLong(2)
         // s34's descent verbatim over the post-delete FILES from the
-        // re-elected entry
-        val queries = s30QueriesFor(s).localCheckpoint(true)
-        val l2g = readEdges("layer2").localCheckpoint(true)
-        val l1g = readEdges("layer1").localCheckpoint(true)
-        val l0g = readEdges("knn").unionByName(readEdges("links"))
-          .distinct().localCheckpoint(true)
-        val start2 = queries.select(col("query_id"), lit(entry2).as("node"))
-        val w2 = hnswBeamHops(l2g, emb, queries, start2, 2, 2, null)
-        val w1 = hnswBeamHops(l1g, emb, queries, hnswPick1(w2), 2, 2, null)
-        val w0 = hnswBeamHops(l0g, emb, queries, hnswPick1(w1),
-          s34L0Hops, s30Beam, null)
-        val served = topKByScore(w0, "query_id", "node", col("d"), 3,
-            ascending = true)
-          .select(col("query_id"), col("rn").as("rnk"),
-            col("node").as("neighbor_id"),
-            round(col("score"), 6).as("dist_sq"))
+        // re-elected entry (the shared serve-after-maintenance kernel)
+        val served = layeredServeFromFiles(s, dir, out, entry2)
         val untouchedIntact = tables.forall { t =>
           (0 until s38Buckets).filterNot(touched(t).contains)
             .forall(b => after(t)(b) == before(t)(b))
@@ -4737,6 +4728,62 @@ object Similarity {
         true AS stream_equals_batch,
         true AS untouched_buckets_byte_identical, true AS multi_batch
       FROM finalEdges"""
+
+  /** st46's fixture constants + oracle text (the st42 pattern for the
+    * FOUR-TABLE layered artifact). The doomed ids are level-pinned by the
+    * md5 level draw, which depends only on the id — so they hold at every
+    * sf: 28 = the lowest lvl-2 id (the serving ENTRY), 16 = a lvl-1
+    * routing node, 100 = base-only. Final content per table = the build
+    * chain's edges (plus the twins' hash-draw rows for the base kNN)
+    * minus every row touching the doomed set. */
+  private[graft] val layeredMaintenanceDoomed = Seq(28L, 16L, 100L)
+  private[graft] def layeredMaintenanceOracleText: String = {
+    val dmd = layeredMaintenanceDoomed.mkString(", ")
+    s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      gall AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      lvu AS (
+        SELECT id, CAST(CAST(concat('0x', substring(md5(concat('lv',
+          CAST(id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0 AS u
+        FROM emb),
+      lv AS MATERIALIZED (
+        SELECT id, CASE WHEN u < 0.0625 THEN 2 WHEN u < 0.25 THEN 1
+          ELSE 0 END AS lvl
+        FROM lvu),
+      ${hnswOracleLayer(1, "gall", 1, s34M1)},
+      ${hnswOracleLayer(2, "le1", 2, s34M2)},
+      twinDraws AS (
+        SELECT t.u, CAST(CAST(concat('0x', substring(md5(concat('i',
+            CAST(t.u AS VARCHAR), '_', CAST(j AS VARCHAR))), 1, 15))
+            AS BIGINT) AS BIGINT)
+          % (SELECT count(*) FROM emb) AS v
+        FROM (SELECT id + 30000000 AS u FROM emb WHERE id < 20) t,
+          (SELECT unnest(range(1, 7)) AS j) js),
+      twinEdges AS (SELECT DISTINCT u, v FROM twinDraws WHERE v <> u),
+      finals AS MATERIALIZED (
+        SELECT 'knn' AS tbl, u, v FROM (
+          SELECT u, v FROM nb3 UNION ALL SELECT u, v FROM twinEdges) t
+        WHERE u NOT IN ($dmd) AND v NOT IN ($dmd)
+        UNION ALL
+        SELECT 'links', u, v FROM nb0
+        WHERE u NOT IN ($dmd) AND v NOT IN ($dmd)
+        UNION ALL
+        SELECT 'layer1', u, v FROM le1
+        WHERE u NOT IN ($dmd) AND v NOT IN ($dmd)
+        UNION ALL
+        SELECT 'layer2', u, v FROM le2
+        WHERE u NOT IN ($dmd) AND v NOT IN ($dmd))
+      SELECT tbl, CAST(count(*) AS BIGINT) AS n_edges,
+        CAST(count(DISTINCT u) AS BIGINT) AS n_sources,
+        CAST(sum(CAST(CAST(concat('0x', substring(md5(concat(
+          CAST(u AS VARCHAR), '_', CAST(v AS VARCHAR))), 1, 10))
+          AS BIGINT) AS BIGINT)) AS BIGINT) AS content_checksum,
+        true AS stream_equals_batch,
+        true AS untouched_buckets_byte_identical, true AS multi_batch
+      FROM finals GROUP BY tbl"""
+  }
 
   // ---------------------------------------------------------------- s43
   /** GRAPH-INDEX HEALTH STATS (VERDICT r14 #5 — the s24 IVF-list-stats
@@ -5175,17 +5222,8 @@ object Similarity {
         val doomed = maintenanceDoomed
         BucketedFixtureCache.copyTable(s, dir, "knn", s"$out/gen1/knn")
         BucketedFixtureCache.copyTable(s, dir, "links", s"$out/gen1/links")
-        def writePointer(g: String): Unit = {
-          val tmp = java.nio.file.Paths.get(s"$out/_POINTER.tmp")
-          java.nio.file.Files.writeString(tmp, g)
-          java.nio.file.Files.move(tmp,
-            java.nio.file.Paths.get(s"$out/_POINTER"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        }
-        def liveGen(): String = new String(java.nio.file.Files
-          .readAllBytes(java.nio.file.Paths.get(s"$out/_POINTER")),
-          "UTF-8").trim
+        def writePointer(g: String): Unit = genWritePointer(out, g)
+        def liveGen(): String = genLiveGen(out)
         writePointer("gen1")
         val gen1Digest = bucketDirDigest(s"$out/gen1")
         // build gen2 alongside: a REBUILD writes fresh (one filtered
@@ -5228,8 +5266,9 @@ object Similarity {
           java.nio.file.Paths.get(s"$out/gen1"))
         val gcSafe = liveGen() == "gen2" &&
           bucketDirDigest(s"$out/gen2") == gen2Digest
-        val pointerIsOneFile = java.nio.file.Files.isRegularFile(
-          java.nio.file.Paths.get(s"$out/_POINTER")) && servedPointerOk
+        val pointerIsOneFile = bucketFs(out).getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$out/_POINTER")).isFile &&
+          servedPointerOk
         graft.functions.CrossEngine.materializeLocal(s, served
           .withColumn("flip_atomic_single_pointer", lit(pointerIsOneFile))
           .withColumn("gen1_intact_through_build", lit(gen1Intact))
@@ -5269,25 +5308,400 @@ object Similarity {
         FROM bm$s30Hops) t
       WHERE rn2 <= 3"""))
 
-  /** MD5 over every parquet data file under a generation dir (bucket
-    * dirs sorted) — the st12 frozen-artifact witness for s46. */
+  /** Atomically commit the generation pointer on the SHARED filesystem
+    * (VERDICT r15 #3 — the r14 edgeBucketFiles fix applied to the
+    * pointer): write `_POINTER.tmp` then rename over `_POINTER` through
+    * `FileContext.rename(OVERWRITE)`, which is the Hadoop API's atomic
+    * single-file commit — atomic on HDFS and POSIX local mode, the two
+    * filesystems this engine's maintenance lane contracts for. Object
+    * stores without atomic rename (S3) need a conditional-put manifest
+    * service instead; that substitution is the deployment's, not this
+    * op's — the contract here is "one rename IS the flip". */
+  private[graft] def genWritePointer(dir: String, g: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_POINTER.tmp")
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_POINTER")
+    val fs = bucketFs(dir)
+    val out = fs.create(tmp, true)
+    try out.write(g.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, fs.getConf)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the live generation: one small read of `_POINTER` via the
+    * same shared-FS API every reader uses. */
+  private[graft] def genLiveGen(dir: String): String = {
+    val fs = bucketFs(dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_POINTER"))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8").trim
+    } finally in.close()
+  }
+
+  /** MD5 over every parquet data file under a generation dir (paths
+    * sorted, bytes STREAMED through the shared-FS API in 64 KB chunks —
+    * never a whole file in driver memory, and the same FileSystem the
+    * maintenance ops ride, so the witness works wherever the table
+    * lives). GATE WITNESS ONLY: at sf0.1 the generation is megabytes and
+    * one driver-side checksum stream is the honest cost; a 100 TB
+    * deployment proves byte-identity distributed (per-file checksums as
+    * a parallel job, or the FS's native getFileChecksum) and compares
+    * the sorted (path, checksum) sets. */
   private def bucketDirDigest(root: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val base = java.nio.file.Paths.get(root)
-    val files = java.nio.file.Files.walk(base).iterator()
-    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    while (files.hasNext) {
-      val p = files.next()
-      if (java.nio.file.Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet")) all += p
+    val fs = bucketFs(root)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        all += st.getPath
     }
-    all.sortBy(_.toString).foreach(p =>
-      md.update(java.nio.file.Files.readAllBytes(p)))
+    val buf = new Array[Byte](65536)
+    all.sortBy(_.toString).foreach { p =>
+      val in = fs.open(p)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
     md.digest.map("%02x".format(_)).mkString
   }
+
+  // ---------------------------------------------------------------- s47
+  /** The four persisted tables of the layered artifact, in one place so
+    * every lifecycle entry maintains the same surface. */
+  private[graft] val layeredTables = Seq("knn", "links", "layer1", "layer2")
+
+  /** The build's entry election over a level table: highest layer,
+    * lowest id (falls through to node 0 on corpora too small to promote
+    * anyone — the hnswSearch rule, shared by every lifecycle entry). */
+  private[graft] def layeredEntry(lv: DataFrame): Long = {
+    val entRow = lv.agg(
+      min(when(col("lvl") >= 2, col("id"))).as("e2"),
+      min(when(col("lvl") >= 1, col("id"))).as("e1")).head()
+    if (!entRow.isNullAt(0)) entRow.getLong(0)
+    else if (!entRow.isNullAt(1)) entRow.getLong(1)
+    else 0L
+  }
+
+  /** s34's three-leg descent served from a four-table FILE artifact
+    * rooted at `root`, starting at `entry` — the serve-after-maintenance
+    * kernel shared by s42 (post-delete) and s47 (post-compaction). */
+  private[graft] def layeredServeFromFiles(s: SparkSession, dir: String,
+      root: String, entry: Long): DataFrame = {
+    val emb = nndPlantedVecs(s, dir)
+      .select(col("vec_id").as("id"), col("embedding"))
+    def readEdges(t: String): DataFrame =
+      s.read.parquet(s"$root/$t").select(col("u"), col("v"))
+    val queries = s30QueriesFor(s).localCheckpoint(true)
+    val l2g = readEdges("layer2").localCheckpoint(true)
+    val l1g = readEdges("layer1").localCheckpoint(true)
+    val l0g = readEdges("knn").unionByName(readEdges("links"))
+      .distinct().localCheckpoint(true)
+    val start2 = queries.select(col("query_id"), lit(entry).as("node"))
+    val w2 = hnswBeamHops(l2g, emb, queries, start2, 2, 2, null)
+    val w1 = hnswBeamHops(l1g, emb, queries, hnswPick1(w2), 2, 2, null)
+    val w0 = hnswBeamHops(l0g, emb, queries, hnswPick1(w1),
+      s34L0Hops, s30Beam, null)
+    topKByScore(w0, "query_id", "node", col("d"), 3, ascending = true)
+      .select(col("query_id"), col("rn").as("rnk"),
+        col("node").as("neighbor_id"),
+        round(col("score"), 6).as("dist_sq"))
+  }
+
+  /** Fragment a working copy of a bucketed edge table CONTENT-PRESERVING:
+    * rewrite it as two append-files writes, each holding every other row
+    * of each bucket (row_number parity within the bucket — the window is
+    * PARTITIONED by bucket, so the fixture stays partition-parallel).
+    * Every bucket with >= 2 rows ends up holding exactly two data files;
+    * the multiset of rows is unchanged by construction. */
+  private[graft] def fragmentBucketedTable(s: SparkSession,
+      path: String): Unit = {
+    val rows = s.read.parquet(path).select(col("u"), col("v"))
+      .withColumn("bucket",
+        pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+      .withColumn("half", pmod(row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("u"), col("v"))),
+        lit(2)))
+      .localCheckpoint(true)
+    val staging = s"${path}_frag_staging"
+    rows.filter(col("half") === 0).drop("half")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    rows.filter(col("half") === 1).drop("half")
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(staging)
+    val liveFiles = edgeBucketFiles(path)
+    val stagedFiles = edgeBucketFiles(staging)
+    val allBuckets = (0 until s38Buckets)
+      .filter(b => liveFiles(b).nonEmpty || stagedFiles(b).nonEmpty)
+    edgeSwapBuckets(path, staging, allBuckets)
+  }
+
+  /** LAYERED-ARTIFACT COMPACTION (VERDICT r15 #1 — s41's contract
+    * unified onto the four-table layered layout): a production HNSW
+    * deployment appends (s39), deletes (s42) and repairs against ALL
+    * FOUR tables (base knn + links, routing layer1 + layer2), so all
+    * four fragment, and compaction must walk the whole artifact — not
+    * just the flat kNN. Each table's fragmented buckets (>1 data file)
+    * are rewritten through the same staging + per-bucket swap; content
+    * is unchanged by construction, untouched buckets keep their files,
+    * a second pass finds nothing (idempotence per table).
+    *
+    * The gate fragments every table content-preserving (each bucket's
+    * rows split across two append-files writes), compacts all four,
+    * re-compacts (no-op), and SERVES THE FULL LAYERED DESCENT from the
+    * compacted files — s34's oracle verbatim, so a compaction that loses
+    * or duplicates one row in ANY of the four tables reds on values
+    * (an upper-layer loss reroutes the descent; a base loss changes the
+    * final beam).
+    *
+    * Scale shape: compaction reads and writes only fragmented buckets,
+    * per table — O(fragmented buckets), never O(index); the four tables
+    * compact independently (a fleet schedules them independently). */
+  private val s47 = Q(
+    "s47_hnsw_layered_compact",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s47_").toString
+      try {
+        layeredTables.foreach(t =>
+          BucketedFixtureCache.copyTable(s, dir, t, s"$out/$t"))
+        layeredTables.foreach(t => fragmentBucketedTable(s, s"$out/$t"))
+        val before = layeredTables.map(t =>
+          t -> edgeBucketFiles(s"$out/$t")).toMap
+        val fraggedBefore = layeredTables.map(t =>
+          t -> before(t).count(_._2.size > 1)).toMap
+        val compacted = layeredTables.map(t =>
+          t -> graphCompactBuckets(s, s"$out/$t")).toMap
+        val again = layeredTables.map(t =>
+          t -> graphCompactBuckets(s, s"$out/$t")).toMap
+        val after = layeredTables.map(t =>
+          t -> edgeBucketFiles(s"$out/$t")).toMap
+        val planted = layeredTables.forall(t =>
+          fraggedBefore(t) > 0 && compacted(t).size == fraggedBefore(t))
+        val singleFile = layeredTables.forall(t =>
+          compacted(t).forall(b => after(t)(b).size == 1))
+        val untouchedIntact = layeredTables.forall(t =>
+          (0 until s38Buckets).filterNot(compacted(t).contains)
+            .forall(b => after(t)(b) == before(t)(b)))
+        val idempotent = again.values.forall(_.isEmpty)
+        val (lv, _, _) = LayeredGraphCache.layers(s, dir)
+        val served = layeredServeFromFiles(s, dir, out, layeredEntry(lv))
+        graft.functions.CrossEngine.materializeLocal(s, served
+          .withColumn("all_tables_fragmented", lit(planted))
+          .withColumn("compacted_buckets_single_file", lit(singleFile))
+          .withColumn("untouched_buckets_intact", lit(untouchedIntact))
+          .withColumn("compact_idempotent", lit(idempotent)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s34OracleSql(""",
+        true AS all_tables_fragmented,
+        true AS compacted_buckets_single_file,
+        true AS untouched_buckets_intact, true AS compact_idempotent""")))
+
+  // ---------------------------------------------------------------- s48
+  /** LAYERED-ARTIFACT HEALTH (VERDICT r15 #1, second leg — s43's stat
+    * contract applied to ALL FOUR tables of the layered artifact): the
+    * maintenance schedule needs per-table observability because the
+    * tables degrade independently — the base kNN fragments fastest
+    * (every append touches it), the routing layers are small but a
+    * single lost routing edge cuts descent reach for the whole index.
+    * One row per table reports the s43 stats (degree spread in exact
+    * micro-units, orphans vs that LAYER's population — a level-l node
+    * with no layer-l adjacency can route nothing — reverse symmetry,
+    * fragmentation), plus the layered analog of s43's reachability: the
+    * DESCENT-reachable base-node count (entry → 2 hops in layer2 → 2 in
+    * layer1 → 3 in the base graph), which shrinks when any layer's
+    * component is cut — the s42 failure mode, observed at the artifact
+    * level.
+    *
+    * Fragmentation is planted on the base kNN only (the s41/s43 u<32
+    * append-files fixture: exactly 32 buckets, 2 files, at every sf) so
+    * the non-trivial reading is pinned while the clean tables pin zero.
+    * Every graph stat AND the descent reach are DuckDB-mirrored from the
+    * build chain; the file stats are mirrored by construction.
+    *
+    * Scale shape: per table one grouped count + one bucket-local
+    * self-equi-join; reach is 7 frontier joins bounded by the descent
+    * neighborhood; file listings are per-bucket. No corpus-sized driver
+    * state — the stat rows are 4. */
+  private val s48 = Q(
+    "s48_hnsw_layered_health",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s48_").toString
+      try {
+        val sp = s
+        import sp.implicits._
+        val e = nndPlantedVecs(s, dir)
+        val nNodes = e.count()
+        val (lv, _, _) = LayeredGraphCache.layers(s, dir)
+        // base kNN gets the s43 fragmentation fixture; the rest are clean
+        val knn0 = GraphIndexCache.knn(s, dir).select(col("u"), col("v"))
+          .localCheckpoint(true)
+        val slice = col("u") < 32
+        edgeWriteBucketed(knn0.filter(!slice), s"$out/knn")
+        knn0.filter(slice)
+          .withColumn("bucket",
+            pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(s"$out/knn")
+        Seq("links", "layer1", "layer2").foreach(t =>
+          BucketedFixtureCache.copyTable(s, dir, t, s"$out/$t"))
+        def readEdges(t: String): DataFrame =
+          s.read.parquet(s"$out/$t").select(col("u"), col("v"))
+        val popOf = Map(
+          "knn" -> nNodes, "links" -> nNodes,
+          "layer1" -> lv.filter(col("lvl") >= 1).count(),
+          "layer2" -> lv.filter(col("lvl") >= 2).count())
+        val stats = layeredTables.map { t =>
+          val edges = readEdges(t).localCheckpoint(true)
+          val degRow = edges.groupBy(col("u")).agg(count(lit(1)).as("c"))
+            .agg(min(col("c")), max(col("c")), count(lit(1)), sum(col("c")))
+            .head()
+          val totalEdges = degRow.getLong(3)
+          val sym = edges.alias("a").join(edges.alias("b"),
+              col("b.u") === col("a.v") && col("b.v") === col("a.u"))
+            .count()
+          val files = edgeBucketFiles(s"$out/$t")
+          val fragged = files.count(_._2.size > 1).toLong
+          val maxFiles = files.values.map(_.size).max.toLong
+          val pop = popOf(t)
+          (t, pop, totalEdges, degRow.getLong(0), degRow.getLong(1),
+            totalEdges * 1000000L / pop, pop - degRow.getLong(2),
+            sym, sym * 1000000L / totalEdges, fragged, maxFiles,
+            fragged > 0)
+        }
+        // descent reach: entry -> layer2 (2 hops) -> layer1 (2 hops) ->
+        // base graph (3 hops), closures carried through the handoffs
+        def closure(start: DataFrame, g: DataFrame, hops: Int): DataFrame = {
+          var reached = start.localCheckpoint(true)
+          for (_ <- 1 to hops) {
+            reached = reached.unionByName(
+                reached.join(g, reached("node") === g("u"))
+                  .select(col("v").as("node")))
+              .distinct().localCheckpoint(true)
+          }
+          reached
+        }
+        val d2 = closure(Seq(layeredEntry(lv)).toDF("node"),
+          readEdges("layer2"), 2)
+        val d1 = closure(d2, readEdges("layer1"), 2)
+        val d0 = closure(d1, readEdges("knn")
+          .unionByName(readEdges("links")).distinct().localCheckpoint(true), 3)
+        val reach = d0.count()
+        stats.toDF("tbl", "population", "total_edges", "min_degree",
+            "max_degree", "avg_degree_micro", "orphan_count",
+            "reverse_symmetric_edges", "symmetry_micro",
+            "fragmented_buckets", "max_files_per_bucket",
+            "compaction_recommended")
+          .withColumn("descent_reach", lit(reach))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      gall AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      lvu AS (
+        SELECT id, CAST(CAST(concat('0x', substring(md5(concat('lv',
+          CAST(id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0 AS u
+        FROM emb),
+      lv AS MATERIALIZED (
+        SELECT id, CASE WHEN u < 0.0625 THEN 2 WHEN u < 0.25 THEN 1
+          ELSE 0 END AS lvl
+        FROM lvu),
+      ${hnswOracleLayer(1, "gall", 1, s34M1)},
+      ${hnswOracleLayer(2, "le1", 2, s34M2)},
+      ent AS MATERIALIZED (
+        SELECT coalesce((SELECT min(id) FROM lv WHERE lvl >= 2),
+                        (SELECT min(id) FROM lv WHERE lvl >= 1),
+                        0) AS node),
+      r2a AS (SELECT node FROM ent
+        UNION SELECT g.v FROM le2 g JOIN ent b ON g.u = b.node),
+      r2b AS MATERIALIZED (SELECT node FROM r2a
+        UNION SELECT g.v FROM le2 g JOIN r2a b ON g.u = b.node),
+      r1a AS (SELECT node FROM r2b
+        UNION SELECT g.v FROM le1 g JOIN r2b b ON g.u = b.node),
+      r1b AS MATERIALIZED (SELECT node FROM r1a
+        UNION SELECT g.v FROM le1 g JOIN r1a b ON g.u = b.node),
+      r0a AS (SELECT node FROM r1b
+        UNION SELECT g.v FROM gall g JOIN r1b b ON g.u = b.node),
+      r0b AS (SELECT node FROM r0a
+        UNION SELECT g.v FROM gall g JOIN r0a b ON g.u = b.node),
+      r0c AS MATERIALIZED (SELECT node FROM r0b
+        UNION SELECT g.v FROM gall g JOIN r0b b ON g.u = b.node),
+      reach AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r0c),
+      stat AS (
+        SELECT 'knn' AS tbl,
+          (SELECT CAST(count(*) AS BIGINT) FROM emb) AS population,
+          CAST(count(*) AS BIGINT) AS total_edges,
+          CAST(32 AS BIGINT) AS fragmented_buckets,
+          CAST(2 AS BIGINT) AS max_files_per_bucket,
+          true AS compaction_recommended
+        FROM nb3
+        UNION ALL
+        SELECT 'links',
+          (SELECT CAST(count(*) AS BIGINT) FROM emb),
+          CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          false
+        FROM nb0
+        UNION ALL
+        SELECT 'layer1',
+          (SELECT CAST(count(*) AS BIGINT) FROM lv WHERE lvl >= 1),
+          CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          false
+        FROM le1
+        UNION ALL
+        SELECT 'layer2',
+          (SELECT CAST(count(*) AS BIGINT) FROM lv WHERE lvl >= 2),
+          CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          false
+        FROM le2),
+      edges AS (
+        SELECT 'knn' AS tbl, u, v FROM nb3
+        UNION ALL SELECT 'links', u, v FROM nb0
+        UNION ALL SELECT 'layer1', u, v FROM le1
+        UNION ALL SELECT 'layer2', u, v FROM le2),
+      deg AS MATERIALIZED (
+        SELECT tbl, u, count(*) AS c FROM edges GROUP BY tbl, u),
+      degstat AS (
+        SELECT tbl, CAST(min(c) AS BIGINT) AS min_degree,
+          CAST(max(c) AS BIGINT) AS max_degree,
+          CAST(count(*) AS BIGINT) AS present_nodes
+        FROM deg GROUP BY tbl),
+      sym AS (
+        SELECT a.tbl, CAST(count(*) AS BIGINT) AS ns
+        FROM edges a JOIN edges b
+          ON b.tbl = a.tbl AND b.u = a.v AND b.v = a.u
+        GROUP BY a.tbl)
+      SELECT s.tbl, s.population, s.total_edges, d.min_degree, d.max_degree,
+        CAST(s.total_edges * 1000000 // s.population AS BIGINT)
+          AS avg_degree_micro,
+        CAST(s.population - d.present_nodes AS BIGINT) AS orphan_count,
+        coalesce(y.ns, 0) AS reverse_symmetric_edges,
+        CAST(coalesce(y.ns, 0) * 1000000 // s.total_edges AS BIGINT)
+          AS symmetry_micro,
+        s.fragmented_buckets, s.max_files_per_bucket,
+        s.compaction_recommended,
+        (SELECT n FROM reach) AS descent_reach
+      FROM stat s
+      JOIN degstat d ON d.tbl = s.tbl
+      LEFT JOIN sym y ON y.tbl = s.tbl"""))
 
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45, s46)
+    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48)
 }

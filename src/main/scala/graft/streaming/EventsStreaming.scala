@@ -3689,10 +3689,14 @@ object EventsStreaming {
             s.read.parquet(root).select(col("u"), col("v"))
           val bDf = edges(s"$work/batch").localCheckpoint(true)
           val sDf = edges(s"$work/stream").localCheckpoint(true)
+          // full multiset equality: equal counts + set(s) ⊆ set(b) alone
+          // would admit a stream that duplicates one survivor and drops
+          // another — requiring BOTH sides dup-free closes that gap
           val rowsEqual =
             bDf.unionByName(sDf).distinct().count() == bDf.count() &&
             bDf.count() == sDf.count() &&
-            bDf.distinct().count() == bDf.count()
+            bDf.distinct().count() == bDf.count() &&
+            sDf.distinct().count() == sDf.count()
           val untouched = (0 until Similarity.s38Buckets)
             .filterNot(touchedAll.contains)
           val bytesIdentical = untouched.nonEmpty && untouched.forall(b =>
@@ -3743,6 +3747,11 @@ object EventsStreaming {
       try {
         val p = 12
         val m = 1 << p
+        // derived from p, never literal (the q81 discipline): shift
+        // (60-p)+1 for the exact-integer Σ2^-r embedding, σ = 1.04/√m
+        val shift = (60 - p) + 1
+        val zScale = (1L << shift).toDouble
+        val sigma = 1.04 / math.sqrt(m.toDouble)
         val ev = Tables.events(s, dir)
           .select(col("event_type"), col("user_id").cast("string").as("key"))
         ev.repartition(4)
@@ -3791,13 +3800,13 @@ object EventsStreaming {
         val out = merged.groupBy(col("event_type"))
           .agg(sum(col("r")).as("register_sum"),
             sum(when(col("r") === 0, 1L).otherwise(0L)).as("zero_registers"),
-            sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - CAST(r AS INT))"))
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), $shift - CAST(r AS INT))"))
               .as("z_int"))
           .join(oneShot.select(col("event_type"), col("exact_distinct")),
             Seq("event_type"))
           .withColumn("raw",
             alpha * lit(m.toDouble) * lit(m.toDouble) /
-              (col("z_int").cast("double") / lit(562949953421312.0)))
+              (col("z_int").cast("double") / lit(zScale)))
           .withColumn("hll_estimate",
             round(when(col("raw") <= lit(2.5 * m) && col("zero_registers") > 0,
                 lit(m.toDouble) *
@@ -3805,7 +3814,7 @@ object EventsStreaming {
               .otherwise(col("raw")), 4))
           .withColumn("within_3sigma",
             abs(col("hll_estimate") - col("exact_distinct").cast("double")) <=
-              lit(3.0) * lit(1.04) / lit(64.0) *
+              lit(3.0) * lit(sigma) *
                 col("exact_distinct").cast("double"))
           .select(col("event_type"), col("exact_distinct"),
             col("register_sum"), col("zero_registers"), col("hll_estimate"),
@@ -4073,8 +4082,155 @@ object EventsStreaming {
         true AS multi_batch
       FROM documents"""))
 
+  // ---------------------------------------------------------------- st46
+  /** STREAMING MAINTENANCE OF THE LAYERED ARTIFACT (VERDICT r15 #1,
+    * third leg — st42's op-stream contract widened to the FOUR-TABLE
+    * layered layout): a production HNSW fleet's maintenance feed drives
+    * the WHOLE artifact — an append lands base-adjacency rows, a
+    * takedown unlinks the doomed ids from base AND routing tables, a
+    * compaction walks all four. The fixture file-copies the cached
+    * four-table artifact to byte-identical batch/stream roots, applies
+    * append → delete → compact directly on the batch root, and drains
+    * the same three commands as ordered triggers (pinned mtimes,
+    * maxFilesPerTrigger=1, >= 3 real micro-batches) against the stream
+    * root with the identical primitives.
+    *
+    * The doomed set {28, 16, 100} is level-pinned by the id-only md5
+    * level draw — the ENTRY (lowest lvl-2 id), a lvl-1 routing node and
+    * a base-only node — so the delete provably touches every table
+    * class at every sf. Post-drain facts PER TABLE: full multiset
+    * equality of stream vs batch rows (containment + counts + both
+    * sides dup-free), untouched buckets BYTE-identical, and the final
+    * content pinned cross-engine as (n_edges, n_sources, md5-weighted
+    * content checksum) — DuckDB recomputes all four final tables from
+    * the build chains minus the doomed rows.
+    *
+    * Scale shape: per trigger the work is O(touched buckets) of the op
+    * across the tables it names — never O(index); the stream holds zero
+    * state (the artifact IS the state). */
+  private val st46 = Q(
+    "st46_stream_layered_maintenance",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Similarity
+      Similarity.withConstraintPropagationOff(s) {
+        val work = java.nio.file.Files.createTempDirectory("graft_st46_")
+        try {
+          val sp = s
+          import sp.implicits._
+          val e = Similarity.nndPlantedVecs(s, dir)
+          val n = e.count()
+          val doomed = Similarity.layeredMaintenanceDoomed
+          val tables = Similarity.layeredTables
+          def appendEdges = Similarity.nndHashInit(
+            Similarity.s33Twins(s, dir), 6, n)
+          tables.foreach { t =>
+            Similarity.BucketedFixtureCache
+              .copyTable(s, dir, t, s"$work/batch/$t")
+            Similarity.BucketedFixtureCache
+              .copyTable(s, dir, t, s"$work/stream/$t")
+          }
+          val touchedAll = tables.map(t =>
+            t -> scala.collection.mutable.Set.empty[Int]).toMap
+          def applyOp(op: String, root: String): Unit = op match {
+            case "append" => // base-adjacency admission: the kNN table
+              val withBucket = appendEdges.withColumn("bucket",
+                pmod(col("u"), lit(Similarity.s38Buckets.toLong)).cast("int"))
+              touchedAll("knn").synchronized {
+                touchedAll("knn") ++= withBucket.select(col("bucket"))
+                  .distinct().collect().map(_.getInt(0))
+              }
+              withBucket.repartition(col("bucket"))
+                .write.mode("append").partitionBy("bucket")
+                .parquet(s"$root/knn")
+            case "delete" => // takedown: every table the ids appear in
+              tables.foreach { t =>
+                val ts = Similarity.graphDeleteNodes(s, s"$root/$t", doomed)
+                touchedAll(t).synchronized { touchedAll(t) ++= ts }
+              }
+            case "compact" =>
+              tables.foreach { t =>
+                val ts = Similarity.graphCompactBuckets(s, s"$root/$t")
+                touchedAll(t).synchronized { touchedAll(t) ++= ts }
+              }
+          }
+          Seq("append", "delete", "compact")
+            .foreach(applyOp(_, s"$work/batch"))
+          val srcDir = java.nio.file.Files.createDirectory(work.resolve("ops"))
+          Seq("append", "delete", "compact").zipWithIndex.foreach {
+            case (op, i) =>
+              val stage = s"$work/op${i}_stage"
+              Seq(op).toDF("op").coalesce(1)
+                .write.mode("overwrite").parquet(stage)
+              val part = Option(new java.io.File(stage).listFiles())
+                .getOrElse(Array.empty)
+                .find(_.getName.endsWith(".parquet")).get
+              val dest = srcDir.resolve(s"op$i.parquet")
+              java.nio.file.Files.move(part.toPath, dest)
+              java.nio.file.Files.setLastModifiedTime(dest,
+                java.nio.file.attribute.FileTime
+                  .fromMillis(1000000000000L + i * 60000L))
+          }
+          val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+          val query = s.readStream
+            .schema(s.read.parquet(srcDir.toString).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.toString)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", work.resolve("ckpt").toString)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.select(col("op")).collect().map(_.getString(0))
+                .foreach { op =>
+                  nBatches.incrementAndGet()
+                  applyOp(op, s"$work/stream")
+                }
+              ()
+            }
+            .start()
+          query.awaitTermination()
+          def edges(root: String): DataFrame =
+            s.read.parquet(root).select(col("u"), col("v"))
+          val perTable = tables.map { t =>
+            val bDf = edges(s"$work/batch/$t").localCheckpoint(true)
+            val sDf = edges(s"$work/stream/$t").localCheckpoint(true)
+            // full multiset equality (the st42 closure): containment +
+            // equal counts + BOTH sides dup-free
+            val rowsEqual =
+              bDf.unionByName(sDf).distinct().count() == bDf.count() &&
+              bDf.count() == sDf.count() &&
+              bDf.distinct().count() == bDf.count() &&
+              sDf.distinct().count() == sDf.count()
+            val untouched = (0 until Similarity.s38Buckets)
+              .filterNot(touchedAll(t).contains)
+            val bytesIdentical = untouched.nonEmpty && untouched.forall(b =>
+              filesDigest(s"$work/batch/$t/bucket=$b") ==
+                filesDigest(s"$work/stream/$t/bucket=$b"))
+            sDf
+              .agg(count(lit(1)).as("n_edges"),
+                countDistinct(col("u")).as("n_sources"),
+                sum(expr("""CAST(conv(substring(md5(concat(
+                  CAST(u AS STRING), '_', CAST(v AS STRING))), 1, 10),
+                  16, 10) AS BIGINT)""")).as("content_checksum"))
+              .select(lit(t).as("tbl"), col("n_edges"), col("n_sources"),
+                col("content_checksum"))
+              .withColumn("stream_equals_batch", lit(rowsEqual))
+              .withColumn("untouched_buckets_byte_identical",
+                lit(bytesIdentical))
+              .withColumn("multi_batch", lit(nBatches.get() >= 3L))
+          }
+          graft.functions.CrossEngine.materializeLocal(s,
+            perTable.reduce(_ unionByName _))
+        } finally {
+          graft.functions.CrossEngine.deleteRecursive(work)
+        }
+      }
+    },
+    Some(graft.operators.Similarity.layeredMaintenanceOracleText))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40, st41, st42, st43, st44, st45)
+    st34, st35, st36, st37, st38, st39, st40, st41, st42, st43, st44, st45,
+    st46)
 }

@@ -4760,6 +4760,65 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s47 layered compaction: all four tables healed, serve == s34 exactly") {
+    val rows = run("s47_hnsw_layered_compact").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served post-compaction
+    Seq("all_tables_fragmented", "compacted_buckets_single_file",
+      "untouched_buckets_intact", "compact_idempotent").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    // compaction is content-preserving: the post-compaction layered
+    // descent must equal s34's serve row for row
+    val served = rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("dist_sq"))).toSet
+    val s34rows = run("s34_hnsw_search").collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist_sq"))).toSet
+    assert(served === s34rows, "compaction changed the served descent")
+  }
+
+  test("s48 layered health: per-table stats exact, descent reaches, frag pinned") {
+    val rows = run("s48_hnsw_layered_health").collect()
+    assert(rows.map(_.getAs[String]("tbl")).sorted.toSeq ===
+      Seq("knn", "layer1", "layer2", "links"))
+    val byT = rows.map(r => r.getAs[String]("tbl") -> r).toMap
+    val n = graft.operators.Similarity.nndPlantedVecs(spark, sfDir).count()
+    // base kNN: the 3-round descent keeps exactly k = 6 rows per node
+    val knn = byT("knn")
+    assert(knn.getAs[Long]("population") === n)
+    assert(knn.getAs[Long]("min_degree") === 6L)
+    assert(knn.getAs[Long]("max_degree") === 6L)
+    assert(knn.getAs[Long]("total_edges") === 6L * n)
+    assert(knn.getAs[Long]("orphan_count") === 0L)
+    // fragmentation planted on the base table only, observed exactly
+    assert(knn.getAs[Long]("fragmented_buckets") === 32L)
+    assert(knn.getAs[Long]("max_files_per_bucket") === 2L)
+    assert(knn.getAs[Boolean]("compaction_recommended"))
+    Seq("links", "layer1", "layer2").foreach { t =>
+      assert(byT(t).getAs[Long]("fragmented_buckets") === 0L, t)
+      assert(byT(t).getAs[Long]("max_files_per_bucket") === 1L, t)
+      assert(!byT(t).getAs[Boolean]("compaction_recommended"), t)
+    }
+    // layer populations are the level draw's: corpus > lvl>=1 > lvl>=2,
+    // and no routing node is orphaned on the planted corpus
+    assert(byT("links").getAs[Long]("population") === n)
+    val p1 = byT("layer1").getAs[Long]("population")
+    val p2 = byT("layer2").getAs[Long]("population")
+    assert(n > p1 && p1 > p2 && p2 > 0L, s"populations $n/$p1/$p2")
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("avg_degree_micro")
+      assert(avg === r.getAs[Long]("total_edges") * 1000000L /
+        r.getAs[Long]("population"), r.getAs[String]("tbl"))
+      val sym = r.getAs[Long]("symmetry_micro")
+      assert(sym >= 0L && sym <= 1000000L, s"symmetry_micro $sym")
+    }
+    // the descent neighborhood is non-trivial, bounded, and one value
+    val reach = rows.map(_.getAs[Long]("descent_reach")).distinct
+    assert(reach.length === 1 && reach.head > 12L && reach.head <= n,
+      s"descent_reach ${reach.toSeq}")
+  }
+
   test("h17 drift monitor: clean half quiet, shifted half alarms, monotone") {
     // measured margins first (also what you read when this test fails)
     val (clean, drift) =

@@ -606,6 +606,33 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_edges") > 0L)
   }
 
+  test("st46 layered maintenance: four tables, streamed ops equal batch") {
+    val rows = SparkEntry
+      .queries("st46_stream_layered_maintenance")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("tbl")).sorted.toSeq ===
+      Seq("knn", "layer1", "layer2", "links"))
+    rows.foreach { r =>
+      val t = r.getAs[String]("tbl")
+      assert(r.getAs[Boolean]("stream_equals_batch"),
+        s"$t: drained artifact diverged from the batch sequence")
+      assert(r.getAs[Boolean]("untouched_buckets_byte_identical"),
+        s"$t: a maintenance op rewrote a bucket it never touched")
+      assert(r.getAs[Boolean]("multi_batch"))
+      assert(r.getAs[Long]("n_edges") > 0L, t)
+    }
+    // sources shrink up the hierarchy: corpus-wide base adjacency,
+    // then the lvl>=1 subset, then the lvl>=2 subset
+    val byT = rows.map(r => r.getAs[String]("tbl") -> r).toMap
+    assert(byT("knn").getAs[Long]("n_sources") >
+      byT("layer1").getAs[Long]("n_sources"))
+    assert(byT("layer1").getAs[Long]("n_sources") >
+      byT("layer2").getAs[Long]("n_sources"))
+    // the takedown hit the base table: the doomed trio's sources are gone
+    val n = graft.operators.Similarity.nndPlantedVecs(spark, sfDir).count()
+    val nSrc = byT("knn").getAs[Long]("n_sources")
+    assert(nSrc >= n - 3 && nSrc <= n - 3 + 20, s"knn n_sources $nSrc vs $n")
+  }
+
   test("st43 hll monitoring: drained partials merge == one-shot sketch exactly") {
     val rows = SparkEntry.queries("st43_stream_hll_ndv")(spark, sfDir)
       .collect()
