@@ -5700,8 +5700,133 @@ object Similarity {
       JOIN degstat d ON d.tbl = s.tbl
       LEFT JOIN sym y ON y.tbl = s.tbl"""))
 
+  // ---------------------------------------------------------------- s49
+  /** IVF-PQ GENERATIONAL DEPLOYMENT (VERDICT r15 #2 — s46's blue/green
+    * contract on the IVF artifact): s18's retrain migrates lists IN
+    * PLACE through staged swaps, which is right for incremental
+    * maintenance windows, but a REBUILD-class retrain (full re-encode
+    * under fresh codebooks) ships like any model: build gen2's
+    * coarse/books/codes tables ALONGSIDE the serving gen1, flip the one
+    * ATOMIC pointer, keep gen1 for rollback, GC it only after the flip
+    * is durable. The pointer is the same shared-FS
+    * FileContext.rename(OVERWRITE) commit as s46.
+    *
+    * The serve-through-pointer path is pure (pointer, files): it
+    * resolves the live generation, RELOADS that generation's model from
+    * its own tables, probes its codes with the static list_id partition
+    * filter (the s13 IO contract), and exact-reranks the ADC shortlist
+    * against the original vectors — so the gate rides s17's REAL oracle
+    * (DuckDB brute-forces the global nearest neighbor): the reranked
+    * top-1 must equal it in EVERY generation, because the planted twin
+    * shares its query's codes under ANY codebooks. Both flips serve for
+    * real — post-flip from gen2, post-rollback from gen1 — and the two
+    * serves must return identical NN rows (generation changes the
+    * compression, never the answer). Digests prove gen1 untouched
+    * through the build and across rollback, and gen2 untouched by GC.
+    *
+    * Scale shape: gen2's build is one bulk bucketed write (the rebuild
+    * contract — not copy-then-patch); each serve reads nProbe list
+    * directories + Q×32 original rows; the flip is one rename. */
+  private val s49 = Q(
+    "s49_ivfpq_generations",
+    (s, dir) => {
+      val (_, corpus0) = plantedCorpus(s, dir)
+      val corpus = corpus0.localCheckpoint(true)
+      val out = java.nio.file.Files.createTempDirectory("graft_s49_").toString
+      try {
+        // gen1 is the TRAINED model (the s17 precedent: a rerank-based
+        // oracle needs non-degenerate codebooks, or ADC ties can crowd
+        // the planted twin out of the fixed-L shortlist)
+        val model1 = trainIvfPq(corpus, seed = 42L, nLists = 8)
+        ivfpqWriteIndex(corpus, model1, s"$out/gen1")
+        genWritePointer(out, "gen1")
+        val gen1Digest = bucketDirDigest(s"$out/gen1")
+        // gen2: rebuild-class retrain — fresh hash-sample codebooks under
+        // the frozen coarse quantizer, full re-encode written FRESH
+        val model2 = IvfPqModel(model1.coarse,
+          ivfpqRetrainedBooks(corpus, model1.coarse))
+        val booksDiffer =
+          model1.books.flatten.flatten.toSeq != model2.books.flatten.flatten.toSeq
+        ivfpqWriteIndex(corpus, model2, s"$out/gen2")
+        val gen1Intact = bucketDirDigest(s"$out/gen1") == gen1Digest
+        val gen2Digest = bucketDirDigest(s"$out/gen2")
+        genWritePointer(out, "gen2") // the atomic flip
+        val queries = corpus.filter(col("vec_id") < 3).localCheckpoint(true)
+        def d2(a: Column, b: Column): Column = aggregate(
+          zip_with(a, b, (x, y) =>
+            (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, dd) => acc + dd)
+        // serve through the pointer: resolve -> reload that generation's
+        // model from files -> probe its codes -> exact-rerank the top-32
+        def serveNn(): (String, DataFrame) = {
+          val g = genLiveGen(out)
+          val served = ivfpqServe(s, s"$out/$g", queries, nProbe = 2)
+          val short = topKByScore(served, "query_id", "vec_id",
+              col("adc"), k = 32, ascending = true)
+            .select(col("query_id"), col("vec_id"))
+          val qv = queries.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"))
+          (g, corpus.join(broadcast(short), Seq("vec_id"))
+            .join(broadcast(qv), Seq("query_id"))
+            .withColumn("exact_d2", round(d2(col("embedding"), col("q_emb")), 6))
+            .groupBy(col("query_id"))
+            .agg(min(struct(col("exact_d2"), col("vec_id"))).as("best"))
+            .select(col("query_id"), col("best.vec_id").as("nn_id"),
+              col("best.exact_d2").as("nn_d2"))
+            .localCheckpoint(true))
+        }
+        val (liveAtServe, nn2) = serveNn()
+        genWritePointer(out, "gen1") // rollback
+        val rollbackExact = genLiveGen(out) == "gen1" &&
+          bucketDirDigest(s"$out/gen1") == gen1Digest
+        val (liveAtRollback, nn1) = serveNn() // the second REAL serve
+        val rollbackServeEqual = liveAtRollback == "gen1" &&
+          nn1.except(nn2).count() == 0 && nn2.except(nn1).count() == 0
+        genWritePointer(out, "gen2") // re-flip, then GC the old generation
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(s"$out/gen1"))
+        val gcSafe = genLiveGen(out) == "gen2" &&
+          bucketDirDigest(s"$out/gen2") == gen2Digest
+        val pointerIsOneFile = bucketFs(out).getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$out/_POINTER")).isFile &&
+          liveAtServe == "gen2"
+        graft.functions.CrossEngine.materializeLocal(s, nn2
+          .withColumn("flip_atomic_single_pointer", lit(pointerIsOneFile))
+          .withColumn("gen1_intact_through_build", lit(gen1Intact))
+          .withColumn("retrained_books_differ", lit(booksDiffer))
+          .withColumn("rollback_pointer_digest_exact", lit(rollbackExact))
+          .withColumn("rollback_serve_equal", lit(rollbackServeEqual))
+          .withColumn("gc_after_flip_safe", lit(gcSafe)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 3),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM corpus WHERE vec_id < 3),
+      pairs AS (
+        SELECT q.query_id, c.vec_id,
+          round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+            i -> (CAST(c.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))
+               * (CAST(c.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE)))), 6) AS d2
+        FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+      SELECT query_id, vec_id AS nn_id, d2 AS nn_d2,
+        true AS flip_atomic_single_pointer,
+        true AS gen1_intact_through_build,
+        true AS retrained_books_differ,
+        true AS rollback_pointer_digest_exact,
+        true AS rollback_serve_equal, true AS gc_after_flip_safe
+      FROM (
+        SELECT query_id, vec_id, d2,
+          row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
+        FROM pairs) t WHERE rk = 1"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48)
+    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49)
 }

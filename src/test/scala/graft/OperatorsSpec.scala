@@ -4760,6 +4760,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s49 ivfpq generations: flip serves gen2, rollback serves gen1, NN exact") {
+    val rows = run("s49_ivfpq_generations").collect()
+    assert(rows.length === 3) // one exact-NN row per probe query
+    Seq("flip_atomic_single_pointer", "gen1_intact_through_build",
+      "retrained_books_differ", "rollback_pointer_digest_exact",
+      "rollback_serve_equal", "gc_after_flip_safe").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    // the planted twin is the global NN of its query in every generation
+    rows.foreach { r =>
+      assert(r.getAs[Long]("nn_id") ===
+        r.getAs[Long]("query_id") + 1000000L)
+      assert(r.getAs[Double]("nn_d2") === 0.0)
+    }
+  }
+
   test("s47 layered compaction: all four tables healed, serve == s34 exactly") {
     val rows = run("s47_hnsw_layered_compact").collect()
     assert(rows.length === 60) // 20 queries x top-3, served post-compaction
