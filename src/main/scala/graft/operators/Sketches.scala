@@ -972,6 +972,167 @@ object Sketches {
         1.0 AS epsilon, 200.0 AS clip
       FROM n"""))
 
+  // ---------------------------------------------------------------- q84
+  /** [[lapNoise]] with a per-row scale column (the ledger releases carry
+    * different ε per release, so b = sensitivity/ε is data). */
+  private[graft] def lapNoiseCol(u: Column, b: Column): Column =
+    -b * signum(u - lit(0.5)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+
+  /** DP ε-BUDGET LEDGER (VERDICT r15 #4 — q82/st44 state sequential
+    * composition as a contract; this makes the accounting REAL): every
+    * noisy release must claim a slot in a persistent ledger BEFORE its
+    * noise leaves the pipeline, the ledger's ε-sum is the spent budget,
+    * and a release that would push the sum past the budget is REFUSED —
+    * nothing published, nothing recorded. The claim is the w13 OCC
+    * mechanic: one `release_v<N>.txt` record (release id, query id, ε,
+    * δ) created with CREATE_NEW — exactly one writer can create a given
+    * version; a loser re-reads the ledger, re-checks the budget WITH the
+    * winner's spend included, and only then retries. That re-check-inside-
+    * the-retry-loop is the whole point: two concurrent releases racing
+    * one remaining budget can never both land (spec races two real
+    * threads). Duplicate delivery of an already-landed release id finds
+    * its record and no-ops (the s15 exactly-once contract).
+    *
+    * At 100 TB the ledger is KB-sized metadata (one small file per
+    * release; the atomic-create primitive is the object store's
+    * if-none-match PUT) while the releases it guards are arbitrary
+    * aggregate jobs — budget enforcement costs one listing + one create
+    * per release, independent of data size. */
+  private[graft] final class DpLedger(val root: java.nio.file.Path,
+      val budgetEps: Double) {
+    def latest(): Int =
+      Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .map(_.getName)
+        .collect { case n if n.startsWith("release_v") && n.endsWith(".txt") =>
+          n.stripPrefix("release_v").stripSuffix(".txt").toInt }
+        .foldLeft(0)(math.max)
+    /** (release id, query id, ε, δ) of the landed record at version v. */
+    def read(v: Int): (String, String, Double, Double) = {
+      val Array(id, q, e, d) = new String(java.nio.file.Files.readAllBytes(
+        root.resolve(s"release_v$v.txt")), "UTF-8").split("\t")
+      (id, q, e.toDouble, d.toDouble)
+    }
+    def records(): Seq[(String, String, Double, Double)] =
+      (1 to latest()).map(read)
+    def spentEps(): Double = records().map(_._3).sum
+    def landedVersionOf(id: String): Option[Int] =
+      (1 to latest()).find(v => read(v)._1 == id)
+    /** One release attempt: "landed" | "duplicate" | "refused". The
+      * budget check re-runs inside every OCC retry, so a loser sees the
+      * winner's spend before it can claim. */
+    def release(id: String, queryId: String, eps: Double,
+        delta: Double): String = {
+      while (true) {
+        if (landedVersionOf(id).nonEmpty) return "duplicate"
+        if (spentEps() + eps > budgetEps + 1e-12) return "refused"
+        val v = latest() + 1
+        try {
+          java.nio.file.Files.write(root.resolve(s"release_v$v.txt"),
+            s"$id\t$queryId\t$eps\t$delta".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          return "landed"
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => // retry
+        }
+      }
+      "unreachable"
+    }
+  }
+
+  /** The q84 gate: budget ε = 3.0; the attempt sequence exercises every
+    * ledger branch deterministically (the atomic create is raced for
+    * real by two threads in the spec): r1 count release ε=1.0 lands →
+    * r2 ε=1.5 lands → r1 redelivered no-ops (still 2 records) → r3
+    * ε=1.0 would spend 3.5 > 3.0 and is REFUSED. Landed releases publish
+    * the q82 mechanism keyed by the RELEASE id (noise once per release);
+    * refused/duplicate attempts publish the -1 sentinel and draw no
+    * noise. The ledger facts (spent ε, record count, refusal, no-op) are
+    * all recomputed from the files; the released values are mirrored by
+    * DuckDB via the deterministic md5 noise. */
+  private val q84 = Q(
+    "q84_dp_budget_ledger",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_q84_")
+      try {
+        val ledger = new DpLedger(root, budgetEps = 3.0)
+        val ev = Tables.events(s, dir)
+        val cnts = ev.agg(count(lit(1)).as("n_all"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_view")).head()
+        val (nAll, nView) = (cnts.getLong(0), cnts.getLong(1))
+        // the deterministic attempt sequence (the spec races the claim)
+        val plan = Seq(
+          (1L, "r1", "count_all", 1.0, nAll),
+          (2L, "r2", "count_view", 1.5, nView),
+          (3L, "r1", "count_all", 1.0, nAll), // duplicate delivery
+          (4L, "r3", "count_click", 1.0, 0L)) // refused: 2.5 + 1 > 3
+        val outcomes = plan.map { case (at, id, qid, eps, n) =>
+          val o = ledger.release(id, qid, eps, 0.0)
+          (at, id, qid, eps, 0.0, n, o, ledger.spentEps())
+        }
+        val spentFinal = ledger.spentEps()
+        val cumulativeOk = spentFinal == 2.5 && ledger.latest() == 2 &&
+          ledger.records().map(_._3).sum == spentFinal
+        val refusalOk = outcomes(3)._7 == "refused" &&
+          ledger.landedVersionOf("r3").isEmpty
+        val dupOk = outcomes(2)._7 == "duplicate" && ledger.latest() == 2
+        val budgetOk = spentFinal <= 3.0
+        val rows = outcomes.toDF("attempt", "release_id", "query_id",
+          "epsilon", "delta", "true_n", "outcome", "eps_spent_after")
+        val out = rows
+          .withColumn("released_count",
+            when(col("outcome") === "landed",
+              round(col("true_n").cast("double") +
+                lapNoiseCol(dpUniform(col("release_id"), 106),
+                  lit(1.0) / col("epsilon")), 6))
+              .otherwise(lit(-1.0)))
+          .withColumn("ledger_sum_equals_cumulative", lit(cumulativeOk))
+          .withColumn("over_budget_refused", lit(refusalOk))
+          .withColumn("duplicate_noop", lit(dupOk))
+          .withColumn("budget_never_exceeded", lit(budgetOk))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(root)
+      }
+    },
+    Some("""WITH n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_all,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+        FROM events),
+      plan AS (
+        SELECT attempt, release_id, query_id,
+          CAST(epsilon AS DOUBLE) AS epsilon, CAST(delta AS DOUBLE) AS delta,
+          outcome, CAST(eps_spent_after AS DOUBLE) AS eps_spent_after
+        FROM (VALUES
+          (CAST(1 AS BIGINT), 'r1', 'count_all', 1.0, 0.0, 'landed', 1.0),
+          (CAST(2 AS BIGINT), 'r2', 'count_view', 1.5, 0.0, 'landed', 2.5),
+          (CAST(3 AS BIGINT), 'r1', 'count_all', 1.0, 0.0, 'duplicate', 2.5),
+          (CAST(4 AS BIGINT), 'r3', 'count_click', 1.0, 0.0, 'refused', 2.5))
+          t(attempt, release_id, query_id, epsilon, delta, outcome,
+            eps_spent_after)),
+      w AS (
+        SELECT p.*, CASE p.query_id WHEN 'count_all' THEN n.n_all
+            WHEN 'count_view' THEN n.n_view ELSE CAST(0 AS BIGINT) END
+            AS true_n,
+          (CAST(CAST(concat('0x', substring(md5(concat(p.release_id,
+            '#106')), 1, 15)) AS BIGINT) % 1125899906842624 AS DOUBLE)
+            + 1.0) / (1125899906842624.0 + 2.0) AS u
+        FROM plan p CROSS JOIN n)
+      SELECT attempt, release_id, query_id, epsilon, delta, true_n,
+        outcome, eps_spent_after,
+        CASE WHEN outcome = 'landed'
+          THEN round(CAST(true_n AS DOUBLE) + -1.0 * (1.0 / epsilon)
+            * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+          ELSE -1.0 END AS released_count,
+        true AS ledger_sum_equals_cumulative,
+        true AS over_budget_refused, true AS duplicate_noop,
+        true AS budget_never_exceeded
+      FROM w"""))
+
   val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57, q64,
-    q68, q81, q82)
+    q68, q81, q82, q84)
 }

@@ -1247,6 +1247,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q84 dp ledger: branches pinned, two racing releases never both land") {
+    val rows = run("q84_dp_budget_ledger").collect()
+      .sortBy(_.getAs[Long]("attempt"))
+    assert(rows.length === 4)
+    Seq("ledger_sum_equals_cumulative", "over_budget_refused",
+      "duplicate_noop", "budget_never_exceeded").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    assert(rows.map(_.getAs[String]("outcome")).toSeq ===
+      Seq("landed", "landed", "duplicate", "refused"))
+    // nothing leaves the pipeline on a refused/duplicate attempt
+    assert(rows.filter(r => r.getAs[String]("outcome") != "landed")
+      .forall(_.getAs[Double]("released_count") == -1.0))
+    // the REAL race: two threads, eps 2.0 each, one budget of 3.0 — the
+    // re-check inside the OCC retry loop means exactly one can land
+    val root = java.nio.file.Files.createTempDirectory("graft_q84_spec_")
+    try {
+      val ledger = new graft.operators.Sketches.DpLedger(root, 3.0)
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      def racer(id: String) = pool.submit(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            gate.await()
+            ledger.release(id, "count_all", 2.0, 0.0)
+          }
+        })
+      val (ra, rb) = (racer("A"), racer("B"))
+      gate.countDown()
+      val outcomes = Seq(ra.get(), rb.get())
+      pool.shutdown()
+      assert(outcomes.sorted === Seq("landed", "refused"),
+        s"race outcomes $outcomes")
+      assert(ledger.spentEps() === 2.0 && ledger.latest() === 1)
+      // and a third sequential release inside the remainder still lands
+      assert(ledger.release("C", "count_view", 1.0, 0.0) === "landed")
+      assert(ledger.release("D", "count_view", 0.5, 0.0) === "refused")
+      assert(ledger.spentEps() === 3.0)
+    } finally {
+      graft.functions.CrossEngine.deleteRecursive(root)
+    }
+  }
+
   test("q82 dp release: Laplace inverse-CDF exact, clipping and eps scale") {
     val rows = run("q82_dp_release").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)
