@@ -2277,15 +2277,30 @@ object Relational {
     (s, dir) => epochShuffleBatches(s, dir, "epoch1"),
     Some(epochShuffleOracle("epoch1")))
 
+  /** Seeded global permutation without a global sort. `bucketBits` sets
+    * the decomposition width: 2^bucketBits order-contiguous hash buckets
+    * (the key's TOP bits are its sort prefix), each ranked by a window
+    * PARTITIONED on the bucket — so the within-bucket sorts stay
+    * partition-parallel (spec-asserted: every WindowExec in the plan has
+    * a partitionSpec) and the only driver state is 2^bucketBits longs.
+    * At 100 TB pick bucketBits so N / 2^bucketBits rows fit an executor
+    * (e.g. 12-16); the gate runs the default 8. */
   private[graft] def epochShuffleBatches(s: SparkSession, dir: String,
-      seed: String): DataFrame = {
-    val sp = s
+      seed: String, bucketBits: Int = 8): DataFrame =
+    epochShuffleBatchesOn(Tables.documents(s, dir).select(col("doc_id")),
+      seed, bucketBits)
+
+  private[graft] def epochShuffleBatchesOn(docs: DataFrame,
+      seed: String, bucketBits: Int = 8): DataFrame = {
+    val sp = docs.sparkSession
     import sp.implicits._
-    val keyed = Tables.documents(s, dir)
+    require(bucketBits >= 1 && bucketBits <= 30,
+      s"bucketBits must be in [1, 30], got $bucketBits")
+    val keyed = docs
       .select(col("doc_id"),
         graft.functions.CrossEngine.md5Hash60(
           concat(lit(seed + ":"), col("doc_id").cast("string"))).as("k"))
-      .withColumn("bucket", shiftright(col("k"), 52)) // top 8 of 60 bits
+      .withColumn("bucket", shiftright(col("k"), 60 - bucketBits))
     val offsets = keyed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toList

@@ -1183,6 +1183,19 @@ class OperatorsSpec extends SparkSpec {
     val windows = plan.collect { case w: WindowExec => w }
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "the rank window must be partitioned by bucket")
+    // the 2^k decomposition is a free parameter: any width must yield
+    // the IDENTICAL permutation (the top-bits prefix property), so a
+    // 100 TB run can size buckets to executor memory without changing
+    // the epoch order
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("batch_id") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("first_pos"), r.getAs[Long]("last_pos"),
+        r.getAs[Long]("docid_sum"))
+    val wide = graft.operators.Relational
+      .epochShuffleBatches(spark, sfDir, "epoch1", bucketBits = 4)
+      .collect().map(key).toMap
+    assert(wide === rows.map(key).toMap,
+      "bucketBits changed the permutation")
   }
 
   test("m20 exif: real TIFF roundtrip, corruption degrades, strip is total") {
