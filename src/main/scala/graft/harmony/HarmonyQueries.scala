@@ -875,6 +875,107 @@ object HarmonyQueries {
       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS BIGINT)
         AS n_monitored"""))
 
+  // ---------------------------------------------------------------- h18
+  /** The h18 fixture: the planted cells with a second, id-derived SITE
+    * covariate (site = cell_id mod 3) so drift attribution has two
+    * covariates to tell apart. */
+  private[graft] def plantedCellsTwoCov(s: SparkSession, dir: String): DataFrame =
+    plantedCells(s, dir)
+      .withColumn("site", pmod(col("cell_id"), lit(3L)).cast("string"))
+
+  /** Train-once cache for the two-covariate model (the FrozenFitCache
+    * discipline). The composition monitor consumes only the fit
+    * PROLOGUE's state (level dictionaries + Pr_b), so the fit runs zero
+    * harmony rounds — cheapest honest source of the model's priors. */
+  private[graft] object TwoCovFitCache {
+    val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, HarmonyResult]
+    def model(s: SparkSession, dir: String): HarmonyResult =
+      cache.getOrElseUpdate(dir, {
+        buildCount.incrementAndGet()
+        val train = plantedCellsTwoCov(s, dir).filter(col("cell_id") % 2 === 0)
+        Harmony.fit(train, Seq("batch", "site"),
+          HarmonyOptions(nclust = Some(5), theta = Seq(2.0),
+            maxIterHarmony = 0, maxIterCluster = 1, blockSize = 0.2,
+            earlyStop = false, localThreshold = 0L))
+      })
+  }
+
+  /** Per-covariate total-variation distance between a served batch's
+    * level COMPOSITION and the fit's stored priors Pr_b (the h17 monitor
+    * attributed: h17 says "the served distribution drifted", this says
+    * WHICH covariate's mix moved). Levels the fit never saw count their
+    * full served mass (they have prior 0). One grouped count per
+    * covariate — composition drift costs a K-level aggregate, never a
+    * serve. */
+  private[graft] def covariateCompositionTvs(st: HarmonyState, df: DataFrame,
+      covariates: Seq[String]): Map[String, Double] = {
+    val n = df.count().toDouble
+    covariates.zipWithIndex.map { case (c, ci) =>
+      val fitPr = st.levelLabels.indices
+        .filter(l => st.covariateOf(l) == ci)
+        .map(l => st.levelLabels(l) -> st.prB(l)).toMap
+      val served = df
+        .groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => s"$c=${r.getString(0)}" -> r.getLong(1) / n)
+        .toMap
+      val keys = fitPr.keySet ++ served.keySet
+      c -> keys.toSeq.map(k =>
+        math.abs(fitPr.getOrElse(k, 0.0) - served.getOrElse(k, 0.0))).sum / 2
+    }.toMap
+  }
+
+  /** (clean TVs, drifted TVs) per covariate of the h18 monitor — factored
+    * so the spec reports the measured margins (fit-dependent, so the GATE
+    * carries threshold booleans; the h17 pattern). The drift fixture
+    * skews ONE covariate: serving only site != 2 shifts the site mix to
+    * {1/2, 1/2, 0} while leaving the batch mix (id-independent)
+    * essentially untouched. */
+  private[graft] def serveDriftAttribution(s: SparkSession,
+      dir: String): (Map[String, Double], Map[String, Double]) = {
+    val st = TwoCovFitCache.model(s, dir).state
+    val held = plantedCellsTwoCov(s, dir).filter(col("cell_id") % 2 === 1)
+      .localCheckpoint(true)
+    val covs = Seq("batch", "site")
+    (covariateCompositionTvs(st, held, covs),
+      covariateCompositionTvs(st, held.filter(col("site") =!= "2"), covs))
+  }
+
+  private val h18 = Q(
+    "h18_serve_drift_attribution",
+    (s, dir) => {
+      import s.implicits._
+      val (clean, drift) = serveDriftAttribution(s, dir)
+      // alarm 0.20: measured margins across the driver's SFs — clean and
+      // drifted-batch TVs 0.055..0.115 (the 10-level batch mix carries
+      // ~0.1 sampling noise at 250-cell halves), planted site drift is
+      // arithmetic 1/3; both sides clear the line by >= 1.67x
+      val alarm = 0.20
+      val fired = drift.filter(_._2 > alarm).keySet
+      val nBatchLevels = Tables.embeddings(s, dir)
+        .select(col("label")).distinct().count()
+      Seq(
+        ("batch", nBatchLevels, clean("batch") < alarm,
+          drift("batch") < alarm, false),
+        ("site", 3L, clean("site") < alarm,
+          drift("site") > alarm, true))
+        .toDF("covariate", "n_levels", "clean_quiet", "drift_as_expected",
+          "drift_planted")
+        .withColumn("attribution_exact", lit(fired == Set("site")))
+        .withColumn("monitor_monotone",
+          lit(drift("site") > clean("site")))
+    },
+    Some("""SELECT 'batch' AS covariate,
+        CAST((SELECT count(DISTINCT label) FROM embeddings) AS BIGINT)
+          AS n_levels,
+        true AS clean_quiet, true AS drift_as_expected,
+        false AS drift_planted, true AS attribution_exact,
+        true AS monitor_monotone
+      UNION ALL
+      SELECT 'site', CAST(3 AS BIGINT), true, true, true, true, true"""))
+
   val all: Seq[Q] = Seq(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11,
-    h12, h13, h14, h15, h16, h17)
+    h12, h13, h14, h15, h16, h17, h18)
 }

@@ -4910,6 +4910,37 @@ class OperatorsSpec extends SparkSpec {
     assert(drift > 0.30 * 1.5, f"drifted TV $drift%.4f margin too thin")
   }
 
+  test("h18 drift attribution: site fires, batch stays quiet, margins wide") {
+    val (clean, drift) =
+      graft.harmony.HarmonyQueries.serveDriftAttribution(spark, sfDir)
+    info(f"clean  batch ${clean("batch")}%.4f site ${clean("site")}%.4f (alarm 0.20)")
+    info(f"drift  batch ${drift("batch")}%.4f site ${drift("site")}%.4f")
+    val rows = run("h18_serve_drift_attribution").collect()
+    assert(rows.map(_.getAs[String]("covariate")).sorted.toSeq ===
+      Seq("batch", "site"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("clean_quiet"), r.getAs[String]("covariate"))
+      assert(r.getAs[Boolean]("drift_as_expected"), r.getAs[String]("covariate"))
+      assert(r.getAs[Boolean]("attribution_exact"))
+      assert(r.getAs[Boolean]("monitor_monotone"))
+    }
+    val byC = rows.map(r => r.getAs[String]("covariate") -> r).toMap
+    assert(byC("site").getAs[Boolean]("drift_planted"))
+    assert(!byC("batch").getAs[Boolean]("drift_planted"))
+    // margin pins (the h17 discipline): quiet side clears the alarm by
+    // 1.5x, the planted side by 1.5x the other way
+    assert(clean.values.forall(_ < 0.20 / 1.5),
+      s"clean TVs too close to the alarm: $clean")
+    assert(drift("batch") < 0.20 / 1.5,
+      f"unplanted covariate TV ${drift("batch")}%.4f margin too thin")
+    assert(drift("site") > 0.20 * 1.5,
+      f"planted covariate TV ${drift("site")}%.4f margin too thin")
+    // train-once: the 2-covariate model is cached (the FrozenFitCache
+    // discipline)
+    run("h18_serve_drift_attribution").count()
+    assert(graft.harmony.HarmonyQueries.TwoCovFitCache.buildCount.get() === 1L)
+  }
+
   test("h16 serve unseen policy: fail fast, skip+quarantine, interceptOnly") {
     val r = run("h16_serve_unseen_policy").head()
     Seq("fail_fails_fast", "skip_serves_seen_exactly",
