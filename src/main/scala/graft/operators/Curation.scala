@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -416,5 +417,150 @@ object Curation {
     (hot, evalGrams)
   }
 
-  val all: Seq[Q] = Seq(p04, p05)
+  // ---------------------------------------------------------------- p09
+  /** CORPUS-EXPORT SHARD WRITER (VERDICT r15 #7 — the curation pipeline's
+    * last mile: p04 ends at packed/split rows; a training run wants the
+    * corpus ON DISK as deterministic, token-balanced, seeded-order
+    * shards plus a manifest the loader trusts). Composition of two
+    * audited kernels:
+    *
+    *   - ORDER: the q83 epoch permutation gives every doc its seeded
+    *     global position (partition-parallel bucket windows, driver
+    *     state 2^bucketBits longs);
+    *   - BALANCE: the t10 two-pass prefix sum runs over the PERMUTED
+    *     order (positions as the sort key), and shard_id = token-start
+    *     div ceil(T/S) — greedy contiguous token splits, so shard token
+    *     counts deviate from T/S by at most one document.
+    *
+    * Each shard is written as ONE parquet file whose ROW ORDER is the
+    * epoch order (repartition on the shard column, sort within by pos,
+    * partitionBy writes each task's single shard in iteration order),
+    * and the manifest pins per-shard accounting: doc count, exact token
+    * count, position range, and an ORDER-SENSITIVE checksum
+    * (md5(doc)-weighted by within-shard rank). The gate returns the
+    * PERSISTED manifest; DuckDB recomputes every column from the
+    * permutation + prefix-sum arithmetic, so a shard writer that
+    * misorders, drops, or rebalances one doc reds on values. Read-back
+    * witnesses: one file per shard, and each file's PHYSICAL row order
+    * reproduces the manifest checksum (rank = read order).
+    *
+    * Scale shape: everything rides the q83/t10 decompositions (no
+    * global sort, driver state = bucket counts + partition offsets);
+    * the write is one shuffle on shard_id; S manifest rows. At 100 TB,
+    * S scales with corpus/shard-size and the manifest stays KB. */
+  private val p09 = Q(
+    "p09_corpus_export_shards",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_p09_").toString
+      try {
+        val nShards = 8
+        val counted = Tables.documents(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"))
+        val manifest = exportShards(counted, "epoch1", nShards,
+          s"$out/shards")
+        // read-back witnesses over the persisted files
+        val shardDirs = (0 until nShards).map(i => s"$out/shards/shard_id=$i")
+        val onePerShard = shardDirs.forall(d =>
+          Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")) == 1)
+        val want = manifest.select(col("shard_id"), col("order_checksum"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val readOrderOk = (0 until nShards).forall { i =>
+          val reread = s.read.parquet(shardDirs(i))
+            .select(col("doc_id")).rdd.zipWithIndex()
+            .map { case (r, idx) => (r.getLong(0), idx + 1L) }
+          val ck = s.createDataFrame(reread).toDF("doc_id", "rk")
+            .select(sum(expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)),
+              1, 10), 16, 10) AS BIGINT) % 1048576""") * col("rk")))
+            .head().getLong(0)
+          ck == want(i.toLong)
+        }
+        graft.functions.CrossEngine.materializeLocal(s,
+          s.read.parquet(s"$out/manifest")
+            .withColumn("one_file_per_shard", lit(onePerShard))
+            .withColumn("readback_order_matches", lit(readOrderOk)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some("""WITH posd AS (
+        SELECT doc_id, row_number() OVER (ORDER BY
+          CAST(concat('0x', substring(md5(concat('epoch1:',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id) - 1
+          AS pos,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      pre AS (
+        SELECT doc_id, pos, n_tokens,
+          sum(n_tokens) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS tok_start
+        FROM posd),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM posd),
+      sh AS (
+        SELECT p.doc_id, p.pos, p.n_tokens,
+          least(p.tok_start // ((tot.t + 7) // 8), 7) AS shard_id
+        FROM pre p CROSS JOIN tot),
+      rk AS (
+        SELECT doc_id, pos, n_tokens, shard_id,
+          row_number() OVER (PARTITION BY shard_id ORDER BY pos) AS r
+        FROM sh)
+      SELECT CAST(shard_id AS BIGINT) AS shard_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        CAST(min(pos) AS BIGINT) AS first_pos,
+        CAST(max(pos) AS BIGINT) AS last_pos,
+        CAST(sum((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+          1, 10)) AS BIGINT) % 1048576) * r) AS BIGINT) AS order_checksum,
+        true AS one_file_per_shard, true AS readback_order_matches
+      FROM rk GROUP BY 1"""))
+
+  /** The exporter core (shared with
+    * `graft.tools.ShardExportRehearsal`): permute `counted`
+    * (doc_id, n_tokens) with the epoch seed, split into `nShards` greedy
+    * contiguous token-balanced shards, write one ordered parquet file
+    * per shard under `dest` plus the manifest at `../manifest`. Returns
+    * the manifest frame. */
+  private[graft] def exportShards(counted: DataFrame, seed: String,
+      nShards: Int, dest: String): DataFrame = {
+    val s = counted.sparkSession
+    val positions = Relational.epochShufflePositions(
+      counted.select(col("doc_id")), seed)
+    val ordered = counted.join(positions, Seq("doc_id"))
+      .localCheckpoint(true)
+    val total = ordered.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head().getLong(0)
+    val target = (total + nShards - 1) / nShards
+    // the t10 prefix sum over the PERMUTED order: feed pos as the sort
+    // key, budget = the shard token target => seq_id IS the shard
+    val packed = TextAnalysis.packSequences(
+      ordered.select(col("pos").as("doc_id"), col("n_tokens")),
+      budget = target)
+      .select(col("doc_id").as("pos"),
+        least(col("seq_id"), lit(nShards - 1L)).as("shard_id"))
+    val rows = ordered.join(packed, Seq("pos"))
+      .select(col("shard_id"), col("pos"), col("doc_id"), col("n_tokens"))
+    // sort by (shard_id, pos): the dynamic-partition writer requires an
+    // ordering on the partition column and would otherwise insert its own
+    // NON-STABLE sort on shard_id alone, scrambling pos order within a
+    // file once rows spill (caught at 1M docs by ShardExportRehearsal) —
+    // pre-satisfying the requirement makes the writer skip that sort
+    rows.repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dest)
+    val wr = Window.partitionBy(col("shard_id")).orderBy(col("pos"))
+    val manifest = rows
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        sum((expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10),
+          16, 10) AS BIGINT) % 1048576""") * col("r")).cast("long"))
+          .as("order_checksum"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(dest.stripSuffix("/shards") + "/manifest")
+    manifest
+  }
+
+  val all: Seq[Q] = Seq(p04, p05, p09)
 }

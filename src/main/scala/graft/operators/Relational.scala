@@ -2290,7 +2290,10 @@ object Relational {
     epochShuffleBatchesOn(Tables.documents(s, dir).select(col("doc_id")),
       seed, bucketBits)
 
-  private[graft] def epochShuffleBatchesOn(docs: DataFrame,
+  /** The permutation itself: (doc_id, pos) with pos the doc's seeded
+    * global rank — the reusable core q83 aggregates into batches and the
+    * p09 shard exporter consumes directly. */
+  private[graft] def epochShufflePositions(docs: DataFrame,
       seed: String, bucketBits: Int = 8): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
@@ -2312,11 +2315,15 @@ object Relational {
       .withColumn("rk", row_number().over(w).cast("long"))
       .join(offDf, Seq("bucket"))
       .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+  }
+
+  private[graft] def epochShuffleBatchesOn(docs: DataFrame,
+      seed: String, bucketBits: Int = 8): DataFrame =
+    epochShufflePositions(docs, seed, bucketBits)
       .withColumn("batch_id", expr("pos div 64"))
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_docs"), min(col("pos")).as("first_pos"),
         max(col("pos")).as("last_pos"), sum(col("doc_id")).as("docid_sum"))
-  }
 
   private[graft] def epochShuffleOracle(seed: String): String =
     s"""WITH ranked AS (

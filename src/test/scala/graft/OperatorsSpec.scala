@@ -1260,6 +1260,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("p09 shard export: token-balanced, epoch-ordered, manifest honest") {
+    val rows = run("p09_corpus_export_shards").collect()
+      .sortBy(_.getAs[Long]("shard_id"))
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("one_file_per_shard"))
+      assert(r.getAs[Boolean]("readback_order_matches"))
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val n = docs.count()
+    val agg = docs.agg(sum(col("n")), max(col("n"))).head()
+    val (total, maxDoc) = (agg.getLong(0), agg.getLong(1))
+    // shards partition the corpus: docs and tokens conserved, position
+    // ranges tile the permutation contiguously in shard order
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === n)
+    assert(rows.map(_.getAs[Long]("shard_tokens")).sum === total)
+    assert(rows.head.getAs[Long]("first_pos") === 0L)
+    assert(rows.last.getAs[Long]("last_pos") === n - 1)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("last_pos") + 1 ===
+        b.getAs[Long]("first_pos"), "shard ranges do not tile")
+      case _ =>
+    }
+    // greedy contiguous split: every shard's token count deviates from
+    // the target by at most one document
+    val target = (total + 7) / 8
+    rows.foreach { r =>
+      val t = r.getAs[Long]("shard_tokens")
+      assert(t <= target + maxDoc && t >= target - maxDoc,
+        s"shard ${r.getAs[Long]("shard_id")} tokens $t vs target $target")
+    }
+  }
+
   test("q84 dp ledger: branches pinned, two racing releases never both land") {
     val rows = run("q84_dp_budget_ledger").collect()
       .sortBy(_.getAs[Long]("attempt"))
