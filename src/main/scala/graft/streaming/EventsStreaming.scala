@@ -4228,9 +4228,154 @@ object EventsStreaming {
     },
     Some(graft.operators.Similarity.layeredMaintenanceOracleText))
 
+  // ---------------------------------------------------------------- st47
+  /** STREAMING DP RELEASES UNDER THE ε-BUDGET LEDGER (st44 × q84 — the
+    * composition that makes the ledger operational: st44 proves
+    * noise-once-per-release, q84 proves the OCC-claimed budget; a
+    * production pipeline does both AT THE TRIGGER — every periodic
+    * release must claim ledger budget BEFORE its noise leaves the
+    * pipeline, and the release that would overdraw is refused while the
+    * stream keeps running). Four deterministic arrival slices
+    * (event_id mod 4, pinned mtimes, one file per trigger); each trigger
+    * counts its slice exactly and attempts a ε=1.0 release against one
+    * 3.0 budget: t0–t2 land and publish, t3 is REFUSED — no noise drawn,
+    * nothing published, no ledger record, and the query completes
+    * normally (budget exhaustion is a data-governance outcome, not a
+    * stream failure).
+    *
+    * Post-drain facts: the published releases equal the one-shot batch
+    * recompute of the same slices BIT-FOR-BIT (same exact counts into
+    * the same seeded inverse-CDF noise); the ledger holds exactly the
+    * landed records and its ε-sum is the budget floor(3.0); DuckDB
+    * mirrors every landed release from the raw events (slice counts by
+    * event_id mod 4, noise by the md5 draw keyed to the release id).
+    *
+    * Scale shape: per trigger one exact count + one KB ledger claim;
+    * the refusal path costs one listing. The stream holds zero state —
+    * the ledger IS the state. */
+  private val st47 = Q(
+    "st47_stream_dp_ledger",
+    (s, dir) => withStreamShufflePartitions(s) {
+      import graft.operators.Sketches.{dpUniform, lapNoiseCol, DpLedger}
+      val work = java.nio.file.Files.createTempDirectory("graft_st47_")
+      try {
+        val sp = s
+        import sp.implicits._
+        val eps = 1.0
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"))
+        // four deterministic arrival slices, one file per trigger
+        val srcDir = java.nio.file.Files.createDirectory(work.resolve("arrivals"))
+        (0 until 4).foreach { i =>
+          val stage = s"$work/slice${i}_stage"
+          ev.filter(pmod(col("event_id"), lit(4L)) === i)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = Option(new java.io.File(stage).listFiles())
+            .getOrElse(Array.empty)
+            .find(_.getName.endsWith(".parquet")).get
+          val dest = srcDir.resolve(s"slice$i.parquet")
+          java.nio.file.Files.move(part.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1000000000000L + i * 60000L))
+        }
+        val ledger = new DpLedger(
+          java.nio.file.Files.createDirectory(work.resolve("ledger")), 3.0)
+        val releasesDir = work.resolve("releases").toString
+        val trigger = new java.util.concurrent.atomic.AtomicLong(0L)
+        val outcomes =
+          new java.util.concurrent.ConcurrentHashMap[Long, (String, Double)]()
+        def releaseOf(df: DataFrame, id: String): DataFrame = df
+          .agg(count(lit(1)).as("n_slice"))
+          .select(lit(id).as("release_id"), col("n_slice"),
+            round(col("n_slice").cast("double") +
+              lapNoiseCol(dpUniform(lit(id), 107), lit(1.0 / eps)), 6)
+              .as("released_count"))
+        val query = s.readStream
+          .schema(s.read.parquet(srcDir.toString).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val i = trigger.getAndIncrement()
+              val id = s"t$i"
+              // the claim comes FIRST: no noise is drawn, nothing is
+              // published, unless the ledger granted the budget
+              val o = ledger.release(id, "slice_count", eps, 0.0)
+              if (o == "landed")
+                releaseOf(batch, id).write.mode("append").parquet(releasesDir)
+              outcomes.put(i, (o, ledger.spentEps()))
+            }
+            ()
+          }
+          .start()
+        query.awaitTermination()
+        val drained = s.read.parquet(releasesDir).localCheckpoint(true)
+        // batch reference: the same landed releases recomputed one-shot
+        val batchRef = (0 until 4)
+          .filter(i => outcomes.get(i.toLong)._1 == "landed")
+          .map(i => releaseOf(
+            ev.filter(pmod(col("event_id"), lit(4L)) === i), s"t$i"))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        val drainedEqualsBatch =
+          drained.except(batchRef).count() == 0 &&
+          batchRef.except(drained).count() == 0
+        val ledgerOk = ledger.latest() == 3 && ledger.spentEps() == 3.0 &&
+          ledger.records().forall(_._2 == "slice_count")
+        val rows = (0 until 4).map { i =>
+          val (o, spent) = outcomes.get(i.toLong)
+          (i.toLong, s"t$i", o, spent)
+        }.toDF("trigger_id", "release_id", "outcome", "eps_spent_after")
+        val out = rows
+          .join(drained.select(col("release_id"), col("n_slice"),
+            col("released_count")), Seq("release_id"), "left")
+          .select(col("trigger_id"), col("release_id"), col("outcome"),
+            col("eps_spent_after"),
+            coalesce(col("n_slice"), lit(-1L)).as("n_slice"),
+            coalesce(col("released_count"), lit(-1.0)).as("released_count"))
+          .withColumn("drained_equals_batch", lit(drainedEqualsBatch))
+          .withColumn("ledger_exact", lit(ledgerOk))
+          .withColumn("over_budget_refused",
+            lit(outcomes.get(3L)._1 == "refused"))
+          .withColumn("multi_batch", lit(trigger.get() >= 4L))
+        graft.functions.CrossEngine.materializeLocal(s, out)
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(work)
+      }
+    },
+    Some("""WITH sl AS (
+        SELECT event_id % 4 AS i, count(*) AS n
+        FROM events GROUP BY 1),
+      plan AS (
+        SELECT i, concat('t', CAST(i AS VARCHAR)) AS release_id,
+          CASE WHEN i < 3 THEN 'landed' ELSE 'refused' END AS outcome,
+          CAST(least(i + 1, 3) AS DOUBLE) AS eps_spent_after
+        FROM (SELECT unnest(range(0, 4)) AS i) ii),
+      w AS (
+        SELECT p.*, sl.n,
+          (CAST(CAST(concat('0x', substring(md5(concat(p.release_id,
+            '#107')), 1, 15)) AS BIGINT) % 1125899906842624 AS DOUBLE)
+            + 1.0) / (1125899906842624.0 + 2.0) AS u
+        FROM plan p JOIN sl ON sl.i = p.i)
+      SELECT CAST(i AS BIGINT) AS trigger_id, release_id, outcome,
+        eps_spent_after,
+        CASE WHEN outcome = 'landed' THEN CAST(n AS BIGINT)
+          ELSE CAST(-1 AS BIGINT) END AS n_slice,
+        CASE WHEN outcome = 'landed'
+          THEN round(CAST(n AS DOUBLE) + -1.0 * 1.0
+            * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+          ELSE -1.0 END AS released_count,
+        true AS drained_equals_batch, true AS ledger_exact,
+        true AS over_budget_refused, true AS multi_batch
+      FROM w"""))
+
   val all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
     st34, st35, st36, st37, st38, st39, st40, st41, st42, st43, st44, st45,
-    st46)
+    st46, st47)
 }

@@ -203,6 +203,164 @@ object GraphLifecycleRehearsal {
           f"symmetry ${sym * 100.0 / d.getLong(3)}%.1f%%, " +
           f"reach3(entry 0) ${reached.count()}")
       }
+
+      // ---- LAYERED artifact (the s47/s48/st46 contracts at rehearsal
+      // scale): the four-table layout — base knn + links + routing
+      // layer1 (p = 1/4 of nodes) + layer2 (1/16) — maintained as one
+      // unit: delete across all four, compact all four, health per
+      // table + descent reach. Maintenance stays O(touched buckets)
+      // PER TABLE; the routing tables are small, so the whole layered
+      // overhead rides on the base table's costs.
+      val lroot = s"$out/layered"
+      def writeBucketed(df: org.apache.spark.sql.DataFrame,
+          table: String): Unit =
+        df.withColumn("bucket",
+            pmod(col("u"), lit(nBuckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$lroot/$table")
+      def deleteFrom(table: String, dm: Seq[Long]): Seq[Int] = {
+        val path = s"$lroot/$table"
+        val tb = spark.read.parquet(path)
+          .filter(col("u").isin(dm: _*) || col("v").isin(dm: _*))
+          .select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        if (tb.nonEmpty) {
+          val staging = s"${path}_delete_staging"
+          spark.read.parquet(path)
+            .filter(col("bucket").isin(tb: _*))
+            .filter(!col("u").isin(dm: _*) && !col("v").isin(dm: _*))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+          tb.foreach { b =>
+            val live = java.nio.file.Paths.get(s"$path/bucket=$b")
+            val staged = java.nio.file.Paths.get(s"$staging/bucket=$b")
+            val retired =
+              java.nio.file.Paths.get(s"$staging/retired_bucket=$b")
+            if (java.nio.file.Files.isDirectory(live))
+              java.nio.file.Files.move(live, retired)
+            if (java.nio.file.Files.isDirectory(staged))
+              java.nio.file.Files.move(staged, live)
+          }
+          graft.functions.CrossEngine.deleteRecursive(
+            java.nio.file.Paths.get(staging))
+        }
+        tb
+      }
+      def compactTable(table: String): Seq[Int] = {
+        val path = s"$lroot/$table"
+        val fr = (0 until nBuckets).filter { b =>
+          Option(new java.io.File(s"$path/bucket=$b").listFiles())
+            .getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")) > 1
+        }
+        if (fr.nonEmpty) {
+          val staging = s"${path}_compact_staging"
+          spark.read.parquet(path)
+            .filter(col("bucket").isin(fr: _*))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+          fr.foreach { b =>
+            val live = java.nio.file.Paths.get(s"$path/bucket=$b")
+            val staged = java.nio.file.Paths.get(s"$staging/bucket=$b")
+            val retired =
+              java.nio.file.Paths.get(s"$staging/retired_bucket=$b")
+            java.nio.file.Files.move(live, retired)
+            java.nio.file.Files.move(staged, live)
+          }
+          graft.functions.CrossEngine.deleteRecursive(
+            java.nio.file.Paths.get(staging))
+        }
+        fr
+      }
+      val tables = Seq("knn", "links", "layer1", "layer2")
+      timed("LAYERED build: synthesize + write all four tables") {
+        writeBucketed(edges, "knn")
+        writeBucketed(spark.range(0, n, 1, 32).select(col("id").as("u"),
+            expr(s"""explode(transform(sequence(1, 3), j ->
+              abs(xxhash64(id, j + 100)) % $n))""").as("v"))
+          .filter(col("u") =!= col("v")), "links")
+        // level draw: 1/4 promoted to >=1, 1/16 to >=2 (id-hash only)
+        def promoted(minLvl: Int) = {
+          val mod = if (minLvl >= 2) 16 else 4
+          spark.range(0, n, 1, 32)
+            .filter(abs(xxhash64(col("id"), lit(77))) % 16 <
+              (16 / mod))
+            .select(col("id"))
+        }
+        // layer edges: k draws from the PROMOTED set via a rank join
+        def layerEdges(minLvl: Int, kk: Int, salt: Int) = {
+          val p = promoted(minLvl)
+          val ranked = p.withColumn("idx",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("id"))).cast("long") - 1)
+            .localCheckpoint(true)
+          val pCount = ranked.count()
+          ranked.select(col("id").as("u"),
+              expr(s"""explode(transform(sequence(1, $kk), j ->
+                abs(xxhash64(id, j + $salt)) % $pCount))""").as("idx"))
+            .join(ranked.withColumnRenamed("id", "v"), Seq("idx"))
+            .select(col("u"), col("v"))
+            .filter(col("u") =!= col("v"))
+        }
+        writeBucketed(layerEdges(1, 6, 200), "layer1")
+        writeBucketed(layerEdges(2, 4, 300), "layer2")
+      }
+      // takedown across the hierarchy: base ids + promoted ids, so every
+      // table class is touched (the st46 doomed-shape)
+      val doomedL = (0L until 100L).map(_ * 7919L % n)
+      val touchedL = timed("LAYERED delete (one batch, four tables)") {
+        tables.map(t => t -> deleteFrom(t, doomedL)).toMap
+      }
+      println("[graph-maint] layered delete touched buckets: " +
+        tables.map(t => s"$t=${touchedL(t).size}").mkString(", ") +
+        s" of $nBuckets each")
+      timed("LAYERED fragment (append slice per table)") {
+        tables.foreach { t =>
+          spark.read.parquet(s"$lroot/$t")
+            .filter(pmod(col("u"), lit(64L)) === 1)
+            .repartition(col("bucket"))
+            .write.mode("append").partitionBy("bucket")
+            .parquet(s"$lroot/$t")
+        }
+      }
+      val frL = timed("LAYERED compact (all four tables)") {
+        tables.map(t => t -> compactTable(t)).toMap
+      }
+      println("[graph-maint] layered compacted buckets: " +
+        tables.map(t => s"$t=${frL(t).size}").mkString(", "))
+      timed("LAYERED health (per-table stats + descent reach)") {
+        tables.foreach { t =>
+          val e = spark.read.parquet(s"$lroot/$t")
+            .select(col("u"), col("v"))
+          val deg = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+          val d = deg.agg(min(col("c")), max(col("c")), count(lit(1)),
+            sum(col("c"))).head()
+          println(f"[graph-maint]   $t%-7s edges ${d.getLong(3)}%10d " +
+            f"degree ${d.getLong(0)}..${d.getLong(1)} sources ${d.getLong(2)}")
+        }
+        def closure(start: org.apache.spark.sql.DataFrame, table: String,
+            hops: Int) = {
+          val g = spark.read.parquet(s"$lroot/$table")
+            .select(col("u"), col("v"))
+          var reached = start.localCheckpoint(true)
+          for (_ <- 1 to hops) {
+            reached = reached.unionByName(
+                reached.join(g, reached("node") === g("u"))
+                  .select(col("v").as("node")))
+              .distinct().localCheckpoint(true)
+          }
+          reached
+        }
+        val entry = spark.read.parquet(s"$lroot/layer2")
+          .agg(min(col("u"))).head().getLong(0)
+        val d2 = closure(spark.range(0, 1)
+          .select(lit(entry).as("node")), "layer2", 2)
+        val d1 = closure(d2, "layer1", 2)
+        val d0 = closure(d1, "knn", 3)
+        println(s"[graph-maint]   descent reach from entry $entry: " +
+          s"${d2.count()} -> ${d1.count()} -> ${d0.count()}")
+      }
     } finally {
       graft.functions.CrossEngine.deleteRecursive(
         java.nio.file.Paths.get(out))

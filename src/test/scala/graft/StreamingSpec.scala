@@ -633,6 +633,33 @@ class StreamingSpec extends SparkSpec {
     assert(nSrc >= n - 3 && nSrc <= n - 3 + 20, s"knn n_sources $nSrc vs $n")
   }
 
+  test("st47 dp ledger stream: three land, fourth refused, stream survives") {
+    val rows = SparkEntry.queries("st47_stream_dp_ledger")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("trigger_id"))
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[String]("outcome")).toSeq ===
+      Seq("landed", "landed", "landed", "refused"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("drained_equals_batch"))
+      assert(r.getAs[Boolean]("ledger_exact"))
+      assert(r.getAs[Boolean]("over_budget_refused"))
+      assert(r.getAs[Boolean]("multi_batch"))
+    }
+    // landed releases carry real slice counts + noise; the refused
+    // trigger publishes nothing (the -1 sentinel on both columns)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val slices = ev.groupBy(pmod(col("event_id"), lit(4L)).as("i"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.take(3).foreach { r =>
+      val i = r.getAs[Long]("trigger_id")
+      assert(r.getAs[Long]("n_slice") === slices(i))
+      assert(r.getAs[Double]("released_count") !== -1.0)
+    }
+    assert(rows.last.getAs[Long]("n_slice") === -1L)
+    assert(rows.last.getAs[Double]("released_count") === -1.0)
+  }
+
   test("st43 hll monitoring: drained partials merge == one-shot sketch exactly") {
     val rows = SparkEntry.queries("st43_stream_hll_ndv")(spark, sfDir)
       .collect()
