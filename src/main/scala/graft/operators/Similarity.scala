@@ -5825,8 +5825,137 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rk
         FROM pairs) t WHERE rk = 1"""))
 
+  // ---------------------------------------------------------------- s50
+  /** LAYERED-HNSW GENERATIONAL DEPLOYMENT (the third cell of the
+    * blue/green matrix: s46 ships the flat graph, s49 the IVF artifact —
+    * this ships the FOUR-TABLE layered artifact through the same one
+    * ATOMIC pointer, so every index family this engine serves can take
+    * a rebuild-class change with rollback). gen2 is a takedown-wave
+    * rebuild (gen1's four tables minus the doomed trio, each one bulk
+    * bucketed rewrite — the rebuild contract, never copy-then-patch);
+    * the doomed set {30, 16, 100} is level-pinned (a NON-entry lvl-2
+    * routing node, a lvl-1 node, a base-only node) so every table class
+    * shrinks while the serving ENTRY (28) survives — the descent runs
+    * s34's walk shape over the deleted artifact, oracle-mirrored CTE
+    * for CTE on the original contractions minus the doomed rows.
+    *
+    * One REAL served walk post-flip (the s46 single-walk discipline:
+    * serving is a pure function of (pointer, files), so rollback and GC
+    * ride digest witnesses — the measured 4-walk form costs a full
+    * layered descent per extra proof); pointer commits via the shared
+    * FileContext.rename(OVERWRITE). */
+  private val s50 = Q(
+    "s50_hnsw_layered_generations",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s50_").toString
+      try {
+        val doomed = Seq(30L, 16L, 100L)
+        layeredTables.foreach(t =>
+          BucketedFixtureCache.copyTable(s, dir, t, s"$out/gen1/$t"))
+        genWritePointer(out, "gen1")
+        val gen1Digest = bucketDirDigest(s"$out/gen1")
+        layeredTables.foreach { t =>
+          edgeWriteBucketed(
+            s.read.parquet(s"$out/gen1/$t").select(col("u"), col("v"))
+              .filter(!col("u").isin(doomed: _*) &&
+                !col("v").isin(doomed: _*)),
+            s"$out/gen2/$t")
+        }
+        val gen1Intact = bucketDirDigest(s"$out/gen1") == gen1Digest
+        val gen2Digest = bucketDirDigest(s"$out/gen2")
+        genWritePointer(out, "gen2") // the atomic flip
+        val (lv, _, _) = LayeredGraphCache.layers(s, dir)
+        val entry = layeredEntry(lv.filter(!col("id").isin(doomed: _*)))
+        val liveAtServe = genLiveGen(out)
+        val served = layeredServeFromFiles(s, dir, s"$out/$liveAtServe",
+          entry)
+        val servedPointerOk = liveAtServe == "gen2"
+        genWritePointer(out, "gen1") // rollback
+        val rollbackExact = genLiveGen(out) == "gen1" &&
+          bucketDirDigest(s"$out/gen1") == gen1Digest
+        genWritePointer(out, "gen2") // re-flip, then GC
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(s"$out/gen1"))
+        val gcSafe = genLiveGen(out) == "gen2" &&
+          bucketDirDigest(s"$out/gen2") == gen2Digest
+        val pointerIsOneFile = bucketFs(out).getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$out/_POINTER")).isFile &&
+          servedPointerOk
+        // the doomed trio avoids the build's entry, so the surviving
+        // election must return the ORIGINAL entry unchanged
+        val entrySurvives = entry == layeredEntry(lv) &&
+          !doomed.contains(entry)
+        graft.functions.CrossEngine.materializeLocal(s, served
+          .withColumn("entry_survives", lit(entrySurvives))
+          .withColumn("flip_atomic_single_pointer", lit(pointerIsOneFile))
+          .withColumn("gen1_intact_through_build", lit(gen1Intact))
+          .withColumn("rollback_serves_gen1_exact", lit(rollbackExact))
+          .withColumn("gc_after_flip_safe", lit(gcSafe)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      gall AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      lvu AS (
+        SELECT id, CAST(CAST(concat('0x', substring(md5(concat('lv',
+          CAST(id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0 AS u
+        FROM emb),
+      lv AS MATERIALIZED (
+        SELECT id, CASE WHEN u < 0.0625 THEN 2 WHEN u < 0.25 THEN 1
+          ELSE 0 END AS lvl
+        FROM lvu),
+      ${hnswOracleLayer(1, "gall", 1, s34M1)},
+      ${hnswOracleLayer(2, "le1", 2, s34M2)},
+      dmd AS (SELECT unnest([30, 16, 100]) AS id),
+      g2 AS MATERIALIZED (
+        SELECT u, v FROM gall
+        WHERE u NOT IN (SELECT id FROM dmd)
+          AND v NOT IN (SELECT id FROM dmd)),
+      l12 AS MATERIALIZED (
+        SELECT u, v FROM le1
+        WHERE u NOT IN (SELECT id FROM dmd)
+          AND v NOT IN (SELECT id FROM dmd)),
+      l22 AS MATERIALIZED (
+        SELECT u, v FROM le2
+        WHERE u NOT IN (SELECT id FROM dmd)
+          AND v NOT IN (SELECT id FROM dmd)),
+      ent AS MATERIALIZED (
+        SELECT coalesce(
+          (SELECT min(id) FROM lv WHERE lvl >= 2
+             AND id NOT IN (SELECT id FROM dmd)),
+          (SELECT min(id) FROM lv WHERE lvl >= 1
+             AND id NOT IN (SELECT id FROM dmd)),
+          0) AS node),
+      w2b0 AS (SELECT q.query_id, CAST(e.node AS BIGINT) AS node
+               FROM queries q, ent e),
+      ${hnswOracleHop("w2", 1, "w2b0", "l22", 2)},
+      ${hnswOracleHop("w2", 2, "w2bm1", "l22", 2)},
+      p1 AS (SELECT query_id, node FROM w2bm2 WHERE rn = 1),
+      ${hnswOracleHop("w1", 1, "p1", "l12", 2)},
+      ${hnswOracleHop("w1", 2, "w1bm1", "l12", 2)},
+      p0 AS (SELECT query_id, node FROM w1bm2 WHERE rn = 1),
+      ${(1 to s34L0Hops).map(i =>
+        hnswOracleHop("w0", i, if (i == 1) "p0" else s"w0bm${i - 1}",
+          "g2", s30Beam)).mkString(",\n      ")}
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq,
+        true AS entry_survives, true AS flip_atomic_single_pointer,
+        true AS gen1_intact_through_build,
+        true AS rollback_serves_gen1_exact, true AS gc_after_flip_safe
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM w0bm$s34L0Hops) t
+      WHERE rn2 <= 3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49)
+    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50)
 }

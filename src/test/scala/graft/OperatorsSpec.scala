@@ -4867,6 +4867,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s50 layered generations: flip serves gen2, entry survives, GC safe") {
+    val rows = run("s50_hnsw_layered_generations").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served from gen2
+    Seq("entry_survives", "flip_atomic_single_pointer",
+      "gen1_intact_through_build", "rollback_serves_gen1_exact",
+      "gc_after_flip_safe").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    // gen2 is the takedown-wave rebuild: no doomed node is ever served
+    val doomed = Set(30L, 16L, 100L)
+    assert(rows.forall(r => !doomed.contains(r.getAs[Long]("neighbor_id"))))
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
   test("s47 layered compaction: all four tables healed, serve == s34 exactly") {
     val rows = run("s47_hnsw_layered_compact").collect()
     assert(rows.length === 60) // 20 queries x top-3, served post-compaction
