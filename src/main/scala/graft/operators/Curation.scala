@@ -562,5 +562,102 @@ object Curation {
     manifest
   }
 
-  val all: Seq[Q] = Seq(p04, p05, p09)
+  // ---------------------------------------------------------------- p10
+  /** TOKEN-BUDGET SELECTION (the data-mixing primitive: given a quality
+    * signal and a token budget, keep the BEST docs whose cumulative
+    * token count fits — every "train on the top-X tokens of the corpus"
+    * recipe is this op). Selection = the maximal prefix of the
+    * (grade DESC, doc_id) order with running token sum <= budget, so
+    * it needs a global prefix sum over a quality order — done with the
+    * q83 decomposition: the grade IS an order-contiguous bucket (ties
+    * broken by doc_id inside), per-grade token totals prefix-sum on the
+    * driver (<= 10 longs), within-grade running sums ride windows
+    * PARTITIONED by grade. No global sort, no global window.
+    *
+    * The quality signal is the p04 repetition ratio (top term count /
+    * n_tokens) folded to a decile grade — exact integer/double
+    * arithmetic both engines compute identically. The gate emits
+    * per-grade accounting (docs, selected, selected tokens) plus the
+    * budget facts; booleans recompute PREFIX MAXIMALITY: every selected
+    * doc's running end <= budget < every rejected doc's — the selection
+    * is exactly the budget-maximal quality prefix, not merely "some
+    * subset under budget". */
+  private val p10 = Q(
+    "p10_token_budget_select",
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      val cnts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      val graded = cnts.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
+        .withColumn("grade", floor((lit(1.0) -
+          col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+          * 10).cast("long"))
+        .localCheckpoint(true)
+      // driver prefix-sum over the grade buckets in DESC order
+      val perGrade = graded.groupBy(col("grade"))
+        .agg(sum(col("n_tokens")).as("tot"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .sortBy(-_._1)
+      val total = perGrade.map(_._2).sum
+      val budget = total / 2
+      val offsets = {
+        var acc = 0L
+        perGrade.map { case (g, tot) => val off = acc; acc += tot; g -> off }
+      }
+      val offDf = broadcast(offsets.toSeq.toDF("grade", "off"))
+      val w = Window.partitionBy(col("grade")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = graded.join(offDf, Seq("grade"))
+        .withColumn("cum_end", col("off") + sum(col("n_tokens")).over(w))
+        .withColumn("selected", col("cum_end") <= budget)
+        .localCheckpoint(true)
+      val facts = cum.agg(
+        max(when(col("selected"), col("cum_end"))).as("max_sel_end"),
+        min(when(!col("selected"), col("cum_end"))).as("min_rej_end"),
+        sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+          .as("sel_tokens")).head()
+      val withinBudget = facts.getLong(2) <= budget
+      val maximal = facts.isNullAt(1) ||
+        (facts.getLong(0) <= budget && facts.getLong(1) > budget)
+      cum.groupBy(col("grade"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+            .as("tokens_selected"))
+        .withColumn("budget", lit(budget))
+        .withColumn("total_tokens", lit(total))
+        .withColumn("within_budget", lit(withinBudget))
+        .withColumn("prefix_maximal", lit(maximal))
+    },
+    Some("""WITH cnts AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        GROUP BY doc_id, token),
+      graded AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          CAST(floor((1.0 - CAST(max(cnt) AS DOUBLE)
+            / CAST(sum(cnt) AS DOUBLE)) * 10) AS BIGINT) AS grade
+        FROM cnts GROUP BY doc_id),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM graded),
+      cum AS (
+        SELECT g.doc_id, g.n_tokens, g.grade,
+          sum(g.n_tokens) OVER (ORDER BY g.grade DESC, g.doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_end,
+          tot.t // 2 AS budget, tot.t AS total_tokens
+        FROM graded g CROSS JOIN tot)
+      SELECT grade, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN cum_end <= budget THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_selected,
+        CAST(sum(CASE WHEN cum_end <= budget THEN n_tokens ELSE 0 END)
+          AS BIGINT) AS tokens_selected,
+        CAST(any_value(budget) AS BIGINT) AS budget,
+        CAST(any_value(total_tokens) AS BIGINT) AS total_tokens,
+        true AS within_budget, true AS prefix_maximal
+      FROM cum GROUP BY grade"""))
+
+  val all: Seq[Q] = Seq(p04, p05, p09, p10)
 }

@@ -1260,6 +1260,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("p10 budget select: maximal quality prefix, windows bucket-partitioned") {
+    val rows = run("p10_token_budget_select").collect()
+      .sortBy(-_.getAs[Long]("grade"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_budget"))
+      assert(r.getAs[Boolean]("prefix_maximal"))
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+    }
+    val budget = rows.head.getAs[Long]("budget")
+    val total = rows.head.getAs[Long]("total_tokens")
+    assert(budget === total / 2)
+    val selTokens = rows.map(_.getAs[Long]("tokens_selected")).sum
+    assert(selTokens <= budget && selTokens > budget / 2,
+      s"selection $selTokens vs budget $budget looks degenerate")
+    // prefix shape across grades: selection saturates high grades first —
+    // once a grade is partially selected, every LOWER grade selects none
+    val partialIdx = rows.indexWhere(r =>
+      r.getAs[Long]("n_selected") < r.getAs[Long]("n_docs"))
+    if (partialIdx >= 0)
+      rows.drop(partialIdx + 1).foreach(r =>
+        assert(r.getAs[Long]("n_selected") === 0L,
+          s"grade ${r.getAs[Long]("grade")} selected below a partial grade"))
+    // the scale claim: the running sums ride windows PARTITIONED by
+    // grade, never a global (empty-partitionBy) window
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan0 = SparkEntry.queries("p10_token_budget_select")(spark, sfDir)
+      .queryExecution.executedPlan
+    val plan = plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "p10 planned a global window")
+  }
+
   test("p09 shard export: token-balanced, epoch-ordered, manifest honest") {
     val rows = run("p09_corpus_export_shards").collect()
       .sortBy(_.getAs[Long]("shard_id"))
