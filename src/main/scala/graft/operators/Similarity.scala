@@ -5415,17 +5415,21 @@ object Similarity {
         round(col("score"), 6).as("dist_sq"))
   }
 
-  /** Fragment a working copy of a bucketed edge table CONTENT-PRESERVING:
-    * rewrite it as two append-files writes, each holding every other row
-    * of each bucket (row_number parity within the bucket — the window is
-    * PARTITIONED by bucket, so the fixture stays partition-parallel).
-    * Every bucket with >= 2 rows ends up holding exactly two data files;
-    * the multiset of rows is unchanged by construction. */
+  /** Fragment the EVEN buckets of a bucketed edge table
+    * CONTENT-PRESERVING: those buckets are rewritten as two append-files
+    * writes, each holding every other row (row_number parity within the
+    * bucket — the window is PARTITIONED by bucket, so the fixture stays
+    * partition-parallel); every even bucket with >= 2 rows ends up
+    * holding exactly two data files. ODD buckets are never opened — they
+    * keep their original files, so the compaction gate's untouched-
+    * bucket byte-identity proof is non-vacuous on every table, and the
+    * fixture costs half a table rewrite instead of a full one. */
   private[graft] def fragmentBucketedTable(s: SparkSession,
       path: String): Unit = {
     val rows = s.read.parquet(path).select(col("u"), col("v"))
       .withColumn("bucket",
         pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+      .filter(col("bucket") % 2 === 0)
       .withColumn("half", pmod(row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("u"), col("v"))),
         lit(2)))
@@ -5439,9 +5443,9 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(staging)
     val liveFiles = edgeBucketFiles(path)
     val stagedFiles = edgeBucketFiles(staging)
-    val allBuckets = (0 until s38Buckets)
-      .filter(b => liveFiles(b).nonEmpty || stagedFiles(b).nonEmpty)
-    edgeSwapBuckets(path, staging, allBuckets)
+    val evens = (0 until s38Buckets).filter(b => b % 2 == 0 &&
+      (liveFiles(b).nonEmpty || stagedFiles(b).nonEmpty))
+    edgeSwapBuckets(path, staging, evens)
   }
 
   /** LAYERED-ARTIFACT COMPACTION (VERDICT r15 #1 — s41's contract
