@@ -2561,6 +2561,187 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------- m21
+  /** PNG TEXTUAL-METADATA EXTRACTION + STRIP (m20's governance contract
+    * for the OTHER dominant image container: PNG carries provenance and
+    * author PII in ancillary tEXt/zTXt/iTXt chunks — Author, Software,
+    * XML comment blobs — and a release pipeline strips them the way it
+    * strips EXIF). The fixture injects REAL tEXt chunks (length-typed,
+    * CRC32-correct, placed after IHDR) into JDK-encoded PNGs; the reader
+    * walks the chunk stream bounds-checked (signature, 4-byte lengths,
+    * CRC VERIFIED per chunk — corruption degrades to absent, never a
+    * throw: the m14/m20 contract), and the strip drops every textual
+    * metadata chunk (tEXt/zTXt/iTXt/eXIf/tIME) while copying all
+    * critical chunks byte-for-byte — pixels proven untouched by
+    * full-raster comparison of the decoded images.
+    *
+    * Presence classes and values ride doc_id arithmetic (1-in-3 carries
+    * Author+Software, 1-in-3 Software only, 1-in-3 clean), all
+    * value-mirrored in DuckDB. Row-local; one encode + one strip per
+    * asset; the read path walks headers only. */
+  private val m21 = Q(
+    "m21_png_text_strip",
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { ids =>
+          javax.imageio.ImageIO.setUseCache(false)
+          ids.map { id =>
+            val png = pngTextFixture(id)
+            val meta = pngTextChunks(png)
+            val stripped = pngStripText(png)
+            val metaAfter = pngTextChunks(stripped)
+            val d0 = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            val d1 = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(stripped))
+            var same = d0 != null && d1 != null &&
+              d0.getWidth == d1.getWidth && d0.getHeight == d1.getHeight
+            if (same) {
+              var yy = 0
+              while (yy < d0.getHeight && same) {
+                var xx = 0
+                while (xx < d0.getWidth && same) {
+                  same = d0.getRGB(xx, yy) == d1.getRGB(xx, yy)
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            val kv = meta.getOrElse(Seq.empty).toMap
+            (id, meta.map(_.size.toLong).getOrElse(-1L),
+              kv.getOrElse("Author", ""), kv.getOrElse("Software", ""),
+              metaAfter.exists(_.isEmpty), same)
+          }
+        }
+        .toDF("doc_id", "n_text_chunks", "author", "software",
+          "stripped_clean", "pixels_unchanged")
+    },
+    Some("""SELECT doc_id,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+          AS BIGINT) AS n_text_chunks,
+        CASE WHEN doc_id % 3 = 0
+          THEN concat('user', CAST(doc_id % 50 AS VARCHAR)) ELSE '' END
+          AS author,
+        CASE WHEN doc_id % 3 < 2
+          THEN concat('tool-', CAST(doc_id % 7 AS VARCHAR)) ELSE '' END
+          AS software,
+        true AS stripped_clean, true AS pixels_unchanged
+      FROM documents"""))
+
+  /** The m21 per-id asset: a real JDK-encoded PNG whose textual-chunk
+    * class is doc_id mod 3 (0: Author + Software tEXt chunks, 1:
+    * Software only, 2: clean). */
+  private[graft] def pngTextFixture(id: Long): Array[Byte] = {
+    val w = 16 + (id % 3).toInt * 4
+    val h = 12
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((id * 13 + x * 5 + y * 17) % 256).toInt << 8))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val plain = baos.toByteArray
+    val entries = (id % 3) match {
+      case 0 => Seq("Author" -> s"user${id % 50}",
+        "Software" -> s"tool-${id % 7}")
+      case 1 => Seq("Software" -> s"tool-${id % 7}")
+      case _ => Seq.empty
+    }
+    if (entries.isEmpty) plain else pngInjectText(plain, entries)
+  }
+
+  private val PngTextTypes = Set("tEXt", "zTXt", "iTXt", "eXIf", "tIME")
+
+  /** Insert CRC32-correct tEXt chunks right after IHDR (signature 8 +
+    * IHDR chunk 25 = offset 33 in every JDK-encoded PNG; verified from
+    * the length field rather than assumed). */
+  private[graft] def pngInjectText(plain: Array[Byte],
+      entries: Seq[(String, String)]): Array[Byte] = {
+    val ihdrLen = ((plain(8) & 0xff) << 24) | ((plain(9) & 0xff) << 16) |
+      ((plain(10) & 0xff) << 8) | (plain(11) & 0xff)
+    val cut = 8 + 12 + ihdrLen // signature + IHDR chunk
+    val bb = new java.io.ByteArrayOutputStream()
+    bb.write(plain, 0, cut)
+    entries.foreach { case (k, v) =>
+      val data = k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+        v.getBytes("ISO-8859-1")
+      val typ = "tEXt".getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      def u32(x: Long): Unit = { var i = 3
+        while (i >= 0) { bb.write(((x >> (8 * i)) & 0xff).toInt); i -= 1 } }
+      u32(data.length.toLong)
+      bb.write(typ); bb.write(data)
+      u32(crc.getValue)
+    }
+    bb.write(plain, cut, plain.length - cut)
+    bb.toByteArray
+  }
+
+  /** Bounds-checked PNG textual-chunk reader: signature + chunk walk
+    * with per-chunk CRC verification; returns the (key, value) pairs of
+    * every tEXt chunk, or None on any structural violation (the m14/m20
+    * degrade-to-absent contract). */
+  private[graft] def pngTextChunks(b: Array[Byte]): Option[Seq[(String, String)]] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 8 || (0 until 8).exists(i => (b(i) & 0xff) != sig(i)))
+      return None
+    var i = 8
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (i + 12 <= b.length) {
+      val len = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      if (len > Int.MaxValue - 12 || i + 12 + len > b.length) return None
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      if (!typ.forall(c => c.isLetter)) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len.toInt)
+      val want = ((b(i + 8 + len.toInt) & 0xffL) << 24) |
+        ((b(i + 9 + len.toInt) & 0xffL) << 16) |
+        ((b(i + 10 + len.toInt) & 0xffL) << 8) |
+        (b(i + 11 + len.toInt) & 0xffL)
+      if (crc.getValue != want) return None
+      if (typ == "tEXt") {
+        val data = b.slice(i + 8, i + 8 + len.toInt)
+        val nul = data.indexOf(0.toByte)
+        if (nul <= 0) return None
+        out += ((new String(data, 0, nul, "ISO-8859-1"),
+          new String(data, nul + 1, data.length - nul - 1, "ISO-8859-1")))
+      }
+      if (typ == "IEND") return Some(out.toSeq)
+      i += 12 + len.toInt
+    }
+    None // ran off the end without IEND
+  }
+
+  /** Drop every textual/metadata ancillary chunk (tEXt/zTXt/iTXt/eXIf/
+    * tIME — the `exiftool -all=` strip for PNG); critical chunks copied
+    * byte-for-byte, so the entropy-coded pixels are untouched. */
+  private[graft] def pngStripText(b: Array[Byte]): Array[Byte] = {
+    if (pngTextChunks(b).isEmpty) return b // structurally broken: copy as-is
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b, 0, 8)
+    var i = 8
+    while (i + 12 <= b.length) {
+      val len = (((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)).toInt
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      if (!PngTextTypes.contains(typ)) out.write(b, i, 12 + len)
+      if (typ == "IEND") return out.toByteArray
+      i += 12 + len
+    }
+    out.toByteArray
+  }
+
   val all: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18, m19, m20)
+    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21)
 }

@@ -1376,6 +1376,52 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("m21 png text: chunk roundtrip, corruption degrades, strip is total") {
+    import graft.operators.Multimodal.{pngTextFixture, pngTextChunks, pngStripText, pngInjectText}
+    val id = 42L // class 0: Author + Software
+    val png = pngTextFixture(id)
+    val meta = pngTextChunks(png)
+    assert(meta.isDefined && meta.get.toMap ===
+      Map("Author" -> "user42", "Software" -> "tool-0"))
+    // plain carrier has zero text chunks (present, empty — not None)
+    val plain = pngTextFixture(2L) // class 2: clean
+    assert(pngTextChunks(plain).exists(_.isEmpty))
+    // strip removes the metadata and only the metadata
+    val stripped = pngStripText(png)
+    assert(pngTextChunks(stripped).exists(_.isEmpty))
+    assert(stripped.length < png.length)
+    val d0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val d1 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(stripped))
+    assert(d0 != null && d1 != null)
+    assert((0 until d0.getHeight).forall(y => (0 until d0.getWidth).forall(
+      x => d0.getRGB(x, y) == d1.getRGB(x, y))), "strip touched pixels")
+    // corruption degrades to absent, never a throw: flip, zero and max
+    // every byte of the injected chunk region (CRC verification turns
+    // almost any of these into a structural reject)
+    (8 until png.length).foreach { k =>
+      Seq[Byte]((png(k) ^ 0x5a).toByte, 0, 0xff.toByte).foreach { b =>
+        val bad = png.clone(); bad(k) = b
+        pngTextChunks(bad) // must not throw
+        pngStripText(bad) // must not throw
+      }
+    }
+    // injection is CRC-correct anywhere in the key/value space
+    val weird = pngInjectText(pngTextFixture(2L),
+      Seq("Comment" -> "x" * 300))
+    assert(pngTextChunks(weird).exists(_.toMap == Map("Comment" -> "x" * 300)))
+    // the gate entry: classes and values as planted
+    val rows = run("m21_png_text_strip").collect()
+    assert(rows.forall(_.getAs[Boolean]("stripped_clean")))
+    assert(rows.forall(_.getAs[Boolean]("pixels_unchanged")))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_text_chunks") ===
+        (if (d % 3 == 0) 2L else if (d % 3 == 1) 1L else 0L))
+      if (d % 3 == 0) assert(r.getAs[String]("author") === s"user${d % 50}")
+    }
+  }
+
   test("q82 dp release: Laplace inverse-CDF exact, clipping and eps scale") {
     val rows = run("q82_dp_release").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)
