@@ -1019,16 +1019,26 @@ object Sketches {
     def landedVersionOf(id: String): Option[Int] =
       (1 to latest()).find(v => read(v)._1 == id)
     /** One release attempt: "landed" | "duplicate" | "refused". The
-      * budget check re-runs inside every OCC retry, so a loser sees the
-      * winner's spend before it can claim. */
+      * ledger view is snapshotted ONCE per iteration — `base = latest()`
+      * and the budget summed over exactly records 1..base — and the
+      * claim targets base+1: if a rival lands base+1 between the
+      * snapshot and the create, CREATE_NEW fails and the loop re-reads;
+      * if the create succeeds, no record beyond base existed at the
+      * commit point, so the budget was validated against the true prior
+      * state. (Checking the budget with one listing and computing the
+      * slot with ANOTHER — the first version of this code — leaves a
+      * window where a rival's landing invalidates the check but the
+      * claim still succeeds: two ε=2.0 racers against a 3.0 budget could
+      * BOTH land. The spec's real-thread race caught it.) */
     def release(id: String, queryId: String, eps: Double,
         delta: Double): String = {
       while (true) {
         if (landedVersionOf(id).nonEmpty) return "duplicate"
-        if (spentEps() + eps > budgetEps + 1e-12) return "refused"
-        val v = latest() + 1
+        val base = latest()
+        val spent = (1 to base).map(read(_)._3).sum
+        if (spent + eps > budgetEps + 1e-12) return "refused"
         try {
-          java.nio.file.Files.write(root.resolve(s"release_v$v.txt"),
+          java.nio.file.Files.write(root.resolve(s"release_v${base + 1}.txt"),
             s"$id\t$queryId\t$eps\t$delta".getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW)
           return "landed"

@@ -1345,34 +1345,42 @@ class OperatorsSpec extends SparkSpec {
     // nothing leaves the pipeline on a refused/duplicate attempt
     assert(rows.filter(r => r.getAs[String]("outcome") != "landed")
       .forall(_.getAs[Double]("released_count") == -1.0))
-    // the REAL race: two threads, eps 2.0 each, one budget of 3.0 — the
-    // re-check inside the OCC retry loop means exactly one can land
-    val root = java.nio.file.Files.createTempDirectory("graft_q84_spec_")
+    // the REAL race, repeated: two threads, eps 2.0 each, one budget of
+    // 3.0 — the snapshot-then-claim discipline means exactly one can
+    // land per round (a stale-budget + fresh-slot interleaving once let
+    // BOTH land; 8 fresh-ledger rounds keep that window covered)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
     try {
-      val ledger = new graft.operators.Sketches.DpLedger(root, 3.0)
-      import java.util.concurrent.{CountDownLatch, Executors}
-      val pool = Executors.newFixedThreadPool(2)
-      val gate = new CountDownLatch(1)
-      def racer(id: String) = pool.submit(
-        new java.util.concurrent.Callable[String] {
-          def call(): String = {
-            gate.await()
-            ledger.release(id, "count_all", 2.0, 0.0)
-          }
-        })
-      val (ra, rb) = (racer("A"), racer("B"))
-      gate.countDown()
-      val outcomes = Seq(ra.get(), rb.get())
-      pool.shutdown()
-      assert(outcomes.sorted === Seq("landed", "refused"),
-        s"race outcomes $outcomes")
-      assert(ledger.spentEps() === 2.0 && ledger.latest() === 1)
-      // and a third sequential release inside the remainder still lands
-      assert(ledger.release("C", "count_view", 1.0, 0.0) === "landed")
-      assert(ledger.release("D", "count_view", 0.5, 0.0) === "refused")
-      assert(ledger.spentEps() === 3.0)
+      (1 to 8).foreach { round =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_q84_spec_$round")
+        try {
+          val ledger = new graft.operators.Sketches.DpLedger(root, 3.0)
+          val gate = new CountDownLatch(1)
+          def racer(id: String) = pool.submit(
+            new java.util.concurrent.Callable[String] {
+              def call(): String = {
+                gate.await()
+                ledger.release(id, "count_all", 2.0, 0.0)
+              }
+            })
+          val (ra, rb) = (racer("A"), racer("B"))
+          gate.countDown()
+          val outcomes = Seq(ra.get(), rb.get())
+          assert(outcomes.sorted === Seq("landed", "refused"),
+            s"round $round race outcomes $outcomes")
+          assert(ledger.spentEps() === 2.0 && ledger.latest() === 1)
+          // and a sequential release inside the remainder still lands
+          assert(ledger.release("C", "count_view", 1.0, 0.0) === "landed")
+          assert(ledger.release("D", "count_view", 0.5, 0.0) === "refused")
+          assert(ledger.spentEps() === 3.0)
+        } finally {
+          graft.functions.CrossEngine.deleteRecursive(root)
+        }
+      }
     } finally {
-      graft.functions.CrossEngine.deleteRecursive(root)
+      pool.shutdown()
     }
   }
 
