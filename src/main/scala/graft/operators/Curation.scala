@@ -457,7 +457,7 @@ object Curation {
         val counted = Tables.documents(s, dir).select(col("doc_id"),
           size(toks).cast("long").as("n_tokens"))
         val manifest = exportShards(counted, "epoch1", nShards,
-          s"$out/shards")
+          s"$out/shards", s"$out/manifest")
         // read-back witnesses over the persisted files
         val shardDirs = (0 until nShards).map(i => s"$out/shards/shard_id=$i")
         val onePerShard = shardDirs.forall(d =>
@@ -519,10 +519,12 @@ object Curation {
     * `graft.tools.ShardExportRehearsal`): permute `counted`
     * (doc_id, n_tokens) with the epoch seed, split into `nShards` greedy
     * contiguous token-balanced shards, write one ordered parquet file
-    * per shard under `dest` plus the manifest at `../manifest`. Returns
-    * the manifest frame. */
+    * per shard under `dest` plus the manifest parquet at `manifestDest`
+    * (an explicit path — inferring it from `dest` silently corrupted
+    * the shard listing for any dest not named ".../shards"; ADVICE
+    * r16). Returns the manifest frame. */
   private[graft] def exportShards(counted: DataFrame, seed: String,
-      nShards: Int, dest: String): DataFrame = {
+      nShards: Int, dest: String, manifestDest: String): DataFrame = {
     val s = counted.sparkSession
     val positions = Relational.epochShufflePositions(
       counted.select(col("doc_id")), seed)
@@ -557,8 +559,7 @@ object Curation {
         sum((expr("""CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10),
           16, 10) AS BIGINT) % 1048576""") * col("r")).cast("long"))
           .as("order_checksum"))
-    manifest.coalesce(1).write.mode("overwrite")
-      .parquet(dest.stripSuffix("/shards") + "/manifest")
+    manifest.coalesce(1).write.mode("overwrite").parquet(manifestDest)
     manifest
   }
 
@@ -582,6 +583,16 @@ object Curation {
     * doc's running end <= budget < every rejected doc's — the selection
     * is exactly the budget-maximal quality prefix, not merely "some
     * subset under budget". */
+  /** PREFIX MAXIMALITY of a budgeted selection: every selected doc's
+    * running end fits the budget AND the best rejected doc's does not.
+    * Both aggregate witnesses are nullable — `maxSelEnd` is None when
+    * nothing fits (the first doc alone exceeds the budget; the empty
+    * prefix is still the maximal one — ADVICE r16: the unguarded
+    * `getLong` NPE'd here), `minRejEnd` is None when everything fits. */
+  private[graft] def prefixMaximal(maxSelEnd: Option[Long],
+      minRejEnd: Option[Long], budget: Long): Boolean =
+    minRejEnd.forall(_ > budget) && maxSelEnd.forall(_ <= budget)
+
   private val p10 = Q(
     "p10_token_budget_select",
     (s, dir) => {
@@ -620,8 +631,9 @@ object Curation {
         sum(when(col("selected"), col("n_tokens")).otherwise(0L))
           .as("sel_tokens")).head()
       val withinBudget = facts.getLong(2) <= budget
-      val maximal = facts.isNullAt(1) ||
-        (facts.getLong(0) <= budget && facts.getLong(1) > budget)
+      val maximal = prefixMaximal(
+        if (facts.isNullAt(0)) None else Some(facts.getLong(0)),
+        if (facts.isNullAt(1)) None else Some(facts.getLong(1)), budget)
       cum.groupBy(col("grade"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),

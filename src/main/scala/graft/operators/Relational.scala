@@ -536,7 +536,14 @@ object Relational {
       WHERE o_totalprice > cust_avg"""))
 
   // ---------------------------------------------------------------- q28
-  /** ntile + dense_rank ranking family over a join. */
+  /** ntile + dense_rank ranking family over a join.
+    *
+    * Scale note: the empty-partition window (one global ordering) IS the
+    * query's semantics — a total ranking of suppliers, a DIMENSION table
+    * (TPC-H supplier is 10K rows/SF vs lineitem's 6M; at 100 TB it's the
+    * side you broadcast). A single-consumer global sort of a dimension
+    * table is fine; this pattern must not be copied to fact tables —
+    * fact-scale rankings use the q83-style bucket decomposition. */
   private val q28 = Q(
     "q28_rank_family",
     (s, dir) => {

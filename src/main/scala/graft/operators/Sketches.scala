@@ -824,6 +824,12 @@ object Sketches {
         .select(col("flag"), col("exact_distinct"), col("register_sum"),
           col("zero_registers"), col("hll_estimate"), col("within_3sigma"))
     },
+    // NOTE: this oracle hard-codes the p=12 constants the engine DERIVES
+    // from p (m=4096, registers via h60 split at 2^48, rank ceiling 49,
+    // α·m² = (0.7213/(1+1.079/m))·m², linear-counting cutoff 2.5m=10240,
+    // σ = 1.04/√m = 1.04/64). Changing HllSketch's p REDS this gate
+    // loudly until every literal below is retuned to match — tune them
+    // together.
     Some("""WITH pairs AS (
         SELECT DISTINCT l_returnflag AS flag,
           CAST(l_partkey AS VARCHAR) AS key
@@ -984,90 +990,159 @@ object Sketches {
     * noisy release must claim a slot in a persistent ledger BEFORE its
     * noise leaves the pipeline, the ledger's ε-sum is the spent budget,
     * and a release that would push the sum past the budget is REFUSED —
-    * nothing published, nothing recorded. The claim is the w13 OCC
-    * mechanic: one `release_v<N>.txt` record (release id, query id, ε,
-    * δ) created with CREATE_NEW — exactly one writer can create a given
-    * version; a loser re-reads the ledger, re-checks the budget WITH the
-    * winner's spend included, and only then retries. That re-check-inside-
-    * the-retry-loop is the whole point: two concurrent releases racing
-    * one remaining budget can never both land (spec races two real
-    * threads). Duplicate delivery of an already-landed release id finds
+    * nothing published, nothing recorded. The budget is the PAIR
+    * (ε, δ) under basic composition — Σε and Σδ are tracked
+    * independently and a release that would overdraw EITHER axis is
+    * refused with the axis named (`refused_eps` / `refused_delta`):
+    * (ε, δ)-DP composes to (Σε, Σδ)-DP, so a δ=0 pure-DP mechanism can
+    * still exhaust a finite δ budget via its peers and vice versa. The
+    * claim is the w13 OCC mechanic: one `release_v<N>.txt` record
+    * (release id, query id, ε, δ) claimed atomically — exactly one
+    * writer can claim a given version; a loser re-reads the ledger,
+    * re-checks both budgets WITH the winner's spend included, and only
+    * then retries. That re-check-inside-the-retry-loop is the whole
+    * point: two concurrent releases racing one remaining budget (on
+    * either axis) can never both land (spec races two real threads per
+    * axis). Duplicate delivery of an already-landed release id finds
     * its record and no-ops (the s15 exactly-once contract).
     *
+    * The claim itself is CONTENT-ATOMIC (ADVICE r16): the record is
+    * fully written to a dot-prefixed temp file (invisible to
+    * [[latest]]) and claimed via `Files.createLink(slot, tmp)` — POSIX
+    * link(2) both fails with EEXIST when the slot is taken (preserving
+    * OCC) and publishes the slot with its bytes already in place, so no
+    * reader can ever observe an empty or truncated record and a writer
+    * crash leaves only an ignored temp file, never a poisoned slot.
+    * (The first version created the slot with CREATE_NEW and then wrote
+    * the bytes — a concurrent `read()` in that window hit a MatchError
+    * on the empty record, and a crash between create and write poisoned
+    * every future `records()` call.) A plain CREATE_NEW+write fallback
+    * covers filesystems without hard links; there `read()`'s tolerance
+    * for in-flight records is the backstop.
+    *
     * At 100 TB the ledger is KB-sized metadata (one small file per
-    * release; the atomic-create primitive is the object store's
-    * if-none-match PUT) while the releases it guards are arbitrary
-    * aggregate jobs — budget enforcement costs one listing + one create
-    * per release, independent of data size. */
+    * release; the atomic-claim primitive is the object store's
+    * if-none-match PUT, which is content-atomic by construction) while
+    * the releases it guards are arbitrary aggregate jobs — budget
+    * enforcement costs one listing + one claim per release, independent
+    * of data size. */
   private[graft] final class DpLedger(val root: java.nio.file.Path,
-      val budgetEps: Double) {
+      val budgetEps: Double,
+      val budgetDelta: Double = Double.PositiveInfinity) {
     def latest(): Int =
       Option(root.toFile.listFiles()).getOrElse(Array.empty)
         .map(_.getName)
         .collect { case n if n.startsWith("release_v") && n.endsWith(".txt") =>
           n.stripPrefix("release_v").stripSuffix(".txt").toInt }
         .foldLeft(0)(math.max)
-    /** (release id, query id, ε, δ) of the landed record at version v. */
+    /** (release id, query id, ε, δ) of the landed record at version v.
+      * Under the hard-link claim a slot is never observable without its
+      * bytes; the in-flight tolerance below only matters on the
+      * no-hard-link fallback path, where it treats an empty/partial
+      * record as not-yet-landed and retries briefly. */
     def read(v: Int): (String, String, Double, Double) = {
-      val Array(id, q, e, d) = new String(java.nio.file.Files.readAllBytes(
-        root.resolve(s"release_v$v.txt")), "UTF-8").split("\t")
-      (id, q, e.toDouble, d.toDouble)
+      val slot = root.resolve(s"release_v$v.txt")
+      var attempt = 0
+      while (true) {
+        new String(java.nio.file.Files.readAllBytes(slot), "UTF-8")
+          .split("\t") match {
+          case Array(id, q, e, d) => return (id, q, e.toDouble, d.toDouble)
+          case _ =>
+            attempt += 1
+            if (attempt > 100) throw new IllegalStateException(
+              s"ledger slot $slot unparsable after ${attempt} reads")
+            Thread.sleep(1L)
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
     def records(): Seq[(String, String, Double, Double)] =
       (1 to latest()).map(read)
     def spentEps(): Double = records().map(_._3).sum
+    def spentDelta(): Double = records().map(_._4).sum
     def landedVersionOf(id: String): Option[Int] =
       (1 to latest()).find(v => read(v)._1 == id)
-    /** One release attempt: "landed" | "duplicate" | "refused". The
-      * ledger view is snapshotted ONCE per iteration — `base = latest()`
-      * and the budget summed over exactly records 1..base — and the
-      * claim targets base+1: if a rival lands base+1 between the
-      * snapshot and the create, CREATE_NEW fails and the loop re-reads;
-      * if the create succeeds, no record beyond base existed at the
-      * commit point, so the budget was validated against the true prior
-      * state. (Checking the budget with one listing and computing the
-      * slot with ANOTHER — the first version of this code — leaves a
-      * window where a rival's landing invalidates the check but the
-      * claim still succeeds: two ε=2.0 racers against a 3.0 budget could
-      * BOTH land. The spec's real-thread race caught it.) */
+    /** Atomically claim `slot` with `bytes` already in place: write to a
+      * dot-prefixed temp sibling, then hard-link it into the slot name
+      * (atomic, fails if the slot exists). Returns false if a rival owns
+      * the slot. */
+    private def claim(slot: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      val tmp = java.nio.file.Files.createTempFile(root, ".claim_", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try { java.nio.file.Files.createLink(slot, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no hard links on this FS: CREATE_NEW is still an atomic
+            // claim, just not content-atomic — read()'s retry covers it
+            try {
+              java.nio.file.Files.write(slot, bytes,
+                java.nio.file.StandardOpenOption.CREATE_NEW)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+    /** One release attempt: "landed" | "duplicate" | "refused_eps" |
+      * "refused_delta". The ledger view is snapshotted ONCE per
+      * iteration — `base = latest()` and both budgets summed over
+      * exactly records 1..base — and the claim targets base+1: if a
+      * rival lands base+1 between the snapshot and the claim, the claim
+      * fails and the loop re-reads; if the claim succeeds, no record
+      * beyond base existed at the commit point, so the budgets were
+      * validated against the true prior state. (Checking the budget
+      * with one listing and computing the slot with ANOTHER — the first
+      * version of this code — leaves a window where a rival's landing
+      * invalidates the check but the claim still succeeds: two ε=2.0
+      * racers against a 3.0 budget could BOTH land. The spec's
+      * real-thread race caught it.) */
     def release(id: String, queryId: String, eps: Double,
         delta: Double): String = {
       while (true) {
         if (landedVersionOf(id).nonEmpty) return "duplicate"
         val base = latest()
-        val spent = (1 to base).map(read(_)._3).sum
-        if (spent + eps > budgetEps + 1e-12) return "refused"
-        try {
-          java.nio.file.Files.write(root.resolve(s"release_v${base + 1}.txt"),
-            s"$id\t$queryId\t$eps\t$delta".getBytes("UTF-8"),
-            java.nio.file.StandardOpenOption.CREATE_NEW)
+        val prior = (1 to base).map(read)
+        if (prior.map(_._3).sum + eps > budgetEps + 1e-12)
+          return "refused_eps"
+        if (prior.map(_._4).sum + delta > budgetDelta + 1e-12)
+          return "refused_delta"
+        if (claim(root.resolve(s"release_v${base + 1}.txt"),
+            s"$id\t$queryId\t$eps\t$delta".getBytes("UTF-8")))
           return "landed"
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => // retry
-        }
       }
       "unreachable"
     }
   }
 
-  /** The q84 gate: budget ε = 3.0; the attempt sequence exercises every
-    * ledger branch deterministically (the atomic create is raced for
-    * real by two threads in the spec): r1 count release ε=1.0 lands →
-    * r2 ε=1.5 lands → r1 redelivered no-ops (still 2 records) → r3
-    * ε=1.0 would spend 3.5 > 3.0 and is REFUSED. Landed releases publish
-    * the q82 mechanism keyed by the RELEASE id (noise once per release);
-    * refused/duplicate attempts publish the -1 sentinel and draw no
-    * noise. The ledger facts (spent ε, record count, refusal, no-op) are
-    * all recomputed from the files; the released values are mirrored by
-    * DuckDB via the deterministic md5 noise. */
+  /** The q84 gate: budget pair ε = 3.0, δ = 10·2⁻²⁰; the attempt
+    * sequence exercises every ledger branch deterministically (the
+    * atomic claim is raced for real by two threads PER AXIS in the
+    * spec): r1 ε=1.0 δ=4u lands → r2 ε=1.5 δ=5u lands → r1 redelivered
+    * no-ops (still 2 records) → r3 ε=1.0 δ=0 would spend Σε=3.5 > 3.0,
+    * REFUSED_EPS → r4 ε=0.25 δ=2u fits the ε budget but would spend
+    * Σδ=11u > 10u, REFUSED_DELTA (δ is a budget axis, not a passenger
+    * column) → r5 ε=0.25 δ=1u lands EXACTLY on both ceilings (Σε=2.75,
+    * Σδ=10u — the boundary is inclusive). δ values are multiples of
+    * u=2⁻²⁰ so every partial sum is exact in binary on both engines.
+    * Landed releases publish the q82 mechanism keyed by the RELEASE id
+    * (noise once per release); refused/duplicate attempts publish the
+    * -1 sentinel and draw no noise. The ledger facts (spent ε and δ,
+    * record count, per-axis refusal, no-op) are all recomputed from the
+    * files; the released values are mirrored by DuckDB via the
+    * deterministic md5 noise. */
   private val q84 = Q(
     "q84_dp_budget_ledger",
     (s, dir) => {
       val sp = s
       import sp.implicits._
+      val u = math.pow(2.0, -20) // exact binary δ unit
       val root = java.nio.file.Files.createTempDirectory("graft_q84_")
       try {
-        val ledger = new DpLedger(root, budgetEps = 3.0)
+        val ledger = new DpLedger(root, budgetEps = 3.0,
+          budgetDelta = 10 * u)
         val ev = Tables.events(s, dir)
         val cnts = ev.agg(count(lit(1)).as("n_all"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L))
@@ -1075,23 +1150,30 @@ object Sketches {
         val (nAll, nView) = (cnts.getLong(0), cnts.getLong(1))
         // the deterministic attempt sequence (the spec races the claim)
         val plan = Seq(
-          (1L, "r1", "count_all", 1.0, nAll),
-          (2L, "r2", "count_view", 1.5, nView),
-          (3L, "r1", "count_all", 1.0, nAll), // duplicate delivery
-          (4L, "r3", "count_click", 1.0, 0L)) // refused: 2.5 + 1 > 3
-        val outcomes = plan.map { case (at, id, qid, eps, n) =>
-          val o = ledger.release(id, qid, eps, 0.0)
-          (at, id, qid, eps, 0.0, n, o, ledger.spentEps())
+          (1L, "r1", "count_all", 1.0, 4 * u, nAll),
+          (2L, "r2", "count_view", 1.5, 5 * u, nView),
+          (3L, "r1", "count_all", 1.0, 4 * u, nAll), // duplicate delivery
+          (4L, "r3", "count_click", 1.0, 0.0, 0L), // refused_eps: 2.5+1 > 3
+          (5L, "r4", "count_click", 0.25, 2 * u, 0L), // refused_delta: 11u > 10u
+          (6L, "r5", "count_view", 0.25, 1 * u, nView)) // lands on both ceilings
+        val outcomes = plan.map { case (at, id, qid, eps, del, n) =>
+          val o = ledger.release(id, qid, eps, del)
+          (at, id, qid, eps, del, n, o, ledger.spentEps(), ledger.spentDelta())
         }
         val spentFinal = ledger.spentEps()
-        val cumulativeOk = spentFinal == 2.5 && ledger.latest() == 2 &&
+        val spentDeltaFinal = ledger.spentDelta()
+        val cumulativeOk = spentFinal == 2.75 && spentDeltaFinal == 10 * u &&
+          ledger.latest() == 3 &&
           ledger.records().map(_._3).sum == spentFinal
-        val refusalOk = outcomes(3)._7 == "refused" &&
+        val refusalOk = outcomes(3)._7 == "refused_eps" &&
           ledger.landedVersionOf("r3").isEmpty
-        val dupOk = outcomes(2)._7 == "duplicate" && ledger.latest() == 2
-        val budgetOk = spentFinal <= 3.0
+        val deltaRefusalOk = outcomes(4)._7 == "refused_delta" &&
+          ledger.landedVersionOf("r4").isEmpty
+        val dupOk = outcomes(2)._7 == "duplicate"
+        val budgetOk = spentFinal <= 3.0 && spentDeltaFinal <= 10 * u
         val rows = outcomes.toDF("attempt", "release_id", "query_id",
-          "epsilon", "delta", "true_n", "outcome", "eps_spent_after")
+          "epsilon", "delta", "true_n", "outcome", "eps_spent_after",
+          "delta_spent_after")
         val out = rows
           .withColumn("released_count",
             when(col("outcome") === "landed",
@@ -1101,6 +1183,7 @@ object Sketches {
               .otherwise(lit(-1.0)))
           .withColumn("ledger_sum_equals_cumulative", lit(cumulativeOk))
           .withColumn("over_budget_refused", lit(refusalOk))
+          .withColumn("over_delta_refused", lit(deltaRefusalOk))
           .withColumn("duplicate_noop", lit(dupOk))
           .withColumn("budget_never_exceeded", lit(budgetOk))
         graft.functions.CrossEngine.materializeLocal(s, out)
@@ -1114,16 +1197,28 @@ object Sketches {
             AS BIGINT) AS n_view
         FROM events),
       plan AS (
+        -- δ in exact binary units of 2^-20 (du, du_after) so every
+        -- partial sum matches the engine bit-for-bit
         SELECT attempt, release_id, query_id,
-          CAST(epsilon AS DOUBLE) AS epsilon, CAST(delta AS DOUBLE) AS delta,
-          outcome, CAST(eps_spent_after AS DOUBLE) AS eps_spent_after
+          CAST(epsilon AS DOUBLE) AS epsilon,
+          CAST(du AS DOUBLE) * pow(2.0, -20) AS delta,
+          outcome, CAST(eps_spent_after AS DOUBLE) AS eps_spent_after,
+          CAST(du_after AS DOUBLE) * pow(2.0, -20) AS delta_spent_after
         FROM (VALUES
-          (CAST(1 AS BIGINT), 'r1', 'count_all', 1.0, 0.0, 'landed', 1.0),
-          (CAST(2 AS BIGINT), 'r2', 'count_view', 1.5, 0.0, 'landed', 2.5),
-          (CAST(3 AS BIGINT), 'r1', 'count_all', 1.0, 0.0, 'duplicate', 2.5),
-          (CAST(4 AS BIGINT), 'r3', 'count_click', 1.0, 0.0, 'refused', 2.5))
-          t(attempt, release_id, query_id, epsilon, delta, outcome,
-            eps_spent_after)),
+          (CAST(1 AS BIGINT), 'r1', 'count_all', 1.0, 4, 'landed',
+            1.0, 4),
+          (CAST(2 AS BIGINT), 'r2', 'count_view', 1.5, 5, 'landed',
+            2.5, 9),
+          (CAST(3 AS BIGINT), 'r1', 'count_all', 1.0, 4, 'duplicate',
+            2.5, 9),
+          (CAST(4 AS BIGINT), 'r3', 'count_click', 1.0, 0, 'refused_eps',
+            2.5, 9),
+          (CAST(5 AS BIGINT), 'r4', 'count_click', 0.25, 2, 'refused_delta',
+            2.5, 9),
+          (CAST(6 AS BIGINT), 'r5', 'count_view', 0.25, 1, 'landed',
+            2.75, 10))
+          t(attempt, release_id, query_id, epsilon, du, outcome,
+            eps_spent_after, du_after)),
       w AS (
         SELECT p.*, CASE p.query_id WHEN 'count_all' THEN n.n_all
             WHEN 'count_view' THEN n.n_view ELSE CAST(0 AS BIGINT) END
@@ -1133,13 +1228,14 @@ object Sketches {
             + 1.0) / (1125899906842624.0 + 2.0) AS u
         FROM plan p CROSS JOIN n)
       SELECT attempt, release_id, query_id, epsilon, delta, true_n,
-        outcome, eps_spent_after,
+        outcome, eps_spent_after, delta_spent_after,
         CASE WHEN outcome = 'landed'
           THEN round(CAST(true_n AS DOUBLE) + -1.0 * (1.0 / epsilon)
             * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
           ELSE -1.0 END AS released_count,
         true AS ledger_sum_equals_cumulative,
-        true AS over_budget_refused, true AS duplicate_noop,
+        true AS over_budget_refused, true AS over_delta_refused,
+        true AS duplicate_noop,
         true AS budget_never_exceeded
       FROM w"""))
 

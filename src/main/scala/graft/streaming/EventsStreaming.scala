@@ -4238,7 +4238,9 @@ object EventsStreaming {
     * stream keeps running). Four deterministic arrival slices
     * (event_id mod 4, pinned mtimes, one file per trigger); each trigger
     * counts its slice exactly and attempts a ε=1.0 release against one
-    * 3.0 budget: t0–t2 land and publish, t3 is REFUSED — no noise drawn,
+    * 3.0 budget: t0–t2 land and publish, t3 is REFUSED on the ε axis
+    * (`refused_eps`; the ledger's δ budget is unbounded here, q84 gates
+    * the δ axis) — no noise drawn,
     * nothing published, no ledger record, and the query completes
     * normally (budget exhaustion is a data-governance outcome, not a
     * stream failure).
@@ -4340,7 +4342,7 @@ object EventsStreaming {
           .withColumn("drained_equals_batch", lit(drainedEqualsBatch))
           .withColumn("ledger_exact", lit(ledgerOk))
           .withColumn("over_budget_refused",
-            lit(outcomes.get(3L)._1 == "refused"))
+            lit(outcomes.get(3L)._1 == "refused_eps"))
           .withColumn("multi_batch", lit(trigger.get() >= 4L))
         graft.functions.CrossEngine.materializeLocal(s, out)
       } finally {
@@ -4352,7 +4354,7 @@ object EventsStreaming {
         FROM events GROUP BY 1),
       plan AS (
         SELECT i, concat('t', CAST(i AS VARCHAR)) AS release_id,
-          CASE WHEN i < 3 THEN 'landed' ELSE 'refused' END AS outcome,
+          CASE WHEN i < 3 THEN 'landed' ELSE 'refused_eps' END AS outcome,
           CAST(least(i + 1, 3) AS DOUBLE) AS eps_spent_after
         FROM (SELECT unnest(range(0, 4)) AS i) ii),
       w AS (

@@ -44,7 +44,7 @@ object ShardExportRehearsal {
     try {
       val manifest = timed(f"export ${nM}%.1fM docs -> $nShards shards") {
         graft.operators.Curation.exportShards(counted, "epoch1", nShards,
-          s"$out/shards").localCheckpoint(true)
+          s"$out/shards", s"$out/manifest").localCheckpoint(true)
       }
       val rows = manifest.collect().sortBy(_.getAs[Long]("shard_id"))
       val truth = counted.agg(count(lit(1)), sum(col("n_tokens")),

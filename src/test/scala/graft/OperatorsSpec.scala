@@ -1296,6 +1296,15 @@ class OperatorsSpec extends SparkSpec {
     val windows = plan.collect { case w: WindowExec => w }
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "p10 planned a global window")
+    // the maximality predicate over all witness shapes, including the
+    // two NULL aggregates (ADVICE r16: the empty selection NPE'd)
+    import graft.operators.Curation.prefixMaximal
+    assert(prefixMaximal(None, Some(11L), 10L)) // nothing fits: empty prefix
+    assert(prefixMaximal(Some(9L), None, 10L)) // everything fits
+    assert(prefixMaximal(None, None, 10L)) // empty input
+    assert(prefixMaximal(Some(9L), Some(12L), 10L))
+    assert(!prefixMaximal(Some(9L), Some(10L), 10L)) // rejected doc fits
+    assert(!prefixMaximal(Some(11L), Some(12L), 10L)) // selection overdraws
   }
 
   test("p09 shard export: token-balanced, epoch-ordered, manifest honest") {
@@ -1333,22 +1342,29 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("q84 dp ledger: branches pinned, two racing releases never both land") {
+    val u = math.pow(2.0, -20)
     val rows = run("q84_dp_budget_ledger").collect()
       .sortBy(_.getAs[Long]("attempt"))
-    assert(rows.length === 4)
+    assert(rows.length === 6)
     Seq("ledger_sum_equals_cumulative", "over_budget_refused",
-      "duplicate_noop", "budget_never_exceeded").foreach { c =>
+      "over_delta_refused", "duplicate_noop",
+      "budget_never_exceeded").foreach { c =>
       assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
     }
     assert(rows.map(_.getAs[String]("outcome")).toSeq ===
-      Seq("landed", "landed", "duplicate", "refused"))
+      Seq("landed", "landed", "duplicate", "refused_eps",
+        "refused_delta", "landed"))
     // nothing leaves the pipeline on a refused/duplicate attempt
     assert(rows.filter(r => r.getAs[String]("outcome") != "landed")
       .forall(_.getAs[Double]("released_count") == -1.0))
-    // the REAL race, repeated: two threads, eps 2.0 each, one budget of
-    // 3.0 — the snapshot-then-claim discipline means exactly one can
-    // land per round (a stale-budget + fresh-slot interleaving once let
-    // BOTH land; 8 fresh-ledger rounds keep that window covered)
+    // the boundary release lands EXACTLY on both ceilings
+    assert(rows.last.getAs[Double]("eps_spent_after") === 2.75)
+    assert(rows.last.getAs[Double]("delta_spent_after") === 10 * u)
+    // the REAL race, repeated, on BOTH budget axes: two threads whose
+    // combined spend overdraws exactly one axis — the snapshot-then-
+    // claim discipline means exactly one can land per round (a
+    // stale-budget + fresh-slot interleaving once let BOTH land; 8
+    // fresh-ledger rounds per axis keep that window covered)
     import java.util.concurrent.{CountDownLatch, Executors}
     val pool = Executors.newFixedThreadPool(2)
     try {
@@ -1368,13 +1384,52 @@ class OperatorsSpec extends SparkSpec {
           val (ra, rb) = (racer("A"), racer("B"))
           gate.countDown()
           val outcomes = Seq(ra.get(), rb.get())
-          assert(outcomes.sorted === Seq("landed", "refused"),
+          assert(outcomes.sorted === Seq("landed", "refused_eps"),
             s"round $round race outcomes $outcomes")
           assert(ledger.spentEps() === 2.0 && ledger.latest() === 1)
           // and a sequential release inside the remainder still lands
           assert(ledger.release("C", "count_view", 1.0, 0.0) === "landed")
-          assert(ledger.release("D", "count_view", 0.5, 0.0) === "refused")
+          assert(ledger.release("D", "count_view", 0.5, 0.0) ===
+            "refused_eps")
           assert(ledger.spentEps() === 3.0)
+          // the content-atomic claim leaves no temp residue: the ledger
+          // directory holds exactly the landed slots, nothing else
+          assert(Option(root.toFile.listFiles()).get
+            .forall(_.getName.matches("release_v\\d+\\.txt")),
+            "claim temp files leaked into the ledger")
+        } finally {
+          graft.functions.CrossEngine.deleteRecursive(root)
+        }
+      }
+      // the δ-axis race: ε budget is ample, δ budget of 10u against two
+      // racers at 6u each — exactly one lands, the loser is refused on
+      // the δ axis specifically
+      (1 to 8).foreach { round =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_q84_spec_delta_$round")
+        try {
+          val ledger = new graft.operators.Sketches.DpLedger(
+            root, 100.0, budgetDelta = 10 * u)
+          val gate = new CountDownLatch(1)
+          def racer(id: String) = pool.submit(
+            new java.util.concurrent.Callable[String] {
+              def call(): String = {
+                gate.await()
+                ledger.release(id, "count_all", 1.0, 6 * u)
+              }
+            })
+          val (ra, rb) = (racer("A"), racer("B"))
+          gate.countDown()
+          val outcomes = Seq(ra.get(), rb.get())
+          assert(outcomes.sorted === Seq("landed", "refused_delta"),
+            s"round $round delta race outcomes $outcomes")
+          assert(ledger.spentDelta() === 6 * u && ledger.latest() === 1)
+          // the remaining 4u of δ is still claimable...
+          assert(ledger.release("C", "count_view", 1.0, 4 * u) === "landed")
+          // ...and the exhausted axis refuses even a δ-only ask
+          assert(ledger.release("D", "count_view", 0.0, 1 * u) ===
+            "refused_delta")
+          assert(ledger.spentDelta() === 10 * u)
         } finally {
           graft.functions.CrossEngine.deleteRecursive(root)
         }

@@ -638,7 +638,7 @@ class StreamingSpec extends SparkSpec {
       .collect().sortBy(_.getAs[Long]("trigger_id"))
     assert(rows.length === 4)
     assert(rows.map(_.getAs[String]("outcome")).toSeq ===
-      Seq("landed", "landed", "landed", "refused"))
+      Seq("landed", "landed", "landed", "refused_eps"))
     rows.foreach { r =>
       assert(r.getAs[Boolean]("drained_equals_batch"))
       assert(r.getAs[Boolean]("ledger_exact"))
