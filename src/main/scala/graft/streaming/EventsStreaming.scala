@@ -4192,15 +4192,22 @@ object EventsStreaming {
           def edges(root: String): DataFrame =
             s.read.parquet(root).select(col("u"), col("v"))
           val perTable = tables.map { t =>
-            val bDf = edges(s"$work/batch/$t").localCheckpoint(true)
-            val sDf = edges(s"$work/stream/$t").localCheckpoint(true)
-            // full multiset equality (the st42 closure): containment +
-            // equal counts + BOTH sides dup-free
-            val rowsEqual =
-              bDf.unionByName(sDf).distinct().count() == bDf.count() &&
-              bDf.count() == sDf.count() &&
-              bDf.distinct().count() == bDf.count() &&
-              sDf.distinct().count() == sDf.count()
+            val bDf = edges(s"$work/batch/$t")
+            val sDf = edges(s"$work/stream/$t")
+            // full multiset equality (the st42 closure) in ONE fused job:
+            // both sides dup-free with identical key sets ⇔ every (u, v)
+            // key on EITHER side appears exactly once on BOTH sides
+            // (containment + equal counts + dup-free, as one predicate —
+            // the five-count form cost five jobs per table)
+            val cmpRow = bDf.groupBy(col("u"), col("v"))
+              .agg(count(lit(1)).as("cb"))
+              .join(sDf.groupBy(col("u"), col("v"))
+                .agg(count(lit(1)).as("cs")), Seq("u", "v"), "full_outer")
+              .agg(count(lit(1)).as("n"),
+                sum(when(coalesce(col("cb"), lit(0L)) === 1L &&
+                  coalesce(col("cs"), lit(0L)) === 1L, 1L).otherwise(0L))
+                  .as("ok")).head()
+            val rowsEqual = cmpRow.getLong(0) == cmpRow.getLong(1)
             val untouched = (0 until Similarity.s38Buckets)
               .filterNot(touchedAll(t).contains)
             val bytesIdentical = untouched.nonEmpty && untouched.forall(b =>
