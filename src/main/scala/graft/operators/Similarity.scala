@@ -6008,8 +6008,161 @@ object Similarity {
         FROM w0bm$s34L0Hops) t
       WHERE rn2 <= 3"""))
 
+  // ---------------------------------------------------------------- s51
+  /** LAYERED-HNSW RETRAIN GENERATION (VERDICT r16 #5 — the one remaining
+    * asymmetry in the blue/green matrix: IVF has codebook RETRAINING
+    * (s18) shipped as a generation (s49); this is the layered lane's
+    * analogue). A retrain regenerates the TRAINED components of the
+    * artifact — the level assignment is re-drawn under a fresh seed and
+    * the routing layers re-linked under new per-layer degree caps
+    * (M1 6→4, M2 4→3), exactly the "re-run the index build with new
+    * hyperparameters" operation a production deployment ships when
+    * recall/latency tuning changes M or the level-λ — while the base
+    * adjacency (knn + links), which is not trained, keeps its content.
+    * gen2 is a rebuild-class bulk write of all four tables (one tagged
+    * shuffle job, the s50 shape — never copy-then-patch), shipped
+    * through the SAME atomic pointer with digest-proven rollback and GC.
+    *
+    * The post-flip serve runs s34's full three-leg descent over the
+    * RETRAINED artifact — entry elected from the new level table, upper
+    * walks over the new layers — and the oracle mirrors the whole
+    * retrained build CTE for CTE (new seed, new Ms), so a retrain that
+    * loses an edge, keeps a stale level, or elects the old entry reds on
+    * values. Witnesses: the level re-draw actually moved nodes and the
+    * retrained layer-1 edge set differs from gen1's (a "retrain" that
+    * reproduces the old artifact is vacuous); rollback pointer + digest
+    * exact; GC after re-flip leaves gen2 byte-identical.
+    *
+    * Scale shape: the retrain is the s34 build's own partition-parallel
+    * contractions (two bucketed self-joins + top-M heaps) over the
+    * persisted base graph; generation shipping is one bulk write + one
+    * pointer rename — no serving downtime, O(new artifact) work. */
+  private val s51 = Q(
+    "s51_hnsw_layered_retrain",
+    (s, dir) => withConstraintPropagationOff(s) {
+      val out = java.nio.file.Files.createTempDirectory("graft_s51_").toString
+      try {
+        val (rtM1, rtM2) = (4, 3)
+        layeredTables.foreach(t =>
+          BucketedFixtureCache.copyTable(s, dir, t, s"$out/gen1/$t"))
+        genWritePointer(out, "gen1")
+        val gen1Digest = bucketDirDigest(s"$out/gen1")
+        val emb = nndPlantedVecs(s, dir)
+          .select(col("vec_id").as("id"), col("embedding"))
+        def g1(t: String): DataFrame =
+          s.read.parquet(s"$out/gen1/$t").select(col("u"), col("v"))
+        val base = g1("knn").unionByName(g1("links")).distinct()
+          .localCheckpoint(true)
+        // the RETRAIN: levels re-drawn under seed 'rt' (same promotion
+        // fractions), routing layers re-linked under the new caps
+        val lw = emb.select(col("id"), expr(
+          """CASE WHEN CAST(conv(substring(md5(concat('rt', CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0 < 0.0625 THEN 2
+                  WHEN CAST(conv(substring(md5(concat('rt', CAST(id AS STRING))), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0 < 0.25 THEN 1
+                  ELSE 0 END""").as("lvl")).localCheckpoint(true)
+        val e1r = hnswLayerEdges(base, lw, 1, emb, rtM1)
+        val e2r = hnswLayerEdges(e1r, lw, 2, emb, rtM2)
+        // non-vacuity witnesses vs the ORIGINAL trained artifact
+        val (lv0, e1o, _) = LayeredGraphCache.layers(s, dir)
+        val levelsRedrawn = lw.alias("a")
+          .join(lv0.alias("b"), col("a.id") === col("b.id"))
+          .filter(col("a.lvl") =!= col("b.lvl")).count() > 0
+        val routingRetrained =
+          e1r.except(e1o).count() + e1o.except(e1r).count() > 0
+        // gen2: rebuild-class bulk write, one tagged job (the s50 shape)
+        val fs = bucketFs(out)
+        Seq("knn" -> g1("knn"), "links" -> g1("links"),
+          "layer1" -> e1r, "layer2" -> e2r)
+          .map { case (t, df) => df.withColumn("tbl", lit(t)) }
+          .reduce(_ unionByName _)
+          .withColumn("bucket",
+            pmod(col("u"), lit(s38Buckets.toLong)).cast("int"))
+          .repartition(col("tbl"), col("bucket"))
+          .write.mode("overwrite").partitionBy("tbl", "bucket")
+          .parquet(s"$out/gen2_build")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/gen2"))
+        layeredTables.foreach { t =>
+          fs.rename(new org.apache.hadoop.fs.Path(s"$out/gen2_build/tbl=$t"),
+            new org.apache.hadoop.fs.Path(s"$out/gen2/$t"))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$out/gen2_build"), true)
+        val gen1Intact = bucketDirDigest(s"$out/gen1") == gen1Digest
+        val gen2Digest = bucketDirDigest(s"$out/gen2")
+        genWritePointer(out, "gen2") // the atomic flip
+        // serve the retrained generation: entry elected from the NEW
+        // levels, the descent walks the NEW layers
+        val entry = layeredEntry(lw)
+        val liveAtServe = genLiveGen(out)
+        val served = layeredServeFromFiles(s, dir, s"$out/$liveAtServe",
+          entry)
+        val servedPointerOk = liveAtServe == "gen2"
+        genWritePointer(out, "gen1") // rollback
+        val rollbackExact = genLiveGen(out) == "gen1" &&
+          bucketDirDigest(s"$out/gen1") == gen1Digest
+        genWritePointer(out, "gen2") // re-flip, then GC
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(s"$out/gen1"))
+        val gcSafe = genLiveGen(out) == "gen2" &&
+          bucketDirDigest(s"$out/gen2") == gen2Digest
+        val pointerIsOneFile = bucketFs(out).getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$out/_POINTER")).isFile &&
+          servedPointerOk
+        graft.functions.CrossEngine.materializeLocal(s, served
+          .withColumn("levels_redrawn", lit(levelsRedrawn))
+          .withColumn("routing_retrained", lit(routingRetrained))
+          .withColumn("flip_atomic_single_pointer", lit(pointerIsOneFile))
+          .withColumn("gen1_intact_through_build", lit(gen1Intact))
+          .withColumn("rollback_pointer_digest_exact", lit(rollbackExact))
+          .withColumn("gc_after_flip_safe", lit(gcSafe)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""WITH $nndPlantedCte,
+      ${nndOracleBuildChain(6, 24)},
+      gall AS MATERIALIZED (
+        SELECT u, v FROM nb3 UNION SELECT u, v FROM nb0),
+      $s30QueriesCte,
+      lvu AS (
+        SELECT id, CAST(CAST(concat('0x', substring(md5(concat('rt',
+          CAST(id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE)
+          / 1152921504606846976.0 AS u
+        FROM emb),
+      lv AS MATERIALIZED (
+        SELECT id, CASE WHEN u < 0.0625 THEN 2 WHEN u < 0.25 THEN 1
+          ELSE 0 END AS lvl
+        FROM lvu),
+      ${hnswOracleLayer(1, "gall", 1, 4)},
+      ${hnswOracleLayer(2, "le1", 2, 3)},
+      ent AS MATERIALIZED (
+        SELECT coalesce((SELECT min(id) FROM lv WHERE lvl >= 2),
+                        (SELECT min(id) FROM lv WHERE lvl >= 1),
+                        0) AS node),
+      w2b0 AS (SELECT q.query_id, CAST(e.node AS BIGINT) AS node
+               FROM queries q, ent e),
+      ${hnswOracleHop("w2", 1, "w2b0", "le2", 2)},
+      ${hnswOracleHop("w2", 2, "w2bm1", "le2", 2)},
+      p1 AS (SELECT query_id, node FROM w2bm2 WHERE rn = 1),
+      ${hnswOracleHop("w1", 1, "p1", "le1", 2)},
+      ${hnswOracleHop("w1", 2, "w1bm1", "le1", 2)},
+      p0 AS (SELECT query_id, node FROM w1bm2 WHERE rn = 1),
+      ${(1 to s34L0Hops).map(i =>
+        hnswOracleHop("w0", i, if (i == 1) "p0" else s"w0bm${i - 1}",
+          "gall", s30Beam)).mkString(",\n      ")}
+      SELECT query_id, CAST(rn2 AS BIGINT) AS rnk, node AS neighbor_id,
+        round(d, 6) AS dist_sq,
+        true AS levels_redrawn, true AS routing_retrained,
+        true AS flip_atomic_single_pointer,
+        true AS gen1_intact_through_build,
+        true AS rollback_pointer_digest_exact, true AS gc_after_flip_safe
+      FROM (
+        SELECT query_id, node, d,
+          row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rn2
+        FROM w0bm$s34L0Hops) t
+      WHERE rn2 <= 3"""))
+
   val all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24,
     s25, s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38,
-    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50)
+    s39, s40, s41, s42, s43, s44, s45, s46, s47, s48, s49, s50, s51)
 }

@@ -5030,6 +5030,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s51 layered retrain: new levels/Ms served, rollback digest-exact") {
+    val rows = run("s51_hnsw_layered_retrain").collect()
+    assert(rows.length === 60) // 20 queries x top-3, served from gen2
+    Seq("levels_redrawn", "routing_retrained",
+      "flip_atomic_single_pointer", "gen1_intact_through_build",
+      "rollback_pointer_digest_exact", "gc_after_flip_safe").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    // the retrain is non-vacuous end to end: the retrained descent must
+    // NOT reproduce s34's serve verbatim (new entry election + new
+    // routing move at least one query's beam on this corpus)
+    val served = rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("rnk"), r.getAs[Long]("neighbor_id"))).toSet
+    val s34rows = run("s34_hnsw_search").collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(served !== s34rows, "retrained serve identical to s34's")
+  }
+
   test("s47 layered compaction: all four tables healed, serve == s34 exactly") {
     val rows = run("s47_hnsw_layered_compact").collect()
     assert(rows.length === 60) // 20 queries x top-3, served post-compaction
