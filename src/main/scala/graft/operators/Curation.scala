@@ -671,5 +671,240 @@ object Curation {
         true AS within_budget, true AS prefix_maximal
       FROM cum GROUP BY grade"""))
 
-  val all: Seq[Q] = Seq(p04, p05, p09, p10)
+  // ---------------------------------------------------------------- p11
+  /** THE TRAINING-DATA LAST MILE, COMPOSED (VERDICT r16 #3): p04 curates,
+    * p10 selects under a token budget, q83 orders the epoch, p09 writes
+    * shards — a real pretraining run chains all four, and the interop
+    * seams (does selection read the CURATED text? do the shards hold
+    * exactly the selected docs in the seeded order?) are what the
+    * per-stage gates cannot see. One entry runs
+    *
+    *   p04 stages 0-4 (quality → line dedup → near-dup → decontam)
+    *     → p10 token-budget selection (quality-decile prefix, budget T/2)
+    *     → q83 epoch permutation over the SELECTED docs (seed epoch1)
+    *     → p09 token-balanced ordered shard export (4 shards + manifest)
+    *
+    * and returns the manifest with CONSERVATION facts computed
+    * independently by both engines: docs in == Σ per-outcome lineage
+    * counts (every input doc lands in exactly one of filtered_out /
+    * fully_boilerplate / near_dup / contaminated / budget_rejected /
+    * exported), tokens into selection == selected + rejected, and the
+    * shard totals == the selected totals. The row-level lineage audit
+    * (the p05 pattern, extended by the two new outcomes) is compressed
+    * into `lineage_checksum` — Σ (md5(doc_id) mod 2²⁰) · outcome_code
+    * over EVERY input doc — so one document in the wrong class reds the
+    * gate on a value, not just a count. The DuckDB oracle mirrors the
+    * whole chain CTE-for-CTE on the SAME factored stage SQL as p04/p05.
+    *
+    * Scale shape: each stage keeps its own audited posture (see p04,
+    * p10, q83, p09); the composition adds one broadcast-joined lineage
+    * marking and one manifest aggregation. Driver state stays
+    * bucket/grade-sized. The 1M-doc composed rehearsal is
+    * `graft.tools.CurationRehearsal`'s export leg (SCALE.md). */
+  private val p11 = Q(
+    "p11_corpus_train_export",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_p11_").toString
+      try {
+        val st = runStages(s, dir)
+        // p10 kernel on the CURATED text: decile grade, budget = T/2
+        val cnts = st.kept4.select(col("doc_id"), explode(toks).as("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        val graded = cnts.groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
+          .withColumn("grade", floor((lit(1.0) -
+            col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+            * 10).cast("long"))
+          .localCheckpoint(true)
+        val perGrade = graded.groupBy(col("grade"))
+          .agg(sum(col("n_tokens")).as("tot"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+        val tokensIn = perGrade.map(_._2).sum
+        val budget = tokensIn / 2
+        val offsets = {
+          var acc = 0L
+          perGrade.map { case (g, t) => val off = acc; acc += t; g -> off }
+        }
+        val sp = s
+        import sp.implicits._
+        val offDf = broadcast(offsets.toSeq.toDF("grade", "off"))
+        val w = Window.partitionBy(col("grade")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = graded.join(offDf, Seq("grade"))
+          .withColumn("cum_end", col("off") + sum(col("n_tokens")).over(w))
+          .withColumn("selected", col("cum_end") <= budget)
+          .localCheckpoint(true)
+        val selected = cum.filter(col("selected"))
+          .select(col("doc_id"), col("n_tokens")).localCheckpoint(true)
+        val tokRow = cum.agg(
+          sum(when(col("selected"), col("n_tokens")).otherwise(0L)),
+          sum(when(!col("selected"), col("n_tokens")).otherwise(0L))).head()
+        val tokensSelected = tokRow.getLong(0)
+        val tokensRejected = tokRow.getLong(1)
+        // q83 epoch order x t10 balance x p09 writer, over the selection
+        val nShards = 4
+        val manifest = exportShards(selected, "epoch1", nShards,
+          s"$out/shards", s"$out/manifest").localCheckpoint(true)
+        val manTot = manifest
+          .agg(sum(col("n_docs")), sum(col("shard_tokens"))).head()
+        val onePerShard = (0 until nShards).forall { i =>
+          Option(new java.io.File(s"$out/shards/shard_id=$i").listFiles())
+            .getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet")) == 1
+        }
+        // row-level lineage, the p05 pattern + the two last-mile outcomes
+        def mark(df: DataFrame, name: String): DataFrame =
+          df.select(col("doc_id"), lit(true).as(name))
+        val lin = st.corpus.select(col("doc_id"))
+          .join(mark(st.filtered, "f"), Seq("doc_id"), "left")
+          .join(mark(st.cleaned, "c"), Seq("doc_id"), "left")
+          .join(mark(st.kept3, "k3"), Seq("doc_id"), "left")
+          .join(mark(st.kept4, "k4"), Seq("doc_id"), "left")
+          .join(mark(selected, "sel"), Seq("doc_id"), "left")
+          .withColumn("code",
+            when(col("f").isNull, 1L).when(col("c").isNull, 2L)
+              .when(col("k3").isNull, 3L).when(col("k4").isNull, 4L)
+              .when(col("sel").isNull, 5L).otherwise(6L))
+        def nOf(k: Long): Column =
+          sum(when(col("code") === k, 1L).otherwise(0L))
+        val fr = lin.agg(count(lit(1)), nOf(1L), nOf(2L), nOf(3L), nOf(4L),
+          nOf(5L), nOf(6L),
+          sum((pmod(graft.functions.CrossEngine.md5Hash60(col("doc_id")),
+            lit(1048576L))) * col("code"))).head()
+        val (nInput, nFiltered, nBoiler, nNearDup, nContam, nBudgetRej,
+          nExported) = (fr.getLong(0), fr.getLong(1), fr.getLong(2),
+          fr.getLong(3), fr.getLong(4), fr.getLong(5), fr.getLong(6))
+        val lineageChecksum = fr.getLong(7)
+        val docsConserved = nInput == nFiltered + nBoiler + nNearDup +
+          nContam + nBudgetRej + nExported
+        val tokensConserved = tokensIn == tokensSelected + tokensRejected
+        val shardTotalsMatch = manTot.getLong(0) == nExported &&
+          manTot.getLong(1) == tokensSelected
+        st.release()
+        graft.functions.CrossEngine.materializeLocal(s, manifest
+          .withColumn("n_input", lit(nInput))
+          .withColumn("n_filtered_out", lit(nFiltered))
+          .withColumn("n_fully_boilerplate", lit(nBoiler))
+          .withColumn("n_near_dup", lit(nNearDup))
+          .withColumn("n_contaminated", lit(nContam))
+          .withColumn("n_budget_rejected", lit(nBudgetRej))
+          .withColumn("n_exported", lit(nExported))
+          .withColumn("lineage_checksum", lit(lineageChecksum))
+          .withColumn("tokens_in", lit(tokensIn))
+          .withColumn("tokens_selected", lit(tokensSelected))
+          .withColumn("tokens_rejected", lit(tokensRejected))
+          .withColumn("budget", lit(budget))
+          .withColumn("docs_conserved", lit(docsConserved))
+          .withColumn("tokens_conserved", lit(tokensConserved))
+          .withColumn("shard_totals_match", lit(shardTotalsMatch))
+          .withColumn("one_file_per_shard", lit(onePerShard)))
+      } finally {
+        graft.functions.CrossEngine.deleteRecursive(
+          java.nio.file.Paths.get(out))
+      }
+    },
+    Some(s"""$stagesSql,
+      cnts2 AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM kept4) t
+        GROUP BY 1, 2),
+      graded AS MATERIALIZED (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          CAST(floor((1.0 - CAST(max(cnt) AS DOUBLE)
+            / CAST(sum(cnt) AS DOUBLE)) * 10) AS BIGINT) AS grade
+        FROM cnts2 GROUP BY doc_id),
+      tot2 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM graded),
+      cum AS MATERIALIZED (
+        SELECT g.doc_id, g.n_tokens, g.grade,
+          sum(g.n_tokens) OVER (ORDER BY g.grade DESC, g.doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_end,
+          tot2.t // 2 AS budget, tot2.t AS tokens_in
+        FROM graded g CROSS JOIN tot2),
+      sel AS MATERIALIZED (
+        SELECT doc_id, n_tokens FROM cum WHERE cum_end <= budget),
+      posd AS (
+        SELECT doc_id, row_number() OVER (ORDER BY
+          CAST(concat('0x', substring(md5(concat('epoch1:',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id) - 1
+          AS pos, n_tokens
+        FROM sel),
+      pre AS (
+        SELECT doc_id, pos, n_tokens,
+          sum(n_tokens) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING)
+            - n_tokens AS tok_start
+        FROM posd),
+      tots AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM posd),
+      sh AS (
+        SELECT p.doc_id, p.pos, p.n_tokens,
+          least(p.tok_start // ((tots.t + 3) // 4), 3) AS shard_id
+        FROM pre p CROSS JOIN tots),
+      rk AS (
+        SELECT doc_id, pos, n_tokens, shard_id,
+          row_number() OVER (PARTITION BY shard_id ORDER BY pos) AS r
+        FROM sh),
+      man AS MATERIALIZED (
+        SELECT CAST(shard_id AS BIGINT) AS shard_id,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+          CAST(min(pos) AS BIGINT) AS first_pos,
+          CAST(max(pos) AS BIGINT) AS last_pos,
+          CAST(sum((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+            1, 10)) AS BIGINT) % 1048576) * r) AS BIGINT) AS order_checksum
+        FROM rk GROUP BY 1),
+      lin AS MATERIALIZED (
+        SELECT c.doc_id,
+          CASE WHEN f.doc_id IS NULL THEN 1 WHEN cl.doc_id IS NULL THEN 2
+            WHEN k3.doc_id IS NULL THEN 3 WHEN k4.doc_id IS NULL THEN 4
+            WHEN s.doc_id IS NULL THEN 5 ELSE 6 END AS code
+        FROM corpus c
+        LEFT JOIN filtered f ON f.doc_id = c.doc_id
+        LEFT JOIN cleaned cl ON cl.doc_id = c.doc_id
+        LEFT JOIN kept3 k3 ON k3.doc_id = c.doc_id
+        LEFT JOIN kept4 k4 ON k4.doc_id = c.doc_id
+        LEFT JOIN sel s ON s.doc_id = c.doc_id),
+      facts AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n_input,
+          CAST(sum(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_filtered_out,
+          CAST(sum(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fully_boilerplate,
+          CAST(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_near_dup,
+          CAST(sum(CASE WHEN code = 4 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_contaminated,
+          CAST(sum(CASE WHEN code = 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_budget_rejected,
+          CAST(sum(CASE WHEN code = 6 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exported,
+          CAST(sum((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+            1, 15)) AS BIGINT) % 1048576) * code) AS BIGINT)
+            AS lineage_checksum
+        FROM lin),
+      tok AS MATERIALIZED (
+        SELECT CAST(any_value(tokens_in) AS BIGINT) AS tokens_in,
+          CAST(any_value(budget) AS BIGINT) AS budget,
+          CAST(coalesce(sum(CASE WHEN cum_end <= budget THEN n_tokens
+            ELSE 0 END), 0) AS BIGINT) AS tokens_selected,
+          CAST(coalesce(sum(CASE WHEN cum_end > budget THEN n_tokens
+            ELSE 0 END), 0) AS BIGINT) AS tokens_rejected
+        FROM cum)
+      SELECT m.shard_id, m.n_docs, m.shard_tokens, m.first_pos, m.last_pos,
+        m.order_checksum,
+        f.n_input, f.n_filtered_out, f.n_fully_boilerplate, f.n_near_dup,
+        f.n_contaminated, f.n_budget_rejected, f.n_exported,
+        f.lineage_checksum,
+        tok.tokens_in, tok.tokens_selected, tok.tokens_rejected, tok.budget,
+        (f.n_input = f.n_filtered_out + f.n_fully_boilerplate + f.n_near_dup
+          + f.n_contaminated + f.n_budget_rejected + f.n_exported)
+          AS docs_conserved,
+        (tok.tokens_in = tok.tokens_selected + tok.tokens_rejected)
+          AS tokens_conserved,
+        ((SELECT sum(n_docs) FROM man) = f.n_exported
+          AND (SELECT sum(shard_tokens) FROM man) = tok.tokens_selected)
+          AS shard_totals_match,
+        true AS one_file_per_shard
+      FROM man m, facts f, tok"""))
+
+  val all: Seq[Q] = Seq(p04, p05, p09, p10, p11)
 }

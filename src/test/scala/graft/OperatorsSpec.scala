@@ -1341,6 +1341,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("p11 composed export: lineage partitions input, shards hold the selection") {
+    val rows = run("p11_corpus_train_export").collect()
+      .sortBy(_.getAs[Long]("shard_id"))
+    assert(rows.length === 4)
+    Seq("docs_conserved", "tokens_conserved", "shard_totals_match",
+      "one_file_per_shard").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
+    }
+    val r0 = rows.head
+    // the curation outcome classes are POPULATED on this corpus (the
+    // planted template, twins, contamination and the T/2 budget all do
+    // real work) — a stage silently passing everything reds here.
+    // fully_boilerplate is exempt: a doc whose EVERY block is hot and
+    // that still passes the 30..130-token quality filter is structurally
+    // rare (p05 pins its count against the stage deltas instead).
+    Seq("n_filtered_out", "n_near_dup",
+      "n_contaminated", "n_budget_rejected", "n_exported").foreach { c =>
+      assert(r0.getAs[Long](c) > 0L, s"$c is zero — stage did no work")
+    }
+    // the shards partition exactly the exported selection
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === r0.getAs[Long]("n_exported"))
+    assert(rows.map(_.getAs[Long]("shard_tokens")).sum ===
+      r0.getAs[Long]("tokens_selected"))
+    assert(r0.getAs[Long]("tokens_selected") <= r0.getAs[Long]("budget"))
+    // position ranges tile 0..n_exported-1 in shard order
+    assert(rows.head.getAs[Long]("first_pos") === 0L)
+    assert(rows.last.getAs[Long]("last_pos") ===
+      r0.getAs[Long]("n_exported") - 1)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("last_pos") + 1 ===
+        b.getAs[Long]("first_pos"), "shard ranges do not tile")
+      case _ =>
+    }
+  }
+
   test("q84 dp ledger: branches pinned, two racing releases never both land") {
     val u = math.pow(2.0, -20)
     val rows = run("q84_dp_budget_ledger").collect()
