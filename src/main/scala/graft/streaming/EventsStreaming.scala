@@ -4204,9 +4204,9 @@ object EventsStreaming {
               .join(sDf.groupBy(col("u"), col("v"))
                 .agg(count(lit(1)).as("cs")), Seq("u", "v"), "full_outer")
               .agg(count(lit(1)).as("n"),
-                sum(when(coalesce(col("cb"), lit(0L)) === 1L &&
-                  coalesce(col("cs"), lit(0L)) === 1L, 1L).otherwise(0L))
-                  .as("ok")).head()
+                coalesce(sum(when(coalesce(col("cb"), lit(0L)) === 1L &&
+                  coalesce(col("cs"), lit(0L)) === 1L, 1L).otherwise(0L)),
+                  lit(0L)).as("ok")).head()
             val rowsEqual = cmpRow.getLong(0) == cmpRow.getLong(1)
             val untouched = (0 until Similarity.s38Buckets)
               .filterNot(touchedAll(t).contains)
