@@ -4597,10 +4597,10 @@ object Similarity {
           readEdges("layer2").count()
         val tables = Seq("knn", "links", "layer1", "layer2")
         val before = tables.map(t => t -> edgeBucketFiles(s"$out/$t")).toMap
-        val touched = tables.map(t =>
-          t -> graphDeleteNodes(s, s"$out/$t", doomed)).toMap
-        val again = tables.map(t =>
-          t -> graphDeleteNodes(s, s"$out/$t", doomed)).toMap
+        val touched = parLayeredTables(t =>
+          graphDeleteNodes(s, s"$out/$t", doomed))
+        val again = parLayeredTables(t =>
+          graphDeleteNodes(s, s"$out/$t", doomed))
         val after = tables.map(t => t -> edgeBucketFiles(s"$out/$t")).toMap
         val upperAfter = readEdges("layer1").count() +
           readEdges("layer2").count()
@@ -5416,6 +5416,19 @@ object Similarity {
     * every lifecycle entry maintains the same surface. */
   private[graft] val layeredTables = Seq("knn", "links", "layer1", "layer2")
 
+  /** Run one maintenance function over every layered table as CONCURRENT
+    * Spark jobs (the tables are independent maintenance surfaces — the
+    * scale claim that a fleet schedules them independently, made real:
+    * wall = the slowest table, not the sum of four). */
+  private[graft] def parLayeredTables[T](f: String => T): Map[String, T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(layeredTables.map(t => Future(t -> f(t)))),
+      10.minutes).toMap
+  }
+
   /** The build's entry election over a level table: highest layer,
     * lowest id (falls through to node 0 on corpora too small to promote
     * anyone — the hnswSearch rule, shared by every lifecycle entry). */
@@ -5521,10 +5534,10 @@ object Similarity {
           t -> edgeBucketFiles(s"$out/$t")).toMap
         val fraggedBefore = layeredTables.map(t =>
           t -> before(t).count(_._2.size > 1)).toMap
-        val compacted = layeredTables.map(t =>
-          t -> graphCompactBuckets(s, s"$out/$t")).toMap
-        val again = layeredTables.map(t =>
-          t -> graphCompactBuckets(s, s"$out/$t")).toMap
+        val compacted = parLayeredTables(t =>
+          graphCompactBuckets(s, s"$out/$t"))
+        val again = parLayeredTables(t =>
+          graphCompactBuckets(s, s"$out/$t"))
         val after = layeredTables.map(t =>
           t -> edgeBucketFiles(s"$out/$t")).toMap
         val planted = layeredTables.forall(t =>
@@ -5599,7 +5612,7 @@ object Similarity {
           "knn" -> nNodes, "links" -> nNodes,
           "layer1" -> lv.filter(col("lvl") >= 1).count(),
           "layer2" -> lv.filter(col("lvl") >= 2).count())
-        val stats = layeredTables.map { t =>
+        val statsByTbl = parLayeredTables { t =>
           val edges = readEdges(t).localCheckpoint(true)
           val degRow = edges.groupBy(col("u")).agg(count(lit(1)).as("c"))
             .agg(min(col("c")), max(col("c")), count(lit(1)), sum(col("c")))
@@ -5617,6 +5630,7 @@ object Similarity {
             sym, sym * 1000000L / totalEdges, fragged, maxFiles,
             fragged > 0)
         }
+        val stats = layeredTables.map(statsByTbl)
         // descent reach: entry -> layer2 (2 hops) -> layer1 (2 hops) ->
         // base graph (3 hops), closures carried through the handoffs
         def closure(start: DataFrame, g: DataFrame, hops: Int): DataFrame = {

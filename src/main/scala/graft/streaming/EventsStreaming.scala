@@ -4142,16 +4142,28 @@ object EventsStreaming {
               withBucket.repartition(col("bucket"))
                 .write.mode("append").partitionBy("bucket")
                 .parquet(s"$root/knn")
+            // the four tables are INDEPENDENT maintenance surfaces (the
+            // scale claim: a fleet schedules them independently) — run
+            // the per-table ops as concurrent Spark jobs, wall = the
+            // slowest table instead of the sum of four
             case "delete" => // takedown: every table the ids appear in
-              tables.foreach { t =>
+              parallelOverTables { t =>
                 val ts = Similarity.graphDeleteNodes(s, s"$root/$t", doomed)
                 touchedAll(t).synchronized { touchedAll(t) ++= ts }
               }
             case "compact" =>
-              tables.foreach { t =>
+              parallelOverTables { t =>
                 val ts = Similarity.graphCompactBuckets(s, s"$root/$t")
                 touchedAll(t).synchronized { touchedAll(t) ++= ts }
               }
+          }
+          def parallelOverTables(f: String => Unit): Unit = {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.DurationInt
+            import scala.concurrent.ExecutionContext.Implicits.global
+            Await.result(
+              Future.sequence(tables.map(t => Future(f(t)))), 10.minutes)
+            ()
           }
           Seq("append", "delete", "compact")
             .foreach(applyOp(_, s"$work/batch"))
@@ -4189,45 +4201,52 @@ object EventsStreaming {
             }
             .start()
           query.awaitTermination()
-          def edges(root: String): DataFrame =
-            s.read.parquet(root).select(col("u"), col("v"))
-          val perTable = tables.map { t =>
-            val bDf = edges(s"$work/batch/$t")
-            val sDf = edges(s"$work/stream/$t")
-            // full multiset equality (the st42 closure) in ONE fused job:
-            // both sides dup-free with identical key sets ⇔ every (u, v)
-            // key on EITHER side appears exactly once on BOTH sides
-            // (containment + equal counts + dup-free, as one predicate —
-            // the five-count form cost five jobs per table)
-            val cmpRow = bDf.groupBy(col("u"), col("v"))
-              .agg(count(lit(1)).as("cb"))
-              .join(sDf.groupBy(col("u"), col("v"))
-                .agg(count(lit(1)).as("cs")), Seq("u", "v"), "full_outer")
-              .agg(count(lit(1)).as("n"),
-                coalesce(sum(when(coalesce(col("cb"), lit(0L)) === 1L &&
-                  coalesce(col("cs"), lit(0L)) === 1L, 1L).otherwise(0L)),
-                  lit(0L)).as("ok")).head()
-            val rowsEqual = cmpRow.getLong(0) == cmpRow.getLong(1)
+          def tagged(root: String): DataFrame = tables.map(t =>
+            s.read.parquet(s"$root/$t")
+              .select(lit(t).as("tbl"), col("u"), col("v")))
+            .reduce(_ unionByName _)
+          val bAll = tagged(s"$work/batch")
+          val sAll = tagged(s"$work/stream")
+          // full multiset equality (the st42 closure), ALL FOUR tables in
+          // ONE fused job: both sides dup-free with identical key sets ⇔
+          // every (tbl, u, v) key on EITHER side appears exactly once on
+          // BOTH sides (containment + equal counts + dup-free, as one
+          // predicate — the five-count form cost five jobs PER TABLE)
+          val cmpByTbl = bAll.groupBy(col("tbl"), col("u"), col("v"))
+            .agg(count(lit(1)).as("cb"))
+            .join(sAll.groupBy(col("tbl"), col("u"), col("v"))
+              .agg(count(lit(1)).as("cs")),
+              Seq("tbl", "u", "v"), "full_outer")
+            .groupBy(col("tbl"))
+            .agg(count(lit(1)).as("n"),
+              sum(when(coalesce(col("cb"), lit(0L)) === 1L &&
+                coalesce(col("cs"), lit(0L)) === 1L, 1L).otherwise(0L))
+                .as("ok"))
+            .collect().map(r =>
+              r.getString(0) -> (r.getLong(1) == r.getLong(2))).toMap
+          // final per-table content pins, one grouped job for all four
+          val statsByTbl = sAll
+            .groupBy(col("tbl"))
+            .agg(count(lit(1)).as("n_edges"),
+              countDistinct(col("u")).as("n_sources"),
+              sum(expr("""CAST(conv(substring(md5(concat(
+                CAST(u AS STRING), '_', CAST(v AS STRING))), 1, 10),
+                16, 10) AS BIGINT)""")).as("content_checksum"))
+            .collect().map(r => r.getString(0) ->
+              (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+          val rows = tables.map { t =>
             val untouched = (0 until Similarity.s38Buckets)
               .filterNot(touchedAll(t).contains)
             val bytesIdentical = untouched.nonEmpty && untouched.forall(b =>
               filesDigest(s"$work/batch/$t/bucket=$b") ==
                 filesDigest(s"$work/stream/$t/bucket=$b"))
-            sDf
-              .agg(count(lit(1)).as("n_edges"),
-                countDistinct(col("u")).as("n_sources"),
-                sum(expr("""CAST(conv(substring(md5(concat(
-                  CAST(u AS STRING), '_', CAST(v AS STRING))), 1, 10),
-                  16, 10) AS BIGINT)""")).as("content_checksum"))
-              .select(lit(t).as("tbl"), col("n_edges"), col("n_sources"),
-                col("content_checksum"))
-              .withColumn("stream_equals_batch", lit(rowsEqual))
-              .withColumn("untouched_buckets_byte_identical",
-                lit(bytesIdentical))
-              .withColumn("multi_batch", lit(nBatches.get() >= 3L))
+            val (nE, nS, ck) = statsByTbl(t)
+            (t, nE, nS, ck, cmpByTbl(t), bytesIdentical,
+              nBatches.get() >= 3L)
           }
-          graft.functions.CrossEngine.materializeLocal(s,
-            perTable.reduce(_ unionByName _))
+          rows.toDF("tbl", "n_edges", "n_sources", "content_checksum",
+            "stream_equals_batch", "untouched_buckets_byte_identical",
+            "multi_batch")
         } finally {
           graft.functions.CrossEngine.deleteRecursive(work)
         }
