@@ -593,38 +593,64 @@ object Curation {
       minRejEnd: Option[Long], budget: Long): Boolean =
     minRejEnd.forall(_ > budget) && maxSelEnd.forall(_ <= budget)
 
+  /** The ONE token-budget selection kernel (p10's decomposition), shared
+    * by p10, p11 and CurationRehearsal so the grade formula, the driver
+    * prefix sum and the tie-break order cannot drift between them:
+    * repetition-ratio decile grade over the corpus text, per-grade token
+    * totals prefix-summed on the driver (≤ 10 longs), within-grade
+    * running ends on windows PARTITIONED by grade, budget = T/2. No
+    * global sort, no global window. */
+  private[graft] final case class BudgetSelection(graded: DataFrame,
+      cum: DataFrame, selected: DataFrame, tokensIn: Long, budget: Long) {
+    /** Release the checkpointed frames — only after every consumer of
+      * [[cum]]/[[selected]] has MATERIALIZED its result (a lazily
+      * returned frame over these must not call this; p10 returns
+      * lazily and never releases). */
+    def release(): Unit =
+      Seq(graded, cum, selected).foreach(_.unpersist(false))
+  }
+
+  private[graft] def tokenBudgetSelect(docs: DataFrame): BudgetSelection = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cnts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val graded = cnts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
+      .withColumn("grade", floor((lit(1.0) -
+        col("top_cnt").cast("double") / col("n_tokens").cast("double"))
+        * 10).cast("long"))
+      .localCheckpoint(true)
+    // driver prefix-sum over the grade buckets in DESC order
+    val perGrade = graded.groupBy(col("grade"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    val tokensIn = perGrade.map(_._2).sum
+    val budget = tokensIn / 2
+    val offsets = {
+      var acc = 0L
+      perGrade.map { case (g, tot) => val off = acc; acc += tot; g -> off }
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("grade", "off"))
+    val w = Window.partitionBy(col("grade")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graded.join(offDf, Seq("grade"))
+      .withColumn("cum_end", col("off") + sum(col("n_tokens")).over(w))
+      .withColumn("selected", col("cum_end") <= budget)
+      .localCheckpoint(true)
+    val selected = cum.filter(col("selected"))
+      .select(col("doc_id"), col("n_tokens")).localCheckpoint(true)
+    BudgetSelection(graded, cum, selected, tokensIn, budget)
+  }
+
   private val p10 = Q(
     "p10_token_budget_select",
     (s, dir) => {
-      val sp = s
-      import sp.implicits._
-      val cnts = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(toks).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      val graded = cnts.groupBy(col("doc_id"))
-        .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
-        .withColumn("grade", floor((lit(1.0) -
-          col("top_cnt").cast("double") / col("n_tokens").cast("double"))
-          * 10).cast("long"))
-        .localCheckpoint(true)
-      // driver prefix-sum over the grade buckets in DESC order
-      val perGrade = graded.groupBy(col("grade"))
-        .agg(sum(col("n_tokens")).as("tot"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1))
-        .sortBy(-_._1)
-      val total = perGrade.map(_._2).sum
-      val budget = total / 2
-      val offsets = {
-        var acc = 0L
-        perGrade.map { case (g, tot) => val off = acc; acc += tot; g -> off }
-      }
-      val offDf = broadcast(offsets.toSeq.toDF("grade", "off"))
-      val w = Window.partitionBy(col("grade")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = graded.join(offDf, Seq("grade"))
-        .withColumn("cum_end", col("off") + sum(col("n_tokens")).over(w))
-        .withColumn("selected", col("cum_end") <= budget)
-        .localCheckpoint(true)
+      val sel = tokenBudgetSelect(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      val budget = sel.budget
+      val cum = sel.cum
       val facts = cum.agg(
         max(when(col("selected"), col("cum_end"))).as("max_sel_end"),
         min(when(!col("selected"), col("cum_end"))).as("min_rej_end"),
@@ -634,13 +660,14 @@ object Curation {
       val maximal = prefixMaximal(
         if (facts.isNullAt(0)) None else Some(facts.getLong(0)),
         if (facts.isNullAt(1)) None else Some(facts.getLong(1)), budget)
+      // no sel.release(): the returned frame evaluates lazily over cum
       cum.groupBy(col("grade"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
           sum(when(col("selected"), col("n_tokens")).otherwise(0L))
             .as("tokens_selected"))
         .withColumn("budget", lit(budget))
-        .withColumn("total_tokens", lit(total))
+        .withColumn("total_tokens", lit(sel.tokensIn))
         .withColumn("within_budget", lit(withinBudget))
         .withColumn("prefix_maximal", lit(maximal))
     },
@@ -707,36 +734,14 @@ object Curation {
       val out = java.nio.file.Files.createTempDirectory("graft_p11_").toString
       try {
         val st = runStages(s, dir)
-        // p10 kernel on the CURATED text: decile grade, budget = T/2
-        val cnts = st.kept4.select(col("doc_id"), explode(toks).as("token"))
-          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-        val graded = cnts.groupBy(col("doc_id"))
-          .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
-          .withColumn("grade", floor((lit(1.0) -
-            col("top_cnt").cast("double") / col("n_tokens").cast("double"))
-            * 10).cast("long"))
-          .localCheckpoint(true)
-        val perGrade = graded.groupBy(col("grade"))
-          .agg(sum(col("n_tokens")).as("tot"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
-        val tokensIn = perGrade.map(_._2).sum
-        val budget = tokensIn / 2
-        val offsets = {
-          var acc = 0L
-          perGrade.map { case (g, t) => val off = acc; acc += t; g -> off }
-        }
-        val sp = s
-        import sp.implicits._
-        val offDf = broadcast(offsets.toSeq.toDF("grade", "off"))
-        val w = Window.partitionBy(col("grade")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = graded.join(offDf, Seq("grade"))
-          .withColumn("cum_end", col("off") + sum(col("n_tokens")).over(w))
-          .withColumn("selected", col("cum_end") <= budget)
-          .localCheckpoint(true)
-        val selected = cum.filter(col("selected"))
-          .select(col("doc_id"), col("n_tokens")).localCheckpoint(true)
-        val tokRow = cum.agg(
+        // p10's kernel on the CURATED text (the shared tokenBudgetSelect
+        // — one implementation for p10/p11/the rehearsal)
+        val sel = tokenBudgetSelect(
+          st.kept4.select(col("doc_id"), col("text")))
+        val tokensIn = sel.tokensIn
+        val budget = sel.budget
+        val selected = sel.selected
+        val tokRow = sel.cum.agg(
           sum(when(col("selected"), col("n_tokens")).otherwise(0L)),
           sum(when(!col("selected"), col("n_tokens")).otherwise(0L))).head()
         val tokensSelected = tokRow.getLong(0)
@@ -781,7 +786,7 @@ object Curation {
         val shardTotalsMatch = manTot.getLong(0) == nExported &&
           manTot.getLong(1) == tokensSelected
         st.release()
-        graft.functions.CrossEngine.materializeLocal(s, manifest
+        val outDf = graft.functions.CrossEngine.materializeLocal(s, manifest
           .withColumn("n_input", lit(nInput))
           .withColumn("n_filtered_out", lit(nFiltered))
           .withColumn("n_fully_boilerplate", lit(nBoiler))
@@ -798,6 +803,11 @@ object Curation {
           .withColumn("tokens_conserved", lit(tokensConserved))
           .withColumn("shard_totals_match", lit(shardTotalsMatch))
           .withColumn("one_file_per_shard", lit(onePerShard)))
+        // everything above is materialized — free the checkpointed
+        // selection and manifest blocks (the p04/p05 release discipline)
+        sel.release()
+        manifest.unpersist(false)
+        outDf
       } finally {
         graft.functions.CrossEngine.deleteRecursive(
           java.nio.file.Paths.get(out))

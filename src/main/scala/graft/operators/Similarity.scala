@@ -5422,11 +5422,13 @@ object Similarity {
     * wall = the slowest table, not the sum of four). */
   private[graft] def parLayeredTables[T](f: String => T): Map[String, T] = {
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.DurationInt
     import scala.concurrent.ExecutionContext.Implicits.global
+    // Duration.Inf: the sequential form this replaces ran unbounded — a
+    // wall-clock cap would turn a legitimately long maintenance pass at
+    // scale into a new crash mode (with the Spark jobs still running)
     Await.result(
       Future.sequence(layeredTables.map(t => Future(t -> f(t)))),
-      10.minutes).toMap
+      scala.concurrent.duration.Duration.Inf).toMap
   }
 
   /** The build's entry election over a level table: highest layer,
@@ -5925,8 +5927,14 @@ object Similarity {
           .parquet(s"$out/gen2_build")
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/gen2"))
         layeredTables.foreach { t =>
-          fs.rename(new org.apache.hadoop.fs.Path(s"$out/gen2_build/tbl=$t"),
-            new org.apache.hadoop.fs.Path(s"$out/gen2/$t"))
+          val src = new org.apache.hadoop.fs.Path(s"$out/gen2_build/tbl=$t")
+          val dst = new org.apache.hadoop.fs.Path(s"$out/gen2/$t")
+          // an all-rows-filtered table writes NO tbl=<t> dir — the
+          // artifact still needs the (empty) table dir, and a rename
+          // failure must fail the build loudly, not leave gen2 partial
+          if (fs.exists(src)) require(fs.rename(src, dst),
+            s"gen2 build: rename $src -> $dst failed")
+          else fs.mkdirs(dst)
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$out/gen2_build"), true)
         val gen1Intact = bucketDirDigest(s"$out/gen1") == gen1Digest
@@ -6095,8 +6103,14 @@ object Similarity {
           .parquet(s"$out/gen2_build")
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/gen2"))
         layeredTables.foreach { t =>
-          fs.rename(new org.apache.hadoop.fs.Path(s"$out/gen2_build/tbl=$t"),
-            new org.apache.hadoop.fs.Path(s"$out/gen2/$t"))
+          val src = new org.apache.hadoop.fs.Path(s"$out/gen2_build/tbl=$t")
+          val dst = new org.apache.hadoop.fs.Path(s"$out/gen2/$t")
+          // an all-rows-filtered table writes NO tbl=<t> dir — the
+          // artifact still needs the (empty) table dir, and a rename
+          // failure must fail the build loudly, not leave gen2 partial
+          if (fs.exists(src)) require(fs.rename(src, dst),
+            s"gen2 build: rename $src -> $dst failed")
+          else fs.mkdirs(dst)
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$out/gen2_build"), true)
         val gen1Intact = bucketDirDigest(s"$out/gen1") == gen1Digest

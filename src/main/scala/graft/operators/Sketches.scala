@@ -1070,19 +1070,27 @@ object Sketches {
       val tmp = java.nio.file.Files.createTempFile(root, ".claim_", ".tmp")
       try {
         java.nio.file.Files.write(tmp, bytes)
+        def createNewFallback(): Boolean =
+          // no hard links on this FS: CREATE_NEW is still an atomic
+          // claim, just not content-atomic — read()'s retry covers it
+          try {
+            java.nio.file.Files.write(slot, bytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
         try { java.nio.file.Files.createLink(slot, tmp); true }
         catch {
+          // FileAlreadyExistsException FIRST — it extends
+          // FileSystemException, and a taken slot must stay a clean
+          // OCC loss, never a fallback re-claim
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException =>
-            // no hard links on this FS: CREATE_NEW is still an atomic
-            // claim, just not content-atomic — read()'s retry covers it
-            try {
-              java.nio.file.Files.write(slot, bytes,
-                java.nio.file.StandardOpenOption.CREATE_NEW)
-              true
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => false
-            }
+          case _: UnsupportedOperationException => createNewFallback()
+          // link(2) denied (EPERM/EACCES on CIFS/NFS/hardened mounts)
+          // surfaces as a generic FileSystemException, not
+          // UnsupportedOperationException — fall back there too
+          case _: java.nio.file.FileSystemException => createNewFallback()
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }

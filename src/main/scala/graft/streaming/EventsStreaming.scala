@@ -4147,23 +4147,17 @@ object EventsStreaming {
             // the per-table ops as concurrent Spark jobs, wall = the
             // slowest table instead of the sum of four
             case "delete" => // takedown: every table the ids appear in
-              parallelOverTables { t =>
+              Similarity.parLayeredTables { t =>
                 val ts = Similarity.graphDeleteNodes(s, s"$root/$t", doomed)
                 touchedAll(t).synchronized { touchedAll(t) ++= ts }
               }
+              ()
             case "compact" =>
-              parallelOverTables { t =>
+              Similarity.parLayeredTables { t =>
                 val ts = Similarity.graphCompactBuckets(s, s"$root/$t")
                 touchedAll(t).synchronized { touchedAll(t) ++= ts }
               }
-          }
-          def parallelOverTables(f: String => Unit): Unit = {
-            import scala.concurrent.{Await, Future}
-            import scala.concurrent.duration.DurationInt
-            import scala.concurrent.ExecutionContext.Implicits.global
-            Await.result(
-              Future.sequence(tables.map(t => Future(f(t)))), 10.minutes)
-            ()
+              ()
           }
           Seq("append", "delete", "compact")
             .foreach(applyOp(_, s"$work/batch"))
@@ -4240,8 +4234,11 @@ object EventsStreaming {
             val bytesIdentical = untouched.nonEmpty && untouched.forall(b =>
               filesDigest(s"$work/batch/$t/bucket=$b") ==
                 filesDigest(s"$work/stream/$t/bucket=$b"))
-            val (nE, nS, ck) = statsByTbl(t)
-            (t, nE, nS, ck, cmpByTbl(t), bytesIdentical,
+            // a table empty on BOTH sides emits no groupBy(tbl) row:
+            // empty == empty is multiset-equal, stats are zeros (one
+            // side empty and the other not DOES emit rows, ok < n)
+            val (nE, nS, ck) = statsByTbl.getOrElse(t, (0L, 0L, 0L))
+            (t, nE, nS, ck, cmpByTbl.getOrElse(t, true), bytesIdentical,
               nBatches.get() >= 3L)
           }
           rows.toDF("tbl", "n_edges", "n_sources", "content_checksum",

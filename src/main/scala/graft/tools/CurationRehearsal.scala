@@ -132,46 +132,21 @@ object CurationRehearsal {
         s"[curation-scale]   train?=${r.get(0)} n=${r.getLong(1)} max_seq=${r.getLong(2)}"))
     }
 
-    // ---- the p11 last mile: token-budget select (p10's grade-bucket
-    // decomposition) -> epoch shuffle -> token-balanced 32-shard export,
-    // with the conservation facts asserted at volume
-    import org.apache.spark.sql.expressions.Window
+    // ---- the p11 last mile: token-budget select (the SHARED
+    // Curation.tokenBudgetSelect kernel — one implementation for
+    // p10/p11/this rehearsal) -> epoch shuffle -> token-balanced
+    // 32-shard export, with the conservation facts asserted at volume
     val outDir = java.nio.file.Files.createTempDirectory("graft_cur_reh_")
     try {
+      val sel0 = timed("last mile: token-budget select (T/2)") {
+        val b = graft.operators.Curation.tokenBudgetSelect(
+          kept4.select(col("doc_id"), col("text")))
+        println(s"[curation-scale]   n_selected = ${b.selected.count()}, " +
+          s"budget = ${b.budget} / tokens_in = ${b.tokensIn}")
+        b
+      }
       val (selected, tokensIn, budget) =
-        timed("last mile: token-budget select (T/2)") {
-          val cnts2 = kept4
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-            .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-          val graded = cnts2.groupBy(col("doc_id"))
-            .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
-            .withColumn("grade", floor((lit(1.0) -
-              col("top_cnt").cast("double") / col("n_tokens").cast("double"))
-              * 10).cast("long"))
-            .persist(mem)
-          val perGrade = graded.groupBy(col("grade"))
-            .agg(sum(col("n_tokens")).as("tot"))
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
-          val tokensIn = perGrade.map(_._2).sum
-          val budget = tokensIn / 2
-          val offsets = {
-            var acc = 0L
-            perGrade.map { case (g, t) => val off = acc; acc += t; g -> off }
-          }
-          import spark.implicits._
-          val offDf = broadcast(offsets.toSeq.toDF("grade", "off"))
-          val w = Window.partitionBy(col("grade")).orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val sel = graded.join(offDf, Seq("grade"))
-            .withColumn("cum_end", col("off") + sum(col("n_tokens")).over(w))
-            .filter(col("cum_end") <= budget)
-            .select(col("doc_id"), col("n_tokens"))
-            .persist(mem)
-          println(s"[curation-scale]   n_selected = ${sel.count()}, " +
-            s"budget = $budget / tokens_in = $tokensIn")
-          graded.unpersist(false)
-          (sel, tokensIn, budget)
-        }
+        (sel0.selected, sel0.tokensIn, sel0.budget)
       val manifest = timed("last mile: epoch shuffle + 32-shard export") {
         graft.operators.Curation.exportShards(selected, "epoch1", 32,
           s"$outDir/shards", s"$outDir/manifest").localCheckpoint(true)
@@ -203,6 +178,7 @@ object CurationRehearsal {
           s"max deviation $spread (<= 1 doc = $maxDoc); " +
           s"tokens_selected = $tokSel / tokens_in = $tokensIn")
       }
+      sel0.release()
     } finally {
       graft.functions.CrossEngine.deleteRecursive(outDir)
     }
