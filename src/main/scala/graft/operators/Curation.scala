@@ -603,9 +603,9 @@ object Curation {
   private[graft] final case class BudgetSelection(graded: DataFrame,
       cum: DataFrame, selected: DataFrame, tokensIn: Long, budget: Long) {
     /** Release the checkpointed frames — only after every consumer of
-      * [[cum]]/[[selected]] has MATERIALIZED its result (a lazily
-      * returned frame over these must not call this; p10 returns
-      * lazily and never releases). */
+      * [[cum]]/[[selected]] has MATERIALIZED its result (p10 and p11
+      * both materialize their small per-grade/manifest outputs and then
+      * release; a lazily returned frame over these must not call this). */
     def release(): Unit =
       Seq(graded, cum, selected).foreach(_.unpersist(false))
   }
@@ -656,12 +656,15 @@ object Curation {
         min(when(!col("selected"), col("cum_end"))).as("min_rej_end"),
         sum(when(col("selected"), col("n_tokens")).otherwise(0L))
           .as("sel_tokens")).head()
-      val withinBudget = facts.getLong(2) <= budget
+      // sum(when(..)) over an empty frame is NULL, not 0 (ADVICE r17):
+      // an all-filtered corpus reports zero selected tokens, not an NPE
+      val selTokens = if (facts.isNullAt(2)) 0L else facts.getLong(2)
+      val withinBudget = selTokens <= budget
       val maximal = prefixMaximal(
         if (facts.isNullAt(0)) None else Some(facts.getLong(0)),
         if (facts.isNullAt(1)) None else Some(facts.getLong(1)), budget)
-      // no sel.release(): the returned frame evaluates lazily over cum
-      cum.groupBy(col("grade"))
+      val out = graft.functions.CrossEngine.materializeLocal(s,
+        cum.groupBy(col("grade"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
           sum(when(col("selected"), col("n_tokens")).otherwise(0L))
@@ -669,7 +672,12 @@ object Curation {
         .withColumn("budget", lit(budget))
         .withColumn("total_tokens", lit(sel.tokensIn))
         .withColumn("within_budget", lit(withinBudget))
-        .withColumn("prefix_maximal", lit(maximal))
+        .withColumn("prefix_maximal", lit(maximal)))
+      // the per-grade result (≤ 11 rows) is materialized above, so the
+      // checkpointed frames can be freed here — the old lazy return
+      // leaked one checkpointed frame per run (ADVICE r17)
+      sel.release()
+      out
     },
     Some("""WITH cnts AS (
         SELECT doc_id, token, count(*) AS cnt
@@ -744,8 +752,9 @@ object Curation {
         val tokRow = sel.cum.agg(
           sum(when(col("selected"), col("n_tokens")).otherwise(0L)),
           sum(when(!col("selected"), col("n_tokens")).otherwise(0L))).head()
-        val tokensSelected = tokRow.getLong(0)
-        val tokensRejected = tokRow.getLong(1)
+        // NULL on an all-filtered corpus — zeros, not an NPE (ADVICE r17)
+        val tokensSelected = if (tokRow.isNullAt(0)) 0L else tokRow.getLong(0)
+        val tokensRejected = if (tokRow.isNullAt(1)) 0L else tokRow.getLong(1)
         // q83 epoch order x t10 balance x p09 writer, over the selection
         val nShards = 4
         val manifest = exportShards(selected, "epoch1", nShards,

@@ -5421,14 +5421,21 @@ object Similarity {
     * scale claim that a fleet schedules them independently, made real:
     * wall = the slowest table, not the sum of four). */
   private[graft] def parLayeredTables[T](f: String => T): Map[String, T] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    // Dedicated pool (ADVICE r17): four blocking, Await-ed Spark actions
+    // must not squat on the shared global ExecutionContext — on a
+    // low-core host they would saturate it and starve any other
+    // in-process user for the length of a maintenance pass.
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(layeredTables.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // Duration.Inf: the sequential form this replaces ran unbounded — a
     // wall-clock cap would turn a legitimately long maintenance pass at
     // scale into a new crash mode (with the Spark jobs still running)
-    Await.result(
+    try Await.result(
       Future.sequence(layeredTables.map(t => Future(t -> f(t)))),
       scala.concurrent.duration.Duration.Inf).toMap
+    finally pool.shutdown()
   }
 
   /** The build's entry election over a level table: highest layer,

@@ -1044,8 +1044,17 @@ object Sketches {
       val slot = root.resolve(s"release_v$v.txt")
       var attempt = 0
       while (true) {
-        new String(java.nio.file.Files.readAllBytes(slot), "UTF-8")
-          .split("\t") match {
+        // NoSuchFileException retries like an empty record (VERDICT r17
+        // hygiene): on the CREATE_NEW fallback path a racing records()
+        // can observe latest() = v while v's open-then-write is still
+        // in flight — not-yet-visible and empty are the same
+        // "not landed yet" state to a reader.
+        val bytes =
+          try java.nio.file.Files.readAllBytes(slot)
+          catch {
+            case _: java.nio.file.NoSuchFileException => Array.empty[Byte]
+          }
+        new String(bytes, "UTF-8").split("\t") match {
           case Array(id, q, e, d) => return (id, q, e.toDouble, d.toDouble)
           case _ =>
             attempt += 1
@@ -1089,8 +1098,14 @@ object Sketches {
           case _: UnsupportedOperationException => createNewFallback()
           // link(2) denied (EPERM/EACCES on CIFS/NFS/hardened mounts)
           // surfaces as a generic FileSystemException, not
-          // UnsupportedOperationException — fall back there too
-          case _: java.nio.file.FileSystemException => createNewFallback()
+          // UnsupportedOperationException. But that type also covers
+          // transient faults (ENOSPC, quota) on link-CAPABLE mounts,
+          // where silently degrading to CREATE_NEW would drop the
+          // content-atomicity guarantee with no signal (ADVICE r17) —
+          // so probe once per root: links work here → the fault was
+          // genuine IO, propagate; links don't → fall back.
+          case e: java.nio.file.FileSystemException =>
+            if (DpLedger.linksWork(root)) throw e else createNewFallback()
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }
@@ -1123,6 +1138,28 @@ object Sketches {
       }
       "unreachable"
     }
+  }
+
+  private[graft] object DpLedger {
+    /** Per-root memo of whether link(2) works, probed at most once per
+      * process (two temp files, link one to the other). Lets claim()
+      * tell "this mount cannot link" (→ CREATE_NEW fallback) apart from
+      * "this link-capable mount just had an IO fault" (→ propagate). */
+    private val linkSupport = new java.util.concurrent.ConcurrentHashMap[
+      java.nio.file.Path, java.lang.Boolean]()
+    private[graft] def linksWork(root: java.nio.file.Path): Boolean =
+      linkSupport.computeIfAbsent(root.toAbsolutePath.normalize(), r => {
+        val src = java.nio.file.Files.createTempFile(r, ".probe_", ".tmp")
+        val dst = r.resolve(src.getFileName.toString + ".lnk")
+        try { java.nio.file.Files.createLink(dst, src); true }
+        catch {
+          case _: UnsupportedOperationException => false
+          case _: java.nio.file.FileSystemException => false
+        } finally {
+          java.nio.file.Files.deleteIfExists(dst)
+          java.nio.file.Files.deleteIfExists(src)
+        }
+      })
   }
 
   /** The q84 gate: budget pair ε = 3.0, δ = 10·2⁻²⁰; the attempt
