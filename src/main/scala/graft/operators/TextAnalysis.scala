@@ -858,13 +858,19 @@ object TextAnalysis {
     * word key plus one grouped concat bounded by document length (measured
     * in BpeRehearsal: the corpus-explode formulation was ~5× slower at 1M
     * docs / 191M tokens because every token paid the doc-group shuffle). */
-  /** Vocab-scale word → BPE-token-array table (the merges fold), shared
-    * by [[bpeEncodeCorpus]] and the t27 fertility eval. */
+  /** Vocab-scale word → BPE-token-array table, shared by
+    * [[bpeEncodeCorpus]] and the t27 fertility eval. The whole merge
+    * table applies in ONE codegen'd expression
+    * ([[graft.functions.BpeApply.applyAllMerges]], VERDICT r17 #2) —
+    * the per-merge `withColumn` fold this replaces stacked ~n_merges
+    * nested higher-order-function projections that every consuming plan
+    * branch re-evaluated. */
   private[graft] def bpeWordToks(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(bpeState0(docs).select(col("w"), col("s"))) {
-      case (acc, (l, r)) => acc.withColumn("s", bpeApplyMerge(col("s"), l, r))
-    }.withColumn("toks", split(col("s"), " ")).select(col("w"), col("toks"))
+    bpeState0(docs)
+      .select(col("w"),
+        graft.functions.BpeApply.applyAllMerges(col("s"), merges).as("s"))
+      .withColumn("toks", split(col("s"), " ")).select(col("w"), col("toks"))
 
   private[graft] def bpeEncodeCorpus(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
@@ -2375,9 +2381,9 @@ object TextAnalysis {
         val reloaded = s.read.parquet(s"$out/bpe_merges")
           .orderBy(col("step"))
           .collect().map(r => (r.getAs[String]("l"), r.getAs[String]("r")))
-        val refolded = reloaded.foldLeft(bpeState0(docs).withColumnRenamed("s", "s2")) {
-          case (st, (l, r)) => st.withColumn("s2", bpeApplyMerge(col("s2"), l, r))
-        }
+        val refolded = bpeState0(docs).withColumnRenamed("s", "s2")
+          .withColumn("s2", graft.functions.BpeApply
+            .applyAllMerges(col("s2"), reloaded.toSeq))
         val bpeMatch = learnedState.join(refolded.select(col("w"), col("s2")), Seq("w"))
           .agg((coalesce(max(when(col("s") =!= col("s2"), 1).otherwise(0)), lit(0)) === 0)
             .as("bpe_roundtrip_identical"),

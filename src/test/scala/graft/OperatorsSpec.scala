@@ -385,7 +385,50 @@ class OperatorsSpec extends SparkSpec {
       }
       assert(applied.count() === finalState.count())
       assert(applied.except(finalState.select(col("w"), col("s"))).count() === 0)
+      // ...and the one-expression kernel t17 actually ships
+      // (BpeApplyAllMerges) lands on the same state as the chained fold
+      val kernel = operators.TextAnalysis.bpeState0(docs)
+        .select(col("w"), graft.functions.BpeApply.applyAllMerges(col("s"),
+          merges.map(m => (m._2, m._3))).as("s"))
+      assert(kernel.except(finalState.select(col("w"), col("s"))).count() === 0)
     } finally finalState.unpersist(false)
+  }
+
+  test("t17 kernel: BpeApplyAllMerges property-matches the chained fold on random merge tables") {
+    val sp = spark
+    import sp.implicits._
+    def refOne(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    val rng = new scala.util.Random(11)
+    val alphabet = Vector("a", "b", "c", "ab", "ba", "aab")
+    (0 until 20).foreach { _ =>
+      // a random merge TABLE: interactions between merges are the point
+      val merges = Vector.fill(1 + rng.nextInt(6))(
+        (alphabet(rng.nextInt(alphabet.length)),
+          alphabet(rng.nextInt(alphabet.length))))
+      val cases = (0 until 30).map { _ =>
+        val syms =
+          Vector.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.length)))
+        val expect = merges.foldLeft(syms: Seq[String]) {
+          case (st, (l, r)) => refOne(st, l, r) }
+        (syms.mkString(" "), expect.mkString(" "))
+      }
+      // local kernel vs the list-fold reference
+      cases.foreach { case (s, expect) =>
+        assert(graft.functions.BpeApply.applyAll(s,
+          merges.map(m => Array(m._1, m._2)).toArray) === expect,
+          s"local kernel mismatch on '$s' under $merges")
+      }
+      // column expression (codegen path) vs the same reference
+      val bad = cases.toDF("s", "expected")
+        .withColumn("got",
+          graft.functions.BpeApply.applyAllMerges(col("s"), merges))
+        .filter(col("got") =!= col("expected")).collect()
+      assert(bad.isEmpty, s"expression mismatch under $merges: ${bad.take(3).mkString}")
+    }
   }
 
   test("t20 gopher repetition: coverage semantics exact on planted docs") {
