@@ -1311,26 +1311,18 @@ object Dedup {
     * Total over any doc length: docs shorter than k tokens yield no grams
     * (the wordNgrams guard), docs shorter than w+k-1 yield exactly one
     * window over what grams exist. */
-  private[graft] def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs.select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"), expr(
-        s"filter(transform(sequence(1, greatest(size(tk) - ${k - 1}, 1)), " +
-          s"i -> concat_ws(' ', slice(tk, i, $k))), g -> size(tk) >= $k)").as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("n_grams"),
-        posexplode(col("gs")).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("n_grams"), col("pos"),
-        graft.functions.CrossEngine.md5Hash60(col("g")).as("h"))
-    // robust-winnowing selection: the min hash of each length-w window;
-    // the fingerprint SET is the distinct window minima (identical
-    // definition in both engines; ties collapse in the distinct)
-    grams
-      .withColumn("wmin", min(col("h")).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(Window.currentRow, w - 1)))
-      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
-      .select(col("doc_id"), col("wmin").as("fp")).distinct()
-  }
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame =
+    // one row-local codegen'd kernel per doc (VERDICT r17 #3): the gram
+    // hashing, sliding-window minima, and per-doc distinct all happen
+    // inside [[graft.functions.WinnowFingerprintSet]], so the only table
+    // that ever materializes or shuffles is the sparse (~2/(w+1) density)
+    // fingerprint table itself — the old stride-1 gram-string explode +
+    // per-doc window sort + distinct shuffle was the bench's
+    // contention-pathology site (5.2 s quiet → 206 s at load 3.2).
+    // Equivalence with the declarative form is spec-pinned
+    // (OperatorsSpec "d17 kernel").
+    docs.select(col("doc_id"),
+      explode(graft.functions.Winnow.fingerprintSet(toks, k, w)).as("fp"))
 
   /** Fingerprint-sharing pairs (`doc_a`, `doc_b`, `n_shared_fp`) with the
     * MOSS boilerplate ceiling (VERDICT r7 #1): fingerprints whose DOCUMENT

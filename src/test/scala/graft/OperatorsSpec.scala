@@ -2552,6 +2552,46 @@ class OperatorsSpec extends SparkSpec {
       "flood docs share only dropped boilerplate — no pair may survive")
   }
 
+  test("d17 kernel: WinnowFingerprintSet matches the declarative gram/window/distinct pipeline") {
+    import org.apache.spark.sql.expressions.Window
+    // the pre-r18 declarative reference, verbatim: stride-1 gram-string
+    // explode -> md5Hash60 -> per-doc window minima -> distinct
+    def reference(docs: org.apache.spark.sql.DataFrame, k: Int, w: Int) = {
+      val grams = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), expr(
+          s"filter(transform(sequence(1, greatest(size(tk) - ${k - 1}, 1)), " +
+            s"i -> concat_ws(' ', slice(tk, i, $k))), g -> size(tk) >= $k)").as("gs"))
+        .select(col("doc_id"), size(col("gs")).as("n_grams"),
+          posexplode(col("gs")).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("n_grams"), col("pos"),
+          graft.functions.CrossEngine.md5Hash60(col("g")).as("h"))
+      grams
+        .withColumn("wmin", min(col("h")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(Window.currentRow, w - 1)))
+        .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+    }
+    val sp = spark
+    import sp.implicits._
+    // real corpus + the edge lengths: 0 grams (< k tokens), 1..w-1 grams
+    // (single clipped window), exactly w grams, w+1 grams
+    val edges = Seq(
+      (9000001L, "a b c"), (9000002L, "a b c d"), (9000003L, "a b c d e f"),
+      (9000004L, (0 until 11).map(i => s"e$i").mkString(" ")),
+      (9000005L, (0 until 12).map(i => s"e$i").mkString(" ")),
+      (9000006L, ("dup dup dup dup dup " * 6).trim))
+      .toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).unionByName(edges)
+    for ((k, w) <- Seq((4, 8), (2, 3))) {
+      val kernel = graft.operators.Dedup.winnowFingerprints(docs, k, w)
+      val ref = reference(docs, k, w)
+      assert(kernel.except(ref).count() === 0L, s"kernel-only rows at k=$k w=$w")
+      assert(ref.except(kernel).count() === 0L, s"reference-only rows at k=$k w=$w")
+    }
+  }
+
   test("t12 filter verdict: planted copies never survive, keeps are within bounds") {
     val rows = run("t12_filter_verdict").collect()
     val planted = rows.filter(_.getAs[Long]("doc_id") >= 30000000L)
