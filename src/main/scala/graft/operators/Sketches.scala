@@ -1035,12 +1035,14 @@ object Sketches {
         .collect { case n if n.startsWith("release_v") && n.endsWith(".txt") =>
           n.stripPrefix("release_v").stripSuffix(".txt").toInt }
         .foldLeft(0)(math.max)
-    /** (release id, query id, ε, δ) of the landed record at version v.
-      * Under the hard-link claim a slot is never observable without its
+    /** Full record at version v: (release id, query id, ε, δ, scope) —
+      * scope is `"*"` (the whole dataset) or a comma-joined sorted
+      * partition-key set (VERDICT r17 #6, parallel composition). Under
+      * the hard-link claim a slot is never observable without its
       * bytes; the in-flight tolerance below only matters on the
       * no-hard-link fallback path, where it treats an empty/partial
       * record as not-yet-landed and retries briefly. */
-    def read(v: Int): (String, String, Double, Double) = {
+    def readFull(v: Int): (String, String, Double, Double, String) = {
       val slot = root.resolve(s"release_v$v.txt")
       var attempt = 0
       while (true) {
@@ -1055,7 +1057,9 @@ object Sketches {
             case _: java.nio.file.NoSuchFileException => Array.empty[Byte]
           }
         new String(bytes, "UTF-8").split("\t") match {
-          case Array(id, q, e, d) => return (id, q, e.toDouble, d.toDouble)
+          case Array(id, q, e, d) => return (id, q, e.toDouble, d.toDouble, "*")
+          case Array(id, q, e, d, ks) =>
+            return (id, q, e.toDouble, d.toDouble, ks)
           case _ =>
             attempt += 1
             if (attempt > 100) throw new IllegalStateException(
@@ -1065,10 +1069,30 @@ object Sketches {
       }
       throw new IllegalStateException("unreachable")
     }
+    def read(v: Int): (String, String, Double, Double) = {
+      val r = readFull(v); (r._1, r._2, r._3, r._4)
+    }
     def records(): Seq[(String, String, Double, Double)] =
       (1 to latest()).map(read)
-    def spentEps(): Double = records().map(_._3).sum
-    def spentDelta(): Double = records().map(_._4).sum
+    def recordsFull(): Seq[(String, String, Double, Double, String)] =
+      (1 to latest()).map(readFull)
+    /** The spend an adversary targeting the WORST-OFF individual sees
+      * (the quantity the budget must bound): an individual lives in one
+      * partition key, so their ε is the sum of every `"*"`-scoped
+      * release plus every keyed release covering their key. With only
+      * `"*"` records this is the plain sequential sum (the pre-r18
+      * behavior, bit-for-bit). */
+    private def maxSpendOf(
+        recs: Seq[(String, String, Double, Double, String)],
+        axis: ((String, String, Double, Double, String)) => Double): Double = {
+      val star = recs.filter(_._5 == "*").map(axis).sum
+      val keyed = recs.filter(_._5 != "*")
+        .flatMap(r => r._5.split(",").map(_ -> axis(r)))
+        .groupBy(_._1).map(_._2.map(_._2).sum)
+      star + (if (keyed.isEmpty) 0.0 else keyed.max)
+    }
+    def spentEps(): Double = maxSpendOf(recordsFull(), _._3)
+    def spentDelta(): Double = maxSpendOf(recordsFull(), _._4)
     def landedVersionOf(id: String): Option[Int] =
       (1 to latest()).find(v => read(v)._1 == id)
     /** Atomically claim `slot` with `bytes` already in place: write to a
@@ -1123,17 +1147,52 @@ object Sketches {
       * racers against a 3.0 budget could BOTH land. The spec's
       * real-thread race caught it.) */
     def release(id: String, queryId: String, eps: Double,
-        delta: Double): String = {
+        delta: Double): String = release(id, queryId, eps, delta, None)
+
+    /** Partition-scoped release (VERDICT r17 #6): `keys = Some(K)`
+      * declares the release reads ONLY rows whose partition key is in K,
+      * so by the parallel-composition theorem it charges each key in K
+      * independently — two releases over DISJOINT key sets cost
+      * max(ε), not Σε, while overlapping-key (or `"*"`-scoped) releases
+      * still sum on the shared keys. The budget check bounds the
+      * worst-off KEY's cumulative spend on both axes, validated against
+      * the same single-snapshot base the claim targets (the OCC
+      * discipline of the unkeyed path, unchanged). */
+    def release(id: String, queryId: String, eps: Double,
+        delta: Double, keys: Option[Set[String]]): String = {
+      keys.foreach { k =>
+        require(k.nonEmpty, "keyed release needs a non-empty key set")
+        require(k.forall(s => s.nonEmpty && !s.exists(c =>
+          c == ',' || c == '\t' || c == '\n' || c == '\r')),
+          s"partition keys must be nonempty and comma/control-free: $k")
+      }
+      val scope = keys.map(_.toSeq.sorted.mkString(",")).getOrElse("*")
       while (true) {
         if (landedVersionOf(id).nonEmpty) return "duplicate"
         val base = latest()
-        val prior = (1 to base).map(read)
-        if (prior.map(_._3).sum + eps > budgetEps + 1e-12)
-          return "refused_eps"
-        if (prior.map(_._4).sum + delta > budgetDelta + 1e-12)
-          return "refused_delta"
+        val prior = (1 to base).map(readFull)
+        val starE = prior.filter(_._5 == "*").map(_._3).sum
+        val starD = prior.filter(_._5 == "*").map(_._4).sum
+        def keyedSum(axis: ((String, String, Double, Double, String)) => Double)
+            : Map[String, Double] = prior.filter(_._5 != "*")
+          .flatMap(r => r._5.split(",").map(_ -> axis(r)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        val keyedE = keyedSum(_._3)
+        val keyedD = keyedSum(_._4)
+        // worst-off key AFTER this release would land
+        val (afterE, afterD) = keys match {
+          case None =>
+            // a "*" release touches every key, including the heaviest
+            (starE + eps + (if (keyedE.isEmpty) 0.0 else keyedE.values.max),
+              starD + delta + (if (keyedD.isEmpty) 0.0 else keyedD.values.max))
+          case Some(ks) =>
+            (starE + eps + ks.map(k => keyedE.getOrElse(k, 0.0)).max,
+              starD + delta + ks.map(k => keyedD.getOrElse(k, 0.0)).max)
+        }
+        if (afterE > budgetEps + 1e-12) return "refused_eps"
+        if (afterD > budgetDelta + 1e-12) return "refused_delta"
         if (claim(root.resolve(s"release_v${base + 1}.txt"),
-            s"$id\t$queryId\t$eps\t$delta".getBytes("UTF-8")))
+            s"$id\t$queryId\t$eps\t$delta\t$scope".getBytes("UTF-8")))
           return "landed"
       }
       "unreachable"
@@ -1172,6 +1231,27 @@ object Sketches {
     * column) → r5 ε=0.25 δ=1u lands EXACTLY on both ceilings (Σε=2.75,
     * Σδ=10u — the boundary is inclusive). δ values are multiples of
     * u=2⁻²⁰ so every partial sum is exact in binary on both engines.
+    *
+    * PARALLEL COMPOSITION (VERDICT r17 #6), attempts 7-11: production
+    * pipelines release over DISJOINT data partitions, where the
+    * composition theorem charges each partition key independently —
+    * max(ε) across disjoint releases, not Σε. Each keyed release's
+    * scope is derived RELATIONALLY (the distinct event_type values of
+    * the exact filtered frame the release counts — the data proves the
+    * scope, the scope is not asserted), and r6/r7's disjointness is
+    * itself proven by an inner-join count of the two scope frames.
+    * With the sequential budget nearly exhausted (remaining ε = 0.25):
+    * r6 ε=0.2 on {view} lands and r7 ε=0.2 on {click} ALSO lands —
+    * sequential composition would refuse the pair (Σ 3.15 > 3.0), the
+    * theorem is what admits it — then r8 ε=0.2 on {view,purchase}
+    * REFUSES (view's key already at 2.95: overlapping keys still sum),
+    * r9 ε=0.05 on {view} lands exactly on view's per-key ceiling
+    * (3.0), and r10 δ=1u on {click} REFUSES on δ (every key already
+    * carries the 10u of global δ — the δ axis composes per-key too).
+    * `eps_spent_after` is throughout the WORST-OFF key's cumulative
+    * spend (the quantity the adversary model bounds; equal to the
+    * plain sum while only "*"-scoped records exist).
+    *
     * Landed releases publish the q82 mechanism keyed by the RELEASE id
     * (noise once per release); refused/duplicate attempts publish the
     * -1 sentinel and draw no noise. The ledger facts (spent ε and δ,
@@ -1191,34 +1271,70 @@ object Sketches {
         val ev = Tables.events(s, dir)
         val cnts = ev.agg(count(lit(1)).as("n_all"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L))
-            .as("n_view")).head()
-        val (nAll, nView) = (cnts.getLong(0), cnts.getLong(1))
+            .as("n_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click")).head()
+        val (nAll, nView, nClick) =
+          (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2))
+        // the scope of a keyed release, PROVEN from the released frame
+        // itself: the distinct partition-key values it actually reads
+        // (bounded by the event_type dictionary, ≤ 5 values)
+        def scopeOf(types: String*): Set[String] =
+          ev.filter(col("event_type").isin(types: _*))
+            .select(col("event_type")).distinct()
+            .collect().map(_.getString(0)).toSet
+        val viewScope = scopeOf("view")
+        val clickScope = scopeOf("click")
+        val viewPurchScope = scopeOf("view", "purchase")
+        // relational disjointness proof for the parallel pair: the two
+        // scope frames share zero keys
+        val disjointProven = ev.filter(col("event_type") === "view")
+          .select(col("event_type")).distinct()
+          .join(ev.filter(col("event_type") === "click")
+            .select(col("event_type")).distinct(), Seq("event_type"))
+          .count() == 0L
         // the deterministic attempt sequence (the spec races the claim)
         val plan = Seq(
-          (1L, "r1", "count_all", 1.0, 4 * u, nAll),
-          (2L, "r2", "count_view", 1.5, 5 * u, nView),
-          (3L, "r1", "count_all", 1.0, 4 * u, nAll), // duplicate delivery
-          (4L, "r3", "count_click", 1.0, 0.0, 0L), // refused_eps: 2.5+1 > 3
-          (5L, "r4", "count_click", 0.25, 2 * u, 0L), // refused_delta: 11u > 10u
-          (6L, "r5", "count_view", 0.25, 1 * u, nView)) // lands on both ceilings
-        val outcomes = plan.map { case (at, id, qid, eps, del, n) =>
-          val o = ledger.release(id, qid, eps, del)
-          (at, id, qid, eps, del, n, o, ledger.spentEps(), ledger.spentDelta())
+          (1L, "r1", "count_all", 1.0, 4 * u, nAll, None),
+          (2L, "r2", "count_view", 1.5, 5 * u, nView, None),
+          (3L, "r1", "count_all", 1.0, 4 * u, nAll, None), // duplicate delivery
+          (4L, "r3", "count_click", 1.0, 0.0, 0L, None), // refused_eps: 2.5+1 > 3
+          (5L, "r4", "count_click", 0.25, 2 * u, 0L, None), // refused_delta: 11u > 10u
+          (6L, "r5", "count_view", 0.25, 1 * u, nView, None), // lands on both ceilings
+          (7L, "r6", "count_view", 0.2, 0.0, nView, Some(viewScope)),
+          (8L, "r7", "count_click", 0.2, 0.0, nClick, Some(clickScope)), // disjoint: lands
+          (9L, "r8", "count_view_purch", 0.2, 0.0, 0L, Some(viewPurchScope)), // overlap: refused
+          (10L, "r9", "count_view", 0.05, 0.0, nView, Some(viewScope)), // view ceiling exactly
+          (11L, "r10", "count_click", 0.01, 1 * u, 0L, Some(clickScope))) // keyed δ refused
+        val outcomes = plan.map { case (at, id, qid, eps, del, n, scope) =>
+          val o = ledger.release(id, qid, eps, del, scope)
+          (at, id, qid, eps, del, n,
+            scope.map(_.toSeq.sorted.mkString(",")).getOrElse("*"), o,
+            ledger.spentEps(), ledger.spentDelta())
         }
         val spentFinal = ledger.spentEps()
         val spentDeltaFinal = ledger.spentDelta()
-        val cumulativeOk = spentFinal == 2.75 && spentDeltaFinal == 10 * u &&
-          ledger.latest() == 3 &&
-          ledger.records().map(_._3).sum == spentFinal
-        val refusalOk = outcomes(3)._7 == "refused_eps" &&
+        val cumulativeOk = spentFinal == 3.0 && spentDeltaFinal == 10 * u &&
+          ledger.latest() == 6 &&
+          ledger.recordsFull().filter(_._5 == "*").map(_._3).sum == 2.75
+        val refusalOk = outcomes(3)._8 == "refused_eps" &&
           ledger.landedVersionOf("r3").isEmpty
-        val deltaRefusalOk = outcomes(4)._7 == "refused_delta" &&
+        val deltaRefusalOk = outcomes(4)._8 == "refused_delta" &&
           ledger.landedVersionOf("r4").isEmpty
-        val dupOk = outcomes(2)._7 == "duplicate"
+        val dupOk = outcomes(2)._8 == "duplicate"
         val budgetOk = spentFinal <= 3.0 && spentDeltaFinal <= 10 * u
+        // the parallel-composition facts: the disjoint pair both landed
+        // though their sequential sum (2.75+0.2+0.2) overdraws ε = 3.0;
+        // the overlapping release refused; keyed δ refused
+        val parallelOk = outcomes(6)._8 == "landed" &&
+          outcomes(7)._8 == "landed" && 2.75 + 0.2 + 0.2 > 3.0
+        val overlapRefused = outcomes(8)._8 == "refused_eps" &&
+          ledger.landedVersionOf("r8").isEmpty
+        val keyedDeltaRefused = outcomes(10)._8 == "refused_delta" &&
+          ledger.landedVersionOf("r10").isEmpty
         val rows = outcomes.toDF("attempt", "release_id", "query_id",
-          "epsilon", "delta", "true_n", "outcome", "eps_spent_after",
-          "delta_spent_after")
+          "epsilon", "delta", "true_n", "scope", "outcome",
+          "eps_spent_after", "delta_spent_after")
         val out = rows
           .withColumn("released_count",
             when(col("outcome") === "landed",
@@ -1231,6 +1347,10 @@ object Sketches {
           .withColumn("over_delta_refused", lit(deltaRefusalOk))
           .withColumn("duplicate_noop", lit(dupOk))
           .withColumn("budget_never_exceeded", lit(budgetOk))
+          .withColumn("parallel_composition_admitted", lit(parallelOk))
+          .withColumn("overlapping_scope_refused", lit(overlapRefused))
+          .withColumn("keyed_delta_refused", lit(keyedDeltaRefused))
+          .withColumn("scopes_disjoint_proven", lit(disjointProven))
         graft.functions.CrossEngine.materializeLocal(s, out)
       } finally {
         graft.functions.CrossEngine.deleteRecursive(root)
@@ -1239,41 +1359,60 @@ object Sketches {
     Some("""WITH n AS (
         SELECT CAST(count(*) AS BIGINT) AS n_all,
           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_view
+            AS BIGINT) AS n_view,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click
         FROM events),
       plan AS (
         -- δ in exact binary units of 2^-20 (du, du_after) so every
-        -- partial sum matches the engine bit-for-bit
+        -- partial sum matches the engine bit-for-bit; eps_spent_after
+        -- is the WORST-OFF partition key's cumulative spend (equal to
+        -- the plain sum while only '*'-scoped records exist)
         SELECT attempt, release_id, query_id,
           CAST(epsilon AS DOUBLE) AS epsilon,
-          CAST(du AS DOUBLE) * pow(2.0, -20) AS delta,
+          CAST(du AS DOUBLE) * pow(2.0, -20) AS delta, scope,
           outcome, CAST(eps_spent_after AS DOUBLE) AS eps_spent_after,
           CAST(du_after AS DOUBLE) * pow(2.0, -20) AS delta_spent_after
         FROM (VALUES
-          (CAST(1 AS BIGINT), 'r1', 'count_all', 1.0, 4, 'landed',
+          (CAST(1 AS BIGINT), 'r1', 'count_all', 1.0, 4, '*', 'landed',
             1.0, 4),
-          (CAST(2 AS BIGINT), 'r2', 'count_view', 1.5, 5, 'landed',
+          (CAST(2 AS BIGINT), 'r2', 'count_view', 1.5, 5, '*', 'landed',
             2.5, 9),
-          (CAST(3 AS BIGINT), 'r1', 'count_all', 1.0, 4, 'duplicate',
+          (CAST(3 AS BIGINT), 'r1', 'count_all', 1.0, 4, '*', 'duplicate',
             2.5, 9),
-          (CAST(4 AS BIGINT), 'r3', 'count_click', 1.0, 0, 'refused_eps',
+          (CAST(4 AS BIGINT), 'r3', 'count_click', 1.0, 0, '*', 'refused_eps',
             2.5, 9),
-          (CAST(5 AS BIGINT), 'r4', 'count_click', 0.25, 2, 'refused_delta',
+          (CAST(5 AS BIGINT), 'r4', 'count_click', 0.25, 2, '*', 'refused_delta',
             2.5, 9),
-          (CAST(6 AS BIGINT), 'r5', 'count_view', 0.25, 1, 'landed',
-            2.75, 10))
-          t(attempt, release_id, query_id, epsilon, du, outcome,
+          (CAST(6 AS BIGINT), 'r5', 'count_view', 0.25, 1, '*', 'landed',
+            2.75, 10),
+          -- parallel composition: disjoint scopes charge per-key
+          (CAST(7 AS BIGINT), 'r6', 'count_view', 0.2, 0, 'view', 'landed',
+            2.95, 10),
+          (CAST(8 AS BIGINT), 'r7', 'count_click', 0.2, 0, 'click', 'landed',
+            2.95, 10),
+          (CAST(9 AS BIGINT), 'r8', 'count_view_purch', 0.2, 0,
+            'purchase,view', 'refused_eps', 2.95, 10),
+          (CAST(10 AS BIGINT), 'r9', 'count_view', 0.05, 0, 'view', 'landed',
+            3.0, 10),
+          (CAST(11 AS BIGINT), 'r10', 'count_click', 0.01, 1, 'click',
+            'refused_delta', 3.0, 10))
+          t(attempt, release_id, query_id, epsilon, du, scope, outcome,
             eps_spent_after, du_after)),
       w AS (
-        SELECT p.*, CASE p.query_id WHEN 'count_all' THEN n.n_all
-            WHEN 'count_view' THEN n.n_view ELSE CAST(0 AS BIGINT) END
-            AS true_n,
+        SELECT p.*,
+          CASE WHEN p.outcome IN ('refused_eps', 'refused_delta')
+            THEN CAST(0 AS BIGINT)
+            ELSE CASE p.query_id WHEN 'count_all' THEN n.n_all
+              WHEN 'count_view' THEN n.n_view
+              WHEN 'count_click' THEN n.n_click
+              ELSE CAST(0 AS BIGINT) END END AS true_n,
           (CAST(CAST(concat('0x', substring(md5(concat(p.release_id,
             '#106')), 1, 15)) AS BIGINT) % 1125899906842624 AS DOUBLE)
             + 1.0) / (1125899906842624.0 + 2.0) AS u
         FROM plan p CROSS JOIN n)
       SELECT attempt, release_id, query_id, epsilon, delta, true_n,
-        outcome, eps_spent_after, delta_spent_after,
+        scope, outcome, eps_spent_after, delta_spent_after,
         CASE WHEN outcome = 'landed'
           THEN round(CAST(true_n AS DOUBLE) + -1.0 * (1.0 / epsilon)
             * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
@@ -1281,7 +1420,11 @@ object Sketches {
         true AS ledger_sum_equals_cumulative,
         true AS over_budget_refused, true AS over_delta_refused,
         true AS duplicate_noop,
-        true AS budget_never_exceeded
+        true AS budget_never_exceeded,
+        true AS parallel_composition_admitted,
+        true AS overlapping_scope_refused,
+        true AS keyed_delta_refused,
+        true AS scopes_disjoint_proven
       FROM w"""))
 
   val all: Seq[Q] = Seq(q46, q47, q48, q49, q51, q53, q54, q55, q56, q57, q64,

@@ -1423,20 +1423,30 @@ class OperatorsSpec extends SparkSpec {
     val u = math.pow(2.0, -20)
     val rows = run("q84_dp_budget_ledger").collect()
       .sortBy(_.getAs[Long]("attempt"))
-    assert(rows.length === 6)
+    assert(rows.length === 11)
     Seq("ledger_sum_equals_cumulative", "over_budget_refused",
-      "over_delta_refused", "duplicate_noop",
-      "budget_never_exceeded").foreach { c =>
+      "over_delta_refused", "duplicate_noop", "budget_never_exceeded",
+      "parallel_composition_admitted", "overlapping_scope_refused",
+      "keyed_delta_refused", "scopes_disjoint_proven").foreach { c =>
       assert(rows.forall(_.getAs[Boolean](c)), s"$c is false")
     }
     assert(rows.map(_.getAs[String]("outcome")).toSeq ===
       Seq("landed", "landed", "duplicate", "refused_eps",
-        "refused_delta", "landed"))
+        "refused_delta", "landed",
+        "landed", "landed", "refused_eps", "landed", "refused_delta"))
+    assert(rows.map(_.getAs[String]("scope")).toSeq ===
+      Seq("*", "*", "*", "*", "*", "*",
+        "view", "click", "purchase,view", "view", "click"))
     // nothing leaves the pipeline on a refused/duplicate attempt
     assert(rows.filter(r => r.getAs[String]("outcome") != "landed")
       .forall(_.getAs[Double]("released_count") == -1.0))
-    // the boundary release lands EXACTLY on both ceilings
-    assert(rows.last.getAs[Double]("eps_spent_after") === 2.75)
+    // the sequential boundary release (attempt 6) lands EXACTLY on both
+    // ceilings; the keyed tail then drives view's per-key spend to the
+    // ceiling while the sequential sum of landed ε is 3.2 (> budget —
+    // legal precisely because r6/r7/r9 ride disjoint scopes)
+    assert(rows(5).getAs[Double]("eps_spent_after") === 2.75)
+    assert(rows(5).getAs[Double]("delta_spent_after") === 10 * u)
+    assert(rows.last.getAs[Double]("eps_spent_after") === 3.0)
     assert(rows.last.getAs[Double]("delta_spent_after") === 10 * u)
     // the REAL race, repeated, on BOTH budget axes: two threads whose
     // combined spend overdraws exactly one axis — the snapshot-then-
@@ -1508,6 +1518,76 @@ class OperatorsSpec extends SparkSpec {
           assert(ledger.release("D", "count_view", 0.0, 1 * u) ===
             "refused_delta")
           assert(ledger.spentDelta() === 10 * u)
+        } finally {
+          graft.functions.CrossEngine.deleteRecursive(root)
+        }
+      }
+      // the PARALLEL-composition race (VERDICT r17 #6): sequential
+      // budget nearly exhausted (2.75 of 3.0 spent globally), then two
+      // threads race releases over DISJOINT partition keys at ε=0.1875
+      // each (all values binary-exact so the spend compares with ===) —
+      // under sequential composition at most one could land
+      // (2.75+0.1875+0.1875 = 3.125 > 3.0); the theorem admits BOTH,
+      // and the worst-off key ends at 2.9375
+      (1 to 8).foreach { round =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_q84_spec_par_$round")
+        try {
+          val ledger = new graft.operators.Sketches.DpLedger(root, 3.0)
+          assert(ledger.release("G", "count_all", 2.75, 0.0) === "landed")
+          val gate = new CountDownLatch(1)
+          def racer(id: String, key: String) = pool.submit(
+            new java.util.concurrent.Callable[String] {
+              def call(): String = {
+                gate.await()
+                ledger.release(id, s"count_$key", 0.1875, 0.0, Some(Set(key)))
+              }
+            })
+          val (ra, rb) = (racer("A", "view"), racer("B", "click"))
+          gate.countDown()
+          val outcomes = Seq(ra.get(), rb.get())
+          assert(outcomes === Seq("landed", "landed"),
+            s"round $round disjoint race outcomes $outcomes — parallel " +
+              "composition must admit both")
+          assert(ledger.latest() === 3 && ledger.spentEps() === 2.9375)
+          // overlapping keys still SUM: a second view release past the
+          // per-key remainder refuses, a 0.0625 ask lands exactly on it
+          assert(ledger.release("C", "count_view", 0.125, 0.0,
+            Some(Set("view"))) === "refused_eps")
+          assert(ledger.release("D", "count_view", 0.0625, 0.0,
+            Some(Set("view"))) === "landed")
+          assert(ledger.spentEps() === 3.0)
+          // ...and a "*" release now refuses: it would touch view too
+          assert(ledger.release("E", "count_all", 0.0625, 0.0) ===
+            "refused_eps")
+        } finally {
+          graft.functions.CrossEngine.deleteRecursive(root)
+        }
+      }
+      // the SAME-key race keeps the OCC discipline under scoping: two
+      // racers on one key whose combined spend overdraws that key's
+      // remainder — exactly one lands per round
+      (1 to 8).foreach { round =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_q84_spec_samekey_$round")
+        try {
+          val ledger = new graft.operators.Sketches.DpLedger(root, 3.0)
+          assert(ledger.release("G", "count_all", 2.75, 0.0) === "landed")
+          val gate = new CountDownLatch(1)
+          def racer(id: String) = pool.submit(
+            new java.util.concurrent.Callable[String] {
+              def call(): String = {
+                gate.await()
+                ledger.release(id, "count_view", 0.1875, 0.0,
+                  Some(Set("view")))
+              }
+            })
+          val (ra, rb) = (racer("A"), racer("B"))
+          gate.countDown()
+          val outcomes = Seq(ra.get(), rb.get())
+          assert(outcomes.sorted === Seq("landed", "refused_eps"),
+            s"round $round same-key race outcomes $outcomes")
+          assert(ledger.spentEps() === 2.9375 && ledger.latest() === 2)
         } finally {
           graft.functions.CrossEngine.deleteRecursive(root)
         }
