@@ -2345,6 +2345,118 @@ object Relational {
         CAST(sum(doc_id) AS BIGINT) AS docid_sum
       FROM ranked GROUP BY 1"""
 
+  // ------------------------------------------------------------ q85-q89
+  /** SQL-TEXT DIALECT SURFACE (VERDICT r17 #5): one dialect-portable ANSI
+    * string per major engine family, run VERBATIM through `spark.sql(...)`
+    * AND as the DuckDB oracle (the q73 contract, widened). Each proves a
+    * family's semantics compose in plain SQL text — a user can run the
+    * same string on the engine and on any ANSI warehouse:
+    *
+    *  - q85: the d01 exact-dedup canonical-keeper verdict (min-id keeper
+    *    per content hash, every doc labeled);
+    *  - q86: the q49/KMV sketch lane's NDV estimate — k-th smallest of a
+    *    uniform content hash, (k-1)/u_k — with the 52-bit hex fraction
+    *    built from PORTABLE primitives (position/substring/power over an
+    *    exact power-of-two denominator, so u is bit-identical);
+    *  - q87: the w-lane's AS-OF join as the ANSI union+RANGE-window
+    *    pattern (latest view at-or-before each click per user; RANGE,
+    *    not ROWS, so order-by ties resolve identically in both engines);
+    *  - q88: the t02-family quality filter on pure-ANSI counters
+    *    (space-count words, replace-difference stopword hits, mean-word-
+    *    length bounds by integer cross-multiplication — no dialect split
+    *    functions, no inexact ratios);
+    *  - q89: the d28 leakage-safe split + d16 decontamination check —
+    *    hash-split into train/test, then count test docs whose exact
+    *    content appears in train (anti-leak audit), one string.
+    *
+    * Scale shape: q85/q89 are hash-grouped joins (shuffle on the content
+    * hash), q86 is a distinct + a 32-row top (the KMV bound), q87 one
+    * window over the tagged union partitioned by user, q88 a pure map —
+    * all partition-parallel, nothing driver-sized. */
+  private def sqlTextQ(name: String, views: Seq[String], sql: String): Q = Q(
+    name,
+    (s, dir) => {
+      views.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      val out = s.sql(sql)
+      views.foreach(s.catalog.dropTempView(_))
+      out
+    },
+    Some(sql))
+
+  private val q85 = sqlTextQ("q85_sql_dedup_verdict", Seq("documents"),
+    """SELECT d.doc_id, d.doc_id = k.keeper AS is_canonical,
+      k.keeper AS canonical_id, k.n_copies
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper,
+            CAST(count(*) AS BIGINT) AS n_copies
+          FROM documents GROUP BY md5(text)) k
+      ON md5(d.text) = k.h""")
+
+  private val q86 = sqlTextQ("q86_sql_kmv_ndv", Seq("documents"),
+    """WITH hs AS (SELECT DISTINCT md5(text) AS h FROM documents),
+      ranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hs),
+      kth AS (SELECT h FROM ranked WHERE rn = 32),
+      digits AS (SELECT i FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),
+        (9),(10),(11),(12),(13)) AS t(i)),
+      frac AS (SELECT SUM((POSITION(SUBSTRING(k.h, d.i, 1)
+          IN '0123456789abcdef') - 1) * POWER(16.0, 13 - d.i))
+          / POWER(16.0, 13) AS u
+        FROM kth k CROSS JOIN digits d),
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS ndv FROM hs)
+    SELECT ex.ndv AS exact_ndv,
+      CAST(FLOOR(31.0 / f.u) AS BIGINT) AS kmv_estimate,
+      ROUND(ABS(CAST(ex.ndv AS DOUBLE) - 31.0 / f.u)
+        / CAST(ex.ndv AS DOUBLE), 3) AS rel_err
+    FROM ex CROSS JOIN frac f""")
+
+  private val q87 = sqlTextQ("q87_sql_asof_join", Seq("events"),
+    """WITH tagged AS (
+      SELECT user_id, ts, CAST(0 AS BIGINT) AS is_q, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, CAST(1 AS BIGINT) AS is_q,
+        CAST(NULL AS TIMESTAMP) AS v_ts
+      FROM events WHERE event_type = 'click'),
+     w AS (
+      SELECT user_id, ts, is_q,
+        max(v_ts) OVER (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_ts
+      FROM tagged)
+    SELECT user_id, ts AS click_ts, asof_view_ts
+    FROM w WHERE is_q = 1""")
+
+  private val q88 = sqlTextQ("q88_sql_quality_filter", Seq("documents"),
+    """SELECT doc_id,
+      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        AS n_words,
+      CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letter_chars,
+      CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+        AS n_the,
+      (length(text) - length(replace(text, ' ', '')) + 1 >= 10
+        AND length(text) - length(replace(text, ' ', '')) + 1 <= 1000
+        AND length(replace(text, ' ', ''))
+          >= (length(text) - length(replace(text, ' ', '')) + 1) * 3
+        AND length(replace(text, ' ', ''))
+          <= (length(text) - length(replace(text, ' ', '')) + 1) * 10
+        AND (length(text) - length(replace(text, 'the', ''))) / 3 * 50
+          >= length(text) - length(replace(text, ' ', '')) + 1)
+        AS quality_pass
+    FROM documents""")
+
+  private val q89 = sqlTextQ("q89_sql_leakage_check", Seq("documents"),
+    """WITH split AS (
+      SELECT doc_id, text,
+        CASE WHEN SUBSTRING(md5(CONCAT('split:',
+            CAST(doc_id AS VARCHAR(20)))), 1, 1) < 'd'
+          THEN 'train' ELSE 'test' END AS part
+      FROM documents),
+     tr AS (SELECT DISTINCT md5(text) AS h FROM split WHERE part = 'train')
+    SELECT s.part, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN l.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_leaked
+    FROM split s LEFT JOIN tr l ON md5(s.text) = l.h AND s.part = 'test'
+    GROUP BY s.part""")
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
@@ -2352,5 +2464,6 @@ object Relational {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q50, q52, q58, q59, q60,
     q61, q62, q63, q65, q66, q67, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q83)
+    q73, q74, q75, q76, q77, q78, q79, q80, q83,
+    q85, q86, q87, q88, q89)
 }
