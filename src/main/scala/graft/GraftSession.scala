@@ -41,6 +41,32 @@ object GraftSession {
       // new threshold. Lanes needing more than 4096 groups per partition
       // should shard the probe/group panel (LisiRehearsal's shards arg).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // AQE partition coalescing sized by BYTES, not by default parallelism
+      // (optimization guide §2.2): with parallelismFirst=true (the default)
+      // every post-shuffle stage keeps >= defaultParallelism reduce tasks,
+      // so the engine's many panel-bounded exchanges (beam walks, bounded
+      // heaps, lifecycle witnesses — frames of 10^2..10^4 rows) each
+      // schedule `cores` near-empty tasks; sized coalescing collapses them
+      // to 1-2 tasks while corpus-scale exchanges keep their width. The
+      // advisory stays DELIBERATELY small (16m vs the 64m default) so
+      // CPU-heavy reduce stages keep parallelism at local scale; on a
+      // cluster raise it toward 64-256m with executor count
+      // (SPARK_GRAFT_ADVISORY_PARTITION overrides, same knob the guide
+      // tunes). Measured r18: the graph/layered lifecycle family is
+      // scheduling-bound (s42: 133 jobs, max 0.6 s) — task-count, not
+      // data, is its wall.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
+      // The engine's index artifacts are BUCKETED directory tables (64-256
+      // bucket= dirs by design, SURVEY §2.13); the default
+      // parallelPartitionDiscovery.threshold (32) turns every scan of one
+      // into a distributed file-listing JOB — pure scheduling overhead for
+      // a bounded, per-table directory count. Driver-side listing of a few
+      // hundred dirs is microseconds on any fs; the lifecycle lanes pay a
+      // listing job per read without this (guide §6: listing/planning cost
+      // is driver-side work — keep it off the cluster when it's bounded).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
 
   def local(cores: Int, uiEnabled: Boolean = false): SparkSession = {
     val s = configure(SparkSession.builder(), cores)

@@ -2700,12 +2700,18 @@ object Similarity {
         .select(col("query_id"), col("v").as("node"))
         .unionByName(beam.select(col("query_id"), col("node")))
         .distinct()
-      val scored = cand
+      // checkpoint the scored frame ONLY when a second consumer exists
+      // (rehearsal hook or filtered-search accumulator) — otherwise the
+      // beam checkpoint computes the whole hop in one job (r18: the walk
+      // is scheduling-bound; one eager job per hop instead of two)
+      val scored0 = cand
         .join(emb.withColumnRenamed("id", "node"), Seq("node"))
         .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col("node"),
           l2DistSq(col("embedding"), col("q_emb")).as("d"))
-        .localCheckpoint(true)
+      val scored =
+        if (scoredOut != null || matchPred.nonEmpty) scored0.localCheckpoint(true)
+        else scored0
       if (scoredOut != null) scoredOut += scored
       matchPred.foreach { pred =>
         val hit = scored.filter(pred)
@@ -3092,12 +3098,19 @@ object Similarity {
         .select(col("query_id"), col("v").as("node"))
         .unionByName(beam.select(col("query_id"), col("node")))
         .distinct()
-      val scored = cand
+      // checkpoint the scored frame ONLY when a second consumer needs it
+      // (the rehearsal hook): each eager localCheckpoint is one whole
+      // Spark job over a panel-bounded frame, and the walk pays it every
+      // hop — fusing score + top-k into the beam checkpoint halves the
+      // per-hop job count (r18 measurement: the layered-serve walks are
+      // scheduling-bound, not compute-bound)
+      val scored0 = cand
         .join(emb.withColumnRenamed("id", "node"), Seq("node"))
         .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col("node"),
           l2DistSq(col("embedding"), col("q_emb")).as("d"))
-        .localCheckpoint(true)
+      val scored =
+        if (scoredOut != null) scored0.localCheckpoint(true) else scored0
       if (scoredOut != null) scoredOut += scored
       beam = topKByScore(scored, "query_id", "node", col("d"),
           beamW, ascending = true)

@@ -3,11 +3,9 @@ import org.apache.spark.sql.SparkSession
 object QProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("QPROBE_CPUS", "8").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // the full GraftSession contract (extensions + tuning confs) so probe
+    // timings measure the same session the bench runs under
+    val spark = graft.GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val names = args(0).split(",")
