@@ -1766,14 +1766,27 @@ object Dedup {
           && col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val truth = sa.join(sb, col("doc_a") < col("doc_b") &&
-          size(col("sh_a")) * 2 >= size(col("sh_b")) &&
-          size(col("sh_b")) * 2 >= size(col("sh_a")))
-        .filter(inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter) >= 0.5)
+      // exact all-pairs Jaccard via the INVERTED-INDEX form (guide §3: no
+      // nested-loop joins on data tables): intersections come from a
+      // shingle-key equi-join + grouped count — cost O(Σ df²) over shingle
+      // doc-frequencies (measured df ≤ 6 on this corpus; sf0.1 slice:
+      // 12.6k joined rows) instead of the BroadcastNestedLoopJoin's
+      // O(docs²) array_intersect calls (~600k pairs × ~52-gram arrays,
+      // the r18 baseline's two concurrent 9.5 s jobs). A pair with zero
+      // common shingles cannot reach J >= 0.5, so dropping it is exact;
+      // the size-ratio prune and the threshold apply unchanged on the
+      // counted form. Results byte-identical (same oracle).
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
+      val truth = ex.alias("x").join(ex.alias("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+        .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+        .filter(col("na") * 2 >= col("nb") && col("nb") * 2 >= col("na"))
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) >= 0.5)
         .select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")

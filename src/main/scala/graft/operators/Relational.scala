@@ -1108,11 +1108,17 @@ object Relational {
         expr("""concat(substring(title, 1, 4 + cast(doc_id % 7 as int)),
                        substring(title, 6 + cast(doc_id % 7 as int), 100000))""")
           .as("dtitle"))
+      // bounded-band edit distance: levenshtein(l, r, threshold) stops the
+      // DP once the distance provably exceeds 2 and returns -1 — O(k·n)
+      // per pair instead of O(n·m) (guide step: cheaper expressions in the
+      // hot path). Exact for every surviving row: a pair at dist <= 2 gets
+      // its true distance, and the -1 rows are exactly the dist > 2 rows
+      // the unbounded form filtered out.
       val cand = dirty.join(titles,
           substring(col("dtitle"), 1, 4) === substring(col("title"), 1, 4))
         .select(col("dirty_id"), col("doc_id"),
-          levenshtein(col("dtitle"), col("title")).cast("long").as("dist"))
-        .filter(col("dist") <= 2)
+          levenshtein(col("dtitle"), col("title"), 2).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
       cand.groupBy(col("dirty_id"))
         .agg(min(struct(col("dist"), col("doc_id"))).as("m"))
         .select(col("dirty_id"), col("m.doc_id").as("matched_id"),
