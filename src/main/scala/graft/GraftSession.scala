@@ -27,7 +27,8 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ObjectHashAggregate falls back to SORT-BASED aggregation once a
       // partition sees >128 distinct groups (the default threshold) — for
@@ -67,6 +68,16 @@ object GraftSession {
       // listing job per read without this (guide §6: listing/planning cost
       // is driver-side work — keep it off the cluster when it's bounded).
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // Spark 4.1 writes a sidecar checksum file for EVERY streaming
+      // checkpoint file (offset log, commit log, state deltas/snapshots) —
+      // doubling the checkpoint's file-create + rename + fsync count per
+      // micro-batch. The recovery gates (st24/st25/st27/st28) exercise
+      // checkpoint RESTART semantics, which are unchanged by the integrity
+      // sidecars (the manager reads files without checksums — it only
+      // WARNs); a deployment on corruptible storage turns this back on.
+      // Measured r18: the streaming lanes' wall is dominated by per-batch
+      // non-job time (st28: 17.0 s wall, 9.4 s in Spark jobs).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
   def local(cores: Int, uiEnabled: Boolean = false): SparkSession = {
     val s = configure(SparkSession.builder(), cores)

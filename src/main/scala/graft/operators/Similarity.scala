@@ -3861,6 +3861,27 @@ object Similarity {
     try fs.getFileStatus(p).isDirectory
     catch { case _: java.io.FileNotFoundException => false }
 
+  /** Set-equality probe in ONE job: tag both sides, group by every data
+    * column, and look for a group present on only one side. The
+    * two-`except`-plus-two-`count` form this replaces shuffled both frames
+    * twice and ran two full jobs per witness; this is one exchange and an
+    * early-exit `isEmpty`. Set semantics exactly like EXCEPT (duplicates
+    * within a side collapse in the groupBy). */
+  private[graft] def setsEqual(a: DataFrame, b: DataFrame): Boolean =
+    symDiffGroups(a, b).isEmpty
+
+  /** The rows present on exactly one side of two same-schema frames
+    * (EXCEPT-style set semantics), as one tagged aggregation. */
+  private[graft] def symDiffGroups(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    a.withColumn("__side", lit(1))
+      .unionByName(b.withColumn("__side", lit(2)))
+      .groupBy(cols.map(col): _*)
+      .agg(countDistinct(col("__side")).as("__n"))
+      .filter(col("__n") < 2)
+      .select(cols.map(col): _*)
+  }
+
   /** Data-file names per bucket directory (absent dir == empty bucket). */
   private[graft] def edgeBucketFiles(path: String): Map[Int, Seq[String]] = {
     val fs = bucketFs(path)
@@ -3977,8 +3998,7 @@ object Similarity {
           .localCheckpoint(true)
         val newEdges = repaired.select(col("u"), col("v"))
         // rewrite ONLY the buckets whose adjacency changed
-        val changed = newEdges.except(delEdges)
-          .unionByName(delEdges.except(newEdges))
+        val changed = symDiffGroups(newEdges, delEdges)
           .select(pmod(col("u"), lit(s38Buckets.toLong)).cast("int")
             .as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -5035,9 +5055,7 @@ object Similarity {
           .select(col("u"), col("v")).localCheckpoint(true)
         val sideAfter = s.read.parquet(s"$out/knn_rev")
           .select(col("u"), col("v")).localCheckpoint(true)
-        val sidecarConsistent =
-          knnAfter.except(sideAfter).count() == 0 &&
-          sideAfter.except(knnAfter).count() == 0
+        val sidecarConsistent = setsEqual(knnAfter, sideAfter)
         // idempotence: a second bounded lookup finds nothing
         val secondLookup =
           sidecarReverseLookup(s, s"$out/knn_rev", doomed).count() == 0 &&
@@ -5185,9 +5203,7 @@ object Similarity {
           .select(col("vec_id"), col("list_id")).localCheckpoint(true)
         val idmapAfter = s.read.parquet(s"$out/idmap")
           .select(col("vec_id"), col("list_id")).localCheckpoint(true)
-        val sidecarConsistent =
-          codesAfter.except(idmapAfter).count() == 0 &&
-          idmapAfter.except(codesAfter).count() == 0
+        val sidecarConsistent = setsEqual(codesAfter, idmapAfter)
         val secondLookup = idmapLookup(doomed).count() == 0 &&
           codesAfter.filter(col("vec_id").isin(doomed: _*)).count() == 0
         val served = ivfpqServe(s, out, corpus.filter(col("vec_id") < 3),
@@ -5855,7 +5871,7 @@ object Similarity {
           bucketDirDigest(s"$out/gen1") == gen1Digest
         val (liveAtRollback, nn1) = serveNn() // the second REAL serve
         val rollbackServeEqual = liveAtRollback == "gen1" &&
-          nn1.except(nn2).count() == 0 && nn2.except(nn1).count() == 0
+          setsEqual(nn1, nn2)
         genWritePointer(out, "gen2") // re-flip, then GC the old generation
         graft.functions.CrossEngine.deleteRecursive(
           java.nio.file.Paths.get(s"$out/gen1"))
@@ -6108,8 +6124,7 @@ object Similarity {
         val levelsRedrawn = lw.alias("a")
           .join(lv0.alias("b"), col("a.id") === col("b.id"))
           .filter(col("a.lvl") =!= col("b.lvl")).count() > 0
-        val routingRetrained =
-          e1r.except(e1o).count() + e1o.except(e1r).count() > 0
+        val routingRetrained = !setsEqual(e1r, e1o)
         // gen2: rebuild-class bulk write, one tagged job (the s50 shape)
         val fs = bucketFs(out)
         Seq("knn" -> g1("knn"), "links" -> g1("links"),

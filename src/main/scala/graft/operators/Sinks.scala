@@ -1630,11 +1630,9 @@ object Sinks {
           .write.mode("overwrite").parquet(s"$root/compact")
         val compacted = s.read.parquet(s"$root/compact")
         val key = Seq("bucket", "pos", "o_orderkey")
-        val compactOk =
-          compacted.select(key.map(col): _*)
-            .except(live.select(key.map(col): _*)).count() == 0 &&
-          live.select(key.map(col): _*)
-            .except(compacted.select(key.map(col): _*)).count() == 0
+        val compactOk = graft.operators.Similarity.setsEqual(
+          compacted.select(key.map(col): _*),
+          live.select(key.map(col): _*))
         val dvDisjoint = s.read.parquet(s"$root/dv_v1")
           .join(s.read.parquet(s"$root/dv_v2"), Seq("bucket", "pos")).count() == 0
         val nB = base.groupBy(col("bucket")).agg(count(lit(1)).as("n_base"))

@@ -3792,8 +3792,7 @@ object EventsStreaming {
         val oneShotRows = oneShot
           .select(col("event_type"), posexplode(col("regs")).as(Seq("idx", "r")))
         val drainedEqualsBatch =
-          merged.except(oneShotRows).count() == 0 &&
-          oneShotRows.except(merged).count() == 0
+          graft.operators.Similarity.setsEqual(merged, oneShotRows)
         // estimate from the MERGED register rows (order-free integer
         // sums — the q81 discipline, no array rebuild needed)
         val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
@@ -3946,9 +3945,7 @@ object EventsStreaming {
           .localCheckpoint(true)
         // batch reference: one-shot aggregate over all events
         val oneShot = grouped(ev)
-        val aggEqual =
-          merged.except(oneShot).count() == 0 &&
-          oneShot.except(merged).count() == 0
+        val aggEqual = graft.operators.Similarity.setsEqual(merged, oneShot)
         // the release: noise ONCE, keyed by what is being published
         def release(df: DataFrame): DataFrame = {
           val key = concat(col("event_type"), lit("|"),
@@ -3964,8 +3961,7 @@ object EventsStreaming {
         val drained = release(merged).localCheckpoint(true)
         val batchRel = release(oneShot)
         val releaseEqual =
-          drained.except(batchRel).count() == 0 &&
-          batchRel.except(drained).count() == 0
+          graft.operators.Similarity.setsEqual(drained, batchRel)
         graft.functions.CrossEngine.materializeLocal(s, drained
           .withColumn("epsilon", lit(eps))
           .withColumn("drained_agg_equals_batch", lit(aggEqual))
@@ -4347,8 +4343,7 @@ object EventsStreaming {
             ev.filter(pmod(col("event_id"), lit(4L)) === i), s"t$i"))
           .reduce(_ unionByName _).localCheckpoint(true)
         val drainedEqualsBatch =
-          drained.except(batchRef).count() == 0 &&
-          batchRef.except(drained).count() == 0
+          graft.operators.Similarity.setsEqual(drained, batchRef)
         val ledgerOk = ledger.latest() == 3 && ledger.spentEps() == 3.0 &&
           ledger.records().forall(_._2 == "slice_count")
         val rows = (0 until 4).map { i =>
