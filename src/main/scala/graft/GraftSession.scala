@@ -59,13 +59,6 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "16m"))
-      // ... with a small partition-count FLOOR: bytes-sized coalescing is
-      // blind to CPU-heavy-but-byte-light reduce stages (p04's curation
-      // chain lost ~10% to 1-task stages); a floor of 4 keeps such stages
-      // parallel while a collapsed panel exchange still costs 4 near-free
-      // tasks instead of `cores`. Scale-safe: a floor only binds when AQE
-      // wanted FEWER than 4 partitions, i.e. only on tiny exchanges.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "4")
       // The engine's index artifacts are BUCKETED directory tables (64-256
       // bucket= dirs by design, SURVEY §2.13); the default
       // parallelPartitionDiscovery.threshold (32) turns every scan of one
