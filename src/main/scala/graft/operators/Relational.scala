@@ -1240,19 +1240,39 @@ object Relational {
     * bake out-degree into the adjacency, then `iters` rounds of ONE
     * node-keyed equi-join + one grouped sum each, lineage truncated per
     * round. Input (u, v) directed pairs; output (node, rank). */
-  private[graft] def pageRank(e0: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pageRank(e0: DataFrame, iters: Int,
+      plansOut: scala.collection.mutable.Buffer[String] = null,
+      marksOut: scala.collection.mutable.Buffer[Double] = null): DataFrame = {
+    val tStart = System.nanoTime()
+    def mark(): Unit =
+      if (marksOut != null) marksOut += (System.nanoTime() - tStart) / 1e9
     val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val adj = deg.join(edges, "u")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
+    val adj = deg.join(edges, "u").localCheckpoint(true)
+    mark()
+    // seed ranks from the CHECKPOINTED adjacency, not from deg: deg's plan
+    // re-scans the base edge derivation, so iteration 1 paid one extra
+    // full corpus pass (nodes-with-an-out-edge is the same set either way
+    // — deg is a groupBy of edges, every u in it appears in adj)
+    var ranks = adj.select(col("u").as("node")).distinct()
+      .withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      ranks = adj.join(ranks, col("u") === col("node"))
+      // SHUFFLE_HASH on the node-sized rank side: the default SMJ re-SORTED
+      // the edge-sized cached adj on u EVERY iteration (guide §3.1 — pick
+      // the strategy deliberately; the cached adj is already hash(u)-
+      // partitioned, so the only per-iteration exchanges are the tiny rank
+      // frame and the grouped sum). Build side = ranks (one row per node,
+      // post-shuffle slices of it per task), never the edge table.
+      val next = adj.join(ranks.hint("SHUFFLE_HASH"), col("u") === col("node"))
         .select(col("v"), expr("rank div deg").as("contrib"))
         .groupBy(col("v")).agg(sum(col("contrib")).as("in_mass"))
         .select(col("v").as("node"),
           expr("150000 + 17 * in_mass div 20").as("rank"))
-        .localCheckpoint(true)
+      if (plansOut != null)
+        plansOut += next.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      ranks = next.localCheckpoint(true)
+      mark()
     }
     adj.unpersist(false)
     ranks

@@ -704,41 +704,105 @@ object TextAnalysis {
     * state is a live localCheckpoint the caller must unpersist; the t17
     * apply-equals-learn spec compares it against a chained
     * [[bpeApplyMerge]] fold over [[bpeState0]]. */
+  /** Spark/DuckDB string ordering for the argmax tie-break: unsigned
+    * byte-wise comparison of the UTF-8 encodings (UTF8String.compareTo) —
+    * Java's String.compareTo orders by UTF-16 code unit and diverges on
+    * supplementary characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Row-local twin of [[bpeApplyMerge]] (same greedy left-to-right fold,
+    * same non-overlap rule) for the learner's RDD loop; property-tested
+    * against the expression form in OperatorsSpec. */
+  private[graft] def applyMergeLocal(s: String, l: String, r: String): String = {
+    var acc = ""
+    s.split(" ").foreach { x =>
+      acc =
+        if (acc.isEmpty) x
+        else if ((acc == l || acc.endsWith(" " + l)) && x == r) acc + x
+        else acc + " " + x
+    }
+    acc
+  }
+
   private[graft] def bpeLearnMerges(docs: DataFrame, n: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
-    var state = bpeState0(docs).localCheckpoint(true)
+    // The learning loop is inherently sequential (merge k+1's pair counts
+    // depend on merge k), so the old per-round DataFrame form paid full
+    // Catalyst planning + an AQE shuffle query + an eager localCheckpoint
+    // per round — t33 profiled at 113 jobs with half its wall BETWEEN jobs
+    // (guide §1.2 step 1). Each round is now ONE single-stage RDD job:
+    // per-partition pair-count maps (exact Long sums) merged on the
+    // driver, argmax under the same (wt DESC, l, r) order with UTF-8
+    // byte-wise string comparison (= Spark's and DuckDB's collation), and
+    // the merges applied lazily in one map closure over the persisted
+    // base state — vocab-scale work per round, no plan growth.
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val base = bpeState0(docs).select(col("w"), col("cnt"), col("s"))
+      .as[(String, Long, String)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def stateRdd = {
+      val ms = merges.toList.map { case (_, l, r, _) => (l, r) }
+      base.map { case (w, c, s) =>
+        (w, c, ms.foldLeft(s) { case (acc, (l, r)) => applyMergeLocal(acc, l, r) })
+      }
+    }
     var step = 1
     var exhausted = false
     while (step <= n && !exhausted) {
-        val syms = split(col("s"), " ")
-        val pairs = state
-          .filter(size(syms) > 1) // sequence(1, 0) would run DESCENDING
-          .select(col("cnt"), explode(transform(sequence(lit(1), size(syms) - 1),
-            i => struct(element_at(syms, i).as("l"),
-              element_at(syms, i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("cnt")).as("wt"))
-        pairs.orderBy(col("wt").desc, col("l"), col("r")).limit(1)
-          .collect().headOption match {
-          case None =>
-            // every word is down to one symbol: nothing left to merge. The
-            // oracle's matching round has an empty best-CTE, so IT emits no
-            // row for this or later steps either — both engines stop at
-            // the same merge count instead of failing differently.
-            exhausted = true
-          case Some(best) =>
-            val (l, r) = (best.getAs[String]("l"), best.getAs[String]("r"))
-            merges += ((step.toLong, l, r, best.getAs[Long]("wt")))
-            val prev = state
-            state = state.withColumn("s", bpeApplyMerge(col("s"), l, r))
-              .localCheckpoint(true)
-            prev.unpersist(false)
-            step += 1
+      val partials = stateRdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        it.foreach { case (_, cnt, s) =>
+          val syms = s.split(" ")
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + cnt)
+            i += 1
+          }
         }
+        Iterator.single(m)
+      }.collect() // bounded: distinct adjacent symbol pairs of the vocab
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      partials.foreach(_.foreach { case (k, v) =>
+        counts.update(k, counts.getOrElse(k, 0L) + v)
+      })
+      if (counts.isEmpty) {
+        // every word is down to one symbol: nothing left to merge. The
+        // oracle's matching round has an empty best-CTE, so IT emits no
+        // row for this or later steps either — both engines stop at
+        // the same merge count instead of failing differently.
+        exhausted = true
+      } else {
+        var best: ((String, String), Long) = null
+        counts.foreach { case e @ ((l, r), wt) =>
+          if (best == null || wt > best._2 ||
+              (wt == best._2 && (utf8Lt(l, best._1._1) ||
+                (l == best._1._1 && utf8Lt(r, best._1._2)))))
+            best = e
+        }
+        merges += ((step.toLong, best._1._1, best._1._2, best._2))
+        step += 1
       }
-      (merges.toSeq, state)
     }
+    // final vocab state as the contract's live localCheckpoint (callers
+    // join/compare against it and unpersist when done)
+    val state = stateRdd.toDF("w", "cnt", "s").localCheckpoint(true)
+    base.unpersist(false)
+    (merges.toSeq, state)
+  }
 
   private val tBpe = Q(
     "t16_bpe_merges",
@@ -1962,7 +2026,7 @@ object TextAnalysis {
       rounds: Int = ugRounds): (Map[String, Double], Seq[Double]) = {
     val sp = words.sparkSession
     import sp.implicits._
-    val wcnt = words.select(col("w"), col("cnt")).as[(String, Long)]
+    val wcnt = words.select(col("w"), col("cnt")).as[(String, Long)].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed: every substring up to ugMaxPieceLen, weighted by word freq x
     // occurrence count — one explode + grouped Long sum
@@ -1984,40 +2048,52 @@ object TextAnalysis {
     }
     var model = toLogProbs((singles ++ top).toSeq)
     val lls = scala.collection.mutable.ArrayBuffer[Double]()
+    // one single-stage RDD job per EM round: the E-step's per-word exact
+    // micro-counts fold into a per-partition map ALONGSIDE the loss sum,
+    // so the old per-round (persist + reduce job + planned groupBy query)
+    // triple collapses into one collect of #partitions (map, loss) pairs
+    // (guide §1.2 step 1 — the trainer's wall was per-round planning, not
+    // data). Counts are Long sums — bit-identical under any partitioning
+    // and merge order; the loss trace sums doubles on the driver in
+    // partition-index order (the old RDD.reduce merged in task-completion
+    // order, so the trace was only tolerance-stable, as documented).
     for (round <- 0 to rounds) {
       val bc = sp.sparkContext.broadcast(model)
-      // E-step: per-word micro-counts (exact Longs) + corpus neg loglik —
-      // Viterbi path counts (hard) or forward-backward expectations (soft)
-      val seg = wcnt.mapPartitions { it =>
-        it.map { case (w, c) =>
+      val partials = wcnt.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var loss = 0.0
+        it.foreach { case (w, c) =>
           if (soft) ugForwardBackward(w, bc.value) match {
             case Some((edges, logEv)) =>
-              (edges.map { case (p, e) => (p, math.round(e * c * 1e6)) },
-                -logEv * c)
-            case None => (List.empty[(String, Long)], 0.0)
+              edges.foreach { case (p, e) =>
+                m.update(p, m.getOrElse(p, 0L) + math.round(e * c * 1e6)) }
+              loss += -logEv * c
+            case None =>
           }
           else ugViterbi(w, bc.value) match {
             case Some((pieces, score)) =>
-              (pieces.map(p => (p, c * 1000000L)), -score * c)
-            case None => (List.empty[(String, Long)], 0.0)
+              pieces.foreach(p => m.update(p, m.getOrElse(p, 0L) + c * 1000000L))
+              loss += -score * c
+            case None =>
           }
         }
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lls += seg.map(_._2).reduce(_ + _)
+        Iterator.single((m, loss))
+      }.collect() // bounded: #partitions x vocab size
+      lls += partials.map(_._2).sum
       if (round < rounds) {
-        val counts = seg.flatMap(_._1)
-          .toDF("p", "c").groupBy(col("p")).agg(sum(col("c")).as("c"))
-          .as[(String, Long)].collect() // bounded by vocab size
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        partials.foreach(_._1.foreach { case (p, c) =>
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+        })
         // M-step + prune: keep the top-cap multi-char pieces by (count
         // desc, piece asc); single chars always survive (coverage floor
         // of one micro-unit)
-        val multi = counts.filter(_._1.length > 1)
+        val multi = counts.toArray.filter(_._1.length > 1)
           .sortBy { case (p, c) => (-c, p) }.take(vocabCap)
         val singleKept = singles.map { case (p, _) =>
-          p -> math.max(1000000L, counts.toMap.getOrElse(p, 0L)) }
+          p -> math.max(1000000L, counts.getOrElse(p, 0L)) }
         model = toLogProbs((singleKept ++ multi).toSeq)
       }
-      seg.unpersist(false)
       bc.destroy()
     }
     wcnt.unpersist(false)
@@ -2242,18 +2318,30 @@ object TextAnalysis {
       nBuckets: Int = lrBuckets): (Array[Double], Seq[Double]) = {
     val sp = feats.sparkSession
     import sp.implicits._
-    val ds = feats.select(col("label").cast("double"), col("bks"), col("vls"))
-      .as[(Double, Seq[Int], Seq[Double])]
+    // each GD step is ONE single-stage RDD job: per-partition gradient
+    // arrays (exact micro-Longs) folded locally, merged on the driver —
+    // the (bucket, grad) shuffle + per-step Catalyst planning of the old
+    // DataFrame form were 2 planned queries per step, and the trainer's
+    // wall was dominated by that per-step scheduling/planning floor
+    // (guide §1.2 step 1: t31 profiled 71 jobs / 4.9 s wall with 2.4 s in
+    // jobs). Long sums are associative, so the weights stay bit-identical
+    // under any partitioning, like the old groupBy-sum.
+    val rows = feats.select(col("label").cast("double"), col("bks"), col("vls"))
+      .as[(Double, Seq[Int], Seq[Double])].rdd
+      .map { case (y, bks, vls) => (y, bks.toArray, vls.toArray) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = ds.count().toDouble
+    val nDocs = rows.count().toDouble
     var w = new Array[Double](nBuckets + 1)
     val gsq = new Array[Double](nBuckets + 1) // AdaGrad accumulators
     val losses = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to iters) {
       val bc = sp.sparkContext.broadcast(w)
-      val contrib = ds.mapPartitions { it =>
-        it.flatMap { case (y, bks, vls) =>
-          val wv = bc.value
+      // acc slots: 0..nBuckets = per-bucket + bias gradient micro-units,
+      // nBuckets+1 = loss micro-units (the old -1 key)
+      val parts = rows.mapPartitions { it =>
+        val wv = bc.value
+        val acc = new Array[Long](wv.length + 1)
+        it.foreach { case (y, bks, vls) =>
           var z = wv(wv.length - 1)
           var k = 0
           while (k < bks.length) { z += vls(k) * wv(bks(k)); k += 1 }
@@ -2261,25 +2349,31 @@ object TextAnalysis {
           val err = p - y
           val eps = 1e-12
           val loss = -(y * math.log(p + eps) + (1 - y) * math.log(1 - p + eps))
-          // per-bucket gradient micro-units + (bias, loss) under key -1/-2
-          bks.indices.map(k2 => (bks(k2), math.round(err * vls(k2) * 1e6))) ++
-            Seq((wv.length - 1, math.round(err * 1e6)),
-              (-1, math.round(loss * 1e6)))
+          var k2 = 0
+          while (k2 < bks.length) {
+            acc(bks(k2)) += math.round(err * vls(k2) * 1e6); k2 += 1
+          }
+          acc(wv.length - 1) += math.round(err * 1e6)
+          acc(wv.length) += math.round(loss * 1e6)
         }
-      }.toDF("b", "g").groupBy(col("b")).agg(sum(col("g")).as("g"))
-        .as[(Int, Long)].collect() // bounded: model dimension
-      val gmap = contrib.toMap
-      losses += gmap.getOrElse(-1, 0L) / 1e6
+        Iterator.single(acc)
+      }.collect() // bounded: #partitions x model dimension
+      val tot = new Array[Long](nBuckets + 2)
+      parts.foreach { a =>
+        var k = 0
+        while (k < tot.length) { tot(k) += a(k); k += 1 }
+      }
+      losses += tot(nBuckets + 1) / 1e6
       var k = 0
       while (k <= nBuckets) {
-        val g = (gmap.getOrElse(k, 0L) / 1e6) / nDocs
+        val g = (tot(k) / 1e6) / nDocs
         gsq(k) += g * g
         if (gsq(k) > 0) w(k) -= rate * g / math.sqrt(gsq(k))
         k += 1
       }
       bc.destroy()
     }
-    ds.unpersist(false)
+    rows.unpersist(false)
     (w, losses.toSeq)
   }
 

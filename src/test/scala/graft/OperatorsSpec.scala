@@ -370,6 +370,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("t16 row-local merge fold (applyMergeLocal) matches the list-fold reference") {
+    // the learner's RDD loop applies merges with this Scala twin of the
+    // bpeApplyMerge expression; drift between the two would make the
+    // learned merge table diverge from the oracle's CTE chain
+    def ref(syms: Seq[String], l: String, r: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    val rng = new scala.util.Random(13)
+    val alphabet = Vector("a", "b", "c", "ab", "ba", "aab")
+    (0 until 500).foreach { _ =>
+      val syms = Vector.fill(1 + rng.nextInt(12))(alphabet(rng.nextInt(alphabet.length)))
+      val l = alphabet(rng.nextInt(alphabet.length))
+      val r = alphabet(rng.nextInt(alphabet.length))
+      assert(operators.TextAnalysis.applyMergeLocal(syms.mkString(" "), l, r)
+        === ref(syms, l, r).mkString(" "),
+        s"local fold mismatch on ${syms.mkString(" ")} under ($l,$r)")
+    }
+  }
+
   test("t17 apply == learn: chained merge fold reproduces t16's final vocab state") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val (merges, finalState) = operators.TextAnalysis.bpeLearnMerges(docs, 6)
