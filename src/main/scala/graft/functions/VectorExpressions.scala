@@ -462,4 +462,20 @@ object VectorExpressions {
     * index order — HOF- and oracle-compatible). */
   def l2DistSq(a: Column, b: Column): Column =
     GraftShims.column(L2DistSq(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Row-local twin of [[L2DistSq]] for kernels that run the distance
+    * inside a Scala closure (s40's grouped robust prune): same element
+    * order, same double accumulation — bit-identical to the expression
+    * (spec-tested). */
+  def l2DistSqLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a(i) - b(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }

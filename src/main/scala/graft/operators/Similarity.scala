@@ -4366,39 +4366,75 @@ object Similarity {
   private val s40R = 8
   private val s40Alpha = 1.1
 
+  /** RobustPrune's R greedy selection rounds for ONE node's candidate
+    * list, run row-locally: pick the closest surviving candidate (ties to
+    * the smaller id — topKByScore's order), drop everything it
+    * α-dominates (keep c while α·d(s,c) > d(p,c), the strict form the
+    * round CTEs mirror). Same doubles, same comparisons as the unrolled
+    * relational rounds this replaces — the distance is
+    * [[graft.functions.VectorExpressions.l2DistSqLocal]], the bit-exact
+    * twin of the expression that scored `d`. */
+  private[graft] def robustPruneLocal(cands: Seq[(Long, Double, Array[Double])],
+      r: Int, alpha: Double): Seq[Long] = {
+    var rem = cands.toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var k = 1
+    while (k <= r && rem.nonEmpty) {
+      var bi = 0
+      var i = 1
+      while (i < rem.length) {
+        if (rem(i)._2 < rem(bi)._2 ||
+            (rem(i)._2 == rem(bi)._2 && rem(i)._1 < rem(bi)._1)) bi = i
+        i += 1
+      }
+      val (sv, _, se) = rem(bi)
+      out += sv
+      if (k < r) rem = rem.filter { case (v, d, ev) =>
+        v != sv &&
+          alpha * graft.functions.VectorExpressions.l2DistSqLocal(se, ev) > d
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
   private[graft] def vamanaPrune(graph: DataFrame, emb: DataFrame,
-      r: Int, alpha: Double): DataFrame = {
+      r: Int, alpha: Double,
+      plansOut: scala.collection.mutable.Buffer[String] = null): DataFrame = {
     import graft.functions.VectorExpressions.l2DistSq
     val twoHop = graph.alias("a").join(graph.alias("b"), col("a.v") === col("b.u"))
       .filter(col("a.u") =!= col("b.v"))
       .select(col("a.u").as("p"), col("b.v").as("v"))
     val vc = graph.select(col("u").as("p"), col("v"))
       .unionByName(twoHop).distinct()
-    var rem = vc
+    val cand = vc
       .join(emb.select(col("id").as("p"), col("embedding").as("ep")), Seq("p"))
       .join(emb.select(col("id").as("v"), col("embedding").as("ev")), Seq("v"))
-      .select(col("p"), col("v"), l2DistSq(col("ep"), col("ev")).as("d"))
-      .localCheckpoint(true)
-    var pruned: DataFrame = null
-    for (k <- 1 to r) {
-      val sel = topKByScore(rem, "p", "v", col("d"), 1, ascending = true)
-        .select(col("p"), col("v"), col("score").as("d"))
-        .localCheckpoint(true)
-      pruned =
-        if (pruned == null) sel.select(col("p"), col("v"))
-        else pruned.unionByName(sel.select(col("p"), col("v")))
-      if (k < r) {
-        rem = rem
-          .join(sel.select(col("p"), col("v").as("sv")), Seq("p"))
-          .join(emb.select(col("id").as("sv"), col("embedding").as("es")), Seq("sv"))
-          .join(emb.select(col("id").as("v"), col("embedding").as("ev")), Seq("v"))
-          .filter(col("v") =!= col("sv") &&
-            lit(alpha) * l2DistSq(col("es"), col("ev")) > col("d"))
-          .select(col("p"), col("v"), col("d"))
-          .localCheckpoint(true)
-      }
-    }
-    pruned.distinct().select(col("p").as("u"), col("v")).localCheckpoint(true)
+      .select(col("p"), col("v"), l2DistSq(col("ep"), col("ev")).as("d"), col("ev"))
+    // The R greedy rounds were UNROLLED relational rounds through r18 —
+    // 8 bounded-heap picks + 8 α-dominance join/filter passes, 16 eager
+    // checkpoints, ~146 scheduled jobs (guide §1.2 step 1: s40 profiled
+    // 10.2 s wall ≈ 9.4 s of those jobs). But the selection for node p
+    // only ever reads p's own candidate list (≤ degree² rows, bounded by
+    // the graph's degree cap — NOT corpus-sized), so ONE groupBy that
+    // carries each candidate's embedding and a row-local greedy prune is
+    // the scale-correct shape: one shuffle of the candidate table total,
+    // state per row stays O(degree²), no per-round lineage. Results are
+    // bit-identical: same scored d (the l2DistSq expression), same
+    // (d, v) pick order, same strict α-dominance comparison on the same
+    // doubles (l2DistSqLocal — spec-tested twin), and a v picked once
+    // can never re-enter rem, so the old final distinct() stays a no-op.
+    val pruneUdf = udf((cs: Seq[org.apache.spark.sql.Row]) =>
+      robustPruneLocal(
+        cs.map(c => (c.getLong(0), c.getDouble(1),
+          c.getSeq[Double](2).toArray)), r, alpha))
+    val out = cand.groupBy(col("p"))
+      .agg(collect_list(struct(col("v"), col("d"), col("ev"))).as("cs"))
+      .select(col("p").as("u"), explode(pruneUdf(col("cs"))).as("v"))
+    if (plansOut != null)
+      plansOut += out.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    out.localCheckpoint(true)
   }
 
   /** Vamana selection round k as oracle CTEs (`sel$k` pick, `rem$k`

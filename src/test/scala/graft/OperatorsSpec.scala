@@ -370,6 +370,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("s40 l2DistSqLocal is bit-identical to the L2DistSq expression") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(17)
+    val cases = (0 until 200).map { _ =>
+      (Seq.fill(8)(rng.nextDouble() * 2 - 1), Seq.fill(8)(rng.nextDouble() * 2 - 1))
+    }
+    val expr = cases.toDF("a", "b")
+      .select(graft.functions.VectorExpressions.l2DistSq(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    cases.zip(expr).foreach { case ((a, b), e) =>
+      val local = graft.functions.VectorExpressions
+        .l2DistSqLocal(a.toArray, b.toArray)
+      assert(java.lang.Double.doubleToRawLongBits(local)
+        === java.lang.Double.doubleToRawLongBits(e),
+        s"l2DistSqLocal drifted from the expression on $a / $b")
+    }
+  }
+
   test("t16 row-local merge fold (applyMergeLocal) matches the list-fold reference") {
     // the learner's RDD loop applies merges with this Scala twin of the
     // bpeApplyMerge expression; drift between the two would make the
