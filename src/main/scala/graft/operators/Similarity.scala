@@ -2693,35 +2693,50 @@ object Similarity {
       .select(col("vec_id").as("id"), col("embedding"))
     val queries =
       (if (queriesIn == null) s30Queries(s) else queriesIn).localCheckpoint(true)
+    // the probe panel is bounded by construction (a serving batch / the
+    // s30 panel), so the per-hop `broadcast(queries)` equi-join — one
+    // broadcast-build JOB per hop per walk, the dominant job count of the
+    // scheduling-bound walk lanes (r18/r19 JobProfile) — becomes a
+    // row-local map-literal lookup: same q_emb doubles (driver collect
+    // round-trips exactly), same l2DistSq argument order, zero extra jobs
+    val qMap: Map[Long, Seq[Double]] = queries
+      .select(col("query_id"), col("q_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qLit = typedlit(qMap)
     var beam = queries.select(col("query_id"), lit(0L).as("node"))
     var matched: DataFrame = null
+    // when no second consumer taps the hop frames (no rehearsal hook, no
+    // filtered-search accumulator), the WHOLE walk chains into one query:
+    // the hop expansion references `beam` once (left join + explode of
+    // {node} ∪ neighbors — same candidate set as the old self-union), so
+    // plan growth is linear in the bounded hop count and the per-hop eager
+    // checkpoint jobs disappear; within the one query the planner REUSES
+    // the per-hop emb broadcast and graph scan instead of rebuilding them
+    // every hop (r18/r19 JobProfile: the walk lanes' wall is ~4 stage jobs
+    // per hop per batch, not data). The accumulator paths keep the r18
+    // per-hop checkpoints — their hop frames have two consumers.
+    val accumulating = scoredOut != null || matchPred.nonEmpty
     for (_ <- 1 to s30Hops) {
-      val cand = beam.join(graph, beam("node") === graph("u"))
-        .select(col("query_id"), col("v").as("node"))
-        .unionByName(beam.select(col("query_id"), col("node")))
+      val cand = beam.join(graph, beam("node") === graph("u"), "left")
+        .select(col("query_id"), explode(array(col("node"), col("v"))).as("cnode"))
+        .filter(col("cnode").isNotNull)
+        .select(col("query_id"), col("cnode").as("node"))
         .distinct()
-      // checkpoint the scored frame ONLY when a second consumer exists
-      // (rehearsal hook or filtered-search accumulator) — otherwise the
-      // beam checkpoint computes the whole hop in one job (r18: the walk
-      // is scheduling-bound; one eager job per hop instead of two)
       val scored0 = cand
         .join(emb.withColumnRenamed("id", "node"), Seq("node"))
-        .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col("node"),
-          l2DistSq(col("embedding"), col("q_emb")).as("d"))
-      val scored =
-        if (scoredOut != null || matchPred.nonEmpty) scored0.localCheckpoint(true)
-        else scored0
+          l2DistSq(col("embedding"), element_at(qLit, col("query_id"))).as("d"))
+      val scored = if (accumulating) scored0.localCheckpoint(true) else scored0
       if (scoredOut != null) scoredOut += scored
       matchPred.foreach { pred =>
         val hit = scored.filter(pred)
         matched = if (matched == null) hit else matched.unionByName(hit)
         matched = matched.localCheckpoint(true)
       }
-      beam = topKByScore(scored, "query_id", "node", col("d"),
+      val next = topKByScore(scored, "query_id", "node", col("d"),
           s30Beam, ascending = true)
         .select(col("query_id"), col("node"), col("score").as("d"))
-        .localCheckpoint(true)
+      beam = if (accumulating) next.localCheckpoint(true) else next
     }
     val pool = matchPred match {
       case Some(_) => matched.distinct()
@@ -3092,30 +3107,35 @@ object Similarity {
       queries: DataFrame, start: DataFrame, hops: Int, beamW: Int,
       scoredOut: scala.collection.mutable.Buffer[DataFrame]): DataFrame = {
     import graft.functions.VectorExpressions.l2DistSq
+    // same r19 treatment as nswBeamSearch: the bounded query panel rides
+    // as a map literal (no per-hop broadcast-join build job), and without
+    // a rehearsal hook the hops chain into ONE query — the hop expansion
+    // references `beam` once (left join + explode of {node} ∪ neighbors,
+    // the same candidate set as the old self-union), so plan growth stays
+    // linear in the bounded hop count and the per-hop eager checkpoint
+    // jobs disappear; the hook path keeps the r18 per-hop checkpoints.
+    val qMap: Map[Long, Seq[Double]] = queries
+      .select(col("query_id"), col("q_emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qLit = typedlit(qMap)
     var beam = start.localCheckpoint(true)
     for (_ <- 1 to hops) {
-      val cand = beam.join(graph, beam("node") === graph("u"))
-        .select(col("query_id"), col("v").as("node"))
-        .unionByName(beam.select(col("query_id"), col("node")))
+      val cand = beam.join(graph, beam("node") === graph("u"), "left")
+        .select(col("query_id"), explode(array(col("node"), col("v"))).as("cnode"))
+        .filter(col("cnode").isNotNull)
+        .select(col("query_id"), col("cnode").as("node"))
         .distinct()
-      // checkpoint the scored frame ONLY when a second consumer needs it
-      // (the rehearsal hook): each eager localCheckpoint is one whole
-      // Spark job over a panel-bounded frame, and the walk pays it every
-      // hop — fusing score + top-k into the beam checkpoint halves the
-      // per-hop job count (r18 measurement: the layered-serve walks are
-      // scheduling-bound, not compute-bound)
       val scored0 = cand
         .join(emb.withColumnRenamed("id", "node"), Seq("node"))
-        .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col("node"),
-          l2DistSq(col("embedding"), col("q_emb")).as("d"))
+          l2DistSq(col("embedding"), element_at(qLit, col("query_id"))).as("d"))
       val scored =
         if (scoredOut != null) scored0.localCheckpoint(true) else scored0
       if (scoredOut != null) scoredOut += scored
-      beam = topKByScore(scored, "query_id", "node", col("d"),
+      val next = topKByScore(scored, "query_id", "node", col("d"),
           beamW, ascending = true)
         .select(col("query_id"), col("node"), col("score").as("d"))
-        .localCheckpoint(true)
+      beam = if (scoredOut != null) next.localCheckpoint(true) else next
     }
     beam
   }

@@ -2775,6 +2775,14 @@ object EventsStreaming {
         try {
           val idxRoot = Similarity.GraphIndexCache.ensure(s, dir)
           val digestBefore = filesDigest(s"$idxRoot/graph", s"$idxRoot/knn")
+          // the frozen artifact is loaded ONCE before the stream starts —
+          // the production admission shape (a serving worker holds the
+          // frozen index in memory; it does not re-read it per batch).
+          // Frozenness is witnessed by the digest equality below, which a
+          // per-batch reload never strengthened (r18 measured the reload
+          // as one eager checkpoint job of the whole graph per batch)
+          val frozenGraph = Similarity.GraphIndexCache.graph(s, dir)
+            .localCheckpoint(true)
           // arrival fixture: the s33 twin batch split across 4 files so
           // the file source delivers >= 4 real triggers
           Similarity.s33Twins(s, dir).repartition(4)
@@ -2793,11 +2801,9 @@ object EventsStreaming {
               if (!batch.isEmpty) {
                 nBatches.incrementAndGet()
                 val ss = batch.sparkSession
-                // the frozen artifact is RELOADED per batch (read-only);
-                // the walk is the identical s30/s33 beam kernel
-                Similarity.nswBeamSearch(ss, dir,
-                    Similarity.GraphIndexCache.graph(ss, dir)
-                      .localCheckpoint(true),
+                // the walk is the identical s30/s33 beam kernel over the
+                // frozen in-memory artifact
+                Similarity.nswBeamSearch(ss, dir, frozenGraph,
                     queriesIn = batch.select(col("vec_id").as("query_id"),
                       col("embedding").as("q_emb")),
                     kOut = 6)
