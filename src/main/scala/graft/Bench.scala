@@ -75,8 +75,12 @@ object Bench {
     // regression from a loaded box.
     val loadEnd = os0.getSystemLoadAverage // -1.0 if the platform can't say
     val nCpus = os0.getAvailableProcessors
+    // cpus_requested = the SPARK_GRAFT_CPUS the session actually ran with
+    // (VERDICT r18 #2: "cpus" is the MACHINE core count, so the driver's
+    // 8-core scaling run printed cpus:32 and the scaling block read as
+    // bogus; both fields stay — machine speed vs requested parallelism)
     val loadFields =
-      s""""load_avg_start":${f3(loadAvgAtStart)},"load_avg_end":${f3(loadEnd)},"cpus":$nCpus,"anchor_secs":${f3(anchorSecs)}"""
+      s""""load_avg_start":${f3(loadAvgAtStart)},"load_avg_end":${f3(loadEnd)},"cpus":$nCpus,"cpus_requested":$cpus,"anchor_secs":${f3(anchorSecs)}"""
     // full per-query map lives ONLY on disk; the printed line must stay
     // short because the driver tail-captures stdout and a ~2 KB line gets
     // its head cut (r1 AND r2 lesson: the bottleneck is LINE LENGTH, not
@@ -101,7 +105,7 @@ object Bench {
           val keys = """"([A-Za-z0-9_]+)":[-0-9.]""".r.findAllMatchIn(txt)
             .map(_.group(1)).toSet
             .diff(Set("metric", "value", "load_avg_start", "load_avg_end",
-              "cpus", "anchor_secs"))
+              "cpus", "cpus_requested", "anchor_secs"))
           // tightened r14: +1.0 let a load-1.06 run replace a load-0.275
           // anchor (494 s -> 538 s on byte-identical code); a QUIET
           // anchor (la < 0.5) now only yields to a run at most 0.5
@@ -134,7 +138,34 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec",$loadFields,"errors":$errJson,"queries":$full,"sf":"$sfDir"}"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
-    val slow5 = results.toSeq.sortBy(-_._2).take(5)
+    // always ALSO write the full per-query map of THIS run, unguarded
+    // (VERDICT r18 #1: the guard protects the quiet anchor in
+    // bench_local.json, but it could leave that file describing a
+    // DIFFERENT execution than the printed line; the driver/judge can
+    // always read the map of the run it just made from _last)
+    try {
+      val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_local_last.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec",$loadFields,"errors":$errJson,"queries":$full,"sf":"$sfDir"}"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    // printed per-query map = the 5 slowest PLUS a fixed cross-family
+    // sentinel set (VERDICT r18 #1: two rounds' top-5 sets can be
+    // disjoint, leaving the driver's round-over-round geomean with
+    // n_common = 0; the sentinels give every round a stable comparable
+    // core while keeping the line far under the ~2 KB truncation bound)
+    val sentinels = Seq("q01_pricing_summary", "q63_pagerank",
+      "d17_winnowing", "d21_dedup_eval", "s38_graph_index_delete",
+      "s42_hnsw_layered_delete", "st28_stream_outer_recovery",
+      "st35_stream_graph_admission", "t17_bpe_apply",
+      "t33_tokenizer_persist", "p04_curation_pipeline",
+      "p11_corpus_train_export", "m12_audio_vad",
+      "h09_sequential_invariants", "w22_zorder_clustering")
+    val slow5 = (results.toSeq.sortBy(-_._2).take(5) ++
+        sentinels.flatMap(k => results.get(k).map(k -> _)))
+      .distinct
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // printed line carries the error COUNT plus the first few failing query

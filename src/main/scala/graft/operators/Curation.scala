@@ -528,8 +528,9 @@ object Curation {
     val s = counted.sparkSession
     val positions = Relational.epochShufflePositions(
       counted.select(col("doc_id")), seed)
+    // lazy checkpoint: the `total` aggregate right below materializes it
     val ordered = counted.join(positions, Seq("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val total = ordered.agg(coalesce(sum(col("n_tokens")), lit(0L)))
       .head().getLong(0)
     val target = (total + nShards - 1) / nShards
@@ -560,7 +561,10 @@ object Curation {
           16, 10) AS BIGINT) % 1048576""") * col("r")).cast("long"))
           .as("order_checksum"))
     manifest.coalesce(1).write.mode("overwrite").parquet(manifestDest)
-    manifest
+    // return the JUST-WRITTEN manifest (longs roundtrip parquet exactly):
+    // callers that materialize it again (p11's checkpoint, p09's collect)
+    // then read S tiny rows back instead of re-running the window+agg plan
+    counted.sparkSession.read.parquet(manifestDest)
   }
 
   // ---------------------------------------------------------------- p10
@@ -616,12 +620,16 @@ object Curation {
     val cnts = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    // graded/cum checkpoints are LAZY — the perGrade collect materializes
+    // graded and the eager `selected` checkpoint materializes cum, so the
+    // kernel runs 2 jobs instead of 4 (r19: the curation composites are
+    // scheduling-bound; guide §1.2 step 1)
     val graded = cnts.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("top_cnt"))
       .withColumn("grade", floor((lit(1.0) -
         col("top_cnt").cast("double") / col("n_tokens").cast("double"))
         * 10).cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // driver prefix-sum over the grade buckets in DESC order
     val perGrade = graded.groupBy(col("grade"))
       .agg(sum(col("n_tokens")).as("tot"))
@@ -638,7 +646,7 @@ object Curation {
     val cum = graded.join(offDf, Seq("grade"))
       .withColumn("cum_end", col("off") + sum(col("n_tokens")).over(w))
       .withColumn("selected", col("cum_end") <= budget)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val selected = cum.filter(col("selected"))
       .select(col("doc_id"), col("n_tokens")).localCheckpoint(true)
     BudgetSelection(graded, cum, selected, tokensIn, budget)

@@ -131,9 +131,13 @@ object Dedup {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))
         .filter(col("src") =!= col("dst")))
       .persist(lvl)
+    // checkpoints in this loop are LAZY: the labelSum fixpoint probe right
+    // after each one materializes it, so each round is ONE job instead of
+    // the r18 two (eager checkpoint count + sum) — the composite lanes
+    // that embed CC are scheduling-bound, not data-bound (guide §1.2)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // sum over zero rows is null: an empty edge set must return empty
     // labels, not NPE (star variant null-guards its signature the same way)
     def labelSum(d: DataFrame): Long = {
@@ -150,8 +154,8 @@ object Dedup {
         .select(col("src").as("node"), col("label"))
         .unionByName(prev)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(labels)
+        .localCheckpoint(false)
+      val s = labelSum(labels) // materializes the lazy checkpoint
       prev.unpersist(false)
       converged = s == prevSum
       prevSum = s
@@ -206,9 +210,11 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
+    // lazy checkpoints: each round's sig() probe materializes the frame,
+    // halving the per-round job count (see connectedComponents above)
     var e = edges0.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // fixpoint signature: count + column sums + an order-independent hash
     // (sums alone could collide across distinct edge sets and stop the
     // loop one round early with wrong labels; xxhash64 makes that
@@ -230,8 +236,8 @@ object Dedup {
     var iters = 0
     while (!converged && iters < maxIters) {
       val prev = e
-      e = smallStar(largeStar(prev)).localCheckpoint(true)
-      val s = sig(e)
+      e = smallStar(largeStar(prev)).localCheckpoint(false)
+      val s = sig(e) // materializes the lazy checkpoint
       prev.unpersist(false)
       converged = s == prevSig
       prevSig = s

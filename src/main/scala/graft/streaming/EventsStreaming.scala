@@ -3316,6 +3316,12 @@ object EventsStreaming {
           java.nio.file.Files.setLastModifiedTime(dest,
             java.nio.file.attribute.FileTime.fromMillis(1000000000000L + seq * 60000L))
         }
+        // unpartitioned-Window bound (audited r19): GATE-FIXTURE code, not
+        // a query path — this slices the arrival fixture into 3 time-
+        // ordered files to SIMULATE a stream's arrival order; in
+        // production the arrivals ARE the stream and no such slicing
+        // exists. The frame is the gate corpus's 'view' events (bounded by
+        // the fixture), never a production-sized input.
         val sliced = views.withColumn("bkt",
           ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
         (1 to 3).foreach(i =>
